@@ -1,0 +1,27 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared helpers keeping Spark output and DuckDB oracle output
+  * hash-identical (see QueryDef determinism contract).
+  */
+object Ql {
+
+  /** Cross-engine-stable rounding. Spark's `round` rounds the double's
+    * shortest decimal representation HALF_UP; DuckDB rounds the binary
+    * value — they disagree on exact .xx5 ties (e.g. 71.74/4). Nudging by
+    * +1e-9 moves ties off the boundary the same way in both engines.
+    * Use `R(expr, n)` in the oracle SQL twin.
+    */
+  def r(c: Column, scale: Int = 2): Column = round(c + lit(1e-9), scale)
+
+  /** Oracle-side twin of [[r]]: splice into DuckDB SQL. */
+  def R(expr: String, scale: Int = 2): String = s"round(($expr) + 1e-9, $scale)"
+
+  /** Timestamp → second-granularity string; parquet timestamp logical types
+    * (isAdjustedToUTC, unit) differ across engines, strings do not.
+    * Oracle twin: strftime(ts, '%Y-%m-%d %H:%M:%S').
+    */
+  def tstr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+}
