@@ -8,7 +8,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
-    operators.EventQueries)
+    operators.EventQueries,
+    operators.RecordQueries,
+    operators.JoinQueries,
+    operators.AggQueries,
+    operators.WindowFnQueries,
+    operators.SetSortQueries,
+    operators.ScalarFnQueries,
+    operators.UdfQueries)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
 

@@ -1,0 +1,217 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Aggregation surface (SURVEY §2.D) — the reference's keyed DynamoDB
+  * counters generalized to the full aggregate family. All aggregations are
+  * two-phase (partial map-side combine, final after shuffle) automatically
+  * via HashAggregateExec — the property that makes them scale.
+  */
+object AggQueries extends QueryModule {
+
+  /** D1/D2: pricing summary report — TPC-H Q1 shaped over the actual cols. */
+  private val pricingSummary = QueryDef(
+    "q_agg_pricing_summary",
+    (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .filter(col("l_shipdate") <= lit("2000-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Ql.r(sum(col("l_quantity"))).as("sum_qty"),
+          Ql.r(sum(col("l_extendedprice"))).as("sum_base_price"),
+          Ql.r(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+          Ql.r(avg(col("l_quantity"))).as("avg_qty"),
+          Ql.r(avg(col("l_extendedprice"))).as("avg_price"),
+          Ql.r(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+             ${Ql.R("sum(l_quantity)")} AS sum_qty,
+             ${Ql.R("sum(l_extendedprice)")} AS sum_base_price,
+             ${Ql.R("sum(l_extendedprice * (1 - l_discount))")} AS sum_disc_price,
+             ${Ql.R("avg(l_quantity)")} AS avg_qty,
+             ${Ql.R("avg(l_extendedprice)")} AS avg_price,
+             ${Ql.R("avg(l_discount)", 4)} AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-09-01 00:00:00'
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """))
+
+  /** D3/D9: exact distinct aggregates. */
+  private val aggDistinct = QueryDef(
+    "q_agg_distinct",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("k")).as("n_ks"),
+          sum_distinct(col("k").cast("long")).as("sum_distinct_k"))
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type, count(*) AS n,
+             count(DISTINCT user_id) AS n_users,
+             count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS n_ks,
+             CAST(sum(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_distinct_k
+      FROM events GROUP BY 1 ORDER BY 1
+    """))
+
+  /** D4: approx distinct (HLL) — no SQL-exact oracle by nature; the driver
+    * records a rows-only check. Exact twin emitted alongside for eyeballing.
+    */
+  private val aggApprox = QueryDef(
+    "q_agg_approx",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .groupBy("event_type")
+        .agg(
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type"),
+    None)
+
+  /** D5: rollup + grouping_id — multi-granularity report. */
+  private val aggRollup = QueryDef(
+    "q_agg_rollup",
+    (spark, sfDir) => {
+      val c = Tables.customer(spark, sfDir)
+      val n = Tables.nation(spark, sfDir)
+      val r = Tables.region(spark, sfDir)
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), grouping_id().as("gid"))
+        .select(
+          coalesce(col("r_name"), lit("(all)")).as("region"),
+          coalesce(col("n_name"), lit("(all)")).as("nation"),
+          col("n_cust"), col("gid"))
+        .orderBy("gid", "region", "nation")
+    },
+    Some("""
+      SELECT coalesce(r_name, '(all)') AS region,
+             coalesce(n_name, '(all)') AS nation,
+             count(*) AS n_cust,
+             CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY gid, region, nation
+    """))
+
+  /** D5: cube over two independent dimensions. */
+  private val aggCube = QueryDef(
+    "q_agg_cube",
+    (spark, sfDir) =>
+      Tables.orders(spark, sfDir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("gid"))
+        .orderBy("gid", "status", "priority"),
+    Some("""
+      SELECT coalesce(o_orderstatus, '(all)') AS status,
+             coalesce(o_orderpriority, '(all)') AS priority,
+             count(*) AS n,
+             CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY gid, status, priority
+    """))
+
+  /** D6: collect_set — gathered group elements, sorted for determinism. */
+  private val aggCollect = QueryDef(
+    "q_agg_collect",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .filter(col("k") < 25)
+        .groupBy("event_type")
+        .agg(
+          array_sort(collect_set(col("k"))).as("ks"),
+          size(collect_set(col("k"))).as("n_ks"))
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type,
+             list_sort(list(DISTINCT k)) AS ks,
+             CAST(len(list(DISTINCT k)) AS INT) AS n_ks
+      FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+            FROM events)
+      WHERE k < 25
+      GROUP BY 1 ORDER BY 1
+    """))
+
+  /** D7: exact percentiles (linear interpolation, = percentile_cont). */
+  private val aggPercentile = QueryDef(
+    "q_agg_percentile",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .groupBy("event_type")
+        .agg(
+          Ql.r(expr("percentile(value, 0.5)")).as("p50"),
+          Ql.r(expr("percentile(value, 0.9)")).as("p90"),
+          Ql.r(expr("percentile(value, 0.99)")).as("p99"))
+        .orderBy("event_type"),
+    Some(s"""
+      SELECT event_type,
+             ${Ql.R("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)")} AS p50,
+             ${Ql.R("percentile_cont(0.9) WITHIN GROUP (ORDER BY value)")} AS p90,
+             ${Ql.R("percentile_cont(0.99) WITHIN GROUP (ORDER BY value)")} AS p99
+      FROM events GROUP BY 1 ORDER BY 1
+    """))
+
+  /** D8: statistical aggregates. (skewness/kurtosis intentionally excluded
+    * from the oracle: Spark computes population moments, DuckDB sample
+    * moments — numerically different definitions.)
+    */
+  private val aggStats = QueryDef(
+    "q_agg_stats",
+    (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .groupBy("l_returnflag")
+        .agg(
+          Ql.r(stddev_samp(col("l_quantity"))).as("sd_qty"),
+          Ql.r(var_samp(col("l_quantity"))).as("var_qty"),
+          Ql.r(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          Ql.r(covar_samp(col("l_quantity"), col("l_discount")), 4).as("covar_qty_disc"))
+        .orderBy("l_returnflag"),
+    Some(s"""
+      SELECT l_returnflag,
+             ${Ql.R("stddev_samp(l_quantity)")} AS sd_qty,
+             ${Ql.R("var_samp(l_quantity)")} AS var_qty,
+             ${Ql.R("corr(l_quantity, l_extendedprice)", 4)} AS corr_qty_price,
+             ${Ql.R("covar_samp(l_quantity, l_discount)", 4)} AS covar_qty_disc
+      FROM lineitem GROUP BY 1 ORDER BY 1
+    """))
+
+  /** D11: pivot — event_type values to columns, one row per day. */
+  private val aggPivot = QueryDef(
+    "q_agg_pivot",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
+        .orderBy("day"),
+    Some("""
+      SELECT CAST(ts AS DATE) AS day,
+             count(*) FILTER (WHERE event_type = 'click') AS "click",
+             count(*) FILTER (WHERE event_type = 'view') AS "view",
+             count(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+             count(*) FILTER (WHERE event_type = 'signup') AS "signup",
+             count(*) FILTER (WHERE event_type = 'error') AS "error"
+      FROM events GROUP BY 1 ORDER BY 1
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(
+    pricingSummary, aggDistinct, aggApprox, aggRollup, aggCube, aggCollect,
+    aggPercentile, aggStats, aggPivot)
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytic window functions (SURVEY §2.E): ranking, lag/lead, running
+  * frames, top-k per group. Each window partitions by a key — at scale the
+  * shuffle is on the partition key, never a global sort.
+  */
+object WindowFnQueries extends QueryModule {
+
+  /** E1+E5: ranking trio + top-3 per group. */
+  private val winRank = QueryDef(
+    "q_win_rank",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(spark, sfDir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rk", rank().over(w))
+        .withColumn("drk", dense_rank().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("c_nationkey"), col("rn"), col("rk"), col("drk"),
+          col("c_custkey"), Ql.r(col("c_acctbal")).as("acctbal"))
+        .orderBy("c_nationkey", "rn")
+    },
+    Some(s"""
+      SELECT c_nationkey,
+             row_number() OVER w AS rn,
+             rank() OVER w AS rk,
+             dense_rank() OVER w AS drk,
+             c_custkey, ${Ql.R("c_acctbal")} AS acctbal
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+      QUALIFY rn <= 3
+      ORDER BY c_nationkey, rn
+    """))
+
+  /** E2: lag — inter-event gap per user, aggregated. */
+  private val winLag = QueryDef(
+    "q_win_lag",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(spark, sfDir)
+        .withColumn("epoch", unix_timestamp(col("ts")))
+        .withColumn("gap", col("epoch") - lag(col("epoch"), 1).over(
+          Window.partitionBy("user_id").orderBy("epoch", "event_id")))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          Ql.r(avg(col("gap"))).as("avg_gap_sec"),
+          max(col("gap")).as("max_gap_sec"))
+        .orderBy("user_id")
+    },
+    Some(s"""
+      SELECT user_id, count(*) AS n_events,
+             ${Ql.R("avg(gap)")} AS avg_gap_sec, max(gap) AS max_gap_sec
+      FROM (SELECT user_id,
+                   epoch - lag(epoch) OVER (PARTITION BY user_id
+                                            ORDER BY epoch, event_id) AS gap
+            FROM (SELECT user_id, event_id,
+                         epoch_ns(ts) // 1000000000 AS epoch FROM events))
+      GROUP BY 1 ORDER BY 1
+    """))
+
+  /** E3+E4: running sum + first value over an ordered frame. */
+  private val winRunning = QueryDef(
+    "q_win_running",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(spark, sfDir)
+        .filter(col("o_custkey") < 100)
+        .withColumn("running_total",
+          Ql.r(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0))))
+        .withColumn("first_price", Ql.r(first(col("o_totalprice")).over(w)))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_total"), col("first_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some(s"""
+      SELECT o_custkey, o_orderkey,
+             ${Ql.R("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_total,
+             ${Ql.R("first_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)")} AS first_price
+      FROM orders WHERE o_custkey < 100
+      ORDER BY o_custkey, o_orderkey
+    """))
+
+  /** E2 lead + ntile/percent_rank coverage on a compact output. */
+  private val winLeadNtile = QueryDef(
+    "q_win_lead_ntile",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("s_nationkey").orderBy(col("s_acctbal"), col("s_suppkey"))
+      Tables.supplier(spark, sfDir)
+        .withColumn("next_bal", Ql.r(lead(col("s_acctbal"), 1).over(w)))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", Ql.r(percent_rank().over(w), 4))
+        .select(col("s_suppkey"), col("s_nationkey"), col("next_bal"),
+          col("quartile"), col("pct_rank"))
+        .orderBy("s_suppkey")
+    },
+    Some(s"""
+      SELECT s_suppkey, s_nationkey,
+             ${Ql.R("lead(s_acctbal) OVER w")} AS next_bal,
+             CAST(ntile(4) OVER w AS INT) AS quartile,
+             ${Ql.R("percent_rank() OVER w", 4)} AS pct_rank
+      FROM supplier
+      WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+      ORDER BY s_suppkey
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(winRank, winLag, winRunning, winLeadNtile)
+}
