@@ -15,6 +15,7 @@ object SparkEntry {
     operators.WindowFnQueries,
     operators.SetSortQueries,
     operators.ScalarFnQueries,
+    operators.StreamTwinQueries,
     operators.UdfQueries)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Batch twins of the streaming operators (SURVEY §2.H). The same
+  * `window`/`session_window` expressions run unchanged under Structured
+  * Streaming (see graft.streaming.StreamingJobs); running them in batch
+  * makes them oracle-checkable. Event-time semantics here are the upgrade
+  * over the reference's arrival-time minute-bucket counters.
+  */
+object StreamTwinQueries extends QueryModule {
+
+  /** H2: sliding window (1 h window, 15 min slide — every event lands in 4
+    * windows). Oracle enumerates the window starts arithmetically.
+    */
+  private val windowSliding = QueryDef(
+    "q_window_sliding",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(Ql.tstr(col("window.start")).as("w_start"), col("event_type"), col("n"))
+        .orderBy("w_start", "event_type"),
+    Some("""
+      SELECT strftime(make_timestamp(s * 1000000), '%Y-%m-%d %H:%M:%S') AS w_start,
+             event_type, count(*) AS n
+      FROM (SELECT event_type,
+                   (epoch_ns(ts) // 1000000000 // 900) * 900 - j.i * 900 AS s
+            FROM events, generate_series(0, 3) j(i))
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """))
+
+  /** H3: session window (30 min inactivity gap) per user, summarized.
+    * Oracle is the classic gaps-and-islands rewrite: a session break is a
+    * gap of >= 30 min (Spark's session end bound `last + gap` is exclusive).
+    */
+  private val windowSession = QueryDef(
+    "q_window_session",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_in_session"))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum(col("n_in_session")).as("n_events"),
+          max(col("n_in_session")).as("max_session_events"))
+        .orderBy("user_id"),
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         < INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_s
+        FROM events),
+      sess AS (
+        SELECT user_id,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged),
+      counts AS (SELECT user_id, sid, count(*) AS n FROM sess GROUP BY 1, 2)
+      SELECT user_id, count(*) AS n_sessions,
+             CAST(sum(n) AS BIGINT) AS n_events, max(n) AS max_session_events
+      FROM counts GROUP BY 1 ORDER BY 1
+    """))
+
+  /** H5/F6: deterministic dedup — keep the first record per
+    * (user_id, event_type) by event time. The streaming twin is
+    * `withWatermark + dropDuplicates`; batch uses row_number so "first" is
+    * well-defined for the oracle.
+    */
+  private val dedupEvents = QueryDef(
+    "q_dedup_events",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(spark, sfDir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_kept"), sum(col("event_id")).as("sum_kept_ids"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, count(*) AS n_kept,
+             CAST(sum(event_id) AS BIGINT) AS sum_kept_ids
+      FROM (SELECT * FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id) = 1)
+      GROUP BY 1 ORDER BY 1
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(windowSliding, windowSession, dedupEvents)
+}

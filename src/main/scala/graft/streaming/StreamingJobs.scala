@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming replacements for the reference's Lambda pipeline
+  * (SURVEY §2.A/§2.H). The mapping:
+  *
+  *   Kinesis stream + shard        → streaming DataFrame + its partitions
+  *   event-source-mapping poller   → MicroBatchExecution trigger loop
+  *   handler(event, context)       → the transform lambdas / foreachBatch
+  *   DynamoDB counters             → windowed agg in update mode + state store
+  *   sequence-number checkpoints   → checkpointLocation offset/commit logs
+  *   at-least-once + idempotency   → exactly-once file sinks / idempotent
+  *                                   foreachBatch upserts
+  *
+  * Each job is a pure DataFrame→DataFrame function so the identical plan is
+  * unit-testable via MemoryStream and runnable against a file source.
+  */
+object StreamingJobs {
+
+  /** Schema of an event record as the file source reads it (ts arrives as
+    * long nanos — see Tables.events).
+    */
+  val eventSchemaRaw: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** A1/A3: file-backed stream source standing in for Kinesis — replayable,
+    * ordered within a partition, rate-limited via maxFilesPerTrigger.
+    */
+  def fileSource(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchemaRaw)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** H1+H4: event-time tumbling window counters with a watermark — the
+    * DynamoDB per-minute ADD counter pattern, upgraded to event time with
+    * bounded state and late-data drop.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** H5: streaming dedup on the record id within the watermark horizon —
+    * the idempotent-consumer pattern (conditional DynamoDB put on eventID).
+    */
+  def dedupByEventId(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes").dropDuplicates("event_id", "ts")
+
+  /** C9: stream-static enrichment join (the DynamoDB GetItem lookup). */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), events("user_id") === dim("c_custkey"), "left")
+
+  // ---- H6: arbitrary keyed state — sessionization with a timeout ----
+
+  case class SessionInput(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int, sum: Double)
+  case class SessionOut(user_id: Long, n_events: Int, sum_value: Double, duration_sec: Long)
+
+  /** Emits a SessionOut when a user goes quiet for `gapMinutes` (event-time
+    * timeout). This is what the reference could NOT do in stateless Lambda
+    * without an external DynamoDB state machine.
+    */
+  def sessionize(events: Dataset[SessionInput], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.n, s.sum, (s.last - s.start) / 1000))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { r =>
+              val t = r.ts.getTime
+              cur match {
+                case Some(s) if t - s.last < gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + r.value))
+                case Some(s) =>
+                  closed += SessionOut(user, s.n, s.sum, (s.last - s.start) / 1000)
+                  cur = Some(SessionState(t, t, 1, r.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, r.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** A6/A7/H8: fan-out sink — one micro-batch, several destinations
+    * (aggregate "DynamoDB" table + raw archive), the SNS/multi-sink shape.
+    * batchDF is persisted so the two writes scan the input once.
+    */
+  def fanOutSink(agg: DataFrame, countersOut: String, archiveOut: String,
+      checkpoint: String, trigger: Trigger = Trigger.AvailableNow()) = {
+    agg.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        batch.write.mode("append").parquet(countersOut)
+        batch.filter(col("n") > 1).write.mode("append").parquet(archiveOut)
+        batch.unpersist()
+        ()
+      }
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import graft.streaming.StreamingJobs
+import graft.streaming.StreamingJobs.{SessionInput, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  private val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+  private def at(min: Long) = new Timestamp(base + min * 60000)
+
+  test("H1: streaming tumbling counts equal the batch computation") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rows = Seq(
+      Ev(1, at(5), 1, "click", 1.0, "{}"),
+      Ev(2, at(10), 1, "click", 2.0, "{}"),
+      Ev(3, at(65), 2, "view", 3.0, "{}"),
+      Ev(4, at(70), 1, "click", 4.0, "{}"),
+      Ev(5, at(130), 2, "view", 5.0, "{}"))
+    val ms = MemoryStream[Ev]
+    ms.addData(rows: _*)
+    val q = StreamingJobs.tumblingCounts(ms.toDF())
+      .writeStream.format("memory").queryName("tumb").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("tumb")
+      .select("w_start", "event_type", "n", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val batch = StreamingJobs.tumblingCounts(rows.toDF())
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.size == 4) // (h0 click), (h1 view), (h1 click), (h2 view)
+  }
+
+  test("H5: streaming dedup drops redelivered event ids") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingJobs.dedupByEventId(ms.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    // redelivery of id=1 within the same and a later batch (at-least-once)
+    ms.addData(Ev(1, at(1), 1, "click", 1.0, "{}"), Ev(1, at(1), 1, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    ms.addData(Ev(1, at(1), 1, "click", 1.0, "{}"), Ev(2, at(2), 1, "view", 2.0, "{}"))
+    try q.processAllAvailable() finally q.stop()
+    val ids = spark.table("dedup").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
+  test("H6: event-time sessionizer closes sessions on gap and on timeout") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[SessionInput]
+    val sessions = StreamingJobs.sessionize(
+      ms.toDS().withWatermark("ts", "0 seconds"), gapMinutes = 30)
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    // user 1: two sessions split by a 40-min gap; user 2: one session
+    ms.addData(
+      SessionInput(1, at(0), 1.0), SessionInput(1, at(10), 2.0),
+      SessionInput(1, at(50), 3.0), SessionInput(2, at(0), 5.0))
+    q.processAllAvailable()
+    // advance event time far enough that the watermark passes every
+    // open session's (last + gap) timeout
+    ms.addData(SessionInput(99, at(600), 0.0))
+    q.processAllAvailable()
+    ms.addData(SessionInput(99, at(1200), 0.0))
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.table("sess").as[SessionOut].collect()
+      .filter(_.user_id != 99).sortBy(s => (s.user_id, s.n_events))
+    assert(out.exists(s => s.user_id == 1 && s.n_events == 2 && s.sum_value == 3.0
+      && s.duration_sec == 600))
+    assert(out.exists(s => s.user_id == 1 && s.n_events == 1 && s.sum_value == 3.0))
+    assert(out.exists(s => s.user_id == 2 && s.n_events == 1 && s.sum_value == 5.0))
+  }
+
+  test("C9: stream-static enrichment join") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "AUTOMOBILE"), (2L, "BUILDING"))
+      .toDF("c_custkey", "c_mktsegment")
+    val ms = MemoryStream[Ev]
+    ms.addData(Ev(1, at(0), 1, "click", 1.0, "{}"), Ev(2, at(1), 7, "view", 2.0, "{}"))
+    val q = StreamingJobs.enrich(ms.toDF(), dim)
+      .select(col("event_id"), col("c_mktsegment"))
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("enriched").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got == Set((1L, Some("AUTOMOBILE")), (2L, None)))
+  }
+
+  test("A1/A5/H8: file source -> watermarked agg -> fan-out foreachBatch sink") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    // the file source consumes a directory of arriving files (the S3
+    // landing-zone shape) — stage the events file into one
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$tmp/in/events.parquet"))
+    val src = StreamingJobs.fileSource(spark, s"$tmp/in", 1)
+    val agg = StreamingJobs.tumblingCounts(src)
+    val q = StreamingJobs.fanOutSink(agg, s"$tmp/counters", s"$tmp/archive", s"$tmp/ckpt").start()
+    // AvailableNow self-terminates after draining the source (incl. the
+    // no-data batch that finalizes watermarked windows)
+    assert(q.awaitTermination(180000))
+    val counters = spark.read.parquet(s"$tmp/counters")
+    assert(counters.count() > 0)
+    val archive = spark.read.parquet(s"$tmp/archive")
+    assert(archive.count() <= counters.count())
+  }
+}
