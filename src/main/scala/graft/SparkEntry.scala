@@ -16,7 +16,11 @@ object SparkEntry {
     operators.SetSortQueries,
     operators.ScalarFnQueries,
     operators.StreamTwinQueries,
-    operators.UdfQueries)
+    operators.UdfQueries,
+    operators.DedupQueries,
+    operators.SimilarityQueries,
+    operators.TextQueries,
+    operators.MultimodalQueries)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
 

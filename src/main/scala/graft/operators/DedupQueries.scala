@@ -1,0 +1,238 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.functions.Vectors
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data deduplication operators (SURVEY §2.I1/I2): exact hash,
+  * MinHash+LSH banding, SimHash, and n-gram Jaccard — plus embedding-cosine
+  * near-dup. All are expressed as set/join algebra (shingle inverted index,
+  * band-bucket self-join), the shapes that scale: no pairwise O(n²) work
+  * except inside an LSH bucket or an explicit small candidate set.
+  *
+  * The corpus has no natural near-duplicates, so the near-dup queries
+  * append perturbed copies of the first 10 documents (first token replaced)
+  * — the detector must find exactly those plants.
+  */
+object DedupQueries extends QueryModule {
+
+  /** documents ∪ perturbed copies of doc_id<10 (id+100000, first token
+    * replaced) — the planted near-duplicates.
+    */
+  private def withPlants(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    d.unionByName(
+      d.filter(col("doc_id") < 10).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+", "zzz").as("text")))
+  }
+
+  private val plantsSql =
+    """(SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, regexp_replace(text, '^\S+', 'zzz')
+        FROM documents WHERE doc_id < 10)"""
+
+  /** Distinct 3-token shingles per doc: (doc_id, sh). */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))")).as("sh"))
+      .distinct()
+
+  private val shinglesSql =
+    s"""SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS sh
+        FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 3)) AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $plantsSql)
+              WHERE len(t) >= 3)"""
+
+  /** I1: exact dedup via content hash + keep-first on a normalized key.
+    * Full-text sha256 finds byte-identical dups; the (lang, first-3-tokens)
+    * projection shows collision-groups on a weaker key.
+    */
+  private val dedupExact = QueryDef(
+    "q_dedup_exact",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .withColumn("text_hash", sha2(col("text").cast("binary"), 256))
+        .withColumn("prefix_key", concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("text_hash")).as("n_uniq_text"),
+          countDistinct(col("prefix_key")).as("n_uniq_prefix"),
+          (count(lit(1)) - countDistinct(col("prefix_key"))).as("n_prefix_dups"))
+        .orderBy("lang"),
+    Some("""
+      SELECT lang, count(*) AS n_docs,
+             count(DISTINCT sha256(text)) AS n_uniq_text,
+             count(DISTINCT array_to_string(string_split(text, ' ')[1:3], ' ')) AS n_uniq_prefix,
+             count(*) - count(DISTINCT array_to_string(string_split(text, ' ')[1:3], ' ')) AS n_prefix_dups
+      FROM documents GROUP BY 1 ORDER BY 1
+    """))
+
+  /** I2a: MinHash + LSH banding. 12 hash functions (md5 with a seed prefix;
+    * hex strings compare like the numbers they encode), 4 bands × 3 rows;
+    * candidate pairs share at least one band bucket. The band self-join is
+    * the scale path: pairs are only formed inside a bucket.
+    */
+  private val dedupMinhash = QueryDef(
+    "q_dedup_minhash",
+    (spark, sfDir) => {
+      val sh = shingles(withPlants(spark, sfDir))
+      val mh = sh
+        .withColumn("seed", explode(expr("sequence(0, 11)")))
+        .groupBy("doc_id", "seed")
+        .agg(min(md5(concat(col("seed"), lit(":"), col("sh")))).as("mh"))
+      val bands = mh
+        .withColumn("band", expr("CAST(seed div 3 AS INT)"))
+        .groupBy("doc_id", "band")
+        .agg(expr(
+          "md5(array_join(transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh), ','))")
+          .as("band_key"))
+      val a = bands.select(col("band"), col("band_key"), col("doc_id").as("d1"))
+      val b = bands.select(col("band"), col("band_key"), col("doc_id").as("d2"))
+      a.join(b, Seq("band", "band_key"))
+        .filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"))
+        .distinct()
+        .orderBy("d1", "d2")
+    },
+    Some(s"""
+      WITH sh AS ($shinglesSql),
+      mh AS (
+        SELECT doc_id, g.i AS seed, min(md5(g.i || ':' || sh)) AS mh
+        FROM sh, generate_series(0, 11) g(i)
+        GROUP BY 1, 2),
+      bands AS (
+        SELECT doc_id, seed // 3 AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+        FROM mh GROUP BY 1, 2)
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      ORDER BY 1, 2
+    """))
+
+  /** I2b: SimHash — 60-bit fingerprint from per-token hash bits (bit j of a
+    * token's hash = bit (j mod 4) of hex digit j/4 of its md5 — the same
+    * arithmetic is expressible in both engines). Fingerprint + popcount per
+    * document; near-dups would be pairs at small hamming distance.
+    */
+  private val dedupSimhash = QueryDef(
+    "q_dedup_simhash",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .withColumn("h", md5(col("tok").cast("binary")))
+        .withColumn("j", explode(expr("sequence(0, 59)")))
+        .withColumn("bit", expr(
+          "((instr('0123456789abcdef', substring(h, 1 + CAST(j div 4 AS INT), 1)) - 1) >> (j % 4)) & 1"))
+        .groupBy("doc_id", "j")
+        .agg(sum(col("bit") * 2 - 1).as("s"))
+        .groupBy("doc_id")
+        .agg(sum(expr("CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END")).as("fingerprint"))
+        .select(col("doc_id"), col("fingerprint"),
+          bit_count(col("fingerprint")).as("popcnt"))
+        .orderBy("doc_id"),
+    Some("""
+      WITH bits AS (
+        SELECT doc_id, g.j,
+               ((strpos('0123456789abcdef', substr(md5(tok), 1 + j // 4, 1)) - 1)
+                 >> (j % 4)) & 1 AS bit
+        FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE doc_id < 100),
+             generate_series(0, 59) g(j)),
+      sums AS (SELECT doc_id, j, sum(bit * 2 - 1) AS s FROM bits GROUP BY 1, 2)
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS fingerprint,
+             CAST(bit_count(CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT)) AS INT) AS popcnt
+      FROM sums GROUP BY doc_id ORDER BY doc_id
+    """))
+
+  /** I2c: n-gram Jaccard via shingle inverted index — intersections come
+    * from a self-join on the shingle (sparse, never all-pairs), unions from
+    * per-doc set sizes. Pairs with J >= 0.6 are near-dups.
+    */
+  private val dedupNgramJaccard = QueryDef(
+    "q_dedup_ngram_jaccard",
+    (spark, sfDir) => {
+      val sh = shingles(withPlants(spark, sfDir)).cache()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = sh.select(col("sh"), col("doc_id").as("d1"))
+        .join(sh.select(col("sh"), col("doc_id").as("d2")), "sh")
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+        .withColumn("jaccard", Ql.r(col("inter") / (col("sz1") + col("sz2") - col("inter")), 4))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("d1"), col("d2"), col("jaccard"))
+        .orderBy("d1", "d2")
+    },
+    Some(s"""
+      WITH sh AS ($shinglesSql),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT d1, d2,
+             ${Ql.R("inter / (s1.sz + s2.sz - inter)", 4)} AS jaccard
+      FROM inter
+        JOIN sizes s1 ON s1.doc_id = d1
+        JOIN sizes s2 ON s2.doc_id = d2
+      WHERE ${Ql.R("inter / (s1.sz + s2.sz - inter)", 4)} >= 0.6
+      ORDER BY 1, 2
+    """))
+
+  /** I2d: embedding-cosine near-dup. Plants: copies of vec_id<10 with the
+    * last component shifted by +0.1 (id+100000) — cosine ≈ 0.995 vs a
+    * natural pair maximum of ~0.44, so threshold 0.9 finds exactly the
+    * plants. Brute-force d1<d2 pairs (the honest baseline; the LSH/IVF
+    * scale path is in SimilarityQueries).
+    */
+  private val dedupEmbed = QueryDef(
+    "q_dedup_embed",
+    (spark, sfDir) => {
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+      val planted = e.unionByName(
+        e.filter(col("vec_id") < 10).select(
+          (col("vec_id") + 100000).as("vec_id"),
+          expr("concat(slice(v, 1, 63), array(element_at(v, 64) + 0.1d))").as("v")))
+      // norms precomputed once per vector (not 3 dots per pair)
+      val normed = planted.withColumn("norm", sqrt(Vectors.normSq(col("v"))))
+      val a = normed.select(col("vec_id").as("d1"), col("v").as("v1"), col("norm").as("n1"))
+      val b = normed.select(col("vec_id").as("d2"), col("v").as("v2"), col("norm").as("n2"))
+      a.crossJoin(b)
+        .filter(col("d1") < col("d2"))
+        .withColumn("cos", Ql.r(Vectors.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4))
+        .filter(col("cos") > 0.9)
+        .select(col("d1"), col("d2"), col("cos"))
+        .orderBy("d1", "d2")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      planted AS (
+        SELECT * FROM e
+        UNION ALL
+        SELECT vec_id + 100000, v[1:63] || [v[64] + 0.1] FROM e WHERE vec_id < 10),
+      normed AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM planted),
+      pairs AS (
+        SELECT a.vec_id AS d1, b.vec_id AS d2,
+               ${Ql.R("list_dot_product(a.v, b.v) / (a.norm * b.norm)", 4)} AS cos
+        FROM normed a JOIN normed b ON a.vec_id < b.vec_id)
+      SELECT d1, d2, cos FROM pairs WHERE cos > 0.9 ORDER BY 1, 2
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(
+    dedupExact, dedupMinhash, dedupSimhash, dedupNgramJaccard, dedupEmbed)
+}

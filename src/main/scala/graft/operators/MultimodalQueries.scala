@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule}
+import graft.multimodal.MultimodalPipeline
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries over the multimodal pipeline. The stub decoder's
+  * md5 arithmetic is replicated in DuckDB SQL, so the mapPartitions path is
+  * value-checked end to end, not just smoke-tested.
+  */
+object MultimodalQueries extends QueryModule {
+
+  // hex digit -> value, as SQL (both engines: position in the hex alphabet)
+  private def hexValSql(expr: String): String =
+    s"(strpos('0123456789abcdef', $expr) - 1)"
+
+  /** Decode features per media object (doc_id<100). */
+  private val multimodalFeatures = QueryDef(
+    "q_multimodal_features",
+    (spark, sfDir) =>
+      MultimodalPipeline.extractFeatures(
+        MultimodalPipeline.mediaTable(spark, sfDir).filter(col("doc_id") < 100))
+        .select(col("doc_id"), col("media_type"), col("byte_len"),
+          col("width"), col("height"), col("n_frames"),
+          element_at(col("frame_hashes"), 1).as("frame0"))
+        .orderBy("doc_id"),
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               CAST(octet_length(encode(text)) AS INT) AS byte_len,
+               md5(text) AS h
+        FROM documents WHERE doc_id < 100)
+      SELECT doc_id, media_type, byte_len,
+             CAST(64 + 8 * ${hexValSql("substr(h, 1, 1)")} AS INT) AS width,
+             CAST(64 + 8 * ${hexValSql("substr(h, 2, 1)")} AS INT) AS height,
+             CAST(1 + ${hexValSql("substr(h, 3, 1)")} % 8 AS INT) AS n_frames,
+             md5(h || ':0') AS frame0
+      FROM m ORDER BY doc_id
+    """))
+
+  /** Frame fan-out: one row per sampled frame (doc_id<20). */
+  private val multimodalFrames = QueryDef(
+    "q_multimodal_frames",
+    (spark, sfDir) =>
+      MultimodalPipeline.sampleFrames(
+        MultimodalPipeline.extractFeatures(
+          MultimodalPipeline.mediaTable(spark, sfDir).filter(col("doc_id") < 20)))
+        .orderBy("doc_id", "frame_idx"),
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               md5(text) AS h,
+               1 + ${hexValSql("substr(md5(text), 3, 1)")} % 8 AS n_frames
+        FROM documents WHERE doc_id < 20)
+      SELECT doc_id, media_type, CAST(i AS INT) AS frame_idx,
+             md5(h || ':' || i) AS frame_hash
+      FROM (SELECT doc_id, media_type, h,
+                   unnest(generate_series(0, n_frames - 1)) AS i
+            FROM m)
+      ORDER BY doc_id, frame_idx
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(multimodalFeatures, multimodalFrames)
+}

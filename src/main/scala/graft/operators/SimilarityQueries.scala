@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.functions.Vectors
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (SURVEY §2.I3/I4).
+  * Embeddings are L2-normalized, so cosine ≡ dot product — the queries use
+  * the raw dot as the score (the 100 TB fast path: one fused fold per pair,
+  * no sqrt). Brute force is the correctness baseline; the IVF variant is
+  * the scale path (probe a cluster subset, search only those partitions).
+  */
+object SimilarityQueries extends QueryModule {
+
+  /** I3: brute-force top-k — query vecs (vec_id<5) against all others.
+    * Plan shape: broadcast the 5 queries against the candidate scan, then a
+    * per-query top-k window (at scale: TakeOrdered per query key).
+    */
+  private val similarTopk = QueryDef(
+    "q_similar_topk",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val cands = e.filter(col("vec_id") >= 5)
+      val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+      cands.crossJoin(broadcast(q))
+        .withColumn("score", Ql.r(Vectors.dot(col("qv"), col("v")), 4))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("vec_id"), col("score"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT qid, vec_id, ${Ql.R("list_dot_product(qv, v)", 4)} AS score
+        FROM q, e WHERE vec_id >= 5)
+      SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS INT) AS rank,
+             vec_id, score
+      FROM scored
+      QUALIFY rank <= 10
+      ORDER BY qid, rank
+    """))
+
+  /** I4: kNN majority-vote classification — top-10 neighbors' labels,
+    * majority wins (ties: smallest label).
+    */
+  private val knnVote = QueryDef(
+    "q_knn_vote",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label"), Vectors.toDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("label").as("true_label"), col("v").as("qv"))
+      val cands = e.filter(col("vec_id") >= 20)
+      val wTop = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+      val wVote = Window.partitionBy("qid").orderBy(col("votes").desc, col("label"))
+      cands.crossJoin(broadcast(q))
+        .withColumn("score", Vectors.dot(col("qv"), col("v")))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 10)
+        .groupBy("qid", "true_label", "label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vrank", row_number().over(wVote))
+        .filter(col("vrank") === 1)
+        .select(col("qid"), col("true_label"), col("label").as("pred_label"), col("votes"))
+        .orderBy("qid")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      q AS (SELECT vec_id AS qid, label AS true_label, v AS qv FROM e WHERE vec_id < 20),
+      top AS (
+        SELECT qid, true_label, label, list_dot_product(qv, v) AS score, vec_id
+        FROM q, e WHERE vec_id >= 20
+        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) <= 10),
+      votes AS (SELECT qid, true_label, label, count(*) AS votes
+                FROM top GROUP BY 1, 2, 3)
+      SELECT qid, true_label, label AS pred_label, votes
+      FROM votes
+      QUALIFY row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) = 1
+      ORDER BY qid
+    """))
+
+  /** I3-at-scale: IVF-style ANN. Coarse quantizer = per-label centroid
+    * (mean vector — a deterministic stand-in for trained k-means); a query
+    * probes its nprobe=2 nearest centroids and searches only those
+    * clusters. At 100 TB the cluster id is the partition key, so a probe
+    * touches 2/K of the data.
+    */
+  private val annIvf = QueryDef(
+    "q_ann_ivf",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label"), Vectors.toDouble(col("embedding")).as("v"))
+      val centroids = e
+        .select(col("label"), posexplode(col("v")))
+        .groupBy("label", "pos")
+        .agg(avg(col("col")).as("c"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("centroid"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val wProbe = Window.partitionBy("qid").orderBy(col("cscore").desc, col("label"))
+      val probed = q.crossJoin(broadcast(centroids))
+        .withColumn("cscore", Vectors.dot(col("qv"), col("centroid")))
+        .withColumn("crank", row_number().over(wProbe))
+        .filter(col("crank") <= 2)
+        .select(col("qid"), col("qv"), col("label"))
+      val wTop = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+      probed.join(e.filter(col("vec_id") >= 5), "label")
+        .withColumn("score", Ql.r(Vectors.dot(col("qv"), col("v")), 4))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("vec_id"), col("label"), col("score"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      cent AS (
+        SELECT label, list(c ORDER BY pos) AS centroid
+        FROM (SELECT label, g.i AS pos, avg(v[g.i]) AS c
+              FROM e, generate_series(1, 64) g(i)
+              GROUP BY 1, 2)
+        GROUP BY label),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      probed AS (
+        SELECT qid, qv, label
+        FROM q, cent
+        QUALIFY row_number() OVER (PARTITION BY qid
+          ORDER BY list_dot_product(qv, centroid) DESC, label) <= 2),
+      scored AS (
+        SELECT qid, e.vec_id, e.label, ${Ql.R("list_dot_product(qv, e.v)", 4)} AS score
+        FROM probed JOIN e ON probed.label = e.label AND e.vec_id >= 5)
+      SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS INT) AS rank,
+             vec_id, label, score
+      FROM scored
+      QUALIFY rank <= 5
+      ORDER BY qid, rank
+    """))
+
+  /** I7: multimodal column join — attach embeddings to documents (partial
+    * coverage at sf0.1 by design: left join, count misses).
+    */
+  private val docEmbedJoin = QueryDef(
+    "q_doc_embed_join",
+    (spark, sfDir) => {
+      val d = Tables.documents(spark, sfDir)
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+      d.join(e, d("doc_id") === e("vec_id"), "left")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(col("vec_id")).as("n_with_vec"),
+          Ql.r(avg(Vectors.normSq(col("v"))), 4).as("avg_norm_sq"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      SELECT lang, count(*) AS n_docs, count(vec_id) AS n_with_vec,
+             ${Ql.R("avg(list_dot_product(v, v))", 4)} AS avg_norm_sq
+      FROM documents LEFT JOIN
+           (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings) ON doc_id = vec_id
+      GROUP BY 1 ORDER BY 1
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(similarTopk, knnVote, annIvf, docEmbedJoin)
+}

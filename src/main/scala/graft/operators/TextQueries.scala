@@ -1,0 +1,271 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY §2.I5/I6/I8):
+  * token statistics, tf-idf, n-gram language ID, quality scoring, token
+  * counting, and winnowing-style document fingerprinting. Everything is
+  * per-document map work + keyed aggregation — embarrassingly parallel at
+  * 100 TB (no all-pairs stage anywhere).
+  */
+object TextQueries extends QueryModule {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+  private val stopArr = s"array(${stopwords.map(s => s"'$s'").mkString(", ")})"
+  private val stopList = s"[${stopwords.map(s => s"'$s'").mkString(", ")}]"
+
+  /** I5: per-document token stats rolled up per language. */
+  private val textStats = QueryDef(
+    "q_text_stats",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")))
+        .withColumn("n_uniq", size(array_distinct(col("toks"))))
+        .withColumn("n_stop", expr(s"size(filter(toks, x -> array_contains($stopArr, x)))"))
+        .withColumn("sum_len", expr("aggregate(transform(toks, x -> length(x)), 0, (acc, x) -> acc + x)"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_toks"),
+          Ql.r(avg(col("n_toks"))).as("avg_toks"),
+          Ql.r(avg(col("n_uniq") / col("n_toks").cast("double")), 4).as("avg_uniq_ratio"),
+          Ql.r(avg(col("n_stop") / col("n_toks").cast("double")), 4).as("avg_stop_ratio"),
+          Ql.r(avg(col("sum_len") / col("n_toks").cast("double")), 4).as("avg_tok_len"))
+        .orderBy("lang"),
+    Some(s"""
+      WITH d AS (
+        SELECT lang, len(toks) AS n_toks,
+               len(list_distinct(toks)) AS n_uniq,
+               len(list_filter(toks, x -> list_contains($stopList, x))) AS n_stop,
+               list_sum(list_transform(toks, x -> length(x))) AS sum_len
+        FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents))
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS total_toks,
+             ${Ql.R("avg(n_toks)")} AS avg_toks,
+             ${Ql.R("avg(n_uniq / CAST(n_toks AS DOUBLE))", 4)} AS avg_uniq_ratio,
+             ${Ql.R("avg(n_stop / CAST(n_toks AS DOUBLE))", 4)} AS avg_stop_ratio,
+             ${Ql.R("avg(sum_len / CAST(n_toks AS DOUBLE))", 4)} AS avg_tok_len
+      FROM d GROUP BY 1 ORDER BY 1
+    """))
+
+  /** I5: tf-idf — top 3 terms per document (doc_id<30) by tf·ln(N/df).
+    * df from an inverted index; no ML pipeline, plain relational algebra.
+    */
+  private val tfidf = QueryDef(
+    "q_tfidf",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(spark, sfDir)
+      // corpus size as a broadcast scalar, not a driver-side action
+      val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("tok"))
+      tf.join(df, "tok")
+        .filter(col("doc_id") < 30)
+        .crossJoin(broadcast(nDf))
+        .withColumn("tfidf", Ql.r(col("tf") * log(col("n") / col("df")), 4))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("tok"), col("tfidf"))
+        .orderBy("doc_id", "rank")
+    },
+    Some(s"""
+      WITH tf AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY 1, 2),
+      df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+      SELECT doc_id,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS INT) AS rank,
+             tok, tfidf
+      FROM (SELECT tf.doc_id, tf.tok, ${Ql.R("tf.tf * ln(n.n / df.df)", 4)} AS tfidf
+            FROM tf JOIN df ON tf.tok = df.tok, n
+            WHERE tf.doc_id < 30)
+      QUALIFY rank <= 3
+      ORDER BY doc_id, rank
+    """))
+
+  /** I6: n-gram-heuristic language ID. Profiles = top-20 tokens per lang by
+    * document frequency (learned from the corpus itself — a deterministic
+    * stand-in for trained profiles); prediction = profile with the largest
+    * token-set overlap. Output: confusion matrix.
+    */
+  private val langId = QueryDef(
+    "q_lang_id",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(spark, sfDir)
+      val docToks = docs
+        .select(col("doc_id"), col("lang"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val wProf = Window.partitionBy("plang").orderBy(col("docfreq").desc, col("tok"))
+      val profiles = docToks
+        .groupBy(col("lang").as("plang"), col("tok"))
+        .agg(count(lit(1)).as("docfreq"))
+        .withColumn("prank", row_number().over(wProf))
+        .filter(col("prank") <= 20)
+        .select(col("plang"), col("tok"))
+      val wPred = Window.partitionBy("doc_id").orderBy(col("overlap").desc, col("plang"))
+      val preds = docToks
+        .join(broadcast(profiles), "tok")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(count(lit(1)).as("overlap"))
+        .withColumn("rank", row_number().over(wPred))
+        .filter(col("rank") === 1)
+      docs.select(col("doc_id"), col("lang"))
+        .join(preds.select(col("doc_id"), col("plang")), Seq("doc_id"), "left")
+        .groupBy(col("lang"), coalesce(col("plang"), lit("??")).as("pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred")
+    },
+    Some("""
+      WITH dt AS (
+        SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      prof AS (
+        SELECT plang, tok FROM (
+          SELECT lang AS plang, tok, count(*) AS docfreq
+          FROM dt GROUP BY 1, 2)
+        QUALIFY row_number() OVER (PARTITION BY plang ORDER BY docfreq DESC, tok) <= 20),
+      preds AS (
+        SELECT doc_id, plang FROM (
+          SELECT dt2.doc_id, prof.plang, count(*) AS overlap
+          FROM dt dt2 JOIN prof ON dt2.tok = prof.tok
+          GROUP BY 1, 2)
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, plang) = 1)
+      SELECT d.lang, coalesce(p.plang, '??') AS pred, count(*) AS n
+      FROM documents d LEFT JOIN preds p ON d.doc_id = p.doc_id
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """))
+
+  /** I8: quality scoring + filter routing — length, lexical diversity, and
+    * stopword-density heuristics combined into one score, bucketed.
+    */
+  private val qualityScore = QueryDef(
+    "q_quality_score",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_toks", size(col("toks")).cast("double"))
+        .withColumn("uniq_ratio", size(array_distinct(col("toks"))) / col("n_toks"))
+        .withColumn("stop_ratio",
+          expr(s"size(filter(toks, x -> array_contains($stopArr, x)))") / col("n_toks"))
+        .withColumn("score",
+          lit(0.3) * least(col("n_toks") / 100.0, lit(1.0))
+            + lit(0.4) * col("uniq_ratio")
+            + lit(0.3) * (lit(1.0) - col("stop_ratio")))
+        .withColumn("bucket", floor(col("score") * 10).cast("int"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n"), Ql.r(avg(col("score")), 4).as("avg_score"))
+        .orderBy("lang", "bucket"),
+    Some(s"""
+      WITH d AS (
+        SELECT lang,
+               0.3 * least(n_toks / 100.0, 1.0)
+                 + 0.4 * uniq_ratio + 0.3 * (1.0 - stop_ratio) AS score
+        FROM (SELECT lang, CAST(len(toks) AS DOUBLE) AS n_toks,
+                     len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS uniq_ratio,
+                     len(list_filter(toks, x -> list_contains($stopList, x)))
+                       / CAST(len(toks) AS DOUBLE) AS stop_ratio
+              FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)))
+      SELECT lang, CAST(floor(score * 10) AS INT) AS bucket,
+             count(*) AS n, ${Ql.R("avg(score)", 4)} AS avg_score
+      FROM d GROUP BY 1, 2 ORDER BY 1, 2
+    """))
+
+  /** I5: token counting — whitespace tokens plus a BPE-ish estimate
+    * (⌈len/4⌉ subword units per word, integer arithmetic only).
+    */
+  private val tokenCount = QueryDef(
+    "q_token_count",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("ws_tokens", size(col("toks")).cast("long"))
+        .withColumn("bpe_est",
+          expr("aggregate(transform(toks, x -> (length(x) + 3) div 4), 0L, (acc, x) -> acc + x)"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).as("total_ws_tokens"),
+          sum(col("bpe_est")).as("total_bpe_est"),
+          Ql.r(avg(col("bpe_est") / col("ws_tokens").cast("double")), 4).as("avg_bpe_per_word"))
+        .orderBy("source"),
+    Some(s"""
+      WITH d AS (
+        SELECT source, CAST(len(toks) AS BIGINT) AS ws_tokens,
+               CAST(list_sum(list_transform(toks, x -> (length(x) + 3) // 4)) AS BIGINT) AS bpe_est
+        FROM (SELECT source, string_split(text, ' ') AS toks FROM documents))
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+             CAST(sum(bpe_est) AS BIGINT) AS total_bpe_est,
+             ${Ql.R("avg(bpe_est / CAST(ws_tokens AS DOUBLE))", 4)} AS avg_bpe_per_word
+      FROM d GROUP BY 1 ORDER BY 1
+    """))
+
+  /** I5: winnowing-style fingerprinting — 3-token shingle hashes, rolling
+    * min over a 4-shingle window (hex strings order like the numbers they
+    * encode), distinct mins = the document's fingerprint set.
+    */
+  private val fingerprint = QueryDef(
+    "q_fingerprint",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-3, 0)
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 100)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, size(toks) - 3), i -> md5(concat_ws(' ', slice(toks, i + 1, 3))))")))
+        .withColumnRenamed("col", "h")
+        .withColumn("fp", min(col("h")).over(w))
+        .filter(col("pos") >= 3)
+        .groupBy("doc_id")
+        .agg(countDistinct(col("fp")).as("n_fingerprints"), (max(col("pos")) + 1).as("n_shingles"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH sh AS (
+        SELECT doc_id, i AS pos, md5(array_to_string(t[i + 1 : i + 3], ' ')) AS h
+        FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 3)) AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents WHERE doc_id < 100)
+              WHERE len(t) >= 3)),
+      fps AS (
+        SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+        FROM sh)
+      SELECT doc_id, count(DISTINCT fp) AS n_fingerprints,
+             CAST(max(pos) + 1 AS BIGINT) AS n_shingles
+      FROM fps WHERE pos >= 3
+      GROUP BY 1 ORDER BY 1
+    """))
+
+  /** I6: language routing — filter + partition counts per (lang, source),
+    * the write-side `partitionBy` shape.
+    */
+  private val langRoute = QueryDef(
+    "q_lang_route",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .filter(col("n_chars") >= 100)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang", "source"),
+    Some("""
+      SELECT lang, source, count(*) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents WHERE n_chars >= 100
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(
+    textStats, tfidf, langId, qualityScore, tokenCount, fingerprint, langRoute)
+}
