@@ -10,7 +10,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warm the session once (Hadoop FS init, parquet footer reads, codegen/
+    // janino warmup) so fixed JVM startup cost isn't attributed to whichever
+    // query happens to run first.
+    Tables.all.foreach { t =>
+      try Tables.table(spark, sfDir, t).count()
+      catch { case _: Throwable => () }
+    }
+    // optional comma-separated subset for local profiling, e.g.
+    // SPARK_GRAFT_BENCH_ONLY=q_dedup_embed,q_fingerprint
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet).getOrElse(SparkEntry.queries.keySet)
+    val results = SparkEntry.queries.filter(q => only(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -15,8 +15,16 @@ object Vectors {
   /** Elementwise cast to array<double>. */
   def toDouble(a: Column): Column = transform(a, _.cast("double"))
 
-  /** Dot product via zip_with + sequential fold. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product. Native codegen Expression (DotProduct) — bit-identical
+    * to the HOF reference formulation [[dotHof]] but ~10× faster in
+    * pair-scoring loops.
+    */
+  def dot(a: Column, b: Column): Column = DotProduct(a, b)
+
+  /** Reference HOF formulation of [[dot]] (kept for the equivalence spec:
+    * both must produce identical doubles).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Squared L2 norm. */
