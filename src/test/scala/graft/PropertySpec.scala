@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algebraic laws of the operators, checked on generated data (SURVEY §5.3).
+  * Plain ScalaCheck (no scalatestplus bridge in the offline cache); a few
+  * samples per law — each sample is a full Spark job.
+  */
+class PropertySpec extends AnyFunSuite with SparkFixture {
+
+  private val rows = Gen.listOfN(60,
+    Gen.zip(Gen.choose(0L, 20L), Gen.choose(0, 5), Gen.choose(-100.0, 100.0)))
+
+  private def check(name: String, p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5), p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("dedup is idempotent") {
+    import spark.implicits._
+    check("dedup", Prop.forAll(rows) { xs =>
+      val once = xs.toDF("k", "t", "v").dropDuplicates("k", "t")
+      once.count() == once.dropDuplicates("k", "t").count()
+    })
+  }
+
+  test("union-all count is additive; union distinct is bounded") {
+    import spark.implicits._
+    check("union", Prop.forAll(rows, rows) { (xs, ys) =>
+      val a = xs.toDF("k", "t", "v")
+      val b = ys.toDF("k", "t", "v")
+      a.unionAll(b).count() == a.count() + b.count() &&
+        a.union(b).distinct().count() <= a.distinct().count() + b.distinct().count()
+    })
+  }
+
+  test("tumbling windows conserve row count (no watermark drop in batch)") {
+    import spark.implicits._
+    check("window", Prop.forAll(Gen.listOfN(50, Gen.choose(0L, 86400L * 20))) { secs =>
+      val df = secs.toDF("s").select(timestamp_seconds(col("s")).as("ts"))
+      val windowed = df.groupBy(window(col("ts"), "1 hour")).count()
+      windowed.agg(sum("count")).first().getLong(0) == secs.size
+    })
+  }
+
+  test("intersect + except partition the distinct left side") {
+    import spark.implicits._
+    check("setops", Prop.forAll(rows, rows) { (xs, ys) =>
+      val a = xs.toDF("k", "t", "v").select("k").distinct()
+      val b = ys.toDF("k", "t", "v").select("k")
+      a.intersect(b).count() + a.except(b).count() == a.count()
+    })
+  }
+
+  test("sort-limit(k) equals head-k of the full sort") {
+    import spark.implicits._
+    check("topk", Prop.forAll(rows) { xs =>
+      val df = xs.toDF("k", "t", "v")
+      val topk = df.orderBy(col("v"), col("k"), col("t")).limit(10)
+        .collect().map(_.toSeq).toSeq
+      val full = df.orderBy(col("v"), col("k"), col("t"))
+        .collect().map(_.toSeq).take(10).toSeq
+      topk == full
+    })
+  }
+}
