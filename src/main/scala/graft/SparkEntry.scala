@@ -20,7 +20,8 @@ object SparkEntry {
     operators.DedupQueries,
     operators.SimilarityQueries,
     operators.TextQueries,
-    operators.MultimodalQueries)
+    operators.MultimodalQueries,
+    operators.MiscQueries)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
 

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** G10 misc functions (SURVEY §2.G10). Nondeterministic-by-design ids
+  * (monotonically_increasing_id, uuid, spark_partition_id,
+  * input_file_name) can't hash-match an oracle — the query asserts their
+  * *invariants* (uniqueness, counts) and is registered without oracle SQL
+  * (rows-only check), plus `stack` as the literal-table generator.
+  */
+object MiscQueries extends QueryModule {
+
+  private val miscIds = QueryDef(
+    "q_misc_ids",
+    (spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .withColumn("mono_id", monotonically_increasing_id())
+        .withColumn("part_id", spark_partition_id())
+        .withColumn("uid", expr("uuid()"))
+        .withColumn("fname", input_file_name())
+      e.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("mono_id")).as("n_mono_ids"),
+        countDistinct(col("uid")).as("n_uuids"),
+        countDistinct(col("fname")).as("n_files"),
+        (countDistinct(col("part_id")) >= 1).cast("int").as("has_partitions"))
+    },
+    None)
+
+  /** stack(): literal rows generator (the UNPIVOT shape). */
+  private val miscStack = QueryDef(
+    "q_misc_stack",
+    (spark, sfDir) =>
+      Tables.region(spark, sfDir)
+        .select(col("r_name"), expr(
+          "stack(2, 'upper', upper(r_name), 'lower', lower(r_name)) AS (variant, value)"))
+        .orderBy("r_name", "variant"),
+    Some("""
+      SELECT r_name, variant, CASE variant WHEN 'upper' THEN upper(r_name)
+                                           ELSE lower(r_name) END AS value
+      FROM region, (SELECT unnest(['upper', 'lower']) AS variant)
+      ORDER BY r_name, variant
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(miscIds, miscStack)
+}
