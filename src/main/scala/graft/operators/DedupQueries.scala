@@ -74,24 +74,31 @@ object DedupQueries extends QueryModule {
       FROM documents GROUP BY 1 ORDER BY 1
     """))
 
-  /** I2a: MinHash + LSH banding. 12 hash functions (md5 with a seed prefix;
-    * hex strings compare like the numbers they encode), 4 bands × 3 rows;
-    * candidate pairs share at least one band bucket. The band self-join is
-    * the scale path: pairs are only formed inside a bucket.
+  /** I2a: MinHash + LSH banding. One md5 per shingle; the 12 hash
+    * functions are a cheap integer universal family over the md5's two
+    * 28-bit halves, `mh_i = ((2i+1)·h1 + (i²+i+1)·h2 + i) mod (2³¹−1)` —
+    * pure int64 arithmetic, no overflow, identical in both engines. 4
+    * bands × 3 rows; candidate pairs share at least one band bucket. The
+    * band self-join is the scale path: pairs only form inside a bucket.
     */
   private val dedupMinhash = QueryDef(
     "q_dedup_minhash",
     (spark, sfDir) => {
       val sh = shingles(withPlants(spark, sfDir))
+        .withColumn("m", md5(col("sh").cast("binary")))
+        .withColumn("h1", expr("CAST(conv(substring(m, 1, 7), 16, 10) AS BIGINT)"))
+        .withColumn("h2", expr("CAST(conv(substring(m, 8, 7), 16, 10) AS BIGINT)"))
       val mh = sh
         .withColumn("seed", explode(expr("sequence(0, 11)")))
+        .withColumn("hv", expr(
+          "((2 * seed + 1) * h1 + (seed * seed + seed + 1) * h2 + seed) % 2147483647"))
         .groupBy("doc_id", "seed")
-        .agg(min(md5(concat(col("seed"), lit(":"), col("sh")))).as("mh"))
+        .agg(min(col("hv")).as("mh"))
       val bands = mh
         .withColumn("band", expr("CAST(seed div 3 AS INT)"))
         .groupBy("doc_id", "band")
         .agg(expr(
-          "md5(array_join(transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh), ','))")
+          "array_join(transform(array_sort(collect_list(struct(seed, mh))), x -> CAST(x.mh AS STRING)), ',')")
           .as("band_key"))
       val a = bands.select(col("band"), col("band_key"), col("doc_id").as("d1"))
       val b = bands.select(col("band"), col("band_key"), col("doc_id").as("d2"))
@@ -102,14 +109,23 @@ object DedupQueries extends QueryModule {
         .orderBy("d1", "d2")
     },
     Some(s"""
-      WITH sh AS ($shinglesSql),
+      WITH sh AS (
+        SELECT doc_id, sh,
+               list_sum(list_transform(generate_series(0, 6), j ->
+                 CAST(strpos('0123456789abcdef', substr(md5(sh), j + 1, 1)) - 1 AS BIGINT)
+                   << (4 * (6 - j)))) AS h1,
+               list_sum(list_transform(generate_series(0, 6), j ->
+                 CAST(strpos('0123456789abcdef', substr(md5(sh), j + 8, 1)) - 1 AS BIGINT)
+                   << (4 * (6 - j)))) AS h2
+        FROM ($shinglesSql)),
       mh AS (
-        SELECT doc_id, g.i AS seed, min(md5(g.i || ':' || sh)) AS mh
+        SELECT doc_id, g.i AS seed,
+               min(((2 * g.i + 1) * h1 + (g.i * g.i + g.i + 1) * h2 + g.i) % 2147483647) AS mh
         FROM sh, generate_series(0, 11) g(i)
         GROUP BY 1, 2),
       bands AS (
         SELECT doc_id, seed // 3 AS band,
-               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
         FROM mh GROUP BY 1, 2)
       SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
       FROM bands a JOIN bands b
@@ -161,16 +177,16 @@ object DedupQueries extends QueryModule {
   private val dedupNgramJaccard = QueryDef(
     "q_dedup_ngram_jaccard",
     (spark, sfDir) => {
-      import org.apache.spark.sql.expressions.Window
       val sh = shingles(withPlants(spark, sfDir)).cache()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       // scale guard: a shingle in d docs yields d² pair rows — drop
       // ubiquitous shingles (df > 100) from the intersection join; they
       // carry no dedup signal. No-op on this corpus (max df 25), load-
-      // bearing at 100 TB.
-      val rare = sh
-        .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-        .filter(col("df") <= 100)
+      // bearing at 100 TB. The df table is tiny (distinct shingles) and
+      // broadcast back — cheaper than a window shuffle+sort over sh.
+      val dfTab = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 100).select("sh")
+      val rare = sh.join(broadcast(dfTab), "sh")
       val inter = rare.select(col("sh"), col("doc_id").as("d1"))
         .join(rare.select(col("sh"), col("doc_id").as("d2")), "sh")
         .filter(col("d1") < col("d2"))
