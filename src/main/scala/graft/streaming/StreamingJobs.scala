@@ -112,6 +112,52 @@ object StreamingJobs {
       }
   }
 
+  // ---- H6 (Spark 4 API): transformWithState running counters ----
+
+  case class UserTotal(user_id: Long, n: Long, total: Double)
+
+  /** The DynamoDB per-key ADD counter as a Spark 4 StatefulProcessor:
+    * explicit ValueState, update-mode emission of the new running totals.
+    * Requires the RocksDB state store provider (set by [[runningCounters]]).
+    */
+  class RunningCounterProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessionInput, UserTotal] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)](
+        "totals", org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SessionInput],
+        timers: TimerValues): Iterator[UserTotal] = {
+      val (n0, t0) = if (state.exists()) state.get() else (0L, 0.0)
+      var n = n0
+      var t = t0
+      rows.foreach { r => n += 1; t += r.value }
+      state.update((n, t))
+      Iterator.single(UserTotal(key, n, t))
+    }
+  }
+
+  /** H6 via the Spark 4 transformWithState API (the modern replacement for
+    * flatMapGroupsWithState; state is store-backed, schema'd, TTL-capable).
+    */
+  def runningCounters(events: Dataset[SessionInput]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningCounterProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** A6/A7/H8: fan-out sink — one micro-batch, several destinations
     * (aggregate "DynamoDB" table + raw archive), the SNS/multi-sink shape.
     * batchDF is persisted so the two writes scan the input once.

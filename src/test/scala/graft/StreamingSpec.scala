@@ -82,6 +82,22 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(out.exists(s => s.user_id == 2 && s.n_events == 1 && s.sum_value == 5.0))
   }
 
+  test("H6 (Spark 4 API): transformWithState running counters accumulate across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[SessionInput]
+    val q = StreamingJobs.runningCounters(ms.toDS())
+      .writeStream.format("memory").queryName("counters").outputMode("update").start()
+    ms.addData(SessionInput(1, at(0), 2.0), SessionInput(1, at(1), 3.0), SessionInput(2, at(0), 7.0))
+    q.processAllAvailable()
+    ms.addData(SessionInput(1, at(2), 5.0))
+    try q.processAllAvailable() finally q.stop()
+    val latest = spark.table("counters").as[StreamingJobs.UserTotal].collect()
+      .groupBy(_.user_id).map { case (k, v) => k -> v.maxBy(_.n) }
+    assert(latest(1L).n == 3 && latest(1L).total == 10.0)
+    assert(latest(2L).n == 1 && latest(2L).total == 7.0)
+  }
+
   test("C9: stream-static enrichment join") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
