@@ -65,6 +65,21 @@ object StreamingJobs {
   def enrich(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), events("user_id") === dim("c_custkey"), "left")
 
+  /** C10: stream-stream join — correlate two live streams on a key within
+    * a time bound (click → purchase attribution within 30 min). Watermarks
+    * on both sides bound the join state; the range condition lets Spark
+    * expire buffered rows.
+    */
+  def correlate(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.withWatermark("ts", "10 minutes").alias("c")
+      .join(
+        purchases.withWatermark("ts", "10 minutes").alias("p"),
+        expr("""c.user_id = p.user_id
+                AND p.ts >= c.ts
+                AND p.ts <= c.ts + INTERVAL 30 MINUTES"""))
+      .select(col("c.event_id").as("click_id"), col("p.event_id").as("purchase_id"),
+        col("c.user_id").as("user_id"))
+
   // ---- H6: arbitrary keyed state — sessionization with a timeout ----
 
   case class SessionInput(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -98,6 +98,27 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(latest(2L).n == 1 && latest(2L).total == 7.0)
   }
 
+  test("C10: stream-stream join correlates within the time bound only") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = StreamingJobs.correlate(
+      clicks.toDF().select(col("event_id"), col("ts"), col("user_id")),
+      purchases.toDF().select(col("event_id"), col("ts"), col("user_id")))
+    val q = joined.writeStream.format("memory").queryName("corr")
+      .outputMode("append").start()
+    clicks.addData(Ev(1, at(0), 1, "click", 0, "{}"), Ev(2, at(0), 2, "click", 0, "{}"))
+    purchases.addData(
+      Ev(10, at(10), 1, "purchase", 0, "{}"),  // within 30 min -> match
+      Ev(11, at(50), 2, "purchase", 0, "{}"),  // outside bound -> no match
+      Ev(12, at(5), 3, "purchase", 0, "{}"))   // no click for user 3
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("corr").select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L)))
+  }
+
   test("C9: stream-static enrichment join") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
