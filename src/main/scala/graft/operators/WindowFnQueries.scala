@@ -41,7 +41,6 @@ object WindowFnQueries extends QueryModule {
   private val winLag = QueryDef(
     "q_win_lag",
     (spark, sfDir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       Tables.events(spark, sfDir)
         .withColumn("epoch", unix_timestamp(col("ts")))
         .withColumn("gap", col("epoch") - lag(col("epoch"), 1).over(
