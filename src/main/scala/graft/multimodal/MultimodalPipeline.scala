@@ -82,4 +82,18 @@ object MultimodalPipeline {
   def sampleFrames(features: Dataset[MediaFeatures]): DataFrame =
     features.select(col("doc_id"), col("media_type"),
         posexplode(col("frame_hashes")).as(Seq("frame_idx", "frame_hash")))
+
+  /** Resize to a fixed width preserving aspect ratio (integer arithmetic so
+    * the oracle reproduces it exactly). A real implementation would rescale
+    * pixel buffers here, batch-wise; the dimension math is the real part.
+    */
+  def resize(features: Dataset[MediaFeatures], targetW: Int = 224): Dataset[MediaFeatures] = {
+    import features.sparkSession.implicits._
+    features.mapPartitions { batch =>
+      batch.map { f =>
+        val rh = (f.height.toLong * targetW / f.width).toInt
+        f.copy(width = targetW, height = rh)
+      }
+    }
+  }
 }

@@ -17,13 +17,19 @@ object MultimodalQueries extends QueryModule {
   /** Decode features per media object (doc_id<100). */
   private val multimodalFeatures = QueryDef(
     "q_multimodal_features",
-    (spark, sfDir) =>
-      MultimodalPipeline.extractFeatures(
+    (spark, sfDir) => {
+      val feats = MultimodalPipeline.extractFeatures(
         MultimodalPipeline.mediaTable(spark, sfDir).filter(col("doc_id") < 100))
+      val resized = MultimodalPipeline.resize(feats)
+        .select(col("doc_id"), col("width").as("r_w"), col("height").as("r_h"))
+      feats.toDF()
+        .join(resized, "doc_id")
         .select(col("doc_id"), col("media_type"), col("byte_len"),
           col("width"), col("height"), col("n_frames"),
+          col("r_w"), col("r_h"),
           element_at(col("frame_hashes"), 1).as("frame0"))
-        .orderBy("doc_id"),
+        .orderBy("doc_id")
+    },
     Some(s"""
       WITH m AS (
         SELECT doc_id,
@@ -33,12 +39,16 @@ object MultimodalQueries extends QueryModule {
                CAST(octet_length(encode(text)) AS INT) AS byte_len,
                md5(text) AS h
         FROM documents WHERE doc_id < 100)
-      SELECT doc_id, media_type, byte_len,
-             CAST(64 + 8 * ${hexValSql("substr(h, 1, 1)")} AS INT) AS width,
-             CAST(64 + 8 * ${hexValSql("substr(h, 2, 1)")} AS INT) AS height,
-             CAST(1 + ${hexValSql("substr(h, 3, 1)")} % 8 AS INT) AS n_frames,
+      SELECT doc_id, media_type, byte_len, width, height, n_frames,
+             224 AS r_w,
+             CAST(height * 224 // width AS INT) AS r_h,
              md5(h || ':0') AS frame0
-      FROM m ORDER BY doc_id
+      FROM (SELECT doc_id, media_type, byte_len, h,
+                   CAST(64 + 8 * ${hexValSql("substr(h, 1, 1)")} AS INT) AS width,
+                   CAST(64 + 8 * ${hexValSql("substr(h, 2, 1)")} AS INT) AS height,
+                   CAST(1 + ${hexValSql("substr(h, 3, 1)")} % 8 AS INT) AS n_frames
+            FROM m)
+      ORDER BY doc_id
     """))
 
   /** Frame fan-out: one row per sampled frame (doc_id<20). */
