@@ -211,7 +211,33 @@ object AggQueries extends QueryModule {
       FROM events GROUP BY 1 ORDER BY 1
     """))
 
+  /** D11 inverse: unpivot/melt — wide metrics back to (key, metric, value)
+    * rows (Dataset.unpivot, the UNPIVOT shape).
+    */
+  private val aggUnpivot = QueryDef(
+    "q_agg_unpivot",
+    (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .groupBy("l_returnflag")
+        .agg(
+          Ql.r(sum(col("l_quantity"))).as("qty"),
+          Ql.r(sum(col("l_discount"))).as("disc"),
+          Ql.r(sum(col("l_tax"))).as("tax"))
+        .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("disc"), col("tax")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric"),
+    Some(s"""
+      SELECT l_returnflag, metric, value FROM (
+        SELECT l_returnflag,
+               ${Ql.R("sum(l_quantity)")} AS qty,
+               ${Ql.R("sum(l_discount)")} AS disc,
+               ${Ql.R("sum(l_tax)")} AS tax
+        FROM lineitem GROUP BY 1)
+      UNPIVOT (value FOR metric IN (qty, disc, tax))
+      ORDER BY l_returnflag, metric
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     pricingSummary, aggDistinct, aggApprox, aggRollup, aggCube, aggCollect,
-    aggPercentile, aggStats, aggPivot)
+    aggPercentile, aggStats, aggPivot, aggUnpivot)
 }
