@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the properties that make these queries
+  * scale (pushdown, pruning, broadcast, partial aggregation, top-k without
+  * full sort) are asserted on the executed plan, not just eyeballed.
+  */
+class PlanSpec extends AnyFunSuite with SparkFixture {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def scans(name: String): Seq[FileSourceScanExec] = {
+    // sparkPlan (pre-AQE) is a plain tree; executedPlan hides stages behind
+    // AdaptiveSparkPlanExec until execution
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+  }
+
+  test("filters are pushed into the parquet scan") {
+    val s = scans("q_filter_project").head
+    assert(s.metadata("PushedFilters").contains("GreaterThan(l_quantity,45.0)"),
+      s.metadata("PushedFilters"))
+  }
+
+  test("column pruning: scan reads only referenced columns") {
+    val s = scans("q_filter_project").head
+    val read = s.schema.fieldNames.toSet
+    assert(!read.contains("l_shipdate") && !read.contains("l_partkey"),
+      s"scan should not read unused columns, got $read")
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+    assert(plan("q_join_inner").contains("BroadcastHashJoin"))
+  }
+
+  test("as-of join keeps the equi key (hash join, not nested loop)") {
+    val p = plan("q_join_asof")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(500))
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not full sort+limit") {
+    assert(plan("q_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregations are two-phase (map-side partial before the shuffle)") {
+    val p = plan("q_agg_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p.take(800))
+  }
+
+  test("hot paths stay inside whole-stage codegen") {
+    // codegen collapse happens per-stage at execution under AQE — run the
+    // query, then read the final plan
+    val df = SparkEntry.queries("q_agg_pricing_summary")(spark, sf)
+    df.collect() // count() would plan a new tree; collect finalizes THIS one
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd stages print as "*(n) Operator" in the final adaptive plan
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"), p.take(600))
+  }
+
+  test("ranked top-k per group uses WindowGroupLimit pushdown") {
+    assert(plan("q_win_rank").contains("WindowGroupLimit"))
+  }
+
+  test("every oracle query reads only parquet sources (no driver-side data)") {
+    SparkEntry.oracleSql.keys.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.nonEmpty, s"$name has no sources")
+    }
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale smoke: the operator shapes hold well past the bench scale factor.
+  * 5M generated events (~50× sf0.1) through the aggregation, window,
+  * dedup, and join paths — distributed plans only, nothing driver-side.
+  * Runtime budget: well under a minute on local[4].
+  */
+class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
+
+  private lazy val big = {
+    import spark.implicits._
+    spark.range(5000000L)
+      .select(
+        col("id").as("event_id"),
+        timestamp_seconds(lit(1704067200L) + (col("id") * 37) % 2592000).as("ts"),
+        pmod(hash(col("id")), lit(100000)).cast("long").as("user_id"),
+        element_at(
+          array(lit("click"), lit("view"), lit("purchase"), lit("signup"), lit("error")),
+          (pmod(hash(col("id") * 7), lit(5)) + 1).cast("int")).as("event_type"),
+        (pmod(hash(col("id") * 13), lit(49000)).cast("double") / 100 + 0.01).as("value"))
+      .cache()
+  }
+
+  test("5M-row keyed aggregation with distinct counts") {
+    val out = big.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("u"))
+      .collect()
+    assert(out.map(_.getLong(1)).sum == 5000000L)
+  }
+
+  test("5M-row hourly tumbling windows") {
+    val n = big.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .count()
+    assert(n > 700 * 5 * 0.9) // ~720 hours x 5 types
+  }
+
+  test("5M-row dedup keeps one row per key") {
+    val dedup = big.dropDuplicates("user_id", "event_type")
+    val n = dedup.count()
+    assert(n <= 100000L * 5 && n > 400000L)
+  }
+
+  test("5M-row fact joins a broadcast dimension without shuffling the fact") {
+    val dim = spark.range(100000L).select(col("id").as("user_id"),
+      (col("id") % 25).as("nation"))
+    val joined = big.join(broadcast(dim), "user_id")
+      .groupBy("nation").agg(sum("value").as("s"))
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(joined.count() == 25)
+  }
+}
