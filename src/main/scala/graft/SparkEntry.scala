@@ -21,7 +21,8 @@ object SparkEntry {
     operators.SimilarityQueries,
     operators.TextQueries,
     operators.MultimodalQueries,
-    operators.MiscQueries)
+    operators.MiscQueries,
+    operators.TpchQueries)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
 

@@ -266,6 +266,22 @@ object TextQueries extends QueryModule {
       GROUP BY 1, 2 ORDER BY 1, 2
     """))
 
+  /** I5: BPE merge learning (iterative distributed algorithm — no SQL
+    * oracle possible; deterministic, spec-checked in BpeSpec, rows-only
+    * here).
+    */
+  private val bpeMerges = QueryDef(
+    "q_bpe_merges",
+    (spark, sfDir) => {
+      import spark.implicits._
+      implicit val s = spark
+      val merges = graft.functions.Bpe.learnMerges(
+        graft.functions.Bpe.wordTable(Tables.documents(spark, sfDir)), 8)
+      merges.toDF().orderBy("rank")
+    },
+    None)
+
   override def defs: Seq[QueryDef] = Seq(
-    textStats, tfidf, langId, qualityScore, tokenCount, fingerprint, langRoute)
+    textStats, tfidf, langId, qualityScore, tokenCount, fingerprint,
+    langRoute, bpeMerges)
 }

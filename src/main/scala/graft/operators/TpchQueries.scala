@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** TPC-H-shaped multi-join reporting queries, adapted to the actual driver
+  * schema (doubles not decimals, timestamps not dates, no comment columns —
+  * FIXTURES.md). These exercise the join-order/broadcast/partial-agg
+  * machinery the way a warehouse workload would.
+  */
+object TpchQueries extends QueryModule {
+
+  /** Q3 shape: shipping priority — revenue of orders from one segment,
+    * ordered before a date with lineitems shipped after it; top 10.
+    */
+  private val q3Shape = QueryDef(
+    "q_tpch_q3_shape",
+    (spark, sfDir) => {
+      val c = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(spark, sfDir).filter(col("o_orderdate") < lit("1998-01-01"))
+      val l = Tables.lineitem(spark, sfDir).filter(col("l_shipdate") > lit("1998-01-01"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), Ql.tstr(col("o_orderdate")).as("orderdate"))
+        .agg(Ql.r(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some(s"""
+      SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+             ${Ql.R("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10
+    """))
+
+  /** Q5 shape: local supplier volume — revenue where customer and supplier
+    * share a nation, per nation of one region.
+    */
+  private val q5Shape = QueryDef(
+    "q_tpch_q5_shape",
+    (spark, sfDir) => {
+      val c = Tables.customer(spark, sfDir)
+      val o = Tables.orders(spark, sfDir)
+      val l = Tables.lineitem(spark, sfDir)
+      val s = Tables.supplier(spark, sfDir)
+      val n = Tables.nation(spark, sfDir)
+      val r = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(s, l("l_suppkey") === s("s_suppkey")
+          && c("c_nationkey") === s("s_nationkey"))
+        .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(Ql.r(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+    Some(s"""
+      SELECT n_name,
+             ${Ql.R("sum(l_extendedprice * (1 - l_discount))")} AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY 1 ORDER BY 1
+    """))
+
+  /** Q10 shape: returned-item reporting — revenue lost to returns per
+    * customer, top 20.
+    */
+  private val q10Shape = QueryDef(
+    "q_tpch_q10_shape",
+    (spark, sfDir) => {
+      val c = Tables.customer(spark, sfDir)
+      val o = Tables.orders(spark, sfDir)
+      val l = Tables.lineitem(spark, sfDir).filter(col("l_returnflag") === "R")
+      val n = Tables.nation(spark, sfDir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(Ql.r(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_returned"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some(s"""
+      SELECT c_custkey, c_name, n_name,
+             ${Ql.R("sum(l_extendedprice * (1 - l_discount))")} AS revenue,
+             count(*) AS n_returned
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(q3Shape, q5Shape, q10Shape)
+}
