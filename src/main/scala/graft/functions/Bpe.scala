@@ -39,6 +39,9 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("n"))
       .as[(String, Long)]
       .map { case (w, n) => WordSyms(w.map(_.toString) :+ "</w>", n) }
+      // the vocabulary table is tiny relative to the corpus — keep the
+      // per-iteration jobs from fanning out over empty partitions
+      .coalesce(4)
   }
 
   /** Learn `numMerges` merges. One tiny (single-row) driver fetch per
