@@ -22,7 +22,8 @@ object SparkEntry {
     operators.TextQueries,
     operators.MultimodalQueries,
     operators.MiscQueries,
-    operators.TpchQueries)
+    operators.TpchQueries,
+    operators.ClusterQueries)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
 
