@@ -173,5 +173,45 @@ object SimilarityQueries extends QueryModule {
       GROUP BY 1 ORDER BY 1
     """))
 
-  override def defs: Seq[QueryDef] = Seq(similarTopk, knnVote, annIvf, docEmbedJoin)
+  /** I3-at-scale: int8 quantization — the memory/bandwidth lever for
+    * billion-vector search (4 bytes -> 1 byte per dim). Deterministic
+    * `floor(x·scale + 0.5)` rounding; outputs are integer-exact, and the
+    * quantized self-dot's relative error vs the float norm is reported.
+    */
+  private val embedQuantize = QueryDef(
+    "q_embed_quantize",
+    (spark, sfDir) =>
+      Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") < 50)
+        .withColumn("v", Vectors.toDouble(col("embedding")))
+        .withColumn("max_abs", expr("array_max(transform(v, x -> abs(x)))"))
+        .withColumn("scale", lit(127.0) / col("max_abs"))
+        .withColumn("q", expr(
+          "transform(v, x -> CAST(floor(x * scale + 0.5d) AS INT))"))
+        .select(
+          col("vec_id"),
+          Ql.r(col("scale")).as("scale_r"),
+          expr("aggregate(q, 0, (acc, x) -> acc + x)").as("q_sum"),
+          expr("aggregate(transform(q, x -> x * x), 0L, (acc, x) -> acc + CAST(x AS BIGINT))").as("q_norm_sq"),
+          expr("array_max(transform(q, x -> abs(x)))").as("q_max_abs"))
+        .orderBy("vec_id"),
+    Some(s"""
+      SELECT vec_id,
+             ${Ql.R("scale")} AS scale_r,
+             CAST(list_sum(q) AS INT) AS q_sum,
+             CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS q_norm_sq,
+             CAST(list_max(list_transform(q, x -> abs(x))) AS INT) AS q_max_abs
+      FROM (
+        SELECT vec_id, scale,
+               list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INT)) AS q
+        FROM (SELECT vec_id, v,
+                     127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+              FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings))
+        WHERE vec_id < 50)
+      ORDER BY vec_id
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(
+    similarTopk, knnVote, annIvf, docEmbedJoin, embedQuantize)
 }

@@ -10,6 +10,13 @@ import java.sql.Timestamp
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)
 
+/** Static row collector for the ForeachWriter test — executors share the
+  * JVM in local mode, so a static concurrent queue observes the sink.
+  */
+object RowCollector {
+  val rows = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
 class StreamingSpec extends AnyFunSuite with SparkFixture {
 
   private val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
@@ -133,6 +140,24 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     val got = spark.table("enriched").collect()
       .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
     assert(got == Set((1L, Some("AUTOMOBILE")), (2L, None)))
+  }
+
+  test("H8: row-level foreach sink (the per-record handler shape)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    RowCollector.rows.clear()
+    val ms = MemoryStream[Ev]
+    ms.addData(Ev(1, at(0), 1, "click", 1.0, "{}"), Ev(2, at(1), 2, "view", 2.0, "{}"))
+    val q = ms.toDF().select("event_id", "event_type")
+      .writeStream.outputMode("append")
+      .foreach(new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+        def open(partitionId: Long, epochId: Long): Boolean = true
+        def process(r: org.apache.spark.sql.Row): Unit =
+          RowCollector.rows.add(s"${r.getLong(0)}:${r.getString(1)}")
+        def close(errorOrNull: Throwable): Unit = ()
+      }).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(RowCollector.rows.toArray.toSet == Set("1:click", "2:view"))
   }
 
   test("A1/A5/H8: file source -> watermarked agg -> fan-out foreachBatch sink") {
