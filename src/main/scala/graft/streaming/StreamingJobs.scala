@@ -173,6 +173,34 @@ object StreamingJobs {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  /** A6: idempotent keyed upsert sink — the DynamoDB PutItem/UpdateItem
+    * analog over a keyed parquet table: merge the micro-batch with the
+    * current table, keep the latest row per key. Idempotent under batch
+    * replay (at-least-once ⇒ exactly-once effect), like a conditional put.
+    * At scale the table would be partitioned by key range and only touched
+    * partitions rewritten (or a lakehouse MERGE INTO).
+    */
+  def upsertSink(updates: DataFrame, path: String, checkpoint: String,
+      key: String, versionCol: String) =
+    updates.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val current =
+          try spark.read.parquet(path)
+          catch { case _: Throwable => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(key).orderBy(col(versionCol).desc)
+        val merged = current.unionByName(batch)
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+          .localCheckpoint(true) // materialize BEFORE overwriting the input
+        merged.write.mode("overwrite").parquet(path)
+        ()
+      }
+
   /** A6/A7/H8: fan-out sink — one micro-batch, several destinations
     * (aggregate "DynamoDB" table + raw archive), the SNS/multi-sink shape.
     * batchDF is persisted so the two writes scan the input once.

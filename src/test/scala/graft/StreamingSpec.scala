@@ -142,6 +142,43 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(got == Set((1L, Some("AUTOMOBILE")), (2L, None)))
   }
 
+  test("A6: keyed upsert sink keeps the latest row per key across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val ms = MemoryStream[Ev]
+    val q = StreamingJobs.upsertSink(
+      ms.toDF().select(col("user_id"), col("value"), col("ts")),
+      s"$tmp/table", s"$tmp/ckpt", "user_id", "ts").start()
+    ms.addData(Ev(1, at(0), 1, "a", 10.0, "{}"), Ev(2, at(0), 2, "a", 20.0, "{}"))
+    q.processAllAvailable()
+    ms.addData(Ev(3, at(5), 1, "a", 99.0, "{}")) // newer version for user 1
+    try q.processAllAvailable() finally q.stop()
+    val state = spark.read.parquet(s"$tmp/table")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state == Map(1L -> 99.0, 2L -> 20.0))
+  }
+
+  test("H3: native session_window aggregation under streaming") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = ms.toDF()
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"))
+      .writeStream.format("memory").queryName("sessnative").outputMode("append").start()
+    ms.addData(Ev(1, at(0), 1, "a", 0, "{}"), Ev(2, at(10), 1, "a", 0, "{}"),
+      Ev(3, at(120), 1, "a", 0, "{}"))
+    q.processAllAvailable()
+    ms.addData(Ev(4, at(600), 9, "a", 0, "{}")) // advance watermark, close sessions
+    try q.processAllAvailable() finally q.stop()
+    val sessions = spark.table("sessnative").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sessions.contains((1L, 2L)) && sessions.contains((1L, 1L)))
+  }
+
   test("H8: row-level foreach sink (the per-record handler shape)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
