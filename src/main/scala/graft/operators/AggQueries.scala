@@ -71,7 +71,9 @@ object AggQueries extends QueryModule {
         .groupBy("event_type")
         .agg(
           approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"))
+          countDistinct(col("user_id")).as("exact_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
+          expr("percentile(value, 0.5)").as("exact_p50"))
         .orderBy("event_type"),
     None)
 
