@@ -23,7 +23,8 @@ object SparkEntry {
     operators.MultimodalQueries,
     operators.MiscQueries,
     operators.TpchQueries,
-    operators.ClusterQueries)
+    operators.ClusterQueries,
+    operators.KmeansQueries)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
 

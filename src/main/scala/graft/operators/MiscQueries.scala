@@ -43,5 +43,30 @@ object MiscQueries extends QueryModule {
       ORDER BY r_name, variant
     """))
 
-  override def defs: Seq[QueryDef] = Seq(miscIds, miscStack)
+  /** The SQL-string entry path: temp views + spark.sql — same Catalyst
+    * plans as the DataFrame API (Spark's parser IS the engine's SQL
+    * parser; SURVEY non-goal "no SQL parser of our own").
+    */
+  private val sqlInterface = QueryDef(
+    "q_sql_interface",
+    (spark, sfDir) => {
+      Tables.orders(spark, sfDir).createOrReplaceTempView("v_orders")
+      Tables.customer(spark, sfDir).createOrReplaceTempView("v_customer")
+      spark.sql(s"""
+        SELECT c_mktsegment, o_orderstatus,
+               count(*) AS n,
+               round(sum(o_totalprice) + 1e-9, 2) AS revenue
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+      """)
+    },
+    Some(s"""
+      SELECT c_mktsegment, o_orderstatus, count(*) AS n,
+             ${Ql.R("sum(o_totalprice)")} AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(miscIds, miscStack, sqlInterface)
 }

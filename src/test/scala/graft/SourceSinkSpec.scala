@@ -80,6 +80,18 @@ class SourceSinkSpec extends AnyFunSuite with SparkFixture {
       s"expected partition filter, got: ${scan.metadata}")
   }
 
+  test("A9: schema evolution — mergeSchema unions columns across file generations") {
+    val dir = tmpDir()
+    val docs = Tables.documents(spark, sf)
+    docs.select("doc_id", "lang").write.parquet(s"$dir/t/gen=1")
+    docs.select("doc_id", "lang", "n_chars").write.parquet(s"$dir/t/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.columns.toSet == Set("doc_id", "lang", "n_chars", "gen"))
+    assert(merged.count() == docs.count() * 2)
+    // old-generation rows surface the new column as null
+    assert(merged.filter(col("gen") === 1 && col("n_chars").isNull).count() == docs.count())
+  }
+
   test("A6/H7: update output mode emits only changed counter rows") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
