@@ -44,6 +44,14 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(n <= 100000L * 5 && n > 400000L)
   }
 
+  test("5M-row window ranking (sort/spill path) holds") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val firstTwo = big.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).count()
+    assert(firstTwo > 100000L && firstTwo <= 200000L) // <=2 per user, 100k users
+  }
+
   test("5M-row fact joins a broadcast dimension without shuffling the fact") {
     val dim = spark.range(100000L).select(col("id").as("user_id"),
       (col("id") % 25).as("nation"))
