@@ -15,13 +15,19 @@ object Bench {
     // janino warmup) so fixed JVM startup cost isn't attributed to whichever
     // query happens to run first.
     Tables.all.foreach { t =>
-      try Tables.table(spark, sfDir, t).count()
-      catch { case _: Throwable => () }
+      // events needs the nanos-timestamp loader — a raw read throws
+      try {
+        if (t == "events") Tables.events(spark, sfDir).count()
+        else Tables.table(spark, sfDir, t).count()
+      } catch { case _: Throwable => () }
     }
     // optional comma-separated subset for local profiling, e.g.
     // SPARK_GRAFT_BENCH_ONLY=q_dedup_embed,q_fingerprint
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").toSet).getOrElse(SparkEntry.queries.keySet)
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty)
+      System.err.println(s"[bench] WARNING: unknown query names ignored: ${unknown.mkString(",")}")
     val results = SparkEntry.queries.filter(q => only(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -21,6 +21,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override def dataType: DataType = DoubleType
 
+  // null on length mismatch (matching the HOF formulation, where zip_with
+  // null-pads the shorter side and the null poisons the fold)
+  override def nullable: Boolean = true
+
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
@@ -36,7 +40,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     val la = elemType(left) == FloatType
     val rb = elemType(right) == FloatType
     var acc = 0.0
@@ -58,12 +63,16 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $acc += (double) $a.$getA($i) * (double) $b.$getB($i);
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $acc += (double) $a.$getA($i) * (double) $b.$getB($i);
+          }
+          ${ev.value} = $acc;
         }
-        ${ev.value} = $acc;
       """
     })
 

@@ -19,12 +19,9 @@ object ClusterQueries extends QueryModule {
     * multi-node components).
     */
   private def edges(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("text"))
-    val planted = docs.unionByName(
-      docs.filter(col("doc_id") < 10).select(
-        (col("doc_id") + 100000).as("doc_id"),
-        regexp_replace(col("text"), "^\\S+", "zzz").as("text")))
+    // same planted near-duplicates as the DedupQueries detectors (single
+    // source of truth for the plant scheme)
+    val planted = DedupQueries.withPlants(spark, sfDir)
     val psh = planted
       .withColumn("toks", expr("slice(split(text, ' '), 1, 12)"))
       .filter(size(col("toks")) >= 3)
@@ -40,11 +37,8 @@ object ClusterQueries extends QueryModule {
   }
 
   private val edgesSql =
-    """WITH RECURSIVE planted AS (
-         SELECT doc_id, text FROM documents
-         UNION ALL
-         SELECT doc_id + 100000, regexp_replace(text, '^\S+', 'zzz')
-         FROM documents WHERE doc_id < 10),
+    s"""WITH RECURSIVE planted AS (
+         SELECT * FROM ${DedupQueries.plantsSql}),
        psh AS (
          SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS sh
          FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 3)) AS i
@@ -82,13 +76,18 @@ object ClusterQueries extends QueryModule {
       }
       var changed = 1L
       var rounds = 0
-      while (changed > 0 && rounds < 20) {
+      while (changed > 0 && rounds < 50) {
         val next = propagate(labels).localCheckpoint(true)
         changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
           .filter(col("lbl") =!= col("old")).count()
         labels = next
         rounds += 1
       }
+      // fail loudly rather than emit unconverged (wrong) components — at
+      // scale a >50-diameter component means switch to pointer jumping
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"connected components did not converge in $rounds rounds")
       labels
         .groupBy("lbl").agg(count(lit(1)).as("cluster_size"),
           sort_array(collect_list(col("id"))).as("members"))

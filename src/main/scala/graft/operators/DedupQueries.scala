@@ -20,7 +20,7 @@ object DedupQueries extends QueryModule {
   /** documents ∪ perturbed copies of doc_id<10 (id+100000, first token
     * replaced) — the planted near-duplicates.
     */
-  private def withPlants(spark: SparkSession, sfDir: String): DataFrame = {
+  private[operators] def withPlants(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     d.unionByName(
       d.filter(col("doc_id") < 10).select(
@@ -28,7 +28,7 @@ object DedupQueries extends QueryModule {
         regexp_replace(col("text"), "^\\S+", "zzz").as("text")))
   }
 
-  private val plantsSql =
+  private[operators] val plantsSql =
     """(SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 100000, regexp_replace(text, '^\S+', 'zzz')

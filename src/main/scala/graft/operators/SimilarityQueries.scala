@@ -62,7 +62,9 @@ object SimilarityQueries extends QueryModule {
       val wTop = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
       val wVote = Window.partitionBy("qid").orderBy(col("votes").desc, col("label"))
       cands.crossJoin(broadcast(q))
-        .withColumn("score", Vectors.dot(col("qv"), col("v")))
+        // rank on the ROUNDED score (like q_similar_topk): the top-k cut
+        // must not depend on sub-1e-9 cross-engine accumulation differences
+        .withColumn("score", Ql.r(Vectors.dot(col("qv"), col("v")), 4))
         .withColumn("rank", row_number().over(wTop))
         .filter(col("rank") <= 10)
         .groupBy("qid", "true_label", "label")
@@ -77,7 +79,8 @@ object SimilarityQueries extends QueryModule {
                  FROM embeddings),
       q AS (SELECT vec_id AS qid, label AS true_label, v AS qv FROM e WHERE vec_id < 20),
       top AS (
-        SELECT qid, true_label, label, list_dot_product(qv, v) AS score, vec_id
+        SELECT qid, true_label, label,
+               round(list_dot_product(qv, v) + 1e-9, 4) AS score, vec_id
         FROM q, e WHERE vec_id >= 20
         QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) <= 10),
       votes AS (SELECT qid, true_label, label, count(*) AS votes

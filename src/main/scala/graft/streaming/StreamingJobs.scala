@@ -119,8 +119,17 @@ object StreamingJobs {
               }
             }
             cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // a late batch can leave (last + gap) at or below the current
+              // watermark — setTimeoutTimestamp would throw and kill the
+              // query; such a session is already expired, close it inline
+              val wm = state.getCurrentWatermarkMs()
+              if (s.last + gapMs <= wm) {
+                closed += SessionOut(user, s.n, s.sum, (s.last - s.start) / 1000)
+                state.remove()
+              } else {
+                state.update(s)
+                state.setTimeoutTimestamp(s.last + gapMs)
+              }
             }
             closed.result().iterator
           }

@@ -33,6 +33,15 @@ class VectorSpec extends AnyFunSuite with SparkFixture {
     assert(n == 0)
   }
 
+  test("native dot matches HOF null semantics on ragged arrays") {
+    import org.apache.spark.sql.functions.{array, lit}
+    val df = spark.range(1).select(
+      Vectors.dot(array(lit(1.0), lit(2.0)), array(lit(3.0))).as("a"),
+      Vectors.dotHof(array(lit(1.0), lit(2.0)), array(lit(3.0))).as("b"))
+    val row = df.first()
+    assert(row.isNullAt(0) && row.isNullAt(1))
+  }
+
   test("embeddings are L2-normalized: self-dot ~ 1") {
     val bad = emb.select(Vectors.dot(col("embedding"), col("embedding")).as("d"))
       .filter(abs(col("d") - 1.0) > 1e-5).count()
