@@ -58,7 +58,9 @@ object ScalarFnQueries extends QueryModule {
           date_add(to_date(col("o_orderdate")), 30).as("plus30"),
           datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")).as("days_since_95"),
           last_day(col("o_orderdate")).as("month_end"),
-          date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          add_months(to_date(col("o_orderdate")), 2).as("plus2m"),
+          to_date(date_trunc("month", col("o_orderdate"))).as("month_start"))
         .orderBy("o_orderkey"),
     Some("""
       SELECT o_orderkey,
@@ -70,7 +72,9 @@ object ScalarFnQueries extends QueryModule {
              CAST(o_orderdate AS DATE) + 30 AS plus30,
              CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_95,
              last_day(CAST(o_orderdate AS DATE)) AS month_end,
-             strftime(o_orderdate, '%Y-%m') AS ym
+             strftime(o_orderdate, '%Y-%m') AS ym,
+             CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
       FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey
     """))
 
@@ -147,7 +151,9 @@ object ScalarFnQueries extends QueryModule {
           array_contains(col("toks"), "the").cast("int").as("has_the"),
           array_join(slice(col("toks"), 1, 3), " ").as("first3"),
           array_min(col("toks")).as("min_tok"),
-          array_max(col("toks")).as("max_tok"))
+          array_max(col("toks")).as("max_tok"),
+          size(sequence(lit(1), (col("doc_id") % 5 + 1).cast("int"))).as("seq_len"),
+          array_position(col("toks"), "the").cast("int").as("the_pos"))
         .orderBy("doc_id"),
     Some("""
       SELECT doc_id,
@@ -156,7 +162,9 @@ object ScalarFnQueries extends QueryModule {
              CAST(list_contains(toks, 'the') AS INT) AS has_the,
              array_to_string(toks[1:3], ' ') AS first3,
              list_min(toks) AS min_tok,
-             list_max(toks) AS max_tok
+             list_max(toks) AS max_tok,
+             CAST(len(generate_series(1, doc_id % 5 + 1)) AS INT) AS seq_len,
+             CAST(coalesce(list_position(toks, 'the'), 0) AS INT) AS the_pos
       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
       WHERE doc_id < 50 ORDER BY doc_id
     """))
@@ -200,14 +208,21 @@ object ScalarFnQueries extends QueryModule {
           col("event_id"),
           array_join(map_keys(col("m")), ",").as("keys"),
           element_at(col("m"), "k").as("k_val"),
-          size(col("m")).as("n_entries"))
+          size(col("m")).as("n_entries"),
+          element_at(expr("transform_values(m, (k, v) -> v * 2)"), "k").as("k_doubled"),
+          size(expr("map_filter(m, (k, v) -> v > 50)")).as("n_big"),
+          size(expr("map_concat(m, map('extra', -1))")).as("n_concat"),
+          element_at(expr("map_from_entries(array(struct('kk', 7)))"), "kk").as("const_entry"))
         .filter(col("event_id") < 100)
         .orderBy("event_id"),
     Some("""
-      SELECT event_id, 'k' AS keys,
-             CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
-             1 AS n_entries
-      FROM events WHERE event_id < 100 ORDER BY event_id
+      SELECT event_id, 'k' AS keys, k AS k_val, 1 AS n_entries,
+             k * 2 AS k_doubled,
+             CAST(CASE WHEN k > 50 THEN 1 ELSE 0 END AS INT) AS n_big,
+             2 AS n_concat, 7 AS const_entry
+      FROM (SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+            FROM events)
+      WHERE event_id < 100 ORDER BY event_id
     """))
 
   override def defs: Seq[QueryDef] = Seq(

@@ -89,6 +89,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(out.exists(s => s.user_id == 2 && s.n_events == 1 && s.sum_value == 5.0))
   }
 
+  test("H4/H6: sessionizer drops fully-late events and the query survives") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[SessionInput]
+    val q = StreamingJobs.sessionize(
+        ms.toDS().withWatermark("ts", "0 seconds"), gapMinutes = 30)
+      .writeStream.format("memory").queryName("latesess").outputMode("append").start()
+    ms.addData(SessionInput(7, at(1000), 1.0)) // advances watermark far ahead
+    q.processAllAvailable()
+    // event far behind the watermark: the pre-stateful watermark filter
+    // drops it (the reference, by contrast, silently mis-bucketed late
+    // data); the query must keep running either way — the inline-close
+    // guard in sessionize covers the boundary case the filter lets through
+    ms.addData(SessionInput(8, at(1), 2.0))
+    q.processAllAvailable()
+    ms.addData(SessionInput(7, at(2000), 3.0))
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("latesess").as[SessionOut].collect()
+    assert(q.exception.isEmpty)
+    assert(!out.exists(_.user_id == 8), "fully-late event must be dropped")
+    assert(out.exists(s => s.user_id == 7 && s.n_events == 1))
+  }
+
   test("H6 (Spark 4 API): transformWithState running counters accumulate across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
