@@ -42,6 +42,34 @@ object ScalarFnQueries extends QueryModule {
       FROM part WHERE p_partkey < 100 ORDER BY p_partkey
     """))
 
+  /** G1 (cont.): predicate + structural string functions. */
+  private val strFuncs2 = QueryDef(
+    "q_str_funcs2",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 80)
+        .select(
+          col("doc_id"),
+          expr("split_part(text, ' ', 2)").as("second_word"),
+          reverse(expr("split_part(text, ' ', 1)")).as("first_rev"),
+          expr("repeat(lang, 2)").as("lang2"),
+          col("text").startsWith("the").cast("int").as("starts_the"),
+          col("text").endsWith("key").cast("int").as("ends_key"),
+          col("text").contains("merge").cast("int").as("has_merge"),
+          substring_index(col("text"), " ", 3).as("first3_idx"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             split_part(text, ' ', 2) AS second_word,
+             reverse(split_part(text, ' ', 1)) AS first_rev,
+             repeat(lang, 2) AS lang2,
+             CAST(starts_with(text, 'the') AS INT) AS starts_the,
+             CAST(ends_with(text, 'key') AS INT) AS ends_key,
+             CAST(contains(text, 'merge') AS INT) AS has_merge,
+             array_to_string(string_split(text, ' ')[1:3], ' ') AS first3_idx
+      FROM documents WHERE doc_id < 80 ORDER BY doc_id
+    """))
+
   /** G2: date/time functions. */
   private val dateFuncs = QueryDef(
     "q_date_funcs",
@@ -226,5 +254,6 @@ object ScalarFnQueries extends QueryModule {
     """))
 
   override def defs: Seq[QueryDef] = Seq(
-    strFuncs, dateFuncs, mathFuncs, condNull, arrayFuncs, hofFuncs, mapFuncs)
+    strFuncs, strFuncs2, dateFuncs, mathFuncs, condNull, arrayFuncs,
+    hofFuncs, mapFuncs)
 }

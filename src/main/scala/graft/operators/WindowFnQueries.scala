@@ -108,5 +108,31 @@ object WindowFnQueries extends QueryModule {
       ORDER BY s_suppkey
     """))
 
-  override def defs: Seq[QueryDef] = Seq(winRank, winLag, winRunning, winLeadNtile)
+  /** E3 (range frame): trailing-7-day order volume per customer — a
+    * value-based (time) frame, not a row count; the batch twin of a
+    * sliding event-time window.
+    */
+  private val winRange = QueryDef(
+    "q_win_range_frame",
+    (spark, sfDir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("day")
+        .rangeBetween(-6, 0)
+      Tables.orders(spark, sfDir)
+        .filter(col("o_custkey") < 200)
+        .withColumn("day", datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")))
+        .withColumn("trailing_7d", Ql.r(sum(col("o_totalprice")).over(w)))
+        .select(col("o_custkey"), col("o_orderkey"), col("day"), col("trailing_7d"))
+        .orderBy("o_custkey", "day", "o_orderkey")
+    },
+    Some(s"""
+      SELECT o_custkey, o_orderkey, day,
+             ${Ql.R("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)")} AS trailing_7d
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS day
+            FROM orders WHERE o_custkey < 200)
+      ORDER BY o_custkey, day, o_orderkey
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(
+    winRank, winLag, winRunning, winLeadNtile, winRange)
 }
