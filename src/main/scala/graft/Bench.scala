@@ -28,9 +28,14 @@ object Bench {
     val unknown = only -- SparkEntry.queries.keySet
     if (unknown.nonEmpty)
       System.err.println(s"[bench] WARNING: unknown query names ignored: ${unknown.mkString(",")}")
+    val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.filter(q => only(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // isolate queries: drop any cache a query built so later timings
       // don't pay its memory pressure
@@ -40,7 +45,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failures = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

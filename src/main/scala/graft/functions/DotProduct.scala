@@ -47,6 +47,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // a null element poisons the result, like the HOF fold
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (la) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (rb) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -69,9 +71,10 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
           int $n = $a.numElements();
           double $acc = 0.0;
           for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
             $acc += (double) $a.$getA($i) * (double) $b.$getB($i);
           }
-          ${ev.value} = $acc;
+          if (!${ev.isNull}) { ${ev.value} = $acc; }
         }
       """
     })

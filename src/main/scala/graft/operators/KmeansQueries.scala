@@ -18,14 +18,19 @@ object KmeansQueries extends QueryModule {
 
   private val K = 8
 
-  /** Nearest-centroid assignment; keeps the squared distance. */
+  /** Nearest-centroid assignment; keeps the squared distance. Ranks on
+    * the ROUNDED distance (project rounding contract): centroid components
+    * come from avg() whose summation order is partitioning-dependent, so
+    * an unrounded argmin could flip between engines on near-ties.
+    */
   private def assign(e: DataFrame, cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("d"), col("cid"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dr"), col("cid"))
     e.crossJoin(broadcast(cent))
       .withColumn("d",
         Vectors.dot(col("v"), col("v"))
           - lit(2.0) * Vectors.dot(col("v"), col("c"))
           + Vectors.dot(col("c"), col("c")))
+      .withColumn("dr", Ql.r(col("d"), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cid"), col("d"))
@@ -60,8 +65,8 @@ object KmeansQueries extends QueryModule {
       c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < $K),
       a1 AS (SELECT vec_id, v, cid FROM (
                SELECT e.vec_id, e.v, c0.cid, row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c0.c)
-                          + list_dot_product(c0.c, c0.c), c0.cid) AS rn
+                 ORDER BY round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c0.c)
+                          + list_dot_product(c0.c, c0.c) + 1e-9, 6), c0.cid) AS rn
                FROM e, c0) WHERE rn = 1),
       c1 AS (SELECT cid, list(m ORDER BY pos) AS c FROM (
                SELECT cid, g.i AS pos, avg(v[g.i]) AS m
@@ -69,8 +74,8 @@ object KmeansQueries extends QueryModule {
              GROUP BY cid),
       a2 AS (SELECT vec_id, v, cid FROM (
                SELECT e.vec_id, e.v, c1.cid, row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c1.c)
-                          + list_dot_product(c1.c, c1.c), c1.cid) AS rn
+                 ORDER BY round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c1.c)
+                          + list_dot_product(c1.c, c1.c) + 1e-9, 6), c1.cid) AS rn
                FROM e, c1) WHERE rn = 1),
       c2 AS (SELECT cid, list(m ORDER BY pos) AS c FROM (
                SELECT cid, g.i AS pos, avg(v[g.i]) AS m
@@ -81,8 +86,8 @@ object KmeansQueries extends QueryModule {
                       list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c2.c)
                         + list_dot_product(c2.c, c2.c) AS d,
                       row_number() OVER (PARTITION BY e.vec_id
-                        ORDER BY list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c2.c)
-                                 + list_dot_product(c2.c, c2.c), c2.cid) AS rn
+                        ORDER BY round(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c2.c)
+                                 + list_dot_product(c2.c, c2.c) + 1e-9, 6), c2.cid) AS rn
                FROM e, c2) WHERE rn = 1)
       SELECT cid, count(*) AS n, ${Ql.R("sum(d)")} AS inertia
       FROM a3 GROUP BY 1 ORDER BY 1

@@ -42,11 +42,11 @@ object RecordQueries extends QueryModule {
         .select(get_json_object(col("props"), "$.k").cast("int").as("k"), col("value"))
         .groupBy("k")
         .agg(count(lit(1)).as("n"), Ql.r(sum(col("value"))).as("sum_value"))
-        .orderBy("k"),
+        .orderBy(col("k").asc_nulls_last),
     Some(s"""
       SELECT CAST(json_extract_string(props, '$$.k') AS INT) AS k,
              count(*) AS n, ${Ql.R("sum(value)")} AS sum_value
-      FROM events GROUP BY 1 ORDER BY 1
+      FROM events GROUP BY 1 ORDER BY 1 ASC NULLS LAST
     """))
 
   /** B2: full JSON parse against a fixed schema (`json.loads` into known
@@ -132,7 +132,13 @@ object RecordQueries extends QueryModule {
         .orderBy("src", "is_valid")
     },
     Some("""
-      SELECT src, json_valid(payload) AS is_valid, count(*) AS n
+      SELECT src,
+             -- struct-parse semantics: a bare JSON scalar/array is valid
+             -- JSON but NOT a parseable object (mirrors from_json's
+             -- corrupt-record behavior against a struct schema)
+             (CASE WHEN json_valid(payload)
+                   THEN json_type(payload) = 'OBJECT' ELSE false END) AS is_valid,
+             count(*) AS n
       FROM (SELECT 'events' AS src, props AS payload FROM events
             UNION ALL SELECT 'documents', text FROM documents)
       GROUP BY 1, 2 ORDER BY 1, 2

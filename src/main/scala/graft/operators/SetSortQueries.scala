@@ -85,10 +85,10 @@ object SetSortQueries extends QueryModule {
         .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
         .select(col("event_type"), col("k"))
         .distinct()
-        .orderBy("event_type", "k"),
+        .orderBy(col("event_type"), col("k").asc_nulls_last),
     Some("""
       SELECT DISTINCT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
-      FROM events ORDER BY 1, 2
+      FROM events ORDER BY 1, 2 ASC NULLS LAST
     """))
 
   override def defs: Seq[QueryDef] = Seq(sortLimit, unionAll, setOps, distinctPairs)

@@ -113,7 +113,9 @@ object SimilarityQueries extends QueryModule {
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       val wProbe = Window.partitionBy("qid").orderBy(col("cscore").desc, col("label"))
       val probed = q.crossJoin(broadcast(centroids))
-        .withColumn("cscore", Vectors.dot(col("qv"), col("centroid")))
+        // centroid components come from avg() (partitioning-dependent sum
+        // order) — rank on the rounded score per the rounding contract
+        .withColumn("cscore", Ql.r(Vectors.dot(col("qv"), col("centroid")), 6))
         .withColumn("crank", row_number().over(wProbe))
         .filter(col("crank") <= 2)
         .select(col("qid"), col("qv"), col("label"))
@@ -139,7 +141,7 @@ object SimilarityQueries extends QueryModule {
         SELECT qid, qv, label
         FROM q, cent
         QUALIFY row_number() OVER (PARTITION BY qid
-          ORDER BY list_dot_product(qv, centroid) DESC, label) <= 2),
+          ORDER BY round(list_dot_product(qv, centroid) + 1e-9, 6) DESC, label) <= 2),
       scored AS (
         SELECT qid, e.vec_id, e.label, ${Ql.R("list_dot_product(qv, e.v)", 4)} AS score
         FROM probed JOIN e ON probed.label = e.label AND e.vec_id >= 5)

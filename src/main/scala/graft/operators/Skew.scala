@@ -19,6 +19,10 @@ object Skew {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       buckets: Int = 16, joinType: String = "inner"): DataFrame = {
+    // right/full outer would surface each unmatched (replicated) right row
+    // `buckets` times — not row-identical to the direct join
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti")(joinType),
+      s"saltedJoin supports left-preserving join types only, got $joinType")
     val salted = left.withColumn("_salt", pmod(monotonically_increasing_id(), lit(buckets)))
     val replicated = right.withColumn("_salt", explode(expr(s"sequence(0, ${buckets - 1})")))
     salted.join(replicated,

@@ -110,7 +110,10 @@ object StreamingJobs {
               val t = r.ts.getTime
               cur match {
                 case Some(s) if t - s.last < gapMs =>
-                  cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + r.value))
+                  // an out-of-order (but above-watermark) event must not
+                  // rewind the session bounds
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t), n = s.n + 1, sum = s.sum + r.value))
                 case Some(s) =>
                   closed += SessionOut(user, s.n, s.sum, (s.last - s.start) / 1000)
                   cur = Some(SessionState(t, t, 1, r.value))
@@ -196,10 +199,15 @@ object StreamingJobs {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // empty-table fallback ONLY when the table genuinely doesn't exist
+        // yet — a transient read failure must propagate, not silently wipe
+        // the table on the subsequent overwrite
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val current =
-          try spark.read.parquet(path)
-          catch { case _: Throwable => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+          if (fs.exists(hPath)) spark.read.parquet(path)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(key).orderBy(col(versionCol).desc)
         val merged = current.unionByName(batch)
