@@ -260,6 +260,47 @@ object DedupQueries extends QueryModule {
       SELECT d1, d2, cos FROM pairs WHERE cos > 0.9 ORDER BY 1, 2
     """))
 
+  /** I2e: fuzzy (edit-distance) join with blocking — record-linkage shape:
+    * candidates come from a cheap blocking key (first 2 tokens), then the
+    * expensive levenshtein runs only inside a block. Finds the plants
+    * (perturbed first token ⇒ blocked on tokens 2-3 of the original...
+    * so block on a mid-document key: tokens 4-5, unchanged by the plant).
+    */
+  private val fuzzyJoin = QueryDef(
+    "q_fuzzy_join",
+    (spark, sfDir) => {
+      val d = withPlants(spark, sfDir)
+        .withColumn("block", concat_ws(" ", expr("slice(split(text, ' '), 4, 2)")))
+        .withColumn("len", length(col("text")))
+      val a = d.select(col("block"), col("doc_id").as("d1"),
+        col("text").as("t1"), col("len").as("len1"))
+      val b = d.select(col("block"), col("doc_id").as("d2"),
+        col("text").as("t2"), col("len").as("len2"))
+      a.join(b, Seq("block"))
+        .filter(col("d1") < col("d2"))
+        // cheap length pre-filter before the O(n*m) edit distance
+        .filter(abs(col("len1") - col("len2")) <= 8)
+        .withColumn("dist", levenshtein(col("t1"), col("t2")))
+        .filter(col("dist") <= 8)
+        .select(col("d1"), col("d2"), col("dist"))
+        .orderBy("d1", "d2")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, text,
+               array_to_string(string_split(text, ' ')[4:5], ' ') AS block,
+               length(text) AS len
+        FROM $plantsSql)
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(levenshtein(a.text, b.text) AS INT) AS dist
+      FROM d a JOIN d b
+        ON a.block = b.block AND a.doc_id < b.doc_id
+       AND abs(a.len - b.len) <= 8
+      WHERE levenshtein(a.text, b.text) <= 8
+      ORDER BY 1, 2
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
-    dedupExact, dedupMinhash, dedupSimhash, dedupNgramJaccard, dedupEmbed)
+    dedupExact, dedupMinhash, dedupSimhash, dedupNgramJaccard, dedupEmbed,
+    fuzzyJoin)
 }
