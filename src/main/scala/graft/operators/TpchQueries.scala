@@ -110,5 +110,60 @@ object TpchQueries extends QueryModule {
       LIMIT 20
     """))
 
-  override def defs: Seq[QueryDef] = Seq(q3Shape, q5Shape, q10Shape)
+  /** Q6 shape: revenue-change forecast — pure scan+filter+agg, the query
+    * where predicate pushdown and vectorized scan dominate.
+    */
+  private val q6Shape = QueryDef(
+    "q_tpch_q6_shape",
+    (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .filter(col("l_shipdate") >= lit("1997-01-01")
+          && col("l_shipdate") < lit("1998-01-01")
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg(
+          Ql.r(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n")),
+    Some(s"""
+      SELECT ${Ql.R("sum(l_extendedprice * l_discount)")} AS revenue,
+             count(*) AS n
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24
+    """))
+
+  /** Q18 shape: large-volume customers — aggregate + HAVING (the
+    * post-aggregation filter surface), then joined back to dimensions.
+    */
+  private val q18Shape = QueryDef(
+    "q_tpch_q18_shape",
+    (spark, sfDir) => {
+      val l = Tables.lineitem(spark, sfDir)
+      val o = Tables.orders(spark, sfDir)
+      val c = Tables.customer(spark, sfDir)
+      val bigOrders = l.groupBy("l_orderkey")
+        .agg(Ql.r(sum(col("l_quantity"))).as("total_qty"))
+        .filter(col("total_qty") > 150) // HAVING
+      bigOrders
+        .join(o, col("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          Ql.r(col("o_totalprice")).as("price"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(50)
+    },
+    Some(s"""
+      SELECT c_custkey, c_name, o_orderkey, ${Ql.R("o_totalprice")} AS price, total_qty
+      FROM (SELECT l_orderkey, ${Ql.R("sum(l_quantity)")} AS total_qty
+            FROM lineitem GROUP BY 1
+            HAVING ${Ql.R("sum(l_quantity)")} > 150) big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+      ORDER BY total_qty DESC, o_orderkey
+      LIMIT 50
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(q3Shape, q5Shape, q10Shape, q6Shape, q18Shape)
 }
