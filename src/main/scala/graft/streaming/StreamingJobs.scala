@@ -6,7 +6,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import org.apache.spark.sql.types._
 
 /** Structured Streaming replacements for the reference's Lambda pipeline
-  * (SURVEY §2.A/§2.H). The mapping:
+  * (SURVEY §2.A/§2.H; reference snapshot: /root/reference/README.md:1-44 —
+  * the 2015 AirPair "aws-lambda-stream-processing" post's repo, which
+  * contains no code; the capability surface is reconstructed in SURVEY §0).
+  * The mapping:
   *
   *   Kinesis stream + shard        → streaming DataFrame + its partitions
   *   event-source-mapping poller   → MicroBatchExecution trigger loop
