@@ -70,6 +70,28 @@ object ScalarFnQueries extends QueryModule {
       FROM documents WHERE doc_id < 80 ORDER BY doc_id
     """))
 
+  /** G1 (cont.): regexp family — the text-pipeline workhorses. */
+  private val regexFuncs = QueryDef(
+    "q_regex_funcs",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 80)
+        .select(
+          col("doc_id"),
+          expr("regexp_count(text, 'the')").as("n_the"),
+          expr("regexp_like(text, '^[a-z ]+$')").cast("int").as("all_lower"),
+          size(expr("regexp_extract_all(text, '\\\\b\\\\w{5}\\\\b', 0)")).as("n_5letter"),
+          length(regexp_replace(col("text"), "[aeiou]", "")).as("len_novowels"))
+        .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, 'the')) AS INT) AS n_the,
+             CAST(regexp_full_match(text, '[a-z ]+') AS INT) AS all_lower,
+             CAST(len(regexp_extract_all(text, '\b\w{5}\b')) AS INT) AS n_5letter,
+             CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS len_novowels
+      FROM documents WHERE doc_id < 80 ORDER BY doc_id
+    """))
+
   /** G2: date/time functions. */
   private val dateFuncs = QueryDef(
     "q_date_funcs",
@@ -254,6 +276,6 @@ object ScalarFnQueries extends QueryModule {
     """))
 
   override def defs: Seq[QueryDef] = Seq(
-    strFuncs, strFuncs2, dateFuncs, mathFuncs, condNull, arrayFuncs,
-    hofFuncs, mapFuncs)
+    strFuncs, strFuncs2, regexFuncs, dateFuncs, mathFuncs, condNull,
+    arrayFuncs, hofFuncs, mapFuncs)
 }
