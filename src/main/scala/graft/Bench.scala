@@ -10,7 +10,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       // AQE stays on (the at-scale configuration); knob for measuring its
       // small-data planning overhead locally
-      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.adaptive.enabled", {
+        val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true").toLowerCase
+        require(aqe == "true" || aqe == "false", s"SPARK_GRAFT_AQE must be true|false, got $aqe")
+        aqe
+      })
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

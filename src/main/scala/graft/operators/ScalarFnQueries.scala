@@ -79,14 +79,17 @@ object ScalarFnQueries extends QueryModule {
         .select(
           col("doc_id"),
           expr("regexp_count(text, 'the')").as("n_the"),
-          expr("regexp_like(text, '^[a-z ]+$')").cast("int").as("all_lower"),
+          // partial-match predicate that actually varies across rows (an
+          // anchored all-lower check was constant-true corpus-wide, and
+          // Java-'$' vs RE2 full-match differ on trailing newlines)
+          expr("regexp_like(text, 'scan.*sort')").cast("int").as("scan_then_sort"),
           size(expr("regexp_extract_all(text, '\\\\b\\\\w{5}\\\\b', 0)")).as("n_5letter"),
           length(regexp_replace(col("text"), "[aeiou]", "")).as("len_novowels"))
         .orderBy("doc_id"),
     Some("""
       SELECT doc_id,
              CAST(len(regexp_extract_all(text, 'the')) AS INT) AS n_the,
-             CAST(regexp_full_match(text, '[a-z ]+') AS INT) AS all_lower,
+             CAST(regexp_matches(text, 'scan.*sort') AS INT) AS scan_then_sort,
              CAST(len(regexp_extract_all(text, '\b\w{5}\b')) AS INT) AS n_5letter,
              CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS len_novowels
       FROM documents WHERE doc_id < 80 ORDER BY doc_id
