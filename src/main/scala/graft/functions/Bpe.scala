@@ -38,7 +38,12 @@ object Bpe {
     docs.select(explode(split(col(textCol), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .as[(String, Long)]
-      .map { case (w, n) => WordSyms(w.map(_.toString) :+ "</w>", n) }
+      // split by code point, not UTF-16 char — surrogate pairs (emoji,
+      // rare CJK) must stay whole symbols in the BPE alphabet
+      .map { case (w, n) =>
+        val cps = w.codePoints().toArray.map(Character.toString).toSeq
+        WordSyms(cps :+ "</w>", n)
+      }
       // the vocabulary table is tiny relative to the corpus — keep the
       // per-iteration jobs from fanning out over empty partitions
       .coalesce(4)

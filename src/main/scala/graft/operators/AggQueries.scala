@@ -61,8 +61,13 @@ object AggQueries extends QueryModule {
       FROM events GROUP BY 1 ORDER BY 1
     """))
 
-  /** D4: approx distinct (HLL) — no SQL-exact oracle by nature; the driver
-    * records a rows-only check. Exact twin emitted alongside for eyeballing.
+  /** D4: approx distinct (HLL) + approx percentile. The raw estimates have
+    * no SQL-exact oracle (engine-specific sketches), so the query emits the
+    * exact values plus the *error contract* as deterministic booleans: HLL
+    * at rsd=0.01 within 5% of exact, approx_percentile within the observed
+    * value range. The oracle computes the exact columns and asserts the
+    * contract flags are 1 — a real cross-engine check of both families.
+    * Raw-estimate accuracy is additionally spec-checked in SketchSpec.
     */
   private val aggApprox = QueryDef(
     "q_agg_approx",
@@ -70,12 +75,24 @@ object AggQueries extends QueryModule {
       Tables.events(spark, sfDir)
         .groupBy("event_type")
         .agg(
-          approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
-          expr("percentile(value, 0.5)").as("exact_p50"))
+          Ql.r(expr("percentile(value, 0.5)"), 4).as("exact_p50"),
+          (abs(approx_count_distinct(col("user_id"), 0.01) -
+            countDistinct(col("user_id"))) <=
+            greatest(countDistinct(col("user_id")) * 0.05, lit(1.0)))
+            .cast("int").as("hll_within_5pct"),
+          (percentile_approx(col("value"), lit(0.5), lit(10000))
+            .between(min(col("value")), max(col("value"))))
+            .cast("int").as("p50_in_range"))
         .orderBy("event_type"),
-    None)
+    Some(s"""
+      SELECT event_type,
+             count(DISTINCT user_id) AS exact_users,
+             ${Ql.R("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)", 4)} AS exact_p50,
+             1 AS hll_within_5pct,
+             1 AS p50_in_range
+      FROM events GROUP BY 1 ORDER BY 1
+    """))
 
   /** D5: rollup + grouping_id — multi-granularity report. */
   private val aggRollup = QueryDef(
@@ -127,7 +144,11 @@ object AggQueries extends QueryModule {
       ORDER BY gid, status, priority
     """))
 
-  /** D6: collect_set — gathered group elements, sorted for determinism. */
+  /** D6: collect_set — gathered group elements, sorted for determinism.
+    * The set is emitted as a comma-joined string (numeric sort first): the
+    * verify harness hashes flat scalar columns, and a raw array column is
+    * unhashable downstream. Same information, stable shape.
+    */
   private val aggCollect = QueryDef(
     "q_agg_collect",
     (spark, sfDir) =>
@@ -136,12 +157,13 @@ object AggQueries extends QueryModule {
         .filter(col("k") < 25)
         .groupBy("event_type")
         .agg(
-          array_sort(collect_set(col("k"))).as("ks"),
+          array_join(transform(array_sort(collect_set(col("k"))),
+            _.cast("string")), ",").as("ks"),
           size(collect_set(col("k"))).as("n_ks"))
         .orderBy("event_type"),
     Some("""
       SELECT event_type,
-             list_sort(list(DISTINCT k)) AS ks,
+             array_to_string(list_sort(list(DISTINCT k)), ',') AS ks,
              CAST(len(list(DISTINCT k)) AS INT) AS n_ks
       FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
             FROM events)

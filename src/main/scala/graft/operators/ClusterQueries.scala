@@ -88,9 +88,12 @@ object ClusterQueries extends QueryModule {
       if (changed > 0)
         throw new IllegalStateException(
           s"connected components did not converge in $rounds rounds")
+      // members as a comma-joined string: the verify harness hashes flat
+      // scalar columns, so array columns are emitted pre-joined
       labels
         .groupBy("lbl").agg(count(lit(1)).as("cluster_size"),
-          sort_array(collect_list(col("id"))).as("members"))
+          array_join(transform(sort_array(collect_list(col("id"))),
+            _.cast("string")), ",").as("members"))
         .select(col("lbl").as("cluster"), col("cluster_size"), col("members"))
         .orderBy("cluster")
     },
@@ -105,7 +108,7 @@ object ClusterQueries extends QueryModule {
         SELECT adj.b, reach.r FROM reach JOIN adj ON reach.id = adj.a),
       labels AS (SELECT id, min(r) AS lbl FROM reach GROUP BY 1)
       SELECT lbl AS cluster, count(*) AS cluster_size,
-             list_sort(list(id)) AS members
+             array_to_string(list_sort(list(id)), ',') AS members
       FROM labels GROUP BY 1 ORDER BY 1
     """))
 

@@ -218,11 +218,20 @@ object DedupQueries extends QueryModule {
       ORDER BY 1, 2
     """))
 
-  /** I2d: embedding-cosine near-dup. Plants: copies of vec_id<10 with the
-    * last component shifted by +0.1 (id+100000) — cosine ≈ 0.995 vs a
-    * natural pair maximum of ~0.44, so threshold 0.9 finds exactly the
-    * plants. Brute-force d1<d2 pairs (the honest baseline; the LSH/IVF
-    * scale path is in SimilarityQueries).
+  /** I2d: embedding-cosine near-dup via sign-projection LSH banding —
+    * never all-pairs. Band b's bucket key is the sign pattern of dims
+    * [16b+1..16b+16] (3 bands): a near-identical pair agrees on every
+    * band; an unrelated pair collides on a given band with p ≈ 2⁻¹⁶.
+    * Candidates only form inside a (band, sig) bucket — the same
+    * band-join algebra as MinHash LSH, so the plan is hash joins all the
+    * way down (no CartesianProduct; PlanSpec asserts this). The exact
+    * cosine then runs only on candidates. Brute-force all-pairs remains
+    * in VectorSpec as the recall ground truth.
+    *
+    * Plants: copies of vec_id<10 with the last component shifted by +0.1
+    * (id+100000) — cosine ≈ 0.995 vs a natural pair maximum of ~0.44;
+    * dims 1-48 are untouched so every band matches and threshold 0.9
+    * returns exactly the plants.
     */
   private val dedupEmbed = QueryDef(
     "q_dedup_embed",
@@ -233,12 +242,22 @@ object DedupQueries extends QueryModule {
         e.filter(col("vec_id") < 10).select(
           (col("vec_id") + 100000).as("vec_id"),
           expr("concat(slice(v, 1, 63), array(element_at(v, 64) + 0.1d))").as("v")))
-      // norms precomputed once per vector (not 3 dots per pair)
-      val normed = planted.withColumn("norm", sqrt(Vectors.normSq(col("v"))))
-      val a = normed.select(col("vec_id").as("d1"), col("v").as("v1"), col("norm").as("n1"))
-      val b = normed.select(col("vec_id").as("d2"), col("v").as("v2"), col("norm").as("n2"))
-      a.crossJoin(b)
+      // id-only banding table (vectors NOT duplicated per band)
+      val banded = planted
+        .select(col("vec_id"), explode(expr("sequence(0, 2)")).as("band"), col("v"))
+        .withColumn("sig", expr(
+          "concat_ws('', transform(slice(v, band * 16 + 1, 16), x -> CASE WHEN x >= 0D THEN '1' ELSE '0' END))"))
+        .select("band", "sig", "vec_id")
+      val cands = banded.select(col("band"), col("sig"), col("vec_id").as("d1"))
+        .join(banded.select(col("band"), col("sig"), col("vec_id").as("d2")),
+          Seq("band", "sig"))
         .filter(col("d1") < col("d2"))
+        .select("d1", "d2").distinct()
+      // norms precomputed once per vector; cosine only on candidates
+      val normed = planted.withColumn("norm", sqrt(Vectors.normSq(col("v"))))
+      cands
+        .join(normed.select(col("vec_id").as("d1"), col("v").as("v1"), col("norm").as("n1")), "d1")
+        .join(normed.select(col("vec_id").as("d2"), col("v").as("v2"), col("norm").as("n2")), "d2")
         .withColumn("cos", Ql.r(Vectors.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4))
         .filter(col("cos") > 0.9)
         .select(col("d1"), col("d2"), col("cos"))
@@ -252,12 +271,23 @@ object DedupQueries extends QueryModule {
         SELECT * FROM e
         UNION ALL
         SELECT vec_id + 100000, v[1:63] || [v[64] + 0.1] FROM e WHERE vec_id < 10),
-      normed AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM planted),
-      pairs AS (
-        SELECT a.vec_id AS d1, b.vec_id AS d2,
-               ${Ql.R("list_dot_product(a.v, b.v) / (a.norm * b.norm)", 4)} AS cos
-        FROM normed a JOIN normed b ON a.vec_id < b.vec_id)
-      SELECT d1, d2, cos FROM pairs WHERE cos > 0.9 ORDER BY 1, 2
+      banded AS (
+        SELECT vec_id, g.b AS band,
+               array_to_string(list_transform(v[g.b * 16 + 1 : g.b * 16 + 16],
+                 x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS sig
+        FROM planted, generate_series(0, 2) g(b)),
+      cands AS (
+        SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+      normed AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS norm FROM planted)
+      SELECT d1, d2,
+             ${Ql.R("list_dot_product(a.v, b.v) / (a.norm * b.norm)", 4)} AS cos
+      FROM cands
+        JOIN normed a ON a.vec_id = d1
+        JOIN normed b ON b.vec_id = d2
+      WHERE ${Ql.R("list_dot_product(a.v, b.v) / (a.norm * b.norm)", 4)} > 0.9
+      ORDER BY 1, 2
     """))
 
   /** I2e: fuzzy (edit-distance) join with blocking — record-linkage shape:

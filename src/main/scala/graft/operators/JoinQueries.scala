@@ -71,6 +71,72 @@ object JoinQueries extends QueryModule {
       GROUP BY 1 ORDER BY 1
     """))
 
+  /** C3: full outer join — both sides filtered so unmatched rows exist on
+    * BOTH sides (negative-balance customers without urgent orders; urgent
+    * orders from non-negative-balance customers), then bucketed by match
+    * status. Proves null-extension on each side, not just the left.
+    */
+  private val joinFull = QueryDef(
+    "q_join_full",
+    (spark, sfDir) => {
+      val c = Tables.customer(spark, sfDir)
+        .filter(col("c_acctbal") < 0)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val o = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"), col("o_totalprice"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .withColumn("side",
+          when(col("o_custkey").isNull, "left_only")
+            .when(col("c_custkey").isNull, "right_only")
+            .otherwise("matched"))
+        .groupBy("side")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(coalesce(col("c_custkey"), col("o_custkey"))).as("n_keys"),
+          Ql.r(sum(coalesce(col("o_totalprice"), lit(0.0)))).as("revenue"))
+        .orderBy("side")
+    },
+    Some(s"""
+      SELECT CASE WHEN o_custkey IS NULL THEN 'left_only'
+                  WHEN c_custkey IS NULL THEN 'right_only'
+                  ELSE 'matched' END AS side,
+             count(*) AS n,
+             count(DISTINCT coalesce(c_custkey, o_custkey)) AS n_keys,
+             ${Ql.R("sum(coalesce(o_totalprice, 0))")} AS revenue
+      FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal < 0) c
+      FULL JOIN (SELECT o_custkey, o_totalprice FROM orders
+                 WHERE o_orderpriority = '1-URGENT') o
+        ON c_custkey = o_custkey
+      GROUP BY 1 ORDER BY 1
+    """))
+
+  /** C3: right outer join — orders kept even when the (filtered) customer
+    * side has no match; null-extended customer columns grouped explicitly.
+    */
+  private val joinRight = QueryDef(
+    "q_join_right",
+    (spark, sfDir) => {
+      val c = Tables.customer(spark, sfDir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val o = Tables.orders(spark, sfDir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "right")
+        .groupBy(coalesce(col("c_mktsegment"), lit("(no match)")).as("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          Ql.r(sum(col("o_totalprice"))).as("revenue"))
+        .orderBy("segment")
+    },
+    Some(s"""
+      SELECT coalesce(c_mktsegment, '(no match)') AS segment,
+             count(*) AS n_orders,
+             ${Ql.R("sum(o_totalprice)")} AS revenue
+      FROM (SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_mktsegment = 'BUILDING') c
+      RIGHT JOIN orders o ON c_custkey = o_custkey
+      GROUP BY 1 ORDER BY 1
+    """))
+
   /** C4: left semi join — EXISTS-style filter (parts ever shipped at qty 50). */
   private val joinSemi = QueryDef(
     "q_join_semi",
@@ -196,6 +262,6 @@ object JoinQueries extends QueryModule {
     """))
 
   override def defs: Seq[QueryDef] = Seq(
-    joinBroadcast, joinInner, joinLeft, joinSemi, joinAnti, joinTheta,
-    joinRange, joinAsof, joinCross)
+    joinBroadcast, joinInner, joinLeft, joinFull, joinRight, joinSemi,
+    joinAnti, joinTheta, joinRange, joinAsof, joinCross)
 }

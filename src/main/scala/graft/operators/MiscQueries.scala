@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** G10 misc functions (SURVEY §2.G10). Nondeterministic-by-design ids
   * (monotonically_increasing_id, uuid, spark_partition_id,
-  * input_file_name) can't hash-match an oracle — the query asserts their
-  * *invariants* (uniqueness, counts) and is registered without oracle SQL
-  * (rows-only check), plus `stack` as the literal-table generator.
+  * input_file_name) can't hash-match an oracle value-for-value — so the
+  * query emits their *invariants* as deterministic columns (row count,
+  * uniqueness-as-boolean, presence flags) that an oracle CAN check:
+  * the count comes from the table, the flags are exactly 1 whenever the
+  * id functions behave per contract. Plus `stack` as the literal-table
+  * generator.
   */
 object MiscQueries extends QueryModule {
 
@@ -21,12 +24,19 @@ object MiscQueries extends QueryModule {
         .withColumn("fname", input_file_name())
       e.agg(
         count(lit(1)).as("n"),
-        countDistinct(col("mono_id")).as("n_mono_ids"),
-        countDistinct(col("uid")).as("n_uuids"),
-        countDistinct(col("fname")).as("n_files"),
+        (countDistinct(col("mono_id")) === count(lit(1))).cast("int").as("mono_ids_unique"),
+        (countDistinct(col("uid")) === count(lit(1))).cast("int").as("uuids_unique"),
+        (countDistinct(col("fname")) >= 1).cast("int").as("has_files"),
         (countDistinct(col("part_id")) >= 1).cast("int").as("has_partitions"))
     },
-    None)
+    Some("""
+      SELECT count(*) AS n,
+             1 AS mono_ids_unique,
+             1 AS uuids_unique,
+             1 AS has_files,
+             1 AS has_partitions
+      FROM events
+    """))
 
   /** stack(): literal rows generator (the UNPIVOT shape). */
   private val miscStack = QueryDef(

@@ -123,10 +123,19 @@ object RecordQueries extends QueryModule {
       // which is true parse-failed semantics.
       val withCorrupt = StructType(
         Seq(StructField("k", IntegerType), StructField("_corrupt", StringType)))
+      // cheap structural pre-filter: a JSON *object* must start with '{'
+      // (after whitespace), so only plausible rows pay the Jackson parse —
+      // the exception path for free-text payloads is skipped entirely.
+      // Semantics identical: from_json against a struct schema marks
+      // non-object payloads corrupt anyway. CASE evaluates lazily, so
+      // from_json never runs on implausible rows.
       good.unionByName(bad)
-        .withColumn("j", from_json(col("payload"), withCorrupt,
-          Map("columnNameOfCorruptRecord" -> "_corrupt")))
-        .withColumn("is_valid", col("j._corrupt").isNull)
+        .withColumn("is_valid",
+          when(ltrim(col("payload")).startsWith("{"),
+            from_json(col("payload"), withCorrupt,
+              Map("columnNameOfCorruptRecord" -> "_corrupt"))
+              .getField("_corrupt").isNull)
+          .otherwise(lit(false)))
         .groupBy("src", "is_valid")
         .agg(count(lit(1)).as("n"))
         .orderBy("src", "is_valid")

@@ -33,7 +33,7 @@ object ScalarFnQueries extends QueryModule {
              upper(p_name) AS uname,
              substring(p_name, 1, 5) AS prefix,
              concat_ws('-', p_brand, p_type) AS brand_type,
-             CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INT) AS brand_num,
+             TRY_CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INT) AS brand_num,
              CAST(length(p_name) AS INT) AS name_len,
              lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_padded,
              translate(p_name, 'ae', '@3') AS leeted,

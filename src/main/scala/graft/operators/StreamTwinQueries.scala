@@ -49,14 +49,14 @@ object StreamTwinQueries extends QueryModule {
         .orderBy("user_id"),
     Some("""
       WITH flagged AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          < INTERVAL 30 MINUTE
                     THEN 0 ELSE 1 END AS new_s
         FROM events),
       sess AS (
         SELECT user_id,
-               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS sid
         FROM flagged),
       counts AS (SELECT user_id, sid, count(*) AS n FROM sess GROUP BY 1, 2)
