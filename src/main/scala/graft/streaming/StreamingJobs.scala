@@ -188,38 +188,157 @@ object StreamingJobs {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  // ---- A6: crash-safe keyed upsert sink (generation + pointer swap) ----
+
+  private def fsFor(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Resolve the live generation of an upsert table: the `_CURRENT`
+    * pointer file when present, else the highest-numbered generation dir.
+    * The pointer is only ever absent in the instant between the delete and
+    * rename of a swap — at which point the newest generation is already
+    * fully written, so the fallback is correct. A crash while a generation
+    * is being written never moves the pointer, so readers keep seeing the
+    * previous complete table.
+    */
+  def currentGeneration(spark: SparkSession, path: String): Option[String] = {
+    val fs = fsFor(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val ptr = new org.apache.hadoop.fs.Path(root, "_CURRENT")
+    if (fs.exists(ptr)) {
+      val in = fs.open(ptr)
+      try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    } else if (fs.exists(root)) {
+      val gens = fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("gen-"))
+      if (gens.isEmpty) None
+      else Some(gens.maxBy(_.stripPrefix("gen-").toLong))
+    } else None
+  }
+
+  /** Read the current state of an upsert table written by [[upsertSink]]. */
+  def readUpserted(spark: SparkSession, path: String): Option[DataFrame] =
+    currentGeneration(spark, path).map(g => spark.read.parquet(s"$path/$g"))
+
+  /** Atomically repoint `_CURRENT` at `gen`: write a temp file, then
+    * delete+rename (rename is atomic on HDFS-like filesystems; the
+    * no-pointer window is covered by the highest-generation fallback).
+    */
+  private def commitPointer(spark: SparkSession, path: String, gen: String): Unit = {
+    val fs = fsFor(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(root, "_CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val ptr = new org.apache.hadoop.fs.Path(root, "_CURRENT")
+    if (fs.exists(ptr)) fs.delete(ptr, false)
+    if (!fs.rename(tmp, ptr))
+      throw new java.io.IOException(s"pointer swap failed for $path")
+  }
+
   /** A6: idempotent keyed upsert sink — the DynamoDB PutItem/UpdateItem
     * analog over a keyed parquet table: merge the micro-batch with the
-    * current table, keep the latest row per key. Idempotent under batch
-    * replay (at-least-once ⇒ exactly-once effect), like a conditional put.
-    * At scale the table would be partitioned by key range and only touched
-    * partitions rewritten (or a lakehouse MERGE INTO).
+    * current table, keep the latest row per key. Crash-safe: each batch
+    * writes a NEW immutable generation directory (named by batchId), then
+    * atomically swaps the `_CURRENT` pointer — a crash mid-write leaves
+    * the previous generation intact, and a replayed batch overwrites its
+    * own generation dir (at-least-once ⇒ exactly-once effect). All but the
+    * two newest generations are pruned after the swap. At scale the table
+    * would be partitioned by key range and only touched partitions
+    * rewritten (or a lakehouse MERGE INTO).
     */
   def upsertSink(updates: DataFrame, path: String, checkpoint: String,
       key: String, versionCol: String) =
     updates.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // empty-table fallback ONLY when the table genuinely doesn't exist
-        // yet — a transient read failure must propagate, not silently wipe
-        // the table on the subsequent overwrite
-        val hPath = new org.apache.hadoop.fs.Path(path)
-        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val current =
-          if (fs.exists(hPath)) spark.read.parquet(path)
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+        // absent-table fallback ONLY when no generation exists yet — a
+        // transient read failure must propagate, not wipe the table
+        val current = readUpserted(spark, path).getOrElse(
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(key).orderBy(col(versionCol).desc)
         val merged = current.unionByName(batch)
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn")
-          .localCheckpoint(true) // materialize BEFORE overwriting the input
-        merged.write.mode("overwrite").parquet(path)
+        // reads old generation, writes a new one — never overwrites its
+        // input, so no driver-side materialization needed
+        merged.write.mode("overwrite").parquet(s"$path/gen-$batchId")
+        commitPointer(spark, path, s"gen-$batchId")
+        // prune all but the two newest generations (current + rollback)
+        val fs = fsFor(spark, path)
+        fs.listStatus(new org.apache.hadoop.fs.Path(path))
+          .map(_.getPath).filter(_.getName.startsWith("gen-"))
+          .sortBy(-_.getName.stripPrefix("gen-").toLong)
+          .drop(2)
+          .foreach(fs.delete(_, true))
         ()
       }
+
+  /** H4: late-data observability — rows the watermark dropped before the
+    * stateful operator, summed over a query's recent progress. Late data is
+    * counted and surfaced (the reference silently mis-bucketed it); pair
+    * with an alert threshold in production.
+    */
+  def droppedLateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+
+  // ---- H6: bootstrap keyed state from a batch snapshot ----
+
+  /** [[RunningCounterProcessor]] variant that seeds per-key state from a
+    * batch snapshot before the first micro-batch — the "load the DynamoDB
+    * table, then consume the stream" migration shape, via Spark 4's
+    * StatefulProcessorWithInitialState.
+    */
+  class RunningCounterWithInitProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, SessionInput, UserTotal, UserTotal] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)](
+        "totals", org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        TTLConfig.NONE)
+
+    override def handleInitialState(key: Long, initial: UserTotal,
+        timers: TimerValues): Unit =
+      state.update((initial.n, initial.total))
+
+    override def handleInputRows(key: Long, rows: Iterator[SessionInput],
+        timers: TimerValues): Iterator[UserTotal] = {
+      val (n0, t0) = if (state.exists()) state.get() else (0L, 0.0)
+      var n = n0
+      var t = t0
+      rows.foreach { r => n += 1; t += r.value }
+      state.update((n, t))
+      Iterator.single(UserTotal(key, n, t))
+    }
+  }
+
+  /** H6: running counters seeded from a snapshot Dataset. */
+  def runningCountersWithInit(events: Dataset[SessionInput],
+      snapshot: Dataset[UserTotal]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningCounterWithInitProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        snapshot.groupByKey(_.user_id))
+  }
 
   /** A6/A7/H8: fan-out sink — one micro-batch, several destinations
     * (aggregate "DynamoDB" table + raw archive), the SNS/multi-sink shape.

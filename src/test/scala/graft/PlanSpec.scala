@@ -70,6 +70,30 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(plan("q_win_rank").contains("WindowGroupLimit"))
   }
 
+  test("no unbounded join shapes: cartesians banned except declared surfaces") {
+    // q_join_cross IS the C11 cartesian surface (region × distinct p_type,
+    // both constant-size). The brute-force scoring baselines nested-loop a
+    // broadcast side of constant size (5–20 query vectors / K=8 centroids)
+    // — a scan × tiny-constant, not an n² blowup. Everything else must plan
+    // hash/sort-merge joins only; a regression here is the one plan shape
+    // that cannot survive a 100× scale-up.
+    val cartesianOk = Set("q_join_cross")
+    // q_tfidf: broadcast single-row scalar (corpus N) instead of a
+    // driver-side collect — a 1-row nested loop by construction
+    val tinyBroadcastOk = cartesianOk ++
+      Set("q_similar_topk", "q_knn_vote", "q_ann_ivf", "q_kmeans", "q_tfidf")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      val p = df.queryExecution.sparkPlan.toString
+      if (!cartesianOk(name))
+        assert(!p.contains("CartesianProduct"),
+          s"$name plans a CartesianProduct — unbounded at scale")
+      if (!tinyBroadcastOk(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin — check join keys")
+    }
+  }
+
   test("every oracle query reads only parquet sources (no driver-side data)") {
     SparkEntry.oracleSql.keys.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)

@@ -177,9 +177,68 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     q.processAllAvailable()
     ms.addData(Ev(3, at(5), 1, "a", 99.0, "{}")) // newer version for user 1
     try q.processAllAvailable() finally q.stop()
-    val state = spark.read.parquet(s"$tmp/table")
+    val state = StreamingJobs.readUpserted(spark, s"$tmp/table").get
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(state == Map(1L -> 99.0, 2L -> 20.0))
+    // crash-safety surface: generations are immutable dirs behind an
+    // atomic pointer; at most two are retained
+    val gens = new java.io.File(s"$tmp/table").listFiles()
+      .map(_.getName).filter(_.startsWith("gen-"))
+    assert(gens.length <= 2 && gens.nonEmpty)
+  }
+
+  test("A6: upsert table survives a lost pointer (falls back to newest generation)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert2").toString
+    val ms = MemoryStream[Ev]
+    val q = StreamingJobs.upsertSink(
+      ms.toDF().select(col("user_id"), col("value"), col("ts")),
+      s"$tmp/table", s"$tmp/ckpt", "user_id", "ts").start()
+    ms.addData(Ev(1, at(0), 1, "a", 10.0, "{}"))
+    q.processAllAvailable()
+    ms.addData(Ev(2, at(5), 1, "a", 42.0, "{}"))
+    try q.processAllAvailable() finally q.stop()
+    // simulate a crash in the delete→rename window of the pointer swap
+    assert(new java.io.File(s"$tmp/table/_CURRENT").delete())
+    val state = StreamingJobs.readUpserted(spark, s"$tmp/table").get
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state == Map(1L -> 42.0))
+  }
+
+  test("H6: initial-state bootstrap seeds counters before the first batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // snapshot: user 1 already has 5 events totalling 100.0 (the loaded
+    // "DynamoDB table"); user 3 exists only in the snapshot
+    val snapshot = Seq(
+      StreamingJobs.UserTotal(1, 5, 100.0),
+      StreamingJobs.UserTotal(3, 2, 7.0)).toDS()
+    val ms = MemoryStream[SessionInput]
+    val q = StreamingJobs.runningCountersWithInit(ms.toDS(), snapshot)
+      .writeStream.format("memory").queryName("init_counters")
+      .outputMode("update").start()
+    ms.addData(SessionInput(1, at(0), 2.0), SessionInput(2, at(0), 9.0))
+    try q.processAllAvailable() finally q.stop()
+    val latest = spark.table("init_counters").as[StreamingJobs.UserTotal].collect()
+      .groupBy(_.user_id).map { case (k, v) => k -> v.maxBy(_.n) }
+    assert(latest(1L).n == 6 && latest(1L).total == 102.0) // snapshot + stream
+    assert(latest(2L).n == 1 && latest(2L).total == 9.0)   // stream only
+  }
+
+  test("H4: dropped late rows are counted in query progress, not silent") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamingJobs.tumblingCounts(ms.toDF())
+      .writeStream.format("memory").queryName("latedrop")
+      .outputMode("append").start()
+    ms.addData(Ev(1, at(1000), 1, "click", 1.0, "{}")) // watermark far ahead
+    q.processAllAvailable()
+    ms.addData(Ev(2, at(1), 1, "click", 1.0, "{}"))    // hours late -> dropped
+    try q.processAllAvailable() finally q.stop()
+    assert(StreamingJobs.droppedLateRows(q) >= 1,
+      "late row must be counted in numRowsDroppedByWatermark")
   }
 
   test("H3: native session_window aggregation under streaming") {

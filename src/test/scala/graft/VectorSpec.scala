@@ -48,6 +48,29 @@ class VectorSpec extends AnyFunSuite with SparkFixture {
     assert(bad == 0)
   }
 
+  test("q_dedup_embed LSH banding finds the exact brute-force pair set") {
+    // ground truth: brute-force all-pairs cosine > 0.9 over the same
+    // planted table — the banded candidate path must lose no pair (the
+    // plants agree on every band, so recall here must be exactly 1)
+    val sf = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+    val planted = e.unionByName(
+      e.filter(col("vec_id") < 10).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        expr("concat(slice(v, 1, 63), array(element_at(v, 64) + 0.1d))").as("v")))
+    val normed = planted.withColumn("norm", sqrt(Vectors.normSq(col("v"))))
+    val brute = normed.select(col("vec_id").as("d1"), col("v").as("v1"), col("norm").as("n1"))
+      .crossJoin(normed.select(col("vec_id").as("d2"), col("v").as("v2"), col("norm").as("n2")))
+      .filter(col("d1") < col("d2"))
+      .withColumn("cos", Vectors.dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cos") > 0.9)
+      .select("d1", "d2")
+    val banded = SparkEntry.queries("q_dedup_embed")(spark, sf).select("d1", "d2")
+    assert(brute.exceptAll(banded).count() == 0, "banded path missed a true pair")
+    assert(banded.exceptAll(brute).count() == 0, "banded path emitted a false pair")
+  }
+
   test("cosine is symmetric") {
     val e = emb.limit(20).select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
     val a = e.select(col("vec_id").as("i"), col("v").as("vi"))
