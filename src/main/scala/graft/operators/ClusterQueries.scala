@@ -55,8 +55,15 @@ object ClusterQueries extends QueryModule {
     "q_dedup_clusters",
     (spark, sfDir) => {
       val e = edges(spark, sfDir).cache()
+      // size the loop's shuffles to the CANDIDATE GRAPH, not the corpus
+      // default: the edge set after blocking is orders of magnitude
+      // smaller than the documents table, so corpus-sized partition counts
+      // just multiply per-round scheduler overhead. One partition per
+      // ~500k edges, and the count is a cheap action on the cached frame.
+      val parts = math.max(1, (e.count() / 500000L).toInt)
       val adj = e.select(col("d1").as("a"), col("d2").as("b"))
         .unionByName(e.select(col("d2").as("a"), col("d1").as("b")))
+        .repartition(parts)
         .cache()
       // eager localCheckpoint: iterative DataFrame loops must truncate
       // lineage each round or Catalyst re-analyzes the whole accumulated
@@ -64,23 +71,23 @@ object ClusterQueries extends QueryModule {
       var labels = adj.select(col("a").as("id")).distinct()
         .withColumn("lbl", col("id"))
         .localCheckpoint(true)
-      // min-label propagation to fixpoint (each duplicate component is
-      // small; the loop converges in diameter rounds — stop on no change).
-      // One propagation per round measured faster than batched multi-hop
-      // rounds here: per-round plan compile dominates, not job count.
+      // min-label propagation to fixpoint (the loop converges in diameter
+      // rounds — stop on no change). The old label rides along into the
+      // checkpoint so the convergence check is a scan of the materialized
+      // frame, not another join+shuffle job per round.
       def propagate(l: DataFrame): DataFrame = {
         val nbrMin = adj.join(l, adj("b") === l("id"))
           .groupBy(col("a")).agg(min(col("lbl")).as("nlbl"))
         l.join(nbrMin, l("id") === nbrMin("a"), "left")
-          .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .select(col("id"), col("lbl").as("old"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
       }
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 50) {
         val next = propagate(labels).localCheckpoint(true)
-        changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-          .filter(col("lbl") =!= col("old")).count()
-        labels = next
+        changed = next.filter(col("lbl") =!= col("old")).count()
+        labels = next.select("id", "lbl")
         rounds += 1
       }
       // fail loudly rather than emit unconverged (wrong) components — at
