@@ -24,7 +24,8 @@ object SparkEntry {
     operators.MiscQueries,
     operators.TpchQueries,
     operators.ClusterQueries,
-    operators.KmeansQueries)
+    operators.KmeansQueries,
+    operators.SamplingQueries)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
 

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Deterministic content-hash sampling (SURVEY §2.I extension) — the
+  * reproducible-pipeline complement to `df.sample` (which is spec-tested in
+  * SamplingSpec but engine-specific, so it can't hash-match an oracle).
+  * A row's bucket is a pure function of its key — `md5(key)`'s first 4 hex
+  * digits mod 100 — so the SAME rows are selected on every engine, every
+  * run, every partitioning: exactly how a training pipeline pins its
+  * train/val/test membership so reruns and backfills don't shuffle the
+  * split. Rates are bucket thresholds; stratified rates are per-key
+  * thresholds.
+  */
+object SamplingQueries extends QueryModule {
+
+  /** Spark-side bucket 0..99 from a (string-cast) key column expression. */
+  private def bucketExpr(key: String): String =
+    s"CAST(conv(substring(md5(cast(cast($key AS STRING) AS BINARY)), 1, 4), 16, 10) AS BIGINT) % 100"
+
+  /** DuckDB twin of [[bucketExpr]] (no conv(); hex digits via strpos). */
+  private def bucketSql(key: String): String =
+    s"""list_sum(list_transform(generate_series(0, 3), j ->
+          CAST(strpos('0123456789abcdef',
+            substr(md5(CAST($key AS VARCHAR)), j + 1, 1)) - 1 AS BIGINT)
+            << (4 * (3 - j)))) % 100"""
+
+  /** 80/10/10 train/val/test split of events, pinned by event_id hash:
+    * per-split counts and value stats — and the memberships are stable
+    * under replay/repartition because bucket = f(event_id) alone.
+    */
+  private val trainSplit = QueryDef(
+    "q_train_split",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .withColumn("bucket", expr(bucketExpr("event_id")))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          Ql.r(avg(col("value")), 4).as("avg_value"))
+        .orderBy("split"),
+    Some(s"""
+      SELECT split, count(*) AS n,
+             count(DISTINCT user_id) AS n_users,
+             ${Ql.R("avg(value)", 4)} AS avg_value
+      FROM (SELECT user_id, value,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT user_id, value, ${bucketSql("event_id")} AS b
+                  FROM events))
+      GROUP BY 1 ORDER BY 1
+    """))
+
+  /** Stratified deterministic sample of documents: per-language rates
+    * (downsample the dominant stratum, keep more of the rare ones) via
+    * per-key bucket thresholds on md5(doc_id).
+    */
+  private val sampleStratified = QueryDef(
+    "q_sample_stratified",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .withColumn("bucket", expr(bucketExpr("doc_id")))
+        .withColumn("rate",
+          when(col("lang") === "en", 10).otherwise(30))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum((col("bucket") < col("rate")).cast("long")).as("n_sampled"))
+        .orderBy("lang"),
+    Some(s"""
+      SELECT lang, count(*) AS n_docs,
+             sum(CASE WHEN b < rate THEN 1 ELSE 0 END) AS n_sampled
+      FROM (SELECT lang, ${bucketSql("doc_id")} AS b,
+                   CASE WHEN lang = 'en' THEN 10 ELSE 30 END AS rate
+            FROM documents)
+      GROUP BY 1 ORDER BY 1
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(trainSplit, sampleStratified)
+}
