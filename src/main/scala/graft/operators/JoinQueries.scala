@@ -247,6 +247,30 @@ object JoinQueries extends QueryModule {
       ORDER BY event_id
     """))
 
+  /** C2-at-scale: explicitly salted equi join for the pathological hot key
+    * (one key ≫ a partition, beyond what AQE's skew split handles). The
+    * left side is spread over 16 salt values, the right replicated per
+    * salt, joined on (key, salt) — row-identical to the direct join, so
+    * the oracle is simply the unsalted SQL. SkewBucketSpec proves the
+    * identity; this registers the shape on the driver's gate.
+    */
+  private val joinSkewSalted = QueryDef(
+    "q_join_skew_salted",
+    (spark, sfDir) => {
+      val e = Tables.events(spark, sfDir).withColumnRenamed("user_id", "k")
+      val c = Tables.customer(spark, sfDir)
+        .select(col("c_custkey").as("k"), col("c_mktsegment"))
+      Skew.saltedJoin(e, c, "k", buckets = 16)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), Ql.r(sum(col("value"))).as("sum_value"))
+        .orderBy("c_mktsegment")
+    },
+    Some(s"""
+      SELECT c_mktsegment, count(*) AS n, ${Ql.R("sum(value)")} AS sum_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY 1 ORDER BY 1
+    """))
+
   /** C11: cross join (cartesian). */
   private val joinCross = QueryDef(
     "q_join_cross",
@@ -263,5 +287,5 @@ object JoinQueries extends QueryModule {
 
   override def defs: Seq[QueryDef] = Seq(
     joinBroadcast, joinInner, joinLeft, joinFull, joinRight, joinSemi,
-    joinAnti, joinTheta, joinRange, joinAsof, joinCross)
+    joinAnti, joinTheta, joinRange, joinAsof, joinSkewSalted, joinCross)
 }
