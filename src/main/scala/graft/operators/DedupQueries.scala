@@ -238,10 +238,14 @@ object DedupQueries extends QueryModule {
     (spark, sfDir) => {
       val e = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+      // cached: referenced by both sides of the band self-join and both
+      // candidate→vector joins — without it the union + parquet scan
+      // re-executes four times
       val planted = e.unionByName(
         e.filter(col("vec_id") < 10).select(
           (col("vec_id") + 100000).as("vec_id"),
           expr("concat(slice(v, 1, 63), array(element_at(v, 64) + 0.1d))").as("v")))
+        .cache()
       // id-only banding table (vectors NOT duplicated per band)
       val banded = planted
         .select(col("vec_id"), explode(expr("sequence(0, 2)")).as("band"), col("v"))

@@ -131,7 +131,10 @@ object RecordQueries extends QueryModule {
       // from_json never runs on implausible rows.
       good.unionByName(bad)
         .withColumn("is_valid",
-          when(ltrim(col("payload")).startsWith("{"),
+          // trim the full JSON whitespace set — Spark's 1-arg ltrim strips
+          // only ASCII spaces, but Jackson (and the oracle's json parser)
+          // skip tabs/newlines/CR before the opening brace too
+          when(ltrim(col("payload"), " \t\r\n").startsWith("{"),
             from_json(col("payload"), withCorrupt,
               Map("columnNameOfCorruptRecord" -> "_corrupt"))
               .getField("_corrupt").isNull)

@@ -146,14 +146,14 @@ object StreamingJobs {
 
   case class UserTotal(user_id: Long, n: Long, total: Double)
 
-  /** The DynamoDB per-key ADD counter as a Spark 4 StatefulProcessor:
-    * explicit ValueState, update-mode emission of the new running totals.
-    * Requires the RocksDB state store provider (set by [[runningCounters]]).
+  /** Shared state encoding + accumulation for the running-counter
+    * processors — one source of truth for the counter-merge logic whether
+    * or not the processor is seeded with initial state.
     */
-  class RunningCounterProcessor
+  trait CounterLogic
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessionInput, UserTotal] {
     import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
-    @transient private var state: ValueState[(Long, Double)] = _
+    @transient protected var state: ValueState[(Long, Double)] = _
 
     override def init(outputMode: OM, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[(Long, Double)](
@@ -172,6 +172,12 @@ object StreamingJobs {
       Iterator.single(UserTotal(key, n, t))
     }
   }
+
+  /** The DynamoDB per-key ADD counter as a Spark 4 StatefulProcessor:
+    * explicit ValueState, update-mode emission of the new running totals.
+    * Requires the RocksDB state store provider (set by [[runningCounters]]).
+    */
+  class RunningCounterProcessor extends CounterLogic
 
   /** H6 via the Spark 4 transformWithState API (the modern replacement for
     * flatMapGroupsWithState; state is store-backed, schema'd, TTL-capable).
@@ -258,37 +264,74 @@ object StreamingJobs {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        // absent-table fallback ONLY when no generation exists yet — a
-        // transient read failure must propagate, not wipe the table
-        val current = readUpserted(spark, path).getOrElse(
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(key).orderBy(col(versionCol).desc)
-        val merged = current.unionByName(batch)
-          .withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1).drop("_rn")
-        // reads old generation, writes a new one — never overwrites its
-        // input, so no driver-side materialization needed
-        merged.write.mode("overwrite").parquet(s"$path/gen-$batchId")
-        commitPointer(spark, path, s"gen-$batchId")
-        // prune all but the two newest generations (current + rollback)
-        val fs = fsFor(spark, path)
-        fs.listStatus(new org.apache.hadoop.fs.Path(path))
-          .map(_.getPath).filter(_.getName.startsWith("gen-"))
-          .sortBy(-_.getName.stripPrefix("gen-").toLong)
-          .drop(2)
-          .foreach(fs.delete(_, true))
+        val gen = s"gen-$batchId"
+        // Replay of a batch whose generation already committed (crash
+        // after the pointer swap but before the streaming commit log
+        // recorded the batch): the table already reflects this batch —
+        // re-merging would read gen-N while overwriting gen-N (which
+        // Spark rejects), so the correct exactly-once move is a no-op.
+        // The pointer only ever advances AFTER a complete generation
+        // write, so pointing at `gen` proves the batch fully applied.
+        if (!currentGeneration(spark, path).contains(gen)) {
+          // absent-table fallback ONLY when no generation exists yet — a
+          // transient read failure must propagate, not wipe the table
+          val current = readUpserted(spark, path).getOrElse(
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(key).orderBy(col(versionCol).desc)
+          val merged = current.unionByName(batch)
+            .withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn")
+          // reads the previous generation, writes a new one — never
+          // overwrites its input, so no driver-side materialization needed
+          merged.write.mode("overwrite").parquet(s"$path/$gen")
+          commitPointer(spark, path, gen)
+          // prune all but the two newest generations (current + rollback)
+          val fs = fsFor(spark, path)
+          fs.listStatus(new org.apache.hadoop.fs.Path(path))
+            .map(_.getPath).filter(_.getName.startsWith("gen-"))
+            .sortBy(-_.getName.stripPrefix("gen-").toLong)
+            .drop(2)
+            .foreach(fs.delete(_, true))
+        }
         ()
       }
 
   /** H4: late-data observability — rows the watermark dropped before the
     * stateful operator, summed over a query's recent progress. Late data is
-    * counted and surfaced (the reference silently mis-bucketed it); pair
-    * with an alert threshold in production.
+    * counted and surfaced (the reference silently mis-bucketed it).
+    * NOTE: `recentProgress` is a rolling buffer
+    * (spark.sql.streaming.numRecentProgressUpdates, default 100), so this
+    * sum is a recent-window count — fine for tests and short-lived jobs.
+    * For a monotonic production total, attach a [[LateDropListener]].
     */
   def droppedLateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
     q.recentProgress.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+
+  /** Monotonic per-query dropped-late-row totals via the listener bus —
+    * unlike [[droppedLateRows]] this accumulates every progress event, so
+    * long-running queries (beyond the ~100-entry recentProgress buffer)
+    * keep an exact lifetime count to alert on.
+    */
+  class LateDropListener extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val totals = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
+
+    /** Lifetime dropped-late-row count for a query id. */
+    def total(id: java.util.UUID): Long = totals.getOrDefault(id, 0L)
+
+    override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(event: QueryProgressEvent): Unit = {
+      // numRowsDroppedByWatermark is per-batch, so per-event accumulation
+      // yields the monotonic lifetime total
+      val dropped = event.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum
+      if (dropped > 0)
+        totals.merge(event.progress.id, Long.box(dropped),
+          (a, b) => Long.box(a + b))
+    }
+    override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+  }
 
   // ---- H6: bootstrap keyed state from a batch snapshot ----
 
@@ -299,30 +342,10 @@ object StreamingJobs {
     */
   class RunningCounterWithInitProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
-        Long, SessionInput, UserTotal, UserTotal] {
-    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
-    @transient private var state: ValueState[(Long, Double)] = _
-
-    override def init(outputMode: OM, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[(Long, Double)](
-        "totals", org.apache.spark.sql.Encoders.tuple(
-          org.apache.spark.sql.Encoders.scalaLong,
-          org.apache.spark.sql.Encoders.scalaDouble),
-        TTLConfig.NONE)
-
+        Long, SessionInput, UserTotal, UserTotal] with CounterLogic {
     override def handleInitialState(key: Long, initial: UserTotal,
-        timers: TimerValues): Unit =
+        timers: org.apache.spark.sql.streaming.TimerValues): Unit =
       state.update((initial.n, initial.total))
-
-    override def handleInputRows(key: Long, rows: Iterator[SessionInput],
-        timers: TimerValues): Iterator[UserTotal] = {
-      val (n0, t0) = if (state.exists()) state.get() else (0L, 0.0)
-      var n = n0
-      var t = t0
-      rows.foreach { r => n += 1; t += r.value }
-      state.update((n, t))
-      Iterator.single(UserTotal(key, n, t))
-    }
   }
 
   /** H6: running counters seeded from a snapshot Dataset. */

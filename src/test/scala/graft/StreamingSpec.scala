@@ -206,6 +206,48 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(state == Map(1L -> 42.0))
   }
 
+  test("A6: replayed committed batch is a no-op, not a crash (exactly-once effect)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert3").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    def addFile(n: Int, value: Double): Unit =
+      Seq((1L, value, at(n))).toDF("user_id", "value", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/f$n")
+    addFile(0, 10.0)
+    val schema = spark.read.parquet(s"$tmp/in/f0").schema
+    def start(ckpt: String) = StreamingJobs.upsertSink(
+      spark.readStream.schema(schema).parquet(s"$tmp/in/*"),
+      s"$tmp/table", ckpt, "user_id", "ts").start()
+    val q1 = start(s"$tmp/ckpt"); q1.processAllAvailable(); q1.stop()
+    addFile(1, 42.0)
+    val q2 = start(s"$tmp/ckpt"); q2.processAllAvailable(); q2.stop()
+    def state() = StreamingJobs.readUpserted(spark, s"$tmp/table").get
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state() == Map(1L -> 42.0))
+    // simulate crash-recovery state: the generation committed but the
+    // streaming commit log never recorded the batch. A same-JVM restart
+    // from the live checkpoint trips Spark's concurrent-use guard, so
+    // clone the checkpoint (what a recovering driver would read) and
+    // drop the newest commit record in the clone — the restarted query
+    // then REPLAYS the already-applied batch against the same table.
+    val src = java.nio.file.Paths.get(s"$tmp/ckpt")
+    val dst = java.nio.file.Paths.get(s"$tmp/ckpt_recovered")
+    java.nio.file.Files.walk(src).forEach { p =>
+      java.nio.file.Files.copy(p, dst.resolve(src.relativize(p)),
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    val newest = new java.io.File(s"$tmp/ckpt_recovered/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toInt)
+    assert(newest.delete())
+    // also drop the Hadoop ChecksumFileSystem sidecar — a stale .crc makes
+    // the rewrite's atomic rename fail, which Spark reports as a
+    // concurrent-writer conflict
+    new java.io.File(newest.getParentFile, s".${newest.getName}.crc").delete()
+    val q3 = start(s"$tmp/ckpt_recovered")
+    try q3.processAllAvailable() finally q3.stop() // throws if replay crashed
+    assert(state() == Map(1L -> 42.0), "replay must not change the table")
+  }
+
   test("H6: initial-state bootstrap seeds counters before the first batch") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
@@ -229,16 +271,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
   test("H4: dropped late rows are counted in query progress, not silent") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
+    val listener = new StreamingJobs.LateDropListener
+    spark.streams.addListener(listener)
     val ms = MemoryStream[Ev]
     val q = StreamingJobs.tumblingCounts(ms.toDF())
       .writeStream.format("memory").queryName("latedrop")
       .outputMode("append").start()
-    ms.addData(Ev(1, at(1000), 1, "click", 1.0, "{}")) // watermark far ahead
-    q.processAllAvailable()
-    ms.addData(Ev(2, at(1), 1, "click", 1.0, "{}"))    // hours late -> dropped
-    try q.processAllAvailable() finally q.stop()
-    assert(StreamingJobs.droppedLateRows(q) >= 1,
-      "late row must be counted in numRowsDroppedByWatermark")
+    try {
+      ms.addData(Ev(1, at(1000), 1, "click", 1.0, "{}")) // watermark far ahead
+      q.processAllAvailable()
+      ms.addData(Ev(2, at(1), 1, "click", 1.0, "{}"))    // hours late -> dropped
+      q.processAllAvailable()
+      assert(StreamingJobs.droppedLateRows(q) >= 1,
+        "late row must be counted in numRowsDroppedByWatermark")
+      // listener totals are pushed asynchronously on the listener bus
+      val deadline = System.currentTimeMillis() + 30000
+      while (listener.total(q.id) < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(listener.total(q.id) >= 1,
+        "monotonic listener total must also count the dropped row")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
   }
 
   test("H3: native session_window aggregation under streaming") {
