@@ -144,6 +144,36 @@ object AggQueries extends QueryModule {
       ORDER BY gid, status, priority
     """))
 
+  /** D5: explicit GROUPING SETS (the general form rollup/cube specialize)
+    * via the Spark 4 Dataset.groupingSets API — here an asymmetric set
+    * {(status, priority), (priority), ()} that neither rollup nor cube
+    * expresses.
+    */
+  private val aggGroupingSets = QueryDef(
+    "q_agg_grouping_sets",
+    (spark, sfDir) =>
+      Tables.orders(spark, sfDir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n"), col("gid"))
+        .orderBy("gid", "status", "priority"),
+    Some("""
+      SELECT coalesce(o_orderstatus, '(all)') AS status,
+             coalesce(o_orderpriority, '(all)') AS priority,
+             count(*) AS n,
+             CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                              (o_orderpriority), ())
+      ORDER BY gid, status, priority
+    """))
+
   /** D6: collect_set — gathered group elements, sorted for determinism.
     * The set is emitted as a comma-joined string (numeric sort first): the
     * verify harness hashes flat scalar columns, and a raw array column is
@@ -262,6 +292,7 @@ object AggQueries extends QueryModule {
     """))
 
   override def defs: Seq[QueryDef] = Seq(
-    pricingSummary, aggDistinct, aggApprox, aggRollup, aggCube, aggCollect,
-    aggPercentile, aggStats, aggPivot, aggUnpivot)
+    pricingSummary, aggDistinct, aggApprox, aggRollup, aggCube,
+    aggGroupingSets, aggCollect, aggPercentile, aggStats, aggPivot,
+    aggUnpivot)
 }

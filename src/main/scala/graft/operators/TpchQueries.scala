@@ -165,5 +165,56 @@ object TpchQueries extends QueryModule {
       LIMIT 50
     """))
 
-  override def defs: Seq[QueryDef] = Seq(q3Shape, q5Shape, q10Shape, q6Shape, q18Shape)
+  /** Q7 shape: volume shipping between two nations — a 6-table join with a
+    * disjunctive cross-side predicate. The scale move: each nation dim is
+    * pre-filtered to the two names BEFORE its broadcast join (a 2-row
+    * build side), so only the final 2-combination disjunction runs on
+    * joined rows; the OR itself is not single-side-pushable.
+    */
+  private val q7Shape = QueryDef(
+    "q_tpch_q7_shape",
+    (spark, sfDir) => {
+      // pair chosen to have traffic in BOTH directions even at sf0.001
+      val nations = Seq("NATION_18", "NATION_19")
+      val l = Tables.lineitem(spark, sfDir)
+      val s = Tables.supplier(spark, sfDir)
+      val o = Tables.orders(spark, sfDir)
+      val c = Tables.customer(spark, sfDir)
+      val n1 = Tables.nation(spark, sfDir).filter(col("n_name").isin(nations: _*))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(spark, sfDir).filter(col("n_name").isin(nations: _*))
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      l.join(s, l("l_suppkey") === s("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(
+          (col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+          (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(Ql.r(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some(s"""
+      SELECT supp_nation, cust_nation, l_year, ${Ql.R("sum(volume)")} AS revenue
+      FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+           OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+      GROUP BY 1, 2, 3
+      ORDER BY 1, 2, 3
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(
+    q3Shape, q5Shape, q10Shape, q6Shape, q18Shape, q7Shape)
 }
