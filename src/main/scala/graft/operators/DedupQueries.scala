@@ -173,11 +173,22 @@ object DedupQueries extends QueryModule {
   /** I2c: n-gram Jaccard via shingle inverted index — intersections come
     * from a self-join on the shingle (sparse, never all-pairs), unions from
     * per-doc set sizes. Pairs with J >= 0.6 are near-dups.
+    *
+    * The join key is the shingle's 56-bit md5 prefix, not the ~20-char
+    * string: hashing happens map-side BEFORE the distinct/join shuffles,
+    * so shuffle bytes drop ~2.5× at any scale. The same hash runs in the
+    * oracle, so even a (2⁻⁵⁶-rare) collision cannot diverge the engines.
     */
   private val dedupNgramJaccard = QueryDef(
     "q_dedup_ngram_jaccard",
     (spark, sfDir) => {
-      val sh = shingles(withPlants(spark, sfDir)).cache()
+      val sh = withPlants(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 3), i -> CAST(conv(substring(md5(CAST(concat_ws(' ', slice(toks, i + 1, 3)) AS BINARY)), 1, 14), 16, 10) AS BIGINT))")).as("sh"))
+        .distinct()
+        .cache()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       // scale guard: a shingle in d docs yields d² pair rows — drop
       // ubiquitous shingles (df > 100) from the intersection join; they
@@ -200,7 +211,12 @@ object DedupQueries extends QueryModule {
         .orderBy("d1", "d2")
     },
     Some(s"""
-      WITH sh AS ($shinglesSql),
+      WITH sh AS (
+        SELECT DISTINCT doc_id,
+               list_sum(list_transform(generate_series(0, 13), j ->
+                 CAST(strpos('0123456789abcdef', substr(md5(sh), j + 1, 1)) - 1 AS BIGINT)
+                   << (4 * (13 - j)))) AS sh
+        FROM ($shinglesSql)),
       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
       rare AS (SELECT doc_id, sh FROM (
                  SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh)
