@@ -74,15 +74,31 @@ object Bench {
     // (source listing, watermark tracking, state store, no-op sink).
     val (streamRows, streamSec) = try {
       val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_ckpt").toString
-      // the file source wants a landing-zone DIRECTORY — stage the events
-      // file as 8 arriving files via symlinks (no data copy). 8 files ×
-      // maxFilesPerTrigger=1 = 8 micro-batches, so the rate reflects
-      // steady-state batch processing, not one cold batch.
+      // Stage the events table as 8 TIME-SLICED files arriving in event-
+      // time order (8 files × maxFilesPerTrigger=1 = 8 micro-batches).
+      // Slicing by time matters: replaying the SAME rows per batch would
+      // advance the watermark past them and measure the drop path, not
+      // the windowed aggregation. Written sequentially so file mod times
+      // give the source the right arrival order. Staging happens outside
+      // the measured trigger-execution time.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.schema(streaming.StreamingJobs.eventSchemaRaw)
+        .parquet(s"$sfDir/events.parquet")
+      val bounds = raw.agg(
+        org.apache.spark.sql.functions.min("ts"),
+        org.apache.spark.sql.functions.max("ts")).head()
+      val (tsMin, tsMax) = (bounds.getLong(0), bounds.getLong(1))
+      val width = (tsMax - tsMin) / 8 + 1
       val in = java.nio.file.Files.createTempDirectory("graft_bench_in")
+      val stage = java.nio.file.Files.createTempDirectory("graft_bench_stage")
       (0 until 8).foreach { i =>
-        java.nio.file.Files.createSymbolicLink(
-          in.resolve(s"events_$i.parquet"),
-          java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+        val lo = tsMin + i * width
+        import org.apache.spark.sql.functions.col
+        raw.filter(col("ts") >= lo && col("ts") < (lo + width))
+          .coalesce(1).write.mode("overwrite").parquet(s"$stage/s$i")
+        val part = new java.io.File(s"$stage/s$i").listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, in.resolve(f"slice_$i%02d.parquet"))
       }
       val src = streaming.StreamingJobs.fileSource(spark, in.toString,
         maxFilesPerTrigger = 1)
@@ -91,7 +107,11 @@ object Bench {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
+      val finished = q.awaitTermination(300000)
+      if (!finished) {
+        q.stop()
+        throw new RuntimeException("stream replay timed out after 300s")
+      }
       // steady-state rate: drop the first (codegen + state-store init)
       // batch, measure trigger-execution time (batch processing incl.
       // watermark tracking, state store, sink) — not wall clock, so query

@@ -34,14 +34,24 @@ object DedupQueries extends QueryModule {
         SELECT doc_id + 100000, regexp_replace(text, '^\S+', 'zzz')
         FROM documents WHERE doc_id < 10)"""
 
-  /** Distinct 3-token shingles per doc: (doc_id, sh). */
-  private def shingles(docs: DataFrame): DataFrame =
+  /** Distinct 3-token shingles per doc: (doc_id, sh). With
+    * `hashed = true` the shingle is its 56-bit md5-prefix int64 instead
+    * of the string — hashed inside the generator lambda, BEFORE the
+    * distinct/join shuffles, so downstream exchanges move 8-byte keys.
+    */
+  private def shingles(docs: DataFrame, hashed: Boolean = false): DataFrame = {
+    val shingleExpr = "concat_ws(' ', slice(toks, i + 1, 3))"
+    val itemExpr =
+      if (hashed)
+        s"CAST(conv(substring(md5(CAST($shingleExpr AS BINARY)), 1, 14), 16, 10) AS BIGINT)"
+      else shingleExpr
     docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))")).as("sh"))
+        s"transform(sequence(0, size(toks) - 3), i -> $itemExpr)")).as("sh"))
       .distinct()
+  }
 
   private val shinglesSql =
     s"""SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS sh
@@ -182,13 +192,7 @@ object DedupQueries extends QueryModule {
   private val dedupNgramJaccard = QueryDef(
     "q_dedup_ngram_jaccard",
     (spark, sfDir) => {
-      val sh = withPlants(spark, sfDir)
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(toks) - 3), i -> CAST(conv(substring(md5(CAST(concat_ws(' ', slice(toks, i + 1, 3)) AS BINARY)), 1, 14), 16, 10) AS BIGINT))")).as("sh"))
-        .distinct()
-        .cache()
+      val sh = shingles(withPlants(spark, sfDir), hashed = true).cache()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       // scale guard: a shingle in d docs yields d² pair rows — drop
       // ubiquitous shingles (df > 100) from the intersection join; they

@@ -10,6 +10,11 @@ import org.apache.spark.sql.functions._
   */
 object TpchQueries extends QueryModule {
 
+  /** Q7's nation pair — referenced by both the DataFrame plan and the
+    * oracle SQL so they cannot drift apart.
+    */
+  private val q7Nations: (String, String) = ("NATION_18", "NATION_19")
+
   /** Q3 shape: shipping priority — revenue of orders from one segment,
     * ordered before a date with lineitems shipped after it; top 10.
     */
@@ -174,8 +179,11 @@ object TpchQueries extends QueryModule {
   private val q7Shape = QueryDef(
     "q_tpch_q7_shape",
     (spark, sfDir) => {
-      // pair chosen to have traffic in BOTH directions even at sf0.001
-      val nations = Seq("NATION_18", "NATION_19")
+      // pair chosen to have traffic in BOTH directions even at sf0.001;
+      // single source of truth — the disjunction and the oracle derive
+      // from these two values (see n1Name/n2Name below)
+      val (n1Name, n2Name) = TpchQueries.q7Nations
+      val nations = Seq(n1Name, n2Name)
       val l = Tables.lineitem(spark, sfDir)
       val s = Tables.supplier(spark, sfDir)
       val o = Tables.orders(spark, sfDir)
@@ -190,8 +198,8 @@ object TpchQueries extends QueryModule {
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
         .filter(
-          (col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
-          (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
+          (col("supp_nation") === n1Name && col("cust_nation") === n2Name) ||
+          (col("supp_nation") === n2Name && col("cust_nation") === n1Name))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
         .agg(Ql.r(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
@@ -209,8 +217,8 @@ object TpchQueries extends QueryModule {
           JOIN customer ON o_custkey = c_custkey
           JOIN nation n1 ON s_nationkey = n1.n_nationkey
           JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
-           OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+        WHERE (n1.n_name = '${q7Nations._1}' AND n2.n_name = '${q7Nations._2}')
+           OR (n1.n_name = '${q7Nations._2}' AND n2.n_name = '${q7Nations._1}'))
       GROUP BY 1, 2, 3
       ORDER BY 1, 2, 3
     """))

@@ -201,12 +201,15 @@ object StreamingJobs {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Resolve the live generation of an upsert table: the `_CURRENT`
-    * pointer file when present, else the highest-numbered generation dir.
-    * The pointer is only ever absent in the instant between the delete and
-    * rename of a swap — at which point the newest generation is already
-    * fully written, so the fallback is correct. A crash while a generation
-    * is being written never moves the pointer, so readers keep seeing the
-    * previous complete table.
+    * pointer file when present, else the highest-numbered COMPLETE
+    * generation dir — one carrying Spark's `_SUCCESS` job-commit marker.
+    * The marker matters: a crash mid-write leaves a partial gen dir
+    * without `_SUCCESS`, and the fallback must never surface it (a fresh
+    * table's first partial generation has no older pointer to hide
+    * behind). The pointer can be absent either before the first commit
+    * (→ only complete gens count) or in the instant between the delete
+    * and rename of a swap (→ the newest complete gen is the committed
+    * one); both cases resolve correctly here.
     */
   def currentGeneration(spark: SparkSession, path: String): Option[String] = {
     val fs = fsFor(spark, path)
@@ -220,6 +223,7 @@ object StreamingJobs {
     } else if (fs.exists(root)) {
       val gens = fs.listStatus(root).map(_.getPath.getName)
         .filter(_.startsWith("gen-"))
+        .filter(g => fs.exists(new org.apache.hadoop.fs.Path(root, s"$g/_SUCCESS")))
       if (gens.isEmpty) None
       else Some(gens.maxBy(_.stripPrefix("gen-").toLong))
     } else None
@@ -250,9 +254,12 @@ object StreamingJobs {
     * analog over a keyed parquet table: merge the micro-batch with the
     * current table, keep the latest row per key. Crash-safe: each batch
     * writes a NEW immutable generation directory (named by batchId), then
-    * atomically swaps the `_CURRENT` pointer — a crash mid-write leaves
-    * the previous generation intact, and a replayed batch overwrites its
-    * own generation dir (at-least-once ⇒ exactly-once effect). All but the
+    * atomically swaps the `_CURRENT` pointer. Crash cases: mid-write, the
+    * pointer still names the previous generation, so the replayed batch
+    * re-merges from it and overwrites the partial dir; after the swap but
+    * before the streaming commit log records the batch, the replayed
+    * batch sees its own (complete) generation as current and no-ops
+    * (at-least-once ⇒ exactly-once effect). All but the
     * two newest generations are pruned after the swap. At scale the table
     * would be partitioned by key range and only touched partitions
     * rewritten (or a lakehouse MERGE INTO).
@@ -270,9 +277,14 @@ object StreamingJobs {
         // recorded the batch): the table already reflects this batch —
         // re-merging would read gen-N while overwriting gen-N (which
         // Spark rejects), so the correct exactly-once move is a no-op.
-        // The pointer only ever advances AFTER a complete generation
-        // write, so pointing at `gen` proves the batch fully applied.
-        if (!currentGeneration(spark, path).contains(gen)) {
+        // Sound because currentGeneration only ever returns a COMPLETE
+        // generation (pointer advances after a full write; the no-pointer
+        // fallback requires _SUCCESS) — a partial gen-N from a mid-write
+        // crash is never mistaken for an applied batch.
+        if (currentGeneration(spark, path).contains(gen)) {
+          // re-commit the pointer in case the crash hit the swap window
+          commitPointer(spark, path, gen)
+        } else {
           // absent-table fallback ONLY when no generation exists yet — a
           // transient read failure must propagate, not wipe the table
           val current = readUpserted(spark, path).getOrElse(

@@ -248,6 +248,30 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(state() == Map(1L -> 42.0), "replay must not change the table")
   }
 
+  test("A6: partial first generation (no _SUCCESS) is re-merged, not trusted") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert4").toString
+    // simulate a crash mid-write of the very first generation: a gen-0
+    // dir with data but NO _SUCCESS marker and no pointer file. Recovery
+    // must re-merge (overwriting the junk), never no-op on the partial.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/table/gen-0"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/table/gen-0/part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(StreamingJobs.currentGeneration(spark, s"$tmp/table").isEmpty,
+      "a generation without _SUCCESS must not be considered committed")
+    val ms = MemoryStream[Ev]
+    val q = StreamingJobs.upsertSink(
+      ms.toDF().select(col("user_id"), col("value"), col("ts")),
+      s"$tmp/table", s"$tmp/ckpt", "user_id", "ts").start()
+    ms.addData(Ev(1, at(0), 1, "a", 10.0, "{}"))
+    try q.processAllAvailable() finally q.stop()
+    val state = StreamingJobs.readUpserted(spark, s"$tmp/table").get
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state == Map(1L -> 10.0))
+  }
+
   test("H6: initial-state bootstrap seeds counters before the first batch") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
