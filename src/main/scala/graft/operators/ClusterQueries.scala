@@ -20,13 +20,16 @@ object ClusterQueries extends QueryModule {
     */
   private def edges(spark: SparkSession, sfDir: String): DataFrame = {
     // same planted near-duplicates as the DedupQueries detectors (single
-    // source of truth for the plant scheme)
+    // source of truth for the plant scheme). Shingles join on their
+    // 56-bit md5-prefix int64, hashed map-side before the shuffles (same
+    // rationale as q_dedup_ngram_jaccard: 8-byte exchange keys; the
+    // oracle applies the identical hash, so collisions cannot diverge).
     val planted = DedupQueries.withPlants(spark, sfDir)
     val psh = planted
       .withColumn("toks", expr("slice(split(text, ' '), 1, 12)"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))")).as("sh"))
+        "transform(sequence(0, size(toks) - 3), i -> CAST(conv(substring(md5(CAST(concat_ws(' ', slice(toks, i + 1, 3)) AS BINARY)), 1, 14), 16, 10) AS BIGINT))")).as("sh"))
       .distinct()
     psh.select(col("sh"), col("doc_id").as("d1"))
       .join(psh.select(col("sh"), col("doc_id").as("d2")), "sh")
@@ -40,10 +43,15 @@ object ClusterQueries extends QueryModule {
     s"""WITH RECURSIVE planted AS (
          SELECT * FROM ${DedupQueries.plantsSql}),
        psh AS (
-         SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS sh
-         FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 3)) AS i
-               FROM (SELECT doc_id, string_split(text, ' ')[1:12] AS t FROM planted)
-               WHERE len(t) >= 3)),
+         SELECT DISTINCT doc_id,
+                list_sum(list_transform(generate_series(0, 13), j ->
+                  CAST(strpos('0123456789abcdef', substr(md5(sh0), j + 1, 1)) - 1 AS BIGINT)
+                    << (4 * (13 - j)))) AS sh
+         FROM (
+           SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS sh0
+           FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 3)) AS i
+                 FROM (SELECT doc_id, string_split(text, ' ')[1:12] AS t FROM planted)
+                 WHERE len(t) >= 3))),
        edges AS (
          SELECT d1, d2 FROM (
            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
