@@ -59,13 +59,16 @@ object Bpe {
     val merges = Seq.newBuilder[Merge]
     var done = false
     for (rank <- 0 until numMerges if !done) {
-      val best = words
-        .flatMap(w => w.syms.sliding(2).filter(_.size == 2)
-          .map(p => ((p.head, p(1)), w.n)))
-        .groupByKey(_._1)
-        .mapValues(_._2).reduceGroups(_ + _)
-        .map { case ((l, r), n) => (l, r, n) }
-        .toDF("l", "r", "n")
+      // pair counting stays in Tungsten (explode + hash agg on columnar
+      // rows) rather than typed flatMap/groupByKey, which would
+      // deserialize every WordSyms to a JVM object per round
+      val best = words.toDF()
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))")).as("p"),
+          col("n"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("n"))
         .orderBy(col("n").desc, col("l"), col("r"))
         .limit(1)
         .collect()

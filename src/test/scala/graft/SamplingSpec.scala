@@ -32,6 +32,23 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(tr.size / e.count().toDouble - 0.8) < 0.02)
   }
 
+  test("hash-bucket split membership is invariant under repartitioning") {
+    // the q_train_split claim: bucket = f(event_id) alone, so the same
+    // rows land in the same split no matter how the data is partitioned
+    // (rerun, backfill, different cluster size). df.sample, by contrast,
+    // is partition-layout-dependent.
+    val bucket = "CAST(conv(substring(md5(cast(cast(event_id AS STRING) AS BINARY)), 1, 4), 16, 10) AS BIGINT) % 100"
+    val e = Tables.events(spark, sf)
+    def membership(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.selectExpr("event_id", s"$bucket AS b").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = membership(e)
+    assert(membership(e.repartition(7)) == base)
+    assert(membership(e.repartition(1)) == base)
+    val rate = base.values.count(_ < 10).toDouble / base.size
+    assert(math.abs(rate - 0.1) < 0.02, s"bucket<10 rate was $rate")
+  }
+
   test("sampleBy stratifies per key with per-key fractions") {
     val e = Tables.events(spark, sf)
     val fractions = Map("click" -> 0.5, "view" -> 0.1, "error" -> 0.0,
