@@ -52,6 +52,32 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(firstTwo > 100000L && firstTwo <= 200000L) // <=2 per user, 100k users
   }
 
+  test("200k-vector sign-band LSH keeps candidates sparse and finds plants") {
+    // the q_dedup_embed scale path at 40x the bench vector count:
+    // candidate pairs must stay orders of magnitude below all-pairs
+    // (200k² / 2 = 2e10), and planted exact duplicates must collide in
+    // every band. 32-dim synthetic vectors, 2 bands x 16 sign bits.
+    val base = spark.range(200000L).select(col("id").as("vec_id"),
+      expr("transform(sequence(1, 32), i -> CAST(pmod(hash(id * 2654435761 + i), 2001) AS DOUBLE) / 1000 - 1.0)").as("v"))
+    val planted = base.unionByName(
+      base.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("v")))
+    val banded = planted
+      .select(col("vec_id"), explode(expr("sequence(0, 1)")).as("band"), col("v"))
+      .withColumn("sig", expr(
+        "concat_ws('', transform(slice(v, band * 16 + 1, 16), x -> CASE WHEN x >= 0D THEN '1' ELSE '0' END))"))
+      .select("band", "sig", "vec_id")
+    val cands = banded.select(col("band"), col("sig"), col("vec_id").as("d1"))
+      .join(banded.select(col("band"), col("sig"), col("vec_id").as("d2")),
+        Seq("band", "sig"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    val nCands = cands.count()
+    assert(nCands < 20000000L, s"candidate set blew up: $nCands")
+    val plantHits = cands.filter(col("d2") === col("d1") + 1000000).count()
+    assert(plantHits == 10L, s"expected all 10 plants as candidates, got $plantHits")
+  }
+
   test("5M-row fact joins a broadcast dimension without shuffling the fact") {
     val dim = spark.range(100000L).select(col("id").as("user_id"),
       (col("id") % 25).as("nation"))
