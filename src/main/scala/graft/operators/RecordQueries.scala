@@ -49,6 +49,37 @@ object RecordQueries extends QueryModule {
       FROM events GROUP BY 1 ORDER BY 1 ASC NULLS LAST
     """))
 
+  /** G8 (Spark 4): VARIANT — schema-less semi-structured ingestion. The
+    * payload parses to an open variant (no schema declared up front, the
+    * shredding/typing happens at read), fields come out typed via
+    * variant_get, and a missing path is NULL rather than an error. Oracle
+    * extracts the same values with DuckDB's JSON functions.
+    */
+  private val jsonVariant = QueryDef(
+    "q_json_variant",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .withColumn("v", parse_json(col("props")))
+        .withColumn("k", expr("variant_get(v, '$.k', 'int')"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          sum(expr(
+            "CASE WHEN variant_get(v, '$.missing', 'string') IS NULL THEN 1 ELSE 0 END"))
+            .as("n_missing_null"))
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+             min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+             max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+             CAST(count(*) AS BIGINT) AS n_missing_null
+      FROM events GROUP BY 1 ORDER BY 1
+    """))
+
   /** B2: full JSON parse against a fixed schema (`json.loads` into known
     * fields), then filter + aggregate on the parsed struct.
     */
@@ -180,6 +211,6 @@ object RecordQueries extends QueryModule {
     """))
 
   override def defs: Seq[QueryDef] = Seq(
-    filterProject, jsonExtract, jsonParse, explodeTokens, b64Hash,
-    deadLetter, tsExtract)
+    filterProject, jsonExtract, jsonVariant, jsonParse, explodeTokens,
+    b64Hash, deadLetter, tsExtract)
 }
