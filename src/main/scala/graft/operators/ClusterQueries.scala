@@ -29,7 +29,7 @@ object ClusterQueries extends QueryModule {
       .withColumn("toks", expr("slice(split(text, ' '), 1, 12)"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(toks) - 3), i -> CAST(conv(substring(md5(CAST(concat_ws(' ', slice(toks, i + 1, 3)) AS BINARY)), 1, 14), 16, 10) AS BIGINT))")).as("sh"))
+        s"transform(sequence(0, size(toks) - 3), i -> ${Ql.md5PrefixLong("concat_ws(' ', slice(toks, i + 1, 3))", 14)})")).as("sh"))
       .distinct()
     psh.select(col("sh"), col("doc_id").as("d1"))
       .join(psh.select(col("sh"), col("doc_id").as("d2")), "sh")
@@ -43,10 +43,7 @@ object ClusterQueries extends QueryModule {
     s"""WITH RECURSIVE planted AS (
          SELECT * FROM ${DedupQueries.plantsSql}),
        psh AS (
-         SELECT DISTINCT doc_id,
-                list_sum(list_transform(generate_series(0, 13), j ->
-                  CAST(strpos('0123456789abcdef', substr(md5(sh0), j + 1, 1)) - 1 AS BIGINT)
-                    << (4 * (13 - j)))) AS sh
+         SELECT DISTINCT doc_id, ${Ql.Md5PrefixLong("sh0", 14)} AS sh
          FROM (
            SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS sh0
            FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 3)) AS i

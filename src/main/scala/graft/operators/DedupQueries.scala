@@ -42,9 +42,7 @@ object DedupQueries extends QueryModule {
   private def shingles(docs: DataFrame, hashed: Boolean = false): DataFrame = {
     val shingleExpr = "concat_ws(' ', slice(toks, i + 1, 3))"
     val itemExpr =
-      if (hashed)
-        s"CAST(conv(substring(md5(CAST($shingleExpr AS BINARY)), 1, 14), 16, 10) AS BIGINT)"
-      else shingleExpr
+      if (hashed) Ql.md5PrefixLong(shingleExpr, 14) else shingleExpr
     docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
@@ -216,10 +214,7 @@ object DedupQueries extends QueryModule {
     },
     Some(s"""
       WITH sh AS (
-        SELECT DISTINCT doc_id,
-               list_sum(list_transform(generate_series(0, 13), j ->
-                 CAST(strpos('0123456789abcdef', substr(md5(sh), j + 1, 1)) - 1 AS BIGINT)
-                   << (4 * (13 - j)))) AS sh
+        SELECT DISTINCT doc_id, ${Ql.Md5PrefixLong("sh", 14)} AS sh
         FROM ($shinglesSql)),
       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
       rare AS (SELECT doc_id, sh FROM (

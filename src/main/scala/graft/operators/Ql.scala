@@ -24,4 +24,21 @@ object Ql {
     * Oracle twin: strftime(ts, '%Y-%m-%d %H:%M:%S').
     */
   def tstr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** First `digits` hex digits of md5(e) as a BIGINT — the cross-engine
+    * deterministic int hash (14 digits = 56 bits for shuffle-narrow join
+    * keys, 4 digits for sampling buckets). `e` is a Spark SQL STRING
+    * expression; identical values come from [[Md5PrefixLong]] in DuckDB,
+    * so even a hash collision cannot diverge the engines.
+    */
+  def md5PrefixLong(e: String, digits: Int): String =
+    s"CAST(conv(substring(md5(CAST(($e) AS BINARY)), 1, $digits), 16, 10) AS BIGINT)"
+
+  /** DuckDB twin of [[md5PrefixLong]] (no conv(); hex digits via a
+    * strpos shift-fold).
+    */
+  def Md5PrefixLong(e: String, digits: Int): String =
+    s"""list_sum(list_transform(generate_series(0, ${digits - 1}), j ->
+          CAST(strpos('0123456789abcdef', substr(md5($e), j + 1, 1)) - 1 AS BIGINT)
+            << (4 * (${digits - 1} - j))))"""
 }

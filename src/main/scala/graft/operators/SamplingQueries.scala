@@ -15,16 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object SamplingQueries extends QueryModule {
 
-  /** Spark-side bucket 0..99 from a (string-cast) key column expression. */
-  private def bucketExpr(key: String): String =
-    s"CAST(conv(substring(md5(cast(cast($key AS STRING) AS BINARY)), 1, 4), 16, 10) AS BIGINT) % 100"
+  /** Spark-side bucket 0..99 from a (string-cast) key column expression.
+    * `private[graft]` so SamplingSpec tests the production expression.
+    */
+  private[graft] def bucketExpr(key: String): String =
+    s"${Ql.md5PrefixLong(s"CAST($key AS STRING)", 4)} % 100"
 
-  /** DuckDB twin of [[bucketExpr]] (no conv(); hex digits via strpos). */
+  /** DuckDB twin of [[bucketExpr]]. */
   private def bucketSql(key: String): String =
-    s"""list_sum(list_transform(generate_series(0, 3), j ->
-          CAST(strpos('0123456789abcdef',
-            substr(md5(CAST($key AS VARCHAR)), j + 1, 1)) - 1 AS BIGINT)
-            << (4 * (3 - j)))) % 100"""
+    s"${Ql.Md5PrefixLong(s"CAST($key AS VARCHAR)", 4)} % 100"
 
   /** 80/10/10 train/val/test split of events, pinned by event_id hash:
     * per-split counts and value stats — and the memberships are stable

@@ -37,7 +37,7 @@ class SamplingSpec extends AnyFunSuite with SparkFixture {
     // rows land in the same split no matter how the data is partitioned
     // (rerun, backfill, different cluster size). df.sample, by contrast,
     // is partition-layout-dependent.
-    val bucket = "CAST(conv(substring(md5(cast(cast(event_id AS STRING) AS BINARY)), 1, 4), 16, 10) AS BIGINT) % 100"
+    val bucket = graft.operators.SamplingQueries.bucketExpr("event_id")
     val e = Tables.events(spark, sf)
     def membership(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
       df.selectExpr("event_id", s"$bucket AS b").collect()
