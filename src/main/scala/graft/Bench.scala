@@ -40,7 +40,8 @@ object Bench {
       if (sib.isDirectory) sib.toString else sfDir
     }
     System.err.println(s"[bench] codegen warmup against $warmSf")
-    Seq("q_agg_pricing_summary", "q_join_inner", "q_win_rank", "q_sort_limit")
+    Seq("q_agg_pricing_summary", "q_join_inner", "q_win_rank", "q_sort_limit",
+      "q_misc_stack", "q_explode_tokens", "q_agg_pivot")
       .filter(SparkEntry.queries.contains)
       .foreach { n =>
         try SparkEntry.queries(n)(spark, warmSf).count()
