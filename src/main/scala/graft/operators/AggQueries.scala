@@ -56,8 +56,8 @@ object AggQueries extends QueryModule {
     Some("""
       SELECT event_type, count(*) AS n,
              count(DISTINCT user_id) AS n_users,
-             count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS n_ks,
-             CAST(sum(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_distinct_k
+             count(DISTINCT TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS n_ks,
+             CAST(sum(DISTINCT TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_distinct_k
       FROM events GROUP BY 1 ORDER BY 1
     """))
 
@@ -195,7 +195,7 @@ object AggQueries extends QueryModule {
       SELECT event_type,
              array_to_string(list_sort(list(DISTINCT k)), ',') AS ks,
              CAST(len(list(DISTINCT k)) AS INT) AS n_ks
-      FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM (SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
             FROM events)
       WHERE k < 25
       GROUP BY 1 ORDER BY 1

@@ -44,7 +44,7 @@ object RecordQueries extends QueryModule {
         .agg(count(lit(1)).as("n"), Ql.r(sum(col("value"))).as("sum_value"))
         .orderBy(col("k").asc_nulls_last),
     Some(s"""
-      SELECT CAST(json_extract_string(props, '$$.k') AS INT) AS k,
+      SELECT TRY_CAST(json_extract_string(props, '$$.k') AS INT) AS k,
              count(*) AS n, ${Ql.R("sum(value)")} AS sum_value
       FROM events GROUP BY 1 ORDER BY 1 ASC NULLS LAST
     """))
@@ -73,9 +73,9 @@ object RecordQueries extends QueryModule {
         .orderBy("event_type"),
     Some("""
       SELECT event_type, count(*) AS n,
-             CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-             min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
-             max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+             CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+             min(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+             max(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
              CAST(count(*) AS BIGINT) AS n_missing_null
       FROM events GROUP BY 1 ORDER BY 1
     """))
@@ -94,9 +94,9 @@ object RecordQueries extends QueryModule {
         .orderBy("event_type"),
     Some("""
       SELECT event_type, count(*) AS n,
-             CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+             CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
       FROM events
-      WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+      WHERE TRY_CAST(json_extract_string(props, '$.k') AS INT) >= 50
       GROUP BY 1 ORDER BY 1
     """))
 

@@ -273,7 +273,7 @@ object ScalarFnQueries extends QueryModule {
              k * 2 AS k_doubled,
              CAST(CASE WHEN k > 50 THEN 1 ELSE 0 END AS INT) AS n_big,
              2 AS n_concat, 7 AS const_entry
-      FROM (SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM (SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
             FROM events)
       WHERE event_id < 100 ORDER BY event_id
     """))

@@ -87,7 +87,7 @@ object SetSortQueries extends QueryModule {
         .distinct()
         .orderBy(col("event_type"), col("k").asc_nulls_last),
     Some("""
-      SELECT DISTINCT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      SELECT DISTINCT event_type, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
       FROM events ORDER BY 1, 2 ASC NULLS LAST
     """))
 

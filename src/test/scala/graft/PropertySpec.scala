@@ -27,6 +27,27 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     })
   }
 
+  test("md5PrefixLong equals MessageDigest md5 hex-prefix for arbitrary strings") {
+    // the centralized cross-engine hash (Ql.md5PrefixLong) must equal an
+    // independent JVM reimplementation — this is the single idiom every
+    // hashed join key and sampling bucket depends on
+    import spark.implicits._
+    def reference(s: String, digits: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(digits), 16)
+    }
+    check("md5prefix", Prop.forAll(Gen.listOfN(20, Gen.asciiPrintableStr)) { xs =>
+      val strs = xs.filter(_.nonEmpty).map(_.replace("'", "")) // SQL literal safety
+      strs.isEmpty || {
+        val got = strs.toDF("s")
+          .selectExpr("s", graft.operators.Ql.md5PrefixLong("s", 14) + " AS h")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        strs.forall(s => got(s) == reference(s, 14))
+      }
+    })
+  }
+
   test("union-all count is additive; union distinct is bounded") {
     import spark.implicits._
     check("union", Prop.forAll(rows, rows) { (xs, ys) =>
