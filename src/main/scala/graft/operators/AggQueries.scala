@@ -174,6 +174,26 @@ object AggQueries extends QueryModule {
       ORDER BY gid, status, priority
     """))
 
+  /** D6 (Spark 4): listagg — SQL-standard ordered string aggregation
+    * (WITHIN GROUP), the direct form of the collect+join idiom below.
+    */
+  private val aggListagg = QueryDef(
+    "q_agg_listagg",
+    (spark, sfDir) =>
+      Tables.orders(spark, sfDir)
+        .groupBy("o_orderpriority")
+        .agg(
+          expr("listagg(DISTINCT o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderstatus)")
+            .as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+    Some("""
+      SELECT o_orderpriority,
+             string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+             count(*) AS n
+      FROM orders GROUP BY 1 ORDER BY 1
+    """))
+
   /** D6: collect_set — gathered group elements, sorted for determinism.
     * The set is emitted as a comma-joined string (numeric sort first): the
     * verify harness hashes flat scalar columns, and a raw array column is
@@ -293,6 +313,6 @@ object AggQueries extends QueryModule {
 
   override def defs: Seq[QueryDef] = Seq(
     pricingSummary, aggDistinct, aggApprox, aggRollup, aggCube,
-    aggGroupingSets, aggCollect, aggPercentile, aggStats, aggPivot,
-    aggUnpivot)
+    aggGroupingSets, aggListagg, aggCollect, aggPercentile, aggStats,
+    aggPivot, aggUnpivot)
 }

@@ -168,6 +168,41 @@ object ScalarFnQueries extends QueryModule {
     """))
 
   /** G4: conditional / null handling. */
+  /** G4 (Spark 4 ANSI mode): the try_* error-safe family. Spark 4 runs
+    * ANSI SQL by default, where division by zero / overflow / bad index
+    * are runtime ERRORS — try_divide/try_add/try_multiply/try_element_at
+    * are the null-on-error escape hatches a robust pipeline uses. The
+    * oracle mirrors each null condition explicitly.
+    */
+  private val tryFuncs = QueryDef(
+    "q_try_funcs",
+    (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .filter(col("l_orderkey") < 50)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          Ql.r(expr("try_divide(l_extendedprice, l_quantity - 25)"), 4)
+            .as("div_or_null"),
+          expr("try_add(9223372036854775807L, l_partkey)").as("add_overflow"),
+          expr("try_multiply(9223372036854775807L, CAST(l_suppkey AS BIGINT))")
+            .as("mul_overflow"),
+          expr("try_element_at(array(1, 2, 3), CAST(l_linenumber + 10 AS INT))")
+            .as("elem_missing"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some(s"""
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_quantity = 25 THEN NULL
+                  ELSE ${Ql.R("l_extendedprice / (l_quantity - 25)", 4)} END AS div_or_null,
+             CASE WHEN l_partkey > 0 THEN NULL
+                  ELSE 9223372036854775807 END AS add_overflow,
+             CASE WHEN l_suppkey = 0 THEN 0
+                  WHEN l_suppkey = 1 THEN 9223372036854775807
+                  ELSE NULL END AS mul_overflow,
+             list_extract([1, 2, 3], l_linenumber + 10) AS elem_missing
+      FROM lineitem WHERE l_orderkey < 50
+      ORDER BY l_orderkey, l_linenumber
+    """))
+
   private val condNull = QueryDef(
     "q_cond_null",
     (spark, sfDir) =>
@@ -279,6 +314,6 @@ object ScalarFnQueries extends QueryModule {
     """))
 
   override def defs: Seq[QueryDef] = Seq(
-    strFuncs, strFuncs2, regexFuncs, dateFuncs, mathFuncs, condNull,
+    strFuncs, strFuncs2, regexFuncs, dateFuncs, mathFuncs, tryFuncs, condNull,
     arrayFuncs, hofFuncs, mapFuncs)
 }
