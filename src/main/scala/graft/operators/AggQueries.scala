@@ -45,7 +45,7 @@ object AggQueries extends QueryModule {
     "q_agg_distinct",
     (spark, sfDir) =>
       Tables.events(spark, sfDir)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS INT)"))
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n"),
@@ -203,7 +203,7 @@ object AggQueries extends QueryModule {
     "q_agg_collect",
     (spark, sfDir) =>
       Tables.events(spark, sfDir)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS INT)"))
         .filter(col("k") < 25)
         .groupBy("event_type")
         .agg(

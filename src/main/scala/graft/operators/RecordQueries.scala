@@ -39,7 +39,7 @@ object RecordQueries extends QueryModule {
     "q_json_extract",
     (spark, sfDir) =>
       Tables.events(spark, sfDir)
-        .select(get_json_object(col("props"), "$.k").cast("int").as("k"), col("value"))
+        .select(expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k"), col("value"))
         .groupBy("k")
         .agg(count(lit(1)).as("n"), Ql.r(sum(col("value"))).as("sum_value"))
         .orderBy(col("k").asc_nulls_last),
@@ -60,7 +60,7 @@ object RecordQueries extends QueryModule {
     (spark, sfDir) =>
       Tables.events(spark, sfDir)
         .withColumn("v", parse_json(col("props")))
-        .withColumn("k", expr("variant_get(v, '$.k', 'int')"))
+        .withColumn("k", expr("try_variant_get(v, '$.k', 'int')"))
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("n"),

@@ -184,10 +184,12 @@ object ScalarFnQueries extends QueryModule {
           Ql.r(expr("try_divide(l_extendedprice, l_quantity - 25)"), 4)
             .as("div_or_null"),
           expr("try_add(9223372036854775807L, l_partkey)").as("add_overflow"),
-          expr("try_multiply(9223372036854775807L, CAST(l_suppkey AS BIGINT))")
+          expr("try_multiply(9223372036854775807L, l_suppkey)")
             .as("mul_overflow"),
-          expr("try_element_at(array(1, 2, 3), CAST(l_linenumber + 10 AS INT))")
-            .as("elem_missing"))
+          // l_linenumber+1 spans in-range AND out-of-range indices, so a
+          // cross-engine indexing divergence would actually show up
+          expr("try_element_at(array(1, 2, 3), CAST(l_linenumber + 1 AS INT))")
+            .as("elem_maybe"))
         .orderBy("l_orderkey", "l_linenumber"),
     Some(s"""
       SELECT l_orderkey, l_linenumber,
@@ -198,7 +200,7 @@ object ScalarFnQueries extends QueryModule {
              CASE WHEN l_suppkey = 0 THEN 0
                   WHEN l_suppkey = 1 THEN 9223372036854775807
                   ELSE NULL END AS mul_overflow,
-             list_extract([1, 2, 3], l_linenumber + 10) AS elem_missing
+             list_extract([1, 2, 3], l_linenumber + 1) AS elem_maybe
       FROM lineitem WHERE l_orderkey < 50
       ORDER BY l_orderkey, l_linenumber
     """))

@@ -82,7 +82,7 @@ object SetSortQueries extends QueryModule {
     "q_distinct",
     (spark, sfDir) =>
       Tables.events(spark, sfDir)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS INT)"))
         .select(col("event_type"), col("k"))
         .distinct()
         .orderBy(col("event_type"), col("k").asc_nulls_last),
