@@ -78,5 +78,82 @@ object MiscQueries extends QueryModule {
       GROUP BY 1, 2 ORDER BY 1, 2
     """))
 
-  override def defs: Seq[QueryDef] = Seq(miscIds, miscStack, sqlInterface)
+  /** Correlated EXISTS + NOT EXISTS chain (TPC-H Q21 shape adapted to the
+    * driver schema): suppliers' lineitems in multi-supplier orders where
+    * no other supplier shipped later. Exercises Catalyst's subquery
+    * decorrelation — both correlated predicates rewrite to semi/anti
+    * joins; the DataFrame-API joins elsewhere never take this SQL path.
+    */
+  private val sqlExistsChain = QueryDef(
+    "q_sql_exists_chain",
+    (spark, sfDir) => {
+      Tables.lineitem(spark, sfDir).createOrReplaceTempView("v_lineitem_ec")
+      Tables.orders(spark, sfDir).createOrReplaceTempView("v_orders_ec")
+      Tables.supplier(spark, sfDir).createOrReplaceTempView("v_supplier_ec")
+      spark.sql("""
+        SELECT s_name, count(*) AS numwait
+        FROM v_supplier_ec, v_lineitem_ec l1, v_orders_ec
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM v_lineitem_ec l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM v_lineitem_ec l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+      """)
+    },
+    Some("""
+      SELECT s_name, count(*) AS numwait
+      FROM supplier, lineitem l1, orders
+      WHERE s_suppkey = l1.l_suppkey
+        AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_shipdate > l1.l_shipdate)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 20
+    """))
+
+  /** Correlated scalar aggregate subquery — orders priced far above their
+    * own lineitems' average. Decorrelates to an aggregate + join.
+    */
+  private val sqlScalarSubq = QueryDef(
+    "q_sql_scalar_subq",
+    (spark, sfDir) => {
+      Tables.lineitem(spark, sfDir).createOrReplaceTempView("v_lineitem_ss")
+      Tables.orders(spark, sfDir).createOrReplaceTempView("v_orders_ss")
+      spark.sql(s"""
+        SELECT o_orderpriority, count(*) AS n
+        FROM v_orders_ss
+        WHERE o_totalprice > 3 * (SELECT avg(l_extendedprice)
+                                  FROM v_lineitem_ss
+                                  WHERE l_orderkey = o_orderkey)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+      """)
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS n
+      FROM orders
+      WHERE o_totalprice > 3 * (SELECT avg(l_extendedprice)
+                                FROM lineitem
+                                WHERE l_orderkey = o_orderkey)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(
+    miscIds, miscStack, sqlInterface, sqlExistsChain, sqlScalarSubq)
 }
