@@ -57,6 +57,21 @@ for name in sorted(oracle):
         print(f"[SCHEMA] {name}: spark={sorted(gcols)} oracle={sorted(ecols)}")
         fails.append(name)
         continue
+    # Column-TYPE guard: the driver's hash is type-sensitive where this
+    # checker's value normalization is not (e.g. DuckDB sum(INTEGER) ->
+    # HUGEINT vs Spark BIGINT hashed differently despite equal values).
+    # Compare DuckDB-vocabulary types on both sides via DESCRIBE.
+    gtypes = dict(con.execute(
+        f"SELECT column_name, column_type FROM "
+        f"(DESCRIBE SELECT * FROM read_parquet('{files[0]}'))").fetchall())
+    etypes = dict(con.execute(
+        f"SELECT column_name, column_type FROM (DESCRIBE {sql})").fetchall())
+    tdrift = {c: (gtypes[c], etypes[c]) for c in gtypes
+              if gtypes[c] != etypes[c]}
+    if tdrift:
+        print(f"[TYPE]   {name}: spark-vs-oracle column type drift: {tdrift}")
+        fails.append(name)
+        continue
     gi = sorted(range(len(gcols)), key=lambda i: gcols[i])
     ei = sorted(range(len(ecols)), key=lambda i: ecols[i])
     g = [tuple(norm(r[i]) for i in gi) for r in got]

@@ -16,6 +16,16 @@ object Bench {
         aqe
       })
       .config("spark.ui.enabled", "false")
+      // 92+ back-to-back queries in one 8g JVM: bound the status-store and
+      // generated-class retention so late queries aren't taxed by the early
+      // ones' metadata (the r2 bench showed mid-run queries at 10-20× their
+      // isolated time from exactly this kind of accumulated pressure)
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      // janino cache defaults to 100 classes — the suite compiles far more;
+      // evicted+recompiled plans churn the code cache mid-run
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session once (Hadoop FS init, parquet footer reads, codegen/
@@ -56,18 +66,49 @@ object Bench {
     if (unknown.nonEmpty)
       System.err.println(s"[bench] WARNING: unknown query names ignored: ${unknown.mkString(",")}")
     val failed = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.filter(q => only(q._1)).map { case (name, fn) =>
+    import scala.jdk.CollectionConverters._
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def heapUsedMb: Long =
+      (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >> 20
+    // Between queries: drop caches AND force a full GC. The GC matters
+    // beyond hygiene — ContextCleaner reclaims dead broadcast blocks and
+    // shuffle state only when their weak refs are collected, so without it
+    // ~90 queries' broadcasts pile up in the 8g heap and mid-run queries
+    // pay 10-20× their isolated time in GC stalls (the r2 q_dead_letter
+    // 23.8 s-vs-1.03 s anomaly). Runs OUTSIDE the timed window.
+    val interGc = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "true").toBoolean
+    var gcInQueries = 0L
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        recordFailure: Boolean): Double = {
+      val gc0 = gcMillis
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
-          failed += name
+          if (recordFailure) failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      // isolate queries: drop any cache a query built so later timings
-      // don't pay its memory pressure
+      val gcDt = gcMillis - gc0
+      gcInQueries += gcDt
       spark.catalog.clearCache()
-      name -> dt
+      if (interGc) System.gc()
+      System.err.println(
+        f"[bench] $name%-28s $dt%7.2f s  gc=$gcDt%4d ms  heap=${heapUsedMb}%5d MB")
+      dt
+    }
+    val results = SparkEntry.queries.filter(q => only(q._1)).map { case (name, fn) =>
+      name -> timeOne(name, fn, recordFailure = true)
+    }
+    // Interference canary: re-time the slowest successful query in isolation
+    // at the end of the run. A large first-vs-rerun gap means some cross-
+    // query pressure inflated the in-loop number — data for the next round
+    // instead of a mystery.
+    val failedSet0 = failed.toSet
+    val slowest = results.collect { case (k, v) if !failedSet0(k) => (k, v) }
+      .toSeq.sortBy(-_._2).headOption
+    val slowestRerun = slowest.map { case (name, _) =>
+      timeOne(name, SparkEntry.queries(name), recordFailure = false)
     }
     // Streaming throughput: replay the events table through the
     // watermarked tumbling-window job (the reference's core workload —
@@ -136,7 +177,22 @@ object Bench {
     val failedSet = failed.toSet
     val total = results.collect { case (k, v) if !failedSet(k) => v }.sum
     val failures = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"stream_rows":$streamRows,"stream_rows_per_sec":${streamEps.round},"sf":"$sfDir"}""")
+    val slowestJson = (slowest, slowestRerun) match {
+      case (Some((name, first)), Some(rerun)) =>
+        s""","slowest":"$name","slowest_first_sec":$first,"slowest_rerun_sec":$rerun"""
+      case _ => ""
+    }
+    // `total_sec` repeats the headline at the END of the line: the driver's
+    // log capture has truncated bench-file heads before, and a total must
+    // survive truncation from either side
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"gc_in_queries_sec":${gcInQueries / 1e3},"stream_rows":$streamRows,"stream_rows_per_sec":${streamEps.round}$slowestJson,"sf":"$sfDir","total_sec":$total}"""
+    // belt and braces: persist the full JSON where truncation can't reach it
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
+    println(json)
     spark.stop()
   }
 }

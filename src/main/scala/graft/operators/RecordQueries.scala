@@ -135,7 +135,7 @@ object RecordQueries extends QueryModule {
         .orderBy("doc_id"),
     Some("""
       SELECT doc_id, to_base64(encode(text)) AS b64,
-             length(text) AS roundtrip_len,
+             CAST(length(text) AS INTEGER) AS roundtrip_len,
              md5(text) AS md5_hex, sha256(text) AS sha256_hex
       FROM documents WHERE doc_id < 20 ORDER BY doc_id
     """))

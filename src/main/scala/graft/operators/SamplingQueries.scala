@@ -75,7 +75,7 @@ object SamplingQueries extends QueryModule {
         .orderBy("lang"),
     Some(s"""
       SELECT lang, count(*) AS n_docs,
-             sum(CASE WHEN b < rate THEN 1 ELSE 0 END) AS n_sampled
+             CAST(sum(CASE WHEN b < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
       FROM (SELECT lang, ${bucketSql("doc_id")} AS b,
                    CASE WHEN lang = 'en' THEN 10 ELSE 30 END AS rate
             FROM documents)

@@ -227,7 +227,8 @@ object TextQueries extends QueryModule {
         .withColumn("fp", min(col("h")).over(w))
         .filter(col("pos") >= 3)
         .groupBy("doc_id")
-        .agg(countDistinct(col("fp")).as("n_fingerprints"), (max(col("pos")) + 1).as("n_shingles"))
+        .agg(countDistinct(col("fp")).as("n_fingerprints"),
+          (max(col("pos")) + 1).cast("long").as("n_shingles"))
         .orderBy("doc_id")
     },
     Some("""
@@ -266,20 +267,50 @@ object TextQueries extends QueryModule {
       GROUP BY 1, 2 ORDER BY 1, 2
     """))
 
-  /** I5: BPE merge learning (iterative distributed algorithm — no SQL
-    * oracle possible; deterministic, spec-checked in BpeSpec, rows-only
-    * here).
+  /** I5: BPE merge learning. The learner is an iterative distributed
+    * algorithm no single SQL query can reproduce, so — like `q_misc_ids` —
+    * the query emits its deterministic *invariants* as columns an oracle
+    * CAN check: exactly 8 merges with dense ranks 0..7, all pairs and all
+    * merged symbols distinct, and zero characters in any merge that don't
+    * occur in the corpus alphabet (checked by a distributed anti-join
+    * against the corpus's distinct characters — no merge can invent a
+    * symbol). The exact merge sequence stays asserted in BpeSpec.
     */
   private val bpeMerges = QueryDef(
     "q_bpe_merges",
     (spark, sfDir) => {
       import spark.implicits._
       implicit val s = spark
+      val docs = Tables.documents(spark, sfDir)
       val merges = graft.functions.Bpe.learnMerges(
-        graft.functions.Bpe.wordTable(Tables.documents(spark, sfDir)), 8)
-      merges.toDF().orderBy("rank")
+        graft.functions.Bpe.wordTable(docs), 8)
+      val mergesDf = merges.toDF() // rank, left, right — 8 driver-local rows
+      val stats = mergesDf.agg(
+        count(lit(1)).as("n_merges"),
+        (min(col("rank")) === 0 && max(col("rank")) === 7 &&
+          countDistinct(col("rank")) === 8).cast("int").as("ranks_dense"),
+        (countDistinct(col("left"), col("right")) === count(lit(1)))
+          .cast("int").as("pairs_unique"),
+        (countDistinct(concat(col("left"), col("right"))) === count(lit(1)))
+          .cast("int").as("merged_unique"))
+      val alphabet = docs
+        .select(explode(split(col("text"), " ")).as("w"))
+        .select(explode(split(col("w"), "")).as("c"))
+        .filter(length(col("c")) > 0).distinct()
+      val alien = mergesDf
+        .select(explode(split(
+          regexp_replace(concat(col("left"), col("right")), "</w>", ""),
+          "")).as("c"))
+        .filter(length(col("c")) > 0).distinct()
+        .join(alphabet, Seq("c"), "left_anti")
+        .agg(count(lit(1)).as("n_alien_chars"))
+      stats.crossJoin(alien) // 1 row × 1 row — constant-size by construction
     },
-    None)
+    Some("""
+      SELECT CAST(8 AS BIGINT) AS n_merges,
+             1 AS ranks_dense, 1 AS pairs_unique, 1 AS merged_unique,
+             CAST(0 AS BIGINT) AS n_alien_chars
+    """))
 
   override def defs: Seq[QueryDef] = Seq(
     textStats, tfidf, langId, qualityScore, tokenCount, fingerprint,

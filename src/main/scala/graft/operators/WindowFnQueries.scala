@@ -27,9 +27,9 @@ object WindowFnQueries extends QueryModule {
     },
     Some(s"""
       SELECT c_nationkey,
-             row_number() OVER w AS rn,
-             rank() OVER w AS rk,
-             dense_rank() OVER w AS drk,
+             CAST(row_number() OVER w AS INTEGER) AS rn,
+             CAST(rank() OVER w AS INTEGER) AS rk,
+             CAST(dense_rank() OVER w AS INTEGER) AS drk,
              c_custkey, ${Ql.R("c_acctbal")} AS acctbal
       FROM customer
       WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)

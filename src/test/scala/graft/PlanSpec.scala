@@ -79,9 +79,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // that cannot survive a 100× scale-up.
     val cartesianOk = Set("q_join_cross")
     // q_tfidf: broadcast single-row scalar (corpus N) instead of a
-    // driver-side collect — a 1-row nested loop by construction
+    // driver-side collect — a 1-row nested loop by construction;
+    // q_bpe_merges: 1-row invariant stats × 1-row alien-char count
     val tinyBroadcastOk = cartesianOk ++
-      Set("q_similar_topk", "q_knn_vote", "q_ann_ivf", "q_kmeans", "q_tfidf")
+      Set("q_similar_topk", "q_knn_vote", "q_ann_ivf", "q_kmeans", "q_tfidf",
+        "q_bpe_merges")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
