@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 92 back-to-back queries JIT-compile thousands of generated classes;
+  // the JDK 17 default 240m code cache fills mid-run, the JIT stops
+  // compiling, and late queries run interpreted at 2-4x their isolated
+  // time (r3: q_dedup_ngram_jaccard 11.5s in-loop vs 6.2s isolated,
+  // stream throughput 6.1k vs 14.4k rows/s in a fresh JVM)
+  "-XX:ReservedCodeCacheSize=512m",
 )

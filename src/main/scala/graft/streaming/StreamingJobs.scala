@@ -58,6 +58,18 @@ object StreamingJobs {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** H2: sliding-window counters (1 h window, 15 min slide) with a
+    * watermark — every event lands in 4 overlapping windows. Identical
+    * window expression to the oracle-checked batch twin
+    * (`q_window_sliding`); StreamingSpec proves stream == batch.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
   /** H5: streaming dedup on the record id within the watermark horizon —
     * the idempotent-consumer pattern (conditional DynamoDB put on eventID).
     */

@@ -46,6 +46,34 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed.size == 4) // (h0 click), (h1 view), (h1 click), (h2 view)
   }
 
+  test("H2: streaming sliding-window counts equal the batch computation") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rows = Seq(
+      Ev(1, at(5), 1, "click", 1.0, "{}"),
+      Ev(2, at(10), 1, "click", 2.0, "{}"),
+      Ev(3, at(65), 2, "view", 3.0, "{}"),
+      Ev(4, at(70), 1, "click", 4.0, "{}"),
+      Ev(5, at(130), 2, "view", 5.0, "{}"))
+    val ms = MemoryStream[Ev]
+    ms.addData(rows: _*)
+    val q = StreamingJobs.slidingCounts(ms.toDF())
+      .writeStream.format("memory").queryName("slide").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("slide")
+      .select("w_start", "event_type", "n", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val batch = StreamingJobs.slidingCounts(rows.toDF())
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    // every event lands in exactly 4 overlapping (window, type) slots;
+    // events 1+2 share all 4 of theirs, events 4's and 3's overlap differs
+    // by type — count distinct slots instead of deriving by hand
+    assert(streamed.map(r => (r(0), r(1))).size == streamed.size)
+    assert(streamed.toSeq.map(_(2).asInstanceOf[Long]).sum == 5 * 4)
+  }
+
   test("H5: streaming dedup drops redelivered event ids") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
