@@ -25,7 +25,8 @@ object SparkEntry {
     operators.TpchQueries,
     operators.ClusterQueries,
     operators.KmeansQueries,
-    operators.SamplingQueries)
+    operators.SamplingQueries,
+    operators.PipelineQueries)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
 

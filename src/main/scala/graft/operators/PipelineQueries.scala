@@ -1,0 +1,211 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline assembly operators (SURVEY §2.I extension):
+  * sequence packing into token-budget shards, context-window chunking,
+  * train/test contamination detection, and deterministic per-group
+  * reservoir sampling. These sit downstream of dedup/quality filtering
+  * (DedupQueries, TextQueries) and upstream of the trainer: the steps
+  * that turn a cleaned corpus into fixed-size, leak-checked shards.
+  *
+  * Scale notes (the shapes that survive 100 TB):
+  *  - packing is per-`source` streams: the cumulative-sum window
+  *    partitions by source, so parallelism = number of ingest streams
+  *    (thousands at scale), never a global single-partition sort;
+  *  - chunking is purely per-row (explode of an arithmetic sequence);
+  *  - contamination is the same inverted-index join algebra as
+  *    q_dedup_ngram_jaccard — test shingles hash-join the distinct train
+  *    shingle set on 56-bit int64 keys, never doc×doc pairs;
+  *  - reservoir sampling is rank-per-group, which Spark executes with
+  *    WindowGroupLimit (per-group top-k heap, no full sort).
+  */
+object PipelineQueries extends QueryModule {
+
+  /** I-pack: fixed-boundary sequence packing. Documents are laid out in
+    * deterministic (source, doc_id) order and cut into shards at every
+    * 2048-token boundary: shard = floor(tokens_before / 2048). A document
+    * straddling a boundary belongs to the shard its first token falls in
+    * (fixed-boundary packing — each shard reads a contiguous token range,
+    * so shard assignment is a pure prefix-sum, distributable as
+    * per-partition sums + broadcast offsets; greedy no-overflow packing
+    * would need a sequential scan).
+    */
+  private val packSequences = QueryDef(
+    "q_pack_sequences",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(spark, sfDir)
+        .withColumn("tok", size(split(col("text"), " ")))
+        .withColumn("cum_before", sum(col("tok")).over(w) - col("tok"))
+        .withColumn("shard", expr("cum_before div 2048"))
+        .groupBy("source", "shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("tok_total"),
+          Ql.r(sum(col("tok")) / 2048.0, 4).as("fill"),
+          min(col("doc_id")).as("doc_lo"),
+          max(col("doc_id")).as("doc_hi"))
+        .orderBy("source", "shard")
+    },
+    Some(s"""
+      WITH laid AS (
+        SELECT source, doc_id, tok,
+               CAST(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) - tok
+                 AS cum_before
+        FROM (SELECT source, doc_id,
+                     len(string_split(text, ' ')) AS tok
+              FROM documents))
+      SELECT source, cum_before // 2048 AS shard,
+             count(*) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS tok_total,
+             ${Ql.R("sum(tok) / 2048.0", 4)} AS fill,
+             min(doc_id) AS doc_lo, max(doc_id) AS doc_hi
+      FROM laid GROUP BY 1, 2 ORDER BY 1, 2
+    """))
+
+  /** I-chunk: context-window chunking — 64-token windows, stride 48
+    * (16-token overlap), the embedding-pipeline preprocessing step.
+    * chunk count = max(1, ceil((tok - 16) / 48)); chunk i covers tokens
+    * [48i+1, 48i+64]. Purely per-row arithmetic + explode; chunk identity
+    * is the 56-bit md5 prefix of the chunk text, so cross-chunk dedup
+    * (n_uniq_chunks) is exact and engine-independent.
+    */
+  private val docChunks = QueryDef(
+    "q_doc_chunks",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("tok", size(col("toks")))
+        .withColumn("n_chunks", expr(
+          "greatest(1, CAST(ceil((tok - 16) / 48.0) AS INT))"))
+        .select(col("lang"), col("toks"), col("tok"),
+          explode(expr("sequence(0, n_chunks - 1)")).as("i"))
+        .withColumn("clen", expr("least(64, tok - 48 * i)"))
+        .withColumn("chash", expr(
+          Ql.md5PrefixLong("concat_ws(' ', slice(toks, 48 * i + 1, clen))", 14)))
+        .groupBy("lang")
+        .agg(
+          countDistinct(col("chash")).as("n_uniq_chunks"),
+          count(lit(1)).as("n_chunks"),
+          Ql.r(avg(col("clen")), 4).as("avg_chunk_len"))
+        .orderBy("lang"),
+    Some(s"""
+      WITH chunks AS (
+        SELECT lang, i,
+               least(64, tok - 48 * i) AS clen,
+               ${Ql.Md5PrefixLong("array_to_string(t[48 * i + 1 : 48 * i + least(64, tok - 48 * i)], ' ')", 14)} AS chash
+        FROM (SELECT lang, t, tok,
+                     unnest(generate_series(0,
+                       greatest(1, CAST(ceil((tok - 16) / 48.0) AS BIGINT)) - 1)) AS i
+              FROM (SELECT lang, string_split(text, ' ') AS t,
+                           len(string_split(text, ' ')) AS tok
+                    FROM documents)))
+      SELECT lang, count(DISTINCT chash) AS n_uniq_chunks,
+             count(*) AS n_chunks,
+             ${Ql.R("avg(clen)", 4)} AS avg_chunk_len
+      FROM chunks GROUP BY 1 ORDER BY 1
+    """))
+
+  /** I-leak: train/test contamination check. The corpus splits 90/10 by
+    * the same deterministic md5 bucket as q_train_split; a test document
+    * is contaminated if it shares any 5-token shingle with ANY train
+    * document. Same scale shape as n-gram dedup: hash-join the test
+    * shingles against the distinct train shingle set on int64 keys —
+    * the candidate set is per-shingle, never per-doc-pair.
+    */
+  private val contamination = QueryDef(
+    "q_contamination",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+        .withColumn("b", expr(SamplingQueries.bucketExpr("doc_id")))
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), col("lang"), col("b"),
+          explode(expr(s"transform(sequence(0, size(toks) - 5), i -> ${
+            Ql.md5PrefixLong("concat_ws(' ', slice(toks, i + 1, 5))", 14)})"))
+            .as("sh"))
+        .distinct()
+      val trainSh = docs.filter(col("b") < 90).select("sh").distinct()
+      val testSh = docs.filter(col("b") >= 90)
+      val hits = testSh.join(trainSh, "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      testSh.select("doc_id", "lang").distinct()
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_test"),
+          sum((col("n_hits") > 0).cast("long")).as("n_contaminated"),
+          sum(col("n_hits")).as("n_hit_shingles"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, lang, b,
+               ${Ql.Md5PrefixLong("array_to_string(t[i + 1 : i + 5], ' ')", 14)} AS sh
+        FROM (SELECT doc_id, lang,
+                     ${Ql.Md5PrefixLong("CAST(doc_id AS VARCHAR)", 4)} % 100 AS b,
+                     t, unnest(generate_series(0, len(t) - 5)) AS i
+              FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
+                    FROM documents)
+              WHERE len(t) >= 5)),
+      train_sh AS (SELECT DISTINCT sh FROM sh WHERE b < 90),
+      test_docs AS (SELECT DISTINCT doc_id, lang FROM sh WHERE b >= 90),
+      hits AS (
+        SELECT s.doc_id, count(*) AS n_hits
+        FROM sh s JOIN train_sh t ON s.sh = t.sh
+        WHERE s.b >= 90 GROUP BY 1)
+      SELECT d.lang, count(*) AS n_test,
+             CAST(sum(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+             CAST(sum(coalesce(h.n_hits, 0)) AS BIGINT) AS n_hit_shingles
+      FROM test_docs d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      GROUP BY 1 ORDER BY 1
+    """))
+
+  /** I-sample: deterministic per-group reservoir — k=5 docs per language,
+    * ranked by md5(doc_id) so membership is a pure function of the key
+    * (replay/repartition-stable, like all sampling here). Spark plans the
+    * rank filter as WindowGroupLimit: a k-row heap per group, no full
+    * per-group sort at scale.
+    */
+  private val sampleReservoir = QueryDef(
+    "q_sample_reservoir",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(expr(Ql.md5PrefixLong("CAST(doc_id AS STRING)", 14)), col("doc_id"))
+      Tables.documents(spark, sfDir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("lang")))
+        .filter(col("rn") <= 5)
+        .groupBy("lang")
+        .agg(
+          max(col("n_docs")).as("n_docs"),
+          count(lit(1)).as("k"),
+          expr("array_join(transform(array_sort(collect_list(struct(rn, doc_id))), x -> CAST(x.doc_id AS STRING)), ',')")
+            .as("sample_ids"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH ranked AS (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY ${Ql.Md5PrefixLong("CAST(doc_id AS VARCHAR)", 14)}, doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n_docs
+        FROM documents)
+      SELECT lang, CAST(max(n_docs) AS BIGINT) AS n_docs,
+             count(*) AS k,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn) AS sample_ids
+      FROM ranked WHERE rn <= 5
+      GROUP BY 1 ORDER BY 1
+    """))
+
+  override def defs: Seq[QueryDef] =
+    Seq(packSequences, docChunks, contamination, sampleReservoir)
+}
