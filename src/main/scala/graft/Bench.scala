@@ -55,7 +55,11 @@ object Bench {
       // dedup/text family: the shingle-explode + md5 + band/posting-join
       // plans are the suite's largest codegen units (~2.7s first-use for
       // q_dedup_ngram_jaccard alone) — compile them here, not in the loop
-      "q_dedup_ngram_jaccard", "q_dedup_minhash", "q_fuzzy_join")
+      "q_dedup_ngram_jaccard", "q_dedup_minhash", "q_fuzzy_join",
+      // iterative jobs (CC label propagation, BPE, Lloyd) recompile a
+      // same-shaped plan every round — one warm pass at sf0.001 compiles
+      // all of them
+      "q_dedup_clusters", "q_bpe_merges", "q_kmeans")
       .filter(SparkEntry.queries.contains)
       .foreach { n =>
         try SparkEntry.queries(n)(spark, warmSf).count()

@@ -130,6 +130,9 @@ object PipelineQueries extends QueryModule {
             Ql.md5PrefixLong("concat_ws(' ', slice(toks, i + 1, 5))", 14)})"))
             .as("sh"))
         .distinct()
+        // both split sides derive from this one shingle set — cache so the
+        // explode+md5+distinct shuffle runs once, not once per consumer
+        .cache()
       val trainSh = docs.filter(col("b") < 90).select("sh").distinct()
       val testSh = docs.filter(col("b") >= 90)
       val hits = testSh.join(trainSh, "sh")
