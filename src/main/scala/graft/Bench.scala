@@ -50,16 +50,19 @@ object Bench {
       if (sib.isDirectory) sib.toString else sfDir
     }
     System.err.println(s"[bench] codegen warmup against $warmSf")
-    Seq("q_agg_pricing_summary", "q_join_inner", "q_win_rank", "q_sort_limit",
-      "q_misc_stack", "q_explode_tokens", "q_agg_pivot",
-      // dedup/text family: the shingle-explode + md5 + band/posting-join
-      // plans are the suite's largest codegen units (~2.7s first-use for
-      // q_dedup_ngram_jaccard alone) — compile them here, not in the loop
-      "q_dedup_ngram_jaccard", "q_dedup_minhash", "q_fuzzy_join",
-      // iterative jobs (CC label propagation, BPE, Lloyd) recompile a
-      // same-shaped plan every round — one warm pass at sf0.001 compiles
-      // all of them
-      "q_dedup_clusters", "q_bpe_merges", "q_kmeans")
+    val lightWarm = Seq("q_agg_pricing_summary", "q_join_inner", "q_win_rank",
+      "q_sort_limit", "q_misc_stack", "q_explode_tokens", "q_agg_pivot")
+    // dedup/text family: the shingle-explode + md5 + band/posting-join
+    // plans are the suite's largest codegen units (~2.7s first-use for
+    // q_dedup_ngram_jaccard alone); the iterative jobs (CC label
+    // propagation, BPE, Lloyd) recompile a same-shaped plan every round.
+    // These only warm when a tiny sibling SF exists — at full bench scale
+    // they'd add ~25s of heavy untimed work, not a cheap compile pass.
+    val heavyWarm =
+      if (warmSf == sfDir) Seq.empty
+      else Seq("q_dedup_ngram_jaccard", "q_dedup_minhash", "q_fuzzy_join",
+        "q_dedup_clusters", "q_bpe_merges", "q_kmeans")
+    (lightWarm ++ heavyWarm)
       .filter(SparkEntry.queries.contains)
       .foreach { n =>
         try SparkEntry.queries(n)(spark, warmSf).count()
@@ -190,7 +193,8 @@ object Bench {
     // 3-decimal (millisecond) precision keeps the one-line JSON under the
     // driver's tail-capture window — r3's full-precision doubles pushed the
     // line past it and the driver recorded `parsed: null`
-    def ms3(v: Double): String = f"$v%.3f"
+    def ms3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     // failed queries report their time-to-failure per-query but are excluded

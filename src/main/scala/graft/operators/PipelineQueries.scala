@@ -184,8 +184,11 @@ object PipelineQueries extends QueryModule {
       val w = Window.partitionBy("lang")
         .orderBy(expr(Ql.md5PrefixLong("CAST(doc_id AS STRING)", 14)), col("doc_id"))
       Tables.documents(spark, sfDir)
-        .withColumn("rn", row_number().over(w))
+        // n_docs BEFORE rn: InferWindowGroupLimit only fires when the
+        // rank filter sits directly above the rank window — interposing
+        // the count window would demote the plan to a full per-group sort
         .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("lang")))
+        .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .groupBy("lang")
         .agg(

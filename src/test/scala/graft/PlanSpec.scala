@@ -68,6 +68,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
 
   test("ranked top-k per group uses WindowGroupLimit pushdown") {
     assert(plan("q_win_rank").contains("WindowGroupLimit"))
+    // the reservoir sample makes the same claim in its Scaladoc — guard it
+    // (the count window must stay BELOW the rank filter or the rewrite
+    // can't fire; see PipelineQueries.sampleReservoir)
+    assert(plan("q_sample_reservoir").contains("WindowGroupLimit"))
   }
 
   test("no unbounded join shapes: cartesians banned except declared surfaces") {
