@@ -141,41 +141,92 @@ object DedupQueries extends QueryModule {
       ORDER BY 1, 2
     """))
 
-  /** I2b: SimHash — 60-bit fingerprint from per-token hash bits (bit j of a
-    * token's hash = bit (j mod 4) of hex digit j/4 of its md5 — the same
-    * arithmetic is expressible in both engines). Fingerprint + popcount per
-    * document; near-dups would be pairs at small hamming distance.
+  /** 60-bit SimHash fingerprints for `doc_id < maxDoc` (bit j of a token's
+    * hash = bit (j mod 4) of hex digit j/4 of its md5 — the same arithmetic
+    * is expressible in both engines). Shared by the fingerprint query (I2b)
+    * and the banded hamming pair detector.
     */
-  private val dedupSimhash = QueryDef(
-    "q_dedup_simhash",
-    (spark, sfDir) =>
-      Tables.documents(spark, sfDir)
-        .filter(col("doc_id") < 100)
-        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-        .withColumn("h", md5(col("tok").cast("binary")))
-        .withColumn("j", explode(expr("sequence(0, 59)")))
-        .withColumn("bit", expr(
-          "((instr('0123456789abcdef', substring(h, 1 + CAST(j div 4 AS INT), 1)) - 1) >> (j % 4)) & 1"))
-        .groupBy("doc_id", "j")
-        .agg(sum(col("bit") * 2 - 1).as("s"))
-        .groupBy("doc_id")
-        .agg(sum(expr("CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END")).as("fingerprint"))
-        .select(col("doc_id"), col("fingerprint"),
-          bit_count(col("fingerprint")).as("popcnt"))
-        .orderBy("doc_id"),
-    Some("""
-      WITH bits AS (
+  private def simhashFp(spark: SparkSession, sfDir: String, maxDoc: Int): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < maxDoc)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", md5(col("tok").cast("binary")))
+      .withColumn("j", explode(expr("sequence(0, 59)")))
+      .withColumn("bit", expr(
+        "((instr('0123456789abcdef', substring(h, 1 + CAST(j div 4 AS INT), 1)) - 1) >> (j % 4)) & 1"))
+      .groupBy("doc_id", "j")
+      .agg(sum(col("bit") * 2 - 1).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END")).as("fingerprint"))
+
+  /** DuckDB twin of [[simhashFp]]. */
+  private def simhashFpSql(maxDoc: Int): String =
+    s"""bits AS (
         SELECT doc_id, g.j,
                ((strpos('0123456789abcdef', substr(md5(tok), 1 + j // 4, 1)) - 1)
                  >> (j % 4)) & 1 AS bit
         FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-              FROM documents WHERE doc_id < 100),
+              FROM documents WHERE doc_id < $maxDoc),
              generate_series(0, 59) g(j)),
-      sums AS (SELECT doc_id, j, sum(bit * 2 - 1) AS s FROM bits GROUP BY 1, 2)
-      SELECT doc_id,
-             CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS fingerprint,
-             CAST(bit_count(CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT)) AS INT) AS popcnt
-      FROM sums GROUP BY doc_id ORDER BY doc_id
+      sums AS (SELECT doc_id, j, sum(bit * 2 - 1) AS s FROM bits GROUP BY 1, 2),
+      fp AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS f
+        FROM sums GROUP BY doc_id)"""
+
+  /** I2b: SimHash fingerprint + popcount per document. */
+  private val dedupSimhash = QueryDef(
+    "q_dedup_simhash",
+    (spark, sfDir) =>
+      simhashFp(spark, sfDir, 100)
+        .select(col("doc_id"), col("fingerprint"),
+          bit_count(col("fingerprint")).as("popcnt"))
+        .orderBy("doc_id"),
+    Some(s"""
+      WITH ${simhashFpSql(100)}
+      SELECT doc_id, f AS fingerprint,
+             CAST(bit_count(f) AS INT) AS popcnt
+      FROM fp ORDER BY doc_id
+    """))
+
+  /** I2b': SimHash near-dup pairs via the Manku-style banded index — the
+    * 60-bit fingerprint splits into 4 bands of 15 bits; a pair within
+    * hamming distance 3 has ≤ 3 flipped bits, so by pigeonhole at least
+    * one band matches EXACTLY. Candidates therefore form only inside a
+    * (band, band_key) bucket (a hash self-join, never all-pairs), and the
+    * exact popcount(xor) filter runs only on candidates — identical
+    * output to the brute-force oracle by construction, at inverted-index
+    * cost. The doc_id < 200 cap bounds the demo corpus; at 100 TB the
+    * band tables are the scale path (Manku et al., WWW'07, re-derived
+    * from the public algorithm).
+    */
+  private val dedupSimhashPairs = QueryDef(
+    "q_dedup_simhash_pairs",
+    (spark, sfDir) => {
+      val fp = simhashFp(spark, sfDir, 200).cache()
+      val bands = fp.select(col("doc_id"), col("fingerprint"),
+          explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("band_key", expr("(fingerprint >> (15 * band)) & 32767"))
+      val cands = bands.select(col("band"), col("band_key"),
+          col("doc_id").as("d1"), col("fingerprint").as("f1"))
+        .join(bands.select(col("band"), col("band_key"),
+          col("doc_id").as("d2"), col("fingerprint").as("f2")),
+          Seq("band", "band_key"))
+        .filter(col("d1") < col("d2"))
+        .select("d1", "d2", "f1", "f2").distinct()
+      cands
+        .withColumn("hamming", bit_count(expr("f1 ^ f2")))
+        .filter(col("hamming") <= 3)
+        .select(col("d1"), col("d2"), col("hamming").cast("int").as("hamming"))
+        .orderBy("d1", "d2")
+    },
+    Some(s"""
+      WITH ${simhashFpSql(200)}
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.f, b.f)) <= 3
+      ORDER BY 1, 2
     """))
 
   /** I2c: n-gram Jaccard via shingle inverted index — intersections come
@@ -362,6 +413,6 @@ object DedupQueries extends QueryModule {
     """))
 
   override def defs: Seq[QueryDef] = Seq(
-    dedupExact, dedupMinhash, dedupSimhash, dedupNgramJaccard, dedupEmbed,
-    fuzzyJoin)
+    dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs,
+    dedupNgramJaccard, dedupEmbed, fuzzyJoin)
 }
