@@ -212,6 +212,80 @@ object PipelineQueries extends QueryModule {
       GROUP BY 1 ORDER BY 1
     """))
 
+  /** I-e2e: the whole curation pipeline as ONE composed query — quality
+    * filter → exact dedup (sha256 keep-first) → weak-key near-dup removal
+    * (lang + first-3-token prefix keep-first) → deterministic 80/10/10
+    * split → fixed-boundary packing per (split, source). Every stage is
+    * the oracled operator it reuses; composing them proves the operators
+    * chain without driver-side glue. Output: per-split corpus shape.
+    */
+  private val curationPipeline = QueryDef(
+    "q_curation_pipeline",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val keepFirstHash = Window.partitionBy("text_hash").orderBy("doc_id")
+      val keepFirstKey = Window.partitionBy("lang", "prefix_key").orderBy("doc_id")
+      val packW = Window.partitionBy("split", "source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(spark, sfDir)
+        .withColumn("tok", size(split(col("text"), " ")))
+        .filter(col("tok") >= 20)
+        .withColumn("text_hash", sha2(col("text").cast("binary"), 256))
+        .withColumn("prefix_key", concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
+        .withColumn("rn_hash", row_number().over(keepFirstHash))
+        .filter(col("rn_hash") === 1)
+        .withColumn("rn_key", row_number().over(keepFirstKey))
+        .filter(col("rn_key") === 1)
+        .withColumn("bucket", expr(SamplingQueries.bucketExpr("doc_id")))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .withColumn("cum_before", sum(col("tok")).over(packW) - col("tok"))
+        .withColumn("shard", expr("cum_before div 2048"))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("tok_total"),
+          countDistinct(col("source"), col("shard")).as("n_shards"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("split")
+    },
+    Some(s"""
+      WITH filtered AS (
+        SELECT doc_id, lang, source, text,
+               len(string_split(text, ' ')) AS tok,
+               sha256(text) AS text_hash,
+               array_to_string(string_split(text, ' ')[1:3], ' ') AS prefix_key
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 20),
+      deduped AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn_hash
+          FROM filtered) WHERE rn_hash = 1),
+      keyed AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY lang, prefix_key ORDER BY doc_id) AS rn_key
+          FROM deduped) WHERE rn_key = 1),
+      splitted AS (
+        SELECT *,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT *, ${Ql.Md5PrefixLong("CAST(doc_id AS VARCHAR)", 4)} % 100 AS b
+              FROM keyed)),
+      packed AS (
+        SELECT split, source, lang, tok,
+               (CAST(sum(tok) OVER (PARTITION BY split, source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) - tok) // 2048
+                 AS shard
+        FROM splitted)
+      SELECT split, count(*) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS tok_total,
+             count(DISTINCT (source, shard)) AS n_shards,
+             count(DISTINCT lang) AS n_langs
+      FROM packed GROUP BY 1 ORDER BY 1
+    """))
+
   override def defs: Seq[QueryDef] =
-    Seq(packSequences, docChunks, contamination, sampleReservoir)
+    Seq(packSequences, docChunks, contamination, sampleReservoir,
+      curationPipeline)
 }
