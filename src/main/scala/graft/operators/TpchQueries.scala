@@ -223,6 +223,134 @@ object TpchQueries extends QueryModule {
       ORDER BY 1, 2, 3
     """))
 
+  /** Q2 shape: minimum-cost supplier — a correlated scalar MIN subquery
+    * over a shared CTE (lineitem stands in for partsupp: supply cost =
+    * min unit price ever quoted by that supplier for that part). The
+    * per-part regional minimum decorrelates to an aggregate + join; the
+    * unit-price double division is bit-identical across engines, so the
+    * `cost = (SELECT min ...)` equality is exact, no rounding hazard.
+    */
+  private val q2Shape = QueryDef(
+    "q_tpch_q2_shape",
+    (spark, sfDir) => {
+      Tables.lineitem(spark, sfDir).createOrReplaceTempView("v_lineitem_q2")
+      Tables.part(spark, sfDir).createOrReplaceTempView("v_part_q2")
+      Tables.supplier(spark, sfDir).createOrReplaceTempView("v_supplier_q2")
+      Tables.nation(spark, sfDir).createOrReplaceTempView("v_nation_q2")
+      Tables.region(spark, sfDir).createOrReplaceTempView("v_region_q2")
+      spark.sql("""
+        WITH cost AS (
+          SELECT l_partkey, l_suppkey,
+                 min(l_extendedprice / l_quantity) AS supply_cost
+          FROM v_lineitem_q2 GROUP BY 1, 2
+        )
+        SELECT p_partkey, p_type, p_size, s_name, n_name,
+               round(s_acctbal + 1e-9, 2) AS acctbal,
+               round(supply_cost + 1e-9, 4) AS cost
+        FROM v_part_q2
+          JOIN cost ON l_partkey = p_partkey
+          JOIN v_supplier_q2 ON l_suppkey = s_suppkey
+          JOIN v_nation_q2 ON s_nationkey = n_nationkey
+          JOIN v_region_q2 ON n_regionkey = r_regionkey
+        WHERE p_size <= 10 AND r_name = 'EUROPE'
+          AND supply_cost = (
+            SELECT min(c2.supply_cost)
+            FROM cost c2
+              JOIN v_supplier_q2 s2 ON c2.l_suppkey = s2.s_suppkey
+              JOIN v_nation_q2 n2 ON s2.s_nationkey = n2.n_nationkey
+              JOIN v_region_q2 r2 ON n2.n_regionkey = r2.r_regionkey
+            WHERE c2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        ORDER BY acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 20
+      """)
+    },
+    Some("""
+      WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS supply_cost
+        FROM lineitem GROUP BY 1, 2
+      )
+      SELECT p_partkey, p_type, p_size, s_name, n_name,
+             round(s_acctbal + 1e-9, 2) AS acctbal,
+             round(supply_cost + 1e-9, 4) AS cost
+      FROM part
+        JOIN cost ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE p_size <= 10 AND r_name = 'EUROPE'
+        AND supply_cost = (
+          SELECT min(c2.supply_cost)
+          FROM cost c2
+            JOIN supplier s2 ON c2.l_suppkey = s2.s_suppkey
+            JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+            JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE c2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+      ORDER BY acctbal DESC, n_name, s_name, p_partkey
+      LIMIT 20
+    """))
+
+  /** Q14 shape: promo revenue share — conditional aggregation over a
+    * fact-dim join, one output row (the ratio-of-sums report).
+    */
+  private val q14Shape = QueryDef(
+    "q_tpch_q14_shape",
+    (spark, sfDir) => {
+      val l = Tables.lineitem(spark, sfDir)
+        .filter(col("l_shipdate") >= lit("1997-09-01")
+          && col("l_shipdate") < lit("1997-10-01"))
+      val p = Tables.part(spark, sfDir)
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .agg(
+          Ql.r(lit(100) * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+            / sum(rev), 3).as("promo_pct"),
+          Ql.r(sum(rev)).as("total_rev"),
+          count(lit(1)).as("n"))
+    },
+    Some(s"""
+      SELECT ${Ql.R("100 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) / sum(l_extendedprice * (1 - l_discount))", 3)} AS promo_pct,
+             ${Ql.R("sum(l_extendedprice * (1 - l_discount))")} AS total_rev,
+             count(*) AS n
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """))
+
+  /** Q16 shape: supplier diversity per part attribute — count(DISTINCT)
+    * after a NOT IN subquery. NOT IN plans as a null-aware anti join, a
+    * different physical path from the DataFrame-API left_anti elsewhere.
+    */
+  private val q16Shape = QueryDef(
+    "q_tpch_q16_shape",
+    (spark, sfDir) => {
+      Tables.lineitem(spark, sfDir).createOrReplaceTempView("v_lineitem_q16")
+      Tables.part(spark, sfDir).createOrReplaceTempView("v_part_q16")
+      Tables.supplier(spark, sfDir).createOrReplaceTempView("v_supplier_q16")
+      spark.sql("""
+        SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM v_part_q16 JOIN v_lineitem_q16 ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#3'
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM v_supplier_q16 WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        LIMIT 40
+      """)
+    },
+    Some("""
+      SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#3'
+        AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+      LIMIT 40
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
-    q3Shape, q5Shape, q10Shape, q6Shape, q18Shape, q7Shape)
+    q3Shape, q5Shape, q10Shape, q6Shape, q18Shape, q7Shape,
+    q2Shape, q14Shape, q16Shape)
 }
