@@ -350,7 +350,210 @@ object TpchQueries extends QueryModule {
       LIMIT 40
     """))
 
+  /** Q4 shape: order-priority checking — a correlated EXISTS whose
+    * predicate references BOTH sides (l_shipdate > o_orderdate + 60 days;
+    * the schema has no l_commitdate/l_receiptdate, so "late" is
+    * ship-lag against the order date). Catalyst decorrelates this to a
+    * left-semi join with a non-equi conjunct.
+    */
+  private val q4Shape = QueryDef(
+    "q_tpch_q4_shape",
+    (spark, sfDir) => {
+      Tables.orders(spark, sfDir).createOrReplaceTempView("v_orders_q4")
+      Tables.lineitem(spark, sfDir).createOrReplaceTempView("v_lineitem_q4")
+      spark.sql("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM v_orders_q4
+        WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1997-07-01'
+          AND EXISTS (
+            SELECT 1 FROM v_lineitem_q4
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY 1 ORDER BY 1
+      """)
+    },
+    Some("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY 1 ORDER BY 1
+    """))
+
+  /** Q13 shape: customer order-count distribution — a left outer join with
+    * a compound (key + residual filter) condition, then aggregation OVER an
+    * aggregate (count the counts). count(o_orderkey) counts matches only,
+    * so no-order customers land in the c_count=0 bucket instead of
+    * vanishing — the part an inner join would get wrong.
+    */
+  private val q13Shape = QueryDef(
+    "q_tpch_q13_shape",
+    (spark, sfDir) => {
+      val c = Tables.customer(spark, sfDir)
+      val o = Tables.orders(spark, sfDir)
+      c.join(o, c("c_custkey") === o("o_custkey")
+          && o("o_orderpriority") =!= "1-URGENT", "left_outer")
+        .groupBy(c("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""
+      SELECT c_count, count(*) AS custdist
+      FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY 1)
+      GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+    """))
+
+  /** Q17 shape: small-quantity-order revenue — a correlated scalar AVG
+    * subquery per part (quantity below 20% of that part's average).
+    * Safe to oracle exactly: l_quantity is integral (1..50, verified), so
+    * sum-of-doubles is exact at any partial-sum order and the avg is
+    * bit-identical across engines — the threshold cannot wobble.
+    */
+  private val q17Shape = QueryDef(
+    "q_tpch_q17_shape",
+    (spark, sfDir) => {
+      Tables.lineitem(spark, sfDir).createOrReplaceTempView("v_lineitem_q17")
+      Tables.part(spark, sfDir).createOrReplaceTempView("v_part_q17")
+      spark.sql(s"""
+        SELECT round(sum(l_extendedprice) / 7.0 + 1e-9, 2) AS avg_yearly,
+               count(*) AS n
+        FROM v_lineitem_q17 JOIN v_part_q17 ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1' AND p_size < 15
+          AND l_quantity < 0.2 * (
+            SELECT avg(l_quantity) FROM v_lineitem_q17 l2
+            WHERE l2.l_partkey = p_partkey)
+      """)
+    },
+    Some(s"""
+      SELECT ${Ql.R("sum(l_extendedprice) / 7.0")} AS avg_yearly,
+             count(*) AS n
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#1' AND p_size < 15
+        AND l_quantity < 0.2 * (
+          SELECT avg(l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = p_partkey)
+    """))
+
+  /** Q21 shape: suppliers who kept orders waiting — the EXISTS + NOT
+    * EXISTS pair over the SAME fact table with different correlated
+    * predicates (another supplier contributed to the order; no OTHER
+    * supplier was late on it), i.e. one semi and one null-safe anti join
+    * after decorrelation. "Late" = shipped >30 days after the order date
+    * (no commit/receipt dates in this schema).
+    */
+  private val q21Shape = QueryDef(
+    "q_tpch_q21_shape",
+    (spark, sfDir) => {
+      Tables.supplier(spark, sfDir).createOrReplaceTempView("v_supplier_q21")
+      Tables.lineitem(spark, sfDir).createOrReplaceTempView("v_lineitem_q21")
+      Tables.orders(spark, sfDir).createOrReplaceTempView("v_orders_q21")
+      Tables.nation(spark, sfDir).createOrReplaceTempView("v_nation_q21")
+      spark.sql("""
+        SELECT n_name, s_name, count(*) AS numwait
+        FROM v_supplier_q21
+          JOIN v_lineitem_q21 l1 ON s_suppkey = l1.l_suppkey
+          JOIN v_orders_q21 ON o_orderkey = l1.l_orderkey
+          JOIN v_nation_q21 ON n_nationkey = s_nationkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+          AND EXISTS (
+            SELECT 1 FROM v_lineitem_q21 l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM v_lineitem_q21 l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        GROUP BY 1, 2
+        ORDER BY numwait DESC, n_name, s_name
+        LIMIT 25
+      """)
+    },
+    Some("""
+      SELECT n_name, s_name, count(*) AS numwait
+      FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        JOIN nation ON n_nationkey = s_nationkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      GROUP BY 1, 2
+      ORDER BY numwait DESC, n_name, s_name
+      LIMIT 25
+    """))
+
+  /** Q22 shape: dormant high-balance customers — an uncorrelated scalar
+    * subquery (global avg threshold) plus a correlated NOT EXISTS against
+    * orders ("no order since 2000"). The country code is the last c_name
+    * digit (the schema has no phone column). The threshold is rounded to
+    * cents then offset to mid-cent (+0.005): acctbals are exactly
+    * 2-decimal (verified), so no row can sit within 4.9e-3 of the
+    * threshold and the sub-1e-9 cross-engine avg wobble cannot flip a
+    * comparison.
+    */
+  private val q22Shape = QueryDef(
+    "q_tpch_q22_shape",
+    (spark, sfDir) => {
+      Tables.customer(spark, sfDir).createOrReplaceTempView("v_customer_q22")
+      Tables.orders(spark, sfDir).createOrReplaceTempView("v_orders_q22")
+      spark.sql(s"""
+        WITH pool AS (
+          SELECT right(c_name, 1) AS cntrycode, c_custkey, c_acctbal
+          FROM v_customer_q22
+          WHERE right(c_name, 1) IN ('1', '2', '3', '5', '7', '8')),
+        thr AS (
+          SELECT round(avg(c_acctbal) + 1e-9, 2) + 0.005 AS t
+          FROM pool WHERE c_acctbal > 0.0)
+        SELECT cntrycode, count(*) AS numcust,
+               round(sum(c_acctbal) + 1e-9, 2) AS totacctbal
+        FROM pool
+        WHERE c_acctbal > (SELECT t FROM thr)
+          AND NOT EXISTS (
+            SELECT 1 FROM v_orders_q22
+            WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01')
+        GROUP BY 1 ORDER BY 1
+      """)
+    },
+    Some(s"""
+      WITH pool AS (
+        SELECT right(c_name, 1) AS cntrycode, c_custkey, c_acctbal
+        FROM customer
+        WHERE right(c_name, 1) IN ('1', '2', '3', '5', '7', '8')),
+      thr AS (
+        SELECT round(avg(c_acctbal) + 1e-9, 2) + 0.005 AS t
+        FROM pool WHERE c_acctbal > 0.0)
+      SELECT cntrycode, count(*) AS numcust,
+             ${Ql.R("sum(c_acctbal)")} AS totacctbal
+      FROM pool
+      WHERE c_acctbal > (SELECT t FROM thr)
+        AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      GROUP BY 1 ORDER BY 1
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     q3Shape, q5Shape, q10Shape, q6Shape, q18Shape, q7Shape,
-    q2Shape, q14Shape, q16Shape)
+    q2Shape, q14Shape, q16Shape,
+    q4Shape, q13Shape, q17Shape, q21Shape, q22Shape)
 }
