@@ -26,7 +26,8 @@ object SparkEntry {
     operators.ClusterQueries,
     operators.KmeansQueries,
     operators.SamplingQueries,
-    operators.PipelineQueries)
+    operators.PipelineQueries,
+    operators.CurationQueries)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
 

@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs between raw
+  * ingest and tokenization: segment-level dedup statistics (the
+  * RefinedWeb/CCNet-style "drop docs made of copied spans" signal),
+  * Gopher-style repetition filters, per-domain budget capping, and a
+  * word-distribution entropy score. All are per-row maps or single
+  * hash-partitioned aggregations — no all-pairs anywhere — so each
+  * survives a 100 TB corpus unchanged.
+  */
+object CurationQueries extends QueryModule {
+
+  /** Disjoint 8-word segments of a document, as one Spark SQL array
+    * expression (slice is 1-based; the last segment keeps the remainder).
+    */
+  private def segArr(textCol: String): String =
+    s"""transform(
+          sequence(0, cast(ceil(size(split($textCol, ' ')) / 8.0) as int) - 1),
+          i -> concat_ws(' ', slice(split($textCol, ' '), i * 8 + 1, 8)))"""
+
+  /** DuckDB twin of [[segArr]] (list slices are 1-based inclusive). */
+  private def segArrSql(textCol: String): String =
+    s"""list_transform(
+          generate_series(0, CAST(ceil(len(string_split($textCol, ' ')) / 8.0) AS INT) - 1),
+          i -> array_to_string(string_split($textCol, ' ')[i * 8 + 1 : i * 8 + 8], ' '))"""
+
+  /** I-cur1: duplicated-segment analysis — explode each doc into disjoint
+    * 8-word segments, hash each segment to a 56-bit key map-side, and call
+    * a segment "duplicated" when it occurs in ≥ 2 distinct docs. Per-lang
+    * report: docs, docs flagged (≥ 30% duplicated segments), mean
+    * duplicated fraction. The dup set is a groupBy on the segment hash and
+    * the per-doc tally a semi-join-shaped aggregation on the same key —
+    * shuffle keys are 8-byte ints, never the text, at any corpus size.
+    */
+  private val segmentDedup = QueryDef(
+    "q_segment_dedup",
+    (spark, sfDir) => {
+      val segs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"),
+          explode(expr(segArr("text"))).as("seg"))
+        .withColumn("seg_h", expr(Ql.md5PrefixLong("seg", 14)))
+        .select("doc_id", "lang", "seg_h")
+      val dup = segs.groupBy("seg_h")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2)
+        .select("seg_h")
+      val perDoc = segs
+        .join(dup.withColumn("is_dup", lit(1L)), Seq("seg_h"), "left_outer")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_segs"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+        .withColumn("frac", col("n_dup") / col("n_segs"))
+      perDoc.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("frac") >= 0.3).cast("long")).as("n_flagged"),
+          Ql.r(avg(col("frac")), 4).as("avg_dup_frac"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH segs AS (
+        SELECT doc_id, lang, ${Ql.Md5PrefixLong("seg", 14)} AS seg_h
+        FROM (SELECT doc_id, lang, unnest(${segArrSql("text")}) AS seg
+              FROM documents)),
+      dup AS (
+        SELECT seg_h FROM segs GROUP BY seg_h
+        HAVING count(DISTINCT doc_id) >= 2),
+      per_doc AS (
+        SELECT s.doc_id, s.lang, count(*) AS n_segs,
+               sum(CASE WHEN d.seg_h IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+        FROM segs s LEFT JOIN dup d ON s.seg_h = d.seg_h
+        GROUP BY 1, 2)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(CASE WHEN n_dup * 1.0 / n_segs >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+             ${Ql.R("avg(n_dup * 1.0 / n_segs)", 4)} AS avg_dup_frac
+      FROM per_doc GROUP BY 1 ORDER BY 1
+    """))
+
+  /** I-cur2: repetition filter (Gopher-style quality signals) — fraction
+    * of the doc taken by its single most frequent word, and the fraction
+    * of duplicated bigrams. Both are row-local array expressions (the
+    * vocabulary scan is O(|distinct| × |doc|) inside one row) — a pure map
+    * stage with zero shuffle, the ideal 100 TB shape. Top 30 most
+    * repetitive docs; `keep` is the filter verdict.
+    */
+  private val repetitionFilter = QueryDef(
+    "q_repetition_filter",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_words", size(col("toks")))
+        .withColumn("mx", expr(
+          """array_max(transform(array_distinct(toks),
+               w -> size(filter(toks, x -> x = w))))"""))
+        .withColumn("bgs", expr(
+          """transform(sequence(0, size(toks) - 2),
+               i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"""))
+        .withColumn("top_word_frac",
+          Ql.r(col("mx") / col("n_words"), 4))
+        .withColumn("dup_bigram_frac",
+          Ql.r(lit(1.0) - size(array_distinct(col("bgs"))) / (size(col("toks")) - lit(1.0)), 4))
+        .withColumn("keep",
+          col("top_word_frac") < 0.3 && col("dup_bigram_frac") < 0.05)
+        .select("doc_id", "n_words", "top_word_frac", "dup_bigram_frac", "keep")
+        .orderBy(col("dup_bigram_frac").desc, col("top_word_frac").desc, col("doc_id"))
+        .limit(30),
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      sig AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_words,
+               ${Ql.R("list_max(list_transform(list_distinct(toks), w -> len(list_filter(toks, x -> x = w)))) * 1.0 / len(toks)", 4)} AS top_word_frac,
+               ${Ql.R("1.0 - len(list_distinct(list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1]))) / (len(toks) - 1.0)", 4)} AS dup_bigram_frac
+        FROM t)
+      SELECT doc_id, n_words, top_word_frac, dup_bigram_frac,
+             (top_word_frac < 0.3 AND dup_bigram_frac < 0.05) AS keep
+      FROM sig
+      ORDER BY dup_bigram_frac DESC, top_word_frac DESC, doc_id
+      LIMIT 30
+    """))
+
+  /** I-cur3: per-domain budget capping — deterministic hash-ranked top-K
+    * per source (the "no domain may exceed its budget" mixture rule).
+    * Rank = row_number over md5(doc_id) within the source, so membership
+    * is stable under replay and repartitioning, like q_train_split. The
+    * window partitions by source — at 100 TB this is the natural
+    * per-domain shuffle, and K truncation happens inside each partition
+    * (WindowGroupLimit prunes when a rank filter follows).
+    */
+  private val domainBudget = QueryDef(
+    "q_domain_budget",
+    (spark, sfDir) => {
+      val h = expr(Ql.md5PrefixLong("concat('bud|', cast(doc_id as string))", 14))
+      Tables.documents(spark, sfDir)
+        .withColumn("h", h)
+        .withColumn("rk",
+          row_number().over(Window.partitionBy("source").orderBy("h", "doc_id")))
+        .withColumn("kept", col("rk") <= 15)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("kept").cast("long")).as("n_kept"),
+          sum(when(col("kept"), col("n_chars")).otherwise(lit(0L))).as("kept_chars"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH ranked AS (
+        SELECT source, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+        FROM (SELECT source, n_chars, doc_id,
+                     ${Ql.Md5PrefixLong("'bud|' || CAST(doc_id AS VARCHAR)", 14)} AS h
+              FROM documents))
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN rk <= 15 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      FROM ranked GROUP BY 1 ORDER BY 1
+    """))
+
+  /** I-cur4: word-distribution entropy — Shannon entropy of each doc's
+    * word histogram (low entropy ⇒ repetitive/degenerate text, the
+    * information-theoretic twin of the repetition filter). Two hash
+    * aggregations on doc_id-rooted keys (word counts, then the entropy
+    * sum) — both partial-aggregate map-side and co-partition, no join.
+    * Rounded to 5 decimals: the ± 1-ulp libm/log2 and partial-sum-order
+    * wobble is ~1e-12, far inside the nudge.
+    */
+  private val wordEntropy = QueryDef(
+    "q_word_entropy",
+    (spark, sfDir) => {
+      val wc = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w")
+        .agg(count(lit(1)).cast("double").as("c"))
+      wc.groupBy("doc_id")
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_distinct"),
+          sum(col("c") * log2(col("c"))).as("clog"))
+        // H = log2(n) - (1/n)·Σ c·log2 c — one pass, no count-then-join
+        .select(col("doc_id"), col("n").cast("long").as("n_words"),
+          col("n_distinct"),
+          Ql.r(log2(col("n")) - col("clog") / col("n"), 5).as("entropy"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH wc AS (
+        SELECT doc_id, CAST(count(*) AS DOUBLE) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY doc_id, w)
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+             count(*) AS n_distinct,
+             ${Ql.R("log2(sum(c)) - sum(c * log2(c)) / sum(c)", 5)} AS entropy
+      FROM wc GROUP BY doc_id ORDER BY doc_id
+    """))
+
+  override def defs: Seq[QueryDef] =
+    Seq(segmentDedup, repetitionFilter, domainBudget, wordEntropy)
+}
