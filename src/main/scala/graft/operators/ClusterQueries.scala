@@ -29,7 +29,10 @@ object ClusterQueries extends QueryModule {
       .withColumn("toks", expr("slice(split(text, ' '), 1, 12)"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(toks) - 3), i -> ${Ql.md5PrefixLong("concat_ws(' ', slice(toks, i + 1, 3))", 14)})")).as("sh"))
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))")).as("sh0"))
+      // hash post-explode in a codegen'd projection, not in the
+      // interpreted lambda (see DedupQueries.shingles)
+      .select(col("doc_id"), expr(Ql.md5PrefixLong("sh0", 14)).as("sh"))
       .distinct()
     psh.select(col("sh"), col("doc_id").as("d1"))
       .join(psh.select(col("sh"), col("doc_id").as("d2")), "sh")

@@ -40,15 +40,19 @@ object DedupQueries extends QueryModule {
     * distinct/join shuffles, so downstream exchanges move 8-byte keys.
     */
   private def shingles(docs: DataFrame, hashed: Boolean = false): DataFrame = {
-    val shingleExpr = "concat_ws(' ', slice(toks, i + 1, 3))"
-    val itemExpr =
-      if (hashed) Ql.md5PrefixLong(shingleExpr, 14) else shingleExpr
-    docs
+    // the md5 hash runs AFTER the explode, as a top-level projection, not
+    // inside the transform lambda: higher-order-function lambdas evaluate
+    // interpreted (no codegen), so hashing there costs ~2× the codegen'd
+    // column path for identical output (measured via Scratch ngram_profile)
+    val exploded = docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(toks) - 3), i -> $itemExpr)")).as("sh"))
-      .distinct()
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))")).as("sh0"))
+    val keyed =
+      if (hashed) exploded.select(col("doc_id"), expr(Ql.md5PrefixLong("sh0", 14)).as("sh"))
+      else exploded.withColumnRenamed("sh0", "sh")
+    keyed.distinct()
   }
 
   private val shinglesSql =

@@ -222,8 +222,11 @@ object TextQueries extends QueryModule {
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 3)
         .select(col("doc_id"), posexplode(expr(
-          "transform(sequence(0, size(toks) - 3), i -> md5(concat_ws(' ', slice(toks, i + 1, 3))))")))
-        .withColumnRenamed("col", "h")
+          "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))")))
+        .withColumnRenamed("col", "s0")
+        // hash post-explode in a codegen'd projection, not in the
+        // interpreted lambda (see DedupQueries.shingles)
+        .withColumn("h", md5(col("s0")))
         .withColumn("fp", min(col("h")).over(w))
         .filter(col("pos") >= 3)
         .groupBy("doc_id")
