@@ -36,5 +36,87 @@ object EventQueries extends QueryModule {
       ORDER BY 1, 2
     """))
 
-  override def defs: Seq[QueryDef] = Seq(hourlyEventStats)
+  /** Funnel conversion: view → click-after-view → purchase-after-click,
+    * per user, each stage anchored at the earliest qualifying event after
+    * the previous stage. Three aggregations and two joins, ALL keyed on
+    * user_id — one co-partitioned shuffle family, no windows over the
+    * full stream, so the plan is three map-side-combined aggs at any
+    * scale. (The Lambda-era equivalent: per-user DynamoDB state machine
+    * advanced by each record batch.)
+    */
+  private val funnel = QueryDef(
+    "q_funnel",
+    (spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      val nv = v.select(countDistinct("user_id").as("n_view"))
+      val nc = c.select(countDistinct("user_id").as("n_click_after"))
+      val np = p.select(countDistinct("user_id").as("n_purchase_after"))
+      nv.crossJoin(nc).crossJoin(np)
+        .select(col("n_view"), col("n_click_after"), col("n_purchase_after"),
+          Ql.r(col("n_click_after") / col("n_view").cast("double"), 4).as("click_rate"),
+          Ql.r(col("n_purchase_after") / col("n_click_after").cast("double"), 4).as("purchase_rate"))
+    },
+    Some(s"""
+      WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                 WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+              JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+      p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+              JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+      SELECT (SELECT count(*) FROM v) AS n_view,
+             (SELECT count(*) FROM c) AS n_click_after,
+             (SELECT count(*) FROM p) AS n_purchase_after,
+             ${Ql.R("(SELECT count(*) FROM c) * 1.0 / (SELECT count(*) FROM v)", 4)} AS click_rate,
+             ${Ql.R("(SELECT count(*) FROM p) * 1.0 / (SELECT count(*) FROM c)", 4)} AS purchase_rate
+    """))
+
+  /** Journey-path mining: each user's first three events (event-time
+    * order, event_id tiebreak) as a `a>b>c` path, counted across users —
+    * the "what do sessions look like" report. The rank filter rides the
+    * user_id window (WindowGroupLimit prunes below top-3 per user) and
+    * the path assembly is a sort_array over an already-3-element list.
+    */
+  private val eventPaths = QueryDef(
+    "q_event_paths",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          concat_ws(">", expr("transform(sort_array(collect_list(struct(rn, event_type))), s -> s.event_type)")).as("path"))
+        .filter(col("n") === 3)
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+      paths AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
+               count(*) AS n
+        FROM ranked WHERE rn <= 3 GROUP BY 1)
+      SELECT path, count(*) AS n_users
+      FROM paths WHERE n = 3
+      GROUP BY 1 ORDER BY n_users DESC, path
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(hourlyEventStats, funnel, eventPaths)
 }

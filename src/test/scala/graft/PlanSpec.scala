@@ -84,10 +84,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val cartesianOk = Set("q_join_cross")
     // q_tfidf: broadcast single-row scalar (corpus N) instead of a
     // driver-side collect — a 1-row nested loop by construction;
-    // q_bpe_merges: 1-row invariant stats × 1-row alien-char count
+    // q_bpe_merges: 1-row invariant stats × 1-row alien-char count;
+    // q_funnel: three single-row stage counts crossed into one report row
     val tinyBroadcastOk = cartesianOk ++
       Set("q_similar_topk", "q_knn_vote", "q_ann_ivf", "q_kmeans", "q_tfidf",
-        "q_bpe_merges")
+        "q_bpe_merges", "q_funnel")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
