@@ -217,6 +217,67 @@ object SimilarityQueries extends QueryModule {
       ORDER BY vec_id
     """))
 
+  /** I4b: product quantization — the 64-dim vector splits into 4
+    * subspaces of 16 dims; each subvector is assigned to its nearest of 4
+    * per-subspace codebook centroids (subvectors of vec_id 0..3 — the
+    * deterministic "first K" init; the trained-codebook path is q_kmeans'
+    * Lloyd loop applied per subspace). The packed 8-bit code compresses
+    * 256 B of floats to one byte per subspace — the standard ANN memory
+    * trick (Jégou et al., PAMI'11, re-derived from the public algorithm).
+    * Plan shape: one explode (×4), one 16-row broadcast, one window
+    * argmin, one regroup — all keyed on vec_id, linear at any corpus
+    * size. Argmin ranks on the ROUNDED distance (project contract, see
+    * q_kmeans) with centroid-id tiebreak.
+    */
+  private val pqCodes = QueryDef(
+    "q_pq_codes",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+      val subs = e
+        .select(col("vec_id"), explode(expr("sequence(0, 3)")).as("j"), col("v"))
+        .select(col("vec_id"), col("j"), expr("slice(v, 16 * j + 1, 16)").as("s"))
+      val cb = subs.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("int").as("cid"), col("j"), col("s").as("c"))
+      val w = Window.partitionBy("vec_id", "j").orderBy(col("dr"), col("cid"))
+      subs.join(broadcast(cb), "j")
+        .withColumn("d",
+          Vectors.dot(col("s"), col("s"))
+            - lit(2.0) * Vectors.dot(col("s"), col("c"))
+            + Vectors.dot(col("c"), col("c")))
+        .withColumn("dr", Ql.r(col("d"), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("vec_id")
+        .agg(
+          sum(expr("cid * CASE j WHEN 0 THEN 64 WHEN 1 THEN 16 WHEN 2 THEN 4 ELSE 1 END"))
+            .cast("long").as("code"),
+          Ql.r(sum(col("d")), 4).as("qerr"))
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      subs AS (SELECT vec_id, g.j, v[16 * g.j + 1 : 16 * g.j + 16] AS s
+               FROM e, generate_series(0, 3) g(j)),
+      cb AS (SELECT CAST(vec_id AS INT) AS cid, j, s AS c
+             FROM subs WHERE vec_id < 4),
+      a AS (SELECT vec_id, j, cid, d FROM (
+              SELECT s.vec_id, s.j, cb.cid,
+                     list_dot_product(s.s, s.s) - 2 * list_dot_product(s.s, cb.c)
+                       + list_dot_product(cb.c, cb.c) AS d,
+                     row_number() OVER (PARTITION BY s.vec_id, s.j
+                       ORDER BY round(list_dot_product(s.s, s.s)
+                                - 2 * list_dot_product(s.s, cb.c)
+                                + list_dot_product(cb.c, cb.c) + 1e-9, 6), cb.cid) AS rn
+              FROM subs s JOIN cb ON s.j = cb.j) WHERE rn = 1)
+      SELECT vec_id,
+             CAST(sum(cid * CASE j WHEN 0 THEN 64 WHEN 1 THEN 16 WHEN 2 THEN 4 ELSE 1 END) AS BIGINT) AS code,
+             ${Ql.R("sum(d)", 4)} AS qerr
+      FROM a GROUP BY 1 ORDER BY 1
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
-    similarTopk, knnVote, annIvf, docEmbedJoin, embedQuantize)
+    similarTopk, knnVote, annIvf, docEmbedJoin, embedQuantize, pqCodes)
 }

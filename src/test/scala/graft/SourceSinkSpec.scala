@@ -28,6 +28,21 @@ class SourceSinkSpec extends AnyFunSuite with SparkFixture {
     assert(fromJson.except(docs).count() == 0)
   }
 
+  test("A9: orc round-trip preserves rows, schema, and pushes filters") {
+    val dir = tmpDir()
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "n_chars")
+    docs.write.orc(s"$dir/orc")
+    val fromOrc = spark.read.orc(s"$dir/orc")
+    assert(fromOrc.schema == docs.schema)
+    assert(fromOrc.except(docs).count() == 0 && docs.except(fromOrc).count() == 0)
+    // ORC scans take pushed filters like parquet (a different reader stack)
+    val filtered = fromOrc.filter(col("doc_id") < 10)
+    val scan = filtered.queryExecution.sparkPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)]"),
+      s"no pushed filter in ORC scan:\n$scan")
+    assert(filtered.count() == docs.filter(col("doc_id") < 10).count())
+  }
+
   test("B4: json schema inference discovers the payload fields") {
     val dir = tmpDir()
     Tables.events(spark, sf).select("event_id", "props").write.json(s"$dir/j")
