@@ -206,6 +206,64 @@ object StreamingJobs {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  // ---- H6: transformWithState funnel stage machine ----
+
+  case class FunnelInput(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  case class FunnelStage(user_id: Long, stage: Int, ts_ms: Long)
+
+  /** Per-user view→click→purchase stage machine: stage k+1 requires its
+    * event STRICTLY after the stage-k anchor (the streaming twin of the
+    * batch `q_funnel` join cascade — the two agree when events arrive in
+    * event-time order). This is the reference's per-user DynamoDB state
+    * machine as first-class keyed state.
+    */
+  class FunnelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, FunnelInput, FunnelStage] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[(Int, Long)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Int, Long)](
+        "funnel", org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaInt,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    private val wanted = Array("view", "click", "purchase")
+
+    override def handleInputRows(key: Long, rows: Iterator[FunnelInput],
+        timers: TimerValues): Iterator[FunnelStage] = {
+      var (st, anchor) =
+        if (state.exists()) state.get() else (0, Long.MinValue)
+      val out = Seq.newBuilder[FunnelStage]
+      // batch-local sort: micro-batches carry no intra-batch order promise
+      rows.toSeq.sortBy(_.ts.getTime).foreach { r =>
+        val t = r.ts.getTime
+        if (st < 3 && r.event_type == wanted(st) && (st == 0 || t > anchor)) {
+          st += 1; anchor = t
+          out += FunnelStage(key, st, t)
+        }
+      }
+      state.update((st, anchor))
+      out.result().iterator
+    }
+  }
+
+  /** H6: funnel stages as a stream — emits a row each time a user advances
+    * a stage. RocksDB state store, same as every stateful job here.
+    */
+  def funnelStages(events: Dataset[FunnelInput]): Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   // ---- A6: crash-safe keyed upsert sink (generation + pointer swap) ----
 
   private def fsFor(spark: SparkSession, path: String) =

@@ -156,6 +156,44 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(latest(2L).n == 1 && latest(2L).total == 7.0)
   }
 
+  test("H6: streaming funnel stage machine equals the batch join cascade") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // real events at sf0.001, replayed in event-time order across 3 batches
+    val sf = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[StreamingJobs.FunnelInput].collect().sortBy(_.ts.getTime)
+    val ms = MemoryStream[StreamingJobs.FunnelInput]
+    val q = StreamingJobs.funnelStages(ms.toDS())
+      .writeStream.format("memory").queryName("funnel_stages")
+      .outputMode("append").start()
+    try ev.grouped((ev.length + 2) / 3).foreach { chunk =>
+      ms.addData(chunk.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("funnel_stages").as[StreamingJobs.FunnelStage].collect()
+      .groupBy(_.user_id).map { case (k, v) => k -> v.map(_.stage).max }
+    // batch expectation: the q_funnel join cascade's stage sets
+    val e = Tables.events(spark, sf).select("user_id", "event_type", "ts")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("t1")).groupBy("user_id").agg(min("ts").as("t2"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("t2")).groupBy("user_id").agg(min("ts").as("t3"))
+    val vs = v.select("user_id").as[Long].collect().toSet
+    val cs = c.select("user_id").as[Long].collect().toSet
+    val ps = p.select("user_id").as[Long].collect().toSet
+    val expected = vs.map(u => u -> (if (ps(u)) 3 else if (cs(u)) 2 else 1)).toMap
+    assert(got == expected)
+    // every user advanced one stage at a time, no skips
+    val perUser = spark.table("funnel_stages").as[StreamingJobs.FunnelStage]
+      .collect().groupBy(_.user_id)
+    perUser.values.foreach { st =>
+      assert(st.map(_.stage).sorted.toSeq == (1 to st.length).toSeq)
+    }
+  }
+
   test("C10: stream-stream join correlates within the time bound only") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
