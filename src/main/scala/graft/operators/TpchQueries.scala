@@ -552,8 +552,148 @@ object TpchQueries extends QueryModule {
       GROUP BY 1 ORDER BY 1
     """))
 
+  /** Q11 shape: important-stock identification — a grouped CTE filtered
+    * against a global scalar derived from its own aggregate (parts worth
+    * more than 2× the mean part value; mean, not a fixed total fraction,
+    * so selectivity is scale-free — a total-fraction cut goes degenerate
+    * as the part count grows). Both sides of the comparison are
+    * cent-rounded and the threshold sits mid-cent (+0.005), so the
+    * sub-1e-9 partial-sum wobble cannot flip a row (same contract as
+    * q_tpch_q22_shape).
+    */
+  private val q11Shape = QueryDef(
+    "q_tpch_q11_shape",
+    (spark, sfDir) => {
+      Tables.lineitem(spark, sfDir).createOrReplaceTempView("v_lineitem_q11")
+      Tables.supplier(spark, sfDir).createOrReplaceTempView("v_supplier_q11")
+      spark.sql("""
+        WITH ps AS (
+          SELECT l_partkey, round(sum(l_extendedprice * l_quantity) + 1e-9, 2) AS val
+          FROM v_lineitem_q11 JOIN v_supplier_q11 ON l_suppkey = s_suppkey
+          WHERE s_nationkey < 5
+          GROUP BY l_partkey)
+        SELECT l_partkey, val FROM ps
+        WHERE val > (SELECT round(2.0 * avg(val) + 1e-9, 2) + 0.005 FROM ps)
+        ORDER BY val DESC, l_partkey
+      """)
+    },
+    Some(s"""
+      WITH ps AS (
+        SELECT l_partkey, ${Ql.R("sum(l_extendedprice * l_quantity)")} AS val
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        WHERE s_nationkey < 5
+        GROUP BY l_partkey)
+      SELECT l_partkey, val FROM ps
+      WHERE val > (SELECT ${Ql.R("2.0 * avg(val)")} + 0.005 FROM ps)
+      ORDER BY val DESC, l_partkey
+    """))
+
+  /** Q15 shape: top supplier — revenue CTE referenced twice (once as the
+    * rows, once under an uncorrelated MAX), equality on the cent-rounded
+    * revenue. Catalyst plans the reused CTE once per reference; the
+    * rounding makes the max-equality deterministic across engines.
+    */
+  private val q15Shape = QueryDef(
+    "q_tpch_q15_shape",
+    (spark, sfDir) => {
+      Tables.lineitem(spark, sfDir).createOrReplaceTempView("v_lineitem_q15")
+      Tables.supplier(spark, sfDir).createOrReplaceTempView("v_supplier_q15")
+      spark.sql("""
+        WITH rev AS (
+          SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS total_rev
+          FROM v_lineitem_q15
+          WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_rev
+        FROM v_supplier_q15 JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        ORDER BY s_suppkey
+      """)
+    },
+    Some(s"""
+      WITH rev AS (
+        SELECT l_suppkey, ${Ql.R("sum(l_extendedprice * (1 - l_discount))")} AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_rev
+      FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      WHERE total_rev = (SELECT max(total_rev) FROM rev)
+      ORDER BY s_suppkey
+    """))
+
+  /** Q19 shape: discounted-revenue over an OR-of-ANDs mixing both join
+    * sides — the disjunction can't push to either scan alone, but its
+    * single-side conjuncts can and do (brand/size to part, quantity to
+    * lineitem): the CNF-extraction pushdown surface.
+    */
+  private val q19Shape = QueryDef(
+    "q_tpch_q19_shape",
+    (spark, sfDir) => {
+      val l = Tables.lineitem(spark, sfDir)
+      val p = Tables.part(spark, sfDir)
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10)
+            && col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(5, 20)
+            && col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(10, 30)
+            && col("l_quantity").between(20, 40)))
+        .agg(Ql.r(sum(rev)).as("revenue"), count(lit(1)).as("n"))
+    },
+    Some(s"""
+      SELECT ${Ql.R("sum(l_extendedprice * (1 - l_discount))")} AS revenue,
+             count(*) AS n
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 30)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 20 AND 40)
+    """))
+
+  /** Q20 shape: excess-stock suppliers — IN over a grouped-HAVING subquery
+    * whose threshold is itself a scalar subquery over the same CTE (1.1 ×
+    * the mean per-supplier quantity; quantities are integral so the mean
+    * is exact and the comparison cannot wobble). Plans as agg → filter →
+    * semi join.
+    */
+  private val q20Shape = QueryDef(
+    "q_tpch_q20_shape",
+    (spark, sfDir) => {
+      Tables.lineitem(spark, sfDir).createOrReplaceTempView("v_lineitem_q20")
+      Tables.part(spark, sfDir).createOrReplaceTempView("v_part_q20")
+      Tables.supplier(spark, sfDir).createOrReplaceTempView("v_supplier_q20")
+      spark.sql("""
+        WITH sq AS (
+          SELECT l_suppkey, sum(l_quantity) AS q
+          FROM v_lineitem_q20 JOIN v_part_q20 ON l_partkey = p_partkey
+          WHERE p_size < 10
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name
+        FROM v_supplier_q20
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM sq WHERE q > (SELECT 1.1 * avg(q) FROM sq))
+        ORDER BY s_suppkey
+      """)
+    },
+    Some("""
+      WITH sq AS (
+        SELECT l_suppkey, sum(l_quantity) AS q
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size < 10
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name
+      FROM supplier
+      WHERE s_suppkey IN (
+        SELECT l_suppkey FROM sq WHERE q > (SELECT 1.1 * avg(q) FROM sq))
+      ORDER BY s_suppkey
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     q3Shape, q5Shape, q10Shape, q6Shape, q18Shape, q7Shape,
     q2Shape, q14Shape, q16Shape,
-    q4Shape, q13Shape, q17Shape, q21Shape, q22Shape)
+    q4Shape, q13Shape, q17Shape, q21Shape, q22Shape,
+    q11Shape, q15Shape, q19Shape, q20Shape)
 }
