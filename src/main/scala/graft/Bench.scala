@@ -61,7 +61,12 @@ object Bench {
     val heavyWarm =
       if (warmSf == sfDir) Seq.empty
       else Seq("q_dedup_ngram_jaccard", "q_dedup_minhash", "q_fuzzy_join",
-        "q_dedup_clusters", "q_bpe_merges", "q_kmeans")
+        "q_dedup_clusters", "q_bpe_merges", "q_kmeans",
+        // r5 additions whose first-use codegen dominates their in-loop
+        // time (double-EXISTS decorrelation, shared-CTE min, 5-gram
+        // contamination index, segment-dedup hash joins)
+        "q_contamination", "q_tpch_q21_shape", "q_tpch_q2_shape",
+        "q_segment_dedup")
     (lightWarm ++ heavyWarm)
       .filter(SparkEntry.queries.contains)
       .foreach { n =>

@@ -193,6 +193,44 @@ object CurationQueries extends QueryModule {
       FROM wc GROUP BY doc_id ORDER BY doc_id
     """))
 
+  /** I-cur5: global ordinal assignment (shard ids for training) WITHOUT a
+    * single-partition global sort: rows get a range bucket (n_chars div
+    * 64), ranks are computed per bucket (distributed windows), and each
+    * bucket's offset is the running count over the TINY per-bucket
+    * histogram — the only global step. A naive `row_number() OVER (ORDER
+    * BY ...)` collapses to one partition at 100 TB; this two-level rank
+    * is the scalable equivalent, and the oracle proves it IS the global
+    * row_number.
+    */
+  private val globalOrdinals = QueryDef(
+    "q_global_ordinals",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("bkt", (col("n_chars") / 64).cast("long"))
+      // tiny: one row per 64-char bucket
+      val offsets = docs.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+        .withColumn("offset",
+          coalesce(sum(col("cnt")).over(
+            Window.orderBy(col("bkt").desc)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bkt", "offset")
+      val inBucket = Window.partitionBy("bkt")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      docs
+        .join(broadcast(offsets), "bkt")
+        .withColumn("ordinal", col("offset") + row_number().over(inBucket))
+        .select(col("doc_id"), col("n_chars"), col("ordinal"))
+        .orderBy("ordinal")
+    },
+    Some("""
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS ordinal
+      FROM documents
+      ORDER BY ordinal
+    """))
+
   override def defs: Seq[QueryDef] =
-    Seq(segmentDedup, repetitionFilter, domainBudget, wordEntropy)
+    Seq(segmentDedup, repetitionFilter, domainBudget, wordEntropy,
+      globalOrdinals)
 }
