@@ -22,12 +22,7 @@ object Scratch {
         val t0 = System.nanoTime(); val r = f
         println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
       }
-      // inline twin of DedupQueries.withPlants (private[operators])
-      val d0 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-      val d = d0.unionByName(
-        d0.filter(col("doc_id") < 10).select(
-          (col("doc_id") + 100000).as("doc_id"),
-          regexp_replace(col("text"), "^\\S+", "zzz").as("text")))
+      val d = operators.DedupQueries.withPlants(spark, sfDir)
       t("docs scan")(d.count())
       def explodedRaw = d
         .withColumn("toks", split(col("text"), " "))

@@ -14,13 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries extends QueryModule {
 
-  /** Disjoint 8-word segments of a document, as one Spark SQL array
-    * expression (slice is 1-based; the last segment keeps the remainder).
+  /** Disjoint 8-word segments over a pre-split `toks` array column
+    * (slice is 1-based; the last segment keeps the remainder). Takes the
+    * column name, not the raw text: the lambda runs interpreted (no
+    * codegen — NOTES #18), so re-splitting the text per segment would be
+    * O(words × segments) per document.
     */
-  private def segArr(textCol: String): String =
+  private def segArr(toksCol: String): String =
     s"""transform(
-          sequence(0, cast(ceil(size(split($textCol, ' ')) / 8.0) as int) - 1),
-          i -> concat_ws(' ', slice(split($textCol, ' '), i * 8 + 1, 8)))"""
+          sequence(0, cast(ceil(size($toksCol) / 8.0) as int) - 1),
+          i -> concat_ws(' ', slice($toksCol, i * 8 + 1, 8)))"""
 
   /** DuckDB twin of [[segArr]] (list slices are 1-based inclusive). */
   private def segArrSql(textCol: String): String =
@@ -40,10 +43,14 @@ object CurationQueries extends QueryModule {
     "q_segment_dedup",
     (spark, sfDir) => {
       val segs = Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
         .select(col("doc_id"), col("lang"),
-          explode(expr(segArr("text"))).as("seg"))
+          explode(expr(segArr("toks"))).as("seg"))
         .withColumn("seg_h", expr(Ql.md5PrefixLong("seg", 14)))
         .select("doc_id", "lang", "seg_h")
+        // feeds both the dup-set aggregate and the per-doc tally — cache
+        // so the scan+explode+hash runs once, not once per consumer
+        .cache()
       val dup = segs.groupBy("seg_h")
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 2)
@@ -91,6 +98,9 @@ object CurationQueries extends QueryModule {
     (spark, sfDir) =>
       Tables.documents(spark, sfDir)
         .withColumn("toks", split(col("text"), " "))
+        // bigrams need ≥ 2 tokens; without this a 1-word doc makes
+        // sequence(0, -1) count DOWN and element_at(toks, 0) throw
+        .filter(size(col("toks")) >= 2)
         .withColumn("n_words", size(col("toks")))
         .withColumn("mx", expr(
           """array_max(transform(array_distinct(toks),
@@ -108,7 +118,8 @@ object CurationQueries extends QueryModule {
         .orderBy(col("dup_bigram_frac").desc, col("top_word_frac").desc, col("doc_id"))
         .limit(30),
     Some(s"""
-      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+                 WHERE len(string_split(text, ' ')) >= 2),
       sig AS (
         SELECT doc_id,
                CAST(len(toks) AS INT) AS n_words,

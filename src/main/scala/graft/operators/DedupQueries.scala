@@ -20,7 +20,7 @@ object DedupQueries extends QueryModule {
   /** documents ∪ perturbed copies of doc_id<10 (id+100000, first token
     * replaced) — the planted near-duplicates.
     */
-  private[operators] def withPlants(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def withPlants(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     d.unionByName(
       d.filter(col("doc_id") < 10).select(
@@ -36,8 +36,9 @@ object DedupQueries extends QueryModule {
 
   /** Distinct 3-token shingles per doc: (doc_id, sh). With
     * `hashed = true` the shingle is its 56-bit md5-prefix int64 instead
-    * of the string — hashed inside the generator lambda, BEFORE the
-    * distinct/join shuffles, so downstream exchanges move 8-byte keys.
+    * of the string — hashed in a codegen'd projection right after the
+    * explode, BEFORE the distinct/join shuffles, so downstream exchanges
+    * move 8-byte keys.
     */
   private def shingles(docs: DataFrame, hashed: Boolean = false): DataFrame = {
     // the md5 hash runs AFTER the explode, as a top-level projection, not

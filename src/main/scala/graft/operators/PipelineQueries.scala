@@ -126,9 +126,13 @@ object PipelineQueries extends QueryModule {
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 5)
         .select(col("doc_id"), col("lang"), col("b"),
-          explode(expr(s"transform(sequence(0, size(toks) - 5), i -> ${
-            Ql.md5PrefixLong("concat_ws(' ', slice(toks, i + 1, 5))", 14)})"))
-            .as("sh"))
+          explode(expr(
+            "transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', slice(toks, i + 1, 5)))"))
+            .as("sh0"))
+        // hash post-explode in a codegen'd projection, not in the
+        // interpreted lambda (see DedupQueries.shingles)
+        .select(col("doc_id"), col("lang"), col("b"),
+          expr(Ql.md5PrefixLong("sh0", 14)).as("sh"))
         .distinct()
         // both split sides derive from this one shingle set — cache so the
         // explode+md5+distinct shuffle runs once, not once per consumer
