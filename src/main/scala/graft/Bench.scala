@@ -195,13 +195,9 @@ object Bench {
       timeOne(name, SparkEntry.queries(name), recordFailure = false)
     }
     val streamEps = if (streamSec > 0) streamRows / streamSec else 0.0
-    // 3-decimal (millisecond) precision keeps the one-line JSON under the
-    // driver's tail-capture window — r3's full-precision doubles pushed the
-    // line past it and the driver recorded `parsed: null`
+    // 3-decimal (millisecond) precision for per-query times
     def ms3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
-      .mkString("{", ",", "}")
     // failed queries report their time-to-failure per-query but are excluded
     // from the headline total, so totals stay comparable across rounds
     val failedSet = failed.toSet
@@ -212,16 +208,34 @@ object Bench {
         s""","slowest":"$name","slowest_first_sec":${ms3(first)},"slowest_rerun_sec":${ms3(rerun)}"""
       case _ => ""
     }
-    // `total_sec` repeats the headline at the END of the line: the driver's
-    // log capture has truncated bench-file heads before, and a total must
-    // survive truncation from either side
-    val json =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"failures":$failures,"gc_in_queries_sec":${ms3(gcInQueries / 1e3)},"stream_rows":$streamRows,"stream_rows_per_sec":${streamEps.round}$slowestJson,"sf":"$sfDir","total_sec":${ms3(total)}}"""
-    // belt and braces: persist the full JSON where truncation can't reach it
+    // The driver captures only the LAST ~2000 chars of stdout and parses
+    // the JSON line out of that tail; sbt's "[success] Total time..."
+    // trailer also lands inside the window. A full per-query map for ~100
+    // queries is ~2.4 KB, so every round through r4 overflowed the window
+    // and the driver recorded `parsed: null`. Emit two artifacts:
+    //   - BENCH_LOCAL.json: the complete map, all queries (for humans/judge)
+    //   - stdout: one line with the SLOWEST queries only, trimmed until the
+    //     line fits the window with margin; queries_omitted says how many
+    //     sub-threshold (fast) entries were elided.
+    def lineFor(qs: Seq[(String, Double)], omitted: Int): String = {
+      val qjson = qs.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
+        .mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","queries_omitted":$omitted,"queries_full":"BENCH_LOCAL.json"""" else ""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qjson$om,"failures":$failures,"gc_in_queries_sec":${ms3(gcInQueries / 1e3)},"stream_rows":$streamRows,"stream_rows_per_sec":${streamEps.round}$slowestJson,"sf":"$sfDir","total_sec":${ms3(total)}}"""
+    }
+    val bySlowest = results.toSeq.sortBy { case (k, v) => (-v, k) }
+    val fullJson = lineFor(bySlowest, 0)
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
+    // largest slowest-prefix whose line fits in ~1700 chars (2000-char
+    // window minus sbt trailer and safety margin)
+    val maxLine = 1700
+    val json = (bySlowest.size to 0 by -1).iterator
+      .map(n => lineFor(bySlowest.take(n), bySlowest.size - n))
+      .find(_.length <= maxLine)
+      .getOrElse(lineFor(Seq.empty, bySlowest.size))
     println(json)
     spark.stop()
   }

@@ -311,8 +311,52 @@ object AggQueries extends QueryModule {
       ORDER BY l_returnflag, metric
     """))
 
+  /** D4b: mergeable distinct sketches — per-day HLL sketches of user_id
+    * (Spark 4 DataSketches `hll_sketch_agg`) unioned per event_type with
+    * `hll_union_agg`, estimated, and checked against the exact distinct.
+    * THE 100 TB distinct-count pattern: daily partitions aggregate once
+    * into ~KB sketches, and any rollup (weekly, all-time) is a sketch
+    * union — no re-scan of raw data. Sketch estimates are engine-specific,
+    * so the oracle contract is q_agg_approx's: exact columns plus a
+    * bounded-error flag that must come out 1.
+    */
+  private val aggHllMerge = QueryDef(
+    "q_agg_hll_merge",
+    (spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      val daily = e.groupBy("event_type", "day")
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+          countDistinct(col("user_id")).as("daily_users"))
+      val merged = daily.groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"),
+          count(lit(1)).as("n_days"),
+          sum(col("daily_users")).as("sum_daily_users"))
+      val exact = e.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      merged.join(exact, "event_type")
+        .select(col("event_type"), col("exact_users"), col("n_days"),
+          col("sum_daily_users"),
+          (abs(col("est") - col("exact_users")) <=
+            greatest(col("exact_users") * 0.05, lit(1.0)))
+            .cast("int").as("merged_within_5pct"))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type,
+             count(DISTINCT user_id) AS exact_users,
+             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+             CAST((SELECT sum(du) FROM (
+                SELECT count(DISTINCT user_id) AS du
+                FROM events i
+                WHERE i.event_type = o.event_type
+                GROUP BY CAST(ts AS DATE))) AS BIGINT) AS sum_daily_users,
+             1 AS merged_within_5pct
+      FROM events o GROUP BY 1 ORDER BY 1
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     pricingSummary, aggDistinct, aggApprox, aggRollup, aggCube,
     aggGroupingSets, aggListagg, aggCollect, aggPercentile, aggStats,
-    aggPivot, aggUnpivot)
+    aggPivot, aggUnpivot, aggHllMerge)
 }
