@@ -691,9 +691,133 @@ object TpchQueries extends QueryModule {
       ORDER BY s_suppkey
     """))
 
+  /** Q8 shape: national market share — within AMERICA customers' PROMO-part
+    * consumption, the revenue share supplied by NATION_5, per order year.
+    * Two independent roles for the nation dim (customer's region membership
+    * vs supplier's identity) force distinct broadcast instances of the same
+    * table; the share is a ratio of conditional sums per group.
+    */
+  private val q8Shape = QueryDef(
+    "q_tpch_q8_shape",
+    (spark, sfDir) => {
+      val l = Tables.lineitem(spark, sfDir)
+      val o = Tables.orders(spark, sfDir)
+      val c = Tables.customer(spark, sfDir)
+      val p = Tables.part(spark, sfDir).filter(col("p_type") === "PROMO")
+      val s = Tables.supplier(spark, sfDir)
+      val nCust = Tables.nation(spark, sfDir).select(
+        col("n_nationkey").as("cn_nationkey"), col("n_regionkey").as("cn_regionkey"))
+      val nSupp = Tables.nation(spark, sfDir).select(
+        col("n_nationkey").as("sn_nationkey"), col("n_name").as("supp_nation"))
+      val r = Tables.region(spark, sfDir).filter(col("r_name") === "AMERICA")
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(nCust), c("c_nationkey") === col("cn_nationkey"))
+        .join(broadcast(r), col("cn_regionkey") === r("r_regionkey"))
+        .join(s, l("l_suppkey") === s("s_suppkey"))
+        .join(broadcast(nSupp), s("s_nationkey") === col("sn_nationkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          Ql.r(sum(when(col("supp_nation") === "NATION_5", rev).otherwise(lit(0.0)))
+            / sum(rev), 4).as("mkt_share"),
+          Ql.r(sum(rev)).as("total_rev"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_year")
+    },
+    Some(s"""
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             ${Ql.R("sum(CASE WHEN n2.n_name = 'NATION_5' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) / sum(l_extendedprice * (1 - l_discount))", 4)} AS mkt_share,
+             ${Ql.R("sum(l_extendedprice * (1 - l_discount))")} AS total_rev,
+             count(*) AS n_items
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+      GROUP BY 1 ORDER BY 1
+    """))
+
+  /** Q9 shape: product-type profit — revenue minus a cost model
+    * (0.6 × retail price × quantity stands in for ps_supplycost; the
+    * schema has no partsupp table, FIXTURES.md), per supplier nation per
+    * order year. The classic wide fact-to-every-dim star join.
+    */
+  private val q9Shape = QueryDef(
+    "q_tpch_q9_shape",
+    (spark, sfDir) => {
+      val l = Tables.lineitem(spark, sfDir)
+      val o = Tables.orders(spark, sfDir)
+      val p = Tables.part(spark, sfDir).filter(col("p_type") === "ECONOMY")
+      val s = Tables.supplier(spark, sfDir)
+      val n = Tables.nation(spark, sfDir)
+      val profit = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        lit(0.6) * col("p_retailprice") * col("l_quantity")
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(s, l("l_suppkey") === s("s_suppkey"))
+        .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(Ql.r(sum(profit)).as("profit"), count(lit(1)).as("n_items"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+    Some(s"""
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             ${Ql.R("sum(l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity)")} AS profit,
+             count(*) AS n_items
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+      WHERE p_type = 'ECONOMY'
+      GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """))
+
+  /** Q12 shape: shipping-priority counts — CASE-sum tallies of urgent vs
+    * other orders over a join with an interval lateness predicate
+    * (l_shipdate ≥ o_orderdate + 60 days stands in for the commit/receipt
+    * comparison; l_linestatus stands in for l_shipmode — FIXTURES.md has
+    * neither column).
+    */
+  private val q12Shape = QueryDef(
+    "q_tpch_q12_shape",
+    (spark, sfDir) => {
+      val l = Tables.lineitem(spark, sfDir)
+        .filter(col("l_shipdate") >= lit("1998-01-01")
+          && col("l_shipdate") < lit("1999-01-01"))
+      val o = Tables.orders(spark, sfDir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAY"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+    Some("""
+      SELECT l_linestatus,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+      GROUP BY 1 ORDER BY 1
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     q3Shape, q5Shape, q10Shape, q6Shape, q18Shape, q7Shape,
     q2Shape, q14Shape, q16Shape,
     q4Shape, q13Shape, q17Shape, q21Shape, q22Shape,
-    q11Shape, q15Shape, q19Shape, q20Shape)
+    q11Shape, q15Shape, q19Shape, q20Shape,
+    q8Shape, q9Shape, q12Shape)
 }
