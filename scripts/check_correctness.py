@@ -23,7 +23,12 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.execute(
         f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
 
-oracle = json.load(open(f"{out}/oracle_sql.json"))
+# a partial file only exists when the latest Verify run was a
+# SPARK_GRAFT_VERIFY_ONLY subset (full runs delete it) — check that subset
+import os
+_partial = f"{out}/oracle_sql.partial.json"
+oracle = json.load(open(_partial if os.path.exists(_partial)
+                        else f"{out}/oracle_sql.json"))
 fails = []
 
 

@@ -230,12 +230,28 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}") }
     // largest slowest-prefix whose line fits in ~1700 chars (2000-char
-    // window minus sbt trailer and safety margin)
+    // window minus sbt trailer and safety margin). One pass over prefix
+    // sums of entry lengths picks the cut point — not a rebuild of the
+    // full JSON per candidate length — then the actual line is built once
+    // and nudged down only if the estimate was off by a digit or two.
     val maxLine = 1700
-    val json = (bySlowest.size to 0 by -1).iterator
-      .map(n => lineFor(bySlowest.take(n), bySlowest.size - n))
-      .find(_.length <= maxLine)
-      .getOrElse(lineFor(Seq.empty, bySlowest.size))
+    val json =
+      if (fullJson.length <= maxLine) fullJson
+      else {
+        // cumulative "…\"k\":v," body length for the first n entries
+        val prefixLen = bySlowest.scanLeft(0L) { case (acc, (k, v)) =>
+          acc + k.length + ms3(v).length + 4 // quotes, colon, comma
+        }.toArray
+        val overhead = lineFor(Seq.empty, bySlowest.size).length
+        var n = bySlowest.size - 1
+        while (n > 0 && overhead + prefixLen(n) - 1 > maxLine) n -= 1
+        var line = lineFor(bySlowest.take(n), bySlowest.size - n)
+        while (n > 0 && line.length > maxLine) {
+          n -= 1
+          line = lineFor(bySlowest.take(n), bySlowest.size - n)
+        }
+        line
+      }
     println(json)
     spark.stop()
   }

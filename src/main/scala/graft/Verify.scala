@@ -42,7 +42,16 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql.filter(o => only(o._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // a VERIFY_ONLY subset must not overwrite the full oracle_sql.json
+    // (a later full check against the dir would silently check fewer
+    // queries) — subset runs write a sibling partial file instead, and a
+    // full run removes any stale partial so the dir is unambiguous
+    if (sys.env.contains("SPARK_GRAFT_VERIFY_ONLY")) {
+      Files.writeString(Paths.get(s"$outDir/oracle_sql.partial.json"), json)
+    } else {
+      Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+      Files.deleteIfExists(Paths.get(s"$outDir/oracle_sql.partial.json"))
+    }
     spark.stop()
   }
 }

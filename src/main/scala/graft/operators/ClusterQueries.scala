@@ -1,16 +1,17 @@
 package graft.operators
 
 import graft.{QueryDef, QueryModule}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Near-dup clustering (the step after candidate detection): connected
   * components over the candidate-pair graph, so each duplicate group gets
   * a canonical representative (min doc_id). Spark side is iterative
-  * min-label propagation to a fixpoint — each round one join + one
-  * aggregate, the standard large-graph CC shape (GraphX-free). Oracle is a
-  * recursive-CTE transitive closure (fine at oracle scale; the iterative
-  * form is the one that scales).
+  * min-label propagation accelerated with pointer jumping (O(log d)
+  * rounds, d = component diameter) — each round one neighbor-min join
+  * plus two label-chase joins, the standard large-graph CC shape
+  * (GraphX-free). Oracle is a recursive-CTE transitive closure (fine at
+  * oracle scale; the iterative form is the one that scales).
   */
 object ClusterQueries extends QueryModule {
 
@@ -34,8 +35,18 @@ object ClusterQueries extends QueryModule {
       // interpreted lambda (see DedupQueries.shingles)
       .select(col("doc_id"), expr(Ql.md5PrefixLong("sh0", 14)).as("sh"))
       .distinct()
-    psh.select(col("sh"), col("doc_id").as("d1"))
-      .join(psh.select(col("sh"), col("doc_id").as("d2")), "sh")
+    // scale guard (same rule as q_dedup_ngram_jaccard): a shingle in d
+    // docs yields d² join rows inside one bucket — drop ubiquitous
+    // shingles (df > 100) before the self-join; a boilerplate prefix
+    // ("terms of service …") carries no clustering signal. No-op on this
+    // corpus, load-bearing at 100 TB. psh is distinct per (doc_id, sh),
+    // so count(*) per sh IS the document frequency; the df table is tiny
+    // (distinct shingles) and broadcast back.
+    val dfTab = psh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 100).select("sh")
+    val rare = psh.join(broadcast(dfTab), "sh")
+    rare.select(col("sh"), col("doc_id").as("d1"))
+      .join(rare.select(col("sh"), col("doc_id").as("d2")), "sh")
       .filter(col("d1") < col("d2"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
       .filter(col("common") >= 2)
@@ -52,12 +63,81 @@ object ClusterQueries extends QueryModule {
            FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 3)) AS i
                  FROM (SELECT doc_id, string_split(text, ' ')[1:12] AS t FROM planted)
                  WHERE len(t) >= 3))),
+       rare AS (
+         SELECT doc_id, sh FROM (
+           SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM psh)
+         WHERE df <= 100),
        edges AS (
          SELECT d1, d2 FROM (
            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-           FROM psh a JOIN psh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
          WHERE common >= 2)"""
+
+  /** Connected components over an undirected adjacency list `adj(a, b)`
+    * (both directions present). Each round:
+    *
+    *   1. neighbor-min: `cand(v) = min(lbl(v), min over neighbors)` —
+    *      label information travels one hop;
+    *   2. pointer jumping ×2 on the materialized candidate table:
+    *      `lbl(v) = min(lbl(v), cand(lbl(v)))`, twice — label information
+    *      travels along the label-forest edges, tripling the effective
+    *      reach per round, so a diameter-d component converges in
+    *      O(log d) rounds instead of O(d) (a chain-shaped duplicate
+    *      cluster — paginated boilerplate — at corpus scale would blow a
+    *      plain min-label loop's round budget).
+    *
+    * The convergence count rides the final materialization as an
+    * `observe` metric (CollectMetrics is map-side, zero extra shuffle),
+    * so each round costs exactly two jobs (cand checkpoint + next
+    * checkpoint), not three. Eager localCheckpoints truncate lineage each
+    * round or Catalyst re-analyzes the whole accumulated plan every
+    * iteration (superlinear planning blowup).
+    *
+    * Returns (labels(id, lbl), rounds) where `rounds` includes the final
+    * no-change fixpoint check. Fails loudly rather than emit unconverged
+    * (wrong) components.
+    */
+  def connectedComponents(adj: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+    var labels = adj.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val nbrMin = adj.join(labels, adj("b") === labels("id"))
+        .groupBy(col("a")).agg(min(col("lbl")).as("nlbl"))
+      // the old label rides along into the checkpoint so convergence is
+      // decided from the materialized frame, not a separate join
+      val cand = labels.join(nbrMin, labels("id") === nbrMin("a"), "left")
+        .select(col("id"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      // chase the label's own label through the materialized candidate
+      // table (labels are always node ids, so the lookup always hits)
+      def jump(l: DataFrame): DataFrame = {
+        val p = cand.select(col("id").as("pid"), col("lbl").as("plbl"))
+        l.join(p, l("lbl") === p("pid"), "left")
+          .select(l("id"), l("old"),
+            least(l("lbl"), coalesce(col("plbl"), l("lbl"))).as("lbl"))
+      }
+      val obs = Observation()
+      val next = jump(jump(cand))
+        .observe(obs, sum(when(col("lbl") =!= col("old"), 1L)
+          .otherwise(0L)).as("changed"))
+        .localCheckpoint(true)
+      changed = obs.get("changed") match {
+        case null => 0L
+        case n: Number => n.longValue()
+      }
+      labels = next.select("id", "lbl")
+      rounds += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $rounds rounds")
+    (labels, rounds)
+  }
 
   private val dedupClusters = QueryDef(
     "q_dedup_clusters",
@@ -73,36 +153,12 @@ object ClusterQueries extends QueryModule {
         .unionByName(e.select(col("d2").as("a"), col("d1").as("b")))
         .repartition(parts)
         .cache()
-      // eager localCheckpoint: iterative DataFrame loops must truncate
-      // lineage each round or Catalyst re-analyzes the whole accumulated
-      // plan every iteration (superlinear planning blowup)
-      var labels = adj.select(col("a").as("id")).distinct()
-        .withColumn("lbl", col("id"))
-        .localCheckpoint(true)
-      // min-label propagation to fixpoint (the loop converges in diameter
-      // rounds — stop on no change). The old label rides along into the
-      // checkpoint so the convergence check is a scan of the materialized
-      // frame, not another join+shuffle job per round.
-      def propagate(l: DataFrame): DataFrame = {
-        val nbrMin = adj.join(l, adj("b") === l("id"))
-          .groupBy(col("a")).agg(min(col("lbl")).as("nlbl"))
-        l.join(nbrMin, l("id") === nbrMin("a"), "left")
-          .select(col("id"), col("lbl").as("old"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      }
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 50) {
-        val next = propagate(labels).localCheckpoint(true)
-        changed = next.filter(col("lbl") =!= col("old")).count()
-        labels = next.select("id", "lbl")
-        rounds += 1
-      }
-      // fail loudly rather than emit unconverged (wrong) components — at
-      // scale a >50-diameter component means switch to pointer jumping
-      if (changed > 0)
-        throw new IllegalStateException(
-          s"connected components did not converge in $rounds rounds")
+      val (labels, _) = connectedComponents(adj)
+      // the loop's inputs are dead once labels is checkpointed (lineage
+      // truncated) — release their blocks now instead of taxing every
+      // later query in a bench/verify session
+      e.unpersist(false)
+      adj.unpersist(false)
       // members as a comma-joined string: the verify harness hashes flat
       // scalar columns, so array columns are emitted pre-joined
       labels

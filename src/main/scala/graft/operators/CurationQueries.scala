@@ -61,11 +61,17 @@ object CurationQueries extends QueryModule {
         .agg(count(lit(1)).as("n_segs"),
           sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
         .withColumn("frac", col("n_dup") / col("n_segs"))
-      perDoc.groupBy("lang")
+      val perLang = perDoc.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum((col("frac") >= 0.3).cast("long")).as("n_flagged"),
           Ql.r(avg(col("frac")), 4).as("avg_dup_frac"))
         .orderBy("lang")
+        // the result is a per-lang handful of rows — materialize it now so
+        // the segs cache's scope is this function, not the whole session
+        // (unreleased blocks would tax every later query in a bench run)
+        .localCheckpoint(true)
+      segs.unpersist(false)
+      perLang
     },
     Some(s"""
       WITH segs AS (

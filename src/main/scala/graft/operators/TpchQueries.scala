@@ -238,12 +238,21 @@ object TpchQueries extends QueryModule {
       Tables.supplier(spark, sfDir).createOrReplaceTempView("v_supplier_q2")
       Tables.nation(spark, sfDir).createOrReplaceTempView("v_nation_q2")
       Tables.region(spark, sfDir).createOrReplaceTempView("v_region_q2")
+      // `cost` is referenced twice (the main join AND the decorrelated
+      // scalar MIN) — as a plain CTE Catalyst inlines both references and
+      // the lineitem pre-aggregation runs twice. Materialize it once
+      // (eager localCheckpoint; it is a partkey×suppkey aggregate, tiny
+      // next to lineitem) so both consumers read the same blocks. At
+      // cluster scale this is the same call: checkpoint/cache the shared
+      // aggregate rather than recompute a 100 TB scan per reference.
       spark.sql("""
-        WITH cost AS (
-          SELECT l_partkey, l_suppkey,
-                 min(l_extendedprice / l_quantity) AS supply_cost
-          FROM v_lineitem_q2 GROUP BY 1, 2
-        )
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS supply_cost
+        FROM v_lineitem_q2 GROUP BY 1, 2""")
+        .localCheckpoint(true)
+        .createOrReplaceTempView("v_cost_q2")
+      spark.sql("""
+        WITH cost AS (SELECT * FROM v_cost_q2)
         SELECT p_partkey, p_type, p_size, s_name, n_name,
                round(s_acctbal + 1e-9, 2) AS acctbal,
                round(supply_cost + 1e-9, 4) AS cost

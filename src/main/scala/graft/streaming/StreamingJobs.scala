@@ -229,20 +229,48 @@ object StreamingJobs {
           org.apache.spark.sql.Encoders.scalaLong),
         TTLConfig.NONE)
 
-    private val wanted = Array("view", "click", "purchase")
-
     override def handleInputRows(key: Long, rows: Iterator[FunnelInput],
         timers: TimerValues): Iterator[FunnelStage] = {
       var (st, anchor) =
         if (state.exists()) state.get() else (0, Long.MinValue)
-      val out = Seq.newBuilder[FunnelStage]
-      // batch-local sort: micro-batches carry no intra-batch order promise
-      rows.toSeq.sortBy(_.ts.getTime).foreach { r =>
+      // Micro-batches carry no intra-batch order promise, but processing
+      // in event-time order is equivalent to a chain of minima: the
+      // earliest view, then the earliest click STRICTLY after it, then
+      // the earliest purchase strictly after that. So one unsorted pass
+      // suffices: track the running view minimum (O(1)) and only the
+      // candidate click/purchase timestamps still reachable from the
+      // current stage — never materialize or sort the whole batch. (The
+      // click/purchase buffers are still O(matching events) for this key
+      // in this batch: "min strictly after an anchor known only at end
+      // of pass" cannot be answered from a running scalar.)
+      var vMin = Long.MaxValue
+      val clicks = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val purchases = scala.collection.mutable.ArrayBuffer.empty[Long]
+      rows.foreach { r =>
         val t = r.ts.getTime
-        if (st < 3 && r.event_type == wanted(st) && (st == 0 || t > anchor)) {
-          st += 1; anchor = t
-          out += FunnelStage(key, st, t)
+        r.event_type match {
+          case "view" if st == 0     => if (t < vMin) vMin = t
+          case "click" if st <= 1    => clicks += t
+          case "purchase" if st <= 2 => purchases += t
+          case _                     => ()
         }
+      }
+      val out = Seq.newBuilder[FunnelStage]
+      def minAfter(ts: scala.collection.mutable.ArrayBuffer[Long], lo: Long): Long = {
+        var m = Long.MaxValue
+        ts.foreach(t => if (t > lo && t < m) m = t)
+        m
+      }
+      if (st == 0 && vMin != Long.MaxValue) {
+        st = 1; anchor = vMin; out += FunnelStage(key, 1, vMin)
+      }
+      if (st == 1) {
+        val c = minAfter(clicks, anchor)
+        if (c != Long.MaxValue) { st = 2; anchor = c; out += FunnelStage(key, 2, c) }
+      }
+      if (st == 2) {
+        val p = minAfter(purchases, anchor)
+        if (p != Long.MaxValue) { st = 3; anchor = p; out += FunnelStage(key, 3, p) }
       }
       state.update((st, anchor))
       out.result().iterator

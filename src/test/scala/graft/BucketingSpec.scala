@@ -18,19 +18,25 @@ class BucketingSpec extends AnyFunSuite with SparkFixture {
   private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
     df.queryExecution.sparkPlan.collect { case s: ShuffleExchangeExec => s }.size
 
-  private def withBucketedLineitem[A](body: => A): A = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_bucket").toString
-    spark.sql("DROP TABLE IF EXISTS graft_lineitem_bkt")
+  private def withBucketedLineitem[A](body: String => A): A = {
+    // unique dir AND table name per call: a fixed global name collides
+    // under parallel test execution, and the temp dir must not outlive
+    // the test
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket")
+    val table = s"graft_lineitem_bkt_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     Tables.lineitem(spark, sf)
       .write.format("parquet").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$dir/lineitem_bkt").saveAsTable("graft_lineitem_bkt")
-    try body
-    finally spark.sql("DROP TABLE IF EXISTS graft_lineitem_bkt")
+      .option("path", s"$dir/lineitem_bkt").saveAsTable(table)
+    try body(table)
+    finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
   }
 
   test("aggregation on the bucket key needs no pre-aggregation shuffle") {
-    withBucketedLineitem {
-      val a = spark.table("graft_lineitem_bkt")
+    withBucketedLineitem { table =>
+      val a = spark.table(table)
         .groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
       assert(shuffles(a) === 0,
         s"groupBy(bucket key) should satisfy its distribution from the layout:\n${a.queryExecution.sparkPlan}")
@@ -42,8 +48,8 @@ class BucketingSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("bucketed scan prunes to a single bucket on key equality") {
-    withBucketedLineitem {
-      val one = spark.table("graft_lineitem_bkt").filter(col("l_orderkey") === 42)
+    withBucketedLineitem { table =>
+      val one = spark.table(table).filter(col("l_orderkey") === 42)
       val scan = one.queryExecution.sparkPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }.head

@@ -86,4 +86,35 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       topk == full
     })
   }
+
+  test("pointer-jumping CC converges on a 100-node path in O(log d) rounds") {
+    // worst case for plain min-label propagation: a diameter-99 chain
+    // needs ~99 rounds; pointer jumping must collapse it in O(log d).
+    // 8 is the budget incl. the final no-change fixpoint round — the
+    // chain shape is exactly the paginated-boilerplate duplicate cluster
+    // that at corpus scale would blow a 50-round O(d) loop.
+    import spark.implicits._
+    val edges = (1L until 100L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val adj = edges.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(edges.select(col("d2").as("a"), col("d1").as("b")))
+    val (labels, rounds) = operators.ClusterQueries.connectedComponents(adj)
+    assert(rounds <= 8, s"expected O(log d) convergence, took $rounds rounds")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 100 && got.forall(_._2 == 1L),
+      "every node of the single component must carry the min id label")
+  }
+
+  test("pointer-jumping CC labels disjoint components independently") {
+    import spark.implicits._
+    // two triangles + an isolated edge — labels must be each component's min
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (20L, 21L)).toDF("d1", "d2")
+    val adj = edges.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(edges.select(col("d2").as("a"), col("d1").as("b")))
+    val (labels, _) = operators.ClusterQueries.connectedComponents(adj)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(got == expected)
+  }
 }
