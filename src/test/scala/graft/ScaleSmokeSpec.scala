@@ -86,4 +86,51 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
     assert(joined.count() == 25)
   }
+
+  test("sf0.1 streaming funnel stage machine equals the batch q_funnel counters") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs
+    val sf = "/root/testdata/sf0.1"
+    // Replay the full sf0.1 events table through the transformWithState
+    // stage machine and compare against the batch join cascade's three
+    // distinct-user counters. The input is staged as 4 time-sliced
+    // parquet files consumed one per micro-batch (cross-batch event-time
+    // order is the equivalence precondition; within a batch the
+    // processor handles any order) — a file stream, not a driver-side
+    // collect, so the path under test is the at-scale one.
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val bounds = ev.agg(min("ts"), max("ts")).head()
+    val (lo, hi) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
+    val width = (hi - lo) / 4 + 1
+    val in = java.nio.file.Files.createTempDirectory("graft_funnel_in")
+    val staging = java.nio.file.Files.createTempDirectory("graft_funnel_stage")
+    (0 until 4).foreach { i =>
+      ev.filter(col("ts") >= lit(new java.sql.Timestamp(lo + i * width)) &&
+          col("ts") < lit(new java.sql.Timestamp(lo + (i + 1) * width)))
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/s$i")
+      val part = new java.io.File(s"$staging/s$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, in.resolve(f"slice_$i%02d.parquet"))
+    }
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .as[StreamingJobs.FunnelInput]
+    val q = StreamingJobs.funnelStages(src)
+      .writeStream.format("memory").queryName("funnel_scale")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_funnel_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "funnel stream did not finish in 180s")
+    // each user emits a given stage at most once, so per-stage row counts
+    // ARE the batch query's distinct-user counters
+    val byStage = spark.table("funnel_scale").groupBy("stage").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val f = SparkEntry.queries("q_funnel")(spark, sf).head()
+    assert(byStage.getOrElse(1, 0L) == f.getLong(0), s"n_view: $byStage vs $f")
+    assert(byStage.getOrElse(2, 0L) == f.getLong(1), s"n_click_after: $byStage vs $f")
+    assert(byStage.getOrElse(3, 0L) == f.getLong(2), s"n_purchase_after: $byStage vs $f")
+  }
 }

@@ -314,6 +314,47 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(state() == Map(1L -> 42.0), "replay must not change the table")
   }
 
+  test("A6: crash between generation write and pointer swap keeps the old generation live") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert5").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    def addFile(n: Int, value: Double): Unit =
+      Seq((1L, value, at(n))).toDF("user_id", "value", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/in/f$n")
+    addFile(0, 10.0)
+    val schema = spark.read.parquet(s"$tmp/in/f0").schema
+    def start() = StreamingJobs.upsertSink(
+      spark.readStream.schema(schema).parquet(s"$tmp/in/*"),
+      s"$tmp/table", s"$tmp/ckpt", "user_id", "ts").start()
+    def state() = StreamingJobs.readUpserted(spark, s"$tmp/table").get
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(state() == Map(1L -> 10.0))
+    // simulate the batch-1 crash window: its generation dir finished
+    // writing (data + _SUCCESS both on disk) but the process died BEFORE
+    // the pointer swap — _CURRENT still names gen-0. The 999.0 junk value
+    // makes any accidental read of the orphan visible.
+    Seq((1L, 999.0, at(9))).toDF("user_id", "value", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/table/gen-1")
+    assert(new java.io.File(s"$tmp/table/gen-1/_SUCCESS").exists(),
+      "test setup: the orphan generation must look complete")
+    // the crash-safety claim, asserted backward: reads keep serving the
+    // OLD committed generation — the pointer outranks "newest complete
+    // dir" whenever it exists
+    assert(StreamingJobs.currentGeneration(spark, s"$tmp/table").contains("gen-0"))
+    assert(state() == Map(1L -> 10.0),
+      "an unswapped generation must never serve reads")
+    // recovery: the restarted stream replays batch 1 (it never reached
+    // the commit log), re-merges from the committed gen-0, overwrites the
+    // orphan, and only then swaps the pointer
+    addFile(1, 42.0)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(StreamingJobs.currentGeneration(spark, s"$tmp/table").contains("gen-1"))
+    assert(state() == Map(1L -> 42.0),
+      "recovery must merge from the committed generation, not trust the orphan")
+  }
+
   test("A6: partial first generation (no _SUCCESS) is re-merged, not trusted") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
