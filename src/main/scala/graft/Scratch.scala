@@ -9,12 +9,87 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (name == "clusters_profile") {
+      import org.apache.spark.sql.functions._
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
+      }
+      for (iter <- 1 to 2) {
+        val full = SparkEntry.queries("q_dedup_clusters")
+        t(s"full query $iter")(full(spark, sfDir).count())
+        spark.catalog.clearCache()
+      }
+      // phase breakdown: edge build vs CC loop
+      val planted = operators.DedupQueries.withPlants(spark, sfDir)
+      t("docs scan")(planted.count())
+      val psh = planted
+        .withColumn("toks", expr("slice(split(text, ' '), 1, 12)"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))")).as("sh0"))
+        .select(col("doc_id"), expr(operators.Ql.md5PrefixLong("sh0", 14)).as("sh"))
+        .distinct()
+      t("psh distinct")(psh.count())
+      val dfTab = psh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 100).select("sh")
+      val rare = psh.join(broadcast(dfTab), "sh")
+      val e = rare.select(col("sh"), col("doc_id").as("d1"))
+        .join(rare.select(col("sh"), col("doc_id").as("d2")), "sh")
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
+        .filter(col("common") >= 2)
+        .select("d1", "d2").cache()
+      val ne = t("edges build+count")(e.count())
+      println(s"[profile] edges = $ne")
+      val adj = e.select(col("d1").as("a"), col("d2").as("b"))
+        .unionByName(e.select(col("d2").as("a"), col("d1").as("b")))
+        .repartition(1).cache()
+      val (labels, rounds) = t("cc loop")(
+        operators.ClusterQueries.connectedComponents(adj))
+      println(s"[profile] rounds = $rounds")
+      t("final agg")(labels.groupBy("lbl").count().count())
+      spark.stop(); return
+    }
+    if (name == "pr_profile") {
+      import org.apache.spark.sql.functions._
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
+      }
+      for (i <- 1 to 2) t(s"full $i")(SparkEntry.queries("q_pagerank")(spark, sfDir).count())
+      val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      val e2 = t("edges build+ckpt")(edges.localCheckpoint(true))
+      t("deg")(e2.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint(true))
+      spark.stop(); return
+    }
+    if (name == "q2_profile") {
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s"); r
+      }
+      val cost = Tables.lineitem(spark, sfDir)
+      cost.createOrReplaceTempView("v_lineitem_q2")
+      val agg = spark.sql("""
+        SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS supply_cost
+        FROM v_lineitem_q2 GROUP BY 1, 2""")
+      t("agg count (no ckpt)")(agg.count())
+      t("agg localCheckpoint")(agg.localCheckpoint(true))
+      for (i <- 1 to 2)
+        t(s"full query $i")(SparkEntry.queries("q_tpch_q2_shape")(spark, sfDir).count())
+      spark.stop(); return
+    }
     if (name == "ngram_profile") {
       // phase breakdown for the suite's slowest query
       import org.apache.spark.sql.functions._

@@ -27,7 +27,8 @@ object SparkEntry {
     operators.KmeansQueries,
     operators.SamplingQueries,
     operators.PipelineQueries,
-    operators.CurationQueries)
+    operators.CurationQueries,
+    operators.GraphQueries)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
 

@@ -75,28 +75,36 @@ object ClusterQueries extends QueryModule {
          WHERE common >= 2)"""
 
   /** Connected components over an undirected adjacency list `adj(a, b)`
-    * (both directions present). Each round:
+    * (both directions present). Each round is ONE job (a single eager
+    * localCheckpoint) whose plan fuses:
     *
     *   1. neighbor-min: `cand(v) = min(lbl(v), min over neighbors)` —
     *      label information travels one hop;
-    *   2. pointer jumping ×2 on the materialized candidate table:
-    *      `lbl(v) = min(lbl(v), cand(lbl(v)))`, twice — label information
-    *      travels along the label-forest edges, tripling the effective
-    *      reach per round, so a diameter-d component converges in
-    *      O(log d) rounds instead of O(d) (a chain-shaped duplicate
-    *      cluster — paginated boilerplate — at corpus scale would blow a
-    *      plain min-label loop's round budget).
+    *   2. pointer jumping ×3 through the PREVIOUS round's materialized
+    *      label table: `lbl(v) = min(lbl(v), prevLbl(lbl(v)))`, chained —
+    *      label information also travels along the label-forest edges, so
+    *      per-round reach grows geometrically (~4×) and a diameter-d
+    *      component converges in O(log d) rounds instead of O(d) (a
+    *      chain-shaped duplicate cluster — paginated boilerplate — at
+    *      corpus scale would blow a plain min-label loop's round budget).
+    *      Jumping through the stale table instead of the current
+    *      candidates trades a little per-round reach for not
+    *      materializing a mid-round frame — at the per-job floor that
+    *      halves the loop's wall time.
     *
-    * The convergence count rides the final materialization as an
-    * `observe` metric (CollectMetrics is map-side, zero extra shuffle),
-    * so each round costs exactly two jobs (cand checkpoint + next
-    * checkpoint), not three. Eager localCheckpoints truncate lineage each
-    * round or Catalyst re-analyzes the whole accumulated plan every
-    * iteration (superlinear planning blowup).
+    * The convergence count rides the same materialization as an `observe`
+    * metric (CollectMetrics is map-side, zero extra shuffle and zero
+    * extra job). Eager localCheckpoints truncate lineage each round or
+    * Catalyst re-analyzes the whole accumulated plan every iteration
+    * (superlinear planning blowup).
     *
     * Returns (labels(id, lbl), rounds) where `rounds` includes the final
-    * no-change fixpoint check. Fails loudly rather than emit unconverged
-    * (wrong) components.
+    * no-change fixpoint check. The only stable point is the true
+    * component-minimum labeling (labels only decrease, stay within the
+    * component, and a stable label m must satisfy lbl(m)=m, which forces
+    * m = component min), so the loop cannot terminate on a wrong answer;
+    * past maxRounds it fails loudly rather than emit unconverged (wrong)
+    * components.
     */
   def connectedComponents(adj: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
     var labels = adj.select(col("a").as("id")).distinct()
@@ -108,21 +116,20 @@ object ClusterQueries extends QueryModule {
       val nbrMin = adj.join(labels, adj("b") === labels("id"))
         .groupBy(col("a")).agg(min(col("lbl")).as("nlbl"))
       // the old label rides along into the checkpoint so convergence is
-      // decided from the materialized frame, not a separate join
-      val cand = labels.join(nbrMin, labels("id") === nbrMin("a"), "left")
+      // decided inside the same job, not by a separate action
+      var cur = labels.join(nbrMin, labels("id") === nbrMin("a"), "left")
         .select(col("id"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
-      // chase the label's own label through the materialized candidate
-      // table (labels are always node ids, so the lookup always hits)
-      def jump(l: DataFrame): DataFrame = {
-        val p = cand.select(col("id").as("pid"), col("lbl").as("plbl"))
-        l.join(p, l("lbl") === p("pid"), "left")
-          .select(l("id"), l("old"),
-            least(l("lbl"), coalesce(col("plbl"), l("lbl"))).as("lbl"))
+      // chase the label's own label through the previous round's table
+      // (labels are always node ids, so the lookup always hits)
+      for (_ <- 1 to 3) {
+        val p = labels.select(col("id").as("pid"), col("lbl").as("plbl"))
+        cur = cur.join(p, cur("lbl") === p("pid"), "left")
+          .select(cur("id"), cur("old"),
+            least(cur("lbl"), coalesce(col("plbl"), cur("lbl"))).as("lbl"))
       }
       val obs = Observation()
-      val next = jump(jump(cand))
+      val next = cur
         .observe(obs, sum(when(col("lbl") =!= col("old"), 1L)
           .otherwise(0L)).as("changed"))
         .localCheckpoint(true)

@@ -278,6 +278,106 @@ object SimilarityQueries extends QueryModule {
       FROM a GROUP BY 1 ORDER BY 1
     """))
 
+  /** I2-semantic: SemDeDup-style semantic deduplication (Abbas et al.
+    * 2023, public; re-derived here): partition the embedding space into
+    * clusters, compare pairs ONLY within a cluster, and drop every vector
+    * that has a lower-id near-twin (cosine >= 0.9). The whole point of
+    * the method is that the O(n²) pair comparison becomes
+    * O(Σ cluster_size²) — at corpus scale K grows with N so per-cluster
+    * population stays bounded, and the cluster id is the join/partition
+    * key, so each pair task touches one cluster's rows only.
+    *
+    * The coarse quantizer is the per-label centroid (the same
+    * deterministic trained-k-means stand-in as q_ann_ivf — full Lloyd
+    * lives in q_kmeans; at scale you'd chain them). Assignment is one
+    * broadcast pass (10 centroid rows against the scan). Per-cluster
+    * kept/dropped counts are the report.
+    */
+  private val semanticDedup = QueryDef(
+    "q_semantic_dedup",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e0 = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label"), Vectors.toDouble(col("embedding")).as("v"))
+      // same planted near-twins as q_dedup_embed (vec_id<10 copied to
+      // id+100000, last component +0.1, cosine ≈ 0.995): the natural
+      // pairwise maximum in this corpus is ~0.51, so without plants the
+      // drop path would be vacuously untested
+      val e = e0.unionByName(
+        e0.filter(col("vec_id") < 10).select(
+          (col("vec_id") + 100000).as("vec_id"), col("label"),
+          expr("concat(slice(v, 1, 63), array(element_at(v, 64) + 0.1d))").as("v")))
+        .cache()
+      val centroids = e
+        .select(col("label"), posexplode(col("v")))
+        .groupBy("label", "pos")
+        .agg(avg(col("col")).as("c"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("centroid"))
+        .select(col("label").as("cl"), col("centroid"))
+      // rank on the ROUNDED score (rounding contract): centroid components
+      // come from avg() whose summation order is partitioning-dependent
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cl"))
+      val assigned = e.crossJoin(broadcast(centroids))
+        .withColumn("cscore", Ql.r(Vectors.dot(col("v"), col("centroid")), 6))
+        .withColumn("arank", row_number().over(wAssign))
+        .filter(col("arank") === 1)
+        .select(col("cl").as("cluster"), col("vec_id"), col("v"),
+          sqrt(Vectors.normSq(col("v"))).as("norm"))
+      val dropped = assigned
+        .select(col("cluster"), col("vec_id").as("d1"), col("v").as("v1"), col("norm").as("n1"))
+        .join(assigned
+          .select(col("cluster"), col("vec_id").as("d2"), col("v").as("v2"), col("norm").as("n2")),
+          "cluster")
+        .filter(col("d1") < col("d2"))
+        .filter(Ql.r(Vectors.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4) >= 0.9)
+        .select(col("cluster"), col("d2")).distinct()
+        .groupBy("cluster").agg(count(lit(1)).as("n_dropped"))
+      val report = assigned.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+        .join(dropped, Seq("cluster"), "left")
+        .select(col("cluster"), col("n_vecs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("n_vecs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+        .orderBy("cluster")
+        // K-row report — materialize so the planted-union cache's scope
+        // is this function, not the rest of the session
+        .localCheckpoint(true)
+      e.unpersist(false)
+      report
+    },
+    Some(s"""
+      WITH e0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+      e AS (
+        SELECT * FROM e0
+        UNION ALL
+        SELECT vec_id + 100000, label, v[1:63] || [v[64] + 0.1] FROM e0 WHERE vec_id < 10),
+      cent AS (
+        SELECT label AS cl, list(c ORDER BY pos) AS centroid
+        FROM (SELECT label, g.i AS pos, avg(v[g.i]) AS c
+              FROM e, generate_series(1, 64) g(i)
+              GROUP BY 1, 2)
+        GROUP BY 1),
+      assigned AS (
+        SELECT cl AS cluster, vec_id, v, sqrt(list_dot_product(v, v)) AS norm
+        FROM e, cent
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+          ORDER BY round(list_dot_product(v, centroid) + 1e-9, 6) DESC, cl) = 1),
+      dropped AS (
+        SELECT cluster, count(*) AS n_dropped FROM (
+          SELECT DISTINCT a.cluster, b.vec_id AS d2
+          FROM assigned a JOIN assigned b
+            ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.v, b.v) / (a.norm * b.norm) + 1e-9, 4) >= 0.9)
+        GROUP BY 1)
+      SELECT a.cluster, count(*) AS n_vecs,
+             CAST(coalesce(any_value(d.n_dropped), 0) AS BIGINT) AS n_dropped,
+             CAST(count(*) - coalesce(any_value(d.n_dropped), 0) AS BIGINT) AS n_kept
+      FROM assigned a LEFT JOIN dropped d ON a.cluster = d.cluster
+      GROUP BY 1 ORDER BY 1
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
-    similarTopk, knnVote, annIvf, docEmbedJoin, embedQuantize, pqCodes)
+    similarTopk, knnVote, annIvf, docEmbedJoin, embedQuantize, pqCodes,
+    semanticDedup)
 }

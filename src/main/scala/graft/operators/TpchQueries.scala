@@ -238,37 +238,38 @@ object TpchQueries extends QueryModule {
       Tables.supplier(spark, sfDir).createOrReplaceTempView("v_supplier_q2")
       Tables.nation(spark, sfDir).createOrReplaceTempView("v_nation_q2")
       Tables.region(spark, sfDir).createOrReplaceTempView("v_region_q2")
-      // `cost` is referenced twice (the main join AND the decorrelated
-      // scalar MIN) — as a plain CTE Catalyst inlines both references and
-      // the lineitem pre-aggregation runs twice. Materialize it once
-      // (eager localCheckpoint; it is a partkey×suppkey aggregate, tiny
-      // next to lineitem) so both consumers read the same blocks. At
-      // cluster scale this is the same call: checkpoint/cache the shared
-      // aggregate rather than recompute a 100 TB scan per reference.
+      // The textbook form references `cost` twice — the main join AND a
+      // correlated scalar MIN — and Catalyst inlines both, so the
+      // lineitem pre-aggregation runs twice. But the scalar subquery's
+      // domain (European suppliers of the same part) is EXACTLY the rows
+      // the main join already produced for that part, so the per-part
+      // minimum is a window over the single joined frame: one lineitem
+      // aggregation, one partkey-partitioned window (already co-
+      // partitioned with the join), zero recompute — the shape that
+      // survives a 100 TB lineitem. The DuckDB oracle keeps the
+      // correlated formulation, so the rewrite's equivalence is
+      // hash-checked cross-engine every round.
       spark.sql("""
-        SELECT l_partkey, l_suppkey,
-               min(l_extendedprice / l_quantity) AS supply_cost
-        FROM v_lineitem_q2 GROUP BY 1, 2""")
-        .localCheckpoint(true)
-        .createOrReplaceTempView("v_cost_q2")
-      spark.sql("""
-        WITH cost AS (SELECT * FROM v_cost_q2)
+        WITH cost AS (
+          SELECT l_partkey, l_suppkey,
+                 min(l_extendedprice / l_quantity) AS supply_cost
+          FROM v_lineitem_q2 GROUP BY 1, 2
+        ), euro AS (
+          SELECT p_partkey, p_type, p_size, s_name, n_name, s_acctbal,
+                 supply_cost,
+                 min(supply_cost) OVER (PARTITION BY p_partkey) AS min_cost
+          FROM v_part_q2
+            JOIN cost ON l_partkey = p_partkey
+            JOIN v_supplier_q2 ON l_suppkey = s_suppkey
+            JOIN v_nation_q2 ON s_nationkey = n_nationkey
+            JOIN v_region_q2 ON n_regionkey = r_regionkey
+          WHERE p_size <= 10 AND r_name = 'EUROPE'
+        )
         SELECT p_partkey, p_type, p_size, s_name, n_name,
                round(s_acctbal + 1e-9, 2) AS acctbal,
                round(supply_cost + 1e-9, 4) AS cost
-        FROM v_part_q2
-          JOIN cost ON l_partkey = p_partkey
-          JOIN v_supplier_q2 ON l_suppkey = s_suppkey
-          JOIN v_nation_q2 ON s_nationkey = n_nationkey
-          JOIN v_region_q2 ON n_regionkey = r_regionkey
-        WHERE p_size <= 10 AND r_name = 'EUROPE'
-          AND supply_cost = (
-            SELECT min(c2.supply_cost)
-            FROM cost c2
-              JOIN v_supplier_q2 s2 ON c2.l_suppkey = s2.s_suppkey
-              JOIN v_nation_q2 n2 ON s2.s_nationkey = n2.n_nationkey
-              JOIN v_region_q2 r2 ON n2.n_regionkey = r2.r_regionkey
-            WHERE c2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        FROM euro
+        WHERE supply_cost = min_cost
         ORDER BY acctbal DESC, n_name, s_name, p_partkey
         LIMIT 20
       """)

@@ -86,9 +86,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // driver-side collect — a 1-row nested loop by construction;
     // q_bpe_merges: 1-row invariant stats × 1-row alien-char count;
     // q_funnel: three single-row stage counts crossed into one report row
+    // q_semantic_dedup: assignment pass crosses the scan with the 10-row
+    // centroid broadcast; q_pagerank: 1-row node-count broadcast per round
     val tinyBroadcastOk = cartesianOk ++
       Set("q_similar_topk", "q_knn_vote", "q_ann_ivf", "q_kmeans", "q_tfidf",
-        "q_bpe_merges", "q_funnel")
+        "q_bpe_merges", "q_funnel", "q_semantic_dedup", "q_pagerank")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
