@@ -118,5 +118,115 @@ object EventQueries extends QueryModule {
       GROUP BY 1 ORDER BY n_users DESC, path
     """))
 
-  override def defs: Seq[QueryDef] = Seq(hourlyEventStats, funnel, eventPaths)
+  /** Retention cohorts: users grouped by first-seen day, activity counted
+    * per week offset — the classic product-analytics matrix. Three
+    * aggregations all keyed on user_id (one co-partitioned shuffle
+    * family, like q_funnel); the cohort matrix itself is
+    * days × weeks — tiny at any corpus size.
+    */
+  private val retentionCohorts = QueryDef(
+    "q_retention_cohorts",
+    (spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val first = e.groupBy("user_id").agg(min(col("day")).as("first_day"))
+      e.distinct().join(first, "user_id")
+        .withColumn("week_offset",
+          floor(datediff(col("day"), col("first_day")) / 7).cast("int"))
+        .groupBy(date_format(col("first_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_day", "week_offset")
+    },
+    Some("""
+      WITH e AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      first AS (SELECT user_id, min(day) AS first_day FROM e GROUP BY 1)
+      SELECT strftime(first_day, '%Y-%m-%d') AS cohort_day,
+             CAST(floor(date_diff('day', first_day, day) / 7.0) AS INT) AS week_offset,
+             count(DISTINCT e.user_id) AS n_active
+      FROM e JOIN first ON e.user_id = first.user_id
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """))
+
+  /** Time-series gap fill / resample: a dense hour × event_type grid with
+    * zero-filled counts — dashboards and downstream window functions need
+    * gapless series. The grid is generated from the 1-row bounds
+    * aggregate (sequence + explode), so its size tracks the TIME RANGE,
+    * not the data volume; the only data-sized work is the hourly
+    * pre-aggregation the grid left-joins against.
+    */
+  private val tsResample = QueryDef(
+    "q_ts_resample",
+    (spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+      val hourly = e
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Ql.r(sum(col("value"))).as("sum_value"))
+      val grid = e
+        .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+      val types = e.select("event_type").distinct()
+      grid.crossJoin(types) // time-grid × type-dim: both tiny by construction
+        .join(hourly, Seq("h", "event_type"), "left")
+        .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+        .orderBy("hour", "event_type")
+    },
+    Some(s"""
+      WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
+               ${Ql.R("sum(value)")} AS sum_value
+        FROM events GROUP BY 1, 2),
+      bounds AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                        date_trunc('hour', max(ts)) AS hi FROM events),
+      grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+      types AS (SELECT DISTINCT event_type FROM events)
+      SELECT strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour, t.event_type,
+             CAST(coalesce(hh.n, 0) AS BIGINT) AS n,
+             coalesce(hh.sum_value, 0.0) AS sum_value
+      FROM grid g CROSS JOIN types t
+      LEFT JOIN hourly hh ON hh.h = g.h AND hh.event_type = t.event_type
+      ORDER BY 1, 2
+    """))
+
+  /** Volume-anomaly flags: daily per-type counts more than 2 sample
+    * standard deviations from that type's mean. Two aggregations (daily
+    * counts, per-type moments) + one small join — nothing data-sized
+    * crosses the wire twice. The z-score is computed AND thresholded on
+    * the rounded value per the cross-engine rounding contract.
+    */
+  private val anomalyZscore = QueryDef(
+    "q_anomaly_zscore",
+    (spark, sfDir) => {
+      val daily = Tables.events(spark, sfDir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val stats = daily.groupBy("event_type")
+        .agg(avg(col("n")).as("mu"), stddev_samp(col("n")).as("sd"))
+      daily.join(stats, "event_type")
+        .filter(col("sd") > 0)
+        .withColumn("z", Ql.r((col("n") - col("mu")) / col("sd"), 4))
+        .filter(abs(col("z")) >= 2.0)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"), col("z"))
+        .orderBy("day", "event_type")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      st AS (SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
+             FROM daily GROUP BY 1)
+      SELECT strftime(day, '%Y-%m-%d') AS day, d.event_type, n,
+             ${Ql.R("(n - mu) / sd", 4)} AS z
+      FROM daily d JOIN st ON d.event_type = st.event_type
+      WHERE sd > 0 AND abs(${Ql.R("(n - mu) / sd", 4)}) >= 2.0
+      ORDER BY 1, 2
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(hourlyEventStats, funnel, eventPaths,
+    retentionCohorts, tsResample, anomalyZscore)
 }

@@ -16,6 +16,50 @@ object GraphQueries extends QueryModule {
   private val iterations = 10
   private val damping = 0.85
 
+  /** The PageRank loop over a directed edge list `edges(src, dst)` (may
+    * be a multigraph — parallel edge rows weight the flow; every node
+    * must appear as both src and dst, which symmetric graphs guarantee).
+    * Per-round ranks are rounded to 7 decimals via [[Ql.r]] so summation
+    * order cannot leak into the result. Checkpoints every fifth round:
+    * lineage must be truncated periodically (unbounded plans re-analyze
+    * superlinearly — see [[ClusterQueries.connectedComponents]]) but a
+    * per-round barrier costs a full job each, and letting AQE fuse the
+    * rounds in between more than halves wall time.
+    *
+    * Exposed (not query-private) so PropertySpec can assert the algebra
+    * — mass conservation, uniformity on regular graphs — on synthetic
+    * graphs.
+    */
+  def pageRank(edgesIn: org.apache.spark.sql.DataFrame, rounds: Int): org.apache.spark.sql.DataFrame = {
+    val edges = edgesIn.localCheckpoint(true)
+    // deg and the node count feed EVERY round — materialize once, or
+    // each iteration re-runs their aggregations over the edge table
+    // (measured: 9.5 s → ~5.5 s at sf0.1 for the whole query)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    // node count as a 1-row broadcast, not a driver-side collect
+    val nRow = edges.agg(countDistinct(col("src")).cast("double").as("n"))
+      .localCheckpoint(true)
+    var ranks = deg.crossJoin(broadcast(nRow))
+      .select(col("src").as("node"), (lit(1.0) / col("n")).as("pr"))
+      .localCheckpoint(true)
+    for (i <- 1 to rounds) {
+      // weight each node's outgoing contribution once, then fan out
+      // along edges and sum per destination — no dangling-node
+      // redistribution term because every src is also a dst
+      val wt = ranks.join(deg, ranks("node") === deg("src"))
+        .select(col("src"), (col("pr") / col("d")).as("w"))
+      ranks = edges.join(wt, "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("w")).as("s"))
+        .crossJoin(broadcast(nRow))
+        .select(col("dst").as("node"),
+          Ql.r(lit(1 - damping) / col("n") + lit(damping) * col("s"), 7).as("pr"))
+      if (i % 5 == 0 && i < rounds) ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+  }
+
   /** Fixed-iteration PageRank, not run-to-convergence: 10 rounds is the
     * classic operating point AND makes the result deterministic enough to
     * oracle (the DuckDB twin unrolls the same 10 rounds as chained CTEs).
@@ -42,40 +86,8 @@ object GraphQueries extends QueryModule {
         .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
         .filter(col("src") =!= col("dst"))
         .select("src", "dst")
-        .localCheckpoint(true)
-      // deg and the node count feed EVERY round — materialize once, or
-      // each iteration re-runs their aggregations over the edge table
-      // (measured: 9.5 s → ~4 s at sf0.1 for the whole query)
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-        .localCheckpoint(true)
-      // node count as a 1-row broadcast, not a driver-side collect
-      val nRow = edges.agg(countDistinct(col("src")).cast("double").as("n"))
-        .localCheckpoint(true)
-      var ranks = deg.crossJoin(broadcast(nRow))
-        .select(col("src").as("node"), (lit(1.0) / col("n")).as("pr"))
-        .localCheckpoint(true)
-      for (i <- 1 to iterations) {
-        // weight each node's outgoing contribution once, then fan out
-        // along edges and sum per destination — the symmetric co-purchase
-        // graph has no dangling nodes (every src is a dst), so no
-        // redistribution term is needed
-        val wt = ranks.join(deg, ranks("node") === deg("src"))
-          .select(col("src"), (col("pr") / col("d")).as("w"))
-        ranks = edges.join(wt, "src")
-          .groupBy(col("dst"))
-          .agg(sum(col("w")).as("s"))
-          .crossJoin(broadcast(nRow))
-          .select(col("dst").as("node"),
-            Ql.r(lit(1 - damping) / col("n") + lit(damping) * col("s"), 7).as("pr"))
-        // checkpoint every FIFTH round, not every round: lineage must be
-        // truncated periodically (unbounded plans re-analyze superlinearly
-        // — see connectedComponents) but a per-round barrier costs a full
-        // job each; letting AQE fuse 5 rounds into one job more than
-        // halves wall time at bench scale, and 5-deep plans stay cheap to
-        // analyze at any data scale
-        if (i % 5 == 0 && i < iterations) ranks = ranks.localCheckpoint(true)
-      }
-      ranks.orderBy(col("pr").desc, col("node")).limit(20)
+      pageRank(edges, iterations)
+        .orderBy(col("pr").desc, col("node")).limit(20)
         .select(col("node"), col("pr"))
     },
     Some {
@@ -102,5 +114,55 @@ object GraphQueries extends QueryModule {
     """
     })
 
-  override def defs: Seq[QueryDef] = Seq(pagerank)
+  /** Market-basket association rules over the same co-occurrence data:
+    * support / confidence / lift for part pairs bought in the same order
+    * (Agrawal & Srikant's Apriori setting, public; the 2-itemset level is
+    * the join-expressible core). The support floor (>= 3 orders) prunes
+    * the pair space BEFORE the ratio math, and the per-order fanout is
+    * bounded by order size, so the pair aggregation — the only data-sized
+    * step — is one bounded self-join + keyed count at any scale. Top 20
+    * by lift is TakeOrderedAndProject.
+    */
+  private val marketBasket = QueryDef(
+    "q_market_basket",
+    (spark, sfDir) => {
+      val items = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .localCheckpoint(true) // feeds supports, pairs, and the order count
+      val nOrders = items.agg(countDistinct(col("l_orderkey")).cast("double").as("n_orders"))
+      val supp = items.groupBy("l_partkey").agg(count(lit(1)).as("s"))
+      val pairs = items.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(items.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("s_ab"))
+        .filter(col("s_ab") >= 3)
+      pairs
+        .join(supp.select(col("l_partkey").as("a"), col("s").as("s_a")), "a")
+        .join(supp.select(col("l_partkey").as("b"), col("s").as("s_b")), "b")
+        .crossJoin(broadcast(nOrders))
+        .select(col("a"), col("b"), col("s_ab"),
+          Ql.r(col("s_ab") / col("s_a"), 4).as("confidence"),
+          Ql.r(col("s_ab") * col("n_orders") / (col("s_a") * col("s_b")), 4).as("lift"))
+        .orderBy(col("lift").desc, col("a"), col("b")).limit(20)
+    },
+    Some(s"""
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      nn AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM items),
+      supp AS (SELECT l_partkey, count(*) AS s FROM items GROUP BY 1),
+      pairs AS (
+        SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS s_ab
+        FROM items x JOIN items y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 3)
+      SELECT a, b, s_ab,
+             ${Ql.R("s_ab / sa.s", 4)} AS confidence,
+             ${Ql.R("s_ab * (SELECT n_orders FROM nn) / (sa.s * sb.s)", 4)} AS lift
+      FROM pairs
+        JOIN supp sa ON sa.l_partkey = a
+        JOIN supp sb ON sb.l_partkey = b
+      ORDER BY lift DESC, a, b LIMIT 20
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(pagerank, marketBasket)
 }

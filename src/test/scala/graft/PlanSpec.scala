@@ -49,6 +49,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
 
   test("global top-k plans as TakeOrderedAndProject, not full sort+limit") {
     assert(plan("q_sort_limit").contains("TakeOrderedAndProject"))
+    // the r6 rank/lift reports make the same claim in their Scaladoc
+    assert(plan("q_pagerank").contains("TakeOrderedAndProject"))
+    assert(plan("q_market_basket").contains("TakeOrderedAndProject"))
   }
 
   test("aggregations are two-phase (map-side partial before the shuffle)") {
@@ -81,7 +84,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // — a scan × tiny-constant, not an n² blowup. Everything else must plan
     // hash/sort-merge joins only; a regression here is the one plan shape
     // that cannot survive a 100× scale-up.
-    val cartesianOk = Set("q_join_cross")
+    // q_ts_resample: hour-grid × 5-row type dim, both constant-size by
+    // construction (grid tracks the time range, not the data volume)
+    val cartesianOk = Set("q_join_cross", "q_ts_resample")
     // q_tfidf: broadcast single-row scalar (corpus N) instead of a
     // driver-side collect — a 1-row nested loop by construction;
     // q_bpe_merges: 1-row invariant stats × 1-row alien-char count;
@@ -90,7 +95,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // centroid broadcast; q_pagerank: 1-row node-count broadcast per round
     val tinyBroadcastOk = cartesianOk ++
       Set("q_similar_topk", "q_knn_vote", "q_ann_ivf", "q_kmeans", "q_tfidf",
-        "q_bpe_merges", "q_funnel", "q_semantic_dedup", "q_pagerank")
+        "q_bpe_merges", "q_funnel", "q_semantic_dedup", "q_pagerank",
+        "q_market_basket") // 1-row order-count broadcast
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString

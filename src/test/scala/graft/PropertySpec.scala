@@ -104,6 +104,27 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       "every node of the single component must carry the min id label")
   }
 
+  test("pagerank conserves probability mass and is uniform on regular graphs") {
+    import spark.implicits._
+    // directed cycle 1→2→…→20→1: out-degree 1 everywhere, so the rank
+    // vector must stay exactly uniform (1/20) every round, and total mass
+    // must stay ~1 (exactly, up to the per-round 1e-7 rounding quench)
+    val cyc = (1L to 20L).map(i => (i, i % 20 + 1)).toDF("src", "dst")
+    val ranks = operators.GraphQueries.pageRank(cyc, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks.size == 20)
+    ranks.values.foreach(v => assert(math.abs(v - 0.05) < 1e-6, s"non-uniform: $ranks"))
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-4)
+    // star + tail asymmetry: a node with more in-links outranks a leaf
+    val star = Seq((1L, 2L), (3L, 2L), (4L, 2L), (2L, 1L), (2L, 3L), (2L, 4L))
+      .toDF("src", "dst")
+    val s = operators.GraphQueries.pageRank(star, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s(2L) > s(1L) && s(2L) > s(3L) && s(2L) > s(4L),
+      s"hub must outrank leaves: $s")
+    assert(math.abs(s.values.sum - 1.0) < 1e-4)
+  }
+
   test("pointer-jumping CC labels disjoint components independently") {
     import spark.implicits._
     // two triangles + an isolated edge — labels must be each component's min
