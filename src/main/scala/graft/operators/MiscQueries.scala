@@ -154,6 +154,69 @@ object MiscQueries extends QueryModule {
       ORDER BY o_orderpriority
     """))
 
+  /** SCD2 (slowly-changing-dimension type 2) history rebuild: each
+    * customer's order-priority timeline becomes versioned validity spans
+    * — valid_from/valid_to plus an is_current flag, the warehouse pattern
+    * for "what was true when". Gaps-and-islands: a lag-change flag, a
+    * running sum for the span id, one aggregation, a lead for the close
+    * date — all windows ride the SAME (custkey, ts, ok) partition/sort,
+    * so the plan is one shuffle + one sort reused by every step at any
+    * scale. The span id doubles as the version column so the output's
+    * sort key stays unique even when two spans open on the same
+    * timestamp (date-granular order timestamps make ties routine).
+    */
+  private val scd2History = QueryDef(
+    "q_scd2_history",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(spark, sfDir)
+        .filter(col("o_custkey") < 100) // bounded report; pushed to the scan
+        .select(col("o_custkey").as("custkey"), col("o_orderpriority").as("prio"),
+          col("o_orderdate").as("ts"), col("o_orderkey").as("ok"))
+      val wSeq = Window.partitionBy("custkey").orderBy(col("ts"), col("ok"))
+      val spans = o
+        .withColumn("changed",
+          when(lag(col("prio"), 1).over(wSeq).isNull ||
+            lag(col("prio"), 1).over(wSeq) =!= col("prio"), 1L).otherwise(0L))
+        .withColumn("g", sum(col("changed")).over(wSeq))
+        .groupBy("custkey", "g")
+        .agg(min(col("prio")).as("priority"), min(col("ts")).as("vf"))
+      val wSpan = Window.partitionBy("custkey").orderBy("g")
+      spans
+        .withColumn("vt", lead(col("vf"), 1).over(wSpan))
+        .select(col("custkey"), col("g").cast("int").as("version"), col("priority"),
+          Ql.tstr(col("vf")).as("valid_from"),
+          coalesce(Ql.tstr(col("vt")), lit("current")).as("valid_to"),
+          col("vt").isNull.cast("int").as("is_current"))
+        .orderBy("custkey", "version")
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey AS custkey, o_orderpriority AS prio,
+               o_orderdate AS ts, o_orderkey AS ok
+        FROM orders WHERE o_custkey < 100),
+      marked AS (
+        SELECT *, CASE WHEN lag(prio) OVER w IS NULL
+                         OR lag(prio) OVER w <> prio THEN 1 ELSE 0 END AS changed
+        FROM o WINDOW w AS (PARTITION BY custkey ORDER BY ts, ok)),
+      grp AS (
+        SELECT *, sum(changed) OVER (PARTITION BY custkey ORDER BY ts, ok) AS g
+        FROM marked),
+      spans AS (
+        SELECT custkey, g, min(prio) AS priority, min(ts) AS vf
+        FROM grp GROUP BY 1, 2),
+      fin AS (
+        SELECT custkey, g, priority, vf,
+               lead(vf) OVER (PARTITION BY custkey ORDER BY g) AS vt
+        FROM spans)
+      SELECT custkey, CAST(g AS INT) AS version, priority,
+             strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+             coalesce(strftime(vt, '%Y-%m-%d %H:%M:%S'), 'current') AS valid_to,
+             CAST(CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+      FROM fin ORDER BY custkey, version
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
-    miscIds, miscStack, sqlInterface, sqlExistsChain, sqlScalarSubq)
+    miscIds, miscStack, sqlInterface, sqlExistsChain, sqlScalarSubq,
+    scd2History)
 }

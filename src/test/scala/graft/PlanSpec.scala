@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions.{col, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan regression guards: the properties that make these queries
@@ -106,6 +107,39 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       if (!tinyBroadcastOk(name))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans a BroadcastNestedLoopJoin — check join keys")
+    }
+  }
+
+  test("runtime bloom-filter join: selective dim side injects a bloom into the fact scan") {
+    // At 100 TB the win is pruning fact rows BEFORE the shuffle when the
+    // dim side is filtered but too big to broadcast. Production default
+    // thresholds target >=10 GB application sides — lowered here (and
+    // broadcast disabled) purely to exercise the rewrite on test data;
+    // the assertion is that the mechanism is wired, not the threshold.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val urgent = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val joined = Tables.lineitem(spark, sf)
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").agg(sum("l_quantity").as("q"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.toLowerCase.contains("bloomfilter"),
+        s"expected a runtime bloom filter on the fact side:\n${optimized.take(1500)}")
+      assert(joined.collect().nonEmpty)
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 
