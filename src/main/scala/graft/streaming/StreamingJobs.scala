@@ -154,6 +154,88 @@ object StreamingJobs {
       }
   }
 
+  // ---- H6 (Spark 4 API): transformWithState sessionizer with TIMERS ----
+
+  /** The [[sessionize]] semantics on the modern transformWithState API,
+    * with event-time TIMERS doing the gap detection: each batch registers
+    * a timer at `last + gap`, and the session closes in
+    * [[SessionTimerProcessor.handleExpiredTimer]] when the watermark
+    * passes it. Stale timers (the session was extended after they were
+    * registered) are detected by comparing the expiry to the CURRENT
+    * deadline in state and ignored — cheaper at scale than a
+    * delete-and-reregister round-trip against the timer store per batch,
+    * and the no-op expiry costs one state read.
+    */
+  class SessionTimerProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessionInput, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState](
+        "session", org.apache.spark.sql.Encoders.product[SessionState],
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SessionInput],
+        timers: TimerValues): Iterator[SessionOut] = {
+      // sessions can close MID-batch on a gap, so per-key event-time order
+      // inside the batch is semantically required here (unlike the funnel's
+      // chain-of-minima); the sort is bounded by this key's batch rows
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var cur = if (state.exists()) Some(state.get()) else None
+      val closed = Seq.newBuilder[SessionOut]
+      sorted.foreach { r =>
+        val t = r.ts.getTime
+        cur match {
+          case Some(s) if t - s.last < gapMs =>
+            // an out-of-order (but above-watermark) event must not rewind
+            // the session bounds
+            cur = Some(s.copy(start = math.min(s.start, t),
+              last = math.max(s.last, t), n = s.n + 1, sum = s.sum + r.value))
+          case Some(s) =>
+            closed += SessionOut(key, s.n, s.sum, (s.last - s.start) / 1000)
+            cur = Some(SessionState(t, t, 1, r.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, r.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // registering a timer at-or-below the watermark is fine with this
+        // API (it fires on the next eligibility check) — no inline-close
+        // workaround needed, unlike GroupState.setTimeoutTimestamp
+        getHandle.registerTimer(s.last + gapMs)
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionOut] = {
+      (if (state.exists()) Some(state.get()) else None) match {
+        case Some(s) if expired.getExpiryTimeInMs() >= s.last + gapMs =>
+          state.clear()
+          Iterator.single(SessionOut(key, s.n, s.sum, (s.last - s.start) / 1000))
+        case _ => Iterator.empty // stale timer: the session was extended
+      }
+    }
+  }
+
+  /** H6: timer-based sessionization stream (the transformWithState twin of
+    * [[sessionize]]; StreamingSpec proves the two emit identical sessions).
+    */
+  def sessionizeTimers(events: Dataset[SessionInput], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapMinutes * 60000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   // ---- H6 (Spark 4 API): transformWithState running counters ----
 
   case class UserTotal(user_id: Long, n: Long, total: Double)

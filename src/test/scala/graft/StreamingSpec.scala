@@ -117,6 +117,40 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(out.exists(s => s.user_id == 2 && s.n_events == 1 && s.sum_value == 5.0))
   }
 
+  test("H6: timer-based transformWithState sessionizer equals the legacy sessionizer") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // same batched replay through both implementations: gap-close inside a
+    // batch (user 1), cross-batch session extension (user 2), singleton
+    // (user 3), then two flusher batches so every event-time timeout /
+    // timer has fired before comparing
+    val batches = Seq(
+      Seq(SessionInput(1, at(0), 1.0), SessionInput(1, at(10), 2.0),
+        SessionInput(2, at(5), 5.0)),
+      Seq(SessionInput(1, at(50), 3.0), SessionInput(2, at(20), 1.5)),
+      Seq(SessionInput(3, at(100), 7.0)),
+      Seq(SessionInput(99, at(600), 0.0)),
+      Seq(SessionInput(99, at(1200), 0.0)))
+    def run(name: String,
+        f: org.apache.spark.sql.Dataset[SessionInput] => org.apache.spark.sql.Dataset[SessionOut]): Set[SessionOut] = {
+      val ms = MemoryStream[SessionInput]
+      val q = f(ms.toDS()).writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).as[SessionOut].collect().filter(_.user_id != 99).toSet
+    }
+    val legacy = run("sess_legacy",
+      ds => StreamingJobs.sessionize(ds.withWatermark("ts", "10 minutes"), 30))
+    val timers = run("sess_timers",
+      ds => StreamingJobs.sessionizeTimers(ds, 30))
+    assert(legacy.nonEmpty, "flushers must have closed some sessions")
+    assert(legacy == timers, s"legacy=$legacy timers=$timers")
+    // the split sessions for user 1 and the merged one for user 2 exist
+    assert(timers.count(_.user_id == 1) == 2)
+    assert(timers.exists(s => s.user_id == 2 && s.n_events == 2 && s.sum_value == 6.5))
+  }
+
   test("H4/H6: sessionizer drops fully-late events and the query survives") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
