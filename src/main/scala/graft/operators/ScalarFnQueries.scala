@@ -302,14 +302,27 @@ object ScalarFnQueries extends QueryModule {
           element_at(expr("transform_values(m, (k, v) -> v * 2)"), "k").as("k_doubled"),
           size(expr("map_filter(m, (k, v) -> v > 50)")).as("n_big"),
           size(expr("map_concat(m, map('extra', -1))")).as("n_concat"),
-          element_at(expr("map_from_entries(array(struct('kk', 7)))"), "kk").as("const_entry"))
+          element_at(expr("map_from_entries(array(struct('kk', 7)))"), "kk").as("const_entry"),
+          // map_entries order is map-internal — array_sort makes the
+          // rendering deterministic ('a' < 'k' always)
+          expr("""array_join(array_sort(transform(
+                    map_entries(map_concat(m, map('a', 1))),
+                    e -> concat(e.key, '=', e.value))), ',')""").as("entries_str"),
+          expr("aggregate(map_values(map_concat(m, map('a', 1))), 0, (acc, x) -> acc + x)")
+            .as("vals_sum"),
+          element_at(expr(
+            "map_zip_with(m, map('k', 10), (k, v1, v2) -> coalesce(v1, 0) + coalesce(v2, 0))"),
+            "k").as("k_plus10"))
         .filter(col("event_id") < 100)
         .orderBy("event_id"),
     Some("""
       SELECT event_id, 'k' AS keys, k AS k_val, 1 AS n_entries,
              k * 2 AS k_doubled,
              CAST(CASE WHEN k > 50 THEN 1 ELSE 0 END AS INT) AS n_big,
-             2 AS n_concat, 7 AS const_entry
+             2 AS n_concat, 7 AS const_entry,
+             'a=1,k=' || CAST(k AS VARCHAR) AS entries_str,
+             k + 1 AS vals_sum,
+             k + 10 AS k_plus10
       FROM (SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
             FROM events)
       WHERE event_id < 100 ORDER BY event_id
