@@ -28,7 +28,8 @@ object SparkEntry {
     operators.SamplingQueries,
     operators.PipelineQueries,
     operators.CurationQueries,
-    operators.GraphQueries)
+    operators.GraphQueries,
+    operators.SketchQueries)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
 

@@ -1,0 +1,229 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** Mergeable-summary patterns beyond the HLL sketch family
+  * (AggQueries.aggHllMerge): count-min frequency sketches, Bloom-filter
+  * membership, and algebraic partial-aggregate merge. These are the
+  * summaries a 100 TB pipeline maintains per partition/day so that
+  * rollups and probes never re-scan raw data — each one here is built
+  * per-day, merged relationally, and checked against the exact answer.
+  *
+  * All three are DETERMINISTIC cross-engine (the hash family is the
+  * repo-standard md5 prefix, [[Ql.md5PrefixLong]]), so unlike the
+  * DataSketches HLL query the DuckDB oracles hash-match the estimates
+  * themselves, not just an error-contract flag.
+  */
+object SketchQueries extends QueryModule {
+
+  /** D4c: count-min sketch (Cormode & Muthukrishnan 2005, public) as a
+    * RELATION — `(r, p) -> counter` for d=4 hash rows × w=512 buckets —
+    * built per day and merged by counter addition (CMS is linear, so
+    * sketch union IS a groupBy-sum; same merge algebra the driver's
+    * 100 TB rollups need: daily sketches are ~KB, any range rollup is a
+    * 2048-row aggregation, and a frequency probe never touches raw data).
+    * Probed for the deterministic candidate set `user_id % 10 = 0` and
+    * checked against exact counts: `est >= exact` always (one-sided
+    * error), and the overcount is itself deterministic, so the oracle
+    * hash-matches the estimates exactly.
+    *
+    * The oracle builds the sketch WITHOUT the daily level — integer
+    * counter adds are exact, so merged-daily ≡ direct is part of what the
+    * hash match proves.
+    */
+  private val cmsHeavy = QueryDef(
+    "q_cms_heavy",
+    (spark, sfDir) => {
+      val d = 4
+      val w = 512
+      val posOf = Ql.md5PrefixLong(
+        "concat(cast(r AS STRING), ':', cast(user_id AS STRING))", 14)
+      val e = Tables.events(spark, sfDir)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      // every event lands in d counters: explode the hash-row index, one
+      // shuffle keyed on (day, r, p) — partial (map-side) aggregation does
+      // the heavy lifting; the sketch relation is d*w rows per day
+      val daily = e
+        .select(col("day"), col("user_id"), explode(expr(s"sequence(0, ${d - 1})")).as("r"))
+        .select(col("day"), col("r"), (expr(posOf) % w).as("p"))
+        .groupBy("day", "r", "p").agg(count(lit(1)).as("c"))
+      // sketch merge = counter addition (linearity); result is tiny
+      val merged = daily.groupBy("r", "p").agg(sum(col("c")).as("c"))
+      val cand = e.filter(col("user_id") % 10 === 0)
+        .groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      val cpos = cand.select(col("user_id"))
+        .select(col("user_id"), explode(expr(s"sequence(0, ${d - 1})")).as("r"))
+        .select(col("user_id"), col("r"), (expr(posOf) % w).as("p"))
+      val est = cpos.join(broadcast(merged), Seq("r", "p"))
+        .groupBy("user_id").agg(min(col("c")).as("est_n"))
+      cand.join(est, "user_id")
+        .select(col("user_id"), col("exact_n"), col("est_n"),
+          (col("est_n") - col("exact_n")).as("overcount"))
+        .orderBy("user_id")
+    },
+    Some {
+      val posOf = Ql.Md5PrefixLong("r::VARCHAR || ':' || user_id::VARCHAR", 14)
+      s"""
+      WITH e AS (SELECT user_id FROM events),
+      pos AS (
+        SELECT user_id, r, $posOf % 512 AS p
+        FROM (SELECT user_id, unnest(generate_series(0, 3)) AS r FROM e)),
+      sk AS (SELECT r, p, count(*) AS c FROM pos GROUP BY 1, 2),
+      cand AS (SELECT user_id, count(*) AS exact_n FROM e
+               WHERE user_id % 10 = 0 GROUP BY 1),
+      cpos AS (
+        SELECT DISTINCT user_id, r, $posOf % 512 AS p
+        FROM cand, (SELECT unnest(generate_series(0, 3)) AS r)),
+      est AS (SELECT user_id, min(c) AS est_n
+              FROM cpos JOIN sk USING (r, p) GROUP BY 1)
+      SELECT c.user_id, c.exact_n, e.est_n, e.est_n - c.exact_n AS overcount
+      FROM cand c JOIN est e USING (user_id) ORDER BY user_id
+    """
+    })
+
+  /** I-leak-b: Bloom-filter decontamination — the tiny-broadcast twin of
+    * `q_contamination`'s exact inverted-index join. The train side folds
+    * its 5-gram positions (k=3 salted md5 hashes into m=2^16 bits) into a
+    * 2048-row `(word -> 32-bit mask)` bitmap relation; the probe side is
+    * then a BROADCAST join against that bitmap instead of a shuffle join
+    * against the full train shingle set — the trade a 100 TB
+    * decontamination pass wants (bitmap size is m/32 rows regardless of
+    * corpus size; FP rate (1-e^{-kn/m})^k is a tuning knob, and false
+    * negatives are impossible, which the `no_false_neg` column proves
+    * per doc against the exact join).
+    *
+    * Bits live in the low 32 of a BIGINT word (shift <= 31) so the mask
+    * arithmetic stays sign-free in both engines.
+    */
+  private val bloomDecontam = QueryDef(
+    "q_bloom_decontam",
+    (spark, sfDir) => {
+      val k = 3
+      val m = 1 << 16
+      val posOf = Ql.md5PrefixLong("concat(cast(salt AS STRING), ':', sh0)", 14)
+      val grams = Tables.documents(spark, sfDir)
+        .withColumn("b", expr(SamplingQueries.bucketExpr("doc_id")))
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), col("b"),
+          explode(expr(
+            "transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', slice(toks, i + 1, 5)))"))
+            .as("sh0"))
+        // gram identity for the exact check: the repo-standard 56-bit key
+        .withColumn("gh", expr(Ql.md5PrefixLong("sh0", 14)))
+      // k salted positions per gram; both split sides reuse this frame
+      val pos = grams
+        .select(col("doc_id"), col("b"), col("gh"),
+          explode(expr(s"sequence(0, ${k - 1})")).as("salt"), col("sh0"))
+        .select(col("doc_id"), col("b"), col("gh"),
+          (expr(posOf) % m).as("p"))
+        .select(col("doc_id"), col("b"), col("gh"),
+          (col("p") / 32).cast("long").as("word"), (col("p") % 32).cast("int").as("bit"))
+        .cache()
+      val bitmap = pos.filter(col("b") < 90)
+        .select("word", "bit").distinct()
+        .groupBy("word").agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("bits"))
+      val trainGh = pos.filter(col("b") < 90).select("gh").distinct()
+      val probe = pos.filter(col("b") >= 90)
+        .join(broadcast(bitmap), Seq("word"), "left")
+        .withColumn("hit",
+          (coalesce(col("bits"), lit(0L))
+            .bitwiseAND(expr("shiftleft(CAST(1 AS BIGINT), bit)")) =!= 0L).cast("int"))
+        .groupBy("doc_id", "gh").agg(min(col("hit")).as("bloom_hit"))
+      val exact = pos.filter(col("b") >= 90).select("doc_id", "gh").distinct()
+        .join(trainGh, Seq("gh"), "leftsemi")
+        .withColumn("exact_hit", lit(1))
+      val out = probe.join(exact, Seq("doc_id", "gh"), "left")
+        .withColumn("exact_hit", coalesce(col("exact_hit"), lit(0)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(col("bloom_hit")).cast("long").as("n_bloom_hit"),
+          sum(col("exact_hit")).cast("long").as("n_exact_hit"),
+          min((col("bloom_hit") >= col("exact_hit")).cast("int")).as("no_false_neg"))
+        .orderBy("doc_id")
+      pos.unpersist(false)
+      out
+    },
+    Some {
+      // NB: the salt column must NOT be named `j` — Md5PrefixLong's fold
+      // lambda variable is `j` and would shadow it inside list_transform.
+      val posOf = Ql.Md5PrefixLong("salt::VARCHAR || ':' || sh0", 14)
+      val ghOf = Ql.Md5PrefixLong("sh0", 14)
+      s"""
+      WITH grams AS (
+        SELECT doc_id, ${Ql.Md5PrefixLong("CAST(doc_id AS VARCHAR)", 4)} % 100 AS b,
+               array_to_string(t[i + 1 : i + 5], ' ') AS sh0
+        FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 5)) AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+              WHERE len(t) >= 5)),
+      pos AS (
+        SELECT doc_id, b, gh,
+               p // 32 AS word, CAST(p % 32 AS INTEGER) AS bit
+        FROM (SELECT doc_id, b, $ghOf AS gh, $posOf % 65536 AS p
+              FROM (SELECT doc_id, b, sh0, unnest(generate_series(0, 2)) AS salt
+                    FROM grams))),
+      bitmap AS (
+        SELECT word, bit_or(1::BIGINT << bit) AS bits
+        FROM (SELECT DISTINCT word, bit FROM pos WHERE b < 90) GROUP BY 1),
+      train_gh AS (SELECT DISTINCT gh FROM pos WHERE b < 90),
+      probe AS (
+        SELECT doc_id, gh,
+               min(CASE WHEN (coalesce(bits, 0) & (1::BIGINT << bit)) <> 0
+                   THEN 1 ELSE 0 END) AS bloom_hit
+        FROM pos LEFT JOIN bitmap USING (word)
+        WHERE b >= 90 GROUP BY 1, 2),
+      exact AS (
+        SELECT DISTINCT p.doc_id, p.gh, 1 AS exact_hit
+        FROM pos p JOIN train_gh t ON p.gh = t.gh WHERE p.b >= 90)
+      SELECT p.doc_id, count(*) AS n_grams,
+             CAST(sum(p.bloom_hit) AS BIGINT) AS n_bloom_hit,
+             CAST(sum(coalesce(e.exact_hit, 0)) AS BIGINT) AS n_exact_hit,
+             min(CASE WHEN p.bloom_hit >= coalesce(e.exact_hit, 0)
+                 THEN 1 ELSE 0 END) AS no_false_neg
+      FROM probe p LEFT JOIN exact e ON p.doc_id = e.doc_id AND p.gh = e.gh
+      GROUP BY 1 ORDER BY 1
+    """
+    })
+
+  /** D-merge: incremental (materialized-view) aggregate maintenance —
+    * per-day ALGEBRAIC partials `(n, sum, min, max)` per event_type,
+    * merged to the all-time summary by `(Σn, Σsum, min min, max max)`.
+    * This is how a 100 TB metrics store absorbs a new day: aggregate ONLY
+    * the new partition into a partial row, append, and re-merge the tiny
+    * partials table — never re-scan history. `avg` is derived from the
+    * merged (sum, n) — NOT an average of averages, which is the classic
+    * wrong merge for non-uniform day sizes. The oracle recomputes
+    * directly from raw rows, so the hash match proves merge ≡ recompute.
+    */
+  private val incrementalAgg = QueryDef(
+    "q_incremental_agg",
+    (spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      val partials = e.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"),
+          min(col("value")).as("mn"), max(col("value")).as("mx"))
+      partials.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n"),
+          sum(col("s")).as("s"), min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+        .select(col("event_type"), col("n_days"), col("n"),
+          Ql.r(col("s"), 2).as("total"),
+          Ql.r(col("s") / col("n"), 4).as("avg_value"),
+          Ql.r(col("mn"), 4).as("min_value"),
+          Ql.r(col("mx"), 4).as("max_value"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      SELECT event_type,
+             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+             count(*) AS n,
+             ${Ql.R("sum(value)", 2)} AS total,
+             ${Ql.R("sum(value) / count(*)", 4)} AS avg_value,
+             ${Ql.R("min(value)", 4)} AS min_value,
+             ${Ql.R("max(value)", 4)} AS max_value
+      FROM events GROUP BY 1 ORDER BY 1
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(cmsHeavy, bloomDecontam, incrementalAgg)
+}
