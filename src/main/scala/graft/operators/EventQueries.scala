@@ -227,6 +227,97 @@ object EventQueries extends QueryModule {
       ORDER BY 1, 2
     """))
 
+  /** Last-touch marketing attribution: each purchase credits the user's
+    * most recent click within a 72 h lookback. The carry is ONE per-user
+    * window (`last(click_ts) IGNORE NULLS` over rows up to the previous
+    * event) — user-partitioned, so it shuffles once on user_id and scans
+    * each partition linearly; no per-purchase point lookup, no as-of
+    * self-join fanout. The 72 h bound compares integer epoch
+    * MICROSECONDS (`unix_micros` / `epoch_us`) — interval arithmetic on
+    * the boundary tie is exact in both engines that way.
+    */
+  private val attribution = QueryDef(
+    "q_attribution",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val e = Tables.events(spark, sfDir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+      e.withColumn("click_ts",
+          last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("attr",
+          (col("click_ts").isNotNull &&
+            (unix_micros(col("ts")) - unix_micros(col("click_ts")) <= 259200000000L))
+            .cast("int"))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("attr")).cast("long").as("n_attributed"),
+          Ql.r(sum(when(col("attr") === 1, col("value")).otherwise(0.0)), 2)
+            .as("attributed_value"))
+        .orderBy("day")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, ts, event_id, event_type, value FROM events
+        WHERE event_type IN ('click', 'purchase')),
+      m AS (
+        SELECT *, last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts
+        FROM e),
+      p AS (
+        SELECT CAST(ts AS DATE) AS day, value,
+               CASE WHEN click_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(click_ts) <= 259200000000
+                 THEN 1 ELSE 0 END AS attr
+        FROM m WHERE event_type = 'purchase')
+      SELECT day, count(*) AS n_purchases,
+             CAST(sum(attr) AS BIGINT) AS n_attributed,
+             ${Ql.R("sum(CASE WHEN attr = 1 THEN value ELSE 0 END)", 2)} AS attributed_value
+      FROM p GROUP BY 1 ORDER BY 1
+    """))
+
+  /** First-order Markov transition matrix of the per-user event stream:
+    * P(next type | current type) from lag pairs. One user-partitioned
+    * window for the lag, one keyed count, and the normalizing total rides
+    * a tiny per-from_type window — every step is keyed or
+    * 25-rows-small, nothing global. The row-stochastic property
+    * (each from_type's probabilities sum to 1) is checked by the oracle
+    * hash since both engines derive p from the same integer counts.
+    */
+  private val markov = QueryDef(
+    "q_markov_transitions",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val wt = Window.partitionBy("from_type")
+      pairs
+        .withColumn("p", Ql.r(col("n") / sum(col("n")).over(wt), 4))
+        .orderBy("from_type", "to_type")
+    },
+    Some(s"""
+      WITH pairs AS (
+        SELECT from_type, event_type AS to_type, count(*) AS n
+        FROM (SELECT event_type,
+                     lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS from_type
+              FROM events)
+        WHERE from_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+             ${Ql.R("n / (sum(n) OVER (PARTITION BY from_type))", 4)} AS p
+      FROM pairs ORDER BY 1, 2
+    """))
+
   override def defs: Seq[QueryDef] = Seq(hourlyEventStats, funnel, eventPaths,
-    retentionCohorts, tsResample, anomalyZscore)
+    retentionCohorts, tsResample, anomalyZscore, attribution, markov)
 }

@@ -164,5 +164,86 @@ object GraphQueries extends QueryModule {
       ORDER BY lift DESC, a, b LIMIT 20
     """))
 
-  override def defs: Seq[QueryDef] = Seq(pagerank, marketBasket)
+  /** Triangle counting over the support-≥2 co-purchase graph, by DEGREE
+    * ORIENTATION (Schank & Wagner 2005 / the MapReduce form in Suri &
+    * Vassilvitskii 2011, both public): orient every undirected edge from
+    * its lower-(degree, id) endpoint to the higher one, build wedges only
+    * from each node's OUT-edges, and close them against oriented edges.
+    * Out-degree under this orientation is O(√m), so the wedge join — the
+    * only superlinear step — is bounded Σ outdeg² = O(m^1.5) no matter
+    * how skewed the degree distribution is; a hub with a million
+    * neighbors contributes almost no wedges because nearly all its edges
+    * point INTO it. That bound is the difference between this running at
+    * 100 TB and the naive wedge join (Σ deg²) dying on the first hub.
+    *
+    * The oracle counts the same triangles with the plain id-ordered
+    * 3-join (orientation never changes the count, which is exactly what
+    * the hash match proves); `n_wedges` is the orientation-free
+    * Σ deg(v)·(deg(v)−1)/2, so both engines agree on it trivially, and
+    * the global clustering coefficient 3·tri/wedges comes out of the
+    * same integers.
+    */
+  private val triangleCount = QueryDef(
+    "q_triangle_count",
+    (spark, sfDir) => {
+      val items = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      // bounded per-order fanout (TPC-H order size <= 7); support >= 2
+      // prunes the incidental-pair noise the same way q_market_basket does
+      val edges = items.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(items.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("s"))
+        .filter(col("s") >= 2).select("a", "b")
+        .localCheckpoint(true) // feeds deg, orientation, and the closing join
+      val deg = edges.select(col("a").as("v"))
+        .unionByName(edges.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+      val keyed = edges
+        .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
+      val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+      val oriented = keyed.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("kd"))
+        .localCheckpoint(true)
+      val o1 = oriented.select(col("src"), col("dst").as("d1"), col("kd").as("k1"))
+      val o2 = oriented.select(col("src"), col("dst").as("d2"), col("kd").as("k2"))
+      val wedges = o1.join(o2, "src")
+        .filter(col("k1") < col("k2") || (col("k1") === col("k2") && col("d1") < col("d2")))
+      val tri = wedges.join(
+          oriented.select(col("src").as("d1"), col("dst").as("d2")), Seq("d1", "d2"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val stats = deg.agg(
+        (sum(col("dg") * (col("dg") - 1)) / 2).cast("long").as("n_wedges"))
+      edges.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(stats))   // three 1-row frames
+        .crossJoin(broadcast(tri))
+        .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+          Ql.r(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("clustering"))
+    },
+    Some(s"""
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      edges AS (
+        SELECT a, b FROM (
+          SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS s
+          FROM items x JOIN items y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+          GROUP BY 1, 2)
+        WHERE s >= 2),
+      deg AS (
+        SELECT v, count(*) AS dg FROM (
+          SELECT a AS v FROM edges UNION ALL SELECT b FROM edges) GROUP BY 1),
+      tri AS (
+        SELECT count(*) AS n_triangles
+        FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+          JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
+      SELECT (SELECT count(*) FROM edges) AS n_edges,
+             (SELECT CAST(sum(dg * (dg - 1)) / 2 AS BIGINT) FROM deg) AS n_wedges,
+             (SELECT n_triangles FROM tri) AS n_triangles,
+             ${Ql.R("3.0 * (SELECT n_triangles FROM tri) / (SELECT sum(dg * (dg - 1)) / 2 FROM deg)", 6)} AS clustering
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(pagerank, marketBasket, triangleCount)
 }
