@@ -417,7 +417,174 @@ object DedupQueries extends QueryModule {
       ORDER BY 1, 2
     """))
 
+  /** I2f: ASYMMETRIC containment join — C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|
+    * (Broder's containment, the quote/sub-document detector Jaccard
+    * misses: a 20-token excerpt inside a 100-token doc has containment
+    * 1.0 but Jaccard ≈ 0.2). Same inverted-index + df≤100 algebra as
+    * q_dedup_ngram_jaccard; the one undirected intersection count fans
+    * into BOTH directed rows, each normalized by its own source size.
+    * Plants: the first 20 tokens of doc_id<5 re-registered as standalone
+    * docs (id+200000) — true sub-documents, so the ≥0.8 band is
+    * non-vacuous and direction-sensitive (excerpt→source passes,
+    * source→excerpt does not).
+    */
+  private val containment = QueryDef(
+    "q_containment",
+    (spark, sfDir) => {
+      val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      val planted = d.unionByName(
+        d.filter(col("doc_id") < 5).select(
+          (col("doc_id") + 200000).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 20)).as("text")))
+      val sh = shingles(planted, hashed = true).cache()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val dfTab = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 100).select("sh")
+      val rare = sh.join(broadcast(dfTab), "sh")
+      val inter = rare.select(col("sh"), col("doc_id").as("d1"))
+        .join(rare.select(col("sh"), col("doc_id").as("d2")), "sh")
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      val directed = inter
+        .select(col("d1").as("src"), col("d2").as("dst"), col("inter"))
+        .unionByName(inter
+          .select(col("d2").as("src"), col("d1").as("dst"), col("inter")))
+      // materialize the tiny result, then release the shingle cache —
+      // its scope is this function, not the whole bench/verify session
+      val out = directed
+        .join(sizes.select(col("doc_id").as("src"), col("sz")), "src")
+        .withColumn("containment", Ql.r(col("inter") / col("sz"), 4))
+        .filter(col("containment") >= 0.8)
+        .select(col("src"), col("dst"), col("containment"))
+        .localCheckpoint(true)
+      sh.unpersist(false)
+      out.orderBy("src", "dst")
+    },
+    Some {
+      val planted =
+        """(SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 200000, array_to_string(string_split(text, ' ')[1:20], ' ')
+            FROM documents WHERE doc_id < 5)"""
+      s"""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, ${Ql.Md5PrefixLong("sh0", 14)} AS sh
+        FROM (SELECT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS sh0
+              FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 3)) AS i
+                    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $planted)
+                    WHERE len(t) >= 3))),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      rare AS (SELECT doc_id, sh FROM (
+                 SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh)
+               WHERE df <= 100),
+      inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      directed AS (
+        SELECT d1 AS src, d2 AS dst, inter FROM inter
+        UNION ALL SELECT d2, d1, inter FROM inter)
+      SELECT src, dst, ${Ql.R("inter / sz", 4)} AS containment
+      FROM directed JOIN sizes ON sizes.doc_id = src
+      WHERE ${Ql.R("inter / sz", 4)} >= 0.8
+      ORDER BY 1, 2
+    """
+    })
+
+  /** I2g: sorted-neighborhood blocking (Hernández & Stolfo 1995, public)
+    * — the LINEAR-candidate alternative to LSH: sort the corpus by a
+    * canonical key, compare each doc only to its w=2 ordinal neighbors,
+    * verify candidates with a row-local shingle-set Jaccard. Candidates
+    * are O(n·w) by construction — no bucket can blow up, the trade being
+    * recall (only near-sorted dups are found). The key is the SORTED
+    * last-8-token multiset, chosen because the planted near-dups differ
+    * in their first token only — robustness comes from keying on the
+    * part of the doc the perturbation didn't touch.
+    *
+    * The global sort is the two-level ordinal pattern proven by
+    * q_global_ordinals (per-bucket distributed windows + tiny histogram
+    * offsets — never a single-partition window); the pair step is an
+    * equi-join on `ordinal + k`, and the Jaccard verify builds both
+    * shingle sets INSIDE the pair row (array_intersect over ~100-element
+    * arrays) — per-candidate work is O(doc length), with no second
+    * corpus-wide shuffle.
+    */
+  private val sortedNeighborhood = QueryDef(
+    "q_dedup_sorted_neighborhood",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = withPlants(spark, sfDir)
+        .withColumn("t", split(col("text"), " "))
+        .filter(size(col("t")) >= 3)
+        .withColumn("key", concat_ws(" ",
+          array_sort(expr("slice(t, greatest(1, size(t) - 7), 8)"))))
+      // two-level global rank over (key, doc_id): range-bucket on the
+      // key's first 2 chars, rank within bucket, offset from the tiny
+      // per-bucket histogram (see q_global_ordinals)
+      val offsets = docs.groupBy(substring(col("key"), 1, 2).as("bkt"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("offset",
+          coalesce(sum(col("cnt")).over(
+            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bkt", "offset")
+      val inBucket = Window.partitionBy("bkt").orderBy("key", "doc_id")
+      // build each doc's shingle set ONCE here, not per candidate pair:
+      // the transform lambda evaluates interpreted, so doing it on the
+      // pair side costs 2·w× the work (measured 3.2 s → ~2 s at sf0.1)
+      val shOf = (c: String) =>
+        s"array_distinct(transform(sequence(0, size($c) - 3), i -> concat_ws(' ', slice($c, i + 1, 3))))"
+      val ranked = docs
+        .withColumn("bkt", substring(col("key"), 1, 2))
+        .join(broadcast(offsets), "bkt")
+        .withColumn("ordinal", col("offset") + row_number().over(inBucket))
+        .select(col("doc_id"), expr(shOf("t")).as("s"), col("ordinal"))
+      val right = ranked.select(col("ordinal").as("o2"),
+        col("doc_id").as("d2"), col("s").as("s2"))
+      ranked
+        .select(col("doc_id").as("d1"), col("s").as("s1"),
+          explode(expr("array(1, 2)")).as("k"), col("ordinal"))
+        .withColumn("o2", col("ordinal") + col("k"))
+        .join(right, "o2")
+        .withColumn("inter", size(array_intersect(col("s1"), col("s2"))))
+        .withColumn("jaccard",
+          Ql.r(col("inter") / (size(col("s1")) + size(col("s2")) - col("inter")), 4))
+        .filter(col("jaccard") >= 0.6)
+        .select(least(col("d1"), col("d2")).as("da"),
+          greatest(col("d1"), col("d2")).as("db"), col("jaccard"))
+        .orderBy("da", "db")
+    },
+    Some(s"""
+      WITH docs AS (
+        SELECT doc_id, t,
+               array_to_string(list_sort(t[greatest(1, len(t) - 7) : greatest(1, len(t) - 7) + 7]), ' ') AS key
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $plantsSql)
+        WHERE len(t) >= 3),
+      ranked AS (
+        SELECT doc_id, t,
+               row_number() OVER (ORDER BY key, doc_id) AS ordinal
+        FROM docs),
+      pairs AS (
+        SELECT a.doc_id AS d1, a.t AS t1, b.doc_id AS d2, b.t AS t2
+        FROM ranked a JOIN ranked b
+          ON b.ordinal - a.ordinal IN (1, 2)),
+      scored AS (
+        SELECT d1, d2,
+               len(list_intersect(s1, s2)) AS inter,
+               len(s1) AS z1, len(s2) AS z2
+        FROM (SELECT d1, d2,
+                list_distinct(list_transform(generate_series(0, len(t1) - 3),
+                  i -> array_to_string(t1[i + 1 : i + 3], ' '))) AS s1,
+                list_distinct(list_transform(generate_series(0, len(t2) - 3),
+                  i -> array_to_string(t2[i + 1 : i + 3], ' '))) AS s2
+              FROM pairs))
+      SELECT least(d1, d2) AS da, greatest(d1, d2) AS db,
+             ${Ql.R("inter / (z1 + z2 - inter)", 4)} AS jaccard
+      FROM scored
+      WHERE ${Ql.R("inter / (z1 + z2 - inter)", 4)} >= 0.6
+      ORDER BY 1, 2
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs,
-    dedupNgramJaccard, dedupEmbed, fuzzyJoin)
+    dedupNgramJaccard, dedupEmbed, fuzzyJoin, containment, sortedNeighborhood)
 }
