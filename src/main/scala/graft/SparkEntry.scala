@@ -29,7 +29,8 @@ object SparkEntry {
     operators.PipelineQueries,
     operators.CurationQueries,
     operators.GraphQueries,
-    operators.SketchQueries)
+    operators.SketchQueries,
+    operators.WarehouseQueries)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
 

@@ -247,7 +247,114 @@ object CurationQueries extends QueryModule {
       ORDER BY ordinal
     """))
 
+  /** I-cur6: χ² keyness — the words most distinctive of each language
+    * vs the rest of the corpus (Manning & Schütze ch.5, public), the
+    * standard domain-drift / corpus-comparison probe. The 2×2 table per
+    * (lang, word) comes from three keyed aggregations (lang×word counts,
+    * vocabulary-wide word totals, per-lang totals) — the word totals are
+    * vocabulary-sized and BROADCAST back, the grand total is a 1-row
+    * broadcast, so nothing here scales with the corpus, only with the
+    * vocabulary. All four cells are exact BIGINTs cast to double right
+    * before the χ² arithmetic; identical IEEE expressions round
+    * identically in both engines, and ranking happens on the ROUNDED
+    * statistic with a word tiebreak (the rank-on-raw-double hazard from
+    * the round-1 review). Top-5 per lang is WindowGroupLimit-prunable.
+    */
+  private val chi2Terms = QueryDef(
+    "q_chi2_terms",
+    (spark, sfDir) => {
+      val toks = Tables.documents(spark, sfDir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      val lw = toks.groupBy("lang", "w").agg(count(lit(1)).as("a"))
+      val wt = toks.groupBy("w").agg(count(lit(1)).as("cw"))
+      val lt = toks.groupBy("lang").agg(count(lit(1)).as("nl"))
+      val nn = toks.agg(count(lit(1)).cast("double").as("nn"))
+      val cells = lw
+        .join(broadcast(wt), "w")
+        .join(broadcast(lt), "lang")
+        .crossJoin(broadcast(nn))
+        .select(col("lang"), col("w"),
+          col("a").cast("double").as("a"),
+          (col("cw") - col("a")).cast("double").as("b"),
+          (col("nl") - col("a")).cast("double").as("c"),
+          (col("nn") - col("cw") - col("nl") + col("a")).as("d"), col("nn"))
+      val scored = cells.select(col("lang"), col("w"),
+        Ql.r(col("nn") * pow(col("a") * col("d") - col("b") * col("c"), 2)
+          / ((col("a") + col("b")) * (col("c") + col("d"))
+            * (col("a") + col("c")) * (col("b") + col("d"))), 4).as("chi2"))
+      val rk = Window.partitionBy("lang")
+        .orderBy(col("chi2").desc, col("w"))
+      scored.withColumn("rk", row_number().over(rk))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk"), col("w"), col("chi2"))
+        .orderBy("lang", "rk")
+    },
+    Some(s"""
+      WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      lw AS (SELECT lang, w, count(*) AS a FROM toks GROUP BY 1, 2),
+      wt AS (SELECT w, count(*) AS cw FROM toks GROUP BY 1),
+      lt AS (SELECT lang, count(*) AS nl FROM toks GROUP BY 1),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM toks),
+      cells AS (
+        SELECT lang, w,
+               CAST(a AS DOUBLE) AS a, CAST(cw - a AS DOUBLE) AS b,
+               CAST(nl - a AS DOUBLE) AS c,
+               nn - cw - nl + a AS d, nn
+        FROM lw JOIN wt USING (w) JOIN lt USING (lang), nn),
+      scored AS (
+        SELECT lang, w,
+               ${Ql.R("nn * pow(a * d - b * c, 2) / ((a + b) * (c + d) * (a + c) * (b + d))", 4)} AS chi2
+        FROM cells),
+      ranked AS (
+        SELECT lang, w, chi2,
+               row_number() OVER (PARTITION BY lang ORDER BY chi2 DESC, w) AS rk
+        FROM scored)
+      SELECT lang, CAST(rk AS INTEGER) AS rk, w, chi2
+      FROM ranked WHERE rk <= 5 ORDER BY lang, rk
+    """))
+
+  /** I-cur7: per-source KL divergence from the corpus word distribution —
+    * the drift score a curation pipeline tracks per domain/crawl slice
+    * (a source whose unigram distribution drifts from the mixture gets a
+    * review, not a silent inclusion). KL(P_src ‖ P_corpus) needs no
+    * smoothing: every source word is by construction in the corpus, so
+    * q > 0 wherever p > 0. Two keyed aggregations plus a broadcast of
+    * the vocabulary-sized corpus table; the log2 ± 1-ulp wobble is
+    * quenched by the 5-decimal rounding exactly as in q_word_entropy.
+    */
+  private val klDivergence = QueryDef(
+    "q_kl_divergence",
+    (spark, sfDir) => {
+      val toks = Tables.documents(spark, sfDir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      val sw = toks.groupBy("source", "w").agg(count(lit(1)).cast("double").as("cs"))
+      val wt = toks.groupBy("w").agg(count(lit(1)).cast("double").as("cw"))
+      val nn = toks.agg(count(lit(1)).cast("double").as("nn"))
+      val st = sw.groupBy("source").agg(sum(col("cs")).as("ns"))
+      sw.join(broadcast(wt), "w")
+        .join(broadcast(st), "source")
+        .crossJoin(broadcast(nn))
+        .groupBy("source")
+        .agg(max(col("ns")).cast("long").as("n_words"),
+          count(lit(1)).as("n_distinct"),
+          Ql.r(sum((col("cs") / col("ns"))
+            * log2((col("cs") / col("ns")) / (col("cw") / col("nn")))), 5).as("kl"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      sw AS (SELECT source, w, CAST(count(*) AS DOUBLE) AS cs FROM toks GROUP BY 1, 2),
+      wt AS (SELECT w, CAST(count(*) AS DOUBLE) AS cw FROM toks GROUP BY 1),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM toks),
+      st AS (SELECT source, sum(cs) AS ns FROM sw GROUP BY 1)
+      SELECT source, CAST(max(ns) AS BIGINT) AS n_words,
+             count(*) AS n_distinct,
+             ${Ql.R("sum((cs / ns) * log2((cs / ns) / (cw / nn)))", 5)} AS kl
+      FROM sw JOIN wt USING (w) JOIN st USING (source), nn
+      GROUP BY source ORDER BY source
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(segmentDedup, repetitionFilter, domainBudget, wordEntropy,
-      globalOrdinals)
+      globalOrdinals, chi2Terms, klDivergence)
 }

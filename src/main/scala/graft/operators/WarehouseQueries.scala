@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-layout and frontier analytics: skyline (pareto frontier),
+  * multi-dimensional histograms, and Z-order (Morton) clustering — the
+  * data-layout side of a 100 TB store, where what matters is not the
+  * aggregate itself but whether the plan shape (sweeps, bucketing, bit
+  * interleaving) survives scale without a single-partition step.
+  */
+object WarehouseQueries extends QueryModule {
+
+  /** Skyline / pareto frontier (Börzsönyi et al. 2001, public): parts no
+    * other part beats on BOTH (cheaper-or-equal price, bigger-or-equal
+    * size) with one strict. The textbook NOT EXISTS is O(n²); the
+    * scalable form is the 1-pass sweep — sort by (price asc, size desc),
+    * keep points whose size exceeds the running max — done here as a
+    * TWO-LEVEL sweep (the q_global_ordinals trick): per-price-bucket
+    * running max inside distributed windows, plus each bucket's
+    * prefix-max over the TINY bucket-maxima table, broadcast back. The
+    * oracle keeps the NOT EXISTS definition, so the hash match proves
+    * sweep ≡ dominance semantics, ties and all.
+    */
+  private val skyline = QueryDef(
+    "q_skyline",
+    (spark, sfDir) => {
+      val parts = Tables.part(spark, sfDir)
+        .select(col("p_size"), col("p_retailprice").as("price"))
+      val pts = parts.distinct()
+        .withColumn("bkt", floor(col("price")).cast("long"))
+      // one row per whole-currency bucket — broadcast scale
+      val bmax = pts.groupBy("bkt").agg(max(col("p_size")).as("bm"))
+        .withColumn("prior",
+          coalesce(max(col("bm")).over(
+            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(-1)))
+        .select("bkt", "prior")
+      val inBucket = Window.partitionBy("bkt")
+        .orderBy(col("price").asc, col("p_size").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sky = pts.join(broadcast(bmax), "bkt")
+        .withColumn("inmax", coalesce(max(col("p_size")).over(inBucket), lit(-1)))
+        // preceding set = all strictly-cheaper points (earlier buckets via
+        // prior, same bucket via the window) plus equal-price larger-size
+        // ones — exactly the dominators under the sweep order
+        .filter(col("p_size") > greatest(col("prior"), col("inmax")))
+        .select("p_size", "price")
+      parts.groupBy("p_size", "price").agg(count(lit(1)).as("n_parts"))
+        .join(sky, Seq("p_size", "price"))
+        .select(col("p_size"), Ql.r(col("price"), 2).as("price_r"), col("n_parts"))
+        .orderBy("p_size")
+    },
+    Some(s"""
+      WITH pts AS (SELECT DISTINCT p_size, p_retailprice AS price FROM part),
+      sky AS (
+        SELECT p_size, price FROM pts p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pts q
+          WHERE q.price <= p.price AND q.p_size >= p.p_size
+            AND (q.price < p.price OR q.p_size > p.p_size))),
+      grp AS (SELECT p_size, p_retailprice AS price, count(*) AS n_parts
+              FROM part GROUP BY 1, 2)
+      SELECT g.p_size, ${Ql.R("g.price", 2)} AS price_r, g.n_parts
+      FROM grp g JOIN sky s ON g.p_size = s.p_size AND g.price = s.price
+      ORDER BY g.p_size
+    """))
+
+  /** 2-D equi-width histogram — the (status × price-band) heatmap every
+    * warehouse dashboard starts from. One keyed aggregation with
+    * map-side combine; the bucket id is closed-form arithmetic (no
+    * percentile pass), so the full job is a single scan + one tiny
+    * shuffle no matter the scale. The literal divisor is CAST to double
+    * in the oracle because DuckDB would otherwise parse it as DECIMAL
+    * and divide under different rules than Spark's double path.
+    */
+  private val histogram2d = QueryDef(
+    "q_histogram2d",
+    (spark, sfDir) => {
+      val b = least(lit(19), floor(col("o_totalprice") / lit(25000.0))).cast("long")
+      Tables.orders(spark, sfDir)
+        .groupBy(col("o_orderstatus"), b.as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          Ql.r(sum(col("o_totalprice")), 2).as("sum_price"))
+        .withColumn("lo", (col("bucket") * 25000).cast("long"))
+        .select(col("o_orderstatus"), col("bucket"), col("lo"),
+          col("n_orders"), col("sum_price"))
+        .orderBy("o_orderstatus", "bucket")
+    },
+    Some(s"""
+      SELECT o_orderstatus, bucket, CAST(bucket * 25000 AS BIGINT) AS lo,
+             count(*) AS n_orders,
+             ${Ql.R("sum(o_totalprice)", 2)} AS sum_price
+      FROM (SELECT o_orderstatus, o_totalprice,
+                   CAST(least(19, floor(o_totalprice / CAST(25000 AS DOUBLE))) AS BIGINT)
+                     AS bucket
+            FROM orders)
+      GROUP BY 1, 2, 3 ORDER BY 1, 2
+    """))
+
+  /** Z-order (Morton) clustering — interleave the bits of two quantized
+    * dimensions so that sorting by ONE key co-locates rows that are close
+    * in BOTH (the layout trick behind multi-column data skipping in
+    * modern lakehouse formats; Morton 1966, public). 6 bits of p_size ×
+    * 6 bits of a price quantile step, z ∈ [0, 4096); rows grouped into
+    * 64 z-ranges ("files"). The output per range is its bounding box in
+    * both dimensions — the min/max stats a scan would prune on — and the
+    * hash match pins the interleave arithmetic bit-for-bit across
+    * engines. A linear sort by either single column would leave the
+    * other dimension's per-file range at full width; z-ranges bound
+    * both, which is the entire point of the layout.
+    */
+  private val zorderLayout = QueryDef(
+    "q_zorder_layout",
+    (spark, sfDir) => {
+      val sparkZ = (0 to 5).map(j =>
+        s"shiftleft((shiftright(x, $j) & 1), ${2 * j}) + shiftleft((shiftright(y, $j) & 1), ${2 * j + 1})")
+        .mkString(" + ")
+      Tables.part(spark, sfDir)
+        .select(col("p_size").cast("long").as("x"),
+          least(lit(63L), floor((col("p_retailprice") - 900.0) * 0.64).cast("long")).as("y"))
+        .withColumn("z", expr(sparkZ))
+        .groupBy((col("z") / 64).cast("long").as("zrange"))
+        .agg(count(lit(1)).as("n_parts"),
+          min(col("x")).as("min_size"), max(col("x")).as("max_size"),
+          min(col("y")).as("min_pb"), max(col("y")).as("max_pb"))
+        .orderBy("zrange")
+    },
+    Some {
+      val duckZ = (0 to 5).map(j =>
+        s"(((x >> $j) & 1) << ${2 * j}) + (((y >> $j) & 1) << ${2 * j + 1})")
+        .mkString(" + ")
+      s"""
+      WITH d AS (
+        SELECT CAST(p_size AS BIGINT) AS x,
+               least(63, CAST(floor((p_retailprice - CAST(900 AS DOUBLE))
+                 * CAST(0.64 AS DOUBLE)) AS BIGINT)) AS y
+        FROM part),
+      z AS (SELECT x, y, $duckZ AS z FROM d)
+      SELECT z // 64 AS zrange, count(*) AS n_parts,
+             min(x) AS min_size, max(x) AS max_size,
+             min(y) AS min_pb, max(y) AS max_pb
+      FROM z GROUP BY 1 ORDER BY 1
+    """
+    })
+
+  override def defs: Seq[QueryDef] = Seq(skyline, histogram2d, zorderLayout)
+}

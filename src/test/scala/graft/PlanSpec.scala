@@ -97,7 +97,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val tinyBroadcastOk = cartesianOk ++
       Set("q_similar_topk", "q_knn_vote", "q_ann_ivf", "q_kmeans", "q_tfidf",
         "q_bpe_merges", "q_funnel", "q_semantic_dedup", "q_pagerank",
-        "q_market_basket") // 1-row order-count broadcast
+        "q_market_basket", // 1-row order-count broadcast
+        "q_triangle_count", // 1-row wedge/triangle totals crossed into the report row
+        "q_chi2_terms", "q_kl_divergence") // 1-row corpus token count broadcast
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
