@@ -75,7 +75,11 @@ object Bench {
         "q_segment_dedup",
         // r6 additions: 10-round PageRank (iterative, per-round codegen)
         // and the SemDeDup cluster-pair pass
-        "q_pagerank", "q_semantic_dedup")
+        "q_pagerank", "q_semantic_dedup",
+        // r6 second batch: shingle-index containment, oriented triangle
+        // wedge join, ordinal-join sorted neighborhood, CMS build+probe
+        "q_containment", "q_triangle_count", "q_dedup_sorted_neighborhood",
+        "q_cms_heavy", "q_bloom_decontam")
     (lightWarm ++ heavyWarm)
       .filter(SparkEntry.queries.contains)
       .foreach { n =>

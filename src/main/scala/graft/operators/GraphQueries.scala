@@ -245,5 +245,66 @@ object GraphQueries extends QueryModule {
              ${Ql.R("3.0 * (SELECT n_triangles FROM tri) / (SELECT sum(dg * (dg - 1)) / 2 FROM deg)", 6)} AS clustering
     """))
 
-  override def defs: Seq[QueryDef] = Seq(pagerank, marketBasket, triangleCount)
+  /** Item-item collaborative filtering (Linden et al. 2003's
+    * amazon.com item-to-item CF, public): cosine similarity over the
+    * order-basket co-occurrence counts, top-10 neighbors per item. The
+    * cosine needs only the three counts (s_ab, s_a, s_b) already
+    * produced by the bounded pair aggregation, so the whole recommender
+    * is the market-basket plan plus two broadcast-sized support joins —
+    * no per-user vectors materialize anywhere. Ranked on the ROUNDED
+    * cosine with a neighbor-id tiebreak; top-10 per item plans as
+    * WindowGroupLimit (a k-row heap per item, no per-item sort).
+    */
+  private val itemCf = QueryDef(
+    "q_item_cf",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val items = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .localCheckpoint(true) // feeds supports and pairs
+      val supp = items.groupBy("l_partkey").agg(count(lit(1)).as("s"))
+      val pairs = items.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(items.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("s_ab"))
+        .filter(col("s_ab") >= 2)
+      val directed = pairs.select(col("a").as("item"), col("b").as("nbr"), col("s_ab"))
+        .unionByName(pairs.select(col("b").as("item"), col("a").as("nbr"), col("s_ab")))
+      val w = Window.partitionBy("item").orderBy(col("cosine").desc, col("nbr"))
+      directed
+        .join(supp.select(col("l_partkey").as("item"), col("s").as("s_i")), "item")
+        .join(supp.select(col("l_partkey").as("nbr"), col("s").as("s_n")), "nbr")
+        .withColumn("cosine", Ql.r(col("s_ab") / sqrt(col("s_i") * col("s_n")), 4))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("item"), col("rank"), col("nbr"), col("cosine"))
+        .orderBy("item", "rank")
+    },
+    Some(s"""
+      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      supp AS (SELECT l_partkey, count(*) AS s FROM items GROUP BY 1),
+      pairs AS (
+        SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS s_ab
+        FROM items x JOIN items y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2),
+      directed AS (
+        SELECT a AS item, b AS nbr, s_ab FROM pairs
+        UNION ALL SELECT b, a, s_ab FROM pairs),
+      scored AS (
+        SELECT item, nbr,
+               ${Ql.R("s_ab / sqrt(si.s * sn.s)", 4)} AS cosine
+        FROM directed
+          JOIN supp si ON si.l_partkey = item
+          JOIN supp sn ON sn.l_partkey = nbr)
+      SELECT item,
+             CAST(row_number() OVER (PARTITION BY item ORDER BY cosine DESC, nbr) AS INT) AS rank,
+             nbr, cosine
+      FROM scored
+      QUALIFY rank <= 10
+      ORDER BY item, rank
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(pagerank, marketBasket, triangleCount, itemCf)
 }

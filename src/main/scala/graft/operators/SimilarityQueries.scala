@@ -377,7 +377,128 @@ object SimilarityQueries extends QueryModule {
       GROUP BY 1 ORDER BY 1
     """))
 
+  /** I3-ivfpq: the full production ANN stack — IVF coarse quantizer +
+    * product-quantization asymmetric distance (ADC; Jégou et al. PAMI'11,
+    * re-derived). A query (a) probes its nprobe=2 nearest coarse
+    * centroids, restricting the search to 2/K of the corpus, then (b)
+    * scores ONLY PQ codes inside those lists: approx ‖q−x‖² =
+    * Σⱼ ‖qⱼ − c_{code(x,j)}‖², read from a per-query lookup table of
+    * nq × 4 subspaces × 4 codewords = 80 rows, broadcast. The scoring
+    * loop never touches a full vector — per-vector memory is the 1-byte-
+    * per-subspace code, the 64× compression that makes billion-vector
+    * indexes fit in RAM. Every argmin/rank is on the ROUNDED distance
+    * with id tiebreaks (project rounding contract), so the DuckDB twin
+    * hash-matches the whole pipeline: codebook assignment, probe set,
+    * ADC scores, final ranking.
+    */
+  private val annIvfPq = QueryDef(
+    "q_ann_ivfpq",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label"), Vectors.toDouble(col("embedding")).as("v"))
+      // coarse quantizer: per-label mean centroid (as q_ann_ivf)
+      val centroids = e
+        .select(col("label"), posexplode(col("v")))
+        .groupBy("label", "pos")
+        .agg(avg(col("col")).as("c"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("centroid"))
+      // PQ codebook: 4 subspaces × 4 codewords (as q_pq_codes)
+      val subs = e
+        .select(col("vec_id"), col("label"), explode(expr("sequence(0, 3)")).as("j"), col("v"))
+        .select(col("vec_id"), col("label"), col("j"), expr("slice(v, 16 * j + 1, 16)").as("s"))
+      val cb = subs.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("int").as("cid"), col("j"), col("s").as("c"))
+      // encode the database side: nearest codeword per (vec, subspace)
+      val wEnc = Window.partitionBy("vec_id", "j").orderBy(col("dr"), col("cid"))
+      val encoded = subs.filter(col("vec_id") >= 5)
+        .join(broadcast(cb), "j")
+        .withColumn("dr", Ql.r(
+          Vectors.dot(col("s"), col("s"))
+            - lit(2.0) * Vectors.dot(col("s"), col("c"))
+            + Vectors.dot(col("c"), col("c")), 6))
+        .withColumn("rn", row_number().over(wEnc))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), col("j"), col("cid"))
+      // query side: probe 2 coarse lists, build the 80-row ADC table
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val wProbe = Window.partitionBy("qid").orderBy(col("cscore").desc, col("label"))
+      val probed = q.crossJoin(broadcast(centroids))
+        .withColumn("cscore", Ql.r(Vectors.dot(col("qv"), col("centroid")), 6))
+        .withColumn("crank", row_number().over(wProbe))
+        .filter(col("crank") <= 2)
+        .select(col("qid"), col("label"))
+      val lut = q
+        .select(col("qid"), explode(expr("sequence(0, 3)")).as("j"), col("qv"))
+        .select(col("qid"), col("j"), expr("slice(qv, 16 * j + 1, 16)").as("qs"))
+        .join(broadcast(cb), "j")
+        .select(col("qid"), col("j"), col("cid"),
+          (Vectors.dot(col("qs"), col("qs"))
+            - lit(2.0) * Vectors.dot(col("qs"), col("c"))
+            + Vectors.dot(col("c"), col("c"))).as("d"))
+      // ADC: sum the 4 table cells per (query, candidate) — candidates
+      // only from probed lists
+      val wTop = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+      probed.join(encoded, "label")
+        .join(broadcast(lut), Seq("qid", "j", "cid"))
+        .groupBy("qid", "vec_id")
+        .agg(Ql.r(sum(col("d")), 4).as("adist"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("vec_id"), col("adist"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      cent AS (
+        SELECT label, list(c ORDER BY pos) AS centroid
+        FROM (SELECT label, g.i AS pos, avg(v[g.i]) AS c
+              FROM e, generate_series(1, 64) g(i)
+              GROUP BY 1, 2)
+        GROUP BY label),
+      subs AS (SELECT vec_id, label, g.j, v[16 * g.j + 1 : 16 * g.j + 16] AS s
+               FROM e, generate_series(0, 3) g(j)),
+      cb AS (SELECT CAST(vec_id AS INT) AS cid, j, s AS c
+             FROM subs WHERE vec_id < 4),
+      encoded AS (
+        SELECT vec_id, label, j, cid FROM (
+          SELECT s.vec_id, s.label, s.j, cb.cid,
+                 row_number() OVER (PARTITION BY s.vec_id, s.j
+                   ORDER BY round(list_dot_product(s.s, s.s)
+                            - 2 * list_dot_product(s.s, cb.c)
+                            + list_dot_product(cb.c, cb.c) + 1e-9, 6), cb.cid) AS rn
+          FROM subs s JOIN cb ON s.j = cb.j
+          WHERE s.vec_id >= 5) WHERE rn = 1),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+      probed AS (
+        SELECT qid, label
+        FROM q, cent
+        QUALIFY row_number() OVER (PARTITION BY qid
+          ORDER BY round(list_dot_product(qv, centroid) + 1e-9, 6) DESC, label) <= 2),
+      lut AS (
+        SELECT sq.qid, sq.j, cb.cid,
+               list_dot_product(sq.qs, sq.qs) - 2 * list_dot_product(sq.qs, cb.c)
+                 + list_dot_product(cb.c, cb.c) AS d
+        FROM (SELECT qid, g.j AS j, qv[16 * g.j + 1 : 16 * g.j + 16] AS qs
+              FROM q, generate_series(0, 3) g(j)) sq
+        JOIN cb ON cb.j = sq.j),
+      adc AS (
+        SELECT p.qid, en.vec_id, ${Ql.R("sum(l.d)", 4)} AS adist
+        FROM probed p
+          JOIN encoded en ON en.label = p.label
+          JOIN lut l ON l.qid = p.qid AND l.j = en.j AND l.cid = en.cid
+        GROUP BY 1, 2)
+      SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS INT) AS rank,
+             vec_id, adist
+      FROM adc
+      QUALIFY rank <= 5
+      ORDER BY qid, rank
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     similarTopk, knnVote, annIvf, docEmbedJoin, embedQuantize, pqCodes,
-    semanticDedup)
+    semanticDedup, annIvfPq)
 }

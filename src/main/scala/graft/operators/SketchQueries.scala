@@ -84,14 +84,16 @@ object SketchQueries extends QueryModule {
 
   /** I-leak-b: Bloom-filter decontamination — the tiny-broadcast twin of
     * `q_contamination`'s exact inverted-index join. The train side folds
-    * its 5-gram positions (k=3 salted md5 hashes into m=2^16 bits) into a
-    * 2048-row `(word -> 32-bit mask)` bitmap relation; the probe side is
-    * then a BROADCAST join against that bitmap instead of a shuffle join
-    * against the full train shingle set — the trade a 100 TB
-    * decontamination pass wants (bitmap size is m/32 rows regardless of
-    * corpus size; FP rate (1-e^{-kn/m})^k is a tuning knob, and false
-    * negatives are impossible, which the `no_false_neg` column proves
-    * per doc against the exact join).
+    * its 5-gram positions (k=3 salted md5 hashes into m=2^22 bits) into a
+    * `(word -> 32-bit mask)` bitmap relation of at most m/32 = 131 k
+    * rows (~2 MB — broadcast scale); the probe side is then a BROADCAST
+    * join against that bitmap instead of a shuffle join against the full
+    * train shingle set — the trade a 100 TB decontamination pass wants.
+    * m is a per-corpus capacity constant (FP rate (1-e^{-kn/m})^k; at
+    * sf0.1's ~800 k positions the fill is ~17 % ⇒ FPR ≈ 0.5 %, asserted
+    * < 10 % in SketchSpec); false negatives are impossible at ANY fill,
+    * which the `no_false_neg` column proves per doc against the exact
+    * join.
     *
     * Bits live in the low 32 of a BIGINT word (shift <= 31) so the mask
     * arithmetic stays sign-free in both engines.
@@ -100,7 +102,7 @@ object SketchQueries extends QueryModule {
     "q_bloom_decontam",
     (spark, sfDir) => {
       val k = 3
-      val m = 1 << 16
+      val m = 1 << 22
       val posOf = Ql.md5PrefixLong("concat(cast(salt AS STRING), ':', sh0)", 14)
       val grams = Tables.documents(spark, sfDir)
         .withColumn("b", expr(SamplingQueries.bucketExpr("doc_id")))
@@ -134,6 +136,9 @@ object SketchQueries extends QueryModule {
       val exact = pos.filter(col("b") >= 90).select("doc_id", "gh").distinct()
         .join(trainGh, Seq("gh"), "leftsemi")
         .withColumn("exact_hit", lit(1))
+      // materialize the tiny per-doc report, THEN drop the position
+      // cache (unpersisting before the first action would throw the
+      // cache away unused and recompute pos once per consumer)
       val out = probe.join(exact, Seq("doc_id", "gh"), "left")
         .withColumn("exact_hit", coalesce(col("exact_hit"), lit(0)))
         .groupBy("doc_id")
@@ -141,9 +146,9 @@ object SketchQueries extends QueryModule {
           sum(col("bloom_hit")).cast("long").as("n_bloom_hit"),
           sum(col("exact_hit")).cast("long").as("n_exact_hit"),
           min((col("bloom_hit") >= col("exact_hit")).cast("int")).as("no_false_neg"))
-        .orderBy("doc_id")
+        .localCheckpoint(true)
       pos.unpersist(false)
-      out
+      out.orderBy("doc_id")
     },
     Some {
       // NB: the salt column must NOT be named `j` — Md5PrefixLong's fold
@@ -160,7 +165,7 @@ object SketchQueries extends QueryModule {
       pos AS (
         SELECT doc_id, b, gh,
                p // 32 AS word, CAST(p % 32 AS INTEGER) AS bit
-        FROM (SELECT doc_id, b, $ghOf AS gh, $posOf % 65536 AS p
+        FROM (SELECT doc_id, b, $ghOf AS gh, $posOf % 4194304 AS p
               FROM (SELECT doc_id, b, sh0, unnest(generate_series(0, 2)) AS salt
                     FROM grams))),
       bitmap AS (

@@ -95,6 +95,26 @@ object StreamingJobs {
       .select(col("c.event_id").as("click_id"), col("p.event_id").as("purchase_id"),
         col("c.user_id").as("user_id"))
 
+  /** C10b: stream-stream LEFT OUTER join — same key + time bound as
+    * [[correlate]], but a click that finds no purchase inside its 30 min
+    * window is still emitted (purchase columns null) once the watermark
+    * proves no match can arrive. The null row appears only AFTER both
+    * watermarks pass `click.ts + 30 min` — state for the click is held
+    * exactly that long and then evicted, so unmatched-side memory is
+    * bounded by the join window, not the stream length (what makes the
+    * outer form viable on an unbounded 100 TB/day stream).
+    */
+  def correlateOuter(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.withWatermark("ts", "10 minutes").alias("c")
+      .join(
+        purchases.withWatermark("ts", "10 minutes").alias("p"),
+        expr("""c.user_id = p.user_id
+                AND p.ts >= c.ts
+                AND p.ts <= c.ts + INTERVAL 30 MINUTES"""),
+        "leftOuter")
+      .select(col("c.event_id").as("click_id"), col("p.event_id").as("purchase_id"),
+        col("c.user_id").as("user_id"))
+
   // ---- H6: arbitrary keyed state — sessionization with a timeout ----
 
   case class SessionInput(user_id: Long, ts: java.sql.Timestamp, value: Double)

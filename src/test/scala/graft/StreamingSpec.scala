@@ -249,6 +249,40 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(got == Set((1L, 10L)))
   }
 
+  test("C10b: outer stream-stream join emits unmatched rows after watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val joined = StreamingJobs.correlateOuter(
+      clicks.toDF().select(col("event_id"), col("ts"), col("user_id")),
+      purchases.toDF().select(col("event_id"), col("ts"), col("user_id")))
+    val q = joined.writeStream.format("memory").queryName("corr_outer")
+      .outputMode("append").start()
+    clicks.addData(Ev(1, at(0), 1, "click", 0, "{}"), Ev(2, at(0), 2, "click", 0, "{}"))
+    purchases.addData(Ev(10, at(10), 1, "purchase", 0, "{}"))
+    q.processAllAvailable()
+    // before any watermark movement the unmatched click must NOT be out
+    // (a purchase could still arrive inside its 30 min window)
+    val early = spark.table("corr_outer").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(!early.exists { case (c, p) => c == 2L && p.isEmpty })
+    // push BOTH watermarks past 0:00 + 30 min bound + 10 min delay; the
+    // null row is emitted by the batch that RUNS with the new watermark,
+    // so tick twice
+    clicks.addData(Ev(3, at(120), 9, "click", 0, "{}"))
+    purchases.addData(Ev(13, at(125), 9, "purchase", 0, "{}"))
+    q.processAllAvailable()
+    clicks.addData(Ev(4, at(200), 8, "click", 0, "{}"))
+    purchases.addData(Ev(14, at(205), 8, "purchase", 0, "{}"))
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("corr_outer").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]))).toSet
+    assert(got.contains((1L, Some(10L))), got)   // matched pair intact
+    assert(got.contains((2L, None)), got)        // unmatched click surfaced with nulls
+    assert(!got.contains((2L, Some(10L))), got)  // and never cross-user matched
+  }
+
   test("C9: stream-static enrichment join") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
