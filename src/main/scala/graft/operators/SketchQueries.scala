@@ -230,5 +230,96 @@ object SketchQueries extends QueryModule {
       FROM events GROUP BY 1 ORDER BY 1
     """))
 
-  override def defs: Seq[QueryDef] = Seq(cmsHeavy, bloomDecontam, incrementalAgg)
+  /** D4d: mergeable quantile sketch — a fixed-width histogram RELATION
+    * (`bucket -> count`, width 4.0 over `events.value`) built per day and
+    * merged by counter addition, then inverted into p50/p95/p99 by
+    * walking the tiny cumulative table. This is the equi-width cousin of
+    * t-digest/KLL: cruder error (± a bucket width) but EXACTLY mergeable
+    * and fully deterministic, so the estimates hash-match the oracle
+    * rather than hiding behind an error flag. The per-type histogram is
+    * ~150 rows regardless of corpus size — the quantile inversion is a
+    * broadcast-scale join, and the only data-sized step is the one keyed
+    * count. `exact` comes from percentile_cont (the q_agg_percentile
+    * cross-engine equivalence) and `within_2w` must come out 1: the
+    * inverted estimate lands in the crossing bucket, the true value in
+    * the same or an adjacent one.
+    */
+  private val quantileSketch = QueryDef(
+    "q_quantile_sketch",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val width = 4.0
+      val e = Tables.events(spark, sfDir)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      val daily = e
+        .withColumn("bucket", floor(col("value") / width).cast("long"))
+        .groupBy("event_type", "day", "bucket").agg(count(lit(1)).as("c"))
+      // merge = counter addition, same algebra as the CMS relation
+      val hist = daily.groupBy("event_type", "bucket").agg(sum(col("c")).as("c"))
+      val wCum = Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("prev", col("cum") - col("c"))
+      val totals = hist.groupBy("event_type").agg(sum(col("c")).as("n"))
+      val targets = totals
+        .select(col("event_type"), col("n"),
+          explode(expr("array(0.5D, 0.95D, 0.99D)")).as("q"))
+        .withColumn("t", col("q") * col("n"))
+      // unique crossing bucket: prev < t <= cum
+      val est = targets.join(cum, "event_type")
+        .filter(col("prev") < col("t") && col("t") <= col("cum"))
+        .select(col("event_type"), col("q"),
+          Ql.r(col("bucket") * width
+            + lit(width) * (col("t") - col("prev")) / col("c"), 4).as("est"))
+      val exact = e.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.95)").as("p95"),
+          expr("percentile(value, 0.99)").as("p99"))
+      est.join(exact, "event_type")
+        .withColumn("exact", Ql.r(
+          when(col("q") === 0.5, col("p50"))
+            .when(col("q") === 0.95, col("p95"))
+            .otherwise(col("p99")), 4))
+        .withColumn("within_2w",
+          (abs(col("est") - col("exact")) <= 2 * width).cast("int"))
+        .select(col("event_type"), col("q"), col("est"), col("exact"), col("within_2w"))
+        .orderBy("event_type", "q")
+    },
+    Some(s"""
+      WITH e AS (SELECT event_type, value FROM events),
+      hist AS (
+        SELECT event_type, CAST(floor(value / CAST(4 AS DOUBLE)) AS BIGINT) AS bucket,
+               count(*) AS c
+        FROM e GROUP BY 1, 2),
+      cum AS (
+        SELECT event_type, bucket, c,
+               sum(c) OVER (PARTITION BY event_type ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM hist),
+      targets AS (
+        SELECT event_type, n, q, q * n AS t
+        FROM (SELECT event_type, sum(c) AS n FROM hist GROUP BY 1),
+             (SELECT unnest([0.5, 0.95, 0.99]::DOUBLE[]) AS q)),
+      est AS (
+        SELECT tg.event_type, tg.q,
+               ${Ql.R("cm.bucket * 4.0 + 4.0 * (tg.t - (cm.cum - cm.c)) / cm.c", 4)} AS est
+        FROM targets tg JOIN cum cm ON tg.event_type = cm.event_type
+        WHERE cm.cum - cm.c < tg.t AND tg.t <= cm.cum),
+      ex AS (
+        SELECT event_type,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+               percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS p95,
+               percentile_cont(0.99) WITHIN GROUP (ORDER BY value) AS p99
+        FROM e GROUP BY 1)
+      SELECT est.event_type, est.q, est.est,
+             ${Ql.R("CASE est.q WHEN 0.5 THEN p50 WHEN 0.95 THEN p95 ELSE p99 END", 4)} AS exact,
+             CASE WHEN abs(est.est - ${Ql.R("CASE est.q WHEN 0.5 THEN p50 WHEN 0.95 THEN p95 ELSE p99 END", 4)}) <= 8.0
+                  THEN 1 ELSE 0 END AS within_2w
+      FROM est JOIN ex ON est.event_type = ex.event_type
+      ORDER BY est.event_type, est.q
+    """))
+
+  override def defs: Seq[QueryDef] =
+    Seq(cmsHeavy, bloomDecontam, incrementalAgg, quantileSketch)
 }

@@ -114,13 +114,12 @@ object WarehouseQueries extends QueryModule {
   private val zorderLayout = QueryDef(
     "q_zorder_layout",
     (spark, sfDir) => {
-      val sparkZ = (0 to 5).map(j =>
-        s"shiftleft((shiftright(x, $j) & 1), ${2 * j}) + shiftleft((shiftright(y, $j) & 1), ${2 * j + 1})")
-        .mkString(" + ")
+      // native codegen Morton interleave (functions.ZOrder) — proven
+      // equal to the shift/mask SQL formula the oracle uses (PropertySpec)
       Tables.part(spark, sfDir)
         .select(col("p_size").cast("long").as("x"),
           least(lit(63L), floor((col("p_retailprice") - 900.0) * 0.64).cast("long")).as("y"))
-        .withColumn("z", expr(sparkZ))
+        .withColumn("z", graft.functions.ZOrder(col("x"), col("y")))
         .groupBy((col("z") / 64).cast("long").as("zrange"))
         .agg(count(lit(1)).as("n_parts"),
           min(col("x")).as("min_size"), max(col("x")).as("max_size"),

@@ -138,4 +138,31 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
     assert(got == expected)
   }
+
+  test("native ZOrder equals the shift/mask SQL formula (grid + random 16-bit)") {
+    import spark.implicits._
+    // the oracle of q_zorder_layout uses the expanded formula; the query
+    // uses the codegen Expression — prove them equal exhaustively on the
+    // 6-bit grid the query quantizes to, and on random 16-bit inputs
+    val formula = (0 to 15).map(j =>
+      s"shiftleft((shiftright(x, $j) & 1), ${2 * j}) + shiftleft((shiftright(y, $j) & 1), ${2 * j + 1})")
+      .mkString(" + ")
+    val grid = spark.range(0, 64).select(col("id").as("x"))
+      .crossJoin(spark.range(0, 64).select(col("id").as("y")))
+    val rnd = new scala.util.Random(7)
+    val randoms = Seq.fill(200)((rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+      .toDF("x", "y")
+    Seq(grid, randoms).foreach { d =>
+      val bad = d
+        .withColumn("znative", functions.ZOrder(col("x"), col("y")))
+        .withColumn("zformula", expr(formula))
+        .filter(col("znative") =!= col("zformula")).count()
+      assert(bad == 0L, "ZOrder diverged from the expanded formula")
+    }
+    // spot-check the bit layout itself: x occupies even bits, y odd
+    val one = Seq((1L, 0L), (0L, 1L), (63L, 0L), (0L, 63L)).toDF("x", "y")
+      .withColumn("z", functions.ZOrder(col("x"), col("y")))
+      .collect().map(_.getLong(2)).toSeq
+    assert(one == Seq(1L, 2L, 1365L, 2730L), one)
+  }
 }
