@@ -79,7 +79,9 @@ object Bench {
         // r6 second batch: shingle-index containment, oriented triangle
         // wedge join, ordinal-join sorted neighborhood, CMS build+probe
         "q_containment", "q_triangle_count", "q_dedup_sorted_neighborhood",
-        "q_cms_heavy", "q_bloom_decontam")
+        "q_cms_heavy", "q_bloom_decontam",
+        // recursive CTE: each level is its own job + codegen unit
+        "q_sql_recursive")
     (lightWarm ++ heavyWarm)
       .filter(SparkEntry.queries.contains)
       .foreach { n =>

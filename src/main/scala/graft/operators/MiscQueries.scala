@@ -216,7 +216,81 @@ object MiscQueries extends QueryModule {
       FROM fin ORDER BY custkey, version
     """))
 
+  /** G10-rec: recursive CTE (Spark 4's WITH RECURSIVE) — bounded-depth
+    * BFS reachability over the support-≥2 co-purchase graph: per seed
+    * part, how many parts are within 1 and 2 hops. The depth bound
+    * (`d < 2`) is what makes UNION ALL recursion terminate on a CYCLIC
+    * graph — both engines run the identical expansion, and min-dist per
+    * (seed, part) collapses the duplicate paths before counting. At
+    * 100 TB you'd run this as the explicit iterative-join loop
+    * (ClusterQueries/GraphQueries shape — checkpoint per round); this
+    * query pins the SQL surface itself, on the same semantics DuckDB
+    * executes.
+    */
+  private val sqlRecursive = QueryDef(
+    "q_sql_recursive",
+    (spark, sfDir) => {
+      // materialize the edge list BEFORE entering the recursion: CTEs
+      // referenced from the recursive step re-evaluate per round, so the
+      // pair aggregation (the only data-sized step) must not sit inside
+      // the recursive scope (measured 6.9 s → ~1.5 s at sf0.1)
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("v")), "l_orderkey")
+        .filter(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("s"))
+        .filter(col("s") >= 2)
+      pairs.select(col("u"), col("v"))
+        .unionByName(pairs.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint(true)
+        .createOrReplaceTempView("v_edges_rec")
+      spark.sql("""
+        WITH RECURSIVE
+        edges AS (SELECT u, v FROM v_edges_rec),
+        seeds AS (SELECT DISTINCT u AS seed FROM edges WHERE u % 50 = 0),
+        reach(seed, part, d) AS (
+          SELECT seed, seed, 0 FROM seeds
+          UNION ALL
+          SELECT r.seed, e.v, r.d + 1
+          FROM reach r JOIN edges e ON e.u = r.part
+          WHERE r.d < 2),
+        md AS (
+          SELECT seed, part, min(d) AS dist FROM reach GROUP BY 1, 2)
+        SELECT seed,
+               CAST(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1hop,
+               CAST(sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_2hop
+        FROM md GROUP BY seed ORDER BY seed
+      """)
+    },
+    Some("""
+      WITH RECURSIVE items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS s
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+      edges AS (
+        SELECT u, v FROM pairs WHERE s >= 2
+        UNION ALL
+        SELECT v, u FROM pairs WHERE s >= 2),
+      seeds AS (SELECT DISTINCT u AS seed FROM edges WHERE u % 50 = 0),
+      reach(seed, part, d) AS (
+        SELECT seed, seed, 0 FROM seeds
+        UNION ALL
+        SELECT r.seed, e.v, r.d + 1
+        FROM reach r JOIN edges e ON e.u = r.part
+        WHERE r.d < 2),
+      md AS (
+        SELECT seed, part, min(d) AS dist FROM reach GROUP BY 1, 2)
+      SELECT seed,
+             CAST(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1hop,
+             CAST(sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_2hop
+      FROM md GROUP BY seed ORDER BY seed
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     miscIds, miscStack, sqlInterface, sqlExistsChain, sqlScalarSubq,
-    scd2History)
+    scd2History, sqlRecursive)
 }

@@ -144,5 +144,94 @@ object WarehouseQueries extends QueryModule {
     """
     })
 
-  override def defs: Seq[QueryDef] = Seq(skyline, histogram2d, zorderLayout)
+  /** Equi-depth (decile) binning WITHOUT the single-partition ntile
+    * window: global ordinals come from the two-level rank (price-range
+    * buckets + tiny offset histogram, the q_global_ordinals pattern) and
+    * the tile id is then CLOSED-FORM from (ordinal, n) — the exact
+    * integer arithmetic ntile uses: the first n mod k tiles get
+    * ⌈n/k⌉ rows, the rest ⌊n/k⌋. The oracle ranks with a literal
+    * `ntile(10) OVER (ORDER BY …)` — the hash match proves the
+    * distributed formula IS ntile, boundary rows included. This is how a
+    * quantile discretizer (feature binning) runs at 100 TB, where a
+    * global ntile window would collapse to one partition.
+    */
+  private val equidepthBins = QueryDef(
+    "q_equidepth_bins",
+    (spark, sfDir) => {
+      val orders = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("bkt", floor(col("o_totalprice") / lit(25000.0)).cast("long"))
+      val offsets = orders.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+        .withColumn("offset",
+          coalesce(sum(col("cnt")).over(
+            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bkt", "offset")
+      val nRow = orders.agg(count(lit(1)).as("n"))
+      val inBucket = Window.partitionBy("bkt").orderBy("o_totalprice", "o_orderkey")
+      orders
+        .join(broadcast(offsets), "bkt")
+        .withColumn("o", col("offset") + row_number().over(inBucket))
+        .crossJoin(broadcast(nRow))
+        // ntile's exact integer split: first (n % 10) tiles take one extra
+        .withColumn("tile", expr("""
+          CASE WHEN o <= (n % 10) * (n div 10 + 1)
+               THEN (o - 1) div (n div 10 + 1) + 1
+               ELSE (n % 10) + (o - (n % 10) * (n div 10 + 1) - 1) div (n div 10) + 1
+          END"""))
+        .groupBy("tile")
+        .agg(count(lit(1)).as("n_orders"),
+          Ql.r(min(col("o_totalprice")), 2).as("lo"),
+          Ql.r(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy("tile")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+        FROM orders)
+      SELECT CAST(tile AS BIGINT) AS tile, count(*) AS n_orders,
+             ${Ql.R("min(o_totalprice)", 2)} AS lo,
+             ${Ql.R("max(o_totalprice)", 2)} AS hi
+      FROM t GROUP BY 1 ORDER BY 1
+    """))
+
+  /** k-anonymity audit — the privacy-side curation gate: bucket every
+    * document by its quasi-identifier tuple (lang, source, length band)
+    * and measure how much of the corpus sits in groups smaller than k=5,
+    * i.e. rows a k-anonymous release would have to suppress or
+    * generalize (Sweeney 2002, public). Two keyed aggregations, both
+    * map-side combined; the QI table is bounded by the attribute
+    * cross-product, not the corpus.
+    */
+  private val kAnonymity = QueryDef(
+    "q_k_anonymity",
+    (spark, sfDir) => {
+      val k = 5
+      val qi = Tables.documents(spark, sfDir)
+        .groupBy(col("lang"), col("source"),
+          (col("n_chars") / 50).cast("long").as("len_band"))
+        .agg(count(lit(1)).as("gn"))
+      qi.groupBy("lang")
+        .agg(count(lit(1)).as("n_groups"),
+          sum((col("gn") < k).cast("long")).as("n_small_groups"),
+          sum(when(col("gn") < k, col("gn")).otherwise(0L)).as("n_suppressed"),
+          sum(col("gn")).as("n_docs"))
+        .withColumn("suppressed_frac",
+          Ql.r(col("n_suppressed") / col("n_docs"), 4))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH qi AS (
+        SELECT lang, source, n_chars // 50 AS len_band, count(*) AS gn
+        FROM documents GROUP BY 1, 2, 3)
+      SELECT lang, count(*) AS n_groups,
+             CAST(sum(CASE WHEN gn < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+             CAST(sum(CASE WHEN gn < 5 THEN gn ELSE 0 END) AS BIGINT) AS n_suppressed,
+             CAST(sum(gn) AS BIGINT) AS n_docs,
+             ${Ql.R("sum(CASE WHEN gn < 5 THEN gn ELSE 0 END) / sum(gn)", 4)} AS suppressed_frac
+      FROM qi GROUP BY 1 ORDER BY 1
+    """))
+
+  override def defs: Seq[QueryDef] =
+    Seq(skyline, histogram2d, zorderLayout, equidepthBins, kAnonymity)
 }
