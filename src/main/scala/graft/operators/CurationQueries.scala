@@ -278,10 +278,16 @@ object CurationQueries extends QueryModule {
           (col("cw") - col("a")).cast("double").as("b"),
           (col("nl") - col("a")).cast("double").as("c"),
           (col("nn") - col("cw") - col("nl") + col("a")).as("d"), col("nn"))
+      // a zero margin (single-language corpus ⇒ b+d = 0; a word that IS
+      // the corpus ⇒ a+c = nn) would divide by zero — and Spark's
+      // non-ANSI NULL vs DuckDB's IEEE inf would diverge the engines.
+      // χ² of a degenerate 2×2 table is 0 by convention in both.
+      val denom = (col("a") + col("b")) * (col("c") + col("d")) *
+        (col("a") + col("c")) * (col("b") + col("d"))
       val scored = cells.select(col("lang"), col("w"),
-        Ql.r(col("nn") * pow(col("a") * col("d") - col("b") * col("c"), 2)
-          / ((col("a") + col("b")) * (col("c") + col("d"))
-            * (col("a") + col("c")) * (col("b") + col("d"))), 4).as("chi2"))
+        when(denom === 0.0, lit(0.0)).otherwise(
+          Ql.r(col("nn") * pow(col("a") * col("d") - col("b") * col("c"), 2)
+            / denom, 4)).as("chi2"))
       val rk = Window.partitionBy("lang")
         .orderBy(col("chi2").desc, col("w"))
       scored.withColumn("rk", row_number().over(rk))
@@ -303,7 +309,9 @@ object CurationQueries extends QueryModule {
         FROM lw JOIN wt USING (w) JOIN lt USING (lang), nn),
       scored AS (
         SELECT lang, w,
-               ${Ql.R("nn * pow(a * d - b * c, 2) / ((a + b) * (c + d) * (a + c) * (b + d))", 4)} AS chi2
+               CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN 0.0
+                    ELSE ${Ql.R("nn * pow(a * d - b * c, 2) / ((a + b) * (c + d) * (a + c) * (b + d))", 4)}
+               END AS chi2
         FROM cells),
       ranked AS (
         SELECT lang, w, chi2,

@@ -56,6 +56,41 @@ object DedupQueries extends QueryModule {
     keyed.distinct()
   }
 
+  /** df≤100-capped inverted-index intersection over a distinct
+    * `(doc_id, sh)` shingle set: returns (inter(d1 < d2, inter),
+    * sizes(doc_id, sz)). The scale guard is the one rule of this module
+    * — a shingle in d docs yields d² pair rows inside one bucket, so
+    * ubiquitous shingles (df > 100, zero dedup signal) are dropped
+    * BEFORE the self-join; no-op on this corpus, load-bearing at 100 TB.
+    * Shared by q_dedup_ngram_jaccard and q_containment so the guard and
+    * the intersection algebra cannot drift between them.
+    */
+  private def shingleIntersections(
+      sh: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val dfTab = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 100).select("sh")
+    val rare = sh.join(broadcast(dfTab), "sh")
+    val inter = rare.select(col("sh"), col("doc_id").as("d1"))
+      .join(rare.select(col("sh"), col("doc_id").as("d2")), "sh")
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    (inter, sizes)
+  }
+
+  /** Oracle twin of [[shingleIntersections]] — CTE text appended after a
+    * `sh(doc_id, sh)` CTE.
+    */
+  private val interCtesSql =
+    """sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      rare AS (SELECT doc_id, sh FROM (
+                 SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh)
+               WHERE df <= 100),
+      inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)"""
+
   private val shinglesSql =
     s"""SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS sh
         FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 3)) AS i
@@ -247,19 +282,7 @@ object DedupQueries extends QueryModule {
     "q_dedup_ngram_jaccard",
     (spark, sfDir) => {
       val sh = shingles(withPlants(spark, sfDir), hashed = true).cache()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      // scale guard: a shingle in d docs yields d² pair rows — drop
-      // ubiquitous shingles (df > 100) from the intersection join; they
-      // carry no dedup signal. No-op on this corpus (max df 25), load-
-      // bearing at 100 TB. The df table is tiny (distinct shingles) and
-      // broadcast back — cheaper than a window shuffle+sort over sh.
-      val dfTab = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 100).select("sh")
-      val rare = sh.join(broadcast(dfTab), "sh")
-      val inter = rare.select(col("sh"), col("doc_id").as("d1"))
-        .join(rare.select(col("sh"), col("doc_id").as("d2")), "sh")
-        .filter(col("d1") < col("d2"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      val (inter, sizes) = shingleIntersections(sh)
       inter
         .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
         .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
@@ -272,14 +295,7 @@ object DedupQueries extends QueryModule {
       WITH sh AS (
         SELECT DISTINCT doc_id, ${Ql.Md5PrefixLong("sh", 14)} AS sh
         FROM ($shinglesSql)),
-      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-      rare AS (SELECT doc_id, sh FROM (
-                 SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh)
-               WHERE df <= 100),
-      inter AS (
-        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-        FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
+      $interCtesSql
       SELECT d1, d2,
              ${Ql.R("inter / (s1.sz + s2.sz - inter)", 4)} AS jaccard
       FROM inter
@@ -437,14 +453,7 @@ object DedupQueries extends QueryModule {
           (col("doc_id") + 200000).as("doc_id"),
           concat_ws(" ", slice(split(col("text"), " "), 1, 20)).as("text")))
       val sh = shingles(planted, hashed = true).cache()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val dfTab = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 100).select("sh")
-      val rare = sh.join(broadcast(dfTab), "sh")
-      val inter = rare.select(col("sh"), col("doc_id").as("d1"))
-        .join(rare.select(col("sh"), col("doc_id").as("d2")), "sh")
-        .filter(col("d1") < col("d2"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      val (inter, sizes) = shingleIntersections(sh)
       val directed = inter
         .select(col("d1").as("src"), col("d2").as("dst"), col("inter"))
         .unionByName(inter
@@ -473,14 +482,7 @@ object DedupQueries extends QueryModule {
               FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 3)) AS i
                     FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $planted)
                     WHERE len(t) >= 3))),
-      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-      rare AS (SELECT doc_id, sh FROM (
-                 SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh)
-               WHERE df <= 100),
-      inter AS (
-        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-        FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY 1, 2),
+      $interCtesSql,
       directed AS (
         SELECT d1 AS src, d2 AS dst, inter FROM inter
         UNION ALL SELECT d2, d1, inter FROM inter)

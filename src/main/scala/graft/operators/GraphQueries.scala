@@ -16,6 +16,36 @@ object GraphQueries extends QueryModule {
   private val iterations = 10
   private val damping = 0.85
 
+  /** Distinct (order, part) basket rows — the bipartite input every
+    * co-purchase analysis here starts from. Callers that reuse the frame
+    * more than once checkpoint it themselves.
+    */
+  private[operators] def orderItems(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+
+  /** Co-purchase pair supports `(a < b, s_ab)` — the bounded self-join
+    * (per-order fanout ≤ order size) shared by market basket, triangle
+    * counting, item-item CF, and the recursive-CTE reachability seed.
+    * One definition so the support algebra cannot drift between them;
+    * each caller applies its own support floor.
+    */
+  private[operators] def itemPairs(items: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    items.select(col("l_orderkey"), col("l_partkey").as("a"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("s_ab"))
+
+  /** Oracle twins of [[orderItems]] / [[itemPairs]]. */
+  private[operators] val itemsSql =
+    "SELECT DISTINCT l_orderkey, l_partkey FROM lineitem"
+  private[operators] val pairsSql =
+    """SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS s_ab
+       FROM items x JOIN items y
+         ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       GROUP BY 1, 2"""
+
   /** The PageRank loop over a directed edge list `edges(src, dst)` (may
     * be a multigraph — parallel edge rows weight the flow; every node
     * must appear as both src and dst, which symmetric graphs guarantee).
@@ -126,16 +156,11 @@ object GraphQueries extends QueryModule {
   private val marketBasket = QueryDef(
     "q_market_basket",
     (spark, sfDir) => {
-      val items = Tables.lineitem(spark, sfDir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val items = orderItems(spark, sfDir)
         .localCheckpoint(true) // feeds supports, pairs, and the order count
       val nOrders = items.agg(countDistinct(col("l_orderkey")).cast("double").as("n_orders"))
       val supp = items.groupBy("l_partkey").agg(count(lit(1)).as("s"))
-      val pairs = items.select(col("l_orderkey"), col("l_partkey").as("a"))
-        .join(items.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
-        .filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("s_ab"))
-        .filter(col("s_ab") >= 3)
+      val pairs = itemPairs(items).filter(col("s_ab") >= 3)
       pairs
         .join(supp.select(col("l_partkey").as("a"), col("s").as("s_a")), "a")
         .join(supp.select(col("l_partkey").as("b"), col("s").as("s_b")), "b")
@@ -146,15 +171,10 @@ object GraphQueries extends QueryModule {
         .orderBy(col("lift").desc, col("a"), col("b")).limit(20)
     },
     Some(s"""
-      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      WITH items AS ($itemsSql),
       nn AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM items),
       supp AS (SELECT l_partkey, count(*) AS s FROM items GROUP BY 1),
-      pairs AS (
-        SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS s_ab
-        FROM items x JOIN items y
-          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-        GROUP BY 1, 2
-        HAVING count(*) >= 3)
+      pairs AS (SELECT * FROM ($pairsSql) WHERE s_ab >= 3)
       SELECT a, b, s_ab,
              ${Ql.R("s_ab / sa.s", 4)} AS confidence,
              ${Ql.R("s_ab * (SELECT n_orders FROM nn) / (sa.s * sb.s)", 4)} AS lift
@@ -186,15 +206,10 @@ object GraphQueries extends QueryModule {
   private val triangleCount = QueryDef(
     "q_triangle_count",
     (spark, sfDir) => {
-      val items = Tables.lineitem(spark, sfDir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
       // bounded per-order fanout (TPC-H order size <= 7); support >= 2
       // prunes the incidental-pair noise the same way q_market_basket does
-      val edges = items.select(col("l_orderkey"), col("l_partkey").as("a"))
-        .join(items.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
-        .filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("s"))
-        .filter(col("s") >= 2).select("a", "b")
+      val edges = itemPairs(orderItems(spark, sfDir))
+        .filter(col("s_ab") >= 2).select("a", "b")
         .localCheckpoint(true) // feeds deg, orientation, and the closing join
       val deg = edges.select(col("a").as("v"))
         .unionByName(edges.select(col("b").as("v")))
@@ -221,17 +236,14 @@ object GraphQueries extends QueryModule {
         .crossJoin(broadcast(stats))   // three 1-row frames
         .crossJoin(broadcast(tri))
         .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
-          Ql.r(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("clustering"))
+          // a wedge-free graph (perfect matching) must not divide by zero
+          // — Spark's NULL vs DuckDB's IEEE inf would diverge the engines
+          when(col("n_wedges") === 0L, lit(0.0)).otherwise(
+            Ql.r(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)).as("clustering"))
     },
     Some(s"""
-      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      edges AS (
-        SELECT a, b FROM (
-          SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS s
-          FROM items x JOIN items y
-            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-          GROUP BY 1, 2)
-        WHERE s >= 2),
+      WITH items AS ($itemsSql),
+      edges AS (SELECT a, b FROM ($pairsSql) WHERE s_ab >= 2),
       deg AS (
         SELECT v, count(*) AS dg FROM (
           SELECT a AS v FROM edges UNION ALL SELECT b FROM edges) GROUP BY 1),
@@ -242,7 +254,9 @@ object GraphQueries extends QueryModule {
       SELECT (SELECT count(*) FROM edges) AS n_edges,
              (SELECT CAST(sum(dg * (dg - 1)) / 2 AS BIGINT) FROM deg) AS n_wedges,
              (SELECT n_triangles FROM tri) AS n_triangles,
-             ${Ql.R("3.0 * (SELECT n_triangles FROM tri) / (SELECT sum(dg * (dg - 1)) / 2 FROM deg)", 6)} AS clustering
+             CASE WHEN (SELECT sum(dg * (dg - 1)) FROM deg) = 0 THEN 0.0
+                  ELSE ${Ql.R("3.0 * (SELECT n_triangles FROM tri) / (SELECT sum(dg * (dg - 1)) / 2 FROM deg)", 6)}
+             END AS clustering
     """))
 
   /** Item-item collaborative filtering (Linden et al. 2003's
@@ -259,15 +273,10 @@ object GraphQueries extends QueryModule {
     "q_item_cf",
     (spark, sfDir) => {
       import org.apache.spark.sql.expressions.Window
-      val items = Tables.lineitem(spark, sfDir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val items = orderItems(spark, sfDir)
         .localCheckpoint(true) // feeds supports and pairs
       val supp = items.groupBy("l_partkey").agg(count(lit(1)).as("s"))
-      val pairs = items.select(col("l_orderkey"), col("l_partkey").as("a"))
-        .join(items.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
-        .filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("s_ab"))
-        .filter(col("s_ab") >= 2)
+      val pairs = itemPairs(items).filter(col("s_ab") >= 2)
       val directed = pairs.select(col("a").as("item"), col("b").as("nbr"), col("s_ab"))
         .unionByName(pairs.select(col("b").as("item"), col("a").as("nbr"), col("s_ab")))
       val w = Window.partitionBy("item").orderBy(col("cosine").desc, col("nbr"))
@@ -281,14 +290,9 @@ object GraphQueries extends QueryModule {
         .orderBy("item", "rank")
     },
     Some(s"""
-      WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      WITH items AS ($itemsSql),
       supp AS (SELECT l_partkey, count(*) AS s FROM items GROUP BY 1),
-      pairs AS (
-        SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS s_ab
-        FROM items x JOIN items y
-          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
-        GROUP BY 1, 2
-        HAVING count(*) >= 2),
+      pairs AS (SELECT * FROM ($pairsSql) WHERE s_ab >= 2),
       directed AS (
         SELECT a AS item, b AS nbr, s_ab FROM pairs
         UNION ALL SELECT b, a, s_ab FROM pairs),

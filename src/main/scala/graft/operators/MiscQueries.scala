@@ -234,15 +234,10 @@ object MiscQueries extends QueryModule {
       // referenced from the recursive step re-evaluate per round, so the
       // pair aggregation (the only data-sized step) must not sit inside
       // the recursive scope (measured 6.9 s → ~1.5 s at sf0.1)
-      val li = Tables.lineitem(spark, sfDir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val pairs = li.select(col("l_orderkey"), col("l_partkey").as("u"))
-        .join(li.select(col("l_orderkey"), col("l_partkey").as("v")), "l_orderkey")
-        .filter(col("u") < col("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("s"))
-        .filter(col("s") >= 2)
-      pairs.select(col("u"), col("v"))
-        .unionByName(pairs.select(col("v").as("u"), col("u").as("v")))
+      val pairs = GraphQueries.itemPairs(GraphQueries.orderItems(spark, sfDir))
+        .filter(col("s_ab") >= 2)
+      pairs.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
         .localCheckpoint(true)
         .createOrReplaceTempView("v_edges_rec")
       spark.sql("""
@@ -263,18 +258,13 @@ object MiscQueries extends QueryModule {
         FROM md GROUP BY seed ORDER BY seed
       """)
     },
-    Some("""
-      WITH RECURSIVE items AS (
-        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      pairs AS (
-        SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS s
-        FROM items a JOIN items b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        GROUP BY 1, 2),
+    Some(s"""
+      WITH RECURSIVE items AS (${GraphQueries.itemsSql}),
+      pairs AS (SELECT * FROM (${GraphQueries.pairsSql}) WHERE s_ab >= 2),
       edges AS (
-        SELECT u, v FROM pairs WHERE s >= 2
+        SELECT a AS u, b AS v FROM pairs
         UNION ALL
-        SELECT v, u FROM pairs WHERE s >= 2),
+        SELECT b, a FROM pairs),
       seeds AS (SELECT DISTINCT u AS seed FROM edges WHERE u % 50 = 0),
       reach(seed, part, d) AS (
         SELECT seed, seed, 0 FROM seeds

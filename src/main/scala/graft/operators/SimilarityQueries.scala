@@ -12,6 +12,51 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries extends QueryModule {
 
+  /** Per-label mean centroid (deterministic stand-in for trained k-means)
+    * — the coarse quantizer shared by q_ann_ivf, q_semantic_dedup, and
+    * q_ann_ivfpq. Components come from avg() (partitioning-dependent sum
+    * order), which is why every consumer ranks on ROUNDED scores.
+    */
+  private def labelCentroids(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    e.select(col("label"), posexplode(col("v")))
+      .groupBy("label", "pos")
+      .agg(avg(col("col")).as("c"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("centroid"))
+
+  /** 4×16-dim subspace decomposition + the vec_id<4 codebook — the PQ
+    * building blocks shared by q_pq_codes and q_ann_ivfpq. One
+    * definition so the codebook construction cannot drift between the
+    * code builder and the composed IVF-PQ stack.
+    */
+  private def subspaces(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    e.select(col("vec_id"), col("label"), explode(expr("sequence(0, 3)")).as("j"), col("v"))
+      .select(col("vec_id"), col("label"), col("j"), expr("slice(v, 16 * j + 1, 16)").as("s"))
+
+  private def pqCodebook(subs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    subs.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cid"), col("j"), col("s").as("c"))
+
+  /** Nearest-codeword assignment per (vec, subspace): argmin on the
+    * ROUNDED squared distance with centroid-id tiebreak (project
+    * rounding contract). Keeps the raw distance column for quantization
+    * error reporting.
+    */
+  private def pqAssign(subs: org.apache.spark.sql.DataFrame,
+      cb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("vec_id", "j").orderBy(col("dr"), col("cid"))
+    subs.join(broadcast(cb), "j")
+      .withColumn("d",
+        Vectors.dot(col("s"), col("s"))
+          - lit(2.0) * Vectors.dot(col("s"), col("c"))
+          + Vectors.dot(col("c"), col("c")))
+      .withColumn("dr", Ql.r(col("d"), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("j"), col("cid"), col("d"))
+  }
+
   /** I3: brute-force top-k — query vecs (vec_id<5) against all others.
     * Plan shape: broadcast the 5 queries against the candidate scan, then a
     * per-query top-k window (at scale: TakeOrdered per query key).
@@ -103,12 +148,7 @@ object SimilarityQueries extends QueryModule {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("label"), Vectors.toDouble(col("embedding")).as("v"))
-      val centroids = e
-        .select(col("label"), posexplode(col("v")))
-        .groupBy("label", "pos")
-        .agg(avg(col("col")).as("c"))
-        .groupBy("label")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("centroid"))
+      val centroids = labelCentroids(e)
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       val wProbe = Window.partitionBy("qid").orderBy(col("cscore").desc, col("label"))
@@ -234,21 +274,9 @@ object SimilarityQueries extends QueryModule {
     (spark, sfDir) => {
       import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
-      val subs = e
-        .select(col("vec_id"), explode(expr("sequence(0, 3)")).as("j"), col("v"))
-        .select(col("vec_id"), col("j"), expr("slice(v, 16 * j + 1, 16)").as("s"))
-      val cb = subs.filter(col("vec_id") < 4)
-        .select(col("vec_id").cast("int").as("cid"), col("j"), col("s").as("c"))
-      val w = Window.partitionBy("vec_id", "j").orderBy(col("dr"), col("cid"))
-      subs.join(broadcast(cb), "j")
-        .withColumn("d",
-          Vectors.dot(col("s"), col("s"))
-            - lit(2.0) * Vectors.dot(col("s"), col("c"))
-            + Vectors.dot(col("c"), col("c")))
-        .withColumn("dr", Ql.r(col("d"), 6))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("label"), Vectors.toDouble(col("embedding")).as("v"))
+      val subs = subspaces(e)
+      pqAssign(subs, pqCodebook(subs))
         .groupBy("vec_id")
         .agg(
           sum(expr("cid * CASE j WHEN 0 THEN 64 WHEN 1 THEN 16 WHEN 2 THEN 4 ELSE 1 END"))
@@ -308,12 +336,7 @@ object SimilarityQueries extends QueryModule {
           (col("vec_id") + 100000).as("vec_id"), col("label"),
           expr("concat(slice(v, 1, 63), array(element_at(v, 64) + 0.1d))").as("v")))
         .cache()
-      val centroids = e
-        .select(col("label"), posexplode(col("v")))
-        .groupBy("label", "pos")
-        .agg(avg(col("col")).as("c"))
-        .groupBy("label")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("centroid"))
+      val centroids = labelCentroids(e)
         .select(col("label").as("cl"), col("centroid"))
       // rank on the ROUNDED score (rounding contract): centroid components
       // come from avg() whose summation order is partitioning-dependent
@@ -398,28 +421,12 @@ object SimilarityQueries extends QueryModule {
       val e = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("label"), Vectors.toDouble(col("embedding")).as("v"))
       // coarse quantizer: per-label mean centroid (as q_ann_ivf)
-      val centroids = e
-        .select(col("label"), posexplode(col("v")))
-        .groupBy("label", "pos")
-        .agg(avg(col("col")).as("c"))
-        .groupBy("label")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("centroid"))
-      // PQ codebook: 4 subspaces × 4 codewords (as q_pq_codes)
-      val subs = e
-        .select(col("vec_id"), col("label"), explode(expr("sequence(0, 3)")).as("j"), col("v"))
-        .select(col("vec_id"), col("label"), col("j"), expr("slice(v, 16 * j + 1, 16)").as("s"))
-      val cb = subs.filter(col("vec_id") < 4)
-        .select(col("vec_id").cast("int").as("cid"), col("j"), col("s").as("c"))
-      // encode the database side: nearest codeword per (vec, subspace)
-      val wEnc = Window.partitionBy("vec_id", "j").orderBy(col("dr"), col("cid"))
-      val encoded = subs.filter(col("vec_id") >= 5)
-        .join(broadcast(cb), "j")
-        .withColumn("dr", Ql.r(
-          Vectors.dot(col("s"), col("s"))
-            - lit(2.0) * Vectors.dot(col("s"), col("c"))
-            + Vectors.dot(col("c"), col("c")), 6))
-        .withColumn("rn", row_number().over(wEnc))
-        .filter(col("rn") === 1)
+      val centroids = labelCentroids(e)
+      // PQ codebook + database-side encoding (shared helpers — the same
+      // construction as q_pq_codes, by definition not just by claim)
+      val subs = subspaces(e)
+      val cb = pqCodebook(subs)
+      val encoded = pqAssign(subs.filter(col("vec_id") >= 5), cb)
         .select(col("vec_id"), col("label"), col("j"), col("cid"))
       // query side: probe 2 coarse lists, build the 80-row ADC table
       val q = e.filter(col("vec_id") < 5)

@@ -116,8 +116,11 @@ object WarehouseQueries extends QueryModule {
     (spark, sfDir) => {
       // native codegen Morton interleave (functions.ZOrder) — proven
       // equal to the shift/mask SQL formula the oracle uses (PropertySpec)
+      // both dims clamped to the 6 bits the oracle interleaves — an
+      // out-of-domain p_size would otherwise set z bits the expanded
+      // formula drops
       Tables.part(spark, sfDir)
-        .select(col("p_size").cast("long").as("x"),
+        .select(least(lit(63L), col("p_size").cast("long")).as("x"),
           least(lit(63L), floor((col("p_retailprice") - 900.0) * 0.64).cast("long")).as("y"))
         .withColumn("z", graft.functions.ZOrder(col("x"), col("y")))
         .groupBy((col("z") / 64).cast("long").as("zrange"))
@@ -132,7 +135,7 @@ object WarehouseQueries extends QueryModule {
         .mkString(" + ")
       s"""
       WITH d AS (
-        SELECT CAST(p_size AS BIGINT) AS x,
+        SELECT least(63, CAST(p_size AS BIGINT)) AS x,
                least(63, CAST(floor((p_retailprice - CAST(900 AS DOUBLE))
                  * CAST(0.64 AS DOUBLE)) AS BIGINT)) AS y
         FROM part),
