@@ -81,7 +81,9 @@ object Bench {
         "q_containment", "q_triangle_count", "q_dedup_sorted_neighborhood",
         "q_cms_heavy", "q_bloom_decontam",
         // recursive CTE: each level is its own job + codegen unit
-        "q_sql_recursive")
+        "q_sql_recursive",
+        // Apriori level-3: the triple join + 3 semi-joins dominate cold
+        "q_itemsets3")
     (lightWarm ++ heavyWarm)
       .filter(SparkEntry.queries.contains)
       .foreach { n =>

@@ -318,6 +318,59 @@ object EventQueries extends QueryModule {
       FROM pairs ORDER BY 1, 2
     """))
 
+  /** Time-constrained funnel — the standard product-analytics form of
+    * q_funnel: each stage must fire within 24 h of the previous one, so
+    * a click three weeks after the view no longer converts. Same
+    * three-aggregation cascade, all keyed on user_id (one co-partitioned
+    * shuffle family, no windows over the full stream); the added step
+    * bound compares integer epoch MICROSECONDS so the 24 h boundary tie
+    * is exact in both engines.
+    */
+  private val funnelWindowed = QueryDef(
+    "q_funnel_windowed",
+    (spark, sfDir) => {
+      val stepUs = 86400000000L // 24 h in microseconds
+      val e = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") > col("t1") &&
+          unix_micros(col("ts")) - unix_micros(col("t1")) <= stepUs)
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") > col("t2") &&
+          unix_micros(col("ts")) - unix_micros(col("t2")) <= stepUs)
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      val nv = v.select(countDistinct("user_id").as("n_view"))
+      val nc = c.select(countDistinct("user_id").as("n_click_24h"))
+      val np = p.select(countDistinct("user_id").as("n_purchase_24h"))
+      nv.crossJoin(nc).crossJoin(np)
+        .select(col("n_view"), col("n_click_24h"), col("n_purchase_24h"),
+          Ql.r(col("n_click_24h") / col("n_view").cast("double"), 4).as("click_rate"),
+          Ql.r(col("n_purchase_24h") / col("n_click_24h").cast("double"), 4).as("purchase_rate"))
+    },
+    Some(s"""
+      WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                 WHERE event_type = 'view' GROUP BY 1),
+      c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+              JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t1
+              AND epoch_us(e.ts) - epoch_us(v.t1) <= 86400000000 GROUP BY 1),
+      p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+              JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t2
+              AND epoch_us(e.ts) - epoch_us(c.t2) <= 86400000000 GROUP BY 1)
+      SELECT (SELECT count(*) FROM v) AS n_view,
+             (SELECT count(*) FROM c) AS n_click_24h,
+             (SELECT count(*) FROM p) AS n_purchase_24h,
+             ${Ql.R("(SELECT count(*) FROM c) * 1.0 / (SELECT count(*) FROM v)", 4)} AS click_rate,
+             ${Ql.R("(SELECT count(*) FROM p) * 1.0 / (SELECT count(*) FROM c)", 4)} AS purchase_rate
+    """))
+
   override def defs: Seq[QueryDef] = Seq(hourlyEventStats, funnel, eventPaths,
-    retentionCohorts, tsResample, anomalyZscore, attribution, markov)
+    retentionCohorts, tsResample, anomalyZscore, attribution, markov,
+    funnelWindowed)
 }

@@ -310,5 +310,110 @@ object GraphQueries extends QueryModule {
       ORDER BY item, rank
     """))
 
-  override def defs: Seq[QueryDef] = Seq(pagerank, marketBasket, triangleCount, itemCf)
+  /** Frequent 3-itemsets — the Apriori level the 2-itemset market basket
+    * stops short of. Candidate triples are pruned by ANTIMONOTONICITY
+    * before counting: every ordered sub-pair (a,b), (b,c), (a,c) must
+    * itself be a frequent pair (three semi-joins against the broadcast-
+    * scale frequent-pair set), so the per-order triple fanout (≤ C(7,3))
+    * never reaches the aggregation for unsupported combinations — the
+    * pruning that keeps level-3 tractable when the item catalog is 10⁸.
+    * The oracle counts triples directly with HAVING ≥ 2; antimonotonicity
+    * guarantees the pruned plan returns the identical set, and the hash
+    * match proves it.
+    */
+  private val itemsets3 = QueryDef(
+    "q_itemsets3",
+    (spark, sfDir) => {
+      val items = orderItems(spark, sfDir)
+        .localCheckpoint(true) // feeds the triple join and the pair prune
+      val fp = itemPairs(items).filter(col("s_ab") >= 2)
+        .select("a", "b").localCheckpoint(true) // reused by 3 semi-joins
+      val triples = items.select(col("l_orderkey"), col("l_partkey").as("a"))
+        .join(items.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
+        .filter(col("a") < col("b"))
+        .join(items.select(col("l_orderkey"), col("l_partkey").as("c")), "l_orderkey")
+        .filter(col("b") < col("c"))
+      triples
+        .join(fp, Seq("a", "b"), "leftsemi")
+        .join(fp.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"), "leftsemi")
+        .join(fp.select(col("a"), col("b").as("c")), Seq("a", "c"), "leftsemi")
+        .groupBy("a", "b", "c").agg(count(lit(1)).as("s"))
+        .filter(col("s") >= 2)
+        .orderBy(col("s").desc, col("a"), col("b"), col("c")).limit(20)
+    },
+    Some(s"""
+      WITH items AS ($itemsSql)
+      SELECT x.l_partkey AS a, y.l_partkey AS b, z.l_partkey AS c,
+             count(*) AS s
+      FROM items x
+        JOIN items y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        JOIN items z ON x.l_orderkey = z.l_orderkey AND y.l_partkey < z.l_partkey
+      GROUP BY 1, 2, 3
+      HAVING count(*) >= 2
+      ORDER BY s DESC, a, b, c LIMIT 20
+    """))
+
+  /** RFM customer segmentation (recency / frequency / monetary — the
+    * classic warehouse scoring, public retail analytics): one keyed
+    * aggregation per customer, a 1-row broadcast of the corpus max date
+    * for recency, and closed-form threshold bins (no per-metric quantile
+    * pass — fixed business bands, so the whole job is scan + one shuffle
+    * at any scale). Output is the segment histogram: customers and mean
+    * monetary value per (r, f, m) cell.
+    */
+  private val rfmSegments = QueryDef(
+    "q_rfm_segments",
+    (spark, sfDir) => {
+      val o = Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      val maxDate = o.agg(max(col("o_orderdate")).as("d_max"))
+      val perCust = o.groupBy("o_custkey")
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("freq"),
+          sum(col("o_totalprice")).as("monetary"))
+        .crossJoin(broadcast(maxDate))
+        .withColumn("recency_days", datediff(col("d_max"), col("last_order")))
+      perCust
+        .withColumn("r_score",
+          when(col("recency_days") <= 180, 5).when(col("recency_days") <= 365, 4)
+            .when(col("recency_days") <= 730, 3).when(col("recency_days") <= 1460, 2)
+            .otherwise(1))
+        .withColumn("f_score",
+          when(col("freq") >= 15, 5).when(col("freq") >= 10, 4)
+            .when(col("freq") >= 6, 3).when(col("freq") >= 3, 2).otherwise(1))
+        .withColumn("m_score",
+          when(col("monetary") >= 4000000.0, 5).when(col("monetary") >= 2500000.0, 4)
+            .when(col("monetary") >= 1500000.0, 3).when(col("monetary") >= 500000.0, 2)
+            .otherwise(1))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_customers"),
+          Ql.r(avg(col("monetary")), 2).as("avg_monetary"))
+        .orderBy("r_score", "f_score", "m_score")
+    },
+    Some(s"""
+      WITH mx AS (SELECT max(o_orderdate) AS d_max FROM orders),
+      pc AS (
+        SELECT o_custkey, max(o_orderdate) AS last_order,
+               count(*) AS freq, sum(o_totalprice) AS monetary
+        FROM orders GROUP BY 1),
+      scored AS (
+        SELECT CASE WHEN date_diff('day', last_order, (SELECT d_max FROM mx)) <= 180 THEN 5
+                    WHEN date_diff('day', last_order, (SELECT d_max FROM mx)) <= 365 THEN 4
+                    WHEN date_diff('day', last_order, (SELECT d_max FROM mx)) <= 730 THEN 3
+                    WHEN date_diff('day', last_order, (SELECT d_max FROM mx)) <= 1460 THEN 2
+                    ELSE 1 END AS r_score,
+               CASE WHEN freq >= 15 THEN 5 WHEN freq >= 10 THEN 4
+                    WHEN freq >= 6 THEN 3 WHEN freq >= 3 THEN 2 ELSE 1 END AS f_score,
+               CASE WHEN monetary >= 4000000 THEN 5 WHEN monetary >= 2500000 THEN 4
+                    WHEN monetary >= 1500000 THEN 3 WHEN monetary >= 500000 THEN 2
+                    ELSE 1 END AS m_score,
+               monetary
+        FROM pc)
+      SELECT r_score, f_score, m_score, count(*) AS n_customers,
+             ${Ql.R("avg(monetary)", 2)} AS avg_monetary
+      FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """))
+
+  override def defs: Seq[QueryDef] =
+    Seq(pagerank, marketBasket, triangleCount, itemCf, itemsets3, rfmSegments)
 }
