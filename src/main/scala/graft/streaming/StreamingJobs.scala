@@ -394,6 +394,83 @@ object StreamingJobs {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  case class AttrInput(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+      event_type: String, value: Double)
+  case class AttrOut(user_id: Long, purchase_id: Long, attributed: Int, value: Double)
+
+  /** H6: streaming last-touch attribution — the transformWithState twin
+    * of the batch `q_attribution` carry window. Per-user state is ONE
+    * tuple (last click's epoch-µs, event_id); each micro-batch merges
+    * its clicks and purchases in (ts, event_id) order with a two-pointer
+    * sweep, so a purchase is credited iff a click precedes it by row
+    * order within 72 h — the exact batch semantics, including the
+    * same-timestamp tiebreak on event_id. Per-key work is
+    * O(batch events log batch events) for the sort of THIS key's slice
+    * of the trigger interval (bounded by per-user ingest rate, not
+    * stream length); state is O(1) per user. Cross-batch event-time
+    * order is the equivalence precondition (watermark-ordered replay),
+    * as for the funnel stage machine.
+    */
+  class AttributionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, AttrInput, AttrOut] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    private val windowUs = 259200000000L // 72 h
+    @transient private var lastClick: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      lastClick = getHandle.getValueState[(Long, Long)](
+        "last_click", org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    private def micros(ts: java.sql.Timestamp): Long =
+      (ts.getTime / 1000) * 1000000L + ts.getNanos / 1000
+
+    override def handleInputRows(key: Long, rows: Iterator[AttrInput],
+        timers: TimerValues): Iterator[AttrOut] = {
+      val clicks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val purchases = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      rows.foreach { r =>
+        r.event_type match {
+          case "click"    => clicks += ((micros(r.ts), r.event_id))
+          case "purchase" => purchases += ((micros(r.ts), r.event_id, r.value))
+          case _          => ()
+        }
+      }
+      val cs = clicks.sortInPlace()
+      val ps = purchases.sortBy(p => (p._1, p._2))
+      var cur = if (lastClick.exists()) lastClick.get() else (Long.MinValue, Long.MinValue)
+      var ci = 0
+      val out = Seq.newBuilder[AttrOut]
+      ps.foreach { case (pt, pid, v) =>
+        // consume clicks that precede this purchase in (ts, id) row order
+        while (ci < cs.length &&
+            (cs(ci)._1 < pt || (cs(ci)._1 == pt && cs(ci)._2 < pid))) {
+          cur = cs(ci); ci += 1
+        }
+        val attributed =
+          cur._1 != Long.MinValue && pt - cur._1 <= windowUs
+        out += AttrOut(key, pid, if (attributed) 1 else 0, v)
+      }
+      while (ci < cs.length) { cur = cs(ci); ci += 1 }
+      if (cur._1 != Long.MinValue) lastClick.update(cur)
+      out.result().iterator
+    }
+  }
+
+  def attributionStream(events: Dataset[AttrInput]): Dataset[AttrOut] = {
+    import events.sparkSession.implicits._
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   // ---- A6: crash-safe keyed upsert sink (generation + pointer swap) ----
 
   private def fsFor(spark: SparkSession, path: String) =

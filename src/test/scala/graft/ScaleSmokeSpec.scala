@@ -87,6 +87,52 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(joined.count() == 25)
   }
 
+  test("sf0.01 streaming attribution equals the batch q_attribution totals") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs
+    val sf = "/root/testdata/sf0.01"
+    // Same harness as the funnel case below: time-sliced file replay
+    // (cross-batch event-time order = the equivalence precondition;
+    // within a batch the two-pointer sweep handles any order).
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+    val bounds = ev.agg(min("ts"), max("ts")).head()
+    val (lo, hi) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
+    val width = (hi - lo) / 4 + 1
+    val in = java.nio.file.Files.createTempDirectory("graft_attr_in")
+    val staging = java.nio.file.Files.createTempDirectory("graft_attr_stage")
+    (0 until 4).foreach { i =>
+      ev.filter(col("ts") >= lit(new java.sql.Timestamp(lo + i * width)) &&
+          col("ts") < lit(new java.sql.Timestamp(lo + (i + 1) * width)))
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/s$i")
+      val part = new java.io.File(s"$staging/s$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, in.resolve(f"slice_$i%02d.parquet"))
+    }
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .as[StreamingJobs.AttrInput]
+    val q = StreamingJobs.attributionStream(src)
+      .writeStream.format("memory").queryName("attr_scale")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_attr_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "attribution stream did not finish in 180s")
+    val got = spark.table("attr_scale")
+      .agg(count(lit(1)).as("np"), sum(col("attributed")).as("na"),
+        sum(when(col("attributed") === 1, col("value")).otherwise(0.0)).as("av"))
+      .head()
+    val b = SparkEntry.queries("q_attribution")(spark, sf)
+      .agg(sum("n_purchases"), sum("n_attributed"), sum("attributed_value")).head()
+    assert(got.getLong(0) == b.getLong(0), s"purchases: $got vs $b")
+    assert(got.getLong(1) == b.getLong(1), s"attributed: $got vs $b")
+    // batch side sums per-day ROUNDED values — allow half a cent per day
+    assert(math.abs(got.getDouble(2) - b.getDouble(2)) < 0.2, s"value: $got vs $b")
+  }
+
   test("sf0.1 streaming funnel stage machine equals the batch q_funnel counters") {
     import spark.implicits._
     import graft.streaming.StreamingJobs
