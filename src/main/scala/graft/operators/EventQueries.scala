@@ -43,43 +43,61 @@ object EventQueries extends QueryModule {
     * full stream, so the plan is three map-side-combined aggs at any
     * scale. (The Lambda-era equivalent: per-user DynamoDB state machine
     * advanced by each record batch.)
+    *
+    * One definition builds both registered forms: `stepUs = None` is the
+    * unconstrained cascade (`q_funnel`), `Some(bound)` requires each
+    * stage within `bound` µs of the previous (`q_funnel_windowed`, the
+    * product-analytics form; the bound compares integer epoch µs so the
+    * boundary tie is exact in both engines). Spark builder and oracle
+    * both derive from this, so the cascade semantics (strict `ts >` tie
+    * handling, earliest-qualifying anchors) cannot drift.
     */
-  private val funnel = QueryDef(
-    "q_funnel",
+  private def funnelDef(name: String, stepUs: Option[Long],
+      clickCol: String, purchCol: String): QueryDef = QueryDef(
+    name,
     (spark, sfDir) => {
       val e = Tables.events(spark, sfDir)
         .select(col("user_id"), col("event_type"), col("ts"))
+      def within(ts: org.apache.spark.sql.Column, anchor: org.apache.spark.sql.Column) =
+        stepUs.map(b => ts > anchor && unix_micros(ts) - unix_micros(anchor) <= b)
+          .getOrElse(ts > anchor)
       val v = e.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min(col("ts")).as("t1"))
       val c = e.filter(col("event_type") === "click")
-        .join(v, "user_id").filter(col("ts") > col("t1"))
+        .join(v, "user_id").filter(within(col("ts"), col("t1")))
         .groupBy("user_id").agg(min(col("ts")).as("t2"))
       val p = e.filter(col("event_type") === "purchase")
-        .join(c, "user_id").filter(col("ts") > col("t2"))
+        .join(c, "user_id").filter(within(col("ts"), col("t2")))
         .groupBy("user_id").agg(min(col("ts")).as("t3"))
       val nv = v.select(countDistinct("user_id").as("n_view"))
-      val nc = c.select(countDistinct("user_id").as("n_click_after"))
-      val np = p.select(countDistinct("user_id").as("n_purchase_after"))
+      val nc = c.select(countDistinct("user_id").as(clickCol))
+      val np = p.select(countDistinct("user_id").as(purchCol))
       nv.crossJoin(nc).crossJoin(np)
-        .select(col("n_view"), col("n_click_after"), col("n_purchase_after"),
-          Ql.r(col("n_click_after") / col("n_view").cast("double"), 4).as("click_rate"),
-          Ql.r(col("n_purchase_after") / col("n_click_after").cast("double"), 4).as("purchase_rate"))
+        .select(col("n_view"), col(clickCol), col(purchCol),
+          Ql.r(col(clickCol) / col("n_view").cast("double"), 4).as("click_rate"),
+          Ql.r(col(purchCol) / col(clickCol).cast("double"), 4).as("purchase_rate"))
     },
-    Some(s"""
+    Some {
+      def within(anchor: String) = stepUs
+        .map(b => s"AND epoch_us(e.ts) - epoch_us($anchor) <= $b").getOrElse("")
+      s"""
       WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
                  WHERE event_type = 'view' GROUP BY 1),
       c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
               JOIN v ON e.user_id = v.user_id
-            WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+            WHERE e.event_type = 'click' AND e.ts > v.t1 ${within("v.t1")} GROUP BY 1),
       p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
               JOIN c ON e.user_id = c.user_id
-            WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+            WHERE e.event_type = 'purchase' AND e.ts > c.t2 ${within("c.t2")} GROUP BY 1)
       SELECT (SELECT count(*) FROM v) AS n_view,
-             (SELECT count(*) FROM c) AS n_click_after,
-             (SELECT count(*) FROM p) AS n_purchase_after,
+             (SELECT count(*) FROM c) AS $clickCol,
+             (SELECT count(*) FROM p) AS $purchCol,
              ${Ql.R("(SELECT count(*) FROM c) * 1.0 / (SELECT count(*) FROM v)", 4)} AS click_rate,
              ${Ql.R("(SELECT count(*) FROM p) * 1.0 / (SELECT count(*) FROM c)", 4)} AS purchase_rate
-    """))
+    """
+    })
+
+  private val funnel = funnelDef("q_funnel", None, "n_click_after", "n_purchase_after")
 
   /** Journey-path mining: each user's first three events (event-time
     * order, event_id tiebreak) as a `a>b>c` path, counted across users —
@@ -326,49 +344,8 @@ object EventQueries extends QueryModule {
     * bound compares integer epoch MICROSECONDS so the 24 h boundary tie
     * is exact in both engines.
     */
-  private val funnelWindowed = QueryDef(
-    "q_funnel_windowed",
-    (spark, sfDir) => {
-      val stepUs = 86400000000L // 24 h in microseconds
-      val e = Tables.events(spark, sfDir)
-        .select(col("user_id"), col("event_type"), col("ts"))
-      val v = e.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("ts")).as("t1"))
-      val c = e.filter(col("event_type") === "click")
-        .join(v, "user_id")
-        .filter(col("ts") > col("t1") &&
-          unix_micros(col("ts")) - unix_micros(col("t1")) <= stepUs)
-        .groupBy("user_id").agg(min(col("ts")).as("t2"))
-      val p = e.filter(col("event_type") === "purchase")
-        .join(c, "user_id")
-        .filter(col("ts") > col("t2") &&
-          unix_micros(col("ts")) - unix_micros(col("t2")) <= stepUs)
-        .groupBy("user_id").agg(min(col("ts")).as("t3"))
-      val nv = v.select(countDistinct("user_id").as("n_view"))
-      val nc = c.select(countDistinct("user_id").as("n_click_24h"))
-      val np = p.select(countDistinct("user_id").as("n_purchase_24h"))
-      nv.crossJoin(nc).crossJoin(np)
-        .select(col("n_view"), col("n_click_24h"), col("n_purchase_24h"),
-          Ql.r(col("n_click_24h") / col("n_view").cast("double"), 4).as("click_rate"),
-          Ql.r(col("n_purchase_24h") / col("n_click_24h").cast("double"), 4).as("purchase_rate"))
-    },
-    Some(s"""
-      WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
-                 WHERE event_type = 'view' GROUP BY 1),
-      c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
-              JOIN v ON e.user_id = v.user_id
-            WHERE e.event_type = 'click' AND e.ts > v.t1
-              AND epoch_us(e.ts) - epoch_us(v.t1) <= 86400000000 GROUP BY 1),
-      p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
-              JOIN c ON e.user_id = c.user_id
-            WHERE e.event_type = 'purchase' AND e.ts > c.t2
-              AND epoch_us(e.ts) - epoch_us(c.t2) <= 86400000000 GROUP BY 1)
-      SELECT (SELECT count(*) FROM v) AS n_view,
-             (SELECT count(*) FROM c) AS n_click_24h,
-             (SELECT count(*) FROM p) AS n_purchase_24h,
-             ${Ql.R("(SELECT count(*) FROM c) * 1.0 / (SELECT count(*) FROM v)", 4)} AS click_rate,
-             ${Ql.R("(SELECT count(*) FROM p) * 1.0 / (SELECT count(*) FROM c)", 4)} AS purchase_rate
-    """))
+  private val funnelWindowed =
+    funnelDef("q_funnel_windowed", Some(86400000000L), "n_click_24h", "n_purchase_24h")
 
   override def defs: Seq[QueryDef] = Seq(hourlyEventStats, funnel, eventPaths,
     retentionCohorts, tsResample, anomalyZscore, attribution, markov,

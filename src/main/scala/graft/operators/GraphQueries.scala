@@ -328,13 +328,17 @@ object GraphQueries extends QueryModule {
         .localCheckpoint(true) // feeds the triple join and the pair prune
       val fp = itemPairs(items).filter(col("s_ab") >= 2)
         .select("a", "b").localCheckpoint(true) // reused by 3 semi-joins
+      // the (a,b) prune runs BEFORE the third items join — that ordering
+      // IS Apriori: the dominant join's input shrinks by the
+      // infrequent-pair fraction (the vast majority) instead of fanning
+      // every order's C(n,3) triples out first and pruning after
       val triples = items.select(col("l_orderkey"), col("l_partkey").as("a"))
         .join(items.select(col("l_orderkey"), col("l_partkey").as("b")), "l_orderkey")
         .filter(col("a") < col("b"))
+        .join(fp, Seq("a", "b"), "leftsemi")
         .join(items.select(col("l_orderkey"), col("l_partkey").as("c")), "l_orderkey")
         .filter(col("b") < col("c"))
       triples
-        .join(fp, Seq("a", "b"), "leftsemi")
         .join(fp.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"), "leftsemi")
         .join(fp.select(col("a"), col("b").as("c")), Seq("a", "c"), "leftsemi")
         .groupBy("a", "b", "c").agg(count(lit(1)).as("s"))

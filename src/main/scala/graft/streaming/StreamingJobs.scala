@@ -115,6 +115,15 @@ object StreamingJobs {
       .select(col("c.event_id").as("click_id"), col("p.event_id").as("purchase_id"),
         col("c.user_id").as("user_id"))
 
+  /** transformWithState requires the RocksDB state-store provider
+    * (NOTES fact #12); ONE definition so a provider/conf change cannot
+    * miss one of the five stateful jobs.
+    */
+  private def requireRocksDb(spark: SparkSession): Unit =
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   // ---- H6: arbitrary keyed state — sessionization with a timeout ----
 
   case class SessionInput(user_id: Long, ts: java.sql.Timestamp, value: Double)
@@ -245,9 +254,7 @@ object StreamingJobs {
     */
   def sessionizeTimers(events: Dataset[SessionInput], gapMinutes: Int = 30): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events.sparkSession.conf.set(
-      "spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    requireRocksDb(events.sparkSession)
     events
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
@@ -298,9 +305,7 @@ object StreamingJobs {
     */
   def runningCounters(events: Dataset[SessionInput]): Dataset[UserTotal] = {
     import events.sparkSession.implicits._
-    events.sparkSession.conf.set(
-      "spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    requireRocksDb(events.sparkSession)
     events
       .groupByKey(_.user_id)
       .transformWithState(new RunningCounterProcessor,
@@ -384,9 +389,7 @@ object StreamingJobs {
     */
   def funnelStages(events: Dataset[FunnelInput]): Dataset[FunnelStage] = {
     import events.sparkSession.implicits._
-    events.sparkSession.conf.set(
-      "spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    requireRocksDb(events.sparkSession)
     events
       .groupByKey(_.user_id)
       .transformWithState(new FunnelProcessor,
@@ -461,9 +464,7 @@ object StreamingJobs {
 
   def attributionStream(events: Dataset[AttrInput]): Dataset[AttrOut] = {
     import events.sparkSession.implicits._
-    events.sparkSession.conf.set(
-      "spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    requireRocksDb(events.sparkSession)
     events
       .groupByKey(_.user_id)
       .transformWithState(new AttributionProcessor,
@@ -641,9 +642,7 @@ object StreamingJobs {
   def runningCountersWithInit(events: Dataset[SessionInput],
       snapshot: Dataset[UserTotal]): Dataset[UserTotal] = {
     import events.sparkSession.implicits._
-    events.sparkSession.conf.set(
-      "spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    requireRocksDb(events.sparkSession)
     events
       .groupByKey(_.user_id)
       .transformWithState(new RunningCounterWithInitProcessor,

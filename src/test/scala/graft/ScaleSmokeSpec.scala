@@ -87,6 +87,30 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(joined.count() == 25)
   }
 
+  /** Stage a DataFrame as n event-time-sliced parquet files named so a
+    * maxFilesPerTrigger=1 file stream consumes them oldest-slice-first —
+    * the equivalence-test replay harness (cross-batch event-time order is
+    * the precondition both stateful processors document). Returns the
+    * input directory for readStream.
+    */
+  private def sliceReplay(ev: org.apache.spark.sql.DataFrame, nSlices: Int,
+      prefix: String): String = {
+    val bounds = ev.agg(min("ts"), max("ts")).head()
+    val (lo, hi) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
+    val width = (hi - lo) / nSlices + 1
+    val in = java.nio.file.Files.createTempDirectory(s"${prefix}_in")
+    val staging = java.nio.file.Files.createTempDirectory(s"${prefix}_stage")
+    (0 until nSlices).foreach { i =>
+      ev.filter(col("ts") >= lit(new java.sql.Timestamp(lo + i * width)) &&
+          col("ts") < lit(new java.sql.Timestamp(lo + (i + 1) * width)))
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/s$i")
+      val part = new java.io.File(s"$staging/s$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, in.resolve(f"slice_$i%02d.parquet"))
+    }
+    in.toString
+  }
+
   test("sf0.01 streaming attribution equals the batch q_attribution totals") {
     import spark.implicits._
     import graft.streaming.StreamingJobs
@@ -97,21 +121,9 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"), col("value"))
-    val bounds = ev.agg(min("ts"), max("ts")).head()
-    val (lo, hi) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
-    val width = (hi - lo) / 4 + 1
-    val in = java.nio.file.Files.createTempDirectory("graft_attr_in")
-    val staging = java.nio.file.Files.createTempDirectory("graft_attr_stage")
-    (0 until 4).foreach { i =>
-      ev.filter(col("ts") >= lit(new java.sql.Timestamp(lo + i * width)) &&
-          col("ts") < lit(new java.sql.Timestamp(lo + (i + 1) * width)))
-        .coalesce(1).write.mode("overwrite").parquet(s"$staging/s$i")
-      val part = new java.io.File(s"$staging/s$i").listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath, in.resolve(f"slice_$i%02d.parquet"))
-    }
+    val in = sliceReplay(ev, 4, "graft_attr")
     val src = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .option("maxFilesPerTrigger", "1").parquet(in)
       .as[StreamingJobs.AttrInput]
     val q = StreamingJobs.attributionStream(src)
       .writeStream.format("memory").queryName("attr_scale")
@@ -146,21 +158,9 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     // collect, so the path under test is the at-scale one.
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("ts"), col("event_type"))
-    val bounds = ev.agg(min("ts"), max("ts")).head()
-    val (lo, hi) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
-    val width = (hi - lo) / 4 + 1
-    val in = java.nio.file.Files.createTempDirectory("graft_funnel_in")
-    val staging = java.nio.file.Files.createTempDirectory("graft_funnel_stage")
-    (0 until 4).foreach { i =>
-      ev.filter(col("ts") >= lit(new java.sql.Timestamp(lo + i * width)) &&
-          col("ts") < lit(new java.sql.Timestamp(lo + (i + 1) * width)))
-        .coalesce(1).write.mode("overwrite").parquet(s"$staging/s$i")
-      val part = new java.io.File(s"$staging/s$i").listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath, in.resolve(f"slice_$i%02d.parquet"))
-    }
+    val in = sliceReplay(ev, 4, "graft_funnel")
     val src = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .option("maxFilesPerTrigger", "1").parquet(in)
       .as[StreamingJobs.FunnelInput]
     val q = StreamingJobs.funnelStages(src)
       .writeStream.format("memory").queryName("funnel_scale")
