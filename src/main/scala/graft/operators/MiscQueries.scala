@@ -280,7 +280,145 @@ object MiscQueries extends QueryModule {
       FROM md GROUP BY seed ORDER BY seed
     """))
 
+  /** Point-in-time-correct join — the feature-store operation: each fact
+    * row (a lineitem shipment) reads the dimension value (its customer's
+    * order-priority) AS OF the fact's own timestamp, never a later one —
+    * the leakage-free way to assemble training features from mutable
+    * dimensions. Spans come from the same gaps-and-islands rebuild as
+    * q_scd2_history; the PIT lookup is an equi-join on custkey plus a
+    * half-open validity filter `vf <= ts < vt` (each fact ships on or
+    * after its customer's first order, so exactly one span matches —
+    * asserted by the n_facts total). The dimension side is spans, not
+    * raw history — per-customer span counts are small, so the join
+    * fanout is bounded by versions, not orders.
+    */
+  private val pitJoin = QueryDef(
+    "q_pit_join",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(spark, sfDir)
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey").as("custkey"), col("o_orderpriority").as("prio"),
+          col("o_orderdate").as("ts"), col("o_orderkey").as("ok"))
+      val wSeq = Window.partitionBy("custkey").orderBy(col("ts"), col("ok"))
+      val spans = o
+        .withColumn("changed",
+          when(lag(col("prio"), 1).over(wSeq).isNull ||
+            lag(col("prio"), 1).over(wSeq) =!= col("prio"), 1L).otherwise(0L))
+        .withColumn("g", sum(col("changed")).over(wSeq))
+        .groupBy("custkey", "g")
+        .agg(min(col("prio")).as("priority"), min(col("ts")).as("vf"))
+        .withColumn("vt",
+          lead(col("vf"), 1).over(Window.partitionBy("custkey").orderBy("g")))
+      val facts = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir).filter(col("o_custkey") < 100)
+            .select(col("o_orderkey"), col("o_custkey").as("custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("custkey"), col("l_shipdate").as("fts"),
+          col("l_extendedprice").as("price"))
+      facts.join(spans, Seq("custkey"))
+        .filter(col("fts") >= col("vf") &&
+          (col("vt").isNull || col("fts") < col("vt")))
+        .groupBy("priority")
+        .agg(count(lit(1)).as("n_facts"),
+          Ql.r(sum(col("price")), 2).as("revenue_as_of"))
+        .orderBy("priority")
+    },
+    Some("""
+      WITH o AS (
+        SELECT o_custkey AS custkey, o_orderpriority AS prio,
+               o_orderdate AS ts, o_orderkey AS ok
+        FROM orders WHERE o_custkey < 100),
+      marked AS (
+        SELECT *, CASE WHEN lag(prio) OVER w IS NULL
+                         OR lag(prio) OVER w <> prio THEN 1 ELSE 0 END AS changed
+        FROM o WINDOW w AS (PARTITION BY custkey ORDER BY ts, ok)),
+      grp AS (
+        SELECT *, sum(changed) OVER (PARTITION BY custkey ORDER BY ts, ok) AS g
+        FROM marked),
+      spans AS (
+        SELECT custkey, g, min(prio) AS priority, min(ts) AS vf
+        FROM grp GROUP BY 1, 2),
+      fin AS (
+        SELECT custkey, priority, vf,
+               lead(vf) OVER (PARTITION BY custkey ORDER BY g) AS vt
+        FROM spans),
+      facts AS (
+        SELECT o_custkey AS custkey, l_shipdate AS fts, l_extendedprice AS price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey < 100)
+      SELECT priority, count(*) AS n_facts,
+             round(sum(price) + 1e-9, 2) AS revenue_as_of
+      FROM facts JOIN fin USING (custkey)
+      WHERE fts >= vf AND (vt IS NULL OR fts < vt)
+      GROUP BY 1 ORDER BY 1
+    """))
+
+  /** Data-quality check suite (the dbt-test / Deequ shape, public): five
+    * assertion families — referential integrity, key uniqueness, accepted
+    * values, bounds, freshness window — evaluated as one unioned report
+    * with a violation count and pass flag per check. Each check is a
+    * single aggregation or anti-join (the FK check broadcasts the
+    * dimension keys); nothing scans twice, and the report is 5 rows at
+    * any corpus size.
+    */
+  private val dqChecks = QueryDef(
+    "q_dq_checks",
+    (spark, sfDir) => {
+      val events = Tables.events(spark, sfDir)
+      val orders = Tables.orders(spark, sfDir)
+      val customer = Tables.customer(spark, sfDir).select("c_custkey")
+      def report(name: String, viol: org.apache.spark.sql.DataFrame) =
+        viol.select(lit(name).as("check"), col("n_violations"),
+          (col("n_violations") === 0L).cast("int").as("pass"))
+      val fk = report("orders_custkey_fk",
+        orders.join(broadcast(customer),
+            col("o_custkey") === col("c_custkey"), "leftanti")
+          .agg(count(lit(1)).as("n_violations")))
+      val uniq = report("event_id_unique",
+        events.agg((count(lit(1)) - countDistinct(col("event_id")))
+          .as("n_violations")))
+      val dom = report("event_type_domain",
+        events.filter(!col("event_type")
+            .isin("view", "click", "purchase", "signup", "error"))
+          .agg(count(lit(1)).as("n_violations")))
+      val bounds = report("value_non_negative",
+        events.filter(col("value") < 0).agg(count(lit(1)).as("n_violations")))
+      val fresh = report("ts_in_2024",
+        events.filter(to_date(col("ts")) < lit("2024-01-01").cast("date") ||
+            to_date(col("ts")) >= lit("2025-01-01").cast("date"))
+          .agg(count(lit(1)).as("n_violations")))
+      fk.unionByName(uniq).unionByName(dom).unionByName(bounds)
+        .unionByName(fresh)
+        .orderBy("check")
+    },
+    Some("""
+      WITH checks AS (
+        SELECT 'orders_custkey_fk' AS check,
+               (SELECT count(*) FROM orders
+                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+                 AS n_violations
+        UNION ALL
+        SELECT 'event_id_unique',
+               (SELECT count(*) - count(DISTINCT event_id) FROM events)
+        UNION ALL
+        SELECT 'event_type_domain',
+               (SELECT count(*) FROM events WHERE event_type NOT IN
+                  ('view', 'click', 'purchase', 'signup', 'error'))
+        UNION ALL
+        SELECT 'value_non_negative',
+               (SELECT count(*) FROM events WHERE value < 0)
+        UNION ALL
+        SELECT 'ts_in_2024',
+               (SELECT count(*) FROM events
+                WHERE CAST(ts AS DATE) < DATE '2024-01-01'
+                   OR CAST(ts AS DATE) >= DATE '2025-01-01'))
+      SELECT "check", n_violations,
+             CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS pass
+      FROM checks ORDER BY "check"
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     miscIds, miscStack, sqlInterface, sqlExistsChain, sqlScalarSubq,
-    scd2History, sqlRecursive)
+    scd2History, sqlRecursive, pitJoin, dqChecks)
 }
