@@ -92,5 +92,60 @@ object StreamTwinQueries extends QueryModule {
       GROUP BY 1 ORDER BY 1
     """))
 
-  override def defs: Seq[QueryDef] = Seq(windowSliding, windowSession, dedupEvents)
+  /** Session dwell-time distribution — per-session durations from the
+    * same 30-min gaps-and-islands sessionization as `q_window_session`'s
+    * oracle, rolled up into an event-count-banded report (how long do
+    * 1-event vs 5+-event sessions last). Durations subtract exact epoch
+    * MICROSECONDS and integer-divide to seconds, so the engines agree to
+    * the tick; all windows ride one (user_id, ts, event_id)
+    * partition/sort, so the plan is one shuffle + one sort reused by the
+    * flag, the session id, and the per-session bounds at any scale.
+    */
+  private val sessionDwell = QueryDef(
+    "q_session_dwell",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("new_s",
+          when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+            < 1800000000L, 0L).otherwise(1L))
+        .withColumn("sid", sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_ev"),
+          ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            / lit(1000000L)).cast("long").as("dwell_sec"))
+      sess.groupBy(least(col("n_ev"), lit(5L)).as("events_band"))
+        .agg(count(lit(1)).as("n_sessions"),
+          Ql.r(avg(col("dwell_sec")), 2).as("avg_dwell_sec"),
+          max(col("dwell_sec")).as("max_dwell_sec"))
+        .orderBy("events_band")
+    },
+    Some(s"""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                         < 1800000000
+                    THEN 0 ELSE 1 END AS new_s
+        FROM events),
+      sess AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged),
+      per AS (
+        SELECT user_id, sid, count(*) AS n_ev,
+               (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS dwell_sec
+        FROM sess GROUP BY 1, 2)
+      SELECT least(n_ev, 5) AS events_band, count(*) AS n_sessions,
+             ${Ql.R("avg(dwell_sec)", 2)} AS avg_dwell_sec,
+             max(dwell_sec) AS max_dwell_sec
+      FROM per GROUP BY 1 ORDER BY 1
+    """))
+
+  override def defs: Seq[QueryDef] =
+    Seq(windowSliding, windowSession, dedupEvents, sessionDwell)
 }

@@ -133,6 +133,83 @@ object WindowFnQueries extends QueryModule {
       ORDER BY o_custkey, day, o_orderkey
     """))
 
+  /** E1 tail: cume_dist + percent_rank side by side — the two normalized
+    * rank forms (≤-fraction vs (rank−1)/(n−1)) over the same
+    * per-event-type value ordering. Both divide exact integer ranks by
+    * exact counts, so the doubles match cross-engine after the standard
+    * rounding. The event_id tiebreak keeps the output ordering unique.
+    */
+  private val winCume = QueryDef(
+    "q_win_cume",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      Tables.events(spark, sfDir)
+        .filter(col("user_id") < 10)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("cd", Ql.r(cume_dist().over(w), 6))
+        .withColumn("pr", Ql.r(percent_rank().over(w), 6))
+        .select(col("event_type"), col("event_id"),
+          Ql.r(col("value"), 2).as("value_r"), col("cd"), col("pr"))
+        .orderBy("event_type", "event_id")
+    },
+    Some(s"""
+      SELECT event_type, event_id,
+             ${Ql.R("value", 2)} AS value_r,
+             ${Ql.R("cume_dist() OVER w", 6)} AS cd,
+             ${Ql.R("percent_rank() OVER w", 6)} AS pr
+      FROM events WHERE user_id < 10
+      WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+      ORDER BY event_type, event_id
+    """))
+
+  /** D7 tail: per-group box-plot statistics — quartiles, IQR, 1.5·IQR
+    * whiskers, and the outlier count beyond them (Tukey's box plot,
+    * public). Two passes: one percentile aggregation producing a
+    * groups-sized threshold table, broadcast back for the outlier count
+    * — the shape that holds when the fact table is 100 TB and the group
+    * count is what fits in a dashboard.
+    */
+  private val boxplotStats = QueryDef(
+    "q_boxplot_stats",
+    (spark, sfDir) => {
+      val e = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+      val q = e.groupBy("event_type")
+        .agg(expr("percentile(value, 0.25)").as("q1"),
+          expr("percentile(value, 0.5)").as("med"),
+          expr("percentile(value, 0.75)").as("q3"))
+        .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+        .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+      e.join(broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          Ql.r(min(col("q1")), 4).as("q1"),
+          Ql.r(min(col("med")), 4).as("median"),
+          Ql.r(min(col("q3")), 4).as("q3"),
+          Ql.r(min(col("hi") - col("lo")), 4).as("whisker_span"),
+          sum((col("value") < col("lo") || col("value") > col("hi"))
+            .cast("long")).as("n_outliers"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH q AS (
+        SELECT event_type,
+               percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS q1,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med,
+               percentile_cont(0.75) WITHIN GROUP (ORDER BY value) AS q3
+        FROM events GROUP BY 1),
+      t AS (SELECT *, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q)
+      SELECT e.event_type, count(*) AS n,
+             ${Ql.R("min(q1)", 4)} AS q1,
+             ${Ql.R("min(med)", 4)} AS median,
+             ${Ql.R("min(q3)", 4)} AS q3,
+             ${Ql.R("min(hi - lo)", 4)} AS whisker_span,
+             CAST(sum(CASE WHEN e.value < lo OR e.value > hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+      FROM events e JOIN t ON e.event_type = t.event_type
+      GROUP BY 1 ORDER BY 1
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
-    winRank, winLag, winRunning, winLeadNtile, winRange)
+    winRank, winLag, winRunning, winLeadNtile, winRange, winCume, boxplotStats)
 }
