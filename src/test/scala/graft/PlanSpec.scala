@@ -76,6 +76,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     // (the count window must stay BELOW the rank filter or the rewrite
     // can't fire; see PipelineQueries.sampleReservoir)
     assert(plan("q_sample_reservoir").contains("WindowGroupLimit"))
+    // item-item CF claims "top-10 per item plans as WindowGroupLimit"
+    assert(plan("q_item_cf").contains("WindowGroupLimit"))
+  }
+
+  // (q_bloom_decontam's broadcast-probe claim is not assertable here: the
+  // query localCheckpoints its report, so the returned frame's plan is an
+  // ExistingRDD scan — the join executed inside the query fn.)
+
+  test("zorder layout keeps the native Expression inside codegen") {
+    val df = SparkEntry.queries("q_zorder_layout")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the ZOrder Expression implements doGenCode — the projection that
+    // computes z must sit inside a WholeStageCodegen span, not fall back
+    // to interpreted evaluation
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"), p.take(600))
   }
 
   test("no unbounded join shapes: cartesians banned except declared surfaces") {
