@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-parses Bench's one-line JSON out of the last ~2KB of
+// stdout. sbt's default output strategy routes the forked process through
+// its logger, prefixing every line with "[info] " — which is the likely
+// reason all six rounds recorded `parsed: null` even when the line was
+// visibly in the tail. StdoutOutput passes the forked JVM's stdout through
+// verbatim, unprefixed.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -59,8 +59,23 @@ object GraphQueries extends QueryModule {
     * Exposed (not query-private) so PropertySpec can assert the algebra
     * — mass conservation, uniformity on regular graphs — on synthetic
     * graphs.
+    *
+    * Block hygiene: every `localCheckpoint(true)` here pins materialized
+    * RDD blocks in the block manager, and nothing else ever releases
+    * them — in a long multi-tenant driver session that is a leak (r6
+    * verdict measured rerun-slower-than-first + 324 MB heap growth from
+    * exactly this). So the final ranks frame (node-count-sized) is
+    * checkpointed too, making it self-contained, and every intermediate
+    * persisted during the loop is then unpersisted before returning —
+    * cache scope = this function, the same contract as
+    * [[DedupQueries]]' containment/segment queries.
     */
   def pageRank(edgesIn: org.apache.spark.sql.DataFrame, rounds: Int): org.apache.spark.sql.DataFrame = {
+    val sc = edgesIn.sparkSession.sparkContext
+    // snapshot of persisted RDDs before this call: queries run one at a
+    // time in verify/bench/specs, so everything persisted between here
+    // and the post-loop snapshot is ours to release
+    val before = sc.getPersistentRDDs.keySet
     val edges = edgesIn.localCheckpoint(true)
     // deg and the node count feed EVERY round — materialize once, or
     // each iteration re-runs their aggregations over the edge table
@@ -87,7 +102,12 @@ object GraphQueries extends QueryModule {
           Ql.r(lit(1 - damping) / col("n") + lit(damping) * col("s"), 7).as("pr"))
       if (i % 5 == 0 && i < rounds) ranks = ranks.localCheckpoint(true)
     }
-    ranks
+    // materialize the final frame so it no longer depends on the loop's
+    // pinned blocks, then release every block this call persisted
+    val mine = sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
+    val out = ranks.localCheckpoint(true)
+    mine.values.foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Fixed-iteration PageRank, not run-to-convergence: 10 rounds is the

@@ -119,9 +119,15 @@ object WarehouseQueries extends QueryModule {
       // both dims clamped to the 6 bits the oracle interleaves — an
       // out-of-domain p_size would otherwise set z bits the expanded
       // formula drops
+      // y quantization spans the REAL p_retailprice domain (~900-2099):
+      // step 18.75 = 1200/64, exactly representable in binary, so the
+      // 6-bit dimension spreads over the whole range instead of clamping
+      // ~90% of parts to y=63 (the r6 advice finding — degenerate price
+      // bounding boxes defeat the layout's pruning claim)
       Tables.part(spark, sfDir)
         .select(least(lit(63L), col("p_size").cast("long")).as("x"),
-          least(lit(63L), floor((col("p_retailprice") - 900.0) * 0.64).cast("long")).as("y"))
+          greatest(lit(0L), least(lit(63L),
+            floor((col("p_retailprice") - 900.0) / 18.75).cast("long"))).as("y"))
         .withColumn("z", graft.functions.ZOrder(col("x"), col("y")))
         .groupBy((col("z") / 64).cast("long").as("zrange"))
         .agg(count(lit(1)).as("n_parts"),
@@ -136,8 +142,8 @@ object WarehouseQueries extends QueryModule {
       s"""
       WITH d AS (
         SELECT least(63, CAST(p_size AS BIGINT)) AS x,
-               least(63, CAST(floor((p_retailprice - CAST(900 AS DOUBLE))
-                 * CAST(0.64 AS DOUBLE)) AS BIGINT)) AS y
+               greatest(0, least(63, CAST(floor((p_retailprice - CAST(900 AS DOUBLE))
+                 / CAST(18.75 AS DOUBLE)) AS BIGINT))) AS y
         FROM part),
       z AS (SELECT x, y, $duckZ AS z FROM d)
       SELECT z // 64 AS zrange, count(*) AS n_parts,

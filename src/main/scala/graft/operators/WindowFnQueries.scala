@@ -174,10 +174,17 @@ object WindowFnQueries extends QueryModule {
     "q_boxplot_stats",
     (spark, sfDir) => {
       val e = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+      // quartiles are rounded to 6 dp BEFORE the fences are derived:
+      // Spark's percentile and DuckDB's percentile_cont associate the
+      // interpolation arithmetic differently (lower*(hi-pos)+higher*
+      // (pos-lower) vs lower+(upper-lower)*frac), so raw q1/q3 can differ
+      // by an ulp — and a value sitting exactly on a fence would then
+      // flip n_outliers. From identical rounded doubles, the *1.5 fence
+      // arithmetic is IEEE-deterministic in both engines.
       val q = e.groupBy("event_type")
-        .agg(expr("percentile(value, 0.25)").as("q1"),
-          expr("percentile(value, 0.5)").as("med"),
-          expr("percentile(value, 0.75)").as("q3"))
+        .agg(Ql.r(expr("percentile(value, 0.25)"), 6).as("q1"),
+          Ql.r(expr("percentile(value, 0.5)"), 6).as("med"),
+          Ql.r(expr("percentile(value, 0.75)"), 6).as("q3"))
         .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
         .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
       e.join(broadcast(q), "event_type")
@@ -194,9 +201,9 @@ object WindowFnQueries extends QueryModule {
     Some(s"""
       WITH q AS (
         SELECT event_type,
-               percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS q1,
-               percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med,
-               percentile_cont(0.75) WITHIN GROUP (ORDER BY value) AS q3
+               ${Ql.R("percentile_cont(0.25) WITHIN GROUP (ORDER BY value)", 6)} AS q1,
+               ${Ql.R("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)", 6)} AS med,
+               ${Ql.R("percentile_cont(0.75) WITHIN GROUP (ORDER BY value)", 6)} AS q3
         FROM events GROUP BY 1),
       t AS (SELECT *, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q)
       SELECT e.event_type, count(*) AS n,
