@@ -472,6 +472,75 @@ object StreamingJobs {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  // ---- H6/CDC: streaming SCD2 (type-2 dimension) span maintenance ----
+
+  case class Scd2Input(custkey: Long, ts: java.sql.Timestamp, ok: Long, prio: String)
+  case class Scd2Out(custkey: Long, version: Int, priority: String,
+      valid_from: java.sql.Timestamp, valid_to: Option[java.sql.Timestamp],
+      is_current: Int)
+  case class Scd2Span(version: Int, prio: String, vfMs: Long)
+
+  /** Streaming maintenance twin of the batch `q_scd2_history` rebuild —
+    * the CDC-into-feature-store path: per-key state is ONE open span
+    * (version, attribute value, valid_from); each arriving change row
+    * either extends the open span (same value — no emission), or closes
+    * it and opens the next version. Emissions are span UPSERTS keyed by
+    * (custkey, version): an open row (`is_current=1`, null `valid_to`)
+    * when a span starts, superseded by its closed row (`is_current=0`,
+    * `valid_to` = the successor's start) when it ends — exactly the
+    * at-most-two writes per span a MERGE INTO would do, so a keyed
+    * upsert sink ([[upsertSink]]) materializes the same table the batch
+    * gaps-and-islands rebuild produces. Within a batch rows are sorted
+    * by (ts, ok) — the batch window's sort key; across batches
+    * event-time-ordered replay is the equivalence precondition, as for
+    * the funnel/attribution processors. State is O(1) per key; per-key
+    * work is O(batch slice log batch slice).
+    */
+  class Scd2Processor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Scd2Input, Scd2Out] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var span: ValueState[Scd2Span] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      span = getHandle.getValueState[Scd2Span]("open_span",
+        org.apache.spark.sql.Encoders.product[Scd2Span], TTLConfig.NONE)
+
+    private def micros(ts: java.sql.Timestamp): Long =
+      (ts.getTime / 1000) * 1000000L + ts.getNanos / 1000
+
+    override def handleInputRows(key: Long, rows: Iterator[Scd2Input],
+        timers: TimerValues): Iterator[Scd2Out] = {
+      val ordered = rows.toArray.sortBy(r => (micros(r.ts), r.ok))
+      var cur = if (span.exists()) Option(span.get()) else None
+      val out = Seq.newBuilder[Scd2Out]
+      ordered.foreach { r =>
+        cur match {
+          case None =>
+            cur = Some(Scd2Span(1, r.prio, r.ts.getTime))
+            out += Scd2Out(key, 1, r.prio, r.ts, None, 1)
+          case Some(s) if s.prio != r.prio =>
+            out += Scd2Out(key, s.version, s.prio,
+              new java.sql.Timestamp(s.vfMs), Some(r.ts), 0)
+            cur = Some(Scd2Span(s.version + 1, r.prio, r.ts.getTime))
+            out += Scd2Out(key, s.version + 1, r.prio, r.ts, None, 1)
+          case _ => () // same value — the open span absorbs the row
+        }
+      }
+      cur.foreach(span.update)
+      out.result().iterator
+    }
+  }
+
+  def scd2Stream(changes: Dataset[Scd2Input]): Dataset[Scd2Out] = {
+    import changes.sparkSession.implicits._
+    requireRocksDb(changes.sparkSession)
+    changes
+      .groupByKey(_.custkey)
+      .transformWithState(new Scd2Processor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   // ---- A6: crash-safe keyed upsert sink (generation + pointer swap) ----
 
   private def fsFor(spark: SparkSession, path: String) =

@@ -179,4 +179,49 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(byStage.getOrElse(2, 0L) == f.getLong(1), s"n_click_after: $byStage vs $f")
     assert(byStage.getOrElse(3, 0L) == f.getLong(2), s"n_purchase_after: $byStage vs $f")
   }
+
+  test("sf0.01 streaming SCD2 maintenance equals the batch q_scd2_history rebuild") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs
+    val sf = "/root/testdata/sf0.01"
+    // The CDC path: replay the orders change feed time-sliced, let the
+    // Scd2Processor emit span upserts, and MAINTAIN the dimension table
+    // through the crash-safe generation-swap upsert sink — then the
+    // materialized table must equal the batch gaps-and-islands rebuild
+    // row for row. Upsert key = (custkey, version); a span's closed row
+    // (closed=1) supersedes its open row (closed=0) via the sink's
+    // keep-latest-by-version merge.
+    // o_orderdate loads as TIMESTAMP_NTZ; the replay harness and the
+    // Scd2Input encoder want an LTZ java.sql.Timestamp — identical
+    // instants under the fixed UTC session zone
+    val o = Tables.orders(spark, sf).filter(col("o_custkey") < 100)
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderdate").cast("timestamp").as("ts"),
+        col("o_orderkey").as("ok"), col("o_orderpriority").as("prio"))
+    val in = sliceReplay(o, 4, "graft_scd2")
+    val src = spark.readStream.schema(o.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .as[StreamingJobs.Scd2Input]
+    val updates = StreamingJobs.scd2Stream(src).toDF()
+      .withColumn("skey", concat_ws("#", col("custkey"), col("version")))
+      .withColumn("closed", (col("is_current") === 0).cast("int"))
+    val table = java.nio.file.Files.createTempDirectory("graft_scd2_table").toString
+    val q = StreamingJobs.upsertSink(updates, table,
+        java.nio.file.Files.createTempDirectory("graft_scd2_ckpt").toString,
+        key = "skey", versionCol = "closed")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "SCD2 stream did not finish in 180s")
+    val got = StreamingJobs.readUpserted(spark, table).get
+      .select(col("custkey"), col("version"), col("priority"),
+        operators.Ql.tstr(col("valid_from")).as("valid_from"),
+        coalesce(operators.Ql.tstr(col("valid_to")), lit("current")).as("valid_to"),
+        col("is_current"))
+      .orderBy("custkey", "version")
+      .collect().map(_.toSeq)
+    val want = SparkEntry.queries("q_scd2_history")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(got.length == want.length, s"span count: ${got.length} vs ${want.length}")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g vs $w") }
+  }
 }
