@@ -379,7 +379,202 @@ object CurationQueries extends QueryModule {
       GROUP BY source ORDER BY source
     """))
 
+  // same 10-word stopword list as TextQueries (kept module-local — the
+  // two lists are part of each query's pinned contract, not shared state)
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+  private val stopArr = s"array(${stopwords.map(s => s"'$s'").mkString(", ")})"
+  private val stopList = s"[${stopwords.map(s => s"'$s'").mkString(", ")}]"
+
+  /** Corpus-level duplicate-n-gram coverage (the C4/Gopher curation
+    * signal): for each document, the fraction of its 5-gram instances
+    * whose gram occurs in ≥2 distinct documents corpus-wide. Pure
+    * inverted-index shape — explode grams (56-bit md5 keys, never gram
+    * strings, so the shuffle moves longs), one groupBy for corpus df,
+    * one keyed semi-join back, one per-doc aggregation. No self-join
+    * anywhere, so unlike the pairwise dedup family this needs no df cap:
+    * cost is linear in total gram instances at any scale. Top 30 most
+    * covered docs.
+    */
+  private val dupGramCoverage = QueryDef(
+    "q_dup_gram_coverage",
+    (spark, sfDir) => {
+      val grams = Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', slice(toks, i + 1, 5)))")).as("g0"))
+        .select(col("doc_id"), expr(Ql.md5PrefixLong("g0", 14)).as("g"))
+      val df = grams.select(col("doc_id"), col("g")).distinct()
+        .groupBy("g").agg(count(lit(1)).as("ndocs"))
+      grams.join(df, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum((col("ndocs") >= 2).cast("long")).as("n_dup"))
+        .withColumn("dup_frac", Ql.r(col("n_dup") / col("n_grams"), 4))
+        .orderBy(col("dup_frac").desc, col("doc_id")).limit(30)
+        .select("doc_id", "n_grams", "n_dup", "dup_frac")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 5),
+      grams AS (
+        SELECT doc_id, ${Ql.Md5PrefixLong("g0", 14)} AS g
+        FROM (SELECT doc_id,
+                unnest(list_transform(generate_series(1, len(toks) - 4),
+                  i -> array_to_string(toks[i:i+4], ' '))) AS g0
+              FROM t)),
+      df AS (SELECT g, count(DISTINCT doc_id) AS ndocs FROM grams GROUP BY 1),
+      per AS (
+        SELECT doc_id, count(*) AS n_grams,
+               CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        FROM grams JOIN df USING (g) GROUP BY 1)
+      SELECT doc_id, n_grams, n_dup,
+             ${Ql.R("n_dup * 1.0 / n_grams", 4)} AS dup_frac
+      FROM per ORDER BY dup_frac DESC, doc_id LIMIT 30
+    """))
+
+  /** Gopher-style rule-based quality gate, reported per source: word
+    * count bounds, mean word length in [3,10], ≥2 distinct stopwords
+    * present, and ≤20% all-digit words. Row-local list arithmetic only —
+    * the zero-shuffle map + keyed-rollup shape. Four planted failure
+    * docs (id+300000, source 'planted') make every rule's reject path
+    * non-vacuous: a 5-word stub, a 20-char-word run, an all-digits doc,
+    * and a single-letter run. Digit detection is
+    * `translate(w, '0123456789', '') = ''` — identical semantics in both
+    * engines, no regex dialect in play.
+    */
+  private val gopherQuality = QueryDef(
+    "q_gopher_quality",
+    (spark, sfDir) => {
+      val d = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), col("source"))
+      val plants = spark.range(4).selectExpr(
+        "id + 300000 AS doc_id",
+        """CASE id
+             WHEN 0 THEN 'tiny stub doc here now'
+             WHEN 1 THEN concat_ws(' ', transform(sequence(1, 30), i -> repeat('a', 20)))
+             WHEN 2 THEN concat_ws(' ', transform(sequence(1, 30), i -> cast(i * 37 as string)))
+             ELSE concat_ws(' ', transform(sequence(1, 30), i -> substring('abcdefghij', 1 + i % 10, 1)))
+           END AS text""",
+        "'planted' AS source")
+      d.unionByName(plants)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_words", size(col("toks")))
+        .withColumn("mean_len", expr(
+          "aggregate(transform(toks, x -> length(x)), 0, (acc, x) -> acc + x)")
+          / col("n_words"))
+        .withColumn("n_stop", size(array_intersect(col("toks"), expr(stopArr))))
+        .withColumn("digit_frac", expr(
+          "size(filter(toks, x -> translate(x, '0123456789', '') = ''))")
+          / col("n_words"))
+        .withColumn("wc_ok", col("n_words") >= 20 && col("n_words") <= 1000)
+        .withColumn("ml_ok", col("mean_len") >= 3.0 && col("mean_len") <= 10.0)
+        .withColumn("st_ok", col("n_stop") >= 2)
+        .withColumn("dg_ok", col("digit_frac") <= 0.2)
+        .withColumn("keep", col("wc_ok") && col("ml_ok") && col("st_ok") && col("dg_ok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("keep").cast("long")).as("n_kept"),
+          sum((!col("wc_ok")).cast("long")).as("n_fail_wordcount"),
+          sum((!col("ml_ok")).cast("long")).as("n_fail_meanlen"),
+          sum((!col("st_ok")).cast("long")).as("n_fail_stopwords"),
+          sum((!col("dg_ok")).cast("long")).as("n_fail_digits"),
+          Ql.r(avg(col("mean_len")), 4).as("avg_word_len"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH plants AS (
+        SELECT * FROM (VALUES
+          (300000, 'tiny stub doc here now', 'planted'),
+          (300001, array_to_string(list_transform(generate_series(1, 30), i -> repeat('a', 20)), ' '), 'planted'),
+          (300002, array_to_string(list_transform(generate_series(1, 30), i -> CAST(i * 37 AS VARCHAR)), ' '), 'planted'),
+          (300003, array_to_string(list_transform(generate_series(1, 30), i -> substring('abcdefghij', 1 + i % 10, 1)), ' '), 'planted')
+        ) AS v(doc_id, text, source)),
+      u AS (SELECT doc_id, text, source FROM documents
+            UNION ALL SELECT doc_id, text, source FROM plants),
+      sig AS (
+        SELECT source,
+               len(toks) AS n_words,
+               list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS mean_len,
+               len(list_distinct(list_intersect(toks, $stopList))) AS n_stop,
+               len(list_filter(toks, x -> translate(x, '0123456789', '') = '')) * 1.0
+                 / len(toks) AS digit_frac
+        FROM (SELECT source, string_split(text, ' ') AS toks FROM u)),
+      f AS (
+        SELECT source,
+               (n_words >= 20 AND n_words <= 1000) AS wc_ok,
+               (mean_len >= 3.0 AND mean_len <= 10.0) AS ml_ok,
+               (n_stop >= 2) AS st_ok,
+               (digit_frac <= 0.2) AS dg_ok,
+               mean_len
+        FROM sig)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN wc_ok AND ml_ok AND st_ok AND dg_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(sum(CASE WHEN NOT wc_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordcount,
+             CAST(sum(CASE WHEN NOT ml_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_meanlen,
+             CAST(sum(CASE WHEN NOT st_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopwords,
+             CAST(sum(CASE WHEN NOT dg_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_digits,
+             ${Ql.R("avg(mean_len)", 4)} AS avg_word_len
+      FROM f GROUP BY 1 ORDER BY 1
+    """))
+
+  /** PII detection + redaction — the scrubbing pass every training
+    * pipeline runs before anything else sees the text. Email and phone
+    * patterns stay inside the REGEX DIALECT both engines share
+    * (character classes + bounded quantifiers — no lookaround, no \\d
+    * shorthand), counts come from regexp_extract_all, and the doc is
+    * rewritten with placeholder tags. Zero-shuffle row-local map; the
+    * 20 planted docs (id+400000, deterministic addresses/numbers) are
+    * the only hits on this corpus, so the output — including the exact
+    * redacted strings — is hash-pinned across engines.
+    */
+  private val piiRedact = QueryDef(
+    "q_pii_redact",
+    (spark, sfDir) => {
+      val email = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+      val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      val plants = d.filter(col("doc_id") < 20).select(
+        (col("doc_id") + 400000).as("doc_id"),
+        concat(substring(col("text"), 1, 40),
+          lit(" reach user"), col("doc_id").cast("string"),
+          lit("@example.com or call 555-"),
+          (col("doc_id") + 100).cast("string"), lit("-4321 soon")).as("text"))
+      d.unionByName(plants)
+        .withColumn("n_email", size(regexp_extract_all(col("text"), lit(email), lit(0))))
+        .withColumn("n_phone", size(regexp_extract_all(col("text"), lit(phone), lit(0))))
+        .filter(col("n_email") + col("n_phone") > 0)
+        .withColumn("redacted",
+          regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+            phone, "<PHONE>"))
+        .select("doc_id", "n_email", "n_phone", "redacted")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH plants AS (
+        SELECT doc_id + 400000 AS doc_id,
+               substring(text, 1, 40) || ' reach user' || doc_id
+                 || '@example.com or call 555-' || (doc_id + 100)
+                 || '-4321 soon' AS text
+        FROM documents WHERE doc_id < 20),
+      u AS (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id, text FROM plants),
+      hits AS (
+        SELECT doc_id, text,
+               len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+')) AS n_email,
+               len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phone
+        FROM u)
+      SELECT doc_id, CAST(n_email AS INT) AS n_email, CAST(n_phone AS INT) AS n_phone,
+             regexp_replace(regexp_replace(text,
+               '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+               '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+      FROM hits WHERE n_email + n_phone > 0
+      ORDER BY doc_id
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(segmentDedup, repetitionFilter, domainBudget, wordEntropy,
-      globalOrdinals, chi2Terms, klDivergence)
+      globalOrdinals, chi2Terms, klDivergence, dupGramCoverage,
+      gopherQuality, piiRedact)
 }

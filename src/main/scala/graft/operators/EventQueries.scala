@@ -347,7 +347,117 @@ object EventQueries extends QueryModule {
   private val funnelWindowed =
     funnelDef("q_funnel_windowed", Some(86400000000L), "n_click_24h", "n_purchase_24h")
 
+  /** Exponentially-weighted moving average over the daily value series,
+    * per event type — the smoothing primitive behind monitoring
+    * dashboards and drift alarms. The recursion s_t = α·x_t + (1-α)·s_{t-1}
+    * is CLOSED-FORM as one window sum: s_t = (1-α)^t · Σ_{i≤t} w_i·x_i
+    * with w_i = α·(1-α)^{-i} (w_1 drops the α), so the whole series is a
+    * single event_type-partitioned window pass — no recursive CTE, no
+    * driver loop, and the partition count scales with the type×day grid,
+    * not the event volume. Numerically safe because the series is short
+    * (30 days ⇒ (1-α)^{-t} ≤ ~4·10⁴); for year-long series you'd chunk
+    * the window or carry state (the streaming twin's shape). Daily means
+    * are rounded to 6 dp BEFORE the recursion so aggregation-order ulps
+    * can't leak; the oracle runs the identical closed form.
+    */
+  private val ewmaDaily = QueryDef(
+    "q_ewma_daily",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val alpha = 0.3
+      val daily = Tables.events(spark, sfDir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(Ql.r(avg(col("value")), 6).as("x"))
+      val wSeq = Window.partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("rn", row_number().over(wSeq))
+        .withColumn("w",
+          col("x") * pow(lit(1 - alpha), -col("rn")) *
+            when(col("rn") === 1, lit(1.0)).otherwise(lit(alpha)))
+        .withColumn("s", sum(col("w")).over(
+          wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("ewma", Ql.r(pow(lit(1 - alpha), col("rn")) * col("s"), 4))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("event_type"), Ql.r(col("x"), 4).as("daily_avg"), col("ewma"))
+        .orderBy("day", "event_type")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               ${Ql.R("avg(value)", 6)} AS x
+        FROM events GROUP BY 1, 2),
+      seq AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        FROM daily),
+      acc AS (
+        SELECT *, sum(x * pow(0.7, -rn) * CASE WHEN rn = 1 THEN 1.0 ELSE 0.3 END)
+                 OVER (PARTITION BY event_type ORDER BY rn
+                       ROWS UNBOUNDED PRECEDING) AS s
+        FROM seq)
+      SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+             ${Ql.R("x", 4)} AS daily_avg,
+             ${Ql.R("pow(0.7, rn) * s", 4)} AS ewma
+      FROM acc ORDER BY 1, 2
+    """))
+
+  /** Robust anomaly detection via median absolute deviation — the
+    * outlier-resistant twin of q_anomaly_zscore (mean/stddev are
+    * themselves dragged by the outliers they're meant to find; the
+    * median/MAD pair is not). Two grouped percentile passes (median,
+    * then median of |x−med|) produce a groups-sized threshold table,
+    * broadcast back for the modified z-score count — same 100 TB shape
+    * as the box-plot query: the fact table streams, the thresholds fit
+    * in a dashboard. Both medians are rounded to 6 dp before the z
+    * arithmetic (cross-engine percentile interpolation differs by ulps),
+    * and the MAD>0 guard runs on the already-rounded value in BOTH
+    * engines so a degenerate group can't diverge.
+    */
+  private val madAnomaly = QueryDef(
+    "q_anomaly_mad",
+    (spark, sfDir) => {
+      val e = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+      val med = e.groupBy("event_type")
+        .agg(Ql.r(expr("percentile(value, 0.5)"), 6).as("med"))
+      val mad = e.join(broadcast(med), "event_type")
+        .withColumn("absdev", abs(col("value") - col("med")))
+        .groupBy("event_type")
+        .agg(Ql.r(expr("percentile(absdev, 0.5)"), 6).as("mad"))
+      e.join(broadcast(med), "event_type")
+        .join(broadcast(mad), "event_type")
+        .filter(col("mad") > 0)
+        .withColumn("z", lit(0.6745) * (col("value") - col("med")) / col("mad"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min(col("med")).as("med"), min(col("mad")).as("mad"),
+          sum((abs(col("z")) > 3.5).cast("long")).as("n_outliers"),
+          Ql.r(max(abs(col("z"))), 4).as("max_abs_z"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH med AS (
+        SELECT event_type,
+               ${Ql.R("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)", 6)} AS med
+        FROM events GROUP BY 1),
+      mad AS (
+        SELECT e.event_type,
+               ${Ql.R("percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(value - med))", 6)} AS mad
+        FROM events e JOIN med ON e.event_type = med.event_type
+        GROUP BY 1),
+      z AS (
+        SELECT e.event_type, med, mad,
+               0.6745 * (value - med) / mad AS z
+        FROM events e
+          JOIN med ON e.event_type = med.event_type
+          JOIN mad ON e.event_type = mad.event_type
+        WHERE mad > 0)
+      SELECT event_type, count(*) AS n, min(med) AS med, min(mad) AS mad,
+             CAST(sum(CASE WHEN abs(z) > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+             ${Ql.R("max(abs(z))", 4)} AS max_abs_z
+      FROM z GROUP BY 1 ORDER BY 1
+    """))
+
   override def defs: Seq[QueryDef] = Seq(hourlyEventStats, funnel, eventPaths,
     retentionCohorts, tsResample, anomalyZscore, attribution, markov,
-    funnelWindowed)
+    funnelWindowed, ewmaDaily, madAnomaly)
 }

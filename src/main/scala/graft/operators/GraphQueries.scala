@@ -438,6 +438,72 @@ object GraphQueries extends QueryModule {
       FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     """))
 
+  /** HITS hubs-and-authorities (Kleinberg 1999, public) over the
+    * bipartite customer→part purchase graph: a part's authority is the
+    * summed hub weight of its buyers, a customer's hub weight the summed
+    * authority of their basket — 3 mutually-recursive rounds, L1
+    * normalization (no sqrt — keeps the cross-engine arithmetic to
+    * +,/,round). Same iterative discipline as [[pageRank]]: the edge
+    * list materializes ONCE, each round is two keyed join+agg passes
+    * with the normalizer as a 1-row broadcast (never a collect), scores
+    * are rounded to 7 dp per round in BOTH engines so summation order
+    * can't drift, and every block this query pins is released once the
+    * final authority frame materializes. The oracle unrolls the same 3
+    * rounds as chained CTEs.
+    */
+  private val hits = QueryDef(
+    "q_hits",
+    (spark, sfDir) => {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val o = Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint(true)
+      var hub = edges.select(col("c")).distinct().withColumn("h", lit(1.0))
+      var auth: org.apache.spark.sql.DataFrame = null
+      for (_ <- 1 to 3) {
+        val rawA = edges.join(hub, "c").groupBy("p").agg(sum(col("h")).as("a0"))
+        val sumA = rawA.agg(sum(col("a0")).as("sa"))
+        auth = rawA.crossJoin(broadcast(sumA))
+          .select(col("p"), Ql.r(col("a0") / col("sa"), 7).as("a"))
+        val rawH = edges.join(auth, "p").groupBy("c").agg(sum(col("a")).as("h0"))
+        val sumH = rawH.agg(sum(col("h0")).as("sh"))
+        hub = rawH.crossJoin(broadcast(sumH))
+          .select(col("c"), Ql.r(col("h0") / col("sh"), 7).as("h"))
+      }
+      val mine = sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
+      val authFinal = auth.localCheckpoint(true)
+      mine.values.foreach(_.unpersist(blocking = false))
+      authFinal.orderBy(col("a").desc, col("p")).limit(15)
+        .select(col("p").as("partkey"), col("a").as("authority"))
+    },
+    Some {
+      val rounds = (1 to 3).map { i =>
+        val prevHub = if (i == 1) "h0" else s"h${i - 1}"
+        s"""a${i}r AS (
+          SELECT p, sum(h) AS a0 FROM edges JOIN $prevHub USING (c) GROUP BY 1),
+        a$i AS (
+          SELECT p, ${Ql.R(s"a0 / (SELECT sum(a0) FROM a${i}r)", 7)} AS a FROM a${i}r),
+        h${i}r AS (
+          SELECT c, sum(a) AS hv FROM edges JOIN a$i USING (p) GROUP BY 1),
+        h$i AS (
+          SELECT c, ${Ql.R(s"hv / (SELECT sum(hv) FROM h${i}r)", 7)} AS h FROM h${i}r)"""
+      }.mkString(",\n")
+      s"""
+      WITH edges AS (
+        SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      h0 AS (SELECT DISTINCT c, 1.0 AS h FROM edges),
+      $rounds
+      SELECT p AS partkey, a AS authority FROM a3
+      ORDER BY authority DESC, partkey LIMIT 15
+    """
+    })
+
   override def defs: Seq[QueryDef] =
-    Seq(pagerank, marketBasket, triangleCount, itemCf, itemsets3, rfmSegments)
+    Seq(pagerank, marketBasket, triangleCount, itemCf, itemsets3, rfmSegments,
+      hits)
 }

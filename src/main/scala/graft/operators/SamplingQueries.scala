@@ -82,5 +82,48 @@ object SamplingQueries extends QueryModule {
       GROUP BY 1 ORDER BY 1
     """))
 
-  override def defs: Seq[QueryDef] = Seq(trainSplit, sampleStratified)
+  /** Temperature-scaled mixture weights for language/domain balancing
+    * (the multilingual-corpus sampling rule from the XLM-R line of work,
+    * public): p_l ∝ (n_l/N)^α with α=0.3 lifts low-resource languages
+    * toward parity without drowning the head. The whole computation is
+    * group-count-sized — one keyed count, two 1-row broadcasts (corpus
+    * total, normalizer) — so at 100 TB it is one aggregation over the
+    * corpus and then arithmetic on a handful of rows. `pow` outputs are
+    * rounded to 6 dp before normalization in both engines (libm vs JVM
+    * pow ulp hygiene); expected_docs shows the resulting 10k-doc budget
+    * allocation.
+    */
+  private val temperatureSampling = QueryDef(
+    "q_temperature_sampling",
+    (spark, sfDir) => {
+      val byLang = Tables.documents(spark, sfDir)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val tot = byLang.agg(sum(col("n_docs")).cast("double").as("n"))
+      val w = byLang.crossJoin(broadcast(tot))
+        .withColumn("share", Ql.r(col("n_docs") / col("n"), 6))
+        .withColumn("wt", Ql.r(pow(col("n_docs") / col("n"), 0.3), 6))
+      val z = w.agg(Ql.r(sum(col("wt")), 6).as("z"))
+      w.crossJoin(broadcast(z))
+        .withColumn("p", Ql.r(col("wt") / col("z"), 6))
+        .select(col("lang"), col("n_docs"), col("share"), col("wt"), col("p"),
+          Ql.r(col("p") * 10000, 2).as("expected_docs"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n FROM c),
+      w AS (
+        SELECT lang, n_docs,
+               ${Ql.R("n_docs / n", 6)} AS share,
+               ${Ql.R("pow(n_docs / n, 0.3)", 6)} AS wt
+        FROM c, tot),
+      z AS (SELECT ${Ql.R("sum(wt)", 6)} AS z FROM w)
+      SELECT lang, n_docs, share, wt,
+             ${Ql.R("wt / z", 6)} AS p,
+             ${Ql.R(Ql.R("wt / z", 6) + " * 10000", 2)} AS expected_docs
+      FROM w, z ORDER BY lang
+    """))
+
+  override def defs: Seq[QueryDef] =
+    Seq(trainSplit, sampleStratified, temperatureSampling)
 }

@@ -315,7 +315,130 @@ object TextQueries extends QueryModule {
              CAST(0 AS BIGINT) AS n_alien_chars
     """))
 
+  /** BM25 relevance scoring (Robertson-Sparck Jones, public) of every
+    * document against a fixed 3-term query — the retrieval primitive
+    * under RAG corpus search. All the global statistics BM25 needs are
+    * tiny: df per query term (3-row broadcast), N and avgdl (1-row
+    * broadcast) — so the score is a streaming map over the per-doc term
+    * frequencies; nothing all-pairs, nothing driver-side. Transcendental
+    * outputs (ln idf) are rounded to 6 dp before they enter the score
+    * product, per-term scores to 6 before the ≤3-term sum, the final
+    * score to 4 — cross-engine log/pow ulp hygiene.
+    */
+  private val bm25 = QueryDef(
+    "q_bm25_topk",
+    (spark, sfDir) => {
+      val terms = Seq("stream", "join", "window")
+      val termArr = s"array(${terms.map(t => s"'$t'").mkString(", ")})"
+      val (k1, b) = (1.2, 0.75)
+      val d = Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+      val stats = d.agg(count(lit(1)).cast("double").as("n"),
+        Ql.r(avg(col("dl")), 6).as("avgdl"))
+      val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
+        .filter(expr(s"array_contains($termArr, w)"))
+        .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+      tf.join(broadcast(dfT), "w")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf", Ql.r(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6))
+        // 2.2 as the same decimal LITERAL both engines parse — the Scala
+        // expression k1+1 computes 1.2+1.0 at runtime, which lands on a
+        // round-to-even tie a hair away from parsed 2.2
+        .withColumn("ts", Ql.r(
+          col("idf") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hit_terms"), min(col("dl")).as("dl"),
+          Ql.r(sum(col("ts")), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+        .select("doc_id", "n_hit_terms", "dl", "score")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS dl
+        FROM documents),
+      st AS (SELECT CAST(count(*) AS DOUBLE) AS n, ${Ql.R("avg(dl)", 6)} AS avgdl FROM d),
+      tf AS (
+        SELECT doc_id, dl, w, count(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(toks) AS w FROM d)
+        WHERE w IN ('stream', 'join', 'window')
+        GROUP BY 1, 2, 3),
+      dft AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+      scored AS (
+        SELECT doc_id, dl,
+               ${Ql.R(s"""${Ql.R("ln((n - df + 0.5) / (df + 0.5) + 1.0)", 6)}
+                 * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))""", 6)} AS ts
+        FROM tf JOIN dft USING (w), st)
+      SELECT doc_id, count(*) AS n_hit_terms, CAST(min(dl) AS INT) AS dl,
+             ${Ql.R("sum(ts)", 4)} AS score
+      FROM scored GROUP BY 1
+      ORDER BY score DESC, doc_id LIMIT 20
+    """))
+
+  /** Pointwise mutual information over adjacent token pairs — the
+    * collocation detector (Church & Hanks 1990, public) behind phrase
+    * mining and tokenizer-merge diagnostics. Three keyed aggregations
+    * (bigram counts, unigram counts, two 1-row totals broadcast in);
+    * PMI's ln is rounded at 4 dp in both engines. The ≥20-occurrence
+    * support floor keeps the estimate stable AND bounds the output by
+    * the (vocabulary)² grid, not the corpus — the 100 TB shape, since
+    * real vocabularies are ~10⁵ while corpora are ~10¹².
+    */
+  private val pmiBigrams = QueryDef(
+    "q_pmi_bigrams",
+    (spark, sfDir) => {
+      val t = Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+      val uni = t.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c_w"))
+      val nUni = uni.agg(sum(col("c_w")).cast("double").as("n1"))
+      val bi = t.select(explode(expr(
+          """transform(sequence(0, size(toks) - 2),
+               i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))""")).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 20)
+      val nBi = bi.agg(sum(col("c_ab")).cast("double").as("n2"))
+      bi.withColumn("a", element_at(split(col("bg"), " "), 1))
+        .withColumn("b", element_at(split(col("bg"), " "), 2))
+        .join(broadcast(uni.select(col("w").as("a"), col("c_w").as("c_a"))), "a")
+        .join(broadcast(uni.select(col("w").as("b"), col("c_w").as("c_b"))), "b")
+        .crossJoin(broadcast(nBi))
+        .crossJoin(broadcast(nUni))
+        .withColumn("pmi", Ql.r(log((col("c_ab") / col("n2")) /
+          ((col("c_a") / col("n1")) * (col("c_b") / col("n1")))), 4))
+        .select(col("bg").as("bigram"), col("c_ab"), col("c_a"), col("c_b"), col("pmi"))
+        .orderBy(col("pmi").desc, col("bigram")).limit(20)
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+      uni AS (
+        SELECT w, count(*) AS c_w
+        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+      n1 AS (SELECT CAST(sum(c_w) AS DOUBLE) AS n1 FROM uni),
+      bi AS (
+        SELECT bg, count(*) AS c_ab
+        FROM (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i + 1])) AS bg
+              FROM t)
+        GROUP BY 1 HAVING count(*) >= 20),
+      n2 AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS n2 FROM bi),
+      j AS (
+        SELECT bg, c_ab,
+               string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b
+        FROM bi)
+      SELECT bg AS bigram, c_ab, ua.c_w AS c_a, ub.c_w AS c_b,
+             ${Ql.R("ln((c_ab / n2) / ((ua.c_w / n1) * (ub.c_w / n1)))", 4)} AS pmi
+      FROM j JOIN uni ua ON j.a = ua.w JOIN uni ub ON j.b = ub.w, n1, n2
+      ORDER BY pmi DESC, bigram LIMIT 20
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     textStats, tfidf, langId, qualityScore, tokenCount, fingerprint,
-    langRoute, bpeMerges)
+    langRoute, bpeMerges, bm25, pmiBigrams)
 }

@@ -119,7 +119,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         "q_ann_ivfpq", // 8-row coarse-centroid broadcast in the probe pass
         "q_equidepth_bins", // 1-row order-count broadcast for the ntile formula
         "q_funnel_windowed", // three 1-row stage counts, as q_funnel
-        "q_rfm_segments") // 1-row corpus-max-date broadcast for recency
+        "q_rfm_segments", // 1-row corpus-max-date broadcast for recency
+        "q_bm25_topk", // 1-row (N, avgdl) corpus-stats broadcast
+        "q_pmi_bigrams", // two 1-row total-count broadcasts
+        "q_temperature_sampling", // 1-row corpus total + 1-row normalizer
+        "q_hits") // 1-row L1 normalizer broadcast per round
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
