@@ -83,7 +83,11 @@ object Bench {
         // recursive CTE: each level is its own job + codegen unit
         "q_sql_recursive",
         // Apriori level-3: the triple join + 3 semi-joins dominate cold
-        "q_itemsets3")
+        "q_itemsets3",
+        // r7 additions: 3-round HITS (iterative, per-round codegen like
+        // pagerank — 6.7 s first vs 4.6 s steady in r7 measurement) and
+        // the corpus-wide 5-gram inverted index
+        "q_hits", "q_dup_gram_coverage")
     (lightWarm ++ heavyWarm)
       .filter(SparkEntry.queries.contains)
       .foreach { n =>

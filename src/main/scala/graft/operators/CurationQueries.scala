@@ -96,17 +96,16 @@ object CurationQueries extends QueryModule {
     * of the doc taken by its single most frequent word, and the fraction
     * of duplicated bigrams. Both are row-local array expressions — a pure
     * map stage with zero shuffle. The top-word count is LINEAR per row:
-    * sort the tokens, then one `aggregate` pass tracks the current and
-    * best run length (max run over a sorted array == max word frequency).
-    * HOF lambdas run interpreted (never codegen'd — NOTES fact 18), so
-    * the per-row cost shape matters: the earlier
+    * [[graft.functions.MaxTokenFreq]], a native codegen'd Expression
+    * doing one O(n) hash-counting pass — no sort, no lambda. The
+    * per-row cost shape matters at 100 TB: the original
     * `transform(array_distinct, w -> size(filter(...)))` form was
-    * O(|distinct| × |tokens|) interpreted evals per document — a
-    * 100-1000× CPU multiplier on a real web corpus (~1k tokens, ~500
-    * distinct). This form is O(n log n) in the codegen'd array_sort plus
-    * O(n) in the lambda. Top 30 most repetitive docs; `keep` is the
-    * filter verdict. The oracle keeps the quadratic distinct-count form —
-    * an independent computation of the same value, cheap at oracle scale.
+    * O(|distinct| × |tokens|) INTERPRETED lambda evals per document
+    * (HOF lambdas never codegen — NOTES fact 18), a 100-1000× CPU
+    * multiplier on a real web corpus (~1k tokens, ~500 distinct). Top 30
+    * most repetitive docs; `keep` is the filter verdict. The oracle
+    * keeps the quadratic distinct-count form — an independent
+    * computation of the same value, cheap at oracle scale.
     */
   private val repetitionFilter = QueryDef(
     "q_repetition_filter",
@@ -117,17 +116,7 @@ object CurationQueries extends QueryModule {
         // sequence(0, -1) count DOWN and element_at(toks, 0) throw
         .filter(size(col("toks")) >= 2)
         .withColumn("n_words", size(col("toks")))
-        // the '' sentinel for prev is safe even if a token IS '': the
-        // run counter still advances 0→1 on the first element
-        .withColumn("mx", expr(
-          """aggregate(array_sort(toks),
-               named_struct('prev', '', 'run', 0, 'best', 0),
-               (acc, w) -> named_struct(
-                 'prev', w,
-                 'run',  CASE WHEN w = acc.prev THEN acc.run + 1 ELSE 1 END,
-                 'best', greatest(acc.best,
-                   CASE WHEN w = acc.prev THEN acc.run + 1 ELSE 1 END)),
-               acc -> acc.best)"""))
+        .withColumn("mx", graft.functions.MaxTokenFreq(col("toks")))
         .withColumn("bgs", expr(
           """transform(sequence(0, size(toks) - 2),
                i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"""))

@@ -94,6 +94,26 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("*(1)") || p.contains("WholeStageCodegen"), p.take(600))
   }
 
+  test("native MaxTokenFreq codegens standalone and carries q_repetition_filter") {
+    // standalone: a projection whose only non-trivial expression is
+    // MaxTokenFreq must sit inside a whole-stage-codegen span — proving
+    // doGenCode is live, not falling back to interpreted eval (array_sort
+    // was rejected for exactly this: its default comparator is a lambda,
+    // which is CodegenFallback and would poison the projection)
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(graft.functions.MaxTokenFreq(
+        org.apache.spark.sql.functions.split(col("text"), " ")).as("m"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val line = p.linesIterator.find(_.contains("maxtokenfreq")).getOrElse("")
+    assert(line.contains("*("), s"maxtokenfreq projection not codegen'd:\n$p")
+    // in the engine query the mx projection is FUSED with the bigram
+    // transform() HOF (CodegenFallback), so that Project runs interpreted
+    // — but the native expression still replaces the quadratic
+    // distinct×len lambda scan with one linear hash-count pass
+    assert(plan("q_repetition_filter").contains("maxtokenfreq"))
+  }
+
   test("no unbounded join shapes: cartesians banned except declared surfaces") {
     // q_join_cross IS the C11 cartesian surface (region × distinct p_type,
     // both constant-size). The brute-force scoring baselines nested-loop a

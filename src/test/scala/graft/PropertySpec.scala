@@ -165,4 +165,34 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getLong(2)).toSeq
     assert(one == Seq(1L, 2L, 1365L, 2730L), one)
   }
+
+  test("native MaxTokenFreq equals the interpreted max-frequency HOF") {
+    import spark.implicits._
+    // random word sequences over a small alphabet (collisions guaranteed),
+    // plus edge shapes: empty, single, all-same, all-distinct, empty-string
+    // tokens. The HOF form is the independent O(distinct*n) definition of
+    // max word frequency; the codegen Expression must match it exactly.
+    val rnd = new scala.util.Random(11)
+    val alphabet = Vector("a", "bb", "ccc", "", "dd", "e")
+    val docs = Seq.fill(300)(
+      Seq.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.size)))) ++
+      Seq(Seq.empty[String], Seq("x"), Seq.fill(17)("x"),
+        Seq("a", "b", "c"), Seq("", "", "a"))
+    val df = docs.toDF("toks")
+    val bad = df
+      .withColumn("native", functions.MaxTokenFreq(col("toks")))
+      .withColumn("hof", expr(
+        """CASE WHEN size(toks) = 0 THEN 0 ELSE
+             array_max(transform(array_distinct(toks),
+               w -> size(filter(toks, x -> x = w)))) END"""))
+      .filter(col("native") =!= col("hof")).count()
+    assert(bad == 0L, "MaxTokenFreq diverged from the HOF max-frequency form")
+    // null array → null; null ELEMENTS are ignored (not tokens)
+    val edge = Seq((Seq("a", null, "a"): Seq[String], 1), (null: Seq[String], 2))
+      .toDF("toks", "tag")
+      .withColumn("m", functions.MaxTokenFreq(col("toks")))
+      .orderBy("tag").collect()
+    assert(edge(0).getInt(2) == 2)
+    assert(edge(1).isNullAt(2))
+  }
 }
