@@ -157,7 +157,7 @@ object Bench {
     // Runs BEFORE the 92-query loop: in r3 it ran last and measured the
     // loop's leftover JVM pressure (6.1k rows/s vs 14.4k fresh), not the
     // streaming job.
-    val (streamRows, streamSec) = try {
+    val (streamRows, streamSec, streamMedianEps) = try {
       val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_ckpt").toString
       // Stage the events table as 8 TIME-SLICED files arriving in event-
       // time order (8 files × maxFilesPerTrigger=1 = 8 micro-batches).
@@ -212,25 +212,43 @@ object Bench {
       val procSec = steady
         .flatMap(p => Option(p.durationMs.get("triggerExecution")))
         .map(_.toLong).sum / 1e3
-      (rows, procSec)
+      // median per-batch rate: robust to one slow outlier batch (GC pause,
+      // state-store compaction) that a sum-over-sum mean would absorb
+      val perBatch = steady.flatMap { p =>
+        Option(p.durationMs.get("triggerExecution"))
+          .map(_.toLong).filter(_ > 0)
+          .map(ms => p.numInputRows.toDouble * 1e3 / ms)
+      }.sorted
+      val medianEps =
+        if (perBatch.isEmpty) 0.0
+        else if (perBatch.length % 2 == 1) perBatch(perBatch.length / 2)
+        else (perBatch(perBatch.length / 2 - 1) + perBatch(perBatch.length / 2)) / 2
+      (rows, procSec, medianEps)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] stream throughput FAILED: ${e.getMessage}")
-        (0L, 0.0)
+        (0L, 0.0, 0.0)
     }
     val results = SparkEntry.queries.filter(q => only(q._1)).map { case (name, fn) =>
       name -> timeOne(name, fn, recordFailure = true)
     }
-    // Interference canary: re-time the slowest successful query in isolation
-    // at the end of the run. A large first-vs-rerun gap means some cross-
-    // query pressure inflated the in-loop number — data for the next round
-    // instead of a mystery.
+    // Noise-robust tail: re-time the N slowest successful queries in
+    // isolation after the loop. In-loop first-run numbers on this box carry
+    // ±40% ambient load (r7: q_pagerank 11.9 s in-loop vs 8.4 s isolated),
+    // so the headline total inherits whatever the OS was doing during the
+    // tail queries. steady_state_total replaces each re-timed query's
+    // in-loop time with min(first, rerun) — a best-of-2 for exactly the
+    // queries that dominate the total, cheap enough (~15-20 s) to run every
+    // round. The single-slowest first-vs-rerun pair stays as the canary.
     val failedSet0 = failed.toSet
-    val slowest = results.collect { case (k, v) if !failedSet0(k) => (k, v) }
-      .toSeq.sortBy(-_._2).headOption
-    val slowestRerun = slowest.map { case (name, _) =>
-      timeOne(name, SparkEntry.queries(name), recordFailure = false)
-    }
+    val rerunN = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_N", "6").toInt
+    val slowestN = results.collect { case (k, v) if !failedSet0(k) => (k, v) }
+      .toSeq.sortBy { case (k, v) => (-v, k) }.take(rerunN)
+    val reruns: Map[String, Double] = slowestN.map { case (name, _) =>
+      name -> timeOne(name, SparkEntry.queries(name), recordFailure = false)
+    }.toMap
+    val slowest = slowestN.headOption
+    val slowestRerun = slowest.map { case (name, _) => reruns(name) }
     val streamEps = if (streamSec > 0) streamRows / streamSec else 0.0
     // 3-decimal (millisecond) precision for per-query times
     def ms3(v: Double): String =
@@ -239,6 +257,10 @@ object Bench {
     // from the headline total, so totals stay comparable across rounds
     val failedSet = failed.toSet
     val total = results.collect { case (k, v) if !failedSet(k) => v }.sum
+    // best-of-2 for the re-timed tail, first-run for everything else
+    val steadyTotal = results.collect { case (k, v) if !failedSet(k) =>
+      math.min(v, reruns.getOrElse(k, v))
+    }.sum
     val failures = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val slowestJson = (slowest, slowestRerun) match {
       case (Some((name, first)), Some(rerun)) =>
@@ -258,7 +280,7 @@ object Bench {
       val qjson = qs.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted,"queries_full":"BENCH_LOCAL.json"""" else ""
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qjson$om,"failures":$failures,"gc_in_queries_sec":${ms3(gcInQueries / 1e3)},"stream_rows":$streamRows,"stream_rows_per_sec":${streamEps.round}$slowestJson,"sf":"$sfDir","total_sec":${ms3(total)}}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qjson$om,"failures":$failures,"gc_in_queries_sec":${ms3(gcInQueries / 1e3)},"stream_rows":$streamRows,"stream_rows_per_sec":${streamEps.round},"median_batch_rows_per_sec":${streamMedianEps.round}$slowestJson,"steady_state_total":${ms3(steadyTotal)},"sf":"$sfDir","total_sec":${ms3(total)}}"""
     }
     val bySlowest = results.toSeq.sortBy { case (k, v) => (-v, k) }
     val fullJson = lineFor(bySlowest, 0)
