@@ -356,9 +356,18 @@ object EventQueries extends QueryModule {
     * driver loop, and the partition count scales with the type×day grid,
     * not the event volume. Numerically safe because the series is short
     * (30 days ⇒ (1-α)^{-t} ≤ ~4·10⁴); for year-long series you'd chunk
-    * the window or carry state (the streaming twin's shape). Daily means
-    * are rounded to 6 dp BEFORE the recursion so aggregation-order ulps
-    * can't leak; the oracle runs the identical closed form.
+    * the window or carry state (the streaming twin:
+    * [[graft.streaming.StreamingJobs]]' EwmaProcessor). Daily means are
+    * rounded to 6 dp BEFORE the recursion, which removes the dominant
+    * cross-engine difference (daily-mean aggregation order). A residual
+    * risk of the accepted round-boundary class remains: the running sum
+    * of w_i (terms spanning ~4 orders of magnitude at rn=30) may still
+    * associate differently across engines (DuckDB's segment tree vs
+    * Spark's sequential frame) before the 4 dp output rounding — the
+    * relative difference (~1e-15 of s) scaled by (1-α)^rn sits ~8 orders
+    * below the output rounding step, so a flip needs a value within
+    * ~1e-12 of a .00005 boundary. The oracle runs the identical closed
+    * form.
     */
   private val ewmaDaily = QueryDef(
     "q_ewma_daily",

@@ -386,6 +386,17 @@ object TextQueries extends QueryModule {
     * support floor keeps the estimate stable AND bounds the output by
     * the (vocabulary)² grid, not the corpus — the 100 TB shape, since
     * real vocabularies are ~10⁵ while corpora are ~10¹².
+    *
+    * Normalizer convention: p(a,b) divides by n2 = Σ c_ab over the
+    * SUPPORT-FILTERED bigram set (computed after the ≥20 floor, in both
+    * engines identically), while p(a)/p(b) divide by the full unigram
+    * total — so every PMI carries a constant +ln(n2_full/n2_filtered)
+    * shift versus the textbook unfiltered normalizer. The shift is
+    * uniform across bigrams: ranking, top-20 membership, and the
+    * cross-engine hash match are all unaffected. Kept deliberately —
+    * at scale n2 over the filtered set is a byproduct of the bigram
+    * aggregation already being computed, where the unfiltered total
+    * would be one more full-corpus pass.
     */
   private val pmiBigrams = QueryDef(
     "q_pmi_bigrams",

@@ -478,7 +478,11 @@ object StreamingJobs {
   case class Scd2Out(custkey: Long, version: Int, priority: String,
       valid_from: java.sql.Timestamp, valid_to: Option[java.sql.Timestamp],
       is_current: Int)
-  case class Scd2Span(version: Int, prio: String, vfMs: Long)
+  // valid_from is stored at MICROSECOND precision (epoch micros, the same
+  // resolution as the batch rebuild's sort key) so a closed span's
+  // re-emitted valid_from is bit-identical to the open span's original
+  // timestamp even for sub-millisecond inputs.
+  case class Scd2Span(version: Int, prio: String, vfUs: Long)
 
   /** Streaming maintenance twin of the batch `q_scd2_history` rebuild —
     * the CDC-into-feature-store path: per-key state is ONE open span
@@ -508,6 +512,12 @@ object StreamingJobs {
     private def micros(ts: java.sql.Timestamp): Long =
       (ts.getTime / 1000) * 1000000L + ts.getNanos / 1000
 
+    private def fromMicros(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+
     override def handleInputRows(key: Long, rows: Iterator[Scd2Input],
         timers: TimerValues): Iterator[Scd2Out] = {
       val ordered = rows.toArray.sortBy(r => (micros(r.ts), r.ok))
@@ -516,12 +526,12 @@ object StreamingJobs {
       ordered.foreach { r =>
         cur match {
           case None =>
-            cur = Some(Scd2Span(1, r.prio, r.ts.getTime))
+            cur = Some(Scd2Span(1, r.prio, micros(r.ts)))
             out += Scd2Out(key, 1, r.prio, r.ts, None, 1)
           case Some(s) if s.prio != r.prio =>
             out += Scd2Out(key, s.version, s.prio,
-              new java.sql.Timestamp(s.vfMs), Some(r.ts), 0)
-            cur = Some(Scd2Span(s.version + 1, r.prio, r.ts.getTime))
+              fromMicros(s.vfUs), Some(r.ts), 0)
+            cur = Some(Scd2Span(s.version + 1, r.prio, micros(r.ts)))
             out += Scd2Out(key, s.version + 1, r.prio, r.ts, None, 1)
           case _ => () // same value — the open span absorbs the row
         }
