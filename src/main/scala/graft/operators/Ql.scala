@@ -19,6 +19,16 @@ object Ql {
   /** Oracle-side twin of [[r]]: splice into DuckDB SQL. */
   def R(expr: String, scale: Int = 2): String = s"round(($expr) + 1e-9, $scale)"
 
+  /** Scalar (JVM-side) twin of [[r]] for code that computes outside a
+    * Column expression — stateful-processor arithmetic, spec assertions.
+    * Same +1e-9 nudge, same HALF_UP on the decimal value Spark's Round
+    * uses for doubles, so a processor's rounded output is comparable to
+    * a query's [[r]]-rounded column.
+    */
+  def rd(v: Double, scale: Int = 2): Double =
+    java.math.BigDecimal.valueOf(v + 1e-9)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** Timestamp → second-granularity string; parquet timestamp logical types
     * (isAdjustedToUTC, unit) differ across engines, strings do not.
     * Oracle twin: strftime(ts, '%Y-%m-%d %H:%M:%S').

@@ -551,6 +551,78 @@ object StreamingJobs {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  // ---- H6: streaming EWMA over the daily rollup stream ----
+
+  case class EwmaInput(ts: java.sql.Timestamp, event_type: String, x: Double)
+  case class EwmaOut(day: java.sql.Timestamp, event_type: String,
+      daily_avg: Double, ewma: Double)
+
+  /** H6: streaming EWMA — the transformWithState twin of the batch
+    * `q_ewma_daily` closed form. The batch query rewrites the recursion
+    * s_t = α·x_t + (1-α)·s_{t-1} as one window sum, which is exact for
+    * bounded series but carries a documented numeric envelope: the
+    * (1-α)^{-t} weights overflow double range for year-long series. This
+    * processor IS the long-series answer — it runs the recursion
+    * directly, carrying ONE (s, last-day-µs) tuple per event_type, so
+    * the state and the arithmetic are O(1) per day regardless of series
+    * length and no term ever exceeds the data's own magnitude.
+    *
+    * Input is the daily rollup stream (one row per (day, event_type),
+    * x = the 6-dp-rounded daily mean — in production the output of a
+    * watermarked daily window aggregation, in the equivalence spec the
+    * batch daily frame replayed time-sliced). Within a batch, rows are
+    * processed in day order; across batches, day-ordered replay is the
+    * equivalence precondition, as for the funnel/attribution/SCD2
+    * processors. The last-day guard makes the recursion idempotent under
+    * at-least-once delivery of the daily rollup: a re-delivered or
+    * out-of-order row with day ≤ last-day is dropped instead of
+    * double-applying the update.
+    */
+  class EwmaProcessor(alpha: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, EwmaInput, EwmaOut] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[(Double, Long)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Double, Long)]("ewma_state",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    private def micros(ts: java.sql.Timestamp): Long =
+      (ts.getTime / 1000) * 1000000L + ts.getNanos / 1000
+
+    override def handleInputRows(key: String, rows: Iterator[EwmaInput],
+        timers: TimerValues): Iterator[EwmaOut] = {
+      val ordered = rows.toArray.sortBy(r => micros(r.ts))
+      var (s, lastUs) =
+        if (st.exists()) st.get() else (0.0, Long.MinValue)
+      val out = Seq.newBuilder[EwmaOut]
+      ordered.foreach { r =>
+        val us = micros(r.ts)
+        if (us > lastUs) {
+          s = if (lastUs == Long.MinValue) r.x else alpha * r.x + (1 - alpha) * s
+          lastUs = us
+          out += EwmaOut(r.ts, key,
+            graft.operators.Ql.rd(r.x, 4), graft.operators.Ql.rd(s, 4))
+        } // else: duplicate/late daily row — already applied, drop
+      }
+      if (lastUs != Long.MinValue) st.update((s, lastUs))
+      out.result().iterator
+    }
+  }
+
+  def ewmaStream(daily: Dataset[EwmaInput], alpha: Double = 0.3): Dataset[EwmaOut] = {
+    import daily.sparkSession.implicits._
+    requireRocksDb(daily.sparkSession)
+    daily
+      .groupByKey(_.event_type)
+      .transformWithState(new EwmaProcessor(alpha),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   // ---- A6: crash-safe keyed upsert sink (generation + pointer swap) ----
 
   private def fsFor(spark: SparkSession, path: String) =

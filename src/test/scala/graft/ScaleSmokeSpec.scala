@@ -180,6 +180,55 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(byStage.getOrElse(3, 0L) == f.getLong(2), s"n_purchase_after: $byStage vs $f")
   }
 
+  test("sf0.01 streaming EWMA recursion equals the batch q_ewma_daily closed form") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs
+    val sf = "/root/testdata/sf0.01"
+    // The daily rollup stream: one row per (day, event_type) with the
+    // 6-dp-rounded daily mean — the same frame the batch query builds
+    // before its closed-form window pass — replayed as 4 time-sliced
+    // files (day-ordered replay = the equivalence precondition). The
+    // processor runs the recursion s_t = α·x_t + (1-α)·s_{t-1} with O(1)
+    // state; the batch query computes the SAME series via the
+    // (1-α)^{-i} weighted window sum. Exact rounded equality is asserted
+    // for daily_avg; for ewma the two algebraically-identical forms may
+    // associate floating point differently, so equality is asserted up
+    // to one 4-dp rounding step, with at most 2 boundary flips allowed.
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(operators.Ql.r(avg(col("value")), 6).as("x"))
+      .select(col("day").cast("timestamp").as("ts"), col("event_type"), col("x"))
+    val in = sliceReplay(daily, 4, "graft_ewma")
+    val src = spark.readStream.schema(daily.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .as[StreamingJobs.EwmaInput]
+    val q = StreamingJobs.ewmaStream(src)
+      .writeStream.format("memory").queryName("ewma_scale")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ewma_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "EWMA stream did not finish in 180s")
+    val got = spark.table("ewma_scale")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("daily_avg"), col("ewma"))
+      .orderBy("day", "event_type")
+      .collect()
+    val want = SparkEntry.queries("q_ewma_daily")(spark, sf).collect()
+    assert(got.length == want.length, s"row count: ${got.length} vs ${want.length}")
+    var flips = 0
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getString(0) && g.getString(1) == w.getString(1),
+        s"key: $g vs $w")
+      assert(g.getDouble(2) == w.getDouble(2), s"daily_avg: $g vs $w")
+      val d = math.abs(g.getDouble(3) - w.getDouble(3))
+      assert(d < 1.0001e-4, s"ewma: $g vs $w")
+      if (d != 0.0) flips += 1
+    }
+    assert(flips <= 2, s"$flips ewma rounding-boundary flips (expected ~0)")
+  }
+
   test("sf0.01 streaming SCD2 maintenance equals the batch q_scd2_history rebuild") {
     import spark.implicits._
     import graft.streaming.StreamingJobs
