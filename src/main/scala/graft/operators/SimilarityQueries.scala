@@ -414,51 +414,57 @@ object SimilarityQueries extends QueryModule {
     * hash-matches the whole pipeline: codebook assignment, probe set,
     * ADC scores, final ranking.
     */
-  private val annIvfPq = QueryDef(
-    "q_ann_ivfpq",
-    (spark, sfDir) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), col("label"), Vectors.toDouble(col("embedding")).as("v"))
-      // coarse quantizer: per-label mean centroid (as q_ann_ivf)
-      val centroids = labelCentroids(e)
-      // PQ codebook + database-side encoding (shared helpers — the same
-      // construction as q_pq_codes, by definition not just by claim)
-      val subs = subspaces(e)
-      val cb = pqCodebook(subs)
-      val encoded = pqAssign(subs.filter(col("vec_id") >= 5), cb)
-        .select(col("vec_id"), col("label"), col("j"), col("cid"))
-      // query side: probe 2 coarse lists, build the 80-row ADC table
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val wProbe = Window.partitionBy("qid").orderBy(col("cscore").desc, col("label"))
-      val probed = q.crossJoin(broadcast(centroids))
-        .withColumn("cscore", Ql.r(Vectors.dot(col("qv"), col("centroid")), 6))
-        .withColumn("crank", row_number().over(wProbe))
-        .filter(col("crank") <= 2)
-        .select(col("qid"), col("label"))
-      val lut = q
-        .select(col("qid"), explode(expr("sequence(0, 3)")).as("j"), col("qv"))
-        .select(col("qid"), col("j"), expr("slice(qv, 16 * j + 1, 16)").as("qs"))
-        .join(broadcast(cb), "j")
-        .select(col("qid"), col("j"), col("cid"),
-          (Vectors.dot(col("qs"), col("qs"))
-            - lit(2.0) * Vectors.dot(col("qs"), col("c"))
-            + Vectors.dot(col("c"), col("c"))).as("d"))
-      // ADC: sum the 4 table cells per (query, candidate) — candidates
-      // only from probed lists
-      val wTop = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
-      probed.join(encoded, "label")
-        .join(broadcast(lut), Seq("qid", "j", "cid"))
-        .groupBy("qid", "vec_id")
-        .agg(Ql.r(sum(col("d")), 4).as("adist"))
-        .withColumn("rank", row_number().over(wTop))
-        .filter(col("rank") <= 5)
-        .select(col("qid"), col("rank"), col("vec_id"), col("adist"))
-        .orderBy("qid", "rank")
-    },
-    Some(s"""
-      WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  /** The IVF-PQ retrieval pipeline (probe → ADC → per-query top-k),
+    * shared by q_ann_ivfpq (the ranked result surface, k=5) and
+    * q_ann_recall (the quality metric, k=10) — one definition so the
+    * measured stack IS the served stack.
+    */
+  private def ivfPqTopK(e: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // coarse quantizer: per-label mean centroid (as q_ann_ivf)
+    val centroids = labelCentroids(e)
+    // PQ codebook + database-side encoding (shared helpers — the same
+    // construction as q_pq_codes, by definition not just by claim)
+    val subs = subspaces(e)
+    val cb = pqCodebook(subs)
+    val encoded = pqAssign(subs.filter(col("vec_id") >= 5), cb)
+      .select(col("vec_id"), col("label"), col("j"), col("cid"))
+    // query side: probe 2 coarse lists, build the 80-row ADC table
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("cscore").desc, col("label"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("cscore", Ql.r(Vectors.dot(col("qv"), col("centroid")), 6))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= 2)
+      .select(col("qid"), col("label"))
+    val lut = q
+      .select(col("qid"), explode(expr("sequence(0, 3)")).as("j"), col("qv"))
+      .select(col("qid"), col("j"), expr("slice(qv, 16 * j + 1, 16)").as("qs"))
+      .join(broadcast(cb), "j")
+      .select(col("qid"), col("j"), col("cid"),
+        (Vectors.dot(col("qs"), col("qs"))
+          - lit(2.0) * Vectors.dot(col("qs"), col("c"))
+          + Vectors.dot(col("c"), col("c"))).as("d"))
+    // ADC: sum the 4 table cells per (query, candidate) — candidates
+    // only from probed lists
+    val wTop = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    probed.join(encoded, "label")
+      .join(broadcast(lut), Seq("qid", "j", "cid"))
+      .groupBy("qid", "vec_id")
+      .agg(Ql.r(sum(col("d")), 4).as("adist"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id"), col("adist"))
+  }
+
+  /** Oracle twin of [[ivfPqTopK]]'s pipeline through the ADC scores —
+    * the CTE chain (e → cent → subs → cb → encoded → q → probed → lut →
+    * adc) shared by the q_ann_ivfpq and q_ann_recall oracles, so the
+    * measured stack and the served stack cannot drift on the SQL side
+    * either.
+    */
+  private val ivfPqCtesSql = s"""e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                  FROM embeddings),
       cent AS (
         SELECT label, list(c ORDER BY pos) AS centroid
@@ -497,7 +503,17 @@ object SimilarityQueries extends QueryModule {
         FROM probed p
           JOIN encoded en ON en.label = p.label
           JOIN lut l ON l.qid = p.qid AND l.j = en.j AND l.cid = en.cid
-        GROUP BY 1, 2)
+        GROUP BY 1, 2)"""
+
+  private val annIvfPq = QueryDef(
+    "q_ann_ivfpq",
+    (spark, sfDir) => {
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label"), Vectors.toDouble(col("embedding")).as("v"))
+      ivfPqTopK(e, 5).orderBy("qid", "rank")
+    },
+    Some(s"""
+      WITH $ivfPqCtesSql
       SELECT qid, CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS INT) AS rank,
              vec_id, adist
       FROM adc
@@ -505,7 +521,71 @@ object SimilarityQueries extends QueryModule {
       ORDER BY qid, rank
     """))
 
+  /** I3-recall: the ANN stack's QUALITY metric — recall@10 of the IVF-PQ
+    * pipeline against the brute-force exact top-10 on the same query
+    * vectors. The stack's mechanics (probe set, codes, ADC scores,
+    * ranking) are hash-matched by q_ann_ivfpq; this query measures what
+    * those mechanics buy: how much of the true neighborhood the
+    * 2-of-K-probe + 64×-compressed representation retains. Both sides
+    * rank on the ROUNDED distance with vec_id tiebreaks, so the per-query
+    * hit count — not just an aggregate score — is deterministic and
+    * oracle-able. Expect LOW absolute recall on this synthetic corpus:
+    * isotropic random embeddings have near-uniform pairwise distances
+    * (concentration of measure), so the 4-codeword PQ's quantization
+    * noise swamps the tiny true-neighbor margin — the metric's value
+    * here is that it is measured at all (and would rise on clustered
+    * real embeddings, which is exactly what it exists to detect).
+    * Scale shape: the exact side is the declared
+    * constant-size query broadcast against the corpus scan (the
+    * q_similar_topk plan); the approx side is the shared [[ivfPqTopK]]
+    * pipeline; the final recall join touches nq × 10 rows.
+    */
+  private val annRecall = QueryDef(
+    "q_ann_recall",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label"), Vectors.toDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val db = e.filter(col("vec_id") >= 5).select(col("vec_id"), col("v"))
+      // exact ground truth: full squared L2 against every database vector
+      val wX = Window.partitionBy("qid").orderBy(col("edist"), col("vec_id"))
+      val exact = db.crossJoin(broadcast(q))
+        .withColumn("edist", Ql.r(
+          Vectors.dot(col("qv"), col("qv"))
+            - lit(2.0) * Vectors.dot(col("qv"), col("v"))
+            + Vectors.dot(col("v"), col("v")), 6))
+        .withColumn("rn", row_number().over(wX))
+        .filter(col("rn") <= 10)
+        .select(col("qid"), col("vec_id"))
+      val approx = ivfPqTopK(e, 10).select(col("qid"), col("vec_id"), lit(1).as("hit"))
+      exact.join(approx, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(count(col("hit")).as("n_hit"))
+        .withColumn("recall", Ql.r(col("n_hit") / lit(10.0), 4))
+        .select(col("qid"), col("n_hit"), col("recall"))
+        .orderBy("qid")
+    },
+    Some(s"""
+      WITH $ivfPqCtesSql,
+      approx AS (
+        SELECT qid, vec_id FROM adc
+        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) <= 10),
+      db AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+      exact AS (
+        SELECT qid, vec_id FROM q, db
+        QUALIFY row_number() OVER (PARTITION BY qid
+          ORDER BY round(list_dot_product(qv, qv) - 2 * list_dot_product(qv, v)
+                   + list_dot_product(v, v) + 1e-9, 6), vec_id) <= 10)
+      SELECT ex.qid, count(a.vec_id) AS n_hit,
+             ${Ql.R("count(a.vec_id) / 10.0", 4)} AS recall
+      FROM exact ex LEFT JOIN approx a
+        ON a.qid = ex.qid AND a.vec_id = ex.vec_id
+      GROUP BY 1 ORDER BY 1
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     similarTopk, knnVote, annIvf, docEmbedJoin, embedQuantize, pqCodes,
-    semanticDedup, annIvfPq)
+    semanticDedup, annIvfPq, annRecall)
 }
