@@ -423,6 +423,22 @@ object CurationQueries extends QueryModule {
       FROM per ORDER BY dup_frac DESC, doc_id LIMIT 30
     """))
 
+  /** The four planted failure docs (id+300000, source 'planted') that
+    * make every gate rule's reject path non-vacuous: a 5-word stub, a
+    * 20-char-word run, an all-digits doc, and a single-letter run.
+    * Shared by the batch query and the streaming-scrub spec.
+    */
+  private[graft] def gopherPlants(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+    spark.range(4).selectExpr(
+      "id + 300000 AS doc_id",
+      """CASE id
+           WHEN 0 THEN 'tiny stub doc here now'
+           WHEN 1 THEN concat_ws(' ', transform(sequence(1, 30), i -> repeat('a', 20)))
+           WHEN 2 THEN concat_ws(' ', transform(sequence(1, 30), i -> cast(i * 37 as string)))
+           ELSE concat_ws(' ', transform(sequence(1, 30), i -> substring('abcdefghij', 1 + i % 10, 1)))
+         END AS text""",
+      "'planted' AS source")
+
   /** Gopher-style rule-based quality gate, reported per source: word
     * count bounds, mean word length in [3,10], ≥2 distinct stopwords
     * present, and ≤20% all-digit words. Row-local list arithmetic only —
@@ -433,35 +449,37 @@ object CurationQueries extends QueryModule {
     * `translate(w, '0123456789', '') = ''` — identical semantics in both
     * engines, no regex dialect in play.
     */
+  /** The gate's per-document signal columns — factored out of the batch
+    * rollup query so the streaming scrub
+    * ([[graft.streaming.StreamingJobs]].scrubRoute) applies the SAME
+    * expressions per micro-batch: the batch report and the stream's
+    * keep/reject verdicts share one definition and cannot drift. Input
+    * needs a `text` column; adds the token signals, the four rule flags,
+    * and `keep`. Row-local list arithmetic only — stateless, so it maps
+    * onto a streaming DataFrame unchanged.
+    */
+  private[graft] def gopherSignals(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    d.withColumn("toks", split(col("text"), " "))
+      .withColumn("n_words", size(col("toks")))
+      .withColumn("mean_len", expr(
+        "aggregate(transform(toks, x -> length(x)), 0, (acc, x) -> acc + x)")
+        / col("n_words"))
+      .withColumn("n_stop", size(array_intersect(col("toks"), expr(stopArr))))
+      .withColumn("digit_frac", expr(
+        "size(filter(toks, x -> translate(x, '0123456789', '') = ''))")
+        / col("n_words"))
+      .withColumn("wc_ok", col("n_words") >= 20 && col("n_words") <= 1000)
+      .withColumn("ml_ok", col("mean_len") >= 3.0 && col("mean_len") <= 10.0)
+      .withColumn("st_ok", col("n_stop") >= 2)
+      .withColumn("dg_ok", col("digit_frac") <= 0.2)
+      .withColumn("keep", col("wc_ok") && col("ml_ok") && col("st_ok") && col("dg_ok"))
+
   private val gopherQuality = QueryDef(
     "q_gopher_quality",
     (spark, sfDir) => {
       val d = Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("text"), col("source"))
-      val plants = spark.range(4).selectExpr(
-        "id + 300000 AS doc_id",
-        """CASE id
-             WHEN 0 THEN 'tiny stub doc here now'
-             WHEN 1 THEN concat_ws(' ', transform(sequence(1, 30), i -> repeat('a', 20)))
-             WHEN 2 THEN concat_ws(' ', transform(sequence(1, 30), i -> cast(i * 37 as string)))
-             ELSE concat_ws(' ', transform(sequence(1, 30), i -> substring('abcdefghij', 1 + i % 10, 1)))
-           END AS text""",
-        "'planted' AS source")
-      d.unionByName(plants)
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("n_words", size(col("toks")))
-        .withColumn("mean_len", expr(
-          "aggregate(transform(toks, x -> length(x)), 0, (acc, x) -> acc + x)")
-          / col("n_words"))
-        .withColumn("n_stop", size(array_intersect(col("toks"), expr(stopArr))))
-        .withColumn("digit_frac", expr(
-          "size(filter(toks, x -> translate(x, '0123456789', '') = ''))")
-          / col("n_words"))
-        .withColumn("wc_ok", col("n_words") >= 20 && col("n_words") <= 1000)
-        .withColumn("ml_ok", col("mean_len") >= 3.0 && col("mean_len") <= 10.0)
-        .withColumn("st_ok", col("n_stop") >= 2)
-        .withColumn("dg_ok", col("digit_frac") <= 0.2)
-        .withColumn("keep", col("wc_ok") && col("ml_ok") && col("st_ok") && col("dg_ok"))
+      gopherSignals(d.unionByName(gopherPlants(spark)))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("keep").cast("long")).as("n_kept"),
@@ -518,25 +536,43 @@ object CurationQueries extends QueryModule {
     * the only hits on this corpus, so the output — including the exact
     * redacted strings — is hash-pinned across engines.
     */
+  /** Regexes stay in the dialect both engines share (character classes +
+    * bounded quantifiers — no lookaround, no \\d shorthand).
+    */
+  private val piiEmailRe = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+  private val piiPhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** The PII pass's per-document columns (n_email, n_phone, redacted) —
+    * factored out of the batch query for the same shared-definition
+    * reason as [[gopherSignals]]. Applies the redaction unconditionally
+    * (callers filter); stateless row-local map, streams unchanged.
+    */
+  private[graft] def piiScrub(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    d.withColumn("n_email", size(regexp_extract_all(col("text"), lit(piiEmailRe), lit(0))))
+      .withColumn("n_phone", size(regexp_extract_all(col("text"), lit(piiPhoneRe), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("text"), piiEmailRe, "<EMAIL>"),
+          piiPhoneRe, "<PHONE>"))
+
+  /** The 20 planted PII docs (id+400000, deterministic addresses and
+    * numbers derived from doc_id) — the only regex hits on this corpus.
+    * Shared by the batch query and the streaming-scrub spec. Input needs
+    * (doc_id, text); output keeps that shape.
+    */
+  private[graft] def piiPlants(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    d.filter(col("doc_id") < 20).select(
+      (col("doc_id") + 400000).as("doc_id"),
+      concat(substring(col("text"), 1, 40),
+        lit(" reach user"), col("doc_id").cast("string"),
+        lit("@example.com or call 555-"),
+        (col("doc_id") + 100).cast("string"), lit("-4321 soon")).as("text"))
+
   private val piiRedact = QueryDef(
     "q_pii_redact",
     (spark, sfDir) => {
-      val email = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
-      val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
       val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-      val plants = d.filter(col("doc_id") < 20).select(
-        (col("doc_id") + 400000).as("doc_id"),
-        concat(substring(col("text"), 1, 40),
-          lit(" reach user"), col("doc_id").cast("string"),
-          lit("@example.com or call 555-"),
-          (col("doc_id") + 100).cast("string"), lit("-4321 soon")).as("text"))
-      d.unionByName(plants)
-        .withColumn("n_email", size(regexp_extract_all(col("text"), lit(email), lit(0))))
-        .withColumn("n_phone", size(regexp_extract_all(col("text"), lit(phone), lit(0))))
+      piiScrub(d.unionByName(piiPlants(d)))
         .filter(col("n_email") + col("n_phone") > 0)
-        .withColumn("redacted",
-          regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
-            phone, "<PHONE>"))
         .select("doc_id", "n_email", "n_phone", "redacted")
         .orderBy("doc_id")
     },

@@ -820,4 +820,50 @@ object StreamingJobs {
         ()
       }
   }
+
+  /** A8/I8/H8: the streaming quality-gate scrub — "scrub before anything
+    * else sees the text", as a routing map over the raw document stream.
+    * Each micro-batch goes through the SAME gate expressions as the
+    * batch queries ([[graft.operators.CurationQueries]].gopherSignals /
+    * piiScrub are shared definitions, so the stream's keep/reject
+    * verdicts cannot drift from the batch report): accepted docs are
+    * archived with PII already redacted; rejects route to the
+    * dead-letter path carrying every failed-rule flag plus a compact
+    * reason list for triage. Both destinations are written inside ONE
+    * foreachBatch from one persisted scan of the batch (the fan-out
+    * shape), and each batch lands in its own `batch=<id>` directory with
+    * overwrite semantics — a micro-batch replayed after a crash between
+    * write and checkpoint commit overwrites its own partial output
+    * instead of duplicating it, the same idempotence contract as
+    * [[upsertSink]] without the merge machinery. Stateless row-local
+    * gates ⇒ no state store, no watermark; throughput scales with
+    * partition count.
+    */
+  def scrubRoute(docs: DataFrame, acceptDir: String, dlqDir: String,
+      checkpoint: String, trigger: Trigger = Trigger.AvailableNow()) = {
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val scrubbed = graft.operators.CurationQueries
+          .piiScrub(graft.operators.CurationQueries.gopherSignals(batch))
+          .persist()
+        scrubbed.filter(col("keep"))
+          .select(col("doc_id"), col("source"), col("redacted").as("text"),
+            col("n_email"), col("n_phone"))
+          .write.mode("overwrite").parquet(s"$acceptDir/batch=$batchId")
+        scrubbed.filter(!col("keep"))
+          .select(col("doc_id"), col("source"),
+            col("wc_ok"), col("ml_ok"), col("st_ok"), col("dg_ok"),
+            concat_ws(",",
+              when(!col("wc_ok"), lit("wordcount")),
+              when(!col("ml_ok"), lit("meanlen")),
+              when(!col("st_ok"), lit("stopwords")),
+              when(!col("dg_ok"), lit("digits"))).as("reasons"))
+          .write.mode("overwrite").parquet(s"$dlqDir/batch=$batchId")
+        scrubbed.unpersist()
+        ()
+      }
+  }
 }
