@@ -466,7 +466,203 @@ object EventQueries extends QueryModule {
       FROM z GROUP BY 1 ORDER BY 1
     """))
 
+  /** Population stability index — THE production drift monitor for a
+    * feature/score distribution (banking-scorecards folklore,
+    * popularized in public ML-monitoring literature): split the stream
+    * at the midpoint of its time range, histogram `value` into 10
+    * equal-width bins per event type, and report
+    * PSI = Σ_bins (p−q)·ln(p/q) between the reference and current
+    * halves. Bins are a DENSE generated 0-9 grid (an empty bin still
+    * contributes when the half totals differ, so it cannot be dropped),
+    * counts are Laplace-smoothed by 0.5, per-bin contributions are
+    * rounded at 8 dp before the 10-term sum (summation-order quench,
+    * project contract). Scale shape: two keyed aggregations over the
+    * stream + a 1-row global-bounds broadcast — the grid is
+    * types × 10, a dashboard, never data-sized. PSI > 0.25 is the
+    * conventional "investigate" threshold, reported as a flag.
+    */
+  private val psiDrift = QueryDef(
+    "q_psi_drift",
+    (spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .select(col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+      val b = e.agg(min(col("us")).as("lo"), max(col("us")).as("hi"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      val binned = e.crossJoin(broadcast(b))
+        .withColumn("half",
+          when(col("us") < col("lo") + (col("hi") - col("lo")) / lit(2), "ref")
+            .otherwise("cur"))
+        .withColumn("bin", least(lit(9),
+          floor((col("value") - col("vmin")) / ((col("vmax") - col("vmin")) / lit(10.0)))
+            .cast("int")))
+      val cnt = binned.groupBy("event_type", "bin")
+        .agg(sum(when(col("half") === "ref", 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("half") === "cur", 1L).otherwise(0L)).as("n_cur"))
+      val tot = cnt.groupBy("event_type")
+        .agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+      val dense = cnt.select(col("event_type")).distinct()
+        .select(col("event_type"), explode(expr("sequence(0, 9)")).as("bin"))
+      dense.join(cnt, Seq("event_type", "bin"), "left")
+        .join(tot, "event_type")
+        .withColumn("p", (coalesce(col("n_ref"), lit(0L)) + lit(0.5)) / (col("t_ref") + lit(5.0)))
+        .withColumn("q", (coalesce(col("n_cur"), lit(0L)) + lit(0.5)) / (col("t_cur") + lit(5.0)))
+        .withColumn("c", Ql.r((col("p") - col("q")) * log(col("p") / col("q")), 8))
+        .groupBy("event_type")
+        .agg(Ql.r(sum(col("c")), 4).as("psi"),
+          first(col("t_ref")).as("n_ref_total"), first(col("t_cur")).as("n_cur_total"))
+        .withColumn("drift_flag", (col("psi") > 0.25).cast("int"))
+        .select(col("event_type"), col("psi"), col("n_ref_total"),
+          col("n_cur_total"), col("drift_flag"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+      b AS (SELECT min(us) AS lo, max(us) AS hi,
+                   min(value) AS vmin, max(value) AS vmax FROM e),
+      binned AS (
+        SELECT event_type,
+               CASE WHEN us < lo + (hi - lo) / 2 THEN 'ref' ELSE 'cur' END AS half,
+               CAST(least(9, floor((value - vmin) / ((vmax - vmin) / 10.0))) AS INT) AS bin
+        FROM e, b),
+      cnt AS (
+        SELECT event_type, bin,
+               sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+               sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS n_cur
+        FROM binned GROUP BY 1, 2),
+      tot AS (SELECT event_type, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
+              FROM cnt GROUP BY 1),
+      dense AS (
+        SELECT t.event_type, g.bin
+        FROM (SELECT DISTINCT event_type FROM cnt) t, generate_series(0, 9) g(bin)),
+      contrib AS (
+        SELECT d.event_type, t.t_ref, t.t_cur,
+               ${Ql.R(
+                 """((coalesce(n_ref, 0) + 0.5) / (t_ref + 5.0)
+                     - (coalesce(n_cur, 0) + 0.5) / (t_cur + 5.0))
+                    * ln(((coalesce(n_ref, 0) + 0.5) / (t_ref + 5.0))
+                         / ((coalesce(n_cur, 0) + 0.5) / (t_cur + 5.0)))""", 8)} AS c
+        FROM dense d
+          LEFT JOIN cnt ON cnt.event_type = d.event_type AND cnt.bin = d.bin
+          JOIN tot t ON t.event_type = d.event_type)
+      SELECT event_type, ${Ql.R("sum(c)", 4)} AS psi,
+             CAST(any_value(t_ref) AS BIGINT) AS n_ref_total,
+             CAST(any_value(t_cur) AS BIGINT) AS n_cur_total,
+             CAST(${Ql.R("sum(c)", 4)} > 0.25 AS INT) AS drift_flag
+      FROM contrib GROUP BY 1 ORDER BY 1
+    """))
+
+  /** Lag-k autocorrelation of the daily mean series per event type
+    * (k = 1..3) — the seasonality/persistence diagnostic next to the
+    * EWMA smoother: a monitoring stack reads both. Daily means are
+    * rounded at 6 dp first (shared contract with q_ewma_daily), each lag
+    * is one `lag()` window over the (event_type, day) frame, and the
+    * Pearson r comes from the built-in `corr` aggregate rounded at 4 dp.
+    * Scale shape: the series is the type×day grid, never event-sized;
+    * the three lag passes reuse ONE sorted window partitioning.
+    */
+  private val autocorr = QueryDef(
+    "q_autocorr",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(spark, sfDir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(Ql.r(avg(col("value")), 6).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val lagged = (1 to 3).map { k =>
+        daily.withColumn("xl", lag(col("x"), k).over(w))
+          .filter(col("xl").isNotNull)
+          .groupBy("event_type")
+          .agg(Ql.r(corr(col("x"), col("xl")), 4).as("r"),
+            count(lit(1)).as("n_pairs"))
+          .withColumn("lag", lit(k))
+      }
+      lagged.reduce(_.unionByName(_))
+        .select(col("event_type"), col("lag"), col("r"), col("n_pairs"))
+        .orderBy("event_type", "lag")
+    },
+    Some {
+      val one = (k: Int) => s"""
+        SELECT event_type, $k AS lag, ${Ql.R("corr(x, xl)", 4)} AS r,
+               count(*) AS n_pairs
+        FROM (SELECT event_type, x,
+                     lag(x, $k) OVER (PARTITION BY event_type ORDER BY day) AS xl
+              FROM daily)
+        WHERE xl IS NOT NULL GROUP BY 1"""
+      s"""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               ${Ql.R("avg(value)", 6)} AS x
+        FROM events GROUP BY 1, 2)
+      ${(1 to 3).map(one).mkString(" UNION ALL ")}
+      ORDER BY event_type, lag
+    """
+    })
+
+  /** Benford first-digit anomaly test per event type — the classic
+    * fraud/fabrication screen on a value stream. The first significant
+    * digit is taken from the DECIMAL STRING of the long cents value
+    * (`round(value·100)` cast to BIGINT) — long→string is exact and
+    * identical in both engines, where a log10-based digit extraction
+    * would hit `log10(1000) = 2.9999…` float traps; scaling by a power
+    * of 10 preserves the leading significant digit. Reports per-digit
+    * observed vs Benford-expected fractions on a dense generated 1-9
+    * grid plus the per-type χ² against the Benford null. Row-local digit
+    * map + one keyed count — the zero-shuffle-but-one shape.
+    */
+  private val benford = QueryDef(
+    "q_benford",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val digits = Tables.events(spark, sfDir)
+        .select(col("event_type"),
+          Ql.r(col("value") * 100, 0).cast("bigint").as("cents"))
+        .filter(col("cents") >= 1)
+        .withColumn("d", substring(col("cents").cast("string"), 1, 1).cast("int"))
+      val cnt = digits.groupBy("event_type", "d").agg(count(lit(1)).as("n"))
+      val dense = cnt.select(col("event_type")).distinct()
+        .select(col("event_type"), explode(expr("sequence(1, 9)")).as("d"))
+      val wT = Window.partitionBy("event_type")
+      dense.join(cnt, Seq("event_type", "d"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .withColumn("tot", sum(col("n")).over(wT))
+        .withColumn("e", col("tot") * log(10.0, lit(1.0) + lit(1.0) / col("d")))
+        .withColumn("chi2_term", Ql.r(pow(col("n") - col("e"), 2) / col("e"), 8))
+        .withColumn("chi2", Ql.r(sum(col("chi2_term")).over(wT), 4))
+        .select(col("event_type"), col("d"), col("n"),
+          Ql.r(col("n") / col("tot"), 4).as("obs_frac"),
+          Ql.r(log(10.0, lit(1.0) + lit(1.0) / col("d")), 4).as("exp_frac"),
+          col("chi2"))
+        .orderBy("event_type", "d")
+    },
+    Some(s"""
+      WITH digits AS (
+        SELECT event_type,
+               CAST(substring(CAST(CAST(${Ql.R("value * 100", 0)} AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
+        FROM events
+        WHERE CAST(${Ql.R("value * 100", 0)} AS BIGINT) >= 1),
+      cnt AS (SELECT event_type, d, count(*) AS n FROM digits GROUP BY 1, 2),
+      grid AS (
+        SELECT t.event_type, g.d
+        FROM (SELECT DISTINCT event_type FROM cnt) t, generate_series(1, 9) g(d)),
+      dense AS (
+        SELECT grid.event_type, grid.d, coalesce(cnt.n, 0) AS n
+        FROM grid LEFT JOIN cnt
+          ON cnt.event_type = grid.event_type AND cnt.d = grid.d),
+      wide AS (
+        SELECT event_type, d, n,
+               sum(n) OVER (PARTITION BY event_type) AS tot
+        FROM dense),
+      terms AS (
+        SELECT *, tot * log10(1.0 + 1.0 / d) AS e FROM wide)
+      SELECT event_type, CAST(d AS INT) AS d, n,
+             ${Ql.R("n * 1.0 / tot", 4)} AS obs_frac,
+             ${Ql.R("log10(1.0 + 1.0 / d)", 4)} AS exp_frac,
+             ${Ql.R(s"sum(${Ql.R("pow(n - e, 2) / e", 8)}) OVER (PARTITION BY event_type)", 4)} AS chi2
+      FROM terms
+      ORDER BY event_type, d
+    """))
+
   override def defs: Seq[QueryDef] = Seq(hourlyEventStats, funnel, eventPaths,
     retentionCohorts, tsResample, anomalyZscore, attribution, markov,
-    funnelWindowed, ewmaDaily, madAnomaly)
+    funnelWindowed, ewmaDaily, madAnomaly, psiDrift, autocorr, benford)
 }
