@@ -449,7 +449,78 @@ object TextQueries extends QueryModule {
       ORDER BY pmi DESC, bigram LIMIT 20
     """))
 
+  /** Bigram language-model perplexity per document — the CCNet-style
+    * quality signal (Wenzek et al. 2020, public): docs whose token
+    * stream a corpus-trained LM finds most surprising are the ones a
+    * curation pipeline flags first. The LM is add-0.5-smoothed bigram
+    * MLE trained on the corpus itself (self-inclusive — convention
+    * documented, both engines identical): P(b|a) = (c_ab + 0.5) /
+    * (c_a + 0.5·V) with c_a the HISTORY count (bigram instances starting
+    * with a, so the unsmoothed conditional sums to 1) and V the full
+    * unigram vocabulary as a 1-row broadcast. Per-bigram log-probs are
+    * rounded at 6 dp, the per-doc mean is rounded at 6 dp BEFORE exp
+    * (so both engines exponentiate the same double and libm-vs-JVM exp
+    * ulps can't compound with summation order), perplexity at 4 dp with
+    * doc_id tiebreaks. Scale shape: one explode + two keyed counts
+    * (bigram table is vocab²-bounded), one keyed join back, one per-doc
+    * rollup — the BM25/PMI family, nothing all-pairs.
+    */
+  private val lmPerplexity = QueryDef(
+    "q_lm_perplexity",
+    (spark, sfDir) => {
+      val t = Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+      val inst = t.select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(toks) - 2),
+               i -> struct(element_at(toks, i + 1) AS a,
+                           concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)) AS bg))""")).as("x"))
+        .select(col("doc_id"), col("x.a").as("a"), col("x.bg").as("bg"))
+      val cab = inst.groupBy("bg").agg(count(lit(1)).as("c_ab"))
+      val ca = inst.groupBy("a").agg(count(lit(1)).as("c_a"))
+      val vRow = t.select(explode(col("toks")).as("w"))
+        .agg(countDistinct(col("w")).cast("double").as("v"))
+      inst.groupBy("doc_id", "a", "bg").agg(count(lit(1)).as("k"))
+        .join(cab, "bg").join(ca, "a")
+        .crossJoin(broadcast(vRow))
+        .withColumn("logp",
+          Ql.r(log((col("c_ab") + lit(0.5)) / (col("c_a") + lit(0.5) * col("v"))), 6))
+        .groupBy("doc_id")
+        .agg(sum(col("k")).as("n_bigrams"), sum(col("k") * col("logp")).as("s"))
+        .withColumn("avg_nll", Ql.r(-col("s") / col("n_bigrams"), 6))
+        .withColumn("ppl", Ql.r(exp(col("avg_nll")), 4))
+        .select(col("doc_id"), col("n_bigrams"), col("ppl"))
+        .orderBy(col("ppl").desc, col("doc_id")).limit(20)
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+      inst AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        FROM t),
+      withA AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS a FROM inst),
+      cab AS (SELECT bg, count(*) AS c_ab FROM withA GROUP BY 1),
+      ca AS (SELECT a, count(*) AS c_a FROM withA GROUP BY 1),
+      vv AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+             FROM (SELECT unnest(toks) AS w FROM t)),
+      db AS (SELECT doc_id, a, bg, count(*) AS k FROM withA GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT doc_id, k,
+               ${Ql.R("ln((c_ab + 0.5) / (c_a + 0.5 * v))", 6)} AS logp
+        FROM db JOIN cab USING (bg) JOIN ca USING (a), vv),
+      perdoc AS (
+        SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+               ${Ql.R("-sum(k * logp) / sum(k)", 6)} AS avg_nll
+        FROM scored GROUP BY 1)
+      SELECT doc_id, n_bigrams, ${Ql.R("exp(avg_nll)", 4)} AS ppl
+      FROM perdoc
+      ORDER BY ppl DESC, doc_id LIMIT 20
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     textStats, tfidf, langId, qualityScore, tokenCount, fingerprint,
-    langRoute, bpeMerges, bm25, pmiBigrams)
+    langRoute, bpeMerges, bm25, pmiBigrams, lmPerplexity)
 }
