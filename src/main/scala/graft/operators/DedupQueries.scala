@@ -122,42 +122,47 @@ object DedupQueries extends QueryModule {
       FROM documents GROUP BY 1 ORDER BY 1
     """))
 
-  /** I2a: MinHash + LSH banding. One md5 per shingle; the 12 hash
-    * functions are a cheap integer universal family over the md5's two
-    * 28-bit halves, `mh_i = ((2i+1)·h1 + (i²+i+1)·h2 + i) mod (2³¹−1)` —
-    * pure int64 arithmetic, no overflow, identical in both engines. 4
-    * bands × 3 rows; candidate pairs share at least one band bucket. The
-    * band self-join is the scale path: pairs only form inside a bucket.
+  /** I2a: MinHash + LSH banding, through DISTINCT candidate pairs. One
+    * md5 per shingle; the 12 hash functions are a cheap integer
+    * universal family over the md5's two 28-bit halves,
+    * `mh_i = ((2i+1)·h1 + (i²+i+1)·h2 + i) mod (2³¹−1)` — pure int64
+    * arithmetic, no overflow, identical in both engines. 4 bands × 3
+    * rows; candidate pairs share at least one band bucket. The band
+    * self-join is the scale path: pairs only form inside a bucket.
+    * Shared by q_dedup_minhash (the candidate surface itself) and
+    * q_dedup_recall (the quality metric over it), one definition so the
+    * measured pipeline is the served one.
     */
-  private val dedupMinhash = QueryDef(
-    "q_dedup_minhash",
-    (spark, sfDir) => {
-      val sh = shingles(withPlants(spark, sfDir))
-        .withColumn("m", md5(col("sh").cast("binary")))
-        .withColumn("h1", expr("CAST(conv(substring(m, 1, 7), 16, 10) AS BIGINT)"))
-        .withColumn("h2", expr("CAST(conv(substring(m, 8, 7), 16, 10) AS BIGINT)"))
-      val mh = sh
-        .withColumn("seed", explode(expr("sequence(0, 11)")))
-        .withColumn("hv", expr(
-          "((2 * seed + 1) * h1 + (seed * seed + seed + 1) * h2 + seed) % 2147483647"))
-        .groupBy("doc_id", "seed")
-        .agg(min(col("hv")).as("mh"))
-      val bands = mh
-        .withColumn("band", expr("CAST(seed div 3 AS INT)"))
-        .groupBy("doc_id", "band")
-        .agg(expr(
-          "array_join(transform(array_sort(collect_list(struct(seed, mh))), x -> CAST(x.mh AS STRING)), ',')")
-          .as("band_key"))
-      val a = bands.select(col("band"), col("band_key"), col("doc_id").as("d1"))
-      val b = bands.select(col("band"), col("band_key"), col("doc_id").as("d2"))
-      a.join(b, Seq("band", "band_key"))
-        .filter(col("d1") < col("d2"))
-        .select(col("d1"), col("d2"))
-        .distinct()
-        .orderBy("d1", "d2")
-    },
-    Some(s"""
-      WITH sh AS (
+  private def lshBandPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(withPlants(spark, sfDir))
+      .withColumn("m", md5(col("sh").cast("binary")))
+      .withColumn("h1", expr("CAST(conv(substring(m, 1, 7), 16, 10) AS BIGINT)"))
+      .withColumn("h2", expr("CAST(conv(substring(m, 8, 7), 16, 10) AS BIGINT)"))
+    val mh = sh
+      .withColumn("seed", explode(expr("sequence(0, 11)")))
+      .withColumn("hv", expr(
+        "((2 * seed + 1) * h1 + (seed * seed + seed + 1) * h2 + seed) % 2147483647"))
+      .groupBy("doc_id", "seed")
+      .agg(min(col("hv")).as("mh"))
+    val bands = mh
+      .withColumn("band", expr("CAST(seed div 3 AS INT)"))
+      .groupBy("doc_id", "band")
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(seed, mh))), x -> CAST(x.mh AS STRING)), ',')")
+        .as("band_key"))
+    val a = bands.select(col("band"), col("band_key"), col("doc_id").as("d1"))
+    val b = bands.select(col("band"), col("band_key"), col("doc_id").as("d2"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"))
+      .distinct()
+  }
+
+  /** Oracle twin of [[lshBandPairs]] — CTE chain ending in
+    * `cand(d1, d2)`. First CTE is named `msh` so it can coexist with the
+    * Jaccard side's `sh` CTE inside one WITH (q_dedup_recall).
+    */
+  private val lshCandSql = s"""msh AS (
         SELECT doc_id, sh,
                list_sum(list_transform(generate_series(0, 6), j ->
                  CAST(strpos('0123456789abcdef', substr(md5(sh), j + 1, 1)) - 1 AS BIGINT)
@@ -169,16 +174,80 @@ object DedupQueries extends QueryModule {
       mh AS (
         SELECT doc_id, g.i AS seed,
                min(((2 * g.i + 1) * h1 + (g.i * g.i + g.i + 1) * h2 + g.i) % 2147483647) AS mh
-        FROM sh, generate_series(0, 11) g(i)
+        FROM msh, generate_series(0, 11) g(i)
         GROUP BY 1, 2),
       bands AS (
         SELECT doc_id, seed // 3 AS band,
                string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
-        FROM mh GROUP BY 1, 2)
-      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-      ORDER BY 1, 2
+        FROM mh GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)"""
+
+  private val dedupMinhash = QueryDef(
+    "q_dedup_minhash",
+    (spark, sfDir) => lshBandPairs(spark, sfDir).orderBy("d1", "d2"),
+    Some(s"""
+      WITH $lshCandSql
+      SELECT d1, d2 FROM cand ORDER BY 1, 2
+    """))
+
+  /** I2-recall: the LSH candidate generator's QUALITY metric — recall
+    * and precision of [[lshBandPairs]] against the exact inverted-index
+    * Jaccard ≥ 0.6 pairs (the same ground truth q_dedup_ngram_jaccard
+    * reports, same threshold, same [[shingleIntersections]] core). The
+    * dedup stack's mechanics are hash-matched elsewhere; this measures
+    * what 4 bands × 3 rows actually catch: theoretical candidate
+    * probability at J = 0.6 is 1−(1−0.6³)⁴ ≈ 0.62, ~1.0 at the planted
+    * J ≈ 0.97 — so the reported recall cleanly separates "plants found"
+    * from "borderline pairs missed", which is the operating knowledge a
+    * 100 TB dedup run needs before picking its band geometry. One-row
+    * report from three 1-row aggregates crossed (the q_funnel shape).
+    */
+  private val dedupRecall = QueryDef(
+    "q_dedup_recall",
+    (spark, sfDir) => {
+      val sh = shingles(withPlants(spark, sfDir), hashed = true).cache()
+      val (inter, sizes) = shingleIntersections(sh)
+      val truth = inter
+        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+        .withColumn("jacc", Ql.r(col("inter") / (col("sz1") + col("sz2") - col("inter")), 4))
+        .filter(col("jacc") >= 0.6)
+        .select(col("d1"), col("d2"))
+      val cand = lshBandPairs(spark, sfDir).cache()
+      val hit = truth.join(cand, Seq("d1", "d2"), "left_semi")
+      val out = truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          Ql.r(col("n_hit") / col("n_truth").cast("double"), 4).as("recall"),
+          Ql.r(col("n_hit") / col("n_cand").cast("double"), 4).as("precision"))
+      val collected = out.localCheckpoint(true)
+      sh.unpersist(blocking = false)
+      cand.unpersist(blocking = false)
+      collected
+    },
+    Some(s"""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, ${Ql.Md5PrefixLong("sh", 14)} AS sh
+        FROM ($shinglesSql)),
+      $interCtesSql,
+      truth AS (
+        SELECT d1, d2
+        FROM inter
+          JOIN sizes s1 ON s1.doc_id = d1
+          JOIN sizes s2 ON s2.doc_id = d2
+        WHERE ${Ql.R("inter / (s1.sz + s2.sz - inter)", 4)} >= 0.6),
+      $lshCandSql,
+      hit AS (SELECT t.d1, t.d2 FROM truth t JOIN cand c
+              ON c.d1 = t.d1 AND c.d2 = t.d2)
+      SELECT (SELECT count(*) FROM truth) AS n_truth,
+             (SELECT count(*) FROM cand) AS n_cand,
+             (SELECT count(*) FROM hit) AS n_hit,
+             ${Ql.R("(SELECT count(*) FROM hit) * 1.0 / (SELECT count(*) FROM truth)", 4)} AS recall,
+             ${Ql.R("(SELECT count(*) FROM hit) * 1.0 / (SELECT count(*) FROM cand)", 4)} AS precision
     """))
 
   /** 60-bit SimHash fingerprints for `doc_id < maxDoc` (bit j of a token's
@@ -588,5 +657,6 @@ object DedupQueries extends QueryModule {
 
   override def defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs,
-    dedupNgramJaccard, dedupEmbed, fuzzyJoin, containment, sortedNeighborhood)
+    dedupNgramJaccard, dedupEmbed, fuzzyJoin, containment, sortedNeighborhood,
+    dedupRecall)
 }

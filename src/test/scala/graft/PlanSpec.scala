@@ -140,6 +140,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         "q_ann_recall", // 5-row query broadcast (exact side) + the ivfpq probe pass
         "q_psi_drift", // 1-row global time/value-bounds broadcast
         "q_lm_perplexity", // 1-row vocabulary-size broadcast
+        "q_dedup_recall", // three 1-row count aggregates crossed into the report row
         "q_equidepth_bins", // 1-row order-count broadcast for the ntile formula
         "q_funnel_windowed", // three 1-row stage counts, as q_funnel
         "q_rfm_segments", // 1-row corpus-max-date broadcast for recency
