@@ -241,6 +241,98 @@ object WarehouseQueries extends QueryModule {
       FROM qi GROUP BY 1 ORDER BY 1
     """))
 
+  /** Hash-shard skew audit — the pre-flight check before a bucketed
+    * write: shard the corpus 64 ways on the deterministic md5 bucket of
+    * doc_id (the q_train_split hash family) and report each shard's row
+    * and byte load against the uniform expectation. At 100 TB this is
+    * the query you run BEFORE committing to a bucket count: a
+    * docs_ratio far from 1.0 means the proposed key skews and the write
+    * (and every later bucket join) inherits a straggler. One keyed
+    * aggregation to a 64-row table + a 1-row totals broadcast — audit
+    * cost is one scan regardless of shard count.
+    */
+  private val shardSkew = QueryDef(
+    "q_shard_skew",
+    (spark, sfDir) => {
+      val sh = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("shard",
+          (expr(Ql.md5PrefixLong("CAST(doc_id AS STRING)", 4)) % 64).cast("int"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      val tot = sh.agg(sum(col("n_docs")).cast("double").as("t_docs"),
+        sum(col("n_chars")).cast("double").as("t_chars"))
+      sh.crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_docs"), col("n_chars"),
+          Ql.r(col("n_docs") * 64 / col("t_docs"), 4).as("docs_ratio"),
+          Ql.r(col("n_chars") * 64 / col("t_chars"), 4).as("chars_ratio"))
+        .orderBy("shard")
+    },
+    Some(s"""
+      WITH sh AS (
+        SELECT CAST(${Ql.Md5PrefixLong("CAST(doc_id AS VARCHAR)", 4)} % 64 AS INT) AS shard,
+               count(*) AS n_docs, sum(n_chars) AS n_chars
+        FROM documents GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS t_docs,
+                     CAST(sum(n_chars) AS DOUBLE) AS t_chars FROM sh)
+      SELECT shard, n_docs, CAST(n_chars AS BIGINT) AS n_chars,
+             ${Ql.R("n_docs * 64 / t_docs", 4)} AS docs_ratio,
+             ${Ql.R("n_chars * 64 / t_chars", 4)} AS chars_ratio
+      FROM sh, tot ORDER BY shard
+    """))
+
+  /** Compaction planning — roll the 64-shard file inventory of each
+    * source into target-sized output bins (the small-files problem's
+    * standard fix): files ordered by shard id, bin = ⌊prefix-sum-before
+    * ÷ target⌋, so each bin closes as soon as the running size crosses
+    * the target — the rolling size-based plan every table-maintenance
+    * service runs. The prefix sum is one per-source window over the
+    * 64-row-per-source inventory (never the data itself); the report is
+    * sources × bins. The fill_ratio column is the plan's quality: ~1.0
+    * means bins land on target, the final partial bin reads below it.
+    */
+  private val compactionBins = QueryDef(
+    "q_compaction_bins",
+    (spark, sfDir) => {
+      val target = 200000L
+      val files = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("shard",
+          (expr(Ql.md5PrefixLong("CAST(doc_id AS STRING)", 4)) % 64).cast("int"))
+        .groupBy("source", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("fsize"))
+      val w = Window.partitionBy("source").orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files
+        .withColumn("before", coalesce(sum(col("fsize")).over(w), lit(0L)))
+        .withColumn("bin", floor(col("before") / target).cast("int"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_files"), sum(col("n_docs")).as("n_docs"),
+          sum(col("fsize")).as("chars"))
+        .withColumn("fill_ratio", Ql.r(col("chars") / lit(target.toDouble), 4))
+        .select(col("source"), col("bin"), col("n_files"), col("n_docs"),
+          col("chars"), col("fill_ratio"))
+        .orderBy("source", "bin")
+    },
+    Some(s"""
+      WITH files AS (
+        SELECT source,
+               CAST(${Ql.Md5PrefixLong("CAST(doc_id AS VARCHAR)", 4)} % 64 AS INT) AS shard,
+               count(*) AS n_docs, sum(n_chars) AS fsize
+        FROM documents GROUP BY 1, 2),
+      planned AS (
+        SELECT source, shard, n_docs, fsize,
+               CAST(floor(coalesce(sum(fsize) OVER (PARTITION BY source ORDER BY shard
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 200000) AS INT) AS bin
+        FROM files)
+      SELECT source, bin, count(*) AS n_files,
+             CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             CAST(sum(fsize) AS BIGINT) AS chars,
+             ${Ql.R("sum(fsize) / 200000.0", 4)} AS fill_ratio
+      FROM planned GROUP BY 1, 2 ORDER BY 1, 2
+    """))
+
   override def defs: Seq[QueryDef] =
-    Seq(skyline, histogram2d, zorderLayout, equidepthBins, kAnonymity)
+    Seq(skyline, histogram2d, zorderLayout, equidepthBins, kAnonymity,
+      shardSkew, compactionBins)
 }
