@@ -418,7 +418,107 @@ object MiscQueries extends QueryModule {
       FROM checks ORDER BY "check"
     """))
 
+  /** SCD1 / MERGE-INTO maintenance of a keyed profile snapshot — the
+    * type-1 sibling of q_scd2_history: no history, the latest attribute
+    * OVERWRITES. The stream's first time-half builds the base snapshot
+    * (per-user last event type by (ts, event_id) row order, plus running
+    * count/value), the second half is the change batch; the merge is one
+    * full outer join on the key with each row classified the way a MERGE
+    * INTO reports its actions — `update` (key in both, attributes
+    * overwritten, counters accumulated), `insert` (new key), `carry`
+    * (untouched). The report rolls up (op, merged last type) so both the
+    * classification AND the overwrite semantics are hash-checked, not
+    * just row counts. Scale shape: two keyed aggregations + one
+    * co-partitioned full outer join on the key — the exact plan a MERGE
+    * compiles to — and a 1-row time-midpoint broadcast.
+    */
+  private val scd1Merge = QueryDef(
+    "q_scd1_merge",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+      val b = e.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      val halves0 = e.crossJoin(broadcast(b))
+        .withColumn("half",
+          when(col("us") < col("lo") + (col("hi") - col("lo")) / lit(2), "base")
+            .otherwise("delta"))
+      // every natural user is active in both halves, so the insert and
+      // carry classifications would be vacuous — plant half-only users
+      // (copies of user_id < 5 restricted to one half, ids +900000/+910000)
+      // so every MERGE action path is exercised and hash-checked
+      val plants = halves0.filter(col("user_id") < 5 && col("half") === "base")
+        .withColumn("user_id", col("user_id") + 900000)
+        .unionByName(halves0.filter(col("user_id") < 5 && col("half") === "delta")
+          .withColumn("user_id", col("user_id") + 910000))
+      val halves = halves0.unionByName(plants)
+      val w = Window.partitionBy("user_id", "half")
+        .orderBy(col("us").desc, col("event_id").desc)
+      val prof = halves
+        .withColumn("rn", row_number().over(w))
+        .groupBy("user_id", "half")
+        .agg(max(when(col("rn") === 1, col("event_type"))).as("last_type"),
+          count(lit(1)).as("n"), sum(col("value")).as("v"))
+      val base = prof.filter(col("half") === "base")
+        .select(col("user_id"), col("last_type").as("lt_b"),
+          col("n").as("n_b"), col("v").as("v_b"))
+      val delta = prof.filter(col("half") === "delta")
+        .select(col("user_id"), col("last_type").as("lt_d"),
+          col("n").as("n_d"), col("v").as("v_d"))
+      base.join(delta, Seq("user_id"), "full_outer")
+        .withColumn("op",
+          when(col("lt_b").isNotNull && col("lt_d").isNotNull, "update")
+            .when(col("lt_d").isNotNull, "insert").otherwise("carry"))
+        .withColumn("last_type", coalesce(col("lt_d"), col("lt_b")))
+        .groupBy("op", "last_type")
+        .agg(count(lit(1)).as("n_users"),
+          sum(coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L))).as("n_events"),
+          Ql.r(sum(coalesce(col("v_b"), lit(0.0)) + coalesce(col("v_d"), lit(0.0))), 2).as("sum_value"))
+        .orderBy("op", "last_type")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+        FROM events),
+      b AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+      halves0 AS (
+        SELECT e.*, CASE WHEN us < lo + (hi - lo) / 2 THEN 'base' ELSE 'delta' END AS half
+        FROM e, b),
+      halves AS (
+        SELECT * FROM halves0
+        UNION ALL
+        SELECT user_id + 900000, event_id, event_type, value, us, half
+        FROM halves0 WHERE user_id < 5 AND half = 'base'
+        UNION ALL
+        SELECT user_id + 910000, event_id, event_type, value, us, half
+        FROM halves0 WHERE user_id < 5 AND half = 'delta'),
+      prof AS (
+        SELECT user_id, half,
+               max(CASE WHEN rn = 1 THEN event_type END) AS last_type,
+               count(*) AS n, sum(value) AS v
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id, half
+                ORDER BY us DESC, event_id DESC) AS rn
+              FROM halves)
+        GROUP BY 1, 2),
+      base AS (SELECT user_id, last_type AS lt_b, n AS n_b, v AS v_b
+               FROM prof WHERE half = 'base'),
+      delta AS (SELECT user_id, last_type AS lt_d, n AS n_d, v AS v_d
+                FROM prof WHERE half = 'delta'),
+      merged AS (
+        SELECT CASE WHEN lt_b IS NOT NULL AND lt_d IS NOT NULL THEN 'update'
+                    WHEN lt_d IS NOT NULL THEN 'insert' ELSE 'carry' END AS op,
+               coalesce(lt_d, lt_b) AS last_type,
+               coalesce(n_b, 0) + coalesce(n_d, 0) AS n,
+               coalesce(v_b, 0) + coalesce(v_d, 0) AS v
+        FROM base FULL OUTER JOIN delta USING (user_id))
+      SELECT op, last_type, count(*) AS n_users,
+             CAST(sum(n) AS BIGINT) AS n_events,
+             ${Ql.R("sum(v)", 2)} AS sum_value
+      FROM merged GROUP BY 1, 2 ORDER BY 1, 2
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     miscIds, miscStack, sqlInterface, sqlExistsChain, sqlScalarSubq,
-    scd2History, sqlRecursive, pitJoin, dqChecks)
+    scd2History, sqlRecursive, pitJoin, dqChecks, scd1Merge)
 }
