@@ -87,7 +87,10 @@ object Bench {
         // r7 additions: 3-round HITS (iterative, per-round codegen like
         // pagerank — 6.7 s first vs 4.6 s steady in r7 measurement) and
         // the corpus-wide 5-gram inverted index
-        "q_hits", "q_dup_gram_coverage")
+        "q_hits", "q_dup_gram_coverage",
+        // r8: runs BOTH corpus dedup pipelines (exact Jaccard truth +
+        // LSH candidates) — 6.3 s first vs 5.4 s steady at sf0.1
+        "q_dedup_recall")
     (lightWarm ++ heavyWarm)
       .filter(SparkEntry.queries.contains)
       .foreach { n =>

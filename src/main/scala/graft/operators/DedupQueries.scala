@@ -208,6 +208,13 @@ object DedupQueries extends QueryModule {
   private val dedupRecall = QueryDef(
     "q_dedup_recall",
     (spark, sfDir) => {
+      // Each corpus-sized pipeline must run exactly ONCE: the truth and
+      // candidate pair sets are checkpointed (they are pair-list-sized,
+      // not corpus-sized), every downstream count reads the checkpoint,
+      // and all blocks pinned along the way are released before
+      // returning (cache scope = this function, the pageRank contract).
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
       val sh = shingles(withPlants(spark, sfDir), hashed = true).cache()
       val (inter, sizes) = shingleIntersections(sh)
       val truth = inter
@@ -216,7 +223,9 @@ object DedupQueries extends QueryModule {
         .withColumn("jacc", Ql.r(col("inter") / (col("sz1") + col("sz2") - col("inter")), 4))
         .filter(col("jacc") >= 0.6)
         .select(col("d1"), col("d2"))
-      val cand = lshBandPairs(spark, sfDir).cache()
+        .localCheckpoint(true)
+      sh.unpersist(blocking = false)
+      val cand = lshBandPairs(spark, sfDir).localCheckpoint(true)
       val hit = truth.join(cand, Seq("d1", "d2"), "left_semi")
       val out = truth.agg(count(lit(1)).as("n_truth"))
         .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
@@ -224,9 +233,9 @@ object DedupQueries extends QueryModule {
         .select(col("n_truth"), col("n_cand"), col("n_hit"),
           Ql.r(col("n_hit") / col("n_truth").cast("double"), 4).as("recall"),
           Ql.r(col("n_hit") / col("n_cand").cast("double"), 4).as("precision"))
+      val mine = sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
       val collected = out.localCheckpoint(true)
-      sh.unpersist(blocking = false)
-      cand.unpersist(blocking = false)
+      mine.values.foreach(_.unpersist(blocking = false))
       collected
     },
     Some(s"""
