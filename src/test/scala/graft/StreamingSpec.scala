@@ -613,4 +613,44 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(accepted.keys.count(_ >= 400000) > 0,
       "no PII doc passed the gates — redaction path untested")
   }
+
+  test("A8/H9: a replayed scrub micro-batch overwrites its own output, not duplicates") {
+    // the batch=<id> overwrite idempotence claim, asserted the same way
+    // as the upsert sink's: clone the checkpoint as a recovering driver
+    // would read it, drop the newest commit record, restart — the
+    // replayed batch must overwrite its own directory, leaving the
+    // routed outputs identical to the single-run state.
+    val sf = "/root/testdata/sf0.001"
+    val d = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(col("doc_id") < 200)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scrub_replay").toString
+    d.repartition(2).write.parquet(s"$tmp/in")
+    def start(ckpt: String) = StreamingJobs.scrubRoute(
+      spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$tmp/in"),
+      s"$tmp/accept", s"$tmp/dlq", ckpt).start()
+    val q1 = start(s"$tmp/ckpt")
+    assert(q1.awaitTermination(180000), "scrub stream did not finish in 180s")
+    def snap(dir: String) = spark.read.parquet(dir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val (accept1, dlq1) = (snap(s"$tmp/accept"), snap(s"$tmp/dlq"))
+    assert(accept1.nonEmpty && accept1.distinct == accept1)
+    val src = java.nio.file.Paths.get(s"$tmp/ckpt")
+    val dst = java.nio.file.Paths.get(s"$tmp/ckpt_recovered")
+    java.nio.file.Files.walk(src).forEach { p =>
+      java.nio.file.Files.copy(p, dst.resolve(src.relativize(p)),
+        java.nio.file.StandardCopyOption.COPY_ATTRIBUTES)
+    }
+    val newest = new java.io.File(s"$tmp/ckpt_recovered/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toInt)
+    assert(newest.delete())
+    new java.io.File(newest.getParentFile, s".${newest.getName}.crc").delete()
+    val q2 = start(s"$tmp/ckpt_recovered")
+    assert(q2.awaitTermination(180000), "replayed scrub did not finish in 180s")
+    assert(snap(s"$tmp/accept") == accept1,
+      "replay must not duplicate or drop accepted docs")
+    assert(snap(s"$tmp/dlq") == dlq1,
+      "replay must not duplicate or drop dead-lettered docs")
+  }
 }
