@@ -662,7 +662,51 @@ object EventQueries extends QueryModule {
       ORDER BY event_type, d
     """))
 
+  /** Day-of-week seasonality profile per event type — the calendar
+    * decomposition next to the EWMA/autocorrelation monitors: the daily
+    * count series collapses to 7 seasonal indices (dow mean ÷ overall
+    * daily mean), which is both the dashboard view and the
+    * deseasonalization divisor an anomaly detector wants. Day-of-week
+    * is pinned to Sunday = 1 in both engines (Spark `dayofweek`;
+    * DuckDB `dayofweek + 1`). Two keyed aggregations over the
+    * type × day grid, then a keyed join of the 7-row and 1-row-per-type
+    * summaries — never event-sized past the first rollup.
+    */
+  private val dowProfile = QueryDef(
+    "q_dow_profile",
+    (spark, sfDir) => {
+      val daily = Tables.events(spark, sfDir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val byDow = daily
+        .withColumn("dow", dayofweek(col("day")))
+        .groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n_days"), avg(col("n")).as("dow_mean"))
+      val overall = daily.groupBy("event_type").agg(avg(col("n")).as("all_mean"))
+      byDow.join(overall, "event_type")
+        .select(col("event_type"), col("dow"), col("n_days"),
+          Ql.r(col("dow_mean"), 4).as("dow_mean"),
+          Ql.r(col("dow_mean") / col("all_mean"), 4).as("seasonal_index"))
+        .orderBy("event_type", "dow")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2),
+      bydow AS (
+        SELECT event_type, dayofweek(day) + 1 AS dow,
+               count(*) AS n_days, avg(n) AS dow_mean
+        FROM daily GROUP BY 1, 2),
+      overall AS (SELECT event_type, avg(n) AS all_mean FROM daily GROUP BY 1)
+      SELECT b.event_type, CAST(dow AS INT) AS dow, n_days,
+             ${Ql.R("dow_mean", 4)} AS dow_mean,
+             ${Ql.R("dow_mean / all_mean", 4)} AS seasonal_index
+      FROM bydow b JOIN overall o ON b.event_type = o.event_type
+      ORDER BY 1, 2
+    """))
+
   override def defs: Seq[QueryDef] = Seq(hourlyEventStats, funnel, eventPaths,
     retentionCohorts, tsResample, anomalyZscore, attribution, markov,
-    funnelWindowed, ewmaDaily, madAnomaly, psiDrift, autocorr, benford)
+    funnelWindowed, ewmaDaily, madAnomaly, psiDrift, autocorr, benford,
+    dowProfile)
 }

@@ -520,7 +520,57 @@ object TextQueries extends QueryModule {
       ORDER BY ppl DESC, doc_id LIMIT 20
     """))
 
+  /** Zipf rank-frequency fit per language — the corpus-health
+    * diagnostic: natural text runs a log-log slope near −1; a corpus
+    * polluted by boilerplate or templating drifts flat or steep. Both
+    * engines rank tokens by (count desc, token) inside each language,
+    * keep the top 200 (WindowGroupLimit in Spark), and fit
+    * ln(freq) ~ ln(rank) with the built-in OLS aggregates (`regr_slope`
+    * / `regr_intercept` / `regr_r2` exist in Spark 4 and DuckDB with
+    * identical semantics), rounded at 4 dp. Scale shape: one keyed
+    * count, one per-language top-k window over the vocabulary-sized
+    * table, one 200-row-per-language regression — the corpus is
+    * touched once.
+    */
+  private val zipfSlope = QueryDef(
+    "q_zipf_slope",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(spark, sfDir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("n"))
+      val wRank = Window.partitionBy("lang").orderBy(col("n").desc, col("w"))
+      counts
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 200)
+        .withColumn("x", log(col("rank").cast("double")))
+        .withColumn("y", log(col("n").cast("double")))
+        .groupBy("lang")
+        .agg(Ql.r(expr("regr_slope(y, x)"), 4).as("slope"),
+          Ql.r(expr("regr_intercept(y, x)"), 4).as("intercept"),
+          Ql.r(expr("regr_r2(y, x)"), 4).as("r2"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH counts AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      freq AS (SELECT lang, w, count(*) AS n FROM counts GROUP BY 1, 2),
+      ranked AS (
+        SELECT lang, n,
+               row_number() OVER (PARTITION BY lang ORDER BY n DESC, w) AS rank
+        FROM freq),
+      fitin AS (
+        SELECT lang, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+        FROM ranked WHERE rank <= 200)
+      SELECT lang, ${Ql.R("regr_slope(y, x)", 4)} AS slope,
+             ${Ql.R("regr_intercept(y, x)", 4)} AS intercept,
+             ${Ql.R("regr_r2(y, x)", 4)} AS r2,
+             count(*) AS n_tokens
+      FROM fitin GROUP BY 1 ORDER BY 1
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     textStats, tfidf, langId, qualityScore, tokenCount, fingerprint,
-    langRoute, bpeMerges, bm25, pmiBigrams, lmPerplexity)
+    langRoute, bpeMerges, bm25, pmiBigrams, lmPerplexity, zipfSlope)
 }
