@@ -705,8 +705,85 @@ object EventQueries extends QueryModule {
       ORDER BY 1, 2
     """))
 
+  /** Two-sample Kolmogorov-Smirnov drift test per event type — the
+    * non-parametric sibling of q_psi_drift over the same time-midpoint
+    * split: D = max |F_ref − F_cur| over the EXACT empirical CDFs (no
+    * binning), so it catches shape changes a fixed grid smears. The
+    * CDFs are cumulative INTEGER counts over the per-type distinct-value
+    * table (windows ordered by value; integer cumsums are
+    * association-exact, the division happens once per row), D is the
+    * max of identically-computed doubles, and the α = 0.05 rejection
+    * compares the ROUNDED statistic to the ROUNDED critical value
+    * 1.358·√((n+m)/(n·m)) so the flag cannot straddle engines. Scale
+    * shape: one keyed count to the type × distinct-value grid, one
+    * window pass over it, one 1-row bounds broadcast — the raw stream
+    * is scanned once.
+    */
+  private val ksDrift = QueryDef(
+    "q_ks_drift",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(spark, sfDir)
+        .select(col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+      val b = e.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      val cnt = e.crossJoin(broadcast(b))
+        .withColumn("half",
+          when(col("us") < col("lo") + (col("hi") - col("lo")) / lit(2), "ref")
+            .otherwise("cur"))
+        .groupBy("event_type", "value")
+        .agg(sum(when(col("half") === "ref", 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("half") === "cur", 1L).otherwise(0L)).as("n_cur"))
+      val tot = cnt.groupBy("event_type")
+        .agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+      val w = Window.partitionBy("event_type").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cnt
+        .withColumn("c_ref", sum(col("n_ref")).over(w))
+        .withColumn("c_cur", sum(col("n_cur")).over(w))
+        .join(tot, "event_type")
+        .withColumn("dd", abs(col("c_ref") / col("t_ref") - col("c_cur") / col("t_cur")))
+        .groupBy("event_type")
+        .agg(Ql.r(max(col("dd")), 4).as("d_stat"),
+          first(col("t_ref")).as("n_ref"), first(col("t_cur")).as("n_cur"),
+          Ql.r(first(lit(1.358) *
+            sqrt((col("t_ref") + col("t_cur")).cast("double") / (col("t_ref") * col("t_cur")))), 4)
+            .as("crit_05"))
+        .withColumn("reject_05", (col("d_stat") > col("crit_05")).cast("int"))
+        .select(col("event_type"), col("d_stat"), col("crit_05"),
+          col("reject_05"), col("n_ref"), col("n_cur"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+      b AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+      cnt AS (
+        SELECT event_type, value,
+               sum(CASE WHEN us < lo + (hi - lo) / 2 THEN 1 ELSE 0 END) AS n_ref,
+               sum(CASE WHEN us < lo + (hi - lo) / 2 THEN 0 ELSE 1 END) AS n_cur
+        FROM e, b GROUP BY 1, 2),
+      tot AS (SELECT event_type, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur
+              FROM cnt GROUP BY 1),
+      cum AS (
+        SELECT event_type,
+               sum(n_ref) OVER w AS c_ref, sum(n_cur) OVER w AS c_cur
+        FROM cnt
+        WINDOW w AS (PARTITION BY event_type ORDER BY value
+                     ROWS UNBOUNDED PRECEDING)),
+      dd AS (
+        SELECT c.event_type, t.t_ref, t.t_cur,
+               abs(c.c_ref * 1.0 / t.t_ref - c.c_cur * 1.0 / t.t_cur) AS dd
+        FROM cum c JOIN tot t ON c.event_type = t.event_type)
+      SELECT event_type,
+             ${Ql.R("max(dd)", 4)} AS d_stat,
+             ${Ql.R("any_value(1.358 * sqrt((t_ref + t_cur) * 1.0 / (t_ref * t_cur)))", 4)} AS crit_05,
+             CAST(${Ql.R("max(dd)", 4)} > ${Ql.R("any_value(1.358 * sqrt((t_ref + t_cur) * 1.0 / (t_ref * t_cur)))", 4)} AS INT) AS reject_05,
+             CAST(any_value(t_ref) AS BIGINT) AS n_ref,
+             CAST(any_value(t_cur) AS BIGINT) AS n_cur
+      FROM dd GROUP BY 1 ORDER BY 1
+    """))
+
   override def defs: Seq[QueryDef] = Seq(hourlyEventStats, funnel, eventPaths,
     retentionCohorts, tsResample, anomalyZscore, attribution, markov,
     funnelWindowed, ewmaDaily, madAnomaly, psiDrift, autocorr, benford,
-    dowProfile)
+    dowProfile, ksDrift)
 }

@@ -510,7 +510,52 @@ object GraphQueries extends QueryModule {
     """
     })
 
+  /** Degree assortativity of the co-purchase graph (Newman 2002,
+    * public): the Pearson correlation of endpoint degrees across edges —
+    * positive means hubs link to hubs (social-network shape), negative
+    * means hubs link to leaves (dependency/catalog shape). The answer
+    * drives partitioning strategy: a disassortative graph's hub-leaf
+    * edges broadcast well, an assortative core does not. One degree
+    * aggregation + two keyed joins of the degree table onto the edge
+    * list + a single `corr` — each edge contributes its (deg_src,
+    * deg_dst) pair once per direction, which makes the statistic
+    * orientation-free on this symmetric graph. Report also carries the
+    * mean degree and edge count so the coefficient reads in context.
+    */
+  private val assortativity = QueryDef(
+    "q_assortativity",
+    (spark, sfDir) => {
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      edges
+        .join(deg.select(col("src"), col("d").as("d_src")), "src")
+        .join(deg.select(col("src").as("dst"), col("d").as("d_dst")), "dst")
+        .agg(Ql.r(corr(col("d_src").cast("double"), col("d_dst").cast("double")), 4)
+            .as("assortativity"),
+          Ql.r(avg(col("d_src")), 4).as("mean_degree"),
+          count(lit(1)).as("n_edges"))
+    },
+    Some(s"""
+      WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      edges AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1)
+      SELECT ${Ql.R("corr(CAST(ds.d AS DOUBLE), CAST(dd.d AS DOUBLE))", 4)} AS assortativity,
+             ${Ql.R("avg(ds.d)", 4)} AS mean_degree,
+             count(*) AS n_edges
+      FROM edges e
+        JOIN deg ds ON ds.src = e.src
+        JOIN deg dd ON dd.src = e.dst
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(pagerank, marketBasket, triangleCount, itemCf, itemsets3, rfmSegments,
-      hits)
+      hits, assortativity)
 }

@@ -143,6 +143,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         "q_dedup_recall", // three 1-row count aggregates crossed into the report row
         "q_shard_skew", // 1-row corpus-totals broadcast against the 64-row shard table
         "q_scd1_merge", // 1-row time-midpoint broadcast
+        "q_ks_drift", // 1-row time-bounds broadcast
         "q_equidepth_bins", // 1-row order-count broadcast for the ntile formula
         "q_funnel_windowed", // three 1-row stage counts, as q_funnel
         "q_rfm_segments", // 1-row corpus-max-date broadcast for recency
