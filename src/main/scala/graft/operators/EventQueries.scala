@@ -782,8 +782,92 @@ object EventQueries extends QueryModule {
       FROM dd GROUP BY 1 ORDER BY 1
     """))
 
+  /** Weekly stickiness (avg-DAU ÷ WAU) — the engagement-intensity ratio
+    * next to the retention matrix: 1.0 means every weekly user shows up
+    * every day, 1/7 means drive-by traffic. Weeks are Monday-truncated
+    * in both engines (`date_trunc('week')`). Two distinct-count
+    * aggregations over the user × day grid, joined on the tiny week
+    * key — never event-sized past the first distinct.
+    */
+  private val stickiness = QueryDef(
+    "q_stickiness",
+    (spark, sfDir) => {
+      val ud = Tables.events(spark, sfDir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .withColumn("week", date_trunc("week", col("day")).cast("date"))
+      val dau = ud.groupBy("week", "day")
+        .agg(countDistinct(col("user_id")).as("dau"))
+        .groupBy("week")
+        .agg(Ql.r(avg(col("dau")), 4).as("avg_dau"), count(lit(1)).as("n_days"))
+      val wau = ud.groupBy("week")
+        .agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, "week")
+        .select(date_format(col("week"), "yyyy-MM-dd").as("week"),
+          col("n_days"), col("avg_dau"), col("wau"),
+          Ql.r(col("avg_dau") / col("wau"), 4).as("stickiness"))
+        .orderBy("week")
+    },
+    Some(s"""
+      WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      wk AS (SELECT user_id, day, CAST(date_trunc('week', day) AS DATE) AS week FROM ud),
+      dau AS (
+        SELECT week, ${Ql.R("avg(dau)", 4)} AS avg_dau, count(*) AS n_days
+        FROM (SELECT week, day, count(DISTINCT user_id) AS dau
+              FROM wk GROUP BY 1, 2)
+        GROUP BY 1),
+      wau AS (SELECT week, count(DISTINCT user_id) AS wau FROM wk GROUP BY 1)
+      SELECT strftime(d.week, '%Y-%m-%d') AS week, n_days, avg_dau, wau,
+             ${Ql.R("avg_dau / wau", 4)} AS stickiness
+      FROM dau d JOIN wau w ON d.week = w.week
+      ORDER BY 1
+    """))
+
+  /** Time-to-convert distribution: hours from a user's FIRST view to
+    * their first purchase after it — the latency behind the funnel's
+    * conversion counts (two funnels with equal rates can hide a 10×
+    * latency difference). Anchors reuse q_funnel's semantics (earliest
+    * qualifying event, strict `>` tie handling); deltas compare integer
+    * epoch micros; the quartiles come from grouped exact percentiles
+    * rounded at 4 dp (the box-plot contract). One-row report — the
+    * distribution of a user-keyed join, never event-sized output.
+    */
+  private val timeToConvert = QueryDef(
+    "q_time_to_convert",
+    (spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(v, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      v.join(p, "user_id")
+        .withColumn("hours",
+          (unix_micros(col("t2")) - unix_micros(col("t1"))) / lit(3600000000.0))
+        .agg(count(lit(1)).as("n_converted"),
+          Ql.r(avg(col("hours")), 4).as("mean_hours"),
+          Ql.r(expr("percentile(hours, 0.5)"), 4).as("p50_hours"),
+          Ql.r(expr("percentile(hours, 0.9)"), 4).as("p90_hours"))
+    },
+    Some(s"""
+      WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                 WHERE event_type = 'view' GROUP BY 1),
+      p AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+              JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > v.t1 GROUP BY 1),
+      d AS (
+        SELECT (epoch_us(t2) - epoch_us(t1)) / 3600000000.0 AS hours
+        FROM v JOIN p ON v.user_id = p.user_id)
+      SELECT count(*) AS n_converted,
+             ${Ql.R("avg(hours)", 4)} AS mean_hours,
+             ${Ql.R("quantile_cont(hours, 0.5)", 4)} AS p50_hours,
+             ${Ql.R("quantile_cont(hours, 0.9)", 4)} AS p90_hours
+      FROM d
+    """))
+
   override def defs: Seq[QueryDef] = Seq(hourlyEventStats, funnel, eventPaths,
     retentionCohorts, tsResample, anomalyZscore, attribution, markov,
     funnelWindowed, ewmaDaily, madAnomaly, psiDrift, autocorr, benford,
-    dowProfile, ksDrift)
+    dowProfile, ksDrift, stickiness, timeToConvert)
 }

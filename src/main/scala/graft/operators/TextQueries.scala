@@ -91,40 +91,10 @@ object TextQueries extends QueryModule {
       ORDER BY doc_id, rank
     """))
 
-  /** I6: n-gram-heuristic language ID. Profiles = top-20 tokens per lang by
-    * document frequency (learned from the corpus itself — a deterministic
-    * stand-in for trained profiles); prediction = profile with the largest
-    * token-set overlap. Output: confusion matrix.
+  /** Oracle twin of [[langConfusion]] — CTE chain ending in
+    * `confusion(lang, pred, n)`.
     */
-  private val langId = QueryDef(
-    "q_lang_id",
-    (spark, sfDir) => {
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(spark, sfDir)
-      val docToks = docs
-        .select(col("doc_id"), col("lang"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-      val wProf = Window.partitionBy("plang").orderBy(col("docfreq").desc, col("tok"))
-      val profiles = docToks
-        .groupBy(col("lang").as("plang"), col("tok"))
-        .agg(count(lit(1)).as("docfreq"))
-        .withColumn("prank", row_number().over(wProf))
-        .filter(col("prank") <= 20)
-        .select(col("plang"), col("tok"))
-      val wPred = Window.partitionBy("doc_id").orderBy(col("overlap").desc, col("plang"))
-      val preds = docToks
-        .join(broadcast(profiles), "tok")
-        .groupBy("doc_id", "lang", "plang")
-        .agg(count(lit(1)).as("overlap"))
-        .withColumn("rank", row_number().over(wPred))
-        .filter(col("rank") === 1)
-      docs.select(col("doc_id"), col("lang"))
-        .join(preds.select(col("doc_id"), col("plang")), Seq("doc_id"), "left")
-        .groupBy(col("lang"), coalesce(col("plang"), lit("??")).as("pred"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("lang", "pred")
-    },
-    Some("""
-      WITH dt AS (
+  private val langConfusionSql = """dt AS (
         SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS tok
         FROM documents),
       prof AS (
@@ -137,10 +107,110 @@ object TextQueries extends QueryModule {
           SELECT dt2.doc_id, prof.plang, count(*) AS overlap
           FROM dt dt2 JOIN prof ON dt2.tok = prof.tok
           GROUP BY 1, 2)
-        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, plang) = 1)
-      SELECT d.lang, coalesce(p.plang, '??') AS pred, count(*) AS n
-      FROM documents d LEFT JOIN preds p ON d.doc_id = p.doc_id
-      GROUP BY 1, 2 ORDER BY 1, 2
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, plang) = 1),
+      confusion AS (
+        SELECT d.lang, coalesce(p.plang, '??') AS pred, count(*) AS n
+        FROM documents d LEFT JOIN preds p ON d.doc_id = p.doc_id
+        GROUP BY 1, 2)"""
+
+  /** I6: n-gram-heuristic language ID. Profiles = top-20 tokens per lang by
+    * document frequency (learned from the corpus itself — a deterministic
+    * stand-in for trained profiles); prediction = profile with the largest
+    * token-set overlap. Output: confusion matrix.
+    */
+  private val langId = QueryDef(
+    "q_lang_id",
+    (spark, sfDir) => langConfusion(spark, sfDir).orderBy("lang", "pred"),
+    Some(s"""
+      WITH $langConfusionSql
+      SELECT lang, pred, n FROM confusion ORDER BY 1, 2
+    """))
+
+  /** The lang-ID confusion pipeline (n-gram-profile predictor vs the
+    * ground-truth lang column) through the (actual, predicted, n)
+    * matrix — shared by q_lang_id and q_lang_id_f1 so the graded
+    * classifier is the served one.
+    */
+  private def langConfusion(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    val docToks = docs
+      .select(col("doc_id"), col("lang"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val wProf = Window.partitionBy("plang").orderBy(col("docfreq").desc, col("tok"))
+    val profiles = docToks
+      .groupBy(col("lang").as("plang"), col("tok"))
+      .agg(count(lit(1)).as("docfreq"))
+      .withColumn("prank", row_number().over(wProf))
+      .filter(col("prank") <= 20)
+      .select(col("plang"), col("tok"))
+    val wPred = Window.partitionBy("doc_id").orderBy(col("overlap").desc, col("plang"))
+    val preds = docToks
+      .join(broadcast(profiles), "tok")
+      .groupBy("doc_id", "lang", "plang")
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("rank", row_number().over(wPred))
+      .filter(col("rank") === 1)
+    docs.select(col("doc_id"), col("lang"))
+      .join(preds.select(col("doc_id"), col("plang")), Seq("doc_id"), "left")
+      .groupBy(col("lang"), coalesce(col("plang"), lit("??")).as("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-class precision / recall / F1 of the lang-ID heuristic against
+    * the ground-truth lang column — the classifier QUALITY metric over
+    * the shared [[langConfusion]] matrix (the routing decision
+    * q_lang_route makes is only as good as this table says it is).
+    * Everything reduces over the langs² confusion matrix, so the metric
+    * costs nothing beyond the confusion build; zero-denominator classes
+    * report 0.0 in both engines (the division-degeneracy contract).
+    */
+  private val langIdF1 = QueryDef(
+    "q_lang_id_f1",
+    (spark, sfDir) => {
+      val conf = langConfusion(spark, sfDir).cache()
+      val tp = conf.filter(col("lang") === col("pred"))
+        .select(col("lang"), col("n").as("tp"))
+      val actual = conf.groupBy("lang").agg(sum(col("n")).as("actual_n"))
+      val predicted = conf.groupBy(col("pred").as("lang"))
+        .agg(sum(col("n")).as("pred_n"))
+      val out = actual
+        .join(predicted, Seq("lang"), "left")
+        .join(tp, Seq("lang"), "left")
+        .withColumn("tp", coalesce(col("tp"), lit(0L)))
+        .withColumn("pred_n", coalesce(col("pred_n"), lit(0L)))
+        .withColumn("p", when(col("pred_n") > 0, col("tp") / col("pred_n")).otherwise(lit(0.0)))
+        .withColumn("r", when(col("actual_n") > 0, col("tp") / col("actual_n")).otherwise(lit(0.0)))
+        .select(col("lang"), col("actual_n"), col("tp"),
+          Ql.r(col("p"), 4).as("precision"),
+          Ql.r(col("r"), 4).as("recall"),
+          Ql.r(when(col("p") + col("r") > 0,
+            lit(2.0) * col("p") * col("r") / (col("p") + col("r"))).otherwise(lit(0.0)), 4).as("f1"))
+        .orderBy("lang")
+      val collected = out.localCheckpoint(true)
+      conf.unpersist(blocking = false)
+      collected
+    },
+    Some(s"""
+      WITH $langConfusionSql,
+      tp AS (SELECT lang, n AS tp FROM confusion WHERE lang = pred),
+      act AS (SELECT lang, sum(n) AS actual_n FROM confusion GROUP BY 1),
+      prd AS (SELECT pred AS lang, sum(n) AS pred_n FROM confusion GROUP BY 1),
+      m AS (
+        SELECT a.lang, a.actual_n,
+               coalesce(tp.tp, 0) AS tp,
+               CASE WHEN coalesce(p.pred_n, 0) > 0
+                    THEN coalesce(tp.tp, 0) * 1.0 / p.pred_n ELSE 0.0 END AS p,
+               CASE WHEN a.actual_n > 0
+                    THEN coalesce(tp.tp, 0) * 1.0 / a.actual_n ELSE 0.0 END AS r
+        FROM act a
+          LEFT JOIN prd p ON p.lang = a.lang
+          LEFT JOIN tp ON tp.lang = a.lang)
+      SELECT lang, CAST(actual_n AS BIGINT) AS actual_n, CAST(tp AS BIGINT) AS tp,
+             ${Ql.R("p", 4)} AS precision,
+             ${Ql.R("r", 4)} AS recall,
+             ${Ql.R("CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END", 4)} AS f1
+      FROM m ORDER BY lang
     """))
 
   /** I8: quality scoring + filter routing — length, lexical diversity, and
@@ -572,5 +642,6 @@ object TextQueries extends QueryModule {
 
   override def defs: Seq[QueryDef] = Seq(
     textStats, tfidf, langId, qualityScore, tokenCount, fingerprint,
-    langRoute, bpeMerges, bm25, pmiBigrams, lmPerplexity, zipfSlope)
+    langRoute, bpeMerges, bm25, pmiBigrams, lmPerplexity, zipfSlope,
+    langIdF1)
 }
