@@ -418,6 +418,49 @@ object MiscQueries extends QueryModule {
       FROM checks ORDER BY "check"
     """))
 
+  /** LATERAL correlated subquery (SQL:1999, Spark ≥3.2 / DuckDB native):
+    * top-2 orders per customer via a per-row dependent subquery — the
+    * SQL surface users reach for before they learn the window-function
+    * rewrite. Catalyst decorrelates the LATERAL into a ranked window
+    * under the hood, so the plan is the same WindowGroupLimit shape as
+    * q_win_rank — the query exists to pin that the SQL entry point
+    * accepts the syntax and produces the decorrelated plan, not to add
+    * a new algorithm. Customer list bounded (< 50) so the report stays
+    * constant-size.
+    */
+  private val lateralTopk = QueryDef(
+    "q_lateral_topk",
+    (spark, sfDir) => {
+      Tables.orders(spark, sfDir).createOrReplaceTempView("v_orders_lat")
+      Tables.customer(spark, sfDir).createOrReplaceTempView("v_customer_lat")
+      spark.sql("""
+        SELECT c.c_custkey, t.o_orderkey,
+               round(t.o_totalprice + 1e-9, 2) AS price
+        FROM v_customer_lat c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM v_orders_lat
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2) t
+        WHERE c.c_custkey < 50
+        ORDER BY c.c_custkey, price DESC, t.o_orderkey
+      """)
+    },
+    Some(s"""
+      SELECT c.c_custkey, t.o_orderkey,
+             ${Ql.R("t.o_totalprice")} AS price
+      FROM customer c,
+      LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2) t
+      WHERE c.c_custkey < 50
+      ORDER BY c.c_custkey, price DESC, t.o_orderkey
+    """))
+
   /** SCD1 / MERGE-INTO maintenance of a keyed profile snapshot — the
     * type-1 sibling of q_scd2_history: no history, the latest attribute
     * OVERWRITES. The stream's first time-half builds the base snapshot
@@ -520,5 +563,5 @@ object MiscQueries extends QueryModule {
 
   override def defs: Seq[QueryDef] = Seq(
     miscIds, miscStack, sqlInterface, sqlExistsChain, sqlScalarSubq,
-    scd2History, sqlRecursive, pitJoin, dqChecks, scd1Merge)
+    scd2History, sqlRecursive, pitJoin, dqChecks, scd1Merge, lateralTopk)
 }
