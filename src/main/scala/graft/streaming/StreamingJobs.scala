@@ -802,6 +802,78 @@ object StreamingJobs {
         snapshot.groupByKey(_.user_id))
   }
 
+  // ---- H6: online PSI drift monitor (bootstrapped reference) ----
+
+  case class DriftInput(event_type: String, value: Double)
+  case class DriftRef(event_type: String, bins: Seq[Long])
+  case class DriftState(ref: Seq[Long], cur: Seq[Long], seq: Long)
+  case class DriftOut(event_type: String, seq: Long, n_cur: Long, psi: Double)
+
+  /** H6: the streaming twin of `q_psi_drift` — online drift detection
+    * against a FROZEN reference histogram bootstrapped from the
+    * profiling pass (StatefulProcessorWithInitialState, the
+    * "load the profile, then watch the stream" shape). Per key the state
+    * is (ref bins frozen, cur bins running, batch seq); each micro-batch
+    * folds its values into the current histogram and emits the PSI so
+    * far — same dense 10-bin grid, 0.5 Laplace smoothing, 8-dp per-bin
+    * rounding and 4-dp output as the batch query, computed with the
+    * scalar [[graft.operators.Ql.rd]] twin of the column rounding, so
+    * the final emission equals the batch statistic on the same split
+    * (ScaleSmokeSpec). Bin bounds are constructor constants from the
+    * profiling pass, exactly as a deployed monitor pins them; O(bins)
+    * state per key, O(rows + bins) work per batch.
+    */
+  class DriftProcessor(vmin: Double, vmax: Double, nBins: Int = 10)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        String, DriftInput, DriftOut, DriftRef] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[DriftState] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[DriftState]("drift_state",
+        org.apache.spark.sql.Encoders.product[DriftState], TTLConfig.NONE)
+
+    override def handleInitialState(key: String, initial: DriftRef,
+        timers: TimerValues): Unit =
+      st.update(DriftState(initial.bins, Seq.fill(nBins)(0L), 0L))
+
+    private def bin(v: Double): Int =
+      math.min(nBins - 1, math.floor((v - vmin) / ((vmax - vmin) / nBins)).toInt)
+
+    override def handleInputRows(key: String, rows: Iterator[DriftInput],
+        timers: TimerValues): Iterator[DriftOut] = {
+      val s = if (st.exists()) st.get()
+        else DriftState(Seq.fill(nBins)(0L), Seq.fill(nBins)(0L), 0L)
+      val cur = s.cur.toArray
+      rows.foreach(r => cur(bin(r.value)) += 1)
+      val tRef = s.ref.sum.toDouble + nBins * 0.5
+      val tCur = cur.sum.toDouble + nBins * 0.5
+      var psi = 0.0
+      var i = 0
+      while (i < nBins) {
+        val p = (s.ref(i) + 0.5) / tRef
+        val q = (cur(i) + 0.5) / tCur
+        psi += graft.operators.Ql.rd((p - q) * math.log(p / q), 8)
+        i += 1
+      }
+      val out = DriftOut(key, s.seq + 1, cur.sum, graft.operators.Ql.rd(psi, 4))
+      st.update(DriftState(s.ref, cur.toSeq, s.seq + 1))
+      Iterator.single(out)
+    }
+  }
+
+  def driftMonitor(values: Dataset[DriftInput], reference: Dataset[DriftRef],
+      vmin: Double, vmax: Double): Dataset[DriftOut] = {
+    import values.sparkSession.implicits._
+    requireRocksDb(values.sparkSession)
+    values
+      .groupByKey(_.event_type)
+      .transformWithState(new DriftProcessor(vmin, vmax),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        reference.groupByKey(_.event_type))
+  }
+
   /** A6/A7/H8: fan-out sink — one micro-batch, several destinations
     * (aggregate "DynamoDB" table + raw archive), the SNS/multi-sink shape.
     * batchDF is persisted so the two writes scan the input once.

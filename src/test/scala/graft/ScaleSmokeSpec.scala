@@ -229,6 +229,63 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(flips <= 2, s"$flips ewma rounding-boundary flips (expected ~0)")
   }
 
+  test("sf0.01 online drift monitor converges to the batch q_psi_drift statistic") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs
+    val sf = "/root/testdata/sf0.01"
+    // Bootstrap the FROZEN reference histogram from the first time-half
+    // (the profiling pass), stream the second half time-sliced through
+    // the monitor, and the last emission per type must equal the batch
+    // q_psi_drift statistic — same bounds, same grid, same smoothing.
+    val e = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+    val b = e.agg(min(col("us")).as("lo"), max(col("us")).as("hi"),
+      min(col("value")).as("vmin"), max(col("value")).as("vmax")).head()
+    val (lo, hi, vmin, vmax) = (b.getLong(0), b.getLong(1), b.getDouble(2), b.getDouble(3))
+    val mid = lo + (hi - lo) / 2.0
+    def binned(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("bin", least(lit(9),
+        floor((col("value") - lit(vmin)) / ((lit(vmax) - lit(vmin)) / lit(10.0))).cast("int")))
+    val ref = binned(e.filter(col("us") < mid))
+      .groupBy("event_type", "bin").count()
+      .groupBy("event_type")
+      .agg(expr("transform(sequence(0, 9), i -> " +
+        "coalesce(element_at(map_from_arrays(collect_list(bin), collect_list(count)), i), 0L))")
+        .as("bins"))
+      .as[StreamingJobs.DriftRef]
+    val curHalf = e.filter(col("us") >= mid).select(col("event_type"), col("value"), col("ts"))
+    val in = sliceReplay(curHalf, 4, "graft_drift")
+    val src = spark.readStream.schema(curHalf.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .select(col("event_type"), col("value"))
+      .as[StreamingJobs.DriftInput]
+    val q = StreamingJobs.driftMonitor(src, ref, vmin, vmax)
+      .writeStream.format("memory").queryName("drift_scale")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_drift_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "drift stream did not finish in 180s")
+    val last = spark.table("drift_scale")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+          .orderBy(col("seq").desc)))
+      .filter(col("rn") === 1)
+      .select("event_type", "psi", "n_cur").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val batch = SparkEntry.queries("q_psi_drift")(spark, sf)
+      .select("event_type", "psi", "n_cur_total").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(last.keySet == batch.keySet, s"${last.keySet} vs ${batch.keySet}")
+    batch.foreach { case (k, (psi, nCur)) =>
+      assert(last(k)._2 == nCur, s"$k current-half count: ${last(k)._2} vs $nCur")
+      assert(math.abs(last(k)._1 - psi) < 1.0001e-4,
+        s"$k psi: ${last(k)._1} vs $psi")
+    }
+  }
+
   test("sf0.01 streaming SCD2 maintenance equals the batch q_scd2_history rebuild") {
     import spark.implicits._
     import graft.streaming.StreamingJobs
