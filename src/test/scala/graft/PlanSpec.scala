@@ -48,6 +48,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(500))
   }
 
+  test("LATERAL correlated subquery decorrelates to the window-limit shape") {
+    // q_lateral_topk's Scaladoc claims Catalyst rewrites the per-row
+    // dependent subquery into the same ranked-window plan as q_win_rank
+    // — pin it: no nested-loop per-customer re-execution survives.
+    val p = plan("q_lateral_topk")
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("global top-k plans as TakeOrderedAndProject, not full sort+limit") {
     assert(plan("q_sort_limit").contains("TakeOrderedAndProject"))
     // the r6 rank/lift reports make the same claim in their Scaladoc

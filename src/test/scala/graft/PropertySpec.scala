@@ -47,6 +47,25 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     })
   }
 
+  test("scalar Ql.rd equals column Ql.r for arbitrary doubles and scales") {
+    // the streaming processors (EWMA, drift) round with the JVM-side
+    // Ql.rd while their batch twins round with the Catalyst-side Ql.r —
+    // the equivalence specs lean on the two being the SAME function.
+    // Exercise .xx5 ties, negatives, and magnitude spread explicitly.
+    import spark.implicits._
+    val gen = for {
+      base <- Gen.chooseNum(-1e6, 1e6)
+      tie <- Gen.oneOf(0.0, 0.00005, 0.000049999, -0.00005)
+    } yield base + tie
+    check("rdEqualsR", Prop.forAll(Gen.listOfN(50, gen), Gen.chooseNum(0, 6)) {
+      (vs, scale) =>
+        val got = vs.toDF("v")
+          .select(col("v"), graft.operators.Ql.r(col("v"), scale).as("r"))
+          .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+        vs.forall(v => got(v) == graft.operators.Ql.rd(v, scale))
+    })
+  }
+
   test("union-all count is additive; union distinct is bounded") {
     import spark.implicits._
     check("union", Prop.forAll(rows, rows) { (xs, ys) =>
