@@ -30,7 +30,8 @@ object SparkEntry {
     operators.CurationQueries,
     operators.GraphQueries,
     operators.SketchQueries,
-    operators.WarehouseQueries)
+    operators.WarehouseQueries,
+    operators.EvalQueries)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
 

@@ -555,7 +555,124 @@ object GraphQueries extends QueryModule {
         JOIN deg dd ON dd.src = e.dst
     """))
 
+  /** Log₂-binned degree distribution of the part-co-purchase graph — the
+    * first diagnostic plotted for any graph workload (is it scale-free?
+    * where does PageRank's skew come from?). The log bucket is
+    * `length(bin(d)) − 1`, i.e. the index of the highest set bit —
+    * exact integer/string arithmetic on BOTH engines, no libm log2 whose
+    * exact-power-of-two behavior differs across implementations.
+    */
+  private val degreeHist = QueryDef(
+    "q_degree_hist",
+    (spark, sfDir) => {
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      edges.groupBy("src").agg(count(lit(1)).as("d"))
+        .withColumn("bucket", (length(bin(col("d"))) - 1).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_nodes"), min(col("d")).as("min_d"),
+          max(col("d")).as("max_d"), sum(col("d")).as("total_edges"))
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      edges AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1)
+      SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS bucket,
+             count(*) AS n_nodes, min(d) AS min_d, max(d) AS max_d,
+             CAST(sum(d) AS BIGINT) AS total_edges
+      FROM deg GROUP BY 1 ORDER BY 1
+    """))
+
+  /** k-core peeling (k=100, 3 unrolled rounds) over the co-purchase
+    * graph: repeatedly drop nodes whose degree fell below k, reporting
+    * per-round survivor/edge counts — the densest-subgraph audit that
+    * explains PageRank/HITS mass concentration. Each round is one keyed
+    * degree aggregation plus two semi-joins (both shuffle on the node
+    * key); the edge list is localCheckpointed per round so round r+1
+    * scans materialized edges instead of replaying r joins — the same
+    * iterate-then-pin discipline as pageRank. All outputs are exact
+    * integer counts: zero cross-engine float risk.
+    */
+  private val kcore = QueryDef(
+    "q_kcore",
+    (spark, sfDir) => {
+      val k = 100
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      var e = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+        .localCheckpoint(true)
+      var stats: org.apache.spark.sql.DataFrame = null
+      for (round <- 1 to 3) {
+        val d = e.groupBy("src").agg(count(lit(1)).as("d"))
+        val keep = d.filter(col("d") >= k).select("src")
+        val next = e.join(keep, "src")
+          .join(keep.select(col("src").as("dst")), "dst")
+          .select("src", "dst")
+          .localCheckpoint(true)
+        val row = d.agg(count(lit(1)).as("n_nodes"),
+            sum(when(col("d") >= k, 1L).otherwise(0L)).as("n_kept"))
+          .crossJoin(next.agg(count(lit(1)).as("n_edges")))
+          .select(lit(round).as("round"), col("n_kept"),
+            (col("n_nodes") - col("n_kept")).as("n_dropped"), col("n_edges"))
+        stats = if (stats == null) row else stats.union(row)
+        e = next
+      }
+      // 3-row result: materialize it off the pinned edge lists, then
+      // release every block this call persisted (pageRank's contract)
+      val mine = sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
+      val out = stats.orderBy("round").localCheckpoint(true)
+      mine.values.foreach(_.unpersist(blocking = false))
+      out
+    },
+    Some(s"""
+      WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+      e0 AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      d0 AS (SELECT src, count(*) AS d FROM e0 GROUP BY 1),
+      k0 AS (SELECT src FROM d0 WHERE d >= 100),
+      e1 AS (SELECT e.src, e.dst FROM e0 e
+             JOIN k0 a ON e.src = a.src JOIN k0 b ON e.dst = b.src),
+      d1 AS (SELECT src, count(*) AS d FROM e1 GROUP BY 1),
+      k1 AS (SELECT src FROM d1 WHERE d >= 100),
+      e2 AS (SELECT e.src, e.dst FROM e1 e
+             JOIN k1 a ON e.src = a.src JOIN k1 b ON e.dst = b.src),
+      d2 AS (SELECT src, count(*) AS d FROM e2 GROUP BY 1),
+      k2 AS (SELECT src FROM d2 WHERE d >= 100),
+      e3 AS (SELECT e.src, e.dst FROM e2 e
+             JOIN k2 a ON e.src = a.src JOIN k2 b ON e.dst = b.src)
+      SELECT 1 AS round,
+             CAST((SELECT count(*) FROM k0) AS BIGINT) AS n_kept,
+             CAST((SELECT count(*) FROM d0) - (SELECT count(*) FROM k0) AS BIGINT) AS n_dropped,
+             CAST((SELECT count(*) FROM e1) AS BIGINT) AS n_edges
+      UNION ALL
+      SELECT 2,
+             CAST((SELECT count(*) FROM k1) AS BIGINT),
+             CAST((SELECT count(*) FROM d1) - (SELECT count(*) FROM k1) AS BIGINT),
+             CAST((SELECT count(*) FROM e2) AS BIGINT)
+      UNION ALL
+      SELECT 3,
+             CAST((SELECT count(*) FROM k2) AS BIGINT),
+             CAST((SELECT count(*) FROM d2) - (SELECT count(*) FROM k2) AS BIGINT),
+             CAST((SELECT count(*) FROM e3) AS BIGINT)
+      ORDER BY round
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(pagerank, marketBasket, triangleCount, itemCf, itemsets3, rfmSegments,
-      hits, assortativity)
+      hits, assortativity, degreeHist, kcore)
 }

@@ -585,7 +585,61 @@ object SimilarityQueries extends QueryModule {
       GROUP BY 1 ORDER BY 1
     """))
 
+  /** Per-class embedding outlier audit: cosine of every vector to its
+    * label centroid, reporting the class's cohesion (avg/min cosine) and
+    * how many members point AWAY from their own centroid (cos < 0) — the
+    * label-noise screen run before training on labeled embeddings.
+    * Centroid components are avg'd then ROUNDED at 6 dp on both engines,
+    * so the subsequent sequential-fold dot product is bit-identical
+    * cross-engine (no unrounded-aggregate ulps reach the compare). The
+    * 10-row centroid table broadcasts onto the scan via an equi join on
+    * label — one shuffle for the centroids, zero for the scoring pass.
+    */
+  private val docOutlier = QueryDef(
+    "q_doc_outlier",
+    (spark, sfDir) => {
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label"), Vectors.toDouble(col("embedding")).as("v"))
+      val cent = e.select(col("label"), posexplode(col("v")))
+        .groupBy("label", "pos")
+        .agg(Ql.r(avg(col("col")), 6).as("m"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+          .as("c"))
+      e.join(broadcast(cent), "label")
+        .withColumn("cos", Ql.r(Vectors.cosine(col("v"), col("c")), 4))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n"),
+          Ql.r(avg(col("cos")), 4).as("avg_cos"),
+          min(col("cos")).as("min_cos"),
+          sum(when(col("cos") < 0, 1L).otherwise(0L)).as("n_neg"))
+        .orderBy("label")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      cent AS (
+        SELECT label, list(m ORDER BY pos) AS c FROM (
+          SELECT label, g.i AS pos, ${Ql.R("avg(v[g.i])", 6)} AS m
+          FROM e, generate_series(1, 64) g(i) GROUP BY 1, 2)
+        GROUP BY label),
+      s AS (
+        SELECT e.label,
+               ${Ql.R(
+      "list_dot_product(e.v, cent.c) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.c, cent.c)))",
+      4)} AS cos
+        FROM e JOIN cent USING (label))
+      SELECT label, count(*) AS n,
+             ${Ql.R("avg(cos)", 4)} AS avg_cos,
+             min(cos) AS min_cos,
+             CAST(sum(CASE WHEN cos < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+      FROM s GROUP BY 1 ORDER BY 1
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     similarTopk, knnVote, annIvf, docEmbedJoin, embedQuantize, pqCodes,
-    semanticDedup, annIvfPq, annRecall)
+    semanticDedup, annIvfPq, annRecall, docOutlier)
 }

@@ -640,8 +640,45 @@ object TextQueries extends QueryModule {
       FROM fitin GROUP BY 1 ORDER BY 1
     """))
 
+  /** Inverted index construction — the posting-list build every retrieval
+    * system (and the BM25 query above) presupposes: token → document
+    * frequency, total term frequency, and the head of the doc-id posting
+    * list. df and postings come from the DISTINCT (token, doc) pairs, tf
+    * from the raw stream — one explode feeding two partial aggregations,
+    * both keyed on token, so AQE coalesces them onto one exchange. The
+    * posting array is sorted then truncated to 5 entries, keeping the
+    * output row bounded no matter how hot the token (the 100 TB guard:
+    * posting lists for stopwords would otherwise be corpus-sized rows).
+    */
+  private val invertedIndex = QueryDef(
+    "q_inverted_index",
+    (spark, sfDir) => {
+      val toks = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      toks.groupBy("tok")
+        .agg(
+          countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("tf"),
+          slice(array_sort(collect_set(col("doc_id"))), 1, 5).as("postings"))
+        .filter(col("df") >= 20)
+        .orderBy("tok")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      raw AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1),
+      d AS (SELECT DISTINCT tok, doc_id FROM t),
+      dd AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS df,
+               (list(doc_id ORDER BY doc_id))[1:5] AS postings
+        FROM d GROUP BY 1)
+      SELECT dd.tok, dd.df, raw.tf, dd.postings
+      FROM dd JOIN raw USING (tok)
+      WHERE dd.df >= 20 ORDER BY tok
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     textStats, tfidf, langId, qualityScore, tokenCount, fingerprint,
     langRoute, bpeMerges, bm25, pmiBigrams, lmPerplexity, zipfSlope,
-    langIdF1)
+    langIdF1, invertedIndex)
 }

@@ -332,7 +332,125 @@ object WarehouseQueries extends QueryModule {
       FROM planned GROUP BY 1, 2 ORDER BY 1, 2
     """))
 
+  /** CDC log application — replay an ordered change stream (upserts +
+    * deletes) into a latest-state snapshot, the read path of every
+    * log-structured table format. The change log is the orders table
+    * keyed by customer, sequenced by (o_orderdate, o_orderkey), with a
+    * deterministic md5-bucket ~10% of changes marked DELETE. Apply =
+    * one partitioned row_number (last-writer-wins) + the per-key op
+    * audit in the same shuffle — no driver loop, no per-key state; at
+    * 100 TB this is exactly one hash exchange on the key.
+    */
+  private val cdcApply = QueryDef(
+    "q_cdc_apply",
+    (spark, sfDir) => {
+      val log = Tables.orders(spark, sfDir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"),
+          when(expr(Ql.md5PrefixLong("CAST(o_orderkey AS STRING)", 4)) % 10 === 0,
+            "D").otherwise("U").as("op"))
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      log.withColumn("rn", row_number().over(w))
+        .groupBy("o_custkey")
+        .agg(
+          count(lit(1)).as("n_ops"),
+          sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deletes"),
+          first(when(col("rn") === 1, col("op")), ignoreNulls = true).as("last_op"),
+          first(when(col("rn") === 1,
+            date_format(col("o_orderdate"), "yyyy-MM-dd")), ignoreNulls = true)
+            .as("last_date"),
+          first(when(col("rn") === 1, col("o_totalprice")), ignoreNulls = true)
+            .as("last_val"))
+        .filter(col("last_op") === "U")
+        .select(col("o_custkey"), col("n_ops"), col("n_deletes"),
+          col("last_date"), Ql.r(col("last_val"), 2).as("last_val"))
+        .orderBy("o_custkey")
+    },
+    Some(s"""
+      WITH log AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CASE WHEN ${Ql.Md5PrefixLong("CAST(o_orderkey AS VARCHAR)", 4)} % 10 = 0
+                    THEN 'D' ELSE 'U' END AS op
+        FROM orders),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM log),
+      a AS (
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n_ops,
+               CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+               any_value(CASE WHEN rn = 1 THEN op END) AS last_op,
+               any_value(CASE WHEN rn = 1
+                 THEN strftime(o_orderdate, '%Y-%m-%d') END) AS last_date,
+               any_value(CASE WHEN rn = 1 THEN o_totalprice END) AS last_val
+        FROM r GROUP BY 1)
+      SELECT o_custkey, n_ops, n_deletes, last_date,
+             ${Ql.R("last_val", 2)} AS last_val
+      FROM a WHERE last_op = 'U' ORDER BY o_custkey
+    """))
+
+  /** Snapshot diff / CDC *generation* — the inverse of q_cdc_apply:
+    * compare two per-customer revenue snapshots (1996 activity vs 2000
+    * activity; each year covers ~78% of customers, so added and removed
+    * are both non-vacuous) and classify every key as added / removed /
+    * up / down (flat is the equality guard class), reporting per-class
+    * counts and net revenue drift. One full outer join of two partial
+    * aggregates over the same scan; cent-rounding before the compares
+    * makes the up/down/flat branch a deterministic double comparison on
+    * both engines.
+    */
+  private val snapshotDiff = QueryDef(
+    "q_snapshot_diff",
+    (spark, sfDir) => {
+      val o = Tables.orders(spark, sfDir)
+      def snap(yr: Int) = o.filter(year(col("o_orderdate")) === yr)
+        .groupBy("o_custkey")
+        .agg(Ql.r(sum(col("o_totalprice")), 2).as(s"r$yr"),
+          count(lit(1)).as(s"n$yr"))
+      snap(1996).join(snap(2000), Seq("o_custkey"), "full_outer")
+        .select(
+          when(col("r1996").isNull, "added")
+            .when(col("r2000").isNull, "removed")
+            .when(col("r2000") > col("r1996"), "up")
+            .when(col("r2000") < col("r1996"), "down")
+            .otherwise("flat").as("change"),
+          coalesce(col("r2000"), lit(0.0)).minus(coalesce(col("r1996"), lit(0.0)))
+            .as("delta"),
+          coalesce(col("n2000"), lit(0L)).minus(coalesce(col("n1996"), lit(0L)))
+            .as("dn"))
+        .groupBy("change")
+        .agg(count(lit(1)).as("n_keys"),
+          Ql.r(sum(col("delta")), 2).as("net_delta"),
+          sum(col("dn")).as("net_orders"))
+        .orderBy("change")
+    },
+    Some(s"""
+      WITH s96 AS (
+        SELECT o_custkey, ${Ql.R("sum(o_totalprice)", 2)} AS r96,
+               CAST(count(*) AS BIGINT) AS n96
+        FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+      s00 AS (
+        SELECT o_custkey, ${Ql.R("sum(o_totalprice)", 2)} AS r00,
+               CAST(count(*) AS BIGINT) AS n00
+        FROM orders WHERE year(o_orderdate) = 2000 GROUP BY 1),
+      d AS (
+        SELECT CASE WHEN r96 IS NULL THEN 'added'
+                    WHEN r00 IS NULL THEN 'removed'
+                    WHEN r00 > r96 THEN 'up'
+                    WHEN r00 < r96 THEN 'down'
+                    ELSE 'flat' END AS change,
+               coalesce(r00, 0.0) - coalesce(r96, 0.0) AS delta,
+               coalesce(n00, 0) - coalesce(n96, 0) AS dn
+        FROM s96 FULL OUTER JOIN s00 USING (o_custkey))
+      SELECT change, count(*) AS n_keys,
+             ${Ql.R("sum(delta)", 2)} AS net_delta,
+             CAST(sum(dn) AS BIGINT) AS net_orders
+      FROM d GROUP BY 1 ORDER BY 1
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(skyline, histogram2d, zorderLayout, equidepthBins, kAnonymity,
-      shardSkew, compactionBins)
+      shardSkew, compactionBins, cdcApply, snapshotDiff)
 }

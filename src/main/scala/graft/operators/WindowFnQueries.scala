@@ -217,6 +217,52 @@ object WindowFnQueries extends QueryModule {
       GROUP BY 1 ORDER BY 1
     """))
 
+  /** Period-over-period reporting: monthly revenue with MoM and YoY
+    * growth via lag(1)/lag(12) over the ~80-row month series — the
+    * executive dashboard twin of the running-agg frames above. The lag
+    * window runs single-partition BY DESIGN: it sits on top of the
+    * keyed monthly aggregation, so the windowed table is months-sized
+    * (bounded by the calendar, not the data volume) no matter the scale
+    * factor. Growth denominators are cent-rounded monthly sums —
+    * always positive here, so the division is total.
+    */
+  private val momGrowth = QueryDef(
+    "q_mom_growth",
+    (spark, sfDir) => {
+      val monthly = Tables.orders(spark, sfDir)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(Ql.r(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+      val w = Window.orderBy("month")
+      monthly
+        .withColumn("prev", lag(col("revenue"), 1).over(w))
+        .withColumn("prev12", lag(col("revenue"), 12).over(w))
+        .select(
+          col("month"), col("revenue"), col("n_orders"),
+          Ql.r((col("revenue") - col("prev")) * lit(100.0) / col("prev"), 4)
+            .as("mom_pct"),
+          Ql.r((col("revenue") - col("prev12")) * lit(100.0) / col("prev12"), 4)
+            .as("yoy_pct"))
+        .orderBy("month")
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               ${Ql.R("sum(o_totalprice)", 2)} AS revenue,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1),
+      l AS (
+        SELECT month, revenue, n_orders,
+               lag(revenue, 1) OVER (ORDER BY month) AS prev,
+               lag(revenue, 12) OVER (ORDER BY month) AS prev12
+        FROM m)
+      SELECT month, revenue, n_orders,
+             ${Ql.R("(revenue - prev) * 100.0 / prev", 4)} AS mom_pct,
+             ${Ql.R("(revenue - prev12) * 100.0 / prev12", 4)} AS yoy_pct
+      FROM l ORDER BY month
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
-    winRank, winLag, winRunning, winLeadNtile, winRange, winCume, boxplotStats)
+    winRank, winLag, winRunning, winLeadNtile, winRange, winCume, boxplotStats,
+    momGrowth)
 }

@@ -159,7 +159,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         "q_bm25_topk", // 1-row (N, avgdl) corpus-stats broadcast
         "q_pmi_bigrams", // two 1-row total-count broadcasts
         "q_temperature_sampling", // 1-row corpus total + 1-row normalizer
-        "q_hits") // 1-row L1 normalizer broadcast per round
+        "q_hits", // 1-row L1 normalizer broadcast per round
+        "q_calibration_bins") // 1-row score-bounds broadcast for the bin width
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString

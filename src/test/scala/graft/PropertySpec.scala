@@ -66,6 +66,30 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     })
   }
 
+  test("rank-sum AUC equals brute-force pairwise AUC, ties included") {
+    // q_auc's grouped closed form (2·Σranks⁺ − P(P+1)) / (2·P·N) must
+    // equal AUC's *definition*: P(score⁺ > score⁻) + ½·P(tie) over all
+    // positive×negative pairs. The oracle twin shares the closed form, so
+    // this independent pairwise count is what actually validates it.
+    // Scores drawn from a small integer range to force heavy ties.
+    import spark.implicits._
+    val labeled = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0, 8), Gen.oneOf(0L, 1L)))
+    check("auc", Prop.forAll(labeled) { xs =>
+      val pos = xs.filter(_._2 == 1L).map(_._1)
+      val neg = xs.filter(_._2 == 0L).map(_._1)
+      (pos.isEmpty || neg.isEmpty) || {
+        val pairs = for { p <- pos; n <- neg }
+          yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0
+        val expected = graft.operators.Ql.rd(pairs.sum / (pos.size.toDouble * neg.size), 6)
+        val got = graft.operators.EvalQueries.rankSumAuc(
+          xs.toDF("score", "pos")).collect()(0)
+        got.getLong(0) == pos.size && got.getLong(1) == neg.size &&
+          got.getDouble(2) == expected
+      }
+    })
+  }
+
   test("union-all count is additive; union distinct is bounded") {
     import spark.implicits._
     check("union", Prop.forAll(rows, rows) { (xs, ys) =>
