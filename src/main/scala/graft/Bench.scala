@@ -169,20 +169,20 @@ object Bench {
       // the windowed aggregation. Written sequentially so file mod times
       // give the source the right arrival order. Staging happens outside
       // the measured trigger-execution time.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.schema(streaming.StreamingJobs.eventSchemaRaw)
-        .parquet(s"$sfDir/events.parquet")
+      // encoding-adaptive load (long nanos pre-r8, TIMESTAMP(MICROS,ntz)
+      // r8+) — slice bounds computed on epoch micros either way
+      import org.apache.spark.sql.functions.{col, unix_micros}
+      val raw = Tables.events(spark, sfDir)
       val bounds = raw.agg(
-        org.apache.spark.sql.functions.min("ts"),
-        org.apache.spark.sql.functions.max("ts")).head()
+        org.apache.spark.sql.functions.min(unix_micros(col("ts"))),
+        org.apache.spark.sql.functions.max(unix_micros(col("ts")))).head()
       val (tsMin, tsMax) = (bounds.getLong(0), bounds.getLong(1))
       val width = (tsMax - tsMin) / 8 + 1
       val in = java.nio.file.Files.createTempDirectory("graft_bench_in")
       val stage = java.nio.file.Files.createTempDirectory("graft_bench_stage")
       (0 until 8).foreach { i =>
         val lo = tsMin + i * width
-        import org.apache.spark.sql.functions.col
-        raw.filter(col("ts") >= lo && col("ts") < (lo + width))
+        raw.filter(unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < (lo + width))
           .coalesce(1).write.mode("overwrite").parquet(s"$stage/s$i")
         val part = new java.io.File(s"$stage/s$i").listFiles()
           .find(_.getName.endsWith(".parquet")).get

@@ -35,10 +35,29 @@ object Tables {
     * The conversion uses integer `div`, NOT double division: nanosecond
     * epochs (~1.7e18) exceed 2^53, so a round-trip through double would
     * corrupt low-order digits. Lossless on this data (no sub-µs components).
+    *
+    * Round 8's regenerated testdata writes `ts` as TIMESTAMP(MICROS,ntz)
+    * instead, so the conversion is now schema-adaptive (see
+    * [[normalizeEventTs]]) — both encodings land on the same session-UTC
+    * TimestampType column every downstream query expects.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeEventTs(table(spark, sfDir, "events"))
   }
+
+  /** Normalize an events frame's `ts` to session-UTC TimestampType across
+    * the encodings the driver has shipped: long nanos (pre-r8, via the
+    * nanosAsLong legacy conf), TIMESTAMP(MICROS,ntz) (r8+ — value-preserving
+    * NTZ→LTZ cast under the UTC session timezone), or already-normalized
+    * TimestampType (a restaged slice written by this engine).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 }

@@ -24,27 +24,23 @@ import org.apache.spark.sql.types._
   */
 object StreamingJobs {
 
-  /** Schema of an event record as the file source reads it (ts arrives as
-    * long nanos — see Tables.events).
-    */
-  val eventSchemaRaw: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** A1/A3: file-backed stream source standing in for Kinesis — replayable,
     * ordered within a partition, rate-limited via maxFilesPerTrigger.
+    *
+    * readStream needs an explicit schema, but the driver's events encoding
+    * has changed across rounds (long nanos → TIMESTAMP(MICROS,ntz)), so the
+    * schema is probed from the files already staged in `dir` (every call
+    * site stages before starting the stream) and `ts` normalized through
+    * the same adaptive path as the batch loader.
     */
   def fileSource(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchemaRaw)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val probed = spark.read.parquet(dir).schema
+    graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(probed)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(dir))
   }
 
   /** H1+H4: event-time tumbling window counters with a watermark — the
