@@ -371,6 +371,179 @@ object EvalQueries extends QueryModule {
       FROM r ORDER BY rrf DESC, l_partkey LIMIT 20
     """))
 
+  /** Decile lift chart — the campaign-targeting view of the same scored
+    * set q_auc grades: rank by score DESC, cut into 10 equal tiles, and
+    * report per-decile response rate, cumulative capture, and lift vs the
+    * base rate. The tile id comes from the q_equidepth_bins closed-form
+    * ntile over two-level global ordinals (score-range buckets + a tiny
+    * offset histogram), NOT a single-partition ntile window — the shape
+    * that survives 100 TB. All rates are exact-integer ratios until the
+    * final rounded divide; the cumulative/total sums run over the 10-row
+    * decile aggregate, so no extra pass over the input.
+    */
+  private val decileLift = QueryDef(
+    "q_decile_lift",
+    (spark, sfDir) => {
+      val e = Tables.embeddings(spark, sfDir)
+        .select(
+          col("vec_id"),
+          element_at(col("embedding"), 1).cast("double").as("score"),
+          when(col("label") === 0, 1L).otherwise(0L).as("pos"))
+        // rank DESC via the negated score so bucket order == ordinal order
+        .withColumn("neg", -col("score"))
+        .withColumn("bkt", floor(col("neg") * lit(8.0)).cast("long"))
+      val offsets = e.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+        .withColumn("offset",
+          coalesce(sum(col("cnt")).over(
+            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bkt", "offset")
+      val nRow = e.agg(count(lit(1)).as("n_total"))
+      val inBucket = Window.partitionBy("bkt").orderBy("neg", "vec_id")
+      val deciles = e
+        .join(broadcast(offsets), "bkt")
+        .withColumn("o", col("offset") + row_number().over(inBucket))
+        .crossJoin(broadcast(nRow))
+        .withColumn("decile", expr("""
+          CASE WHEN o <= (n_total % 10) * (n_total div 10 + 1)
+               THEN (o - 1) div (n_total div 10 + 1) + 1
+               ELSE (n_total % 10)
+                    + (o - (n_total % 10) * (n_total div 10 + 1) - 1) div (n_total div 10) + 1
+          END"""))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      val wAll = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wCum = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deciles // 10 rows from here on — the windows are driver-cheap
+        .withColumn("tot_n", sum(col("n")).over(wAll))
+        .withColumn("tot_pos", sum(col("n_pos")).over(wAll))
+        .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+        .select(
+          col("decile"), col("n"), col("n_pos"),
+          Ql.r(col("n_pos").cast("double") / col("n"), 6).as("resp_rate"),
+          Ql.r(col("cum_pos").cast("double") / col("tot_pos"), 6).as("cum_capture"),
+          Ql.r(col("n_pos").cast("double") * col("tot_n") / (col("n") * col("tot_pos")), 6)
+            .as("lift"))
+        .orderBy("decile")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS score,
+               CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+        FROM embeddings),
+      t AS (
+        SELECT pos, ntile(10) OVER (ORDER BY score DESC, vec_id) AS decile
+        FROM e),
+      d AS (
+        SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n,
+               CAST(sum(pos) AS BIGINT) AS n_pos
+        FROM t GROUP BY 1),
+      x AS (
+        SELECT decile, n, n_pos,
+               sum(n) OVER () AS tot_n,
+               sum(n_pos) OVER () AS tot_pos,
+               sum(n_pos) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+        FROM d)
+      SELECT decile, n, n_pos,
+             ${Ql.R("CAST(n_pos AS DOUBLE) / n", 6)} AS resp_rate,
+             ${Ql.R("CAST(cum_pos AS DOUBLE) / tot_pos", 6)} AS cum_capture,
+             ${Ql.R("CAST(n_pos AS DOUBLE) * tot_n / (n * tot_pos)", 6)} AS lift
+      FROM x ORDER BY decile
+    """))
+
+  /** Cohen's kappa (Cohen 1960, public) between the lang-ID heuristic and
+    * the ground-truth lang column, over the SAME factored
+    * [[TextQueries.langConfusion]] matrix q_lang_id / q_lang_id_f1 grade —
+    * chance-corrected agreement, the standard inter-rater statistic for a
+    * weak labeler vs gold labels. Observed and expected agreement are
+    * 64-bit-integer sums over the langs²-sized confusion table (pe's
+    * numerator Σ row·col stays far under 2^63 at any corpus size that fits
+    * a BIGINT row count); the only doubles are the three final divides.
+    */
+  private val kappaAgreement = QueryDef(
+    "q_kappa_agreement",
+    (spark, sfDir) => {
+      val conf = TextQueries.langConfusion(spark, sfDir).localCheckpoint(true)
+      val diag = conf.filter(col("lang") === col("pred"))
+        .agg(coalesce(sum(col("n")), lit(0L)).as("agree"))
+      val marg = conf.groupBy("lang").agg(sum(col("n")).as("row_n"))
+        .join(conf.groupBy(col("pred").as("lang")).agg(sum(col("n")).as("col_n")), "lang")
+        .agg(sum(col("row_n") * col("col_n")).as("pe_num"))
+      val tot = conf.agg(sum(col("n")).as("n_docs"))
+      tot.crossJoin(broadcast(diag)).crossJoin(broadcast(marg)) // three 1-row frames
+        .select(
+          col("n_docs"), col("agree"),
+          Ql.r(col("agree").cast("double") / col("n_docs"), 6).as("po"),
+          Ql.r(col("pe_num").cast("double") / (col("n_docs") * col("n_docs")), 6).as("pe"))
+        .withColumn("kappa",
+          Ql.r((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6))
+    },
+    Some(s"""
+      WITH ${TextQueries.langConfusionSql},
+      diag AS (
+        SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS agree
+        FROM confusion WHERE lang = pred),
+      marg AS (
+        SELECT CAST(sum(row_n * col_n) AS BIGINT) AS pe_num FROM (
+          SELECT r.lang, r.row_n, c.col_n FROM
+            (SELECT lang, CAST(sum(n) AS BIGINT) AS row_n FROM confusion GROUP BY 1) r
+            JOIN
+            (SELECT pred AS lang, CAST(sum(n) AS BIGINT) AS col_n FROM confusion GROUP BY 1) c
+            ON r.lang = c.lang)),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs FROM confusion),
+      s AS (
+        SELECT n_docs, agree,
+               ${Ql.R("CAST(agree AS DOUBLE) / n_docs", 6)} AS po,
+               ${Ql.R("CAST(pe_num AS DOUBLE) / (n_docs * n_docs)", 6)} AS pe
+        FROM tot, diag, marg)
+      SELECT n_docs, agree, po, pe,
+             ${Ql.R("(po - pe) / (1.0 - pe)", 6)} AS kappa
+      FROM s
+    """))
+
+  /** Brier score (Brier 1950, public) of a min-max-calibrated pseudo-
+    * probability against the binary label, reported per class plus the
+    * class-conditional mean forecast — the probabilistic-quality companion
+    * to q_auc's pure ranking view. The forecast is the score min-max
+    * mapped to [0,1] with the bounds as a 1-row broadcast (same shape as
+    * q_calibration_bins), rounded to 6 dp BEFORE squaring so both engines
+    * square identical operands; the final means carry the same accepted
+    * residual summation-order risk as every other mean in the suite and
+    * are rounded at 4 dp.
+    */
+  private val brierScore = QueryDef(
+    "q_brier_score",
+    (spark, sfDir) => {
+      val e = Tables.embeddings(spark, sfDir)
+        .select(
+          element_at(col("embedding"), 1).cast("double").as("score"),
+          when(col("label") === 0, 1L).otherwise(0L).as("pos"))
+      val bounds = e.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+      e.join(broadcast(bounds))
+        .withColumn("p", Ql.r((col("score") - col("lo")) / (col("hi") - col("lo")), 6))
+        .groupBy(col("pos"))
+        .agg(
+          count(lit(1)).as("n"),
+          Ql.r(avg(col("p")), 4).as("mean_forecast"),
+          Ql.r(avg((col("p") - col("pos")) * (col("p") - col("pos"))), 4).as("brier"))
+        .orderBy("pos")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT CAST(embedding[1] AS DOUBLE) AS score,
+               CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+        FROM embeddings),
+      b AS (SELECT min(score) AS lo, max(score) AS hi FROM e),
+      p AS (SELECT pos, ${Ql.R("(score - lo) / (hi - lo)", 6)} AS p FROM e, b)
+      SELECT CAST(pos AS BIGINT) AS pos, count(*) AS n,
+             ${Ql.R("avg(p)", 4)} AS mean_forecast,
+             ${Ql.R("avg((p - pos) * (p - pos))", 4)} AS brier
+      FROM p GROUP BY 1 ORDER BY 1
+    """))
+
   override def defs: Seq[QueryDef] =
-    Seq(auc, gini, ndcg, winsorize, mrr, calibrationBins, rrfFusion)
+    Seq(auc, gini, ndcg, winsorize, mrr, calibrationBins, rrfFusion,
+      decileLift, kappaAgreement, brierScore)
 }

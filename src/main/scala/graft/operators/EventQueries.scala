@@ -866,8 +866,123 @@ object EventQueries extends QueryModule {
       FROM d
     """))
 
+  /** CUSUM changepoint detection (Page 1954, public) over the per-type
+    * daily mean series: accumulate deviations from the series mean and
+    * report where |cusum| peaks — the classic "when did the level shift"
+    * diagnostic that complements q_ks_drift's did-it-shift answer with a
+    * WHEN. Daily means are rounded to 6 dp before the accumulation (the
+    * q_ewma_daily discipline — kills the dominant cross-engine
+    * aggregation-order difference), the per-type series mean joins back
+    * as a types-sized broadcast, and the running sum is one
+    * event_type-partitioned window pass over the type×day grid — the
+    * partition count scales with the calendar, not the event volume. The
+    * peak row per type is WindowGroupLimit-selected by
+    * (|cusum| DESC, day); the same accepted residual window-sum
+    * association risk as q_ewma_daily applies before the 4 dp rounding.
+    */
+  private val cusumChangepoint = QueryDef(
+    "q_cusum_changepoint",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(spark, sfDir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(Ql.r(avg(col("value")), 6).as("x"))
+      val mu = daily.groupBy("event_type")
+        .agg(Ql.r(avg(col("x")), 6).as("mu"), count(lit(1)).as("n_days"))
+      val wSeq = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPeak = Window.partitionBy("event_type")
+        .orderBy(abs(col("cusum")).desc, col("day"))
+      daily.join(broadcast(mu), "event_type")
+        .withColumn("cusum", Ql.r(sum(col("x") - col("mu")).over(wSeq), 4))
+        .withColumn("pk", row_number().over(wPeak))
+        .filter(col("pk") === 1)
+        .select(col("event_type"), col("n_days"),
+          date_format(col("day"), "yyyy-MM-dd").as("peak_day"),
+          col("cusum").as("peak_cusum"),
+          when(col("cusum") >= 0, lit("up")).otherwise(lit("down")).as("shift_side"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               ${Ql.R("avg(value)", 6)} AS x
+        FROM events GROUP BY 1, 2),
+      mu AS (
+        SELECT event_type, ${Ql.R("avg(x)", 6)} AS mu,
+               count(*) AS n_days
+        FROM daily GROUP BY 1),
+      acc AS (
+        SELECT daily.event_type, day, n_days,
+               ${Ql.R("""sum(x - mu) OVER (PARTITION BY daily.event_type
+                 ORDER BY day ROWS UNBOUNDED PRECEDING)""", 4)} AS cusum
+        FROM daily JOIN mu ON daily.event_type = mu.event_type)
+      SELECT event_type, n_days,
+             strftime(day, '%Y-%m-%d') AS peak_day,
+             cusum AS peak_cusum,
+             CASE WHEN cusum >= 0 THEN 'up' ELSE 'down' END AS shift_side
+      FROM acc
+      QUALIFY row_number() OVER (PARTITION BY event_type
+        ORDER BY abs(cusum) DESC, day) = 1
+      ORDER BY event_type
+    """))
+
+  /** Classical seasonal decomposition (the moving-average method behind
+    * STL's ancestor, Macaulay 1931 / the "classical decomposition" of
+    * every forecasting text, public): per event type, trend = centered
+    * 7-day moving average of the daily means, detrended = x − trend,
+    * seasonal index = mean detrended value per day-of-week. Differs from
+    * q_dow_profile (ratio-to-overall-mean) by REMOVING the trend first,
+    * so a drifting series doesn't smear its slope into the weekday
+    * profile. Two window/group passes over the type×day grid; the 7-day
+    * frame is rows-bounded so edge days with fewer than 7 neighbors are
+    * excluded from the seasonal fit in BOTH engines (frame-size check on
+    * the same integers).
+    */
+  private val stlSeasonal = QueryDef(
+    "q_stl_seasonal",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(spark, sfDir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(Ql.r(avg(col("value")), 6).as("x"))
+      val w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+      daily
+        .withColumn("trend", Ql.r(avg(col("x")).over(w7), 6))
+        .withColumn("frame_n", count(lit(1)).over(w7))
+        .filter(col("frame_n") === 7) // full centered frame only
+        // Sunday=1 … Saturday=7 (the q_dow_profile convention)
+        .withColumn("dow", dayofweek(col("day")))
+        .groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n_days"),
+          Ql.r(avg(col("x") - col("trend")), 4).as("seasonal"),
+          Ql.r(avg(col("trend")), 4).as("mean_trend"))
+        .orderBy("event_type", "dow")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               ${Ql.R("avg(value)", 6)} AS x
+        FROM events GROUP BY 1, 2),
+      t AS (
+        SELECT event_type, day, x,
+               ${Ql.R("""avg(x) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)""", 6)} AS trend,
+               count(*) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS frame_n
+        FROM daily)
+      SELECT event_type,
+             CAST(dayofweek(day) + 1 AS INT) AS dow,
+             count(*) AS n_days,
+             ${Ql.R("avg(x - trend)", 4)} AS seasonal,
+             ${Ql.R("avg(trend)", 4)} AS mean_trend
+      FROM t WHERE frame_n = 7
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """))
+
   override def defs: Seq[QueryDef] = Seq(hourlyEventStats, funnel, eventPaths,
     retentionCohorts, tsResample, anomalyZscore, attribution, markov,
     funnelWindowed, ewmaDaily, madAnomaly, psiDrift, autocorr, benford,
-    dowProfile, ksDrift, stickiness, timeToConvert)
+    dowProfile, ksDrift, stickiness, timeToConvert, cusumChangepoint,
+    stlSeasonal)
 }

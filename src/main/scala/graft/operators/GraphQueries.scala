@@ -672,7 +672,67 @@ object GraphQueries extends QueryModule {
       ORDER BY round
     """))
 
+  /** Link prediction over the support-≥2 co-purchase graph: for every
+    * distance-2 pair (a, b) NOT already linked, count common neighbors
+    * (Liben-Nowell & Kleinberg 2003, public) and the resource-allocation
+    * index Σ 1/deg(v) over the shared neighbors (Zhou, Lü & Zhang 2009,
+    * public). Wedges are enumerated only through centers with
+    * deg ≤ 50 — simultaneously the scale bound (Σ_{deg≤50} deg² ≤ 50·m,
+    * so the wedge join stays linear in the edge count no matter how
+    * skewed the graph) and the signal choice RA formalizes anyway: a hub
+    * shared by everyone carries almost no evidence that two specific
+    * neighbors should link. The candidate set is then anti-joined
+    * against the edge list. Ranking is by the exact INTEGER cn with an
+    * (a, b) tiebreak; ra is a reported 6-dp metric, never a sort key, so
+    * the one double sum in the query cannot affect row identity. The
+    * oracle mirrors the same cap and anti-join.
+    */
+  private val linkPred = QueryDef(
+    "q_link_pred",
+    (spark, sfDir) => {
+      val edges = itemPairs(orderItems(spark, sfDir))
+        .filter(col("s_ab") >= 2).select("a", "b")
+        .localCheckpoint(true) // feeds deg, wedges, and the anti-join
+      val deg = edges.select(col("a").as("v"))
+        .unionByName(edges.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+      // undirected adjacency around low-degree centers only
+      val adj = edges.select(col("a").as("v"), col("b").as("u"))
+        .unionByName(edges.select(col("b").as("v"), col("a").as("u")))
+        .join(deg.filter(col("dg") <= 50), "v")
+      val w1 = adj.select(col("v"), col("u").as("a"), col("dg"))
+      val w2 = adj.select(col("v"), col("u").as("b"))
+      val cand = w1.join(w2, "v").filter(col("a") < col("b"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("cn"), Ql.r(sum(lit(1.0) / col("dg")), 6).as("ra"))
+      cand.join(edges, Seq("a", "b"), "left_anti")
+        .orderBy(col("cn").desc, col("a"), col("b"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH items AS ($itemsSql),
+      edges AS (SELECT a, b FROM ($pairsSql) WHERE s_ab >= 2),
+      deg AS (
+        SELECT v, count(*) AS dg FROM (
+          SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+        GROUP BY 1),
+      adj AS (
+        SELECT x.v, x.u, deg.dg FROM (
+          SELECT a AS v, b AS u FROM edges
+          UNION ALL SELECT b AS v, a AS u FROM edges) x
+        JOIN deg ON deg.v = x.v AND deg.dg <= 50),
+      cand AS (
+        SELECT w1.u AS a, w2.u AS b,
+               CAST(count(*) AS BIGINT) AS cn,
+               ${Ql.R("sum(1.0 / w1.dg)", 6)} AS ra
+        FROM adj w1 JOIN adj w2 ON w1.v = w2.v AND w1.u < w2.u
+        GROUP BY 1, 2)
+      SELECT a, b, cn, ra FROM cand
+      WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.a = cand.a AND e.b = cand.b)
+      ORDER BY cn DESC, a, b LIMIT 20
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(pagerank, marketBasket, triangleCount, itemCf, itemsets3, rfmSegments,
-      hits, assortativity, degreeHist, kcore)
+      hits, assortativity, degreeHist, kcore, linkPred)
 }

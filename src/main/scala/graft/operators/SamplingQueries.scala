@@ -124,6 +124,47 @@ object SamplingQueries extends QueryModule {
       FROM w, z ORDER BY lang
     """))
 
+  /** Deterministic weighted sample: top-50 documents by the priority key
+    * w·u/(1−u), where w = n_chars and u = md5(doc_id)'s first 56 bits
+    * mapped to [0,1) — a weighted priority sample in the
+    * Efraimidis–Spirakis key-per-row mold (2006, public), with a RATIONAL
+    * key instead of u^(1/w): monotone in u, linear in w (double the
+    * weight, double the expected priority), and — the reason for the
+    * substitution — computed entirely from exact IEEE divides/multiplies
+    * on bit-identical operands (u's denominator is 2^56, an exact power
+    * of two), so both engines rank the SAME doubles with no libm in
+    * sight. Membership is a pure function of (doc_id, n_chars): stable
+    * under replay, repartition, and backfill, like every sampler here.
+    * At 100 TB this is TakeOrderedAndProject — per-partition top-50, then
+    * a 50-row merge on the driver of each partition's survivors.
+    */
+  private val weightedSample = QueryDef(
+    "q_weighted_sample",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        // the 2^56 denominator must be a DOUBLE cast, not a `…936.0`
+        // literal — Spark parses the latter as DECIMAL(19,1) and the
+        // whole key silently becomes decimal arithmetic
+        .withColumn("u", expr(
+          s"${Ql.md5PrefixLong("CAST(doc_id AS STRING)", 14)}" +
+            " / CAST(72057594037927936 AS DOUBLE)"))
+        .withColumn("priority", col("n_chars") * col("u") / (lit(1.0) - col("u")))
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          Ql.r(col("priority"), 4).as("priority")),
+    Some(s"""
+      WITH k AS (
+        SELECT doc_id, lang, n_chars,
+               n_chars * u / (1.0 - u) AS pr
+        FROM (SELECT doc_id, lang, n_chars,
+                     ${Ql.Md5PrefixLong("CAST(doc_id AS VARCHAR)", 14)}
+                       / CAST(72057594037927936 AS DOUBLE) AS u
+              FROM documents))
+      SELECT doc_id, lang, n_chars, ${Ql.R("pr", 4)} AS priority
+      FROM k ORDER BY pr DESC, doc_id LIMIT 50
+    """))
+
   override def defs: Seq[QueryDef] =
-    Seq(trainSplit, sampleStratified, temperatureSampling)
+    Seq(trainSplit, sampleStratified, temperatureSampling, weightedSample)
 }

@@ -94,7 +94,7 @@ object TextQueries extends QueryModule {
   /** Oracle twin of [[langConfusion]] — CTE chain ending in
     * `confusion(lang, pred, n)`.
     */
-  private val langConfusionSql = """dt AS (
+  private[operators] val langConfusionSql = """dt AS (
         SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS tok
         FROM documents),
       prof AS (
@@ -131,7 +131,7 @@ object TextQueries extends QueryModule {
     * matrix — shared by q_lang_id and q_lang_id_f1 so the graded
     * classifier is the served one.
     */
-  private def langConfusion(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def langConfusion(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)

@@ -160,7 +160,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         "q_pmi_bigrams", // two 1-row total-count broadcasts
         "q_temperature_sampling", // 1-row corpus total + 1-row normalizer
         "q_hits", // 1-row L1 normalizer broadcast per round
-        "q_calibration_bins") // 1-row score-bounds broadcast for the bin width
+        "q_calibration_bins", // 1-row score-bounds broadcast for the bin width
+        "q_decile_lift", // 1-row row-count broadcast for the closed-form ntile
+        "q_kappa_agreement", // three 1-row confusion aggregates crossed into the report row
+        "q_brier_score") // 1-row score-bounds broadcast, as q_calibration_bins
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
