@@ -732,7 +732,69 @@ object GraphQueries extends QueryModule {
       ORDER BY cn DESC, a, b LIMIT 20
     """))
 
+  /** Bounded Bellman-Ford single-source shortest paths over the weighted
+    * co-purchase graph: 4 relaxation rounds from the minimum-id node,
+    * edge cost = 100 div s_ab (stronger co-purchase support ⇒ cheaper
+    * hop; INTEGER division so distances stay exact 64-bit sums — no
+    * float accumulation to diverge). Each round is one keyed join
+    * (frontier × adjacency) + a min-aggregation union — the same
+    * co-partitioned iterative-join family as [[pageRank]], with per-round
+    * localCheckpoint lineage truncation and block release on exit.
+    * Bounded rounds = the k-hop neighborhood semantics a 100 TB graph
+    * query actually ships (full convergence is a driver loop over the
+    * same body, as [[ClusterQueries.connectedComponents]] runs). The
+    * oracle unrolls the identical 4 rounds as chained CTEs.
+    */
+  private val sssp = QueryDef(
+    "q_sssp",
+    (spark, sfDir) => {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val edges = itemPairs(orderItems(spark, sfDir))
+        .filter(col("s_ab") >= 2)
+        .select(col("a"), col("b"), expr("100 div s_ab").as("w"))
+        .localCheckpoint(true) // feeds the source row and all 4 rounds
+      val adj = edges.select(col("a").as("u"), col("b").as("v"), col("w"))
+        .unionByName(edges.select(col("b").as("u"), col("a").as("v"), col("w")))
+      var dist = edges.agg(min(col("a")).as("node"))
+        .withColumn("d", lit(0L))
+        .localCheckpoint(true)
+      for (_ <- 1 to 4) {
+        val relax = dist.join(adj, dist("node") === adj("u"))
+          .select(adj("v").as("node"), (dist("d") + adj("w")).as("d"))
+        dist = dist.unionByName(relax)
+          .groupBy("node").agg(min(col("d")).as("d"))
+          .localCheckpoint(true)
+      }
+      val mine = sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
+      val out = dist.orderBy(col("d"), col("node")).limit(20)
+        .localCheckpoint(true)
+      mine.values.foreach(_.unpersist(blocking = false))
+      out
+    },
+    Some {
+      val rounds = (1 to 4).map { i =>
+        s"""d$i AS (
+          SELECT node, min(d) AS d FROM (
+            SELECT node, d FROM d${i - 1}
+            UNION ALL
+            SELECT adj.v AS node, d${i - 1}.d + adj.w AS d
+            FROM d${i - 1} JOIN adj ON adj.u = d${i - 1}.node)
+          GROUP BY 1)"""
+      }.mkString(",\n")
+      s"""
+      WITH items AS ($itemsSql),
+      edges AS (SELECT a, b, 100 // s_ab AS w FROM ($pairsSql) WHERE s_ab >= 2),
+      adj AS (
+        SELECT a AS u, b AS v, w FROM edges
+        UNION ALL SELECT b AS u, a AS v, w FROM edges),
+      d0 AS (SELECT min(a) AS node, CAST(0 AS BIGINT) AS d FROM edges),
+      $rounds
+      SELECT node, d FROM d4 ORDER BY d, node LIMIT 20
+    """
+    })
+
   override def defs: Seq[QueryDef] =
     Seq(pagerank, marketBasket, triangleCount, itemCf, itemsets3, rfmSegments,
-      hits, assortativity, degreeHist, kcore, linkPred)
+      hits, assortativity, degreeHist, kcore, linkPred, sssp)
 }

@@ -677,8 +677,61 @@ object TextQueries extends QueryModule {
       WHERE dd.df >= 20 ORDER BY tok
     """))
 
+  /** Feature hashing / the hashing trick (Weinberger et al. 2009,
+    * public): project the 5-gram feature space (the hashed n-gram
+    * features of a fastText-style model — the corpus's unigram
+    * vocabulary is tiny, its 5-gram space is not) into 1024 hash
+    * buckets and audit the collision structure: the occupancy histogram
+    * (how many buckets hold k distinct features) plus the instance mass
+    * riding each occupancy class. This is the dimensionality-vs-
+    * collision report a pipeline reads before fixing the feature
+    * dimension of a hashed bag-of-words model. Cost is FEATURE-SPACE-
+    * sized after the first map-side-combined gram count — the corpus
+    * scan feeds one keyed aggregation, everything after runs on ≤
+    * distinct-gram rows, and the histogram is bounded by the bucket
+    * count. Bucket = first 12 md5 bits mod 1024, the same deterministic
+    * cross-engine hash family as every sampler here; the 5-gram builder
+    * is q_dup_gram_coverage's.
+    */
+  private val featureHashing = QueryDef(
+    "q_feature_hashing",
+    (spark, sfDir) => {
+      val perGram = Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 5)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', slice(toks, i + 1, 5)))")).as("g0"))
+        .groupBy("g0").agg(count(lit(1)).as("n_inst"))
+      perGram
+        .withColumn("b", expr(s"${Ql.md5PrefixLong("g0", 3)} % 1024"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("n_feats"), sum(col("n_inst")).as("n_instances"))
+        .groupBy("n_feats")
+        .agg(count(lit(1)).as("n_buckets"), sum(col("n_instances")).as("n_instances"))
+        .orderBy("n_feats")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 5),
+      perGram AS (
+        SELECT g0, count(*) AS n_inst
+        FROM (SELECT unnest(list_transform(generate_series(1, len(toks) - 4),
+                i -> array_to_string(toks[i:i+4], ' '))) AS g0
+              FROM t)
+        GROUP BY 1),
+      bucketed AS (
+        SELECT ${Ql.Md5PrefixLong("g0", 3)} % 1024 AS b,
+               count(*) AS n_feats,
+               CAST(sum(n_inst) AS BIGINT) AS n_instances
+        FROM perGram GROUP BY 1)
+      SELECT n_feats, count(*) AS n_buckets,
+             CAST(sum(n_instances) AS BIGINT) AS n_instances
+      FROM bucketed GROUP BY 1 ORDER BY 1
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     textStats, tfidf, langId, qualityScore, tokenCount, fingerprint,
     langRoute, bpeMerges, bm25, pmiBigrams, lmPerplexity, zipfSlope,
-    langIdF1, invertedIndex)
+    langIdF1, invertedIndex, featureHashing)
 }
