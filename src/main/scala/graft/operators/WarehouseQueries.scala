@@ -452,51 +452,54 @@ object WarehouseQueries extends QueryModule {
 
   /** ANALYZE-style column profile of lineitem — per-column row count, null
     * count, exact NDV, and min/max, the statistics a cost-based optimizer
-    * and a data-quality dashboard both feed on. ONE scan: the five
-    * per-column distinct counts ride a single multi-countDistinct
-    * aggregate (Catalyst's Expand — 5× the rows through one shuffle,
-    * not 5 scans of the fact table), then the 1-row aggregate is
-    * `stack`ed into one row per column. Numeric min/max report as
+    * and a data-quality dashboard both feed on. One aggregation PER
+    * COLUMN, each a parquet scan that reads ONLY that column (columnar
+    * pruning makes five narrow scans far cheaper than one
+    * multi-countDistinct aggregate, whose Expand pushes 5× the full row
+    * set through a single shuffle — measured 10.1 s vs ~1.5 s at sf0.1),
+    * unioned into one row per column. Numeric min/max report as
     * cent-rounded doubles and date/string min/max as strings — numbers
     * never round-trip through engine-specific double formatting. At
     * 100 TB the exact NDVs swap for approx_count_distinct / the HLL
-    * relation of q_agg_hll_merge; the plan shape is unchanged.
+    * relation of q_agg_hll_merge and the five scans fuse back into one
+    * pass (approx NDVs compose in a single agg without Expand).
     */
   private val columnProfile = QueryDef(
     "q_column_profile",
     (spark, sfDir) => {
       val li = Tables.lineitem(spark, sfDir)
-      val a = li.agg(
+      def num(name: String) = li.select(col(name)).agg(
         count(lit(1)).as("n"),
-        sum(col("l_quantity").isNull.cast("long")).as("null_qty"),
-        countDistinct(col("l_quantity")).as("ndv_qty"),
-        Ql.r(min(col("l_quantity")), 2).as("min_qty"),
-        Ql.r(max(col("l_quantity")), 2).as("max_qty"),
-        sum(col("l_extendedprice").isNull.cast("long")).as("null_price"),
-        countDistinct(col("l_extendedprice")).as("ndv_price"),
-        Ql.r(min(col("l_extendedprice")), 2).as("min_price"),
-        Ql.r(max(col("l_extendedprice")), 2).as("max_price"),
-        sum(col("l_returnflag").isNull.cast("long")).as("null_rf"),
-        countDistinct(col("l_returnflag")).as("ndv_rf"),
-        min(col("l_returnflag")).as("min_rf"),
-        max(col("l_returnflag")).as("max_rf"),
-        sum(col("l_linestatus").isNull.cast("long")).as("null_ls"),
-        countDistinct(col("l_linestatus")).as("ndv_ls"),
-        min(col("l_linestatus")).as("min_ls"),
-        max(col("l_linestatus")).as("max_ls"),
-        sum(col("l_shipdate").isNull.cast("long")).as("null_sd"),
-        countDistinct(col("l_shipdate")).as("ndv_sd"),
-        date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("min_sd"),
-        date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_sd"))
-      a.select(col("n"), expr("""stack(5,
-          'l_quantity',      null_qty,   ndv_qty,   min_qty,  max_qty,  CAST(NULL AS STRING), CAST(NULL AS STRING),
-          'l_extendedprice', null_price, ndv_price, min_price, max_price, CAST(NULL AS STRING), CAST(NULL AS STRING),
-          'l_returnflag',    null_rf,    ndv_rf,    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_rf, max_rf,
-          'l_linestatus',    null_ls,    ndv_ls,    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_ls, max_ls,
-          'l_shipdate',      null_sd,    ndv_sd,    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_sd, max_sd)
-          AS (col_name, n_null, ndv, min_num, max_num, min_str, max_str)"""))
-        .select(col("col_name"), col("n"), col("n_null"), col("ndv"),
-          col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+        sum(col(name).isNull.cast("long")).as("n_null"),
+        countDistinct(col(name)).as("ndv"),
+        Ql.r(min(col(name)), 2).as("min_num"),
+        Ql.r(max(col(name)), 2).as("max_num"))
+        .select(lit(name).as("col_name"), col("n"), col("n_null"), col("ndv"),
+          col("min_num"), col("max_num"),
+          lit(null).cast("string").as("min_str"), lit(null).cast("string").as("max_str"))
+      def str(name: String) = li.select(col(name)).agg(
+        count(lit(1)).as("n"),
+        sum(col(name).isNull.cast("long")).as("n_null"),
+        countDistinct(col(name)).as("ndv"),
+        min(col(name)).as("min_str"),
+        max(col(name)).as("max_str"))
+        .select(lit(name).as("col_name"), col("n"), col("n_null"), col("ndv"),
+          lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
+          col("min_str"), col("max_str"))
+      def dt(name: String) = li.select(col(name)).agg(
+        count(lit(1)).as("n"),
+        sum(col(name).isNull.cast("long")).as("n_null"),
+        countDistinct(col(name)).as("ndv"),
+        date_format(min(col(name)), "yyyy-MM-dd").as("min_str"),
+        date_format(max(col(name)), "yyyy-MM-dd").as("max_str"))
+        .select(lit(name).as("col_name"), col("n"), col("n_null"), col("ndv"),
+          lit(null).cast("double").as("min_num"), lit(null).cast("double").as("max_num"),
+          col("min_str"), col("max_str"))
+      num("l_quantity")
+        .unionByName(num("l_extendedprice"))
+        .unionByName(str("l_returnflag"))
+        .unionByName(str("l_linestatus"))
+        .unionByName(dt("l_shipdate"))
         .orderBy("col_name")
     },
     Some(s"""
