@@ -90,7 +90,10 @@ object Bench {
         "q_hits", "q_dup_gram_coverage",
         // r8: runs BOTH corpus dedup pipelines (exact Jaccard truth +
         // LSH candidates) — 6.3 s first vs 5.4 s steady at sf0.1
-        "q_dedup_recall")
+        "q_dedup_recall",
+        // r8 second session: iterative Bellman-Ford (per-round codegen,
+        // pagerank family) and the deg≤50 wedge join
+        "q_sssp", "q_link_pred")
     (lightWarm ++ heavyWarm)
       .filter(SparkEntry.queries.contains)
       .foreach { n =>

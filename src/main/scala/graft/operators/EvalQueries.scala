@@ -543,7 +543,70 @@ object EvalQueries extends QueryModule {
       FROM p GROUP BY 1 ORDER BY 1
     """))
 
+  /** Average precision (the area under the precision-recall curve in its
+    * standard rank-sum form) of the scored set q_auc grades, under the
+    * DETERMINISTIC total order (score DESC, vec_id) — ties broken by id
+    * so both engines walk the identical permutation and AP is exact
+    * arithmetic, not a convention. AP = (Σ_{k: rel} cum_pos(k)/k) / n_pos.
+    * The global rank and running positive count come from the two-level
+    * ordinal pattern (bucket offsets for BOTH the row ordinal and the
+    * positive prefix — no single-partition window anywhere); the oracle
+    * uses literal global windows, so the hash match proves the
+    * distributed prefix sums ARE row_number/running-sum. The final sum
+    * over positive rows carries the suite's accepted summation-order
+    * residual at 6 dp.
+    */
+  private val avgPrecision = QueryDef(
+    "q_avg_precision",
+    (spark, sfDir) => {
+      val e = Tables.embeddings(spark, sfDir)
+        .select(
+          col("vec_id"),
+          element_at(col("embedding"), 1).cast("double").as("score"),
+          when(col("label") === 0, 1L).otherwise(0L).as("pos"))
+        .withColumn("neg", -col("score"))
+        .withColumn("bkt", floor(col("neg") * lit(8.0)).cast("long"))
+      val offsets = e.groupBy("bkt")
+        .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("pcnt"))
+        .withColumn("offset",
+          coalesce(sum(col("cnt")).over(
+            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("poffset",
+          coalesce(sum(col("pcnt")).over(
+            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bkt", "offset", "poffset")
+      val inBucket = Window.partitionBy("bkt").orderBy("neg", "vec_id")
+      e.join(broadcast(offsets), "bkt")
+        .withColumn("k", col("offset") + row_number().over(inBucket))
+        .withColumn("cum_pos", col("poffset") + sum(col("pos")).over(
+          inBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .agg(
+          sum(col("pos")).as("n_pos"),
+          count(lit(1)).as("n"),
+          sum(when(col("pos") === 1L,
+            col("cum_pos").cast("double") / col("k")).otherwise(lit(0.0))).as("ap_num"))
+        .select(col("n"), col("n_pos"),
+          Ql.r(col("ap_num") / col("n_pos"), 6).as("avg_precision"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS score,
+               CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+        FROM embeddings),
+      r AS (
+        SELECT pos,
+               row_number() OVER (ORDER BY score DESC, vec_id) AS k,
+               sum(pos) OVER (ORDER BY score DESC, vec_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+        FROM e)
+      SELECT count(*) AS n,
+             CAST(sum(pos) AS BIGINT) AS n_pos,
+             ${Ql.R("sum(CASE WHEN pos = 1 THEN CAST(cum_pos AS DOUBLE) / k ELSE 0.0 END) / sum(pos)", 6)}
+               AS avg_precision
+      FROM r
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(auc, gini, ndcg, winsorize, mrr, calibrationBins, rrfFusion,
-      decileLift, kappaAgreement, brierScore)
+      decileLift, kappaAgreement, brierScore, avgPrecision)
 }

@@ -794,7 +794,86 @@ object GraphQueries extends QueryModule {
     """
     })
 
+  /** Modularity (Newman & Girvan 2004, public) of the co-purchase graph
+    * under the p_brand partition — the standard "is this community
+    * structure real" score for a labeled clustering:
+    * Q = Σ_c (e_c/m − (d_c/2m)²). Everything is integer until the final
+    * per-community arithmetic (edge and degree counts), so each
+    * community's contribution is one exact divide+multiply per row; the
+    * global Q is a window sum over the ~25-brand community table. Edge
+    * labels come from two broadcast joins of the part dimension onto the
+    * edge list — the fact side streams, the dimension broadcasts, the
+    * per-community aggregates are map-side combined.
+    */
+  private val modularity = QueryDef(
+    "q_modularity",
+    (spark, sfDir) => {
+      val edges = itemPairs(orderItems(spark, sfDir))
+        .filter(col("s_ab") >= 2).select("a", "b")
+        .localCheckpoint(true) // feeds deg and both label joins
+      val brand = Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_brand"))
+      val labeled = edges
+        .join(broadcast(brand.select(col("p_partkey").as("a"), col("p_brand").as("ca"))), "a")
+        .join(broadcast(brand.select(col("p_partkey").as("b"), col("p_brand").as("cb"))), "b")
+      val eIn = labeled.filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_in"))
+      val deg = edges.select(col("a").as("v"))
+        .unionByName(edges.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+      val dC = deg
+        .join(broadcast(brand.select(col("p_partkey").as("v"), col("p_brand").as("community"))), "v")
+        .groupBy("community")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("dg")).as("d_c"))
+      val mRow = edges.agg(count(lit(1)).as("m"))
+      val out = dC.join(eIn, Seq("community"), "left")
+        .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+        .crossJoin(broadcast(mRow))
+        .withColumn("contribution",
+          Ql.r(col("e_in").cast("double") / col("m")
+            - (col("d_c").cast("double") / (lit(2L) * col("m")))
+              * (col("d_c").cast("double") / (lit(2L) * col("m"))), 6))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      out
+        .withColumn("q_total", Ql.r(sum(col("contribution")).over(wAll), 4))
+        .select(col("community"), col("n_nodes"), col("e_in"), col("d_c"),
+          col("contribution"), col("q_total"))
+        .orderBy("community")
+    },
+    Some(s"""
+      WITH items AS ($itemsSql),
+      edges AS (SELECT a, b FROM ($pairsSql) WHERE s_ab >= 2),
+      brand AS (SELECT p_partkey, p_brand FROM part),
+      labeled AS (
+        SELECT ba.p_brand AS ca, bb.p_brand AS cb FROM edges
+          JOIN brand ba ON ba.p_partkey = a
+          JOIN brand bb ON bb.p_partkey = b),
+      ein AS (SELECT ca AS community, count(*) AS e_in FROM labeled
+              WHERE ca = cb GROUP BY 1),
+      deg AS (
+        SELECT v, count(*) AS dg FROM (
+          SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+        GROUP BY 1),
+      dc AS (
+        SELECT p_brand AS community, count(*) AS n_nodes,
+               CAST(sum(dg) AS BIGINT) AS d_c
+        FROM deg JOIN brand ON p_partkey = v GROUP BY 1),
+      m AS (SELECT count(*) AS m FROM edges),
+      rows_ AS (
+        SELECT community, n_nodes,
+               CAST(coalesce(e_in, 0) AS BIGINT) AS e_in, d_c,
+               ${Ql.R("""CAST(coalesce(e_in, 0) AS DOUBLE) / m.m
+                 - (CAST(d_c AS DOUBLE) / (2 * m.m)) * (CAST(d_c AS DOUBLE) / (2 * m.m))""", 6)}
+                 AS contribution
+        FROM dc LEFT JOIN ein USING (community), m)
+      SELECT community, n_nodes, e_in, d_c, contribution,
+             ${Ql.R("sum(contribution) OVER ()", 4)} AS q_total
+      FROM rows_ ORDER BY community
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(pagerank, marketBasket, triangleCount, itemCf, itemsets3, rfmSegments,
-      hits, assortativity, degreeHist, kcore, linkPred, sssp)
+      hits, assortativity, degreeHist, kcore, linkPred, sssp, modularity)
 }

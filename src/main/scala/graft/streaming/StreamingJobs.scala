@@ -609,6 +609,95 @@ object StreamingJobs {
     }
   }
 
+  // ---- H6: online CUSUM changepoint monitor (frozen reference mean) ----
+
+  case class CusumInput(ts: java.sql.Timestamp, event_type: String, x: Double)
+  case class CusumRef(event_type: String, mu: Double)
+  case class CusumState(s: Double, nDays: Long, lastDayUs: Long,
+      peakAbs: Double, peakDayUs: Long, peakCusum: Double)
+  case class CusumOut(event_type: String, seq: Long, n_days: Long,
+      peak_day: String, peak_cusum: Double, shift_side: String)
+
+  /** H6: the streaming twin of `q_cusum_changepoint` — an online
+    * level-shift alarm against a FROZEN reference mean from the
+    * profiling pass (StatefulProcessorWithInitialState, the
+    * [[DriftProcessor]] "load the profile, then watch the stream"
+    * shape; the batch query's full-series mean is unknowable online, so
+    * the deployed monitor pins it exactly as it pins PSI bin bounds).
+    * Per event type the state is O(1): the raw running sum s, the day
+    * count, the last-applied day (the [[EwmaProcessor]] idempotence
+    * guard against re-delivered daily rows), and the running peak
+    * (|cusum| maximum with first-day tiebreak — STRICT improvement only,
+    * matching the batch query's `abs DESC, day ASC` WindowGroupLimit
+    * pick). s accumulates raw and rounds only on emission/peak-compare
+    * (4 dp via the scalar [[graft.operators.Ql.rd]]), mirroring the
+    * batch query's round-the-window-sum arithmetic term for term: both
+    * fold the SAME 6-dp daily means in day order, so the equivalence on
+    * a day-ordered replay is exact, not approximate (ScaleSmokeSpec).
+    */
+  class CusumProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        String, CusumInput, CusumOut, CusumRef] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[(CusumState, Double, Long)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(CusumState, Double, Long)]("cusum_state",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.product[CusumState],
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInitialState(key: String, initial: CusumRef,
+        timers: TimerValues): Unit =
+      st.update((CusumState(0.0, 0L, Long.MinValue, -1.0, Long.MinValue, 0.0),
+        initial.mu, 0L))
+
+    private def micros(ts: java.sql.Timestamp): Long =
+      (ts.getTime / 1000) * 1000000L + ts.getNanos / 1000
+
+    private def dayStr(us: Long): String =
+      java.time.Instant.ofEpochSecond(us / 1000000L)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+
+    override def handleInputRows(key: String, rows: Iterator[CusumInput],
+        timers: TimerValues): Iterator[CusumOut] = {
+      val (s0, mu, seq) =
+        if (st.exists()) st.get()
+        else (CusumState(0.0, 0L, Long.MinValue, -1.0, Long.MinValue, 0.0), 0.0, 0L)
+      var s = s0
+      rows.toArray.sortBy(r => micros(r.ts)).foreach { r =>
+        val us = micros(r.ts)
+        if (us > s.lastDayUs) { // duplicate/late daily row → drop
+          val sum = s.s + (r.x - mu)
+          val c = graft.operators.Ql.rd(sum, 4)
+          val (pAbs, pDay, pC) =
+            if (math.abs(c) > s.peakAbs) (math.abs(c), us, c)
+            else (s.peakAbs, s.peakDayUs, s.peakCusum)
+          s = CusumState(sum, s.nDays + 1, us, pAbs, pDay, pC)
+        }
+      }
+      st.update((s, mu, seq + 1))
+      if (s.nDays == 0) Iterator.empty
+      else Iterator.single(CusumOut(key, seq + 1, s.nDays,
+        dayStr(s.peakDayUs), s.peakCusum,
+        if (s.peakCusum >= 0) "up" else "down"))
+    }
+  }
+
+  def cusumMonitor(daily: Dataset[CusumInput],
+      reference: Dataset[CusumRef]): Dataset[CusumOut] = {
+    import daily.sparkSession.implicits._
+    requireRocksDb(daily.sparkSession)
+    daily
+      .groupByKey(_.event_type)
+      .transformWithState(new CusumProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        reference.groupByKey(_.event_type))
+  }
+
   def ewmaStream(daily: Dataset[EwmaInput], alpha: Double = 0.3): Dataset[EwmaOut] = {
     import daily.sparkSession.implicits._
     requireRocksDb(daily.sparkSession)

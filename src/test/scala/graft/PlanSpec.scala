@@ -163,7 +163,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         "q_calibration_bins", // 1-row score-bounds broadcast for the bin width
         "q_decile_lift", // 1-row row-count broadcast for the closed-form ntile
         "q_kappa_agreement", // three 1-row confusion aggregates crossed into the report row
-        "q_brier_score") // 1-row score-bounds broadcast, as q_calibration_bins
+        "q_brier_score", // 1-row score-bounds broadcast, as q_calibration_bins
+        "q_modularity") // 1-row edge-count broadcast against the community table
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString

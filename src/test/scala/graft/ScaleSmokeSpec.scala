@@ -286,6 +286,47 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("sf0.01 online CUSUM monitor equals the batch q_cusum_changepoint peak") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs
+    val sf = "/root/testdata/sf0.01"
+    // Freeze the reference mean from the profiling pass (= the batch
+    // query's full-series mean, rounded 6 dp like the batch), replay the
+    // 6-dp daily-mean series time-sliced, and the final emission per
+    // type must equal the batch peak row EXACTLY — same fold order over
+    // the same rounded terms, not a tolerance compare.
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(operators.Ql.r(avg(col("value")), 6).as("x"))
+      .select(col("day").cast("timestamp").as("ts"), col("event_type"), col("x"))
+    val ref = daily.groupBy("event_type")
+      .agg(operators.Ql.r(avg(col("x")), 6).as("mu"))
+      .as[StreamingJobs.CusumRef]
+    val in = sliceReplay(daily, 4, "graft_cusum")
+    val src = spark.readStream.schema(daily.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .as[StreamingJobs.CusumInput]
+    val q = StreamingJobs.cusumMonitor(src, ref)
+      .writeStream.format("memory").queryName("cusum_scale")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_cusum_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "cusum stream did not finish in 180s")
+    val got = spark.table("cusum_scale")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+          .orderBy(col("seq").desc)))
+      .filter(col("rn") === 1)
+      .select("event_type", "n_days", "peak_day", "peak_cusum", "shift_side")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val want = SparkEntry.queries("q_cusum_changepoint")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(got.keySet == want.keySet, s"${got.keySet} vs ${want.keySet}")
+    want.foreach { case (k, w) => assert(got(k) == w, s"$k: ${got(k)} vs $w") }
+  }
+
   test("sf0.01 streaming SCD2 maintenance equals the batch q_scd2_history rebuild") {
     import spark.implicits._
     import graft.streaming.StreamingJobs
