@@ -606,7 +606,63 @@ object EvalQueries extends QueryModule {
       FROM r
     """))
 
+  /** Classifier KS statistic — max CDF separation between the positive
+    * and negative score distributions, the credit-scoring twin of
+    * q_auc (q_ks_drift answers "did the DATA shift"; this answers "does
+    * the SCORE separate the classes"). The maximum runs on the exact
+    * INTEGER cross-product |c_pos·N − c_neg·P| (cumulative counts times
+    * opposite totals), so the argmax — including its min-score
+    * tiebreak — is integer-exact in both engines, and only the final
+    * report divides. Same distinct-score ordinal sweep as q_auc (tiny
+    * vs the input; two-level ordinals at 100 TB).
+    */
+  private val ksScores = QueryDef(
+    "q_ks_scores",
+    (spark, sfDir) => {
+      val g = Tables.embeddings(spark, sfDir)
+        .select(
+          element_at(col("embedding"), 1).cast("double").as("score"),
+          when(col("label") === 0, 1L).otherwise(0L).as("pos"))
+        .groupBy("score")
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      g.withColumn("c_pos", sum(col("p")).over(w))
+        .withColumn("c_neg", sum(col("n") - col("p")).over(w))
+        .withColumn("t_pos", sum(col("p")).over(wAll))
+        .withColumn("t_neg", sum(col("n") - col("p")).over(wAll))
+        .withColumn("sep", abs(col("c_pos") * col("t_neg") - col("c_neg") * col("t_pos")))
+        .orderBy(col("sep").desc, col("score"))
+        .limit(1)
+        .select(
+          col("t_pos").as("n_pos"), col("t_neg").as("n_neg"),
+          Ql.r(col("score"), 6).as("ks_at_score"),
+          Ql.r(col("sep").cast("double") / (col("t_pos") * col("t_neg")), 6).as("ks"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT CAST(embedding[1] AS DOUBLE) AS score,
+               CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+        FROM embeddings),
+      g AS (SELECT score, count(*) AS n, sum(pos) AS p FROM e GROUP BY 1),
+      c AS (
+        SELECT score,
+               CAST(sum(p) OVER w AS BIGINT) AS c_pos,
+               CAST(sum(n - p) OVER w AS BIGINT) AS c_neg,
+               CAST(sum(p) OVER () AS BIGINT) AS t_pos,
+               CAST(sum(n - p) OVER () AS BIGINT) AS t_neg
+        FROM g
+        WINDOW w AS (ORDER BY score ROWS UNBOUNDED PRECEDING))
+      SELECT t_pos AS n_pos, t_neg AS n_neg,
+             ${Ql.R("score", 6)} AS ks_at_score,
+             ${Ql.R("CAST(abs(c_pos * t_neg - c_neg * t_pos) AS DOUBLE) / (t_pos * t_neg)", 6)} AS ks
+      FROM c
+      ORDER BY abs(c_pos * t_neg - c_neg * t_pos) DESC, score LIMIT 1
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(auc, gini, ndcg, winsorize, mrr, calibrationBins, rrfFusion,
-      decileLift, kappaAgreement, brierScore, avgPrecision)
+      decileLift, kappaAgreement, brierScore, avgPrecision, ksScores)
 }

@@ -980,9 +980,75 @@ object EventQueries extends QueryModule {
       GROUP BY 1, 2 ORDER BY 1, 2
     """))
 
+  /** Per-user feature-store build — the one-pass-per-shuffle-key shape a
+    * training pipeline materializes user features with: activity volume,
+    * active-day span, recency vs the corpus horizon (the q_rfm_segments
+    * 1-row max-date broadcast), value statistics, and the event-type
+    * Shannon entropy (the q_word_entropy one-pass identity
+    * H = log2 n − Σc·log2 c / n over the per-(user, type) counts). Both
+    * aggregation branches key on user_id — one co-partitioned shuffle
+    * family, joined without a second exchange. Output is the top-30
+    * users by volume (TakeOrderedAndProject); the full frame is the
+    * feature table a downstream trainer would write.
+    */
+  private val userFeatures = QueryDef(
+    "q_user_features",
+    (spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"), col("value"),
+          to_date(col("ts")).as("day"))
+      val horizon = e.agg(max(col("day")).as("maxd"))
+      val base = e.groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("day")).as("n_active_days"),
+          max(col("day")).as("last_day"),
+          Ql.r(sum(col("value")), 2).as("value_sum"),
+          Ql.r(avg(col("value")), 4).as("value_mean"))
+      val ent = e.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).cast("double").as("c"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_types"),
+          Ql.r(log2(sum(col("c"))) - sum(col("c") * log2(col("c"))) / sum(col("c")), 5)
+            .as("type_entropy"))
+      base.join(ent, "user_id")
+        .crossJoin(broadcast(horizon))
+        .withColumn("recency_days", datediff(col("maxd"), col("last_day")).cast("long"))
+        .select(col("user_id"), col("n_events"), col("n_active_days"),
+          col("recency_days"), col("n_types"), col("type_entropy"),
+          col("value_sum"), col("value_mean"))
+        .orderBy(col("n_events").desc, col("user_id"))
+        .limit(30)
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_type, value, CAST(ts AS DATE) AS day
+        FROM events),
+      horizon AS (SELECT max(day) AS maxd FROM e),
+      base AS (
+        SELECT user_id, count(*) AS n_events,
+               count(DISTINCT day) AS n_active_days,
+               max(day) AS last_day,
+               ${Ql.R("sum(value)", 2)} AS value_sum,
+               ${Ql.R("avg(value)", 4)} AS value_mean
+        FROM e GROUP BY 1),
+      tc AS (
+        SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS c
+        FROM e GROUP BY 1, 2),
+      ent AS (
+        SELECT user_id, count(*) AS n_types,
+               ${Ql.R("log2(sum(c)) - sum(c * log2(c)) / sum(c)", 5)} AS type_entropy
+        FROM tc GROUP BY 1)
+      SELECT b.user_id, n_events, n_active_days,
+             CAST(datediff('day', last_day, maxd) AS BIGINT) AS recency_days,
+             n_types, type_entropy, value_sum, value_mean
+      FROM base b JOIN ent USING (user_id), horizon
+      ORDER BY n_events DESC, b.user_id LIMIT 30
+    """))
+
   override def defs: Seq[QueryDef] = Seq(hourlyEventStats, funnel, eventPaths,
     retentionCohorts, tsResample, anomalyZscore, attribution, markov,
     funnelWindowed, ewmaDaily, madAnomaly, psiDrift, autocorr, benford,
     dowProfile, ksDrift, stickiness, timeToConvert, cusumChangepoint,
-    stlSeasonal)
+    stlSeasonal, userFeatures)
 }

@@ -546,7 +546,81 @@ object WarehouseQueries extends QueryModule {
       ORDER BY col_name
     """))
 
+  /** Zone-map (min/max file-skipping) effectiveness audit — the
+    * quantified WHY behind clustered layouts: shard lineitem 64 ways
+    * under two layouts (hash of the order key vs equi-width ranges of
+    * the ship date), build each shard's l_shipdate zone map, and measure
+    * how many shards a one-month predicate can skip. The hash layout's
+    * zone maps all span the full date range (every shard scanned); the
+    * clustered layout's are disjoint ranges (~98% skipped) — exactly the
+    * data-skipping delta a lakehouse gets from clustering on the filter
+    * column, stated as numbers instead of folklore. One scan (the
+    * layout axis rides an explode), one keyed zone-map aggregation,
+    * predicate arithmetic on a 128-row table; date bounds broadcast as
+    * a 1-row aggregate for the range-shard formula.
+    */
+  private val zoneMapAudit = QueryDef(
+    "q_zone_map_audit",
+    (spark, sfDir) => {
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("day"))
+      val b = li.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val zones = li.crossJoin(broadcast(b))
+        .withColumn("layout", explode(array(lit("clustered"), lit("hash"))))
+        .withColumn("shard",
+          when(col("layout") === "hash",
+            expr(s"${Ql.md5PrefixLong("CAST(l_orderkey AS STRING)", 4)} % 64"))
+            .otherwise(
+              least(lit(63L), floor(datediff(col("day"), col("lo")) * lit(64)
+                / (datediff(col("hi"), col("lo")) + lit(1))).cast("long"))))
+        .groupBy("layout", "shard")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+      zones
+        .withColumn("scanned",
+          (!(col("max_day") < lit("1998-03-01").cast("date") ||
+             col("min_day") > lit("1998-03-31").cast("date"))).cast("long"))
+        .groupBy("layout")
+        .agg(
+          count(lit(1)).as("n_shards"),
+          sum(col("scanned")).as("n_scanned"),
+          sum(col("n_rows")).as("rows_total"),
+          sum(col("scanned") * col("n_rows")).as("rows_scanned"))
+        .withColumn("frac_pruned",
+          Ql.r(lit(1.0) - col("n_scanned").cast("double") / col("n_shards"), 4))
+        .orderBy("layout")
+    },
+    Some(s"""
+      WITH li AS (
+        SELECT l_orderkey, CAST(l_shipdate AS DATE) AS day FROM lineitem),
+      b AS (SELECT min(day) AS lo, max(day) AS hi FROM li),
+      tagged AS (
+        SELECT layout, day,
+               CASE WHEN layout = 'hash'
+                 THEN ${Ql.Md5PrefixLong("CAST(l_orderkey AS VARCHAR)", 4)} % 64
+                 ELSE least(63, CAST(floor(datediff('day', lo, day) * 64.0
+                   / (datediff('day', lo, hi) + 1)) AS BIGINT))
+               END AS shard
+        FROM li, b, (SELECT unnest(['clustered', 'hash']) AS layout)),
+      zones AS (
+        SELECT layout, shard, count(*) AS n_rows,
+               min(day) AS min_day, max(day) AS max_day
+        FROM tagged GROUP BY 1, 2),
+      flags AS (
+        SELECT layout, n_rows,
+               CASE WHEN max_day < DATE '1998-03-01'
+                 OR min_day > DATE '1998-03-31' THEN 0 ELSE 1 END AS scanned
+        FROM zones)
+      SELECT layout, count(*) AS n_shards,
+             CAST(sum(scanned) AS BIGINT) AS n_scanned,
+             CAST(sum(n_rows) AS BIGINT) AS rows_total,
+             CAST(sum(scanned * n_rows) AS BIGINT) AS rows_scanned,
+             ${Ql.R("1.0 - CAST(sum(scanned) AS DOUBLE) / count(*)", 4)} AS frac_pruned
+      FROM flags GROUP BY 1 ORDER BY 1
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(skyline, histogram2d, zorderLayout, equidepthBins, kAnonymity,
-      shardSkew, compactionBins, cdcApply, snapshotDiff, columnProfile)
+      shardSkew, compactionBins, cdcApply, snapshotDiff, columnProfile,
+      zoneMapAudit)
 }

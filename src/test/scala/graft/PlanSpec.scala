@@ -164,7 +164,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         "q_decile_lift", // 1-row row-count broadcast for the closed-form ntile
         "q_kappa_agreement", // three 1-row confusion aggregates crossed into the report row
         "q_brier_score", // 1-row score-bounds broadcast, as q_calibration_bins
-        "q_modularity") // 1-row edge-count broadcast against the community table
+        "q_modularity", // 1-row edge-count broadcast against the community table
+        "q_zone_map_audit", // 1-row date-bounds broadcast for the range-shard formula
+        "q_user_features") // 1-row corpus-max-date broadcast for recency, as q_rfm_segments
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
