@@ -1046,9 +1046,56 @@ object EventQueries extends QueryModule {
       ORDER BY n_events DESC, b.user_id LIMIT 30
     """))
 
+  /** Time-weighted average (TWAP) per event type and day — the
+    * irregular-sampling mean a plain avg gets wrong: each observation
+    * holds until the next one, so its weight is its holding interval
+    * Δt = next_ts − ts (exact integer MICROSECONDS from one lead
+    * window), and twap = Σ value·Δt / Σ Δt. A day's last observation
+    * has no successor inside the partition and drops — per-day TWAP
+    * over the observed span, the convention documented here so both
+    * engines agree by construction. Windows partition on
+    * (event_type, day): state scales with the calendar grid, never the
+    * stream. The plain mean rides along so the sampling-bias delta is
+    * visible in the output.
+    */
+  private val twap = QueryDef(
+    "q_twap",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(spark, sfDir)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          unix_micros(col("ts")).as("us"), col("value"), col("event_id"))
+      val w = Window.partitionBy("event_type", "day").orderBy("us", "event_id")
+      e.withColumn("dt", lead(col("us"), 1).over(w) - col("us"))
+        .filter(col("dt").isNotNull)
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"),
+          Ql.r(sum(col("value") * col("dt")) / sum(col("dt")), 4).as("twap"),
+          Ql.r(avg(col("value")), 4).as("plain_mean"))
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("twap"), col("plain_mean"))
+        .orderBy("event_type", "day")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, epoch_us(ts) AS us,
+               value, event_id
+        FROM events),
+      d AS (
+        SELECT event_type, day, value,
+               lead(us) OVER (PARTITION BY event_type, day
+                 ORDER BY us, event_id) - us AS dt
+        FROM e)
+      SELECT event_type, strftime(day, '%Y-%m-%d') AS day, count(*) AS n,
+             ${Ql.R("sum(value * dt) / sum(dt)", 4)} AS twap,
+             ${Ql.R("avg(value)", 4)} AS plain_mean
+      FROM d WHERE dt IS NOT NULL
+      GROUP BY event_type, day ORDER BY 1, 2
+    """))
+
   override def defs: Seq[QueryDef] = Seq(hourlyEventStats, funnel, eventPaths,
     retentionCohorts, tsResample, anomalyZscore, attribution, markov,
     funnelWindowed, ewmaDaily, madAnomaly, psiDrift, autocorr, benford,
     dowProfile, ksDrift, stickiness, timeToConvert, cusumChangepoint,
-    stlSeasonal, userFeatures)
+    stlSeasonal, userFeatures, twap)
 }

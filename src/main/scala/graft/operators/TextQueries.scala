@@ -730,8 +730,143 @@ object TextQueries extends QueryModule {
       FROM bucketed GROUP BY 1 ORDER BY 1
     """))
 
+  /** Heaps'-law vocabulary growth (Heaps 1978, public): V(N) = K·N^β —
+    * how fast the vocabulary grows as the corpus streams in, the
+    * statistic that sizes vocabularies, hash dimensions, and dedup
+    * structures before a full pass exists. Checkpoints are ten
+    * equi-width doc-id ranges from a 1-row bounds broadcast ("arrival
+    * order" deciles); each token contributes once at its FIRST
+    * checkpoint (min doc_id — one map-side-combined aggregation over
+    * the corpus, then everything is 10-row arithmetic), instances
+    * cumulate per checkpoint the same way, and β comes from the same
+    * regr_slope log-log fit q_zipf_slope uses, as a window over the
+    * 10-row table. The whole job is one token scan + two keyed
+    * aggregations; no per-doc window anywhere.
+    */
+  private val heapsLaw = QueryDef(
+    "q_heaps_law",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(spark, sfDir)
+      val b = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      val toks = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      def ckpt(c: org.apache.spark.sql.Column) =
+        expr(s"((${c.toString} - lo) * 10) div (hi - lo + 1) + 1")
+      val newToks = toks.groupBy("tok").agg(min(col("doc_id")).as("fd"))
+        .crossJoin(broadcast(b))
+        .groupBy(ckpt(col("fd")).as("checkpoint"))
+        .agg(count(lit(1)).as("new_tokens"))
+      val inst = toks.crossJoin(broadcast(b))
+        .groupBy(ckpt(col("doc_id")).as("checkpoint"))
+        .agg(count(lit(1)).as("n_inst"))
+      val wCum = Window.orderBy("checkpoint")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      inst.join(newToks, Seq("checkpoint"), "left")
+        .withColumn("new_tokens", coalesce(col("new_tokens"), lit(0L)))
+        .withColumn("n_cum", sum(col("n_inst")).over(wCum))
+        .withColumn("v_cum", sum(col("new_tokens")).over(wCum))
+        .withColumn("beta", Ql.r(expr(
+          "regr_slope(ln(CAST(v_cum AS DOUBLE)), ln(CAST(n_cum AS DOUBLE)))").over(wAll), 4))
+        .select(col("checkpoint"), col("n_cum"), col("v_cum"), col("beta"))
+        .orderBy("checkpoint")
+    },
+    Some(s"""
+      WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+      toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      newtoks AS (
+        SELECT ((fd - lo) * 10) // (hi - lo + 1) + 1 AS checkpoint,
+               count(*) AS new_tokens
+        FROM (SELECT tok, min(doc_id) AS fd FROM toks GROUP BY 1), b
+        GROUP BY 1),
+      inst AS (
+        SELECT ((doc_id - lo) * 10) // (hi - lo + 1) + 1 AS checkpoint,
+               count(*) AS n_inst
+        FROM toks, b GROUP BY 1),
+      cum AS (
+        SELECT i.checkpoint,
+               CAST(sum(n_inst) OVER w AS BIGINT) AS n_cum,
+               CAST(sum(coalesce(new_tokens, 0)) OVER w AS BIGINT) AS v_cum
+        FROM inst i LEFT JOIN newtoks USING (checkpoint)
+        WINDOW w AS (ORDER BY i.checkpoint ROWS UNBOUNDED PRECEDING))
+      SELECT checkpoint, n_cum, v_cum,
+             ${Ql.R("regr_slope(ln(CAST(v_cum AS DOUBLE)), ln(CAST(n_cum AS DOUBLE))) OVER ()", 4)}
+               AS beta
+      FROM cum ORDER BY checkpoint
+    """))
+
+  /** Sparse tf-idf cosine similarity join — the inverted-index
+    * all-pairs similarity operator (Bayardo et al. 2007's index-join
+    * family, public) over the df≤100 RARE-TOKEN subspace: common tokens
+    * are dropped from numerators AND norms alike (the same hot-key guard
+    * as q_dedup_ngram_jaccard, here doubling as the standard stopword-
+    * style down-weighting — a df>100 token carries no discriminative
+    * signal and would make the token-keyed pair join quadratic in its
+    * posting length). Weights are ln(N/df)-scaled tf, rounded 6 dp
+    * before any product so cross-engine sums start from identical
+    * operands; score = Σ wa·wb / √(Σwa²·Σwb²), rounded 4 dp with an
+    * (a, b) tiebreak for the top-20.
+    */
+  private val sparseCosinePairs = QueryDef(
+    "q_sparse_cosine_pairs",
+    (spark, sfDir) => {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val docs = Tables.documents(spark, sfDir)
+      val nDf = docs.agg(count(lit(1)).cast("double").as("nn"))
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 100)
+      val w = tf.join(df, "tok")
+        .crossJoin(broadcast(nDf))
+        .select(col("doc_id"), col("tok"),
+          Ql.r(col("tf") * log(col("nn") / col("df")), 6).as("w"))
+        .localCheckpoint(true) // feeds both the norms and the pair join
+      val norms = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nsq"))
+      val pairs = w.select(col("doc_id").as("a"), col("tok"), col("w").as("wa"))
+        .join(w.select(col("doc_id").as("b"), col("tok"), col("w").as("wb")), "tok")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(sum(col("wa") * col("wb")).as("dot"))
+      val mine = sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
+      val out = pairs
+        .join(norms.select(col("doc_id").as("a"), col("nsq").as("na")), "a")
+        .join(norms.select(col("doc_id").as("b"), col("nsq").as("nb")), "b")
+        .select(col("a"), col("b"),
+          Ql.r(col("dot") / sqrt(col("na") * col("nb")), 4).as("cosine"))
+        .orderBy(col("cosine").desc, col("a"), col("b"))
+        .limit(20)
+        .localCheckpoint(true) // materialize before releasing w's blocks
+      mine.values.foreach(_.unpersist(blocking = false))
+      out
+    },
+    Some(s"""
+      WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM documents),
+      tf AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY 1, 2),
+      df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1 HAVING count(*) <= 100),
+      w AS (
+        SELECT doc_id, tf.tok, ${Ql.R("tf * ln(nn / df)", 6)} AS w
+        FROM tf JOIN df ON tf.tok = df.tok, n),
+      norms AS (SELECT doc_id, sum(w * w) AS nsq FROM w GROUP BY 1),
+      pairs AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, sum(x.w * y.w) AS dot
+        FROM w x JOIN w y ON x.tok = y.tok AND x.doc_id < y.doc_id
+        GROUP BY 1, 2)
+      SELECT a, b, ${Ql.R("dot / sqrt(na.nsq * nb.nsq)", 4)} AS cosine
+      FROM pairs
+        JOIN norms na ON na.doc_id = a
+        JOIN norms nb ON nb.doc_id = b
+      ORDER BY cosine DESC, a, b LIMIT 20
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     textStats, tfidf, langId, qualityScore, tokenCount, fingerprint,
     langRoute, bpeMerges, bm25, pmiBigrams, lmPerplexity, zipfSlope,
-    langIdF1, invertedIndex, featureHashing)
+    langIdF1, invertedIndex, featureHashing, heapsLaw, sparseCosinePairs)
 }

@@ -166,7 +166,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         "q_brier_score", // 1-row score-bounds broadcast, as q_calibration_bins
         "q_modularity", // 1-row edge-count broadcast against the community table
         "q_zone_map_audit", // 1-row date-bounds broadcast for the range-shard formula
-        "q_user_features") // 1-row corpus-max-date broadcast for recency, as q_rfm_segments
+        "q_user_features", // 1-row corpus-max-date broadcast for recency, as q_rfm_segments
+        "q_heaps_law", // 1-row doc-id-bounds broadcast for the checkpoint formula
+        "q_sparse_cosine_pairs") // 1-row corpus-N broadcast for idf, as q_tfidf
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
