@@ -1093,9 +1093,100 @@ object EventQueries extends QueryModule {
       GROUP BY event_type, day ORDER BY 1, 2
     """))
 
+  /** Residual-based anomaly detection — the monitoring pattern that
+    * composes q_stl_seasonal with q_anomaly_mad: remove the centered
+    * 7-day trend AND the day-of-week seasonal index first, then score
+    * what's left with the outlier-resistant modified z (0.6745·(r−med)/
+    * MAD > 3.5). A raw z-score flags every Saturday of a weekly-cycled
+    * series; the residual z only flags days that deviate from their OWN
+    * weekday's expectation under the current trend — the difference
+    * between an alarm feed people mute and one they read. Plan shape:
+    * one type×day window pass (trend), a 35-row seasonal broadcast, two
+    * grouped percentile passes (types-sized), one broadcast-back —
+    * nothing scales with event volume except the first daily rollup.
+    * Residuals are rounded 4 dp before the percentile passes; the MAD>0
+    * guard runs on the rounded value in both engines.
+    */
+  private val stlResidualAnomaly = QueryDef(
+    "q_stl_residual_anomaly",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(spark, sfDir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(Ql.r(avg(col("value")), 6).as("x"))
+      val w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+      val detrended = daily
+        .withColumn("trend", Ql.r(avg(col("x")).over(w7), 6))
+        .withColumn("frame_n", count(lit(1)).over(w7))
+        .filter(col("frame_n") === 7)
+        .withColumn("dow", dayofweek(col("day")))
+        .localCheckpoint(true) // feeds the seasonal fit and the residual scan
+      val seasonal = detrended.groupBy("event_type", "dow")
+        .agg(Ql.r(avg(col("x") - col("trend")), 6).as("seasonal"))
+      val resid = detrended.join(broadcast(seasonal), Seq("event_type", "dow"))
+        .withColumn("r", Ql.r(col("x") - col("trend") - col("seasonal"), 4))
+      val med = resid.groupBy("event_type")
+        .agg(Ql.r(expr("percentile(r, 0.5)"), 6).as("med"))
+      val mad = resid.join(broadcast(med), "event_type")
+        .withColumn("absdev", abs(col("r") - col("med")))
+        .groupBy("event_type")
+        .agg(Ql.r(expr("percentile(absdev, 0.5)"), 6).as("mad"))
+      resid.join(broadcast(med), "event_type")
+        .join(broadcast(mad), "event_type")
+        .filter(col("mad") > 0)
+        .withColumn("z", lit(0.6745) * (col("r") - col("med")) / col("mad"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          min(col("med")).as("med"), min(col("mad")).as("mad"),
+          sum((abs(col("z")) > 3.5).cast("long")).as("n_anomalies"),
+          Ql.r(max(abs(col("z"))), 4).as("max_abs_z"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               ${Ql.R("avg(value)", 6)} AS x
+        FROM events GROUP BY 1, 2),
+      t AS (
+        SELECT event_type, day, x,
+               ${Ql.R("""avg(x) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)""", 6)} AS trend,
+               count(*) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS frame_n,
+               dayofweek(day) + 1 AS dow
+        FROM daily),
+      dt AS (SELECT * FROM t WHERE frame_n = 7),
+      seasonal AS (
+        SELECT event_type, dow, ${Ql.R("avg(x - trend)", 6)} AS seasonal
+        FROM dt GROUP BY 1, 2),
+      resid AS (
+        SELECT dt.event_type, ${Ql.R("x - trend - seasonal", 4)} AS r
+        FROM dt JOIN seasonal ON dt.event_type = seasonal.event_type
+          AND dt.dow = seasonal.dow),
+      med AS (
+        SELECT event_type,
+               ${Ql.R("percentile_cont(0.5) WITHIN GROUP (ORDER BY r)", 6)} AS med
+        FROM resid GROUP BY 1),
+      mad AS (
+        SELECT r.event_type,
+               ${Ql.R("percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(r - med))", 6)} AS mad
+        FROM resid r JOIN med ON r.event_type = med.event_type
+        GROUP BY 1)
+      SELECT r.event_type, count(*) AS n_days,
+             min(med.med) AS med, min(mad.mad) AS mad,
+             CAST(sum(CASE WHEN abs(0.6745 * (r.r - med.med) / mad.mad) > 3.5
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+             ${Ql.R("max(abs(0.6745 * (r.r - med.med) / mad.mad))", 4)} AS max_abs_z
+      FROM resid r
+        JOIN med ON r.event_type = med.event_type
+        JOIN mad ON r.event_type = mad.event_type
+      WHERE mad.mad > 0
+      GROUP BY 1 ORDER BY 1
+    """))
+
   override def defs: Seq[QueryDef] = Seq(hourlyEventStats, funnel, eventPaths,
     retentionCohorts, tsResample, anomalyZscore, attribution, markov,
     funnelWindowed, ewmaDaily, madAnomaly, psiDrift, autocorr, benford,
     dowProfile, ksDrift, stickiness, timeToConvert, cusumChangepoint,
-    stlSeasonal, userFeatures, twap)
+    stlSeasonal, userFeatures, twap, stlResidualAnomaly)
 }

@@ -320,6 +320,125 @@ object SketchQueries extends QueryModule {
       ORDER BY est.event_type, est.q
     """))
 
+  /** D4d: KMV / theta sketch (Beyer et al. 2007 / the theta-sketch set
+    * algebra, public) as a RELATION — the k=256 MINIMUM md5-hash values
+    * of each time-half's (user, event-type) activity set — >k combos at
+    * sf0.01 so the ESTIMATE path is oracle-gated, <k at sf0.001 so the
+    * exact-mode fallback (fewer than k values ⇒ the sketch IS the set)
+    * is too. Distinct estimate = (k−1)·2^56 / h_k
+    * (the kth minimum); the SET ALGEBRA is what HLL cannot do: the
+    * union's k-min is the k smallest of the two sketches' union, the
+    * Jaccard estimate is the fraction of the union's k-min present in
+    * BOTH halves, and the intersection estimate follows as J·|∪|-est —
+    * sketch-only set intersection, never re-scanning raw data. Every
+    * step is integer md5 arithmetic plus exact TakeOrderedAndProject
+    * top-k (deterministic cross-engine, like every sketch here), so the
+    * oracle hash-matches the ESTIMATES; the exact distinct counts ride
+    * along and make the error visible. At 100 TB each partition keeps
+    * its own k-min relation (a merge is a union + top-k — associative,
+    * commutative, idempotent).
+    */
+  private val kmvSketch = QueryDef(
+    "q_kmv_sketch",
+    (spark, sfDir) => {
+      val hx = Ql.md5PrefixLong("concat(CAST(user_id AS STRING), ':', event_type)", 14)
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val e = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val b = e.agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      val halves = e.crossJoin(broadcast(b))
+        .withColumn("half",
+          when(col("us") < col("lo") + (col("hi") - col("lo")) / lit(2), "ref")
+            .otherwise("cur"))
+        .select(col("half"), expr(hx).as("h"))
+        .distinct()
+        .localCheckpoint(true) // feeds both k-min passes and the membership probe
+      val k = 256
+      def kmin(half: String) = halves.filter(col("half") === half)
+        .select(col("h")).orderBy("h").limit(k)
+      val refK = kmin("ref")
+      val curK = kmin("cur")
+      // fewer than k values ⇒ the sketch IS the set (exact mode);
+      // floor() explicitly — Spark's long cast truncates but DuckDB's
+      // CAST rounds, the one place the engines' cast semantics differ
+      def est(kminDf: org.apache.spark.sql.DataFrame) = kminDf
+        .agg(max(col("h")).as("hk"), count(lit(1)).as("kk"))
+        .select(when(col("kk") < k, col("kk")).otherwise(
+          floor(((col("kk") - 1) * lit(72057594037927936.0)) / col("hk")).cast("long"))
+          .as("est"))
+      val unionK = refK.unionByName(curK).distinct().orderBy("h").limit(k)
+      val both = unionK
+        .join(halves.filter(col("half") === "ref").select(col("h")), Seq("h"), "left_semi")
+        .join(halves.filter(col("half") === "cur").select(col("h")), Seq("h"), "left_semi")
+        .agg(count(lit(1)).as("n_both"))
+      val exact = halves.groupBy("half").agg(count(lit(1)).as("n"))
+      val exactRef = exact.filter(col("half") === "ref").select(col("n").as("exact_ref"))
+      val exactCur = exact.filter(col("half") === "cur").select(col("n").as("exact_cur"))
+      val exactBoth = halves.filter(col("half") === "ref").select(col("h"))
+        .join(halves.filter(col("half") === "cur").select(col("h")), Seq("h"), "left_semi")
+        .agg(count(lit(1)).as("exact_intersect"))
+      val mine = sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
+      val out = est(refK).withColumnRenamed("est", "est_ref")
+        .crossJoin(broadcast(est(curK).withColumnRenamed("est", "est_cur")))
+        .crossJoin(broadcast(est(unionK).withColumnRenamed("est", "est_union")))
+        .crossJoin(broadcast(both))
+        .crossJoin(broadcast(exactRef))
+        .crossJoin(broadcast(exactCur))
+        .crossJoin(broadcast(exactBoth))
+        .select(
+          lit(k).cast("long").as("k"),
+          col("est_ref"), col("est_cur"), col("est_union"),
+          Ql.r(col("n_both").cast("double") / lit(k), 4).as("jaccard_est"),
+          (col("n_both").cast("double") / lit(k) * col("est_union"))
+            .cast("long").as("est_intersect"),
+          col("exact_ref"), col("exact_cur"), col("exact_intersect"))
+        .localCheckpoint(true) // materialize the 1-row report, then release
+      mine.values.foreach(_.unpersist(blocking = false))
+      out
+    },
+    Some {
+      val hx = Ql.Md5PrefixLong("CAST(user_id AS VARCHAR) || ':' || event_type", 14)
+      s"""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      b AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+      halves AS (
+        SELECT DISTINCT
+               CASE WHEN us < lo + (hi - lo) / 2 THEN 'ref' ELSE 'cur' END AS half,
+               $hx AS h
+        FROM e, b),
+      refk AS (SELECT h FROM halves WHERE half = 'ref' ORDER BY h LIMIT 256),
+      curk AS (SELECT h FROM halves WHERE half = 'cur' ORDER BY h LIMIT 256),
+      unionk AS (
+        SELECT DISTINCT h FROM (SELECT h FROM refk UNION ALL SELECT h FROM curk)
+        ORDER BY h LIMIT 256),
+      estr AS (SELECT CASE WHEN count(*) < 256 THEN count(*)
+                 ELSE CAST(floor((count(*) - 1) * CAST(72057594037927936 AS DOUBLE) / max(h)) AS BIGINT)
+                 END AS est_ref FROM refk),
+      estc AS (SELECT CASE WHEN count(*) < 256 THEN count(*)
+                 ELSE CAST(floor((count(*) - 1) * CAST(72057594037927936 AS DOUBLE) / max(h)) AS BIGINT)
+                 END AS est_cur FROM curk),
+      estu AS (SELECT CASE WHEN count(*) < 256 THEN count(*)
+                 ELSE CAST(floor((count(*) - 1) * CAST(72057594037927936 AS DOUBLE) / max(h)) AS BIGINT)
+                 END AS est_union FROM unionk),
+      nboth AS (
+        SELECT count(*) AS n_both FROM unionk u
+        WHERE EXISTS (SELECT 1 FROM halves WHERE half = 'ref' AND h = u.h)
+          AND EXISTS (SELECT 1 FROM halves WHERE half = 'cur' AND h = u.h)),
+      exr AS (SELECT count(*) AS exact_ref FROM halves WHERE half = 'ref'),
+      exc AS (SELECT count(*) AS exact_cur FROM halves WHERE half = 'cur'),
+      exi AS (
+        SELECT count(*) AS exact_intersect
+        FROM (SELECT h FROM halves WHERE half = 'ref') r
+        WHERE EXISTS (SELECT 1 FROM halves c WHERE c.half = 'cur' AND c.h = r.h))
+      SELECT CAST(256 AS BIGINT) AS k, est_ref, est_cur, est_union,
+             ${Ql.R("CAST(n_both AS DOUBLE) / 256", 4)} AS jaccard_est,
+             CAST(floor(CAST(n_both AS DOUBLE) / 256 * est_union) AS BIGINT) AS est_intersect,
+             exact_ref, exact_cur, exact_intersect
+      FROM estr, estc, estu, nboth, exr, exc, exi
+    """
+    })
+
   override def defs: Seq[QueryDef] =
-    Seq(cmsHeavy, bloomDecontam, incrementalAgg, quantileSketch)
+    Seq(cmsHeavy, bloomDecontam, incrementalAgg, quantileSketch, kmvSketch)
 }
