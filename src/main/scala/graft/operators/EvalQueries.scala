@@ -556,14 +556,14 @@ object EvalQueries extends QueryModule {
     * over positive rows carries the suite's accepted summation-order
     * residual at 6 dp.
     */
-  private val avgPrecision = QueryDef(
-    "q_avg_precision",
-    (spark, sfDir) => {
-      val e = Tables.embeddings(spark, sfDir)
-        .select(
-          col("vec_id"),
-          element_at(col("embedding"), 1).cast("double").as("score"),
-          when(col("label") === 0, 1L).otherwise(0L).as("pos"))
+  /** The two-level-ordinal AP pipeline over a frame with columns
+    * `(vec_id, score, pos)` → one row (n, n_pos, avg_precision).
+    * Exposed for the definitional PropertySpec check (the oracle twin
+    * shares the rank-sum form, so only an independent sequential walk
+    * validates the formula).
+    */
+  def rankSumAp(scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val e = scored
         .withColumn("neg", -col("score"))
         .withColumn("bkt", floor(col("neg") * lit(8.0)).cast("long"))
       val offsets = e.groupBy("bkt")
@@ -587,7 +587,16 @@ object EvalQueries extends QueryModule {
             col("cum_pos").cast("double") / col("k")).otherwise(lit(0.0))).as("ap_num"))
         .select(col("n"), col("n_pos"),
           Ql.r(col("ap_num") / col("n_pos"), 6).as("avg_precision"))
-    },
+  }
+
+  private val avgPrecision = QueryDef(
+    "q_avg_precision",
+    (spark, sfDir) =>
+      rankSumAp(Tables.embeddings(spark, sfDir)
+        .select(
+          col("vec_id"),
+          element_at(col("embedding"), 1).cast("double").as("score"),
+          when(col("label") === 0, 1L).otherwise(0L).as("pos"))),
     Some(s"""
       WITH e AS (
         SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS score,

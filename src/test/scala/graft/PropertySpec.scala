@@ -90,6 +90,35 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     })
   }
 
+  test("two-level-ordinal AP equals the sequential-walk definition") {
+    // q_avg_precision's distributed rank/prefix-sum machinery must equal
+    // AP's definition: walk (score DESC, id), precision-at-k summed over
+    // relevant rows, / n_pos. The oracle twin uses literal windows over
+    // the same permutation, so only this independent sequential fold
+    // validates the two-level ordinal arithmetic itself. Integer scores
+    // force duplicate bucket keys and in-bucket ties.
+    import spark.implicits._
+    val labeled = Gen.listOfN(40,
+      Gen.zip(Gen.choose(-4, 4), Gen.oneOf(0L, 1L)))
+    check("ap", Prop.forAll(labeled) { xs =>
+      val rows = xs.zipWithIndex.map { case ((s, p), i) => (i.toLong, s.toDouble, p) }
+      val nPos = rows.count(_._3 == 1L)
+      nPos == 0 || {
+        val walk = rows.sortBy(r => (-r._2, r._1))
+        var cum = 0L
+        var apNum = 0.0
+        walk.zipWithIndex.foreach { case ((_, _, p), k) =>
+          if (p == 1L) { cum += 1; apNum += cum.toDouble / (k + 1) }
+        }
+        val expected = graft.operators.Ql.rd(apNum / nPos, 6)
+        val got = graft.operators.EvalQueries.rankSumAp(
+          rows.toDF("vec_id", "score", "pos")).collect()(0)
+        got.getLong(0) == rows.size && got.getLong(1) == nPos &&
+          got.getDouble(2) == expected
+      }
+    })
+  }
+
   test("union-all count is additive; union distinct is bounded") {
     import spark.implicits._
     check("union", Prop.forAll(rows, rows) { (xs, ys) =>
