@@ -609,6 +609,81 @@ object StreamingJobs {
     }
   }
 
+  // ---- H6: streaming weighted top-k maintenance (bounded state) ----
+
+  case class TopKInput(doc_id: Long, lang: String, n_chars: Long)
+  case class TopKState(prio: Seq[Double], ids: Seq[Long], chars: Seq[Long])
+  case class TopKOut(lang: String, seq: Long, rank: Int, doc_id: Long,
+      n_chars: Long, priority: Double)
+
+  /** H6: streaming maintenance of the per-language weighted top-k — the
+    * serving-layer twin of `q_weighted_sample`'s ranking: each arriving
+    * document computes the SAME rational priority key
+    * w·u/(1−u) (u = first 56 md5 bits of the doc id over 2^56, w =
+    * n_chars; identical IEEE operand order to the Column expression, so
+    * stream and batch ranks cannot drift by an ulp), and the state per
+    * language is the current top-k only — O(k) doubles, never a
+    * window, never the corpus. Each batch emits the refreshed ranking
+    * (Append + seq, the [[DriftProcessor]] convention); membership is a
+    * pure function of (doc_id, n_chars), so replayed documents
+    * re-insert idempotently (same key, same priority — the sorted-merge
+    * dedups by doc_id). ScaleSmokeSpec proves the final emission equals
+    * the batch per-language top-k under the production SQL expression.
+    */
+  class TopKProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, TopKInput, TopKOut] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[(TopKState, Long)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(TopKState, Long)]("topk_state",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.product[TopKState],
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    /** 56-bit md5 prefix of the doc id's decimal string — the JVM twin
+      * of [[graft.operators.Ql.md5PrefixLong]] (same UTF-8 bytes, same
+      * hex prefix, same integer).
+      */
+    private def u56(docId: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(docId.toString.getBytes("UTF-8"))
+        .take(7).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) / 7.2057594037927936e16
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[TopKInput],
+        timers: TimerValues): Iterator[TopKOut] = {
+      val (s0, seq) =
+        if (st.exists()) st.get() else (TopKState(Nil, Nil, Nil), 0L)
+      val merged = new scala.collection.mutable.HashMap[Long, (Double, Long)]
+      s0.ids.indices.foreach(i => merged(s0.ids(i)) = (s0.prio(i), s0.chars(i)))
+      rows.foreach { r =>
+        val u = u56(r.doc_id)
+        merged(r.doc_id) = (r.n_chars * u / (1.0 - u), r.n_chars)
+      }
+      val top = merged.toSeq
+        .map { case (id, (p, c)) => (p, id, c) }
+        .sortBy { case (p, id, _) => (-p, id) }
+        .take(k)
+      st.update((TopKState(top.map(_._1), top.map(_._2), top.map(_._3)), seq + 1))
+      top.iterator.zipWithIndex.map { case ((p, id, c), i) =>
+        TopKOut(key, seq + 1, i + 1, id, c, graft.operators.Ql.rd(p, 4))
+      }
+    }
+  }
+
+  def topKStream(docs: Dataset[TopKInput], k: Int = 10): Dataset[TopKOut] = {
+    import docs.sparkSession.implicits._
+    requireRocksDb(docs.sparkSession)
+    docs
+      .groupByKey(_.lang)
+      .transformWithState(new TopKProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   // ---- H6: online CUSUM changepoint monitor (frozen reference mean) ----
 
   case class CusumInput(ts: java.sql.Timestamp, event_type: String, x: Double)

@@ -327,6 +327,61 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     want.foreach { case (k, w) => assert(got(k) == w, s"$k: ${got(k)} vs $w") }
   }
 
+  test("sf0.01 streaming top-k maintenance equals the batch weighted ranking") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs
+    val sf = "/root/testdata/sf0.01"
+    // The top-k merge is commutative and membership is a pure function
+    // of the document, so ANY slicing works — stage 4 doc_id-ranged
+    // files and let the processor fold them in arrival order.
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val in = java.nio.file.Files.createTempDirectory("graft_topk_in")
+    val staging = java.nio.file.Files.createTempDirectory("graft_topk_stage")
+    (0 until 4).foreach { i =>
+      docs.filter(col("doc_id") % 4 === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/s$i")
+      val part = new java.io.File(s"$staging/s$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, in.resolve(f"slice_$i%02d.parquet"))
+    }
+    val src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .as[StreamingJobs.TopKInput]
+    val q = StreamingJobs.topKStream(src, 10)
+      .writeStream.format("memory").queryName("topk_scale")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_topk_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "top-k stream did not finish in 180s")
+    val got = spark.table("topk_scale")
+      .withColumn("maxseq", max(col("seq")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+      .filter(col("seq") === col("maxseq"))
+      .select("lang", "rank", "doc_id", "n_chars", "priority")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // batch twin: the production SQL expression (q_weighted_sample's key)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("priority").desc, col("doc_id"))
+    val want = docs
+      .withColumn("u", expr(
+        s"${operators.Ql.md5PrefixLong("CAST(doc_id AS STRING)", 14)}" +
+          " / CAST(72057594037927936 AS DOUBLE)"))
+      .withColumn("priority", col("n_chars") * col("u") / (lit(1.0) - col("u")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("lang"), col("rank"),
+        col("doc_id"), col("n_chars"), operators.Ql.r(col("priority"), 4).as("priority"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet == want.keySet,
+      s"rank-key sets differ: ${got.keySet.size} vs ${want.keySet.size}")
+    want.foreach { case (k, v) => assert(got(k) == v, s"$k: ${got(k)} vs $v") }
+  }
+
   test("sf0.01 streaming SCD2 maintenance equals the batch q_scd2_history rebuild") {
     import spark.implicits._
     import graft.streaming.StreamingJobs
