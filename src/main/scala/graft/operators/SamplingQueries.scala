@@ -165,6 +165,82 @@ object SamplingQueries extends QueryModule {
       FROM k ORDER BY pr DESC, doc_id LIMIT 50
     """))
 
+  /** A/B test readout — the experimentation operator on top of the
+    * deterministic assignment primitive: users hash into arms by the
+    * same md5-bucket rule as q_train_split (assignment is a pure
+    * function of user_id — stable under replay, immune to traffic
+    * reordering), the metric is purchase conversion, and the readout is
+    * the two-proportion z-test with a sample-ratio-mismatch guard (an
+    * SRM χ² > 3.84 means the assignment itself broke — read THAT before
+    * reading the p-value; Kohavi et al.'s standard trustworthiness
+    * check, public). Everything reduces over per-arm integer counters
+    * (one user-keyed aggregation, then arm-sized arithmetic); z and χ²
+    * are the only doubles, rounded at 4 dp.
+    */
+  private val abTest = QueryDef(
+    "q_ab_test",
+    (spark, sfDir) => {
+      val perUser = Tables.events(spark, sfDir)
+        .groupBy("user_id")
+        .agg(max((col("event_type") === "purchase" && col("value") > 180).cast("long"))
+          .as("converted"))
+        .withColumn("arm",
+          when(expr(bucketExpr("user_id")) < 50, "A").otherwise("B"))
+      val arms = perUser.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+      val a = arms.filter(col("arm") === "A")
+        .select(col("n").as("n_a"), col("conv").as("conv_a"))
+      val bb = arms.filter(col("arm") === "B")
+        .select(col("n").as("n_b"), col("conv").as("conv_b"))
+      a.crossJoin(broadcast(bb)) // two 1-row arm summaries
+        .withColumn("rate_a", Ql.r(col("conv_a").cast("double") / col("n_a"), 4))
+        .withColumn("rate_b", Ql.r(col("conv_b").cast("double") / col("n_b"), 4))
+        .withColumn("pool",
+          (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b")))
+        .withColumn("z",
+          when(col("pool") === 0.0 || col("pool") === 1.0, lit(0.0)).otherwise(Ql.r(
+            (col("conv_a").cast("double") / col("n_a") - col("conv_b").cast("double") / col("n_b"))
+              / sqrt(col("pool") * (lit(1.0) - col("pool"))
+                * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4)))
+        .withColumn("srm_chi2", Ql.r(
+          (col("n_a") - col("n_b")).cast("double") * (col("n_a") - col("n_b"))
+            / (col("n_a") + col("n_b")), 4))
+        .select(col("n_a"), col("conv_a"), col("rate_a"),
+          col("n_b"), col("conv_b"), col("rate_b"),
+          col("z"), (abs(col("z")) > 1.96).cast("int").as("significant_05"),
+          col("srm_chi2"), (col("srm_chi2") > 3.84).cast("int").as("srm_flag"))
+    },
+    Some(s"""
+      WITH perUser AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS converted,
+               CASE WHEN ${bucketSql("user_id")} < 50 THEN 'A' ELSE 'B' END AS arm
+        FROM events GROUP BY user_id),
+      arms AS (
+        SELECT arm, count(*) AS n, CAST(sum(converted) AS BIGINT) AS conv
+        FROM perUser GROUP BY 1),
+      a AS (SELECT n AS n_a, conv AS conv_a FROM arms WHERE arm = 'A'),
+      b AS (SELECT n AS n_b, conv AS conv_b FROM arms WHERE arm = 'B'),
+      s AS (
+        SELECT *,
+               CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS pool
+        FROM a, b),
+      z AS (
+        SELECT n_a, conv_a, n_b, conv_b,
+               ${Ql.R("CAST(conv_a AS DOUBLE) / n_a", 4)} AS rate_a,
+               ${Ql.R("CAST(conv_b AS DOUBLE) / n_b", 4)} AS rate_b,
+               CASE WHEN pool = 0.0 OR pool = 1.0 THEN 0.0 ELSE
+                 ${Ql.R("""(CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                 / sqrt(pool * (1.0 - pool) * (1.0 / n_a + 1.0 / n_b))""", 4)} END AS z,
+               ${Ql.R("CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / (n_a + n_b)", 4)} AS srm_chi2
+        FROM s)
+      SELECT n_a, conv_a, rate_a, n_b, conv_b, rate_b, z,
+             CAST(abs(z) > 1.96 AS INT) AS significant_05,
+             srm_chi2, CAST(srm_chi2 > 3.84 AS INT) AS srm_flag
+      FROM z
+    """))
+
   override def defs: Seq[QueryDef] =
-    Seq(trainSplit, sampleStratified, temperatureSampling, weightedSample)
+    Seq(trainSplit, sampleStratified, temperatureSampling, weightedSample,
+      abTest)
 }
