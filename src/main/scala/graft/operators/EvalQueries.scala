@@ -671,7 +671,65 @@ object EvalQueries extends QueryModule {
       ORDER BY abs(c_pos * t_neg - c_neg * t_pos) DESC, score LIMIT 1
     """))
 
+  /** Weight of evidence / information value (the credit-scorecard
+    * feature-strength metric, Siddiqi 2006, public) of the scored set:
+    * 10 equi-width score bins (the q_calibration_bins broadcast-bounds
+    * pattern), per-bin WOE = ln(frac_pos/frac_neg) with 0.5 Laplace
+    * smoothing so an empty side cannot produce ±inf in either engine,
+    * and IV = Σ(frac_pos−frac_neg)·WOE as a window sum over the 10-row
+    * bin table. Completes the scorecard triad with q_ks_scores and
+    * q_decile_lift. Fractions are exact integer ratios rounded 6 dp
+    * BEFORE the ln so both engines feed libm identical operands.
+    */
+  private val woeIv = QueryDef(
+    "q_woe_iv",
+    (spark, sfDir) => {
+      val e = Tables.embeddings(spark, sfDir)
+        .select(
+          element_at(col("embedding"), 1).cast("double").as("score"),
+          when(col("label") === 0, 1L).otherwise(0L).as("pos"))
+      val bounds = e.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+      val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      e.join(broadcast(bounds))
+        .withColumn("bin",
+          least(floor((col("score") - col("lo")) * lit(10.0)
+            / (col("hi") - col("lo"))), lit(9.0)).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+        .withColumn("n_neg", col("n") - col("n_pos"))
+        .withColumn("t_pos", sum(col("n_pos")).over(wAll))
+        .withColumn("t_neg", sum(col("n_neg")).over(wAll))
+        .withColumn("fp", Ql.r((col("n_pos") + lit(0.5)) / (col("t_pos") + lit(5.0)), 6))
+        .withColumn("fn_", Ql.r((col("n_neg") + lit(0.5)) / (col("t_neg") + lit(5.0)), 6))
+        .withColumn("woe", Ql.r(log(col("fp") / col("fn_")), 4))
+        .withColumn("iv", Ql.r(sum((col("fp") - col("fn_")) * col("woe")).over(wAll), 4))
+        .select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
+          col("woe"), col("iv"))
+        .orderBy("bin")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT CAST(embedding[1] AS DOUBLE) AS score,
+               CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+        FROM embeddings),
+      b AS (SELECT min(score) AS lo, max(score) AS hi FROM e),
+      bins AS (
+        SELECT CAST(least(floor((score - lo) * 10.0 / (hi - lo)), 9.0) AS BIGINT) AS bin,
+               count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos
+        FROM e, b GROUP BY 1),
+      f AS (
+        SELECT bin, n, n_pos, n - n_pos AS n_neg,
+               ${Ql.R("(n_pos + 0.5) / (sum(n_pos) OVER () + 5.0)", 6)} AS fp,
+               ${Ql.R("(n - n_pos + 0.5) / (sum(n - n_pos) OVER () + 5.0)", 6)} AS fn_
+        FROM bins),
+      w AS (SELECT *, ${Ql.R("ln(fp / fn_)", 4)} AS woe FROM f)
+      SELECT bin, n, n_pos, CAST(n_neg AS BIGINT) AS n_neg, woe,
+             ${Ql.R("sum((fp - fn_) * woe) OVER ()", 4)} AS iv
+      FROM w ORDER BY bin
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(auc, gini, ndcg, winsorize, mrr, calibrationBins, rrfFusion,
-      decileLift, kappaAgreement, brierScore, avgPrecision, ksScores)
+      decileLift, kappaAgreement, brierScore, avgPrecision, ksScores,
+      woeIv)
 }

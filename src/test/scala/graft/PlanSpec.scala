@@ -170,7 +170,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         "q_heaps_law", // 1-row doc-id-bounds broadcast for the checkpoint formula
         "q_sparse_cosine_pairs", // 1-row corpus-N broadcast for idf, as q_tfidf
         "q_kmv_sketch", // 1-row time-bounds broadcast + seven 1-row report aggregates
-        "q_ab_test") // two 1-row arm summaries crossed into the readout row
+        "q_ab_test", // two 1-row arm summaries crossed into the readout row
+        "q_woe_iv") // 1-row score-bounds broadcast, as q_calibration_bins
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
