@@ -8,6 +8,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the NTZ→LTZ events normalization (Tables.normalizeEventTs) is only
+      // value-preserving under a UTC session zone — pin it like Verify does
+      .config("spark.sql.session.timeZone", "UTC")
       // AQE stays on (the at-scale configuration); knob for measuring its
       // small-data planning overhead locally
       .config("spark.sql.adaptive.enabled", {
@@ -185,7 +188,11 @@ object Bench {
       val stage = java.nio.file.Files.createTempDirectory("graft_bench_stage")
       (0 until 8).foreach { i =>
         val lo = tsMin + i * width
-        raw.filter(unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < (lo + width))
+        // compare the ts COLUMN against timestamp literals (pushable into
+        // the parquet scan's row-group pruning) — wrapping ts itself in
+        // unix_micros() would make all 8 staging scans read the full table
+        raw.filter(col("ts") >= org.apache.spark.sql.functions.expr(s"timestamp_micros(${lo}L)")
+            && col("ts") < org.apache.spark.sql.functions.expr(s"timestamp_micros(${lo + width}L)"))
           .coalesce(1).write.mode("overwrite").parquet(s"$stage/s$i")
         val part = new java.io.File(s"$stage/s$i").listFiles()
           .find(_.getName.endsWith(".parquet")).get

@@ -389,25 +389,14 @@ object EvalQueries extends QueryModule {
           col("vec_id"),
           element_at(col("embedding"), 1).cast("double").as("score"),
           when(col("label") === 0, 1L).otherwise(0L).as("pos"))
-        // rank DESC via the negated score so bucket order == ordinal order
-        .withColumn("neg", -col("score"))
-        .withColumn("bkt", floor(col("neg") * lit(8.0)).cast("long"))
-      val offsets = e.groupBy("bkt").agg(count(lit(1)).as("cnt"))
-        .withColumn("offset",
-          coalesce(sum(col("cnt")).over(
-            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("bkt", "offset")
       val nRow = e.agg(count(lit(1)).as("n_total"))
-      val inBucket = Window.partitionBy("bkt").orderBy("neg", "vec_id")
-      val deciles = e
-        .join(broadcast(offsets), "bkt")
-        .withColumn("o", col("offset") + row_number().over(inBucket))
+      val deciles = scoredOrdinals(e) // the shared (score DESC, id) ordinal k
         .crossJoin(broadcast(nRow))
         .withColumn("decile", expr("""
-          CASE WHEN o <= (n_total % 10) * (n_total div 10 + 1)
-               THEN (o - 1) div (n_total div 10 + 1) + 1
+          CASE WHEN k <= (n_total % 10) * (n_total div 10 + 1)
+               THEN (k - 1) div (n_total div 10 + 1) + 1
                ELSE (n_total % 10)
-                    + (o - (n_total % 10) * (n_total div 10 + 1) - 1) div (n_total div 10) + 1
+                    + (k - (n_total % 10) * (n_total div 10 + 1) - 1) div (n_total div 10) + 1
           END"""))
         .groupBy("decile")
         .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
@@ -562,7 +551,14 @@ object EvalQueries extends QueryModule {
     * shares the rank-sum form, so only an independent sequential walk
     * validates the formula).
     */
-  def rankSumAp(scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** Global ordinal `k` under (score DESC, vec_id) and running positive
+    * count `cum_pos`, both via two-level ordinals (score-range buckets +
+    * tiny offset histograms — never a single-partition window). The one
+    * definition behind q_avg_precision AND q_decile_lift, so the
+    * property-tested ordinal arithmetic cannot drift from the lift
+    * chart's copy. Input columns (vec_id, score, pos); adds (k, cum_pos).
+    */
+  private def scoredOrdinals(scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val e = scored
         .withColumn("neg", -col("score"))
         .withColumn("bkt", floor(col("neg") * lit(8.0)).cast("long"))
@@ -580,6 +576,10 @@ object EvalQueries extends QueryModule {
         .withColumn("k", col("offset") + row_number().over(inBucket))
         .withColumn("cum_pos", col("poffset") + sum(col("pos")).over(
           inBucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def rankSumAp(scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      scoredOrdinals(scored)
         .agg(
           sum(col("pos")).as("n_pos"),
           count(lit(1)).as("n"),

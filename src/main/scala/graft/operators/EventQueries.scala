@@ -939,28 +939,32 @@ object EventQueries extends QueryModule {
     * excluded from the seasonal fit in BOTH engines (frame-size check on
     * the same integers).
     */
-  private val stlSeasonal = QueryDef(
-    "q_stl_seasonal",
-    (spark, sfDir) => {
-      import org.apache.spark.sql.expressions.Window
-      val daily = Tables.events(spark, sfDir)
-        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-        .agg(Ql.r(avg(col("value")), 6).as("x"))
-      val w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
-      daily
-        .withColumn("trend", Ql.r(avg(col("x")).over(w7), 6))
-        .withColumn("frame_n", count(lit(1)).over(w7))
-        .filter(col("frame_n") === 7) // full centered frame only
-        // Sunday=1 … Saturday=7 (the q_dow_profile convention)
-        .withColumn("dow", dayofweek(col("day")))
-        .groupBy("event_type", "dow")
-        .agg(count(lit(1)).as("n_days"),
-          Ql.r(avg(col("x") - col("trend")), 4).as("seasonal"),
-          Ql.r(avg(col("trend")), 4).as("mean_trend"))
-        .orderBy("event_type", "dow")
-    },
-    Some(s"""
-      WITH daily AS (
+  /** The shared decomposition front half: 6-dp daily means → centered
+    * 7-day trend → full-frame-only rows tagged with dow (Sunday=1, the
+    * q_dow_profile convention). One definition feeding both
+    * q_stl_seasonal and q_stl_residual_anomaly, so the trend window and
+    * rounding discipline cannot drift between the seasonal report and
+    * the detector built on it. Columns: (day, event_type, x, trend, dow).
+    */
+  private def detrendedDaily(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(Ql.r(avg(col("value")), 6).as("x"))
+    val w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    daily
+      .withColumn("trend", Ql.r(avg(col("x")).over(w7), 6))
+      .withColumn("frame_n", count(lit(1)).over(w7))
+      .filter(col("frame_n") === 7) // full centered frame only
+      .withColumn("dow", dayofweek(col("day")))
+      .drop("frame_n")
+  }
+
+  /** Oracle twin of [[detrendedDaily]] — CTE chain ending in
+    * `dt(event_type, day, x, trend, dow)`.
+    */
+  private val detrendedDailySql = s"""daily AS (
         SELECT CAST(ts AS DATE) AS day, event_type,
                ${Ql.R("avg(value)", 6)} AS x
         FROM events GROUP BY 1, 2),
@@ -969,14 +973,28 @@ object EventQueries extends QueryModule {
                ${Ql.R("""avg(x) OVER (PARTITION BY event_type ORDER BY day
                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)""", 6)} AS trend,
                count(*) OVER (PARTITION BY event_type ORDER BY day
-                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS frame_n
-        FROM daily)
-      SELECT event_type,
-             CAST(dayofweek(day) + 1 AS INT) AS dow,
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS frame_n,
+               dayofweek(day) + 1 AS dow
+        FROM daily),
+      dt AS (SELECT event_type, day, x, trend, dow FROM t WHERE frame_n = 7)"""
+
+  private val stlSeasonal = QueryDef(
+    "q_stl_seasonal",
+    (spark, sfDir) => {
+      detrendedDaily(spark, sfDir)
+        .groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n_days"),
+          Ql.r(avg(col("x") - col("trend")), 4).as("seasonal"),
+          Ql.r(avg(col("trend")), 4).as("mean_trend"))
+        .orderBy("event_type", "dow")
+    },
+    Some(s"""
+      WITH $detrendedDailySql
+      SELECT event_type, CAST(dow AS INT) AS dow,
              count(*) AS n_days,
              ${Ql.R("avg(x - trend)", 4)} AS seasonal,
              ${Ql.R("avg(trend)", 4)} AS mean_trend
-      FROM t WHERE frame_n = 7
+      FROM dt
       GROUP BY 1, 2 ORDER BY 1, 2
     """))
 
@@ -1110,16 +1128,7 @@ object EventQueries extends QueryModule {
   private val stlResidualAnomaly = QueryDef(
     "q_stl_residual_anomaly",
     (spark, sfDir) => {
-      import org.apache.spark.sql.expressions.Window
-      val daily = Tables.events(spark, sfDir)
-        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-        .agg(Ql.r(avg(col("value")), 6).as("x"))
-      val w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
-      val detrended = daily
-        .withColumn("trend", Ql.r(avg(col("x")).over(w7), 6))
-        .withColumn("frame_n", count(lit(1)).over(w7))
-        .filter(col("frame_n") === 7)
-        .withColumn("dow", dayofweek(col("day")))
+      val detrended = detrendedDaily(spark, sfDir)
         .localCheckpoint(true) // feeds the seasonal fit and the residual scan
       val seasonal = detrended.groupBy("event_type", "dow")
         .agg(Ql.r(avg(col("x") - col("trend")), 6).as("seasonal"))
@@ -1143,19 +1152,7 @@ object EventQueries extends QueryModule {
         .orderBy("event_type")
     },
     Some(s"""
-      WITH daily AS (
-        SELECT CAST(ts AS DATE) AS day, event_type,
-               ${Ql.R("avg(value)", 6)} AS x
-        FROM events GROUP BY 1, 2),
-      t AS (
-        SELECT event_type, day, x,
-               ${Ql.R("""avg(x) OVER (PARTITION BY event_type ORDER BY day
-                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)""", 6)} AS trend,
-               count(*) OVER (PARTITION BY event_type ORDER BY day
-                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS frame_n,
-               dayofweek(day) + 1 AS dow
-        FROM daily),
-      dt AS (SELECT * FROM t WHERE frame_n = 7),
+      WITH $detrendedDailySql,
       seasonal AS (
         SELECT event_type, dow, ${Ql.R("avg(x - trend)", 6)} AS seasonal
         FROM dt GROUP BY 1, 2),

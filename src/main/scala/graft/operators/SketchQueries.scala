@@ -368,10 +368,14 @@ object SketchQueries extends QueryModule {
           floor(((col("kk") - 1) * lit(72057594037927936.0)) / col("hk")).cast("long"))
           .as("est"))
       val unionK = refK.unionByName(curK).distinct().orderBy("h").limit(k)
+      // Jaccard's denominator is the union sketch's ACTUAL size, not the
+      // nominal k — in exact mode (|∪| < k) dividing by k would shrink
+      // every estimate by |∪|/k while the exact counts sit alongside
       val both = unionK
         .join(halves.filter(col("half") === "ref").select(col("h")), Seq("h"), "left_semi")
         .join(halves.filter(col("half") === "cur").select(col("h")), Seq("h"), "left_semi")
         .agg(count(lit(1)).as("n_both"))
+      val unionSize = unionK.agg(count(lit(1)).as("k_union"))
       val exact = halves.groupBy("half").agg(count(lit(1)).as("n"))
       val exactRef = exact.filter(col("half") === "ref").select(col("n").as("exact_ref"))
       val exactCur = exact.filter(col("half") === "cur").select(col("n").as("exact_cur"))
@@ -383,14 +387,15 @@ object SketchQueries extends QueryModule {
         .crossJoin(broadcast(est(curK).withColumnRenamed("est", "est_cur")))
         .crossJoin(broadcast(est(unionK).withColumnRenamed("est", "est_union")))
         .crossJoin(broadcast(both))
+        .crossJoin(broadcast(unionSize))
         .crossJoin(broadcast(exactRef))
         .crossJoin(broadcast(exactCur))
         .crossJoin(broadcast(exactBoth))
         .select(
           lit(k).cast("long").as("k"),
           col("est_ref"), col("est_cur"), col("est_union"),
-          Ql.r(col("n_both").cast("double") / lit(k), 4).as("jaccard_est"),
-          (col("n_both").cast("double") / lit(k) * col("est_union"))
+          Ql.r(col("n_both").cast("double") / col("k_union"), 4).as("jaccard_est"),
+          floor(col("n_both").cast("double") / col("k_union") * col("est_union"))
             .cast("long").as("est_intersect"),
           col("exact_ref"), col("exact_cur"), col("exact_intersect"))
         .localCheckpoint(true) // materialize the 1-row report, then release
@@ -425,6 +430,7 @@ object SketchQueries extends QueryModule {
         SELECT count(*) AS n_both FROM unionk u
         WHERE EXISTS (SELECT 1 FROM halves WHERE half = 'ref' AND h = u.h)
           AND EXISTS (SELECT 1 FROM halves WHERE half = 'cur' AND h = u.h)),
+      usize AS (SELECT count(*) AS k_union FROM unionk),
       exr AS (SELECT count(*) AS exact_ref FROM halves WHERE half = 'ref'),
       exc AS (SELECT count(*) AS exact_cur FROM halves WHERE half = 'cur'),
       exi AS (
@@ -432,10 +438,10 @@ object SketchQueries extends QueryModule {
         FROM (SELECT h FROM halves WHERE half = 'ref') r
         WHERE EXISTS (SELECT 1 FROM halves c WHERE c.half = 'cur' AND c.h = r.h))
       SELECT CAST(256 AS BIGINT) AS k, est_ref, est_cur, est_union,
-             ${Ql.R("CAST(n_both AS DOUBLE) / 256", 4)} AS jaccard_est,
-             CAST(floor(CAST(n_both AS DOUBLE) / 256 * est_union) AS BIGINT) AS est_intersect,
+             ${Ql.R("CAST(n_both AS DOUBLE) / k_union", 4)} AS jaccard_est,
+             CAST(floor(CAST(n_both AS DOUBLE) / k_union * est_union) AS BIGINT) AS est_intersect,
              exact_ref, exact_cur, exact_intersect
-      FROM estr, estc, estu, nboth, exr, exc, exi
+      FROM estr, estc, estu, nboth, usize, exr, exc, exi
     """
     })
 

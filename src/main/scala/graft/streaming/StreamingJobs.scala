@@ -29,13 +29,25 @@ object StreamingJobs {
     *
     * readStream needs an explicit schema, but the driver's events encoding
     * has changed across rounds (long nanos → TIMESTAMP(MICROS,ntz)), so the
-    * schema is probed from the files already staged in `dir` (every call
-    * site stages before starting the stream) and `ts` normalized through
-    * the same adaptive path as the batch loader.
+    * schema is probed from any files already staged in `dir` and `ts`
+    * normalized through the same adaptive path as the batch loader. An
+    * EMPTY landing zone (the start-watching-before-files-arrive shape)
+    * can't be probed — it falls back to the current driver encoding
+    * (micros NTZ), which the adaptive normalizer handles like any other.
     */
   def fileSource(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val probed = spark.read.parquet(dir).schema
+    val probed =
+      try spark.read.parquet(dir).schema
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", org.apache.spark.sql.types.TimestampNTZType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType),
+          StructField("props", StringType)))
+      }
     graft.Tables.normalizeEventTs(
       spark.readStream
         .schema(probed)
@@ -738,13 +750,21 @@ object StreamingJobs {
 
     override def handleInputRows(key: String, rows: Iterator[CusumInput],
         timers: TimerValues): Iterator[CusumOut] = {
-      val (s0, mu, seq) =
-        if (st.exists()) st.get()
-        else (CusumState(0.0, 0L, Long.MinValue, -1.0, Long.MinValue, 0.0), 0.0, 0L)
+      // a type absent from the frozen reference has no μ to monitor
+      // against — fabricating μ=0 would turn its raw running total into
+      // a permanent phantom alarm. Unprofiled keys are not monitored
+      // (the batch twin's inner join on mu drops them the same way).
+      if (!st.exists()) return Iterator.empty
+      val (s0, mu, seq) = st.get()
       var s = s0
       rows.toArray.sortBy(r => micros(r.ts)).foreach { r =>
         val us = micros(r.ts)
-        if (us > s.lastDayUs) { // duplicate/late daily row → drop
+        // day ≤ last-applied-day → drop. Within a batch the sort makes
+        // this pure duplicate suppression; ACROSS batches it assumes
+        // day-ordered replay (the documented equivalence precondition
+        // shared with EwmaProcessor) — a genuinely late cross-batch
+        // backfill day is dropped, not retro-applied.
+        if (us > s.lastDayUs) {
           val sum = s.s + (r.x - mu)
           val c = graft.operators.Ql.rd(sum, 4)
           val (pAbs, pDay, pC) =
