@@ -77,6 +77,17 @@ for name in sorted(oracle):
         print(f"[TYPE]   {name}: spark-vs-oracle column type drift: {tdrift}")
         fails.append(name)
         continue
+    # FLAT-column guard: the driver's pandas comparator raises
+    # "unhashable type: numpy.ndarray" on any array/struct/map output
+    # column (r8's q_inverted_index). This checker normalizes lists so
+    # values would compare fine — flag the shape itself instead.
+    nested = {c: t for c, t in gtypes.items()
+              if "[]" in t or t.startswith(("STRUCT", "MAP", "LIST"))}
+    if nested:
+        print(f"[NESTED] {name}: non-flat output columns (driver "
+              f"comparator cannot hash these): {nested}")
+        fails.append(name)
+        continue
     gi = sorted(range(len(gcols)), key=lambda i: gcols[i])
     ei = sorted(range(len(ecols)), key=lambda i: ecols[i])
     g = [tuple(norm(r[i]) for i in gi) for r in got]

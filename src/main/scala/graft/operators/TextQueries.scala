@@ -649,6 +649,9 @@ object TextQueries extends QueryModule {
     * posting array is sorted then truncated to 5 entries, keeping the
     * output row bounded no matter how hot the token (the 100 TB guard:
     * posting lists for stopwords would otherwise be corpus-sized rows).
+    * The head postings are emitted comma-joined (flat string, not an
+    * array column) — the cross-engine comparator requires scalar output
+    * columns, the same contract q_agg_collect follows.
     */
   private val invertedIndex = QueryDef(
     "q_inverted_index",
@@ -659,7 +662,8 @@ object TextQueries extends QueryModule {
         .agg(
           countDistinct(col("doc_id")).as("df"),
           count(lit(1)).as("tf"),
-          slice(array_sort(collect_set(col("doc_id"))), 1, 5).as("postings"))
+          array_join(slice(array_sort(collect_set(col("doc_id"))), 1, 5), ",")
+            .as("postings"))
         .filter(col("df") >= 20)
         .orderBy("tok")
     },
@@ -670,7 +674,7 @@ object TextQueries extends QueryModule {
       d AS (SELECT DISTINCT tok, doc_id FROM t),
       dd AS (
         SELECT tok, CAST(count(*) AS BIGINT) AS df,
-               (list(doc_id ORDER BY doc_id))[1:5] AS postings
+               array_to_string((list(doc_id ORDER BY doc_id))[1:5], ',') AS postings
         FROM d GROUP BY 1)
       SELECT dd.tok, dd.df, raw.tf, dd.postings
       FROM dd JOIN raw USING (tok)
