@@ -58,6 +58,24 @@ object Scratch {
       t("final agg")(labels.groupBy("lbl").count().count())
       spark.stop(); return
     }
+    if (name == "window_audit") {
+      // enumerate every query whose physical plan contains an
+      // unpartitioned Window node, with the node's child — feeds the
+      // PlanSpec single-partition-window whitelist
+      import org.apache.spark.sql.execution.window.WindowExec
+      SparkEntry.queries.keys.toSeq.sorted.foreach { q =>
+        try {
+          val df = SparkEntry.queries(q)(spark, sfDir)
+          val hits = df.queryExecution.sparkPlan.collect {
+            case w: WindowExec if w.partitionSpec.isEmpty => w
+          }
+          hits.foreach { w =>
+            println(s"[winaudit] $q :: ${w.child.simpleStringWithNodeId().take(160)}")
+          }
+        } catch { case ex: Throwable => println(s"[winaudit] $q ERROR ${ex.getMessage.take(120)}") }
+      }
+      spark.stop(); return
+    }
     if (name == "pr_profile") {
       import org.apache.spark.sql.functions._
       def t[A](label: String)(f: => A): A = {

@@ -17,15 +17,40 @@ import org.apache.spark.sql.functions._
   */
 object EvalQueries extends QueryModule {
 
+  /** Bucketed global-prefix scaffold shared by every rank/CDF sweep in
+    * this module: given a frame carrying a monotone `bkt` long column
+    * (floor of the leading sort key, so bucket order IS key order),
+    * returns the per-bucket EXCLUSIVE offsets of each requested sum as a
+    * tiny broadcastable histogram — one row per bucket; the offset
+    * window runs over the histogram, never the input. Joining the
+    * offsets back and adding an in-bucket (partitioned, distributed)
+    * window yields global row_numbers / running sums with no
+    * single-partition window anywhere: the q_global_ordinals two-level
+    * pattern, factored once so q_gini / q_rrf_fusion / rankSumAuc /
+    * q_ks_scores cannot drift from the oracle-proven shape.
+    */
+  private def bucketOffsets(e: org.apache.spark.sql.DataFrame,
+      sums: (String, Column)*): org.apache.spark.sql.DataFrame = {
+    val aggCols = sums.map { case (n, c) => sum(c).as(s"b_$n") }
+    val wPre = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    sums.foldLeft(
+      e.groupBy("bkt").agg(aggCols.head, aggCols.tail: _*)
+    ) { case (acc, (n, _)) =>
+      acc.withColumn(s"off_$n", coalesce(sum(col(s"b_$n")).over(wPre), lit(0L)))
+    }.select(col("bkt") +: sums.map { case (n, _) => col(s"off_$n") }: _*)
+  }
+
   /** ROC-AUC of a scalar score against a binary label, computed as the
     * tie-corrected Mann–Whitney U statistic: group by distinct score
     * (positives get the tie-group's AVERAGE rank), then
     * AUC = (2·Σranks⁺ − P(P+1)) / (2·P·N). Everything up to the final
     * divide is 64-bit integer arithmetic — no float associativity to
     * diverge the engines. The ordinal sweep runs over the DISTINCT-score
-    * table (tiny vs the input; same rationale as q_skyline's bucket pass —
-    * at 100 TB swap in the q_global_ordinals two-level trick).
-    * Score = first embedding component, positive class = label 0.
+    * table via the two-level bucket pattern (score-range buckets + a
+    * broadcast offset histogram — no single-partition window even when
+    * distinct scores approach input size, as they do for continuous
+    * embedding components). Score = first embedding component, positive
+    * class = label 0.
     */
   /** Tie-corrected rank-sum AUC over a DataFrame with columns
     * `score: numeric` and `pos: long ∈ {0,1}` → one row
@@ -36,9 +61,12 @@ object EvalQueries extends QueryModule {
   def rankSumAuc(scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val g = scored.groupBy("score")
       .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
-    val before = Window.orderBy("score")
+      .withColumn("bkt", floor(col("score") * lit(8.0)).cast("long"))
+    val inBucketBefore = Window.partitionBy("bkt").orderBy("score")
       .rowsBetween(Window.unboundedPreceding, -1)
-    g.withColumn("cum", coalesce(sum(col("n")).over(before), lit(0L)))
+    g.join(broadcast(bucketOffsets(g, "n" -> col("n"))), "bkt")
+      .withColumn("cum",
+        col("off_n") + coalesce(sum(col("n")).over(inBucketBefore), lit(0L)))
       .agg(
         sum(col("p") * (lit(2L) * col("cum") + col("n") + lit(1L))).as("s2"),
         sum(col("p")).as("n_pos"),
@@ -83,8 +111,10 @@ object EvalQueries extends QueryModule {
     * cent-rounded BEFORE ranking so the sort key is the identical double
     * in both engines; the index is a row_number with a key tiebreak
     * (equal-x swaps cannot change Σ i·xᵢ, but the determinism keeps the
-    * plans honest). One aggregation + one ordinal window over the
-    * already-aggregated per-customer table.
+    * plans honest). The per-customer table grows with the customer
+    * catalog, so the global ordinal is the two-level bucket rank
+    * (revenue-range buckets + broadcast offset histogram), never a
+    * single-partition window.
     */
   private val gini = QueryDef(
     "q_gini",
@@ -92,8 +122,10 @@ object EvalQueries extends QueryModule {
       val rev = Tables.orders(spark, sfDir)
         .groupBy("o_custkey")
         .agg(Ql.r(sum(col("o_totalprice")), 2).as("x"))
-      val w = Window.orderBy(col("x"), col("o_custkey"))
-      rev.withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("bkt", floor(col("x") / lit(16384.0)).cast("long"))
+      val inBucket = Window.partitionBy("bkt").orderBy(col("x"), col("o_custkey"))
+      rev.join(broadcast(bucketOffsets(rev, "cnt" -> lit(1L))), "bkt")
+        .withColumn("i", col("off_cnt") + row_number().over(inBucket).cast("long"))
         .agg(
           count(lit(1)).as("n_customers"),
           sum(col("x")).as("sx"),
@@ -330,11 +362,12 @@ object EvalQueries extends QueryModule {
     * rankings — units sold vs revenue — into one top-20: score =
     * Σ 1/(60+rankᵢ). The fusion arithmetic is two exact IEEE divisions
     * and one addition over integer ranks, so only the pre-rank sort
-    * keys need the cent-rounding contract. Ranks come from windows over
-    * the per-part AGGREGATE (20k rows at sf0.1 — bounded by the part
-    * catalog, not lineitem; at 100 TB the q_global_ordinals two-level
-    * rank swaps in). Top-20 via TakeOrderedAndProject on the rounded
-    * fused score with a key tiebreak.
+    * keys need the cent-rounding contract. The per-part aggregate grows
+    * with the part catalog, so BOTH global ranks come from the
+    * two-level bucket pattern (descending-key buckets via floor(−key/w)
+    * + broadcast offset histograms) — no single-partition window.
+    * Top-20 via TakeOrderedAndProject on the rounded fused score with a
+    * key tiebreak.
     */
   private val rrfFusion = QueryDef(
     "q_rrf_fusion",
@@ -345,10 +378,15 @@ object EvalQueries extends QueryModule {
           Ql.r(sum(col("l_quantity")), 2).as("qty"),
           Ql.r(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
             .as("rev"))
-      val byQty = Window.orderBy(col("qty").desc, col("l_partkey"))
-      val byRev = Window.orderBy(col("rev").desc, col("l_partkey"))
-      s.withColumn("qty_rank", row_number().over(byQty).cast("long"))
-        .withColumn("rev_rank", row_number().over(byRev).cast("long"))
+        .withColumn("bkt", floor(-col("qty") / lit(64.0)).cast("long"))
+      val inQty = Window.partitionBy("bkt").orderBy(col("qty").desc, col("l_partkey"))
+      val ranked1 = s.join(broadcast(bucketOffsets(s, "q" -> lit(1L))), "bkt")
+        .withColumn("qty_rank", col("off_q") + row_number().over(inQty).cast("long"))
+        .drop("bkt", "off_q")
+        .withColumn("bkt", floor(-col("rev") / lit(65536.0)).cast("long"))
+      val inRev = Window.partitionBy("bkt").orderBy(col("rev").desc, col("l_partkey"))
+      ranked1.join(broadcast(bucketOffsets(ranked1, "r" -> lit(1L))), "bkt")
+        .withColumn("rev_rank", col("off_r") + row_number().over(inRev).cast("long"))
         .select(col("l_partkey"), col("qty_rank"), col("rev_rank"),
           Ql.r(lit(1.0) / (lit(60L) + col("qty_rank"))
             + lit(1.0) / (lit(60L) + col("rev_rank")), 6).as("rrf"))
@@ -446,10 +484,14 @@ object EvalQueries extends QueryModule {
     * the ground-truth lang column, over the SAME factored
     * [[TextQueries.langConfusion]] matrix q_lang_id / q_lang_id_f1 grade —
     * chance-corrected agreement, the standard inter-rater statistic for a
-    * weak labeler vs gold labels. Observed and expected agreement are
-    * 64-bit-integer sums over the langs²-sized confusion table (pe's
-    * numerator Σ row·col stays far under 2^63 at any corpus size that fits
-    * a BIGINT row count); the only doubles are the three final divides.
+    * weak labeler vs gold labels. Observed agreement is a 64-bit-integer
+    * sum over the langs²-sized confusion table; pe's numerator Σ row·col
+    * and the n² denominator are computed in DOUBLE on both engines — a
+    * single dominant class overflows row·col past 2^63 once the corpus
+    * exceeds ~3·10⁹ documents, and Spark (non-ANSI) would wrap silently
+    * where DuckDB raises. The double sum runs over ≤ langs rows (a
+    * handful), the same accepted summation-order residual as every mean
+    * in the suite, and pe is rounded at 6 dp.
     */
   private val kappaAgreement = QueryDef(
     "q_kappa_agreement",
@@ -459,13 +501,13 @@ object EvalQueries extends QueryModule {
         .agg(coalesce(sum(col("n")), lit(0L)).as("agree"))
       val marg = conf.groupBy("lang").agg(sum(col("n")).as("row_n"))
         .join(conf.groupBy(col("pred").as("lang")).agg(sum(col("n")).as("col_n")), "lang")
-        .agg(sum(col("row_n") * col("col_n")).as("pe_num"))
+        .agg(sum(col("row_n").cast("double") * col("col_n")).as("pe_num"))
       val tot = conf.agg(sum(col("n")).as("n_docs"))
       tot.crossJoin(broadcast(diag)).crossJoin(broadcast(marg)) // three 1-row frames
         .select(
           col("n_docs"), col("agree"),
           Ql.r(col("agree").cast("double") / col("n_docs"), 6).as("po"),
-          Ql.r(col("pe_num").cast("double") / (col("n_docs") * col("n_docs")), 6).as("pe"))
+          Ql.r(col("pe_num") / (col("n_docs").cast("double") * col("n_docs")), 6).as("pe"))
         .withColumn("kappa",
           Ql.r((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6))
     },
@@ -475,7 +517,7 @@ object EvalQueries extends QueryModule {
         SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS agree
         FROM confusion WHERE lang = pred),
       marg AS (
-        SELECT CAST(sum(row_n * col_n) AS BIGINT) AS pe_num FROM (
+        SELECT sum(CAST(row_n AS DOUBLE) * col_n) AS pe_num FROM (
           SELECT r.lang, r.row_n, c.col_n FROM
             (SELECT lang, CAST(sum(n) AS BIGINT) AS row_n FROM confusion GROUP BY 1) r
             JOIN
@@ -485,7 +527,7 @@ object EvalQueries extends QueryModule {
       s AS (
         SELECT n_docs, agree,
                ${Ql.R("CAST(agree AS DOUBLE) / n_docs", 6)} AS po,
-               ${Ql.R("CAST(pe_num AS DOUBLE) / (n_docs * n_docs)", 6)} AS pe
+               ${Ql.R("pe_num / (CAST(n_docs AS DOUBLE) * n_docs)", 6)} AS pe
         FROM tot, diag, marg)
       SELECT n_docs, agree, po, pe,
              ${Ql.R("(po - pe) / (1.0 - pe)", 6)} AS kappa
@@ -622,8 +664,14 @@ object EvalQueries extends QueryModule {
     * INTEGER cross-product |c_pos·N − c_neg·P| (cumulative counts times
     * opposite totals), so the argmax — including its min-score
     * tiebreak — is integer-exact in both engines, and only the final
-    * report divides. Same distinct-score ordinal sweep as q_auc (tiny
-    * vs the input; two-level ordinals at 100 TB).
+    * report divides. Integer-exact holds while n_pos·n_neg < 2^63
+    * (≈3·10⁹ rows per class); past that, pre-bucket the scores
+    * (q_ks_drift's shape) or accept a double argmax. The cumulative
+    * CDFs run over the distinct-score table — near input-sized for a
+    * continuous score — so they use the two-level bucket pattern
+    * (broadcast offset histogram + partitioned in-bucket windows) and
+    * the class totals are a 1-row broadcast, never an
+    * unbounded-following window.
     */
   private val ksScores = QueryDef(
     "q_ks_scores",
@@ -634,14 +682,16 @@ object EvalQueries extends QueryModule {
           when(col("label") === 0, 1L).otherwise(0L).as("pos"))
         .groupBy("score")
         .agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
-      val w = Window.orderBy("score")
+        .withColumn("bkt", floor(col("score") * lit(8.0)).cast("long"))
+      val totals = g.agg(
+        sum(col("p")).as("t_pos"), sum(col("n") - col("p")).as("t_neg"))
+      val inBucket = Window.partitionBy("bkt").orderBy("score")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.orderBy("score")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      g.withColumn("c_pos", sum(col("p")).over(w))
-        .withColumn("c_neg", sum(col("n") - col("p")).over(w))
-        .withColumn("t_pos", sum(col("p")).over(wAll))
-        .withColumn("t_neg", sum(col("n") - col("p")).over(wAll))
+      g.join(broadcast(bucketOffsets(g,
+          "p" -> col("p"), "np" -> (col("n") - col("p")))), "bkt")
+        .withColumn("c_pos", col("off_p") + sum(col("p")).over(inBucket))
+        .withColumn("c_neg", col("off_np") + sum(col("n") - col("p")).over(inBucket))
+        .crossJoin(broadcast(totals))
         .withColumn("sep", abs(col("c_pos") * col("t_neg") - col("c_neg") * col("t_pos")))
         .orderBy(col("sep").desc, col("score"))
         .limit(1)

@@ -395,7 +395,11 @@ object SketchQueries extends QueryModule {
           lit(k).cast("long").as("k"),
           col("est_ref"), col("est_cur"), col("est_union"),
           Ql.r(col("n_both").cast("double") / col("k_union"), 4).as("jaccard_est"),
-          floor(col("n_both").cast("double") / col("k_union") * col("est_union"))
+          // multiply BEFORE dividing: in exact mode est_union == k_union,
+          // so n_both·est_union/k_union is an exact integer-valued double
+          // (products < 2^53) and floor() returns n_both itself; the
+          // divide-first order floors 2.999… artifacts off by one
+          floor(col("n_both").cast("double") * col("est_union") / col("k_union"))
             .cast("long").as("est_intersect"),
           col("exact_ref"), col("exact_cur"), col("exact_intersect"))
         .localCheckpoint(true) // materialize the 1-row report, then release
@@ -439,7 +443,7 @@ object SketchQueries extends QueryModule {
         WHERE EXISTS (SELECT 1 FROM halves c WHERE c.half = 'cur' AND c.h = r.h))
       SELECT CAST(256 AS BIGINT) AS k, est_ref, est_cur, est_union,
              ${Ql.R("CAST(n_both AS DOUBLE) / k_union", 4)} AS jaccard_est,
-             CAST(floor(CAST(n_both AS DOUBLE) / k_union * est_union) AS BIGINT) AS est_intersect,
+             CAST(floor(CAST(n_both AS DOUBLE) * est_union / k_union) AS BIGINT) AS est_intersect,
              exact_ref, exact_cur, exact_intersect
       FROM estr, estc, estu, nboth, usize, exr, exc, exi
     """

@@ -34,20 +34,43 @@ object StreamingJobs {
     * EMPTY landing zone (the start-watching-before-files-arrive shape)
     * can't be probed — it falls back to the current driver encoding
     * (micros NTZ), which the adaptive normalizer handles like any other.
+    *
+    * The probe also validates that every staged file agrees on the `ts`
+    * physical type and fails fast with a clear message on mixed input:
+    * a landing zone holding pre-r8 long-nanos files alongside r8
+    * micros-NTZ files (plausible across a driver-round boundary) would
+    * otherwise either die mid-stream with a parquet type mismatch or
+    * silently normalize only one encoding. One footer read per staged
+    * file, start-up only; a single encoding per directory is the
+    * documented precondition this check enforces.
     */
   def fileSource(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged =
+      if (fs.exists(dirPath))
+        fs.listStatus(dirPath)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString)
+      else Array.empty[String]
+    val tsEncodings = staged
+      .map(f => spark.read.parquet(f).schema
+        .find(_.name == "ts").map(_.dataType.sql).getOrElse("<missing>"))
+      .distinct
+    require(tsEncodings.length <= 1,
+      s"mixed ts encodings staged in $dir (${tsEncodings.mkString(", ")}): " +
+        "the file-source stream requires a single ts encoding per landing " +
+        "zone — split mixed-era files into separate directories")
     val probed =
-      try spark.read.parquet(dir).schema
-      catch {
-        case _: org.apache.spark.sql.AnalysisException => StructType(Seq(
-          StructField("event_id", LongType),
-          StructField("ts", org.apache.spark.sql.types.TimestampNTZType),
-          StructField("user_id", LongType),
-          StructField("event_type", StringType),
-          StructField("value", DoubleType),
-          StructField("props", StringType)))
-      }
+      if (staged.nonEmpty) spark.read.parquet(staged.head).schema
+      else StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", org.apache.spark.sql.types.TimestampNTZType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType)))
     graft.Tables.normalizeEventTs(
       spark.readStream
         .schema(probed)

@@ -171,7 +171,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         "q_sparse_cosine_pairs", // 1-row corpus-N broadcast for idf, as q_tfidf
         "q_kmv_sketch", // 1-row time-bounds broadcast + seven 1-row report aggregates
         "q_ab_test", // two 1-row arm summaries crossed into the readout row
-        "q_woe_iv") // 1-row score-bounds broadcast, as q_calibration_bins
+        "q_woe_iv", // 1-row score-bounds broadcast, as q_calibration_bins
+        "q_ks_scores") // 1-row class-totals broadcast (replaces the old unbounded-following window)
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
@@ -181,6 +182,36 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       if (!tinyBroadcastOk(name))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plans a BroadcastNestedLoopJoin — check join keys")
+    }
+  }
+
+  test("no single-partition windows over unbounded inputs") {
+    // An unpartitioned Window funnels its whole input through ONE task —
+    // the scale-killer class the two-level-ordinal pattern
+    // (q_global_ordinals / EvalQueries.bucketOffsets) exists to avoid.
+    // Whitelist = queries whose every unpartitioned window provably runs
+    // over a BOUNDED table (bucket/offset histograms of tens of rows,
+    // calendar grids, fixed checkpoint/bin/decile tables), each justified:
+    val boundedWindowOk = Set(
+      // bucket-offset histograms (rows = #value-range buckets, tens):
+      "q_auc", "q_avg_precision", "q_gini", "q_ks_scores", "q_rrf_fusion",
+      "q_global_ordinals", "q_equidepth_bins", "q_decile_lift",
+      "q_dedup_sorted_neighborhood", "q_skyline",
+      "q_mom_growth", // calendar-month table (rows = months in range)
+      "q_heaps_law", // fixed doc-count checkpoint table (~20 rows)
+      "q_woe_iv", // score-range bin table (10 rows by construction)
+      "q_modularity") // community table (bounded by the brand vocabulary)
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      val bad = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      if (!boundedWindowOk(name))
+        assert(bad.isEmpty,
+          s"$name plans ${bad.size} unpartitioned Window node(s) — " +
+            "single-task at scale; use the two-level bucket-offset pattern " +
+            "or whitelist with a boundedness justification")
     }
   }
 
