@@ -601,6 +601,55 @@ object GraphQueries extends QueryModule {
     * iterate-then-pin discipline as pageRank. All outputs are exact
     * integer counts: zero cross-engine float risk.
     */
+  /** Convergence-loop k-core — the variant a graph of unknown depth
+    * needs: peel until a round removes zero vertices (the oracled
+    * q_kcore keeps its fixed 3-round contract because that is what the
+    * SQL twin can express; the sf0.1 graph happens to settle in 3, a
+    * bigger graph need not). Same per-round shape as q_kcore — one keyed
+    * degree aggregation + two semi-joins — under the q_dedup_clusters
+    * loop discipline: eager localCheckpoint each round so Catalyst never
+    * re-analyzes the accumulated lineage, convergence decided on a
+    * 1-row aggregate of the checkpointed degree table, every persisted
+    * block released before returning, and a loud failure past maxRounds
+    * rather than an unconverged answer. Termination is guaranteed anyway:
+    * each non-final round strictly shrinks the vertex set, so rounds ≤
+    * |V|; the k-core fixpoint is unique (the maximal subgraph with all
+    * degrees ≥ k), so the loop cannot stabilize on a wrong answer.
+    *
+    * Input `edges` must be the symmetric directed pair list (both
+    * orientations present, no self-loops), the q_kcore convention.
+    * Returns (survivors(src, degree), rounds-to-converge).
+    */
+  def kcoreConverged(edges: org.apache.spark.sql.DataFrame, k: Int,
+      maxRounds: Int = 50): (org.apache.spark.sql.DataFrame, Int) = {
+    val sc = edges.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    var e = edges.select("src", "dst").localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val d = e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint(true)
+      val Array(nNodes, nKept) = d
+        .agg(count(lit(1)), sum(when(col("d") >= k, 1L).otherwise(0L)))
+        .head().toSeq.map(v => if (v == null) 0L else v.asInstanceOf[Long]).toArray
+      if (nKept == nNodes) converged = true
+      else {
+        val keep = d.filter(col("d") >= k).select("src")
+        e = e.join(keep, "src")
+          .join(keep.select(col("src").as("dst")), "dst")
+          .select("src", "dst")
+          .localCheckpoint(true)
+        rounds += 1
+      }
+    }
+    if (!converged)
+      throw new IllegalStateException(s"k-core did not converge in $rounds rounds")
+    val mine = sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
+    val out = e.groupBy("src").agg(count(lit(1)).as("degree")).localCheckpoint(true)
+    mine.values.foreach(_.unpersist(blocking = false))
+    (out, rounds)
+  }
+
   private val kcore = QueryDef(
     "q_kcore",
     (spark, sfDir) => {

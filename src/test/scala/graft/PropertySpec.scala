@@ -197,6 +197,38 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(s.values.sum - 1.0) < 1e-4)
   }
 
+  test("convergence-loop k-core equals brute-force peeling and outruns 3 fixed rounds") {
+    import spark.implicits._
+    // triangle (nodes 1-3, all degree 2) + an 8-node pendant chain off
+    // node 1: with k=2 exactly one chain endpoint peels per round, so
+    // convergence needs 8 rounds — the shape that proves the fixed
+    // 3-round oracled q_kcore under-peels graphs of unknown depth
+    val undirected = Seq((1L, 2L), (2L, 3L), (3L, 1L)) ++
+      (0 until 8).map(i => (if (i == 0) 1L else 100L + i, 101L + i))
+    def brute(k: Int): Map[Long, Int] = {
+      var adj = undirected.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+      var changed = true
+      while (changed) {
+        val bad = adj.groupBy(_._1).collect { case (n, es) if es.size < k => n }.toSet
+        changed = bad.nonEmpty
+        adj = adj.filter { case (a, b) => !bad(a) && !bad(b) }
+      }
+      adj.groupBy(_._1).map { case (n, es) => (n, es.size) }
+    }
+    val e = undirected.toDF("src", "dst")
+    val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val (survivors, rounds) = operators.GraphQueries.kcoreConverged(sym, 2)
+    val got = survivors.collect().map(r => (r.getLong(0), r.getLong(1).toInt)).toMap
+    assert(got == brute(2), s"k=2 core mismatch: got $got expected ${brute(2)}")
+    assert(rounds == 8, s"pendant chain must take 8 peel rounds, took $rounds")
+    // k above the max degree empties the graph; k=1 keeps everything
+    val (empty, _) = operators.GraphQueries.kcoreConverged(sym, 10)
+    assert(empty.count() == 0L)
+    val (all, r1) = operators.GraphQueries.kcoreConverged(sym, 1)
+    assert(r1 == 0 && all.count() == 11L,
+      "k=1 must converge in zero rounds with every node kept")
+  }
+
   test("pointer-jumping CC labels disjoint components independently") {
     import spark.implicits._
     // two triangles + an isolated edge — labels must be each component's min
