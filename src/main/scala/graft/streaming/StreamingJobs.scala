@@ -719,6 +719,67 @@ object StreamingJobs {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  // ---- H6: streaming inverted-index maintenance (bounded state) ----
+
+  case class TokenPosting(tok: String, doc_id: Long, cnt: Long)
+  case class InvIndexState(df: Long, tf: Long, heads: Seq[Long])
+  case class InvIndexRow(tok: String, df: Long, tf: Long, postings: String)
+
+  /** H6: streaming maintenance of the retrieval index the batch
+    * `q_inverted_index` builds — per-token document frequency, total
+    * term frequency, and the head of the sorted doc-id posting list,
+    * kept current under document arrivals (the index a serving layer
+    * reads; completes the batch q_inverted_index / q_bm25_topk retrieval
+    * family's streaming story). Input is one row per (document, token)
+    * with the in-document count — the output of a per-batch
+    * pre-aggregation, so the shuffle carries distinct pairs, not raw
+    * token occurrences. State per token is (df, tf, ≤5 smallest
+    * doc_ids): O(1), never a posting list proportional to the corpus —
+    * the same hot-stopword guard as the batch build's head-5 truncation.
+    *
+    * df/tf are commutative sums and the head is min-5 of a union, so
+    * unlike the funnel/SCD2 processors the merge is ARRIVAL-ORDER-
+    * INDEPENDENT; the equivalence precondition is exactly-once delivery
+    * per (document, token) pair — a re-delivered document would
+    * double-count df/tf (dedupByEventId upstream is the production
+    * answer; the generation-swap upsert sink already makes SINK-side
+    * replays exact). Each batch re-emits the refreshed row per touched
+    * token; tf strictly increases on every update, so it doubles as the
+    * upsert version for keep-latest-by-version materialization.
+    */
+  class InvIndexProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, TokenPosting, InvIndexRow] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[InvIndexState] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[InvIndexState]("inv_index",
+        org.apache.spark.sql.Encoders.product[InvIndexState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[TokenPosting],
+        timers: TimerValues): Iterator[InvIndexRow] = {
+      val batch = rows.toArray
+      val prev = if (st.exists()) st.get() else InvIndexState(0L, 0L, Nil)
+      val next = InvIndexState(
+        prev.df + batch.length,
+        prev.tf + batch.map(_.cnt).sum,
+        (prev.heads ++ batch.map(_.doc_id)).sorted.take(5))
+      st.update(next)
+      Iterator.single(
+        InvIndexRow(key, next.df, next.tf, next.heads.mkString(",")))
+    }
+  }
+
+  def invIndexStream(occurrences: Dataset[TokenPosting]): Dataset[InvIndexRow] = {
+    import occurrences.sparkSession.implicits._
+    requireRocksDb(occurrences.sparkSession)
+    occurrences
+      .groupByKey(_.tok)
+      .transformWithState(new InvIndexProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   // ---- H6: online CUSUM changepoint monitor (frozen reference mean) ----
 
   case class CusumInput(ts: java.sql.Timestamp, event_type: String, x: Double)

@@ -382,6 +382,46 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     want.foreach { case (k, v) => assert(got(k) == v, s"$k: ${got(k)} vs $v") }
   }
 
+  test("sf0.01 streaming inverted-index maintenance equals the batch q_inverted_index build") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs
+    val sf = "/root/testdata/sf0.01"
+    // Document-arrival replay: per-(doc, token) counts sliced into 4
+    // files by doc id (documents carry no event time — a synthetic
+    // doc_id-seconds ts drives the slicer; arrival order is irrelevant
+    // to the processor's commutative merge, exactly-once per pair is the
+    // precondition the one-shot replay satisfies). The processor
+    // maintains (df, tf, head-5 postings) per token; the upsert sink
+    // materializes keep-latest-by-tf; the result must equal the batch
+    // q_inverted_index (same df filter, same comma-joined postings).
+    val occ = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("ts", col("doc_id").cast("timestamp"))
+    val in = sliceReplay(occ, 4, "graft_invidx")
+    val src = spark.readStream.schema(occ.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .select(col("tok"), col("doc_id"), col("cnt"))
+      .as[StreamingJobs.TokenPosting]
+    val updates = StreamingJobs.invIndexStream(src).toDF()
+    val table = java.nio.file.Files.createTempDirectory("graft_invidx_table").toString
+    val q = StreamingJobs.upsertSink(updates, table,
+        java.nio.file.Files.createTempDirectory("graft_invidx_ckpt").toString,
+        key = "tok", versionCol = "tf")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "inverted-index stream did not finish in 180s")
+    val got = StreamingJobs.readUpserted(spark, table).get
+      .filter(col("df") >= 20)
+      .select("tok", "df", "tf", "postings")
+      .orderBy("tok")
+      .collect().map(_.toSeq)
+    val want = SparkEntry.queries("q_inverted_index")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(got.length == want.length, s"token count: ${got.length} vs ${want.length}")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g vs $w") }
+  }
+
   test("sf0.01 streaming SCD2 maintenance equals the batch q_scd2_history rebuild") {
     import spark.implicits._
     import graft.streaming.StreamingJobs
