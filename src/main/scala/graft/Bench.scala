@@ -262,6 +262,40 @@ object Bench {
     }.toMap
     val slowest = slowestN.headOption
     val slowestRerun = slowest.map { case (name, _) => reruns(name) }
+    // Grouped mode: the per-query loop pays a ~0.9 s plan+schedule floor
+    // per query, which at 200+ queries dominates the total and measures
+    // Spark session scheduling, not the engine. The grouped pass runs the
+    // suite in waves of SPARK_GRAFT_BENCH_GROUP queries: each wave builds
+    // its members' frames (serially — iterative queries run their eager
+    // per-round actions here), normalizes each to a 1-row count aggregate,
+    // and evaluates the whole wave as ONE union job so the scheduler
+    // overlaps the members' stages. grouped_total is the amortized-floor
+    // companion to `total`; 0 disables.
+    val groupN = sys.env.getOrElse("SPARK_GRAFT_BENCH_GROUP", "8").toInt
+    val failedSetG = failed.toSet
+    val groupedTotal: Option[Double] =
+      if (groupN <= 1) None
+      else {
+        import org.apache.spark.sql.functions.{count => cnt, lit => glit}
+        var tot = 0.0
+        results.collect { case (k, _) if !failedSetG(k) => k }
+          .toSeq.sorted.grouped(groupN).foreach { wave =>
+            val t0 = System.nanoTime()
+            try {
+              wave.map(n => SparkEntry.queries(n)(spark, sfDir).agg(cnt(glit(1))))
+                .reduce(_.unionAll(_)).count()
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] grouped wave ${wave.head}.. FAILED: ${e.getMessage}")
+            }
+            val dt = (System.nanoTime() - t0) / 1e9
+            tot += dt
+            System.err.println(
+              f"[bench] grouped wave ${wave.head}%-24s +${wave.size - 1} others $dt%7.2f s")
+            spark.catalog.clearCache()
+            if (interGc) System.gc()
+          }
+        Some(tot)
+      }
     val streamEps = if (streamSec > 0) streamRows / streamSec else 0.0
     // 3-decimal (millisecond) precision for per-query times
     def ms3(v: Double): String =
@@ -293,7 +327,9 @@ object Bench {
       val qjson = qs.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted,"queries_full":"BENCH_LOCAL.json"""" else ""
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qjson$om,"failures":$failures,"gc_in_queries_sec":${ms3(gcInQueries / 1e3)},"stream_rows":$streamRows,"stream_rows_per_sec":${streamEps.round},"median_batch_rows_per_sec":${streamMedianEps.round}$slowestJson,"steady_state_total":${ms3(steadyTotal)},"sf":"$sfDir","total_sec":${ms3(total)}}"""
+      val grouped = groupedTotal
+        .map(g => s""","grouped_total":${ms3(g)},"group_n":$groupN""").getOrElse("")
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qjson$om,"failures":$failures,"gc_in_queries_sec":${ms3(gcInQueries / 1e3)},"stream_rows":$streamRows,"stream_rows_per_sec":${streamEps.round},"median_batch_rows_per_sec":${streamMedianEps.round}$slowestJson,"steady_state_total":${ms3(steadyTotal)}$grouped,"sf":"$sfDir","total_sec":${ms3(total)}}"""
     }
     val bySlowest = results.toSeq.sortBy { case (k, v) => (-v, k) }
     val fullJson = lineFor(bySlowest, 0)
