@@ -31,7 +31,8 @@ object SparkEntry {
     operators.GraphQueries,
     operators.SketchQueries,
     operators.WarehouseQueries,
-    operators.EvalQueries)
+    operators.EvalQueries,
+    operators.FeatureQueries)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
 

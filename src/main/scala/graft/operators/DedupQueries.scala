@@ -664,8 +664,68 @@ object DedupQueries extends QueryModule {
       ORDER BY 1, 2
     """))
 
+  /** First-occurrence 8-gram novelty: every distinct 8-token shingle is
+    * attributed to the lowest doc_id containing it (corpus-order "who
+    * said it first"); a document's novelty is the fraction of its
+    * distinct 8-grams it introduced. The 15 least-novel documents are
+    * reported — on the planted corpus these are exactly the 10 plants
+    * (only the windows touching the perturbed first token are new) plus
+    * the most template-like originals. Scale shape: grams are hashed to
+    * 56-bit int64 BEFORE the distinct/groupBy shuffles (8-byte exchange
+    * keys) and hashed identically in the oracle, so even a collision
+    * cannot diverge the engines; the attribution is one groupBy(min) +
+    * one equi-join back — no all-pairs anywhere, and at 100 TB the
+    * min-doc table is the same inverted-index shape the dedup family
+    * already exchanges. Per-doc novelty is a ratio of exact integers, so
+    * the order-by-novelty top-k is deterministic across engines
+    * (doc_id tiebreak).
+    */
+  private val ngramNovelty = QueryDef(
+    "q_ngram_novelty",
+    (spark, sfDir) => {
+      val grams = withPlants(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 8), i -> concat_ws(' ', slice(toks, i + 1, 8)))")).as("g0"))
+        .select(col("doc_id"), expr(Ql.md5PrefixLong("g0", 14)).as("g"))
+        .distinct()
+      val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+      grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          Ql.r(col("n_novel") / col("n_grams").cast("double"), 4))
+        // sort on the UNROUNDED ratio (exact in both engines — ints + one
+        // division); sorting on the rounded column would manufacture ties
+        // whose doc_id tiebreak disagrees with the oracle's exact order
+        .orderBy(col("n_novel") / col("n_grams").cast("double"), col("doc_id"))
+        .limit(15)
+    },
+    Some(s"""
+      WITH g0 AS (
+        SELECT DISTINCT doc_id,
+               ${Ql.Md5PrefixLong("array_to_string(t[i + 1 : i + 8], ' ')", 14)} AS g
+        FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 8)) AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $plantsSql)
+              WHERE len(t) >= 8)),
+      f AS (SELECT g, min(doc_id) AS first_doc FROM g0 GROUP BY 1),
+      pd AS (
+        SELECT g0.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN f.first_doc = g0.doc_id THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_novel
+        FROM g0 JOIN f ON g0.g = f.g GROUP BY 1)
+      SELECT doc_id, n_grams, n_novel,
+             ${Ql.R("n_novel / CAST(n_grams AS DOUBLE)", 4)} AS novelty
+      FROM pd
+      ORDER BY n_novel / CAST(n_grams AS DOUBLE), doc_id
+      LIMIT 15
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs,
     dedupNgramJaccard, dedupEmbed, fuzzyJoin, containment, sortedNeighborhood,
-    dedupRecall)
+    dedupRecall, ngramNovelty)
 }

@@ -78,5 +78,61 @@ object MultimodalQueries extends QueryModule {
       ORDER BY doc_id, frame_idx
     """))
 
-  override def defs: Seq[QueryDef] = Seq(multimodalFeatures, multimodalFrames)
+  /** Byte-identical media dedup: group media objects by the sha-256 of
+    * the opaque binary payload (never by the payload itself — at 100 TB
+    * the shuffle moves 32-byte digests, not images) and report, per
+    * media type, object / distinct / duplicate counts and the largest
+    * duplicate group. Ten exact copies (doc_id+201000 — the offset is ≡0 mod 3
+    * so each copy keeps its original media_type bucket; payload reused
+    * from doc_id<10) are planted so the detector has known truth; the dup can only be
+    * found if it shares its original's bucket. The
+    * oracle groups by the payload's text preimage — engines need not
+    * share a hash function when only group COUNTS are compared, and a
+    * crypto hash is injective on any real corpus.
+    */
+  private val mediaDedup = QueryDef(
+    "q_media_dedup",
+    (spark, sfDir) => {
+      val docs = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      val planted = docs.unionByName(
+        docs.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 201000).as("doc_id"), col("text")))
+      planted
+        .select(
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video").as("media_type"),
+          sha2(encode(col("text"), "UTF-8"), 256).as("h"))
+        .groupBy("media_type", "h")
+        .agg(count(lit(1)).as("grp"))
+        .groupBy("media_type")
+        .agg(
+          sum("grp").as("n_objects"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("grp") - 1).as("n_dup_objects"),
+          max("grp").as("max_group"))
+        .orderBy("media_type")
+    },
+    Some("""
+      WITH m AS (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               text
+        FROM (SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 201000, text FROM documents WHERE doc_id < 10)),
+      g AS (SELECT media_type, text, CAST(count(*) AS BIGINT) AS grp
+            FROM m GROUP BY 1, 2)
+      SELECT media_type,
+             CAST(sum(grp) AS BIGINT) AS n_objects,
+             count(*) AS n_distinct,
+             CAST(sum(grp - 1) AS BIGINT) AS n_dup_objects,
+             max(grp) AS max_group
+      FROM g GROUP BY media_type ORDER BY media_type
+    """))
+
+  override def defs: Seq[QueryDef] =
+    Seq(multimodalFeatures, multimodalFrames, mediaDedup)
 }
