@@ -1181,9 +1181,187 @@ object EventQueries extends QueryModule {
       GROUP BY 1 ORDER BY 1
     """))
 
+  /** Seasonal-strength diagnostic over the shared STL decomposition
+    * ([[detrendedDaily]]): F = max(0, 1 − Var(residual)/Var(detrended))
+    * (Wang–Hyndman–Smith's feature; ≈1 when the day-of-week cycle
+    * explains the detrended variance, ≈0 when deseasonalizing buys
+    * nothing). Reuses the exact trend/seasonal discipline of
+    * q_stl_seasonal / q_stl_residual_anomaly so the strength score can
+    * never disagree with the decomposition it summarizes. The state is
+    * the calendar grid (days × event types); nothing here grows with the
+    * raw stream.
+    */
+  private val seasonalStrength = QueryDef(
+    "q_seasonal_strength",
+    (spark, sfDir) => {
+      val dt = detrendedDaily(spark, sfDir)
+        .localCheckpoint(true) // feeds the seasonal fit and the variance scan
+      val seasonal = dt.groupBy("event_type", "dow")
+        .agg(Ql.r(avg(col("x") - col("trend")), 6).as("seasonal"))
+      dt.join(seasonal, Seq("event_type", "dow"))
+        .withColumn("detr", col("x") - col("trend"))
+        .withColumn("resid", col("x") - col("trend") - col("seasonal"))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_days"),
+          Ql.r(var_samp(col("detr")), 6).as("var_detrended"),
+          Ql.r(var_samp(col("resid")), 6).as("var_residual"),
+          Ql.r(greatest(lit(0.0),
+            lit(1.0) - var_samp(col("resid")) / var_samp(col("detr"))), 4)
+            .as("seasonal_strength"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH $detrendedDailySql,
+      s AS (
+        SELECT event_type, dow, ${Ql.R("avg(x - trend)", 6)} AS seasonal
+        FROM dt GROUP BY 1, 2),
+      r AS (
+        SELECT dt.event_type, dt.x - dt.trend AS detr,
+               dt.x - dt.trend - s.seasonal AS resid
+        FROM dt JOIN s ON dt.event_type = s.event_type AND dt.dow = s.dow)
+      SELECT event_type, count(*) AS n_days,
+             ${Ql.R("var_samp(detr)", 6)} AS var_detrended,
+             ${Ql.R("var_samp(resid)", 6)} AS var_residual,
+             ${Ql.R("greatest(0.0, 1.0 - var_samp(resid) / var_samp(detr))", 4)} AS seasonal_strength
+      FROM r GROUP BY 1 ORDER BY 1
+    """))
+
+  /** 7-day rolling distinct users per day — the sliding COUNT(DISTINCT)
+    * that a range-frame window cannot express (distinct doesn't merge
+    * across frames). Shape: dedup to (user, day) once, then EXPLODE each
+    * row into the 7 target days it serves and re-aggregate — the
+    * classic turn-a-sliding-window-into-an-equi-shuffle trick: all
+    * joins/groupings key on (day), partial aggregation runs map-side,
+    * and the ×7 fan-out happens AFTER the dedup, so it multiplies the
+    * (user, day) table, not the raw stream. Only full windows (day ≥
+    * min+6) are reported.
+    */
+  private val rollingDistinct = QueryDef(
+    "q_rolling_distinct",
+    (spark, sfDir) => {
+      val ud = Tables.events(spark, sfDir)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+        .localCheckpoint(true) // feeds the fan-out, the 1-day counts, and the bounds
+      val bounds = ud.agg(min("day").as("mind"), max("day").as("maxd"))
+      val d7 = ud
+        .select(col("user_id"), explode(expr("sequence(0, 6)")).as("i"), col("day"))
+        .select(col("user_id"), date_add(col("day"), col("i")).as("tday"))
+        .groupBy("tday")
+        .agg(countDistinct(col("user_id")).as("n_users_7d"))
+      val d1 = ud.groupBy("day").agg(countDistinct(col("user_id")).as("n_users_1d"))
+      d7.join(d1, d7("tday") === d1("day"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("tday") >= date_add(col("mind"), 6) && col("tday") <= col("maxd"))
+        .select(date_format(col("tday"), "yyyy-MM-dd").as("day"),
+          col("n_users_1d"), col("n_users_7d"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      b AS (SELECT min(day) AS mind, max(day) AS maxd FROM ud),
+      t AS (SELECT day + CAST(i AS INT) AS tday, user_id
+            FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i)),
+      d7 AS (SELECT tday, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_7d
+             FROM t GROUP BY 1),
+      d1 AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_1d
+             FROM ud GROUP BY 1)
+      SELECT strftime(d7.tday, '%Y-%m-%d') AS day, n_users_1d, n_users_7d
+      FROM d7 JOIN d1 ON d7.tday = d1.day CROSS JOIN b
+      WHERE d7.tday >= b.mind + 6 AND d7.tday <= b.maxd
+      ORDER BY 1
+    """))
+
+  /** Kaplan–Meier survival of "time from first activity to first
+    * purchase" with right-censoring at the corpus horizon — the
+    * time-to-event estimate q_time_to_convert's plain averages get wrong
+    * for never-converting users. Per user: observation time t (days to
+    * first purchase, else days to the horizon) and an event flag. The
+    * KM table lives on distinct event DAYS — calendar-bounded, so the
+    * at-risk counts come from a broadcast theta-join of that tiny table
+    * against the per-user frame (a counting pass, no single-partition
+    * window), and S(h) = Π_{t≤h}(nₜ−dₜ)/nₜ is an exp-of-sum-of-logs over
+    * ≤31 exact integer ratios, reported at fixed horizons. The
+    * greatest(f, 1e-300) floor keeps a fully-dying last stratum finite
+    * in both engines.
+    */
+  private val kaplanMeier = QueryDef(
+    "q_kaplan_meier",
+    (spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+      val horizon = e.agg(max("day").as("maxd"))
+      val obs = e.groupBy("user_id")
+        .agg(min("day").as("d0"),
+          min(when(col("event_type") === "purchase", col("day"))).as("dp"))
+        .crossJoin(broadcast(horizon))
+        .select(
+          when(col("dp").isNotNull, datediff(col("dp"), col("d0")))
+            .otherwise(datediff(col("maxd"), col("d0"))).cast("long").as("t"),
+          col("dp").isNotNull.cast("long").as("ev"))
+        .localCheckpoint(true) // feeds deaths, at-risk counts, and horizon counts
+      val deaths = obs.filter(col("ev") === 1)
+        .groupBy("t").agg(count(lit(1)).as("d"))
+      val factors = obs.select(col("t").as("ot"))
+        .join(broadcast(deaths), col("ot") >= col("t"))
+        .groupBy("t", "d").agg(count(lit(1)).as("n"))
+        .select(col("t"), col("d"), col("n"),
+          ((col("n") - col("d")) / col("n").cast("double")).as("f"))
+      val hz = obs.sparkSession.range(1)
+        .select(explode(expr("array(1L, 3L, 7L, 14L, 30L)")).as("h"))
+      val surv = hz.join(broadcast(factors), col("t") <= col("h"), "left")
+        .groupBy("h")
+        .agg(
+          coalesce(Ql.r(exp(sum(log(greatest(col("f"), lit(1e-300))))), 6),
+            lit(1.0)).as("survival"),
+          coalesce(sum("d"), lit(0L)).as("n_conv_by_h"))
+      val atRisk = obs.select(col("t").as("ot"))
+        .join(broadcast(hz), col("ot") >= col("h"))
+        .groupBy("h").agg(count(lit(1)).as("n_risk"))
+      surv.join(atRisk, Seq("h"), "left")
+        .select(col("h"), coalesce(col("n_risk"), lit(0L)).as("n_risk"),
+          col("n_conv_by_h"), col("survival"))
+        .orderBy("h")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_type, CAST(ts AS DATE) AS day FROM events),
+      horizon AS (SELECT max(day) AS maxd FROM e),
+      obs AS (
+        SELECT CAST(CASE WHEN dp IS NOT NULL THEN datediff('day', d0, dp)
+                         ELSE datediff('day', d0, maxd) END AS BIGINT) AS t,
+               CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM (SELECT user_id, min(day) AS d0,
+                     min(CASE WHEN event_type = 'purchase' THEN day END) AS dp
+              FROM e GROUP BY 1) CROSS JOIN horizon),
+      deaths AS (SELECT t, CAST(count(*) AS BIGINT) AS d
+                 FROM obs WHERE ev = 1 GROUP BY 1),
+      factors AS (
+        SELECT d.t, d.d, CAST(count(*) AS BIGINT) AS n,
+               (CAST(count(*) AS BIGINT) - d.d) / CAST(count(*) AS DOUBLE) AS f
+        FROM obs o JOIN deaths d ON o.t >= d.t
+        GROUP BY d.t, d.d),
+      hz AS (SELECT CAST(unnest([1, 3, 7, 14, 30]) AS BIGINT) AS h),
+      surv AS (
+        SELECT h,
+               coalesce(${Ql.R("exp(sum(ln(greatest(f, 1e-300))))", 6)}, 1.0) AS survival,
+               CAST(coalesce(sum(d), 0) AS BIGINT) AS n_conv_by_h
+        FROM hz LEFT JOIN factors ON factors.t <= hz.h
+        GROUP BY h),
+      ar AS (
+        SELECT h, CAST(count(*) AS BIGINT) AS n_risk
+        FROM obs JOIN hz ON obs.t >= hz.h GROUP BY 1)
+      SELECT s.h, CAST(coalesce(ar.n_risk, 0) AS BIGINT) AS n_risk,
+             n_conv_by_h, survival
+      FROM surv s LEFT JOIN ar ON s.h = ar.h
+      ORDER BY s.h
+    """))
+
   override def defs: Seq[QueryDef] = Seq(hourlyEventStats, funnel, eventPaths,
     retentionCohorts, tsResample, anomalyZscore, attribution, markov,
     funnelWindowed, ewmaDaily, madAnomaly, psiDrift, autocorr, benford,
     dowProfile, ksDrift, stickiness, timeToConvert, cusumChangepoint,
-    stlSeasonal, userFeatures, twap, stlResidualAnomaly)
+    stlSeasonal, userFeatures, twap, stlResidualAnomaly,
+    seasonalStrength, rollingDistinct, kaplanMeier)
 }
