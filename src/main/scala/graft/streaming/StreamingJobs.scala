@@ -780,6 +780,66 @@ object StreamingJobs {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  // ---- D4×H6: streaming mergeable-sketch maintenance (HLL distinct) ----
+
+  case class HllInput(event_type: String, user_id: Long)
+  case class HllRow(event_type: String, n_rows: Long, estimate: Long)
+
+  /** Streaming twin of the batch `hll_sketch_estimate(hll_sketch_agg(x))`
+    * pair (the D4 mergeable-sketch family): per event type the state is
+    * ONE serialized datasketches HllSketch — lgConfigK=12, HLL_8, the
+    * exact constants Spark's HllSketchAgg hardcodes (verified against the
+    * spark-catalyst 4.1.2 bytecode: `bipush 12`, `TgtHllType.HLL_8`,
+    * LongType → `HllSketch.update(J)`, and the SQL estimate is
+    * `Math.round(getEstimate)`). Because HLL updates are commutative AND
+    * idempotent-on-duplicates-of-a-value, the replay-equivalence proof
+    * needs no arrival-order or delivery-count precondition at all: any
+    * slicing of the input — even with redelivered rows, as long as every
+    * row arrives at least once — produces the byte-identical sketch a
+    * single batch pass builds, so the streamed estimate equals the batch
+    * expression EXACTLY, not within tolerance. This is the property that
+    * lets a serving layer keep per-key cardinalities hot under arrivals
+    * and still reconcile against nightly batch backfills. n_rows counts
+    * rows seen (at-least-once visible, so it is NOT exactly-once stable;
+    * it strictly increases per update and serves as the upsert version).
+    */
+  class HllDistinctProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, HllInput, HllRow] {
+    import org.apache.datasketches.hll.{HllSketch, TgtHllType}
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var sk: ValueState[Array[Byte]] = _
+    @transient private var nRows: ValueState[Long] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+      sk = getHandle.getValueState[Array[Byte]]("hll_sketch",
+        org.apache.spark.sql.Encoders.BINARY, TTLConfig.NONE)
+      nRows = getHandle.getValueState[Long]("hll_rows",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[HllInput],
+        timers: TimerValues): Iterator[HllRow] = {
+      val sketch =
+        if (sk.exists()) HllSketch.heapify(sk.get())
+        else new HllSketch(12, TgtHllType.HLL_8)
+      var seen = 0L
+      rows.foreach { r => sketch.update(r.user_id); seen += 1 }
+      val total = (if (nRows.exists()) nRows.get() else 0L) + seen
+      sk.update(sketch.toUpdatableByteArray)
+      nRows.update(total)
+      Iterator.single(HllRow(key, total, Math.round(sketch.getEstimate)))
+    }
+  }
+
+  def hllDistinctStream(in: Dataset[HllInput]): Dataset[HllRow] = {
+    import in.sparkSession.implicits._
+    requireRocksDb(in.sparkSession)
+    in.groupByKey(_.event_type)
+      .transformWithState(new HllDistinctProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   // ---- H6: online CUSUM changepoint monitor (frozen reference mean) ----
 
   case class CusumInput(ts: java.sql.Timestamp, event_type: String, x: Double)

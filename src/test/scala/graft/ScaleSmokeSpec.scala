@@ -422,6 +422,44 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     got.zip(want).foreach { case (g, w) => assert(g == w, s"$g vs $w") }
   }
 
+  test("sf0.01 streaming HLL maintenance equals the batch hll_sketch_agg estimate exactly") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs
+    val sf = "/root/testdata/sf0.01"
+    // Mergeable-sketch maintenance: replay the event stream time-sliced,
+    // let HllDistinctProcessor fold each (event_type, user_id) into the
+    // per-key sketch, materialize through the upsert sink, and compare
+    // against the batch hll_sketch_agg/hll_sketch_estimate expression.
+    // HLL folding is commutative and duplicate-insensitive, so the
+    // equality is EXACT (same lgK=12/HLL_8/update(long)/Math.round path
+    // as Spark's aggregate) — no tolerance, no ordering precondition.
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("ts"))
+    val in = sliceReplay(ev, 4, "graft_hll")
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .select(col("event_type"), col("user_id"))
+      .as[StreamingJobs.HllInput]
+    val updates = StreamingJobs.hllDistinctStream(src).toDF()
+    val table = java.nio.file.Files.createTempDirectory("graft_hll_table").toString
+    val q = StreamingJobs.upsertSink(updates, table,
+        java.nio.file.Files.createTempDirectory("graft_hll_ckpt").toString,
+        key = "event_type", versionCol = "n_rows")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "hll stream did not finish in 180s")
+    val got = StreamingJobs.readUpserted(spark, table).get
+      .select("event_type", "n_rows", "estimate")
+      .orderBy("event_type").collect().map(_.toSeq)
+    val want = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("estimate"))
+      .orderBy("event_type").collect().map(_.toSeq)
+    assert(got.length == want.length, s"key count: ${got.length} vs ${want.length}")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g vs $w") }
+  }
+
   test("sf0.01 streaming SCD2 maintenance equals the batch q_scd2_history rebuild") {
     import spark.implicits._
     import graft.streaming.StreamingJobs
