@@ -598,8 +598,53 @@ object CurationQueries extends QueryModule {
       ORDER BY doc_id
     """))
 
+  /** Data-mixing weights toward a uniform language target: per language,
+    * the corpus's token share and the sampling weight
+    * w_l = target_share / current_share (= total/(n_langs·toks_l)) that
+    * a mixture sampler would apply per document so one training epoch
+    * sees languages uniformly — the deterministic core of
+    * mixture-reweighting recipes (target shares are a policy input; the
+    * uniform target keeps the oracle literal-free). w > 1 means
+    * upsampling (epochs over that slice), w < 1 downsampling. Everything
+    * is ratios of exact BIGINT token counts evaluated with the same
+    * expression structure in both engines; the per-language table is
+    * mixture-sized (bounded), so the only corpus-scale work is the one
+    * token-count aggregation, which partial-aggregates map-side.
+    */
+  private val mixWeights = QueryDef(
+    "q_mix_weights",
+    (spark, sfDir) => {
+      val perLang = Tables.documents(spark, sfDir)
+        .select(col("lang"), size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("toks"))
+      val tot = perLang.agg(count(lit(1)).as("n_langs"), sum("toks").as("total"))
+      perLang.crossJoin(broadcast(tot))
+        .select(
+          col("lang"), col("n_docs"), col("toks"),
+          Ql.r(col("toks") / col("total").cast("double"), 6).as("tok_share"),
+          Ql.r(col("total").cast("double") / (col("n_langs") * col("toks")), 4)
+            .as("mix_weight"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents),
+      l AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(toks) AS BIGINT) AS toks
+            FROM d GROUP BY 1),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n_langs,
+                   CAST(sum(toks) AS BIGINT) AS total FROM l)
+      SELECT lang, n_docs, toks,
+             ${Ql.R("toks / CAST(total AS DOUBLE)", 6)} AS tok_share,
+             ${Ql.R("CAST(total AS DOUBLE) / (n_langs * toks)", 4)} AS mix_weight
+      FROM l CROSS JOIN t
+      ORDER BY lang
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(segmentDedup, repetitionFilter, domainBudget, wordEntropy,
       globalOrdinals, chi2Terms, klDivergence, dupGramCoverage,
-      gopherQuality, piiRedact)
+      gopherQuality, piiRedact, mixWeights)
 }

@@ -778,8 +778,62 @@ object EvalQueries extends QueryModule {
       FROM w ORDER BY bin
     """))
 
+  /** One Wilson-score 95% bound (Wilson 1927), as SQL text shared
+    * verbatim by both engines over columns `p` (the exact k/n double)
+    * and `n` — identical expression structure ⇒ identical IEEE result,
+    * so the interval needs only the standard rounding nudge. The z²
+    * term stays written as (1.96 * 1.96) so both engines fold the SAME
+    * product rather than a pre-rounded Scala constant.
+    */
+  private def wilsonBound(sign: String): String = {
+    val z2 = "(1.96 * 1.96)"
+    s"((p + $z2 / (2 * n) $sign 1.96 * sqrt(p * (1.0 - p) / n + $z2 / (4 * n * n))) / (1.0 + $z2 / n))"
+  }
+
+  /** Wilson-score 95% confidence interval for the high-value-order rate
+    * per market segment — the small-n-safe binomial CI a release
+    * dashboard should show instead of the ±z√(pq/n) Wald interval
+    * (which collapses at p≈0 and overshoots [0,1]). Counts come from one
+    * broadcast-joined aggregation (customer segment is a dimension
+    * lookup); the interval arithmetic is per-group scalar math over
+    * exact integers, so the segment table never re-shuffles.
+    */
+  private val wilsonCi = QueryDef(
+    "q_wilson_ci",
+    (spark, sfDir) => {
+      val counts = Tables.orders(spark, sfDir)
+        .join(broadcast(Tables.customer(spark, sfDir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_totalprice") > 250000.0, 1L).otherwise(0L)).as("k"))
+      counts
+        .withColumn("p", col("k") / col("n").cast("double"))
+        .selectExpr("c_mktsegment", "n", "k",
+          s"${Ql.R("p", 6)} AS rate",
+          s"${Ql.R(wilsonBound("-"), 6)} AS ci_lo",
+          s"${Ql.R(wilsonBound("+"), 6)} AS ci_hi")
+        .orderBy("c_mktsegment")
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_totalprice > 250000.0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS k
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1),
+      w AS (SELECT c_mktsegment, n, k, k / CAST(n AS DOUBLE) AS p FROM c)
+      SELECT c_mktsegment, n, k,
+             ${Ql.R("p", 6)} AS rate,
+             ${Ql.R(wilsonBound("-"), 6)} AS ci_lo,
+             ${Ql.R(wilsonBound("+"), 6)} AS ci_hi
+      FROM w
+      ORDER BY c_mktsegment
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(auc, gini, ndcg, winsorize, mrr, calibrationBins, rrfFusion,
       decileLift, kappaAgreement, brierScore, avgPrecision, ksScores,
-      woeIv)
+      woeIv, wilsonCi)
 }

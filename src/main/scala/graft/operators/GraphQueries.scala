@@ -922,7 +922,71 @@ object GraphQueries extends QueryModule {
       FROM rows_ ORDER BY community
     """))
 
+  /** 2-hop neighborhood closure size per part on the support≥3
+    * co-purchase graph: |{u : dist(v,u) ≤ 2}|, the "friend-of-friend"
+    * reach that seeds influence/recall estimates. Shape: symmetrize the
+    * [[itemPairs]] edge set once, DEGREE-CAP the expansion pivots (only
+    * mids with degree ≤ 100 relay a 2-hop path — the same hub-cap rule
+    * the dedup family applies to shingles, applied IDENTICALLY in the
+    * oracle so the cap is a shared definition, not an approximation),
+    * then one mid-keyed self-join + a distinct + a per-src count. The
+    * join fans out O(Σ deg(mid)²) over capped mids only — bounded at any
+    * scale; without the cap one celebrity part would quadratically
+    * dominate the shuffle. Top-20 by closure size (TakeOrderedAndProject).
+    */
+  private val graph2hop = QueryDef(
+    "q_graph_2hop",
+    (spark, sfDir) => {
+      val pairs = itemPairs(orderItems(spark, sfDir))
+        .filter(col("s_ab") >= 3)
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(true) // feeds degrees + both sides of the 2-hop join
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      val relay = deg.filter(col("d") <= 100).select(col("src").as("mid"))
+      // relay is node-sized (grows with the catalog) — a keyed semi-shape
+      // join, NOT a broadcast
+      val twoHop = edges.select(col("src"), col("dst").as("mid"))
+        .join(relay, "mid")
+        .join(edges.select(col("src").as("mid"), col("dst").as("d2")), "mid")
+        .filter(col("src") =!= col("d2"))
+        .select(col("src"), col("d2").as("reach"))
+        .unionByName(edges.select(col("src"), col("dst").as("reach")))
+        .distinct()
+      twoHop.groupBy("src").agg(count(lit(1)).as("n_reach"))
+        .join(deg, "src")
+        .select(col("src").as("part"), col("d").as("degree"), col("n_reach"))
+        .orderBy(col("n_reach").desc, col("part"))
+        .limit(20)
+    },
+    Some(s"""
+      WITH items AS ($itemsSql),
+      pairs AS ($pairsSql),
+      sup AS (SELECT a, b FROM pairs WHERE s_ab >= 3),
+      edges AS (SELECT a AS src, b AS dst FROM sup
+                UNION ALL SELECT b, a FROM sup),
+      deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+              FROM edges GROUP BY 1),
+      relay AS (SELECT src AS mid FROM deg WHERE d <= 100),
+      reach AS (
+        SELECT DISTINCT src, reach FROM (
+          SELECT e1.src, e2.dst AS reach
+          FROM edges e1
+            JOIN relay r ON e1.dst = r.mid
+            JOIN edges e2 ON e1.dst = e2.src
+          WHERE e1.src <> e2.dst
+          UNION ALL
+          SELECT src, dst FROM edges))
+      SELECT g.src AS part, deg.d AS degree,
+             CAST(g.n_reach AS BIGINT) AS n_reach
+      FROM (SELECT src, count(*) AS n_reach FROM reach GROUP BY 1) g
+        JOIN deg ON g.src = deg.src
+      ORDER BY n_reach DESC, part
+      LIMIT 20
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(pagerank, marketBasket, triangleCount, itemCf, itemsets3, rfmSegments,
-      hits, assortativity, degreeHist, kcore, linkPred, sssp, modularity)
+      hits, assortativity, degreeHist, kcore, linkPred, sssp, modularity,
+      graph2hop)
 }

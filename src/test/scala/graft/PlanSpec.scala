@@ -172,7 +172,13 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         "q_kmv_sketch", // 1-row time-bounds broadcast + seven 1-row report aggregates
         "q_ab_test", // two 1-row arm summaries crossed into the readout row
         "q_woe_iv", // 1-row score-bounds broadcast, as q_calibration_bins
-        "q_ks_scores") // 1-row class-totals broadcast (replaces the old unbounded-following window)
+        "q_ks_scores", // 1-row class-totals broadcast (replaces the old unbounded-following window)
+        "q_kaplan_meier", // 5-row horizon + ≤31-row day-factor broadcasts (calendar-bounded theta joins)
+        "q_target_encode", // 1-row global-prior broadcast
+        "q_neyman_alloc", // 1-row allocation-normalizer broadcast
+        "q_mutual_info", // 1-row corpus-total broadcast into the cell/margin tables
+        "q_mix_weights", // 1-row (n_langs, total-tokens) broadcast
+        "q_rolling_distinct") // 1-row date-bounds broadcast for the full-window filter
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
