@@ -299,4 +299,90 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(edge(0).getInt(2) == 2)
     assert(edge(1).isNullAt(2))
   }
+
+  test("q_kaplan_meier equals a sequential brute-force KM over sf0.001") {
+    // The query computes S(h) via a theta-join + exp-of-sum-of-logs; the
+    // oracle twin shares that shape, so the independent check is the
+    // DEFINITION: sort observations, walk event days sequentially, and
+    // take the literal product Π (n_t − d_t)/n_t. Exact-integer fields
+    // must match exactly; survival to 6 dp within one rounding ulp
+    // (direct product vs exp(Σln) differ only in last-bit residue).
+    val sf = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toLocalDate))
+    val maxd = rows.map(_._3).max
+    val obs = rows.groupBy(_._1).values.map { es =>
+      val d0 = es.map(_._3).min
+      val dp = es.filter(_._2 == "purchase").map(_._3) match {
+        case e if e.isEmpty => None
+        case e => Some(e.min)
+      }
+      val t = dp.map(p => java.time.temporal.ChronoUnit.DAYS.between(d0, p))
+        .getOrElse(java.time.temporal.ChronoUnit.DAYS.between(d0, maxd))
+      (t, dp.isDefined)
+    }.toSeq
+    val deaths = obs.filter(_._2).groupBy(_._1).view.mapValues(_.size).toMap
+    val got = SparkEntry.queries("q_kaplan_meier")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == Seq(1L, 3L, 7L, 14L, 30L))
+    got.foreach { case (h, nRisk, nConv, surv) =>
+      assert(nRisk == obs.count(_._1 >= h), s"n_risk at h=$h")
+      assert(nConv == deaths.filter(_._1 <= h).values.sum, s"n_conv_by_h at h=$h")
+      val brute = deaths.keys.toSeq.sorted.filter(_ <= h).foldLeft(1.0) {
+        (s, t) =>
+          val n = obs.count(_._1 >= t)
+          s * (n - deaths(t)).toDouble / n
+      }
+      assert(math.abs(surv - graft.operators.Ql.rd(brute, 6)) <= 1e-6,
+        s"survival at h=$h: $surv vs brute $brute")
+    }
+  }
+
+  test("q_target_encode's LOO-above-prior count equals exact fraction comparison") {
+    // The query decides encᵢ > prior by integer cross-multiplication; the
+    // independent check compares the two fractions directly with BigInt
+    // numerators — (N(S−yᵢ)+10H)·N vs H·N(n+9) — derived from the LOO
+    // definition, not from the query's rearranged inequality.
+    val sf = "/root/testdata/sf0.001"
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0), if (r.getDouble(1) > 250000.0) 1L else 0L))
+    val nTot = BigInt(rows.length)
+    val hTot = BigInt(rows.map(_._2).sum)
+    val byCat = rows.groupBy(_._1)
+    val got = SparkEntry.queries("q_target_encode")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    byCat.foreach { case (cat, es) =>
+      val n = BigInt(es.length)
+      val s = BigInt(es.map(_._2).sum)
+      val expect = es.count { case (_, y) =>
+        // enc_i = (N(S−y)+10H) / (N(n+9)) ; prior = H/N
+        (nTot * (s - BigInt(y)) + 10 * hTot) * nTot > hTot * (nTot * (n + 9))
+      }
+      val (gn, gh, gAbove) = got(cat)
+      assert(gn == es.length && gh == es.map(_._2).sum && gAbove == expect,
+        s"$cat: got ($gn,$gh,$gAbove) want (${es.length},${es.map(_._2).sum},$expect)")
+    }
+  }
+
+  test("q_wilson_ci brackets the rate, stays in [0,1], and matches scala math") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q_wilson_ci")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (n, k) = (r.getLong(1), r.getLong(2))
+      val (rate, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= rate && rate <= hi,
+        s"${r.getString(0)}: interval ($lo, $hi) must bracket $rate in [0,1]")
+      val p = k.toDouble / n
+      val z2 = 1.96 * 1.96
+      def bound(sign: Double) =
+        (p + z2 / (2 * n) + sign * 1.96 * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))) /
+          (1.0 + z2 / n)
+      assert(math.abs(lo - graft.operators.Ql.rd(bound(-1), 6)) <= 1e-6, "lo")
+      assert(math.abs(hi - graft.operators.Ql.rd(bound(1), 6)) <= 1e-6, "hi")
+    }
+  }
 }
