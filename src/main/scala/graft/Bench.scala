@@ -276,14 +276,25 @@ object Bench {
     val groupedTotal: Option[Double] =
       if (groupN <= 1) None
       else {
-        import org.apache.spark.sql.functions.{count => cnt, lit => glit}
+        // reduce each member to sum(xxhash64(all columns)), NOT count(1):
+        // a bare count lets ColumnPruning drop every projection expression
+        // (and the scan's columns) so map-heavy queries would measure ~0
+        // work. Hashing the full output row keeps each query's expressions
+        // and reads live. Trailing ORDER BYs are still eliminated under
+        // the aggregate (EliminateSorts) — grouped_total measures the
+        // unsorted dataflow, stated here so the serial/grouped gap is
+        // interpreted correctly.
+        import org.apache.spark.sql.functions.{col => gcol, struct => gstruct,
+          sum => gsum, xxhash64 => gxx}
         var tot = 0.0
         results.collect { case (k, _) if !failedSetG(k) => k }
           .toSeq.sorted.grouped(groupN).foreach { wave =>
             val t0 = System.nanoTime()
             try {
-              wave.map(n => SparkEntry.queries(n)(spark, sfDir).agg(cnt(glit(1))))
-                .reduce(_.unionAll(_)).count()
+              wave.map { n =>
+                val q = SparkEntry.queries(n)(spark, sfDir)
+                q.agg(gsum(gxx(gstruct(q.columns.map(gcol): _*))))
+              }.reduce(_.unionAll(_)).count()
             } catch { case e: Throwable =>
               System.err.println(s"[bench] grouped wave ${wave.head}.. FAILED: ${e.getMessage}")
             }

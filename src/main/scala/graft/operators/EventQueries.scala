@@ -1251,11 +1251,13 @@ object EventQueries extends QueryModule {
         .groupBy("tday")
         .agg(countDistinct(col("user_id")).as("n_users_7d"))
       val d1 = ud.groupBy("day").agg(countDistinct(col("user_id")).as("n_users_1d"))
-      d7.join(d1, d7("tday") === d1("day"))
+      // LEFT join: a day with zero events of its own but activity in its
+      // trailing window must still report (day, 0, n_7d), not vanish
+      d7.join(d1, d7("tday") === d1("day"), "left")
         .crossJoin(broadcast(bounds))
         .filter(col("tday") >= date_add(col("mind"), 6) && col("tday") <= col("maxd"))
         .select(date_format(col("tday"), "yyyy-MM-dd").as("day"),
-          col("n_users_1d"), col("n_users_7d"))
+          coalesce(col("n_users_1d"), lit(0L)).as("n_users_1d"), col("n_users_7d"))
         .orderBy("day")
     },
     Some("""
@@ -1267,8 +1269,10 @@ object EventQueries extends QueryModule {
              FROM t GROUP BY 1),
       d1 AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_1d
              FROM ud GROUP BY 1)
-      SELECT strftime(d7.tday, '%Y-%m-%d') AS day, n_users_1d, n_users_7d
-      FROM d7 JOIN d1 ON d7.tday = d1.day CROSS JOIN b
+      SELECT strftime(d7.tday, '%Y-%m-%d') AS day,
+             CAST(coalesce(n_users_1d, 0) AS BIGINT) AS n_users_1d,
+             n_users_7d
+      FROM d7 LEFT JOIN d1 ON d7.tday = d1.day CROSS JOIN b
       WHERE d7.tday >= b.mind + 6 AND d7.tday <= b.maxd
       ORDER BY 1
     """))
@@ -1310,11 +1314,15 @@ object EventQueries extends QueryModule {
           ((col("n") - col("d")) / col("n").cast("double")).as("f"))
       val hz = obs.sparkSession.range(1)
         .select(explode(expr("array(1L, 3L, 7L, 14L, 30L)")).as("h"))
+      // coalesce BEFORE greatest: both engines' greatest() skips NULLs, so
+      // greatest(NULL, 1e-300) = 1e-300 would turn a no-events-yet horizon
+      // (unmatched left join ⇒ f NULL) into ln(1e-300) ⇒ survival 0.0;
+      // ln(coalesce(f, 1.0)) = 0 contributes nothing and S(h) stays 1.0
       val surv = hz.join(broadcast(factors), col("t") <= col("h"), "left")
         .groupBy("h")
         .agg(
-          coalesce(Ql.r(exp(sum(log(greatest(col("f"), lit(1e-300))))), 6),
-            lit(1.0)).as("survival"),
+          Ql.r(exp(sum(log(greatest(coalesce(col("f"), lit(1.0)), lit(1e-300))))), 6)
+            .as("survival"),
           coalesce(sum("d"), lit(0L)).as("n_conv_by_h"))
       val atRisk = obs.select(col("t").as("ot"))
         .join(broadcast(hz), col("ot") >= col("h"))
@@ -1345,7 +1353,7 @@ object EventQueries extends QueryModule {
       hz AS (SELECT CAST(unnest([1, 3, 7, 14, 30]) AS BIGINT) AS h),
       surv AS (
         SELECT h,
-               coalesce(${Ql.R("exp(sum(ln(greatest(f, 1e-300))))", 6)}, 1.0) AS survival,
+               ${Ql.R("exp(sum(ln(greatest(coalesce(f, 1.0), 1e-300))))", 6)} AS survival,
                CAST(coalesce(sum(d), 0) AS BIGINT) AS n_conv_by_h
         FROM hz LEFT JOIN factors ON factors.t <= hz.h
         GROUP BY h),

@@ -230,8 +230,13 @@ object FeatureQueries extends QueryModule {
           countDistinct(col("lang")).as("n_langs"),
           countDistinct(col("source")).as("n_sources"),
           count(lit(1)).as("n_cells"),
+          // products in DOUBLE, not LONG×LONG: c_xy·n (and c_x·c_y for a
+          // dominant cell) pass 2^63 near ~3e9 docs, where Spark's
+          // non-ANSI long multiply wraps silently while the oracle's
+          // double stays finite — the q_kappa_agreement overflow class
           sum((col("c_xy") / col("n"))
-            * log(col("c_xy") * col("n") / (col("c_x") * col("c_y"))))
+            * log(col("c_xy") * col("n").cast("double")
+              / (col("c_x") * col("c_y").cast("double"))))
             .as("mi_raw"))
       val hl = byLang.crossJoin(broadcast(tot))
         .agg(sum(-(col("c_x") / col("n")) * log(col("c_x") / col("n"))).as("h_lang"))

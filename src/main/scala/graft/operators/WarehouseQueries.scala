@@ -619,8 +619,67 @@ object WarehouseQueries extends QueryModule {
       FROM flags GROUP BY 1 ORDER BY 1
     """))
 
+  /** Join-size estimation audit — predict the self-join blowup
+    * Σₖ c(k)² of `lineitem ⋈ lineitem ON l_partkey` from a heavy-hitter
+    * summary BEFORE paying the shuffle: exact c² mass for the top-100
+    * keys plus a uniform-tail assumption (tail_rows²/tail_keys) for the
+    * rest — the classic optimizer cardinality model (exact heavy
+    * hitters + uniform tail). The audit also computes the true Σc²
+    * (one aggregation, never the join itself) so the estimator's signed
+    * error is part of the output; in production only the top-k summary
+    * (a CMS/TakeOrdered pass) would run. Top-100 selection ties at the
+    * boundary are harmless by construction — tied keys contribute the
+    * same c and c², so the estimate is tie-invariant. The tail
+    * denominator is floored at 1 key so the formula survives
+    * fewer-than-100-key inputs.
+    */
+  private val joinSizeEst = QueryDef(
+    "q_join_size_est",
+    (spark, sfDir) => {
+      val c = Tables.lineitem(spark, sfDir)
+        .groupBy("l_partkey").agg(count(lit(1)).as("c"))
+      val tot = c.agg(
+        sum("c").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        sum(col("c") * col("c")).as("true_pairs"))
+      val top = c.orderBy(col("c").desc, col("l_partkey")).limit(100)
+        .agg(sum(col("c") * col("c")).as("top_sq"), sum("c").as("top_rows"))
+      tot.crossJoin(broadcast(top))
+        .withColumn("est_pairs_raw",
+          col("top_sq") + ((col("n_rows") - col("top_rows")).cast("double")
+            * (col("n_rows") - col("top_rows")))
+            / greatest(col("n_keys") - 100, lit(1L)))
+        .select(
+          col("n_rows"), col("n_keys"), col("true_pairs"),
+          Ql.r(col("est_pairs_raw"), 2).as("est_pairs"),
+          Ql.r(lit(100.0) * (col("est_pairs_raw") - col("true_pairs"))
+            / col("true_pairs"), 4).as("rel_err_pct"))
+    },
+    Some(s"""
+      WITH c AS (
+        SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                     CAST(count(*) AS BIGINT) AS n_keys,
+                     CAST(sum(c * c) AS BIGINT) AS true_pairs
+              FROM c),
+      top AS (SELECT c FROM c ORDER BY c DESC, k LIMIT 100),
+      ts AS (SELECT CAST(sum(c * c) AS BIGINT) AS top_sq,
+                    CAST(sum(c) AS BIGINT) AS top_rows
+             FROM top),
+      e AS (
+        SELECT n_rows, n_keys, true_pairs,
+               top_sq + (CAST(n_rows - top_rows AS DOUBLE) * (n_rows - top_rows))
+                 / greatest(n_keys - 100, 1) AS est_pairs_raw
+        FROM tot CROSS JOIN ts)
+      SELECT n_rows, n_keys, true_pairs,
+             ${Ql.R("est_pairs_raw", 2)} AS est_pairs,
+             ${Ql.R("100.0 * (est_pairs_raw - true_pairs) / true_pairs", 4)} AS rel_err_pct
+      FROM e
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(skyline, histogram2d, zorderLayout, equidepthBins, kAnonymity,
       shardSkew, compactionBins, cdcApply, snapshotDiff, columnProfile,
-      zoneMapAudit)
+      zoneMapAudit, joinSizeEst)
 }

@@ -48,12 +48,23 @@ object StreamingJobs {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // RECURSIVE listing: a partitioned landing zone (day=…/part-*.parquet)
+    // stages its files in subdirectories — a top-level-only probe would
+    // see nothing, fall back to the default schema, and pass the
+    // mixed-encoding check vacuously, which is the silent failure this
+    // probe exists to prevent
     val staged =
-      if (fs.exists(dirPath))
-        fs.listStatus(dirPath)
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.toString)
-      else Array.empty[String]
+      if (fs.exists(dirPath)) {
+        val it = fs.listFiles(dirPath, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val s = it.next()
+          val name = s.getPath.getName
+          if (s.isFile && name.endsWith(".parquet") && !name.startsWith("_"))
+            buf += s.getPath.toString
+        }
+        buf.toArray
+      } else Array.empty[String]
     val tsEncodings = staged
       .map(f => spark.read.parquet(f).schema
         .find(_.name == "ts").map(_.dataType.sql).getOrElse("<missing>"))

@@ -178,7 +178,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         "q_neyman_alloc", // 1-row allocation-normalizer broadcast
         "q_mutual_info", // 1-row corpus-total broadcast into the cell/margin tables
         "q_mix_weights", // 1-row (n_langs, total-tokens) broadcast
-        "q_rolling_distinct") // 1-row date-bounds broadcast for the full-window filter
+        "q_rolling_distinct", // 1-row date-bounds broadcast for the full-window filter
+        "q_join_size_est") // two 1-row summary aggregates crossed into the report row
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
