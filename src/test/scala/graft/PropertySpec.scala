@@ -367,6 +367,54 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_aqp_sum_ci equals an independent JVM-hash recomputation at sf0.001") {
+    // The estimator's sample membership comes from Ql.md5PrefixLong; the
+    // independent check re-derives membership with MessageDigest and
+    // recomputes estimate/true/CI in plain Scala (BigInt cents for the
+    // sums, doubles only for the variance), then compares all fields.
+    val sf = "/root/testdata/sf0.001"
+    def md5Prefix(s: String, digits: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(digits), 16)
+    }
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .collect()
+      .map(r => (s"${r.getLong(0)}-${r.getInt(1)}",
+        BigInt(math.round(r.getDouble(2) * 100 + 1e-9))))
+    val samp = rows.filter { case (k, _) => md5Prefix(k, 4) % 16 == 0 }
+    val trueCents = rows.map(_._2).sum
+    val sampCents = samp.map(_._2).sum
+    val ssq = samp.map { case (_, c) => val x = c.toLong / 100.0; x * x }.sum
+    val got = SparkEntry.queries("q_aqp_sum_ci")(spark, sf).collect()(0)
+    assert(got.getLong(0) == rows.length && got.getLong(1) == samp.length)
+    assert(math.abs(got.getDouble(2) - graft.operators.Ql.rd(trueCents.toLong / 100.0, 2)) <= 1e-9)
+    assert(math.abs(got.getDouble(3) - graft.operators.Ql.rd((sampCents * 16).toLong / 100.0, 2)) <= 1e-9)
+    val hw = 1.96 * math.sqrt(240.0 * ssq)
+    assert(math.abs(got.getDouble(5) - graft.operators.Ql.rd(hw, 0)) <= 1.0,
+      s"ci_halfwidth ${got.getDouble(5)} vs $hw")
+  }
+
+  test("q_join_size_est matches a direct recomputation and the true pair count") {
+    val sf = "/root/testdata/sf0.001"
+    val counts = Tables.lineitem(spark, sf)
+      .groupBy("l_partkey").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val truePairs = counts.map { case (_, c) => c * c }.sum
+    val top = counts.sortBy { case (k, c) => (-c, k) }.take(100)
+    val topSq = top.map { case (_, c) => c * c }.sum
+    val topRows = top.map(_._2).sum
+    val nRows = counts.map(_._2).sum
+    val tailKeys = math.max(counts.length - 100, 1)
+    val est = topSq + (nRows - topRows).toDouble * (nRows - topRows) / tailKeys
+    val got = SparkEntry.queries("q_join_size_est")(spark, sf).collect()(0)
+    assert(got.getLong(0) == nRows && got.getLong(1) == counts.length)
+    assert(got.getLong(2) == truePairs, s"true_pairs ${got.getLong(2)} vs $truePairs")
+    assert(math.abs(got.getDouble(3) - graft.operators.Ql.rd(est, 2)) <= 1e-6,
+      s"est_pairs ${got.getDouble(3)} vs $est")
+  }
+
   test("q_wilson_ci brackets the rate, stays in [0,1], and matches scala math") {
     val sf = "/root/testdata/sf0.001"
     val got = SparkEntry.queries("q_wilson_ci")(spark, sf).collect()
