@@ -32,7 +32,8 @@ object SparkEntry {
     operators.SketchQueries,
     operators.WarehouseQueries,
     operators.EvalQueries,
-    operators.FeatureQueries)
+    operators.FeatureQueries,
+    operators.StatQueries)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
 

@@ -851,6 +851,134 @@ object StreamingJobs {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  // ---- H6: Misra-Gries frequent items (bounded-error heavy hitters) ----
+
+  case class MgInput(event_type: String, item: Long)
+  case class MgState(ids: Seq[Long], counts: Seq[Long], decs: Long)
+  case class MgOut(event_type: String, seq: Long, item: Long, est: Long,
+      decs: Long)
+
+  /** H6: streaming Misra-Gries frequent-items summary per key — the
+    * bounded-memory heavy-hitters monitor (Misra & Gries 1982; merge
+    * rule per Agarwal et al., "Mergeable Summaries", PODS 2012). State
+    * per key is at most k (item, count) counters plus the cumulative
+    * decrement offset: O(k), never the item domain — the piece the exact
+    * [[TopKProcessor]] cannot promise when the domain explodes. Each
+    * batch is counted exactly into a local map, merged into the
+    * counters, and if more than k survive, the (k+1)-th largest count is
+    * subtracted from all (the mergeable-summaries offset), dropping
+    * non-positives. The DETERMINISTIC guarantee — est(x) ≤ true(x) ≤
+    * est(x) + decs and decs ≤ N/(k+1) — holds for ANY arrival order and
+    * any batch slicing (the merge is associative up to the guarantee),
+    * which is what the ScaleSmokeSpec asserts against exact batch
+    * counts; every item with true(x) > decs is necessarily tracked.
+    * Emission is the refreshed counter table per batch (Append + seq,
+    * the [[DriftProcessor]] convention).
+    */
+  class MisraGriesProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, MgInput, MgOut] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[(MgState, Long)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(MgState, Long)]("mg_state",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.product[MgState],
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[MgInput],
+        timers: TimerValues): Iterator[MgOut] = {
+      val (s0, seq) = if (st.exists()) st.get() else (MgState(Nil, Nil, 0L), 0L)
+      val m = new scala.collection.mutable.HashMap[Long, Long]
+      s0.ids.indices.foreach(i => m(s0.ids(i)) = s0.counts(i))
+      rows.foreach(r => m(r.item) = m.getOrElse(r.item, 0L) + 1L)
+      var decs = s0.decs
+      if (m.size > k) {
+        // subtract the (k+1)-th largest count from everyone, drop <= 0
+        val d = m.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        decs += d
+        m.mapValuesInPlace((_, c) => c - d)
+        m.filterInPlace((_, c) => c > 0L)
+      }
+      val kept = m.toSeq.sortBy { case (id, c) => (-c, id) }
+      st.update((MgState(kept.map(_._1), kept.map(_._2), decs), seq + 1))
+      kept.iterator.map { case (id, c) => MgOut(key, seq + 1, id, c, decs) }
+    }
+  }
+
+  def misraGriesStream(in: Dataset[MgInput], k: Int = 8): Dataset[MgOut] = {
+    import in.sparkSession.implicits._
+    requireRocksDb(in.sparkSession)
+    in.groupByKey(_.event_type)
+      .transformWithState(new MisraGriesProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  // ---- H6 / I9: hash-priority reservoir sample (order-independent) ----
+
+  case class ResInput(event_type: String, event_id: Long)
+  case class ResState(prio: Seq[Double], ids: Seq[Long])
+  case class ResOut(event_type: String, seq: Long, rank: Int, event_id: Long,
+      priority: Double)
+
+  /** H6/I9: streaming uniform reservoir sample per key, maintained as
+    * the k SMALLEST deterministic hash priorities (u = first 56 md5 bits
+    * of the event id / 2^56 — the bottom-k-by-random-tag formulation of
+    * reservoir sampling; with a uniform tag the bottom-k is exactly a
+    * uniform k-subset). Because membership is a pure function of the
+    * element set — not of arrival order — the merge is COMMUTATIVE and
+    * idempotent (re-delivered ids overwrite themselves), so unlike
+    * Vitter's algorithm R the replay equivalence is EXACT under any
+    * slicing: ScaleSmokeSpec proves the final state equals the batch
+    * bottom-k under the same expression. State per key is O(k) doubles.
+    */
+  class ReservoirProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, ResInput, ResOut] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[(ResState, Long)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(ResState, Long)]("res_state",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.product[ResState],
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    /** JVM twin of [[graft.operators.Ql.md5PrefixLong]] over the id's
+      * decimal string (the [[TopKProcessor]] u56 convention).
+      */
+    private def u56(id: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(7).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) / 7.2057594037927936e16
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[ResInput],
+        timers: TimerValues): Iterator[ResOut] = {
+      val (s0, seq) = if (st.exists()) st.get() else (ResState(Nil, Nil), 0L)
+      val m = new scala.collection.mutable.HashMap[Long, Double]
+      s0.ids.indices.foreach(i => m(s0.ids(i)) = s0.prio(i))
+      rows.foreach(r => m(r.event_id) = u56(r.event_id))
+      val bottom = m.toSeq.sortBy { case (id, u) => (u, id) }.take(k)
+      st.update((ResState(bottom.map(_._2), bottom.map(_._1)), seq + 1))
+      bottom.iterator.zipWithIndex.map { case ((id, u), i) =>
+        ResOut(key, seq + 1, i + 1, id, graft.operators.Ql.rd(u, 6))
+      }
+    }
+  }
+
+  def reservoirStream(in: Dataset[ResInput], k: Int = 16): Dataset[ResOut] = {
+    import in.sparkSession.implicits._
+    requireRocksDb(in.sparkSession)
+    in.groupByKey(_.event_type)
+      .transformWithState(new ReservoirProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   // ---- H6: online CUSUM changepoint monitor (frozen reference mean) ----
 
   case class CusumInput(ts: java.sql.Timestamp, event_type: String, x: Double)

@@ -179,7 +179,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         "q_mutual_info", // 1-row corpus-total broadcast into the cell/margin tables
         "q_mix_weights", // 1-row (n_langs, total-tokens) broadcast
         "q_rolling_distinct", // 1-row date-bounds broadcast for the full-window filter
-        "q_join_size_est") // two 1-row summary aggregates crossed into the report row
+        "q_join_size_est", // two 1-row summary aggregates crossed into the report row
+        "q_linear_trend", // 1-row global-min-day broadcast for the day index
+        "q_decay_engagement", // 1-row anchor-day broadcast for the decay offset
+        "q_bootstrap_ci") // 1-row true-mean aggregate crossed into the report row
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
@@ -207,7 +210,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_mom_growth", // calendar-month table (rows = months in range)
       "q_heaps_law", // fixed doc-count checkpoint table (~20 rows)
       "q_woe_iv", // score-range bin table (10 rows by construction)
-      "q_modularity") // community table (bounded by the brand vocabulary)
+      "q_modularity", // community table (bounded by the brand vocabulary)
+      "q_sample_systematic") // 16-row hash-range bucket-offset histogram
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val bad = df.queryExecution.sparkPlan.collect {

@@ -504,4 +504,107 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(got.length == want.length, s"span count: ${got.length} vs ${want.length}")
     got.zip(want).foreach { case (g, w) => assert(g == w, s"$g vs $w") }
   }
+
+  test("sf0.01 streaming Misra-Gries counters satisfy the deterministic error bound") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs
+    val sf = "/root/testdata/sf0.01"
+    // The MG guarantee — est(x) <= true(x) <= est(x) + decs and
+    // decs <= N/(k+1) — is ORDER-INDEPENDENT, so any time-sliced replay
+    // must satisfy it against exact batch counts. Items are bucketed
+    // user ids (user_id % 50) so 50 distinct items contend for k=8
+    // counters and the decrement path genuinely fires.
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), pmod(col("user_id"), lit(50)).cast("long").as("item"),
+        col("ts"))
+    val in = sliceReplay(ev, 4, "graft_mg")
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .select(col("event_type"), col("item"))
+      .as[StreamingJobs.MgInput]
+    val q = StreamingJobs.misraGriesStream(src, 8)
+      .writeStream.format("memory").queryName("mg_scale")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_mg_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "MG stream did not finish in 180s")
+    val fin = spark.table("mg_scale")
+      .withColumn("maxseq", max(col("seq")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+      .filter(col("seq") === col("maxseq"))
+      .select("event_type", "item", "est", "decs")
+      .collect()
+    assert(fin.nonEmpty, "no MG counters emitted")
+    val truth = ev.groupBy("event_type", "item").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val totals = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val decsByKey = fin.map(r => r.getString(0) -> r.getLong(3)).toMap
+    // at most k counters per key, decs within the N/(k+1) budget
+    fin.groupBy(_.getString(0)).foreach { case (key, rows) =>
+      assert(rows.length <= 8, s"$key tracks ${rows.length} > k items")
+      assert(decsByKey(key) <= totals(key) / 9,
+        s"$key decs ${decsByKey(key)} exceeds N/(k+1) = ${totals(key) / 9}")
+    }
+    fin.foreach { r =>
+      val (key, item, est) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val t = truth((key, item))
+      assert(est <= t && t <= est + decsByKey(key),
+        s"($key,$item): est $est, true $t, decs ${decsByKey(key)}")
+    }
+    // completeness: anything more frequent than the decrement offset is tracked
+    val tracked = fin.map(r => (r.getString(0), r.getLong(1))).toSet
+    truth.foreach { case ((key, item), t) =>
+      if (t > decsByKey.getOrElse(key, Long.MaxValue))
+        assert(tracked((key, item)), s"frequent item ($key,$item) c=$t untracked")
+    }
+  }
+
+  test("sf0.01 streaming hash-priority reservoir equals the batch bottom-k exactly") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs
+    val sf = "/root/testdata/sf0.01"
+    // Bottom-k-by-deterministic-tag reservoir: membership is a pure
+    // function of the id SET, so the time-sliced replay must land on
+    // exactly the batch bottom-k under the same md5 priority expression.
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("ts"))
+    val in = sliceReplay(ev, 4, "graft_res")
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .select(col("event_type"), col("event_id"))
+      .as[StreamingJobs.ResInput]
+    val q = StreamingJobs.reservoirStream(src, 16)
+      .writeStream.format("memory").queryName("res_scale")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_res_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "reservoir stream did not finish in 180s")
+    val got = spark.table("res_scale")
+      .withColumn("maxseq", max(col("seq")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+      .filter(col("seq") === col("maxseq"))
+      .select("event_type", "rank", "event_id", "priority")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("u"), col("event_id"))
+    val want = ev
+      .withColumn("u", expr(
+        s"${operators.Ql.md5PrefixLong("CAST(event_id AS STRING)", 14)}" +
+          " / CAST(72057594037927936 AS DOUBLE)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 16)
+      .select(col("event_type"), col("rank"), col("event_id"),
+        operators.Ql.r(col("u"), 6).as("u"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == want.keySet,
+      s"rank-key sets differ: ${got.keySet.size} vs ${want.keySet.size}")
+    want.foreach { case (k, v) => assert(got(k) == v, s"$k: ${got(k)} vs $v") }
+  }
 }
