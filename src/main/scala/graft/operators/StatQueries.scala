@@ -389,7 +389,254 @@ object StatQueries extends QueryModule {
       """))
   }
 
+  // ---------------------------------------------------------------- Mann-Whitney U
+
+  /** Mann-Whitney rank-sum test (two-sided z approximation with tie
+    * correction) comparing the `click` vs `error` event-value
+    * distributions — the nonparametric "did the distribution shift"
+    * readout behind A/B dashboards when means mislead. Ranks are exact
+    * INTEGERS throughout: values are 2-decimal by construction, so the
+    * combined sample collapses onto the cent grid (≤49k distinct cells,
+    * bounded by the value domain, not the corpus), doubled mid-ranks
+    * 2·cum + cnt + 1 avoid the ÷2 rational, and U₂ = 2U, the tie term
+    * Σ(t³−t), and both group sizes come out of exact BIGINT sums — no
+    * float compare anywhere until the final z, whose formula text is
+    * shared with the oracle. Scale shape: one corpus-sized groupBy onto
+    * the value grid, then bucket-offset prefix sums over the grid
+    * (two-level: a ~50-row bucket histogram window + per-bucket
+    * distributed windows), then a 1-row report.
+    */
+  private val mannWhitney: QueryDef = {
+    // z from exact integers: U2 = 2U, mu2 = 2mu = na*nb,
+    // var = (na*nb/12)*((n+1) - tt/(n*(n-1))); z = (U2 - na*nb)/(2*sqrt(var))
+    val z =
+      """(CAST(u2 AS DOUBLE) - CAST(na AS DOUBLE) * nb)
+         / (2.0 * sqrt((CAST(na AS DOUBLE) * nb / 12.0)
+            * ((n + 1.0) - CAST(tt AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1.0)))))"""
+    QueryDef(
+      "q_mann_whitney",
+      (spark, sfDir) => {
+        val grid = Tables.events(spark, sfDir)
+          .filter(col("event_type").isin("click", "error"))
+          .select(Ql.r(col("value") * 100, 0).cast("long").as("c"),
+            col("event_type"))
+          .groupBy("c")
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
+            count(lit(1)).as("cnt"))
+        val withBkt = grid.withColumn("bkt", expr("c div 1000"))
+        val offsets = withBkt.groupBy("bkt").agg(sum("cnt").as("bn"))
+          .withColumn("off",
+            coalesce(sum(col("bn")).over(
+              Window.orderBy("bkt")
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("bkt", "off")
+        val inB = Window.partitionBy("bkt").orderBy("c")
+        withBkt.join(broadcast(offsets), "bkt")
+          .withColumn("cum",
+            col("off") + coalesce(sum(col("cnt")).over(
+              inB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          // doubled mid-rank of the tie group at c: 2*cum + cnt + 1
+          .agg(
+            sum(col("ca") * (lit(2L) * col("cum") + col("cnt") + 1L)).as("r2a"),
+            sum("ca").as("na"),
+            sum(col("cnt") - col("ca")).as("nb"),
+            sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tt"))
+          .selectExpr("na", "nb", "na + nb AS n",
+            "r2a - na * (na + 1) AS u2", "tt")
+          .selectExpr("na", "nb", "u2", "tt", s"${Ql.R(z, 4)} AS z")
+      },
+      Some(s"""
+        WITH grid AS (
+          SELECT CAST(${Ql.R("value * 100", 0)} AS BIGINT) AS c,
+                 CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM events WHERE event_type IN ('click', 'error')
+          GROUP BY 1),
+        cumm AS (
+          SELECT c, ca, cnt,
+                 COALESCE(sum(cnt) OVER (ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM grid),
+        agg AS (
+          SELECT CAST(sum(ca * (2 * cum + cnt + 1)) AS BIGINT) AS r2a,
+                 CAST(sum(ca) AS BIGINT) AS na,
+                 CAST(sum(cnt - ca) AS BIGINT) AS nb,
+                 CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tt
+          FROM cumm),
+        u AS (SELECT na, nb, na + nb AS n, r2a - na * (na + 1) AS u2, tt FROM agg)
+        SELECT na, nb, u2, tt, ${Ql.R(z, 4)} AS z FROM u
+      """))
+  }
+
+  // ---------------------------------------------------------------- Theil index
+
+  /** Theil inequality index T and mean log deviation L of order value
+    * per order priority — the decomposable inequality family (Gini's
+    * sibling, q_gini; unlike Gini, Theil is ONE corpus pass with no
+    * ordering at all: T = (Σ x·ln x)/(n·μ) − ln μ and
+    * L = ln μ − (Σ ln x)/n need only Σx (exact cents), Σ ln x, and
+    * Σ x·ln x — map-side partial aggregation end to end, nothing
+    * rank-based to shuffle. μ is computed from exact integer cents; the
+    * two log sums are the only order-sensitive doubles and sit ~9
+    * digits below the 5 dp output rounding.
+    */
+  private val theilIndex: QueryDef = {
+    val mu = "(CAST(cents AS DOUBLE) / 100.0 / n)"
+    val theil = s"sxlx / (n * $mu) - ln($mu)"
+    val mld = s"ln($mu) - slx / n"
+    QueryDef(
+      "q_theil_index",
+      (spark, sfDir) =>
+        Tables.orders(spark, sfDir)
+          .select(col("o_orderpriority"),
+            Ql.r(col("o_totalprice") * 100, 0).cast("long").as("cc"),
+            col("o_totalprice").as("x"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("cc").as("cents"),
+            sum(log(col("x"))).as("slx"),
+            sum(col("x") * log(col("x"))).as("sxlx"))
+          .selectExpr("o_orderpriority", "n",
+            s"${Ql.R(mu, 2)} AS mean_value",
+            s"${Ql.R(theil, 5)} AS theil_t",
+            s"${Ql.R(mld, 5)} AS mld_l")
+          .orderBy("o_orderpriority"),
+      Some(s"""
+        WITH a AS (
+          SELECT o_orderpriority,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(${Ql.R("o_totalprice * 100", 0)} AS BIGINT)) AS BIGINT) AS cents,
+                 sum(ln(o_totalprice)) AS slx,
+                 sum(o_totalprice * ln(o_totalprice)) AS sxlx
+          FROM orders GROUP BY 1)
+        SELECT o_orderpriority, n,
+               ${Ql.R(mu, 2)} AS mean_value,
+               ${Ql.R(theil, 5)} AS theil_t,
+               ${Ql.R(mld, 5)} AS mld_l
+        FROM a ORDER BY o_orderpriority
+      """))
+  }
+
+  // ---------------------------------------------------------------- stratified ATE
+
+  /** Stratified average-treatment-effect estimate (the observational
+    * causal-inference workhorse): treatment = urgent order priority,
+    * outcome = order value, strata = the customer's market segment.
+    * Per stratum both arm means divide exact BIGINT cent sums by exact
+    * counts, and the overall ATE reweights the per-stratum differences
+    * by stratum share — the formula text is shared with the oracle, so
+    * the doubles cannot drift. The report carries the per-stratum rows
+    * plus an 'ALL' summary row (union of two aggregations over the same
+    * shuffled frame). Scale shape: one orders→customer equi-join keyed
+    * on the customer key (the dimension broadcasts when it fits; at
+    * 100 TB both sides co-partition), then two keyed aggregations over
+    * segment-sized frames.
+    */
+  private val stratAte: QueryDef = {
+    val diff = "(CAST(s1 AS DOUBLE) / 100.0 / n1 - CAST(s0 AS DOUBLE) / 100.0 / n0)"
+    QueryDef(
+      "q_strat_ate",
+      (spark, sfDir) => {
+        val o = Tables.orders(spark, sfDir)
+          .select(col("o_custkey"),
+            (col("o_orderpriority") === "1-URGENT").cast("long").as("t"),
+            Ql.r(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        val c = Tables.customer(spark, sfDir)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val strata = o.join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(sum("t").as("n1"),
+            sum(lit(1L) - col("t")).as("n0"),
+            sum(col("t") * col("cents")).as("s1"),
+            sum((lit(1L) - col("t")) * col("cents")).as("s0"))
+          .filter(col("n1") > 0 && col("n0") > 0)
+        val perStratum = strata.selectExpr(
+          "c_mktsegment AS stratum", "n1", "n0",
+          s"${Ql.R(diff, 2)} AS effect")
+        val overall = strata
+          .agg(sum(col("n1") + col("n0")).as("n"),
+            sum(expr(s"(n1 + n0) * ($diff)")).as("wsum"),
+            sum("n1").as("tn1"), sum("n0").as("tn0"))
+          .selectExpr("'ALL' AS stratum", "tn1 AS n1", "tn0 AS n0",
+            s"${Ql.R("wsum / n", 2)} AS effect")
+        perStratum.unionByName(overall).orderBy("stratum")
+      },
+      Some(s"""
+        WITH o AS (
+          SELECT o_custkey,
+                 CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS t,
+                 CAST(${Ql.R("o_totalprice * 100", 0)} AS BIGINT) AS cents
+          FROM orders),
+        s AS (
+          SELECT c_mktsegment,
+                 CAST(sum(t) AS BIGINT) AS n1,
+                 CAST(sum(1 - t) AS BIGINT) AS n0,
+                 CAST(sum(t * cents) AS BIGINT) AS s1,
+                 CAST(sum((1 - t) * cents) AS BIGINT) AS s0
+          FROM o JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1
+          HAVING sum(t) > 0 AND sum(1 - t) > 0)
+        SELECT c_mktsegment AS stratum, n1, n0, ${Ql.R(diff, 2)} AS effect
+        FROM s
+        UNION ALL
+        SELECT 'ALL' AS stratum,
+               CAST(sum(n1) AS BIGINT) AS n1, CAST(sum(n0) AS BIGINT) AS n0,
+               ${Ql.R(s"sum((n1 + n0) * ($diff)) / sum(n1 + n0)", 2)} AS effect
+        FROM s
+        ORDER BY stratum
+      """))
+  }
+
+  // ---------------------------------------------------------------- Cramér's V
+
+  /** Cramér's V association between event type and day of week — the
+    * bounded-[0,1] effect size behind "is this categorical feature
+    * informative" screens (the χ² machinery of q_chi2_terms, aimed at a
+    * fixed 5×7 contingency table instead of a vocabulary). One
+    * corpus-sized groupBy onto the 35-cell table; margins and the χ²
+    * sum run over the broadcast-sized cell frame. All cells are exact
+    * BIGINTs; expected counts and χ² are doubles from identical
+    * formula text. Day-of-week conventions differ (Spark Sunday=1,
+    * DuckDB Sunday=0) — normalized to 0-based on the Spark side.
+    */
+  private val cramersV = QueryDef(
+    "q_cramers_v",
+    (spark, sfDir) => {
+      val cells = Tables.events(spark, sfDir)
+        .select(col("event_type"), (dayofweek(col("ts")) - 1).as("dow"))
+        .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+      val rowm = cells.groupBy("event_type").agg(sum("o").as("rn"))
+      val colm = cells.groupBy("dow").agg(sum("o").as("cn"))
+      val tot = cells.agg(sum("o").as("n"))
+      cells.join(broadcast(rowm), "event_type")
+        .join(broadcast(colm), "dow")
+        .crossJoin(broadcast(tot))
+        .selectExpr("o", "rn", "cn", "n",
+          "CAST(rn AS DOUBLE) * cn / n AS e")
+        .agg(max("n").as("n"),
+          Ql.r(sum(expr("(o - e) * (o - e) / e")), 4).as("chi2"))
+        .selectExpr("n", "chi2",
+          "24 AS dof",
+          s"${Ql.R("sqrt(chi2 / (CAST(n AS DOUBLE) * 4))", 4)} AS cramers_v")
+    },
+    Some(s"""
+      WITH cells AS (
+        SELECT event_type, dayofweek(ts) AS dow, CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2),
+      rowm AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rn FROM cells GROUP BY 1),
+      colm AS (SELECT dow, CAST(sum(o) AS BIGINT) AS cn FROM cells GROUP BY 1),
+      tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+      x AS (
+        SELECT o, rn, cn, n, CAST(rn AS DOUBLE) * cn / n AS e
+        FROM cells JOIN rowm USING (event_type) JOIN colm USING (dow) CROSS JOIN tot),
+      a AS (
+        SELECT max(n) AS n, ${Ql.R("sum((o - e) * (o - e) / e)", 4)} AS chi2
+        FROM x)
+      SELECT n, chi2, 24 AS dof,
+             ${Ql.R("sqrt(chi2 / (CAST(n AS DOUBLE) * 4))", 4)} AS cramers_v
+      FROM a
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(ridge, linearTrend, bootstrapCi, sampleSystematic, holtForecast,
-      decayEngagement)
+      decayEngagement, mannWhitney, theilIndex, stratAte, cramersV)
 }

@@ -182,7 +182,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         "q_join_size_est", // two 1-row summary aggregates crossed into the report row
         "q_linear_trend", // 1-row global-min-day broadcast for the day index
         "q_decay_engagement", // 1-row anchor-day broadcast for the decay offset
-        "q_bootstrap_ci") // 1-row true-mean aggregate crossed into the report row
+        "q_bootstrap_ci", // 1-row true-mean aggregate crossed into the report row
+        "q_cramers_v") // 1-row grand-total broadcast into the 35-cell table
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
@@ -211,7 +212,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_heaps_law", // fixed doc-count checkpoint table (~20 rows)
       "q_woe_iv", // score-range bin table (10 rows by construction)
       "q_modularity", // community table (bounded by the brand vocabulary)
-      "q_sample_systematic") // 16-row hash-range bucket-offset histogram
+      "q_sample_systematic", // 16-row hash-range bucket-offset histogram
+      "q_mann_whitney") // ~50-row value-grid bucket histogram
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val bad = df.queryExecution.sparkPlan.collect {

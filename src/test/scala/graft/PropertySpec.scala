@@ -433,4 +433,93 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(hi - graft.operators.Ql.rd(bound(1), 6)) <= 1e-6, "hi")
     }
   }
+
+  test("q_holt_forecast equals a plain Scala sequential Holt recursion") {
+    // The query folds the recursion with the aggregate() HOF and the
+    // oracle replays it as a recursive CTE — both are engine-side. The
+    // independent check is the textbook definition in plain Scala:
+    // l₂=x₂, b₂=x₂−x₁, then lₜ = αxₜ + (1−α)(lₜ₋₁+bₜ₋₁),
+    // bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁ over the same 6 dp daily means.
+    val sf = "/root/testdata/sf0.001"
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(operators.Ql.r(avg(col("value")), 6).as("x"))
+      .collect()
+      .map(r => (r.getString(1), r.getDate(0).toLocalDate, r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val got = SparkEntry.queries("q_holt_forecast")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == daily.keySet)
+    daily.foreach { case (key, xs) =>
+      var l = xs(1); var b = xs(1) - xs(0)
+      xs.drop(2).foreach { x =>
+        val l1 = 0.4 * x + 0.6 * (l + b)
+        b = 0.3 * (l1 - l) + 0.7 * b
+        l = l1
+      }
+      val (n, lvl, trd, fc) = got(key)
+      assert(n == xs.length, s"$key n_days")
+      assert(math.abs(lvl - graft.operators.Ql.rd(l, 4)) <= 1e-9, s"$key level")
+      assert(math.abs(trd - graft.operators.Ql.rd(b, 4)) <= 1e-9, s"$key trend")
+      assert(math.abs(fc - graft.operators.Ql.rd(l + 7 * b, 4)) <= 1e-9, s"$key fc")
+    }
+  }
+
+  test("q_ridge_regression solves the JVM-side normal equations exactly") {
+    // The query assembles exact-integer sufficient statistics and solves
+    // the 2x2 system in SQL; the independent check recomputes BOTH the
+    // statistics (from raw rows) and the solve (plain Scala doubles).
+    // As lambda -> 0+ the fit must also approach OLS; with lambda=1000
+    // on ~6k rows the betas land near the no-intercept OLS solution.
+    val sf = "/root/testdata/sf0.001"
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long"),
+        operators.Ql.r(col("l_discount") * 100, 0).cast("long"),
+        operators.Ql.r(col("l_extendedprice") * 100, 0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var (s11, s12, s22, b1, b2) = (0L, 0L, 0L, 0L, 0L)
+    rows.foreach { case (x1, x2, y) =>
+      s11 += x1 * x1; s12 += x1 * x2; s22 += x2 * x2
+      b1 += x1 * y; b2 += x2 * y
+    }
+    val det = (s11.toDouble + 1000.0) * (s22 + 1000.0) - s12.toDouble * s12
+    val beta1 = ((s22 + 1000.0) * b1 - s12.toDouble * b2) / det
+    val beta2 = ((s11.toDouble + 1000.0) * b2 - s12.toDouble * b1) / det
+    val r = SparkEntry.queries("q_ridge_regression")(spark, sf).collect().head
+    assert(r.getLong(r.fieldIndex("s11")) == s11 &&
+      r.getLong(r.fieldIndex("s12")) == s12 &&
+      r.getLong(r.fieldIndex("s22")) == s22 &&
+      r.getLong(r.fieldIndex("b1")) == b1 &&
+      r.getLong(r.fieldIndex("b2")) == b2, "sufficient statistics")
+    assert(math.abs(r.getDouble(r.fieldIndex("beta1_cents")) -
+      graft.operators.Ql.rd(beta1, 4)) <= 1e-9, "beta1")
+    assert(math.abs(r.getDouble(r.fieldIndex("beta2_cents")) -
+      graft.operators.Ql.rd(beta2, 4)) <= 1e-9, "beta2")
+    assert(math.abs(r.getDouble(r.fieldIndex("yhat_probe")) -
+      graft.operators.Ql.rd((beta1 * 30.0 + beta2 * 5.0) / 100.0, 2)) <= 1e-9,
+      "probe prediction")
+  }
+
+  test("q_mann_whitney's integer rank machinery matches a brute-force rank sum") {
+    // Doubled mid-ranks over the cent grid vs the definition: sort the
+    // combined sample, assign average ranks with ties, sum over group A.
+    val sf = "/root/testdata/sf0.001"
+    val vals = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "error"))
+      .select(operators.Ql.r(col("value") * 100, 0).cast("long"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val sorted = vals.sortBy(_._1)
+    // average rank per tied value on the 1-based rank scale
+    val rankOf = sorted.map(_._1).zipWithIndex.groupBy(_._1).view
+      .mapValues(g => g.map(_._2 + 1).sum.toDouble / g.length).toMap
+    val na = vals.count(_._2 == "click").toLong
+    val nb = vals.length - na
+    val ra = vals.filter(_._2 == "click").map(v => rankOf(v._1)).sum
+    val u = ra - na.toDouble * (na + 1) / 2
+    val r = SparkEntry.queries("q_mann_whitney")(spark, sf).collect().head
+    assert(r.getLong(r.fieldIndex("na")) == na)
+    assert(r.getLong(r.fieldIndex("nb")) == nb)
+    assert(r.getLong(r.fieldIndex("u2")) == math.round(2 * u), "U2 = 2U")
+  }
 }
