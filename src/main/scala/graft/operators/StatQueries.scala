@@ -636,7 +636,149 @@ object StatQueries extends QueryModule {
       FROM a
     """))
 
+  // ---------------------------------------------------------------- PCA (power iteration)
+
+  /** Top principal component of the embedding cloud (first 16 dims for
+    * the demo; the plan is dimension-generic) by distributed covariance
+    * + fixed-round power iteration. The 100 TB shape: the corpus-sized
+    * work is ONE self-join keyed on the vector id (a 16× row explode,
+    * partial-aggregated map-side into the 256-cell moment table) plus a
+    * 16-row mean pass; every iteration then runs on the 256-row
+    * covariance table with 16-row vector frames and 1-row norm
+    * broadcasts — never the corpus. Three unrolled iterations from the
+    * uniform start v₀ = 1/4 (like q_pagerank's fixed-round contract;
+    * the SURVEY's convergence loops exist where a loop is provable).
+    * Cross-engine float discipline: raw moments and means are rounded
+    * (6/8 dp) BEFORE the covariance formula, the iterate is re-rounded
+    * to 8 dp after each normalization, and every arithmetic step is
+    * shared formula text — so both engines walk the same rounded
+    * trajectory (the q_ewma_daily round-before-recursion contract).
+    * Output: per-dimension loadings of v₃ and the Rayleigh quotient
+    * vᵀCv as the eigenvalue estimate.
+    */
+  private val pcaPower = QueryDef(
+    "q_pca_power",
+    (spark, sfDir) => {
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 16)))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("i"),
+          col("col").cast("double").as("x"))
+      val n = e.agg((count(lit(1)) / 16).cast("long").as("n"))
+      val means = e.groupBy("i").agg(Ql.r(sum("x") / count(lit(1)), 8).as("m"))
+      val moments = e.as("a")
+        .join(e.as("b"), "vec_id")
+        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+        .agg(Ql.r(sum(col("a.x") * col("b.x")), 6).as("sxy"))
+      val cov = moments
+        .join(broadcast(means.select(col("i"), col("m").as("mi"))), "i")
+        .join(broadcast(means.select(col("i").as("j"), col("m").as("mj"))), "j")
+        .crossJoin(broadcast(n))
+        .selectExpr("i", "j",
+          s"${Ql.R("(sxy - n * mi * mj) / (n - 1.0)", 8)} AS c")
+        // the 256-row covariance is referenced five times (v0, three
+        // iterations, the Rayleigh quotient) — pin it so the corpus
+        // self-join runs ONCE, not once per reference
+        .localCheckpoint(true)
+      def iterate(v: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val w = cov.join(v.select(col("i").as("j"), col("v")), "j")
+          .groupBy("i").agg(sum(expr("c * v")).as("w"))
+        val norm = w.agg(sqrt(sum(expr("w * w"))).as("nrm"))
+        w.crossJoin(broadcast(norm)).selectExpr("i", s"${Ql.R("w / nrm", 8)} AS v")
+      }
+      val v0 = cov.select(col("i")).distinct().withColumn("v", lit(0.25))
+      val v3 = iterate(iterate(iterate(v0)))
+      val eig = cov
+        .join(v3.select(col("i"), col("v").as("vi")), "i")
+        .join(v3.select(col("i").as("j"), col("v").as("vj")), "j")
+        .agg(Ql.r(sum(expr("vi * c * vj")), 4).as("eigenvalue"))
+      v3.crossJoin(broadcast(eig))
+        .select(col("i").as("dim"), Ql.r(col("v"), 4).as("loading"),
+          col("eigenvalue"))
+        .orderBy("dim")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, unnest(generate_series(1, 16)) AS i,
+               CAST(unnest(embedding[1:16]) AS DOUBLE) AS x
+        FROM embeddings),
+      n AS (SELECT CAST(count(*) / 16 AS BIGINT) AS n FROM e),
+      means AS (SELECT i, ${Ql.R("sum(x) / count(*)", 8)} AS m FROM e GROUP BY 1),
+      moments AS (
+        SELECT a.i AS i, b.i AS j, ${Ql.R("sum(a.x * b.x)", 6)} AS sxy
+        FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2),
+      cov AS (
+        SELECT moments.i AS i, moments.j AS j,
+               ${Ql.R("(sxy - n * mi.m * mj.m) / (n - 1.0)", 8)} AS c
+        FROM moments
+          JOIN means mi ON moments.i = mi.i
+          JOIN means mj ON moments.j = mj.i
+          CROSS JOIN n),
+      v0 AS (SELECT DISTINCT i, 0.25 AS v FROM cov),
+      w1 AS (SELECT cov.i, sum(c * v) AS w FROM cov JOIN v0 ON cov.j = v0.i GROUP BY 1),
+      v1 AS (SELECT i, ${Ql.R("w / (SELECT sqrt(sum(w * w)) FROM w1)", 8)} AS v FROM w1),
+      w2 AS (SELECT cov.i, sum(c * v) AS w FROM cov JOIN v1 ON cov.j = v1.i GROUP BY 1),
+      v2 AS (SELECT i, ${Ql.R("w / (SELECT sqrt(sum(w * w)) FROM w2)", 8)} AS v FROM w2),
+      w3 AS (SELECT cov.i, sum(c * v) AS w FROM cov JOIN v2 ON cov.j = v2.i GROUP BY 1),
+      v3 AS (SELECT i, ${Ql.R("w / (SELECT sqrt(sum(w * w)) FROM w3)", 8)} AS v FROM w3),
+      eig AS (
+        SELECT ${Ql.R("sum(a.v * cov.c * b.v)", 4)} AS eigenvalue
+        FROM cov JOIN v3 a ON cov.i = a.i JOIN v3 b ON cov.j = b.i)
+      SELECT v3.i AS dim, ${Ql.R("v3.v", 4)} AS loading, eig.eigenvalue
+      FROM v3 CROSS JOIN eig ORDER BY dim
+    """))
+
+  // ---------------------------------------------------------------- DP noisy counts
+
+  /** Differentially-private histogram release of daily event counts
+    * (Laplace mechanism, ε=1, sensitivity 1 for a count): each cell's
+    * noise is Laplace(1) by inverse-CDF — −sgn(u−½)·ln(1−2|u−½|) — over
+    * a 28-bit hash uniform of the CELL KEY. A production release draws
+    * true randomness; the deterministic hash stands in so the MECHANISM
+    * (shape, clamping, post-processing) is oracle-checkable — swap the
+    * uniform's source and nothing else changes. Noise math is shared
+    * formula text over an exact integer u and exact integer counts;
+    * the released value is max(0, round(n+noise)) (post-processing
+    * preserves DP). Scale shape: one keyed aggregation, then row-local
+    * noise arithmetic — nothing beyond the histogram is ever
+    * materialized.
+    */
+  private val dpCounts: QueryDef = {
+    // +0.5 keeps the uniform strictly inside (0,1): u = 0 would put
+    // ln(1-2|u-1/2|) at ln(0), where Spark's null and DuckDB's -inf
+    // semantics diverge
+    val uu = "((CAST(u AS DOUBLE) + 0.5) / 268435456.0)"
+    val noise = s"-sign($uu - 0.5) * ln(1.0 - 2.0 * abs($uu - 0.5))"
+    QueryDef(
+      "q_dp_counts",
+      (spark, sfDir) =>
+        Tables.events(spark, sfDir)
+          .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("u",
+            expr(Ql.md5PrefixLong("concat(day, '|', event_type)", 7)))
+          .selectExpr("day", "event_type", "n",
+            s"${Ql.R(noise, 4)} AS noise",
+            s"CAST(greatest(0, floor(${Ql.R(s"n + ($noise)", 0)})) AS BIGINT) AS released")
+          .orderBy("day", "event_type"),
+      Some(s"""
+        WITH h AS (
+          SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        u AS (
+          SELECT day, event_type, n,
+                 ${Ql.Md5PrefixLong("day || '|' || event_type", 7)} AS u
+          FROM h)
+        SELECT day, event_type, n,
+               ${Ql.R(noise, 4)} AS noise,
+               CAST(greatest(0, floor(${Ql.R(s"n + ($noise)", 0)})) AS BIGINT) AS released
+        FROM u ORDER BY day, event_type
+      """))
+  }
+
   def defs: Seq[QueryDef] =
     Seq(ridge, linearTrend, bootstrapCi, sampleSystematic, holtForecast,
-      decayEngagement, mannWhitney, theilIndex, stratAte, cramersV)
+      decayEngagement, mannWhitney, theilIndex, stratAte, cramersV,
+      pcaPower, dpCounts)
 }

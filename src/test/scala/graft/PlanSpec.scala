@@ -183,7 +183,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         "q_linear_trend", // 1-row global-min-day broadcast for the day index
         "q_decay_engagement", // 1-row anchor-day broadcast for the decay offset
         "q_bootstrap_ci", // 1-row true-mean aggregate crossed into the report row
-        "q_cramers_v") // 1-row grand-total broadcast into the 35-cell table
+        "q_cramers_v", // 1-row grand-total broadcast into the 35-cell table
+        "q_pca_power") // 1-row n/norm/eigenvalue broadcasts around the 256-cell covariance
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
