@@ -832,8 +832,74 @@ object EvalQueries extends QueryModule {
       ORDER BY c_mktsegment
     """))
 
+  /** Murphy decomposition of the Brier score plus expected calibration
+    * error over the 10 reliability bins (Murphy 1973; the q_brier_score /
+    * q_calibration_bins family completed): REL − RES + UNC reassembles
+    * the binned Brier, ECE is the bin-weighted |forecast − observed| gap
+    * — the one-number calibration readouts a model gate alarms on. The
+    * corpus pass is the same min-max + bin assignment as
+    * q_calibration_bins; everything after runs on the 10-row bin table
+    * with the grand rate as a 1-row broadcast. Bin means are rounded to
+    * 6 dp BEFORE the squared/absolute differences (the q_brier_score
+    * square-identical-operands contract).
+    */
+  private val brierDecomp: QueryDef = {
+    val rel = "sum(nb * (sb - ob) * (sb - ob)) / sum(nb)"
+    val res = "sum(nb * (ob - obar) * (ob - obar)) / sum(nb)"
+    val ece = "sum(nb * abs(sb - ob)) / sum(nb)"
+    QueryDef(
+      "q_brier_decomp",
+      (spark, sfDir) => {
+        val e = Tables.embeddings(spark, sfDir)
+          .select(
+            element_at(col("embedding"), 1).cast("double").as("score"),
+            when(col("label") === 0, 1L).otherwise(0L).as("pos"))
+        val bounds = e.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+        val binned = e.join(broadcast(bounds))
+          .withColumn("p", Ql.r((col("score") - col("lo")) / (col("hi") - col("lo")), 6))
+          .withColumn("bin",
+            least(floor((col("score") - col("lo")) * lit(10.0)
+              / (col("hi") - col("lo"))), lit(9.0)).cast("long"))
+        val bins = binned.groupBy("bin")
+          .agg(count(lit(1)).as("nb"),
+            Ql.r(avg(col("p")), 6).as("sb"),
+            Ql.r(avg(col("pos").cast("double")), 6).as("ob"))
+        val grand = binned.agg(Ql.r(avg(col("pos").cast("double")), 6).as("obar"))
+        bins.crossJoin(broadcast(grand))
+          .agg(
+            sum("nb").as("n"),
+            Ql.r(expr(ece), 6).as("ece"),
+            Ql.r(expr(rel), 6).as("reliability"),
+            Ql.r(expr(res), 6).as("resolution"),
+            Ql.r(expr("max(obar) * (1.0 - max(obar))"), 6).as("uncertainty"))
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT CAST(embedding[1] AS DOUBLE) AS score,
+                 CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+          FROM embeddings),
+        b AS (SELECT min(score) AS lo, max(score) AS hi FROM e),
+        binned AS (
+          SELECT pos, ${Ql.R("(score - lo) / (hi - lo)", 6)} AS p,
+                 CAST(least(floor((score - lo) * 10.0 / (hi - lo)), 9.0) AS BIGINT) AS bin
+          FROM e, b),
+        bins AS (
+          SELECT bin, CAST(count(*) AS BIGINT) AS nb,
+                 ${Ql.R("avg(p)", 6)} AS sb,
+                 ${Ql.R("avg(CAST(pos AS DOUBLE))", 6)} AS ob
+          FROM binned GROUP BY 1),
+        g AS (SELECT ${Ql.R("avg(CAST(pos AS DOUBLE))", 6)} AS obar FROM binned)
+        SELECT CAST(sum(nb) AS BIGINT) AS n,
+               ${Ql.R(ece, 6)} AS ece,
+               ${Ql.R(rel, 6)} AS reliability,
+               ${Ql.R(res, 6)} AS resolution,
+               ${Ql.R("max(obar) * (1.0 - max(obar))", 6)} AS uncertainty
+        FROM bins CROSS JOIN g
+      """))
+  }
+
   override def defs: Seq[QueryDef] =
     Seq(auc, gini, ndcg, winsorize, mrr, calibrationBins, rrfFusion,
       decileLift, kappaAgreement, brierScore, avgPrecision, ksScores,
-      woeIv, wilsonCi)
+      woeIv, wilsonCi, brierDecomp)
 }

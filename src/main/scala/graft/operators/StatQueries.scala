@@ -777,8 +777,134 @@ object StatQueries extends QueryModule {
       """))
   }
 
+  // ---------------------------------------------------------------- decision stump
+
+  /** Gini-optimal decision stump — the split search inside every
+    * gradient-boosted tree, run once at full width: predict
+    * `l_returnflag = 'R'` from the order-value feature, scanning every
+    * candidate threshold on the hundred-dollar bucket grid. The 100 TB
+    * histogram-split shape (LightGBM's histogram algorithm, Ke et al.
+    * 2017): ONE corpus pass builds the (bucket, n, n_pos) histogram
+    * (bounded by the price domain, ~1k rows), prefix sums over it give
+    * every split's left/right class counts, and the weighted Gini
+    * impurity ranks candidates — the corpus is never touched again.
+    * Counts stay exact BIGINT through the prefix sums; the impurity is
+    * shared-formula doubles over those integers, ranked ROUNDED (6 dp)
+    * with a bucket tiebreak (the rank-on-raw-double hazard). The grid's
+    * prefix sums use the two-level bucket-offset pattern; the totals
+    * row is a 1-row broadcast. Top-3 splits are reported.
+    */
+  private val decisionStump: QueryDef = {
+    // weighted Gini of a split: (nl*(1-pl^2-(1-pl)^2) + nr*(...)) / n
+    val gini =
+      """((nl - (CAST(pl AS DOUBLE) * pl / nl + CAST(nl - pl AS DOUBLE) * (nl - pl) / nl))
+          + (nr - (CAST(pr AS DOUBLE) * pr / nr + CAST(nr - pr AS DOUBLE) * (nr - pr) / nr)))
+         / (CAST(nl AS DOUBLE) + nr)"""
+    QueryDef(
+      "q_decision_stump",
+      (spark, sfDir) => {
+        val hist = Tables.lineitem(spark, sfDir)
+          .select(expr(s"CAST(${Ql.R("l_extendedprice * 100", 0)} AS BIGINT) div 10000").as("bucket"),
+            (col("l_returnflag") === "R").cast("long").as("y"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+        val withB = hist.withColumn("bkt", expr("bucket div 64"))
+        val offsets = withB.groupBy("bkt")
+          .agg(sum("cnt").as("bn"), sum("pos").as("bp"))
+          .withColumn("offn", coalesce(sum(col("bn")).over(
+            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("offp", coalesce(sum(col("bp")).over(
+            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("bkt", "offn", "offp")
+        val inB = Window.partitionBy("bkt").orderBy("bucket")
+        val prefix = withB.join(broadcast(offsets), "bkt")
+          .withColumn("nl", col("offn") + sum(col("cnt")).over(
+            inB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("pl", col("offp") + sum(col("pos")).over(
+            inB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val tot = hist.agg(sum("cnt").as("n"), sum("pos").as("p"))
+        prefix.crossJoin(broadcast(tot))
+          .filter(col("nl") < col("n")) // a split must leave a right side
+          .selectExpr("bucket", "nl", "pl", "n - nl AS nr", "p - pl AS pr")
+          .selectExpr("bucket", "nl", "pl", "nr", "pr",
+            s"${Ql.R(gini, 6)} AS gini")
+          .orderBy(col("gini"), col("bucket"))
+          .limit(3)
+      },
+      Some(s"""
+        WITH hist AS (
+          SELECT CAST(${Ql.R("l_extendedprice * 100", 0)} AS BIGINT) // 10000 AS bucket,
+                 CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+          FROM lineitem GROUP BY 1),
+        prefix AS (
+          SELECT bucket,
+                 CAST(sum(cnt) OVER (ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+                 CAST(sum(pos) OVER (ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pl
+          FROM hist),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                       CAST(sum(pos) AS BIGINT) AS p FROM hist),
+        s AS (
+          SELECT bucket, nl, pl, n - nl AS nr, p - pl AS pr
+          FROM prefix CROSS JOIN tot WHERE nl < n)
+        SELECT bucket, nl, pl, nr, pr, ${Ql.R(gini, 6)} AS gini
+        FROM s ORDER BY gini, bucket LIMIT 3
+      """))
+  }
+
+  // ---------------------------------------------------------------- burstiness
+
+  /** Burstiness diagnostics of the daily event arrival process per
+    * type: the Fano factor (index of dispersion, var/mean of daily
+    * counts — 1 for a Poisson process) and the Goh–Barabási burstiness
+    * coefficient B = (σ−μ)/(σ+μ). Daily counts are exact integers, so
+    * μ, the exact sum of squares, and the sample variance
+    * (Σc² − n·μ²)/(n−1) are shared-formula arithmetic over exact
+    * BIGINTs — nothing order-sensitive anywhere. The daily table is
+    * calendar-bounded; the corpus-sized work is one keyed count.
+    */
+  private val burstiness: QueryDef = {
+    val mu = "(CAST(sc AS DOUBLE) / nd)"
+    val v = s"((s2 - nd * $mu * $mu) / (nd - 1.0))"
+    val fano = s"($v / $mu)"
+    val bexp = s"((sqrt($v) - $mu) / (sqrt($v) + $mu))"
+    QueryDef(
+      "q_burstiness",
+      (spark, sfDir) =>
+        Tables.events(spark, sfDir)
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("nd"), sum("c").as("sc"),
+            sum(col("c") * col("c")).as("s2"), max("c").as("max_day"))
+          .selectExpr("event_type", "nd", "sc", "max_day",
+            s"${Ql.R(mu, 4)} AS mean_daily",
+            s"${Ql.R(fano, 4)} AS fano",
+            s"${Ql.R(bexp, 4)} AS burstiness")
+          .orderBy("event_type"),
+      Some(s"""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, event_type,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        a AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+                 CAST(sum(c) AS BIGINT) AS sc,
+                 CAST(sum(c * c) AS BIGINT) AS s2,
+                 CAST(max(c) AS BIGINT) AS max_day
+          FROM daily GROUP BY 1)
+        SELECT event_type, nd, sc, max_day,
+               ${Ql.R(mu, 4)} AS mean_daily,
+               ${Ql.R(fano, 4)} AS fano,
+               ${Ql.R(bexp, 4)} AS burstiness
+        FROM a ORDER BY event_type
+      """))
+  }
+
   def defs: Seq[QueryDef] =
     Seq(ridge, linearTrend, bootstrapCi, sampleSystematic, holtForecast,
       decayEngagement, mannWhitney, theilIndex, stratAte, cramersV,
-      pcaPower, dpCounts)
+      pcaPower, dpCounts, decisionStump, burstiness)
 }

@@ -184,7 +184,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         "q_decay_engagement", // 1-row anchor-day broadcast for the decay offset
         "q_bootstrap_ci", // 1-row true-mean aggregate crossed into the report row
         "q_cramers_v", // 1-row grand-total broadcast into the 35-cell table
-        "q_pca_power") // 1-row n/norm/eigenvalue broadcasts around the 256-cell covariance
+        "q_pca_power", // 1-row n/norm/eigenvalue broadcasts around the 256-cell covariance
+        "q_brier_decomp", // 1-row score-bounds + grand-rate broadcasts, as q_brier_score
+        "q_decision_stump", // 1-row class-totals broadcast against the bucket grid
+        "q_rec_coverage") // 1-row catalog/rank-decay aggregates crossed into the report row
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
@@ -214,7 +217,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_woe_iv", // score-range bin table (10 rows by construction)
       "q_modularity", // community table (bounded by the brand vocabulary)
       "q_sample_systematic", // 16-row hash-range bucket-offset histogram
-      "q_mann_whitney") // ~50-row value-grid bucket histogram
+      "q_mann_whitney", // ~50-row value-grid bucket histogram
+      "q_decision_stump") // ~20-row price-range bucket-offset histogram
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val bad = df.queryExecution.sparkPlan.collect {
