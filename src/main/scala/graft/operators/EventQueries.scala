@@ -1366,10 +1366,74 @@ object EventQueries extends QueryModule {
       ORDER BY s.h
     """))
 
+  /** Position-based (U-shaped) multi-touch attribution — the 40/20/40
+    * sibling of q_attribution's last-touch rule: each user's pre-first-
+    * purchase journey of views and clicks splits the conversion credit
+    * 40% first touch, 40% last touch, 20% shared across the middle
+    * (k=1 → 100%, k=2 → 50/50 by the same CASE in both engines). All
+    * journey machinery is user-keyed (first-purchase anchor, journey
+    * rank, journey length — one co-partitioned shuffle family, no
+    * global windows); credits are doubles via identical CASE text and
+    * the channel totals round at 2 dp (the suite's accepted mean-sum
+    * class). Output: per event type, touches, full-credit conversions
+    * touched, and the position-weighted credit.
+    */
+  private val attributionPosition = QueryDef(
+    "q_attribution_position",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val firstPurchase = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("ts").as("conv_ts"))
+      val touches = e.filter(col("event_type").isin("view", "click"))
+        .join(firstPurchase, "user_id")
+        .filter(col("ts") < col("conv_ts"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ranked = touches
+        .withColumn("rn", row_number().over(w))
+        .withColumn("k", count(lit(1)).over(Window.partitionBy("user_id")))
+      val credit =
+        """CASE WHEN k = 1 THEN 1.0
+                WHEN k = 2 THEN 0.5
+                WHEN rn = 1 OR rn = k THEN 0.4
+                ELSE 0.2 / (k - 2) END"""
+      ranked
+        .selectExpr("event_type", s"$credit AS credit")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_touches"),
+          Ql.r(sum("credit"), 2).as("credit"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH fp AS (
+        SELECT user_id, min(ts) AS conv_ts FROM events
+        WHERE event_type = 'purchase' GROUP BY 1),
+      t AS (
+        SELECT e.user_id, e.ts, e.event_id, e.event_type
+        FROM events e JOIN fp ON e.user_id = fp.user_id
+        WHERE e.event_type IN ('view', 'click') AND e.ts < fp.conv_ts),
+      r AS (
+        SELECT event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS k
+        FROM t),
+      c AS (
+        SELECT event_type,
+               CASE WHEN k = 1 THEN 1.0
+                    WHEN k = 2 THEN 0.5
+                    WHEN rn = 1 OR rn = k THEN 0.4
+                    ELSE 0.2 / (k - 2) END AS credit
+        FROM r)
+      SELECT event_type, count(*) AS n_touches,
+             ${Ql.R("sum(credit)", 2)} AS credit
+      FROM c GROUP BY 1 ORDER BY 1
+    """))
+
   override def defs: Seq[QueryDef] = Seq(hourlyEventStats, funnel, eventPaths,
     retentionCohorts, tsResample, anomalyZscore, attribution, markov,
     funnelWindowed, ewmaDaily, madAnomaly, psiDrift, autocorr, benford,
     dowProfile, ksDrift, stickiness, timeToConvert, cusumChangepoint,
     stlSeasonal, userFeatures, twap, stlResidualAnomaly,
-    seasonalStrength, rollingDistinct, kaplanMeier)
+    seasonalStrength, rollingDistinct, kaplanMeier, attributionPosition)
 }

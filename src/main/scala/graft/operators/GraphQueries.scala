@@ -1063,8 +1063,81 @@ object GraphQueries extends QueryModule {
       FROM h CROSS JOIN cat CROSS JOIN d1 CROSS JOIN d10
     """))
 
+  /** Multi-source closeness centrality within a 4-hop horizon — the
+    * "which catalog anchors sit closest to everything" landmark metric,
+    * run as ONE joint Bellman-Ford over (source, node) keyed state
+    * instead of a loop over sources (the landmark/pivot trick from
+    * Potamias et al. 2009's closeness estimation: k sources cost one
+    * k×-wider frontier, not k passes). Edge costs are the q_sssp
+    * integers (100 div s_ab); distances stay exact BIGINTs through
+    * every relaxation; the only doubles are the final 1/d harmonic
+    * terms (harmonic closeness handles the unreached mass without a
+    * disconnected-penalty convention). Same per-round localCheckpoint +
+    * block-release hygiene as q_sssp; the oracle unrolls the four
+    * rounds as chained CTEs.
+    */
+  private val closeness = QueryDef(
+    "q_closeness",
+    (spark, sfDir) => {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val edges = itemPairs(orderItems(spark, sfDir))
+        .filter(col("s_ab") >= 2)
+        .select(col("a"), col("b"), expr("100 div s_ab").as("w"))
+        .localCheckpoint(true) // feeds the source rows and all 4 rounds
+      val adj = edges.select(col("a").as("u"), col("b").as("v"), col("w"))
+        .unionByName(edges.select(col("b").as("u"), col("a").as("v"), col("w")))
+      var dist = edges.select(col("a")).distinct()
+        .orderBy("a").limit(4)
+        .select(col("a").as("src"), col("a").as("node"), lit(0L).as("d"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 4) {
+        val relax = dist.join(adj, dist("node") === adj("u"))
+          .select(dist("src").as("src"), adj("v").as("node"),
+            (dist("d") + adj("w")).as("d"))
+        dist = dist.unionByName(relax)
+          .groupBy("src", "node").agg(min(col("d")).as("d"))
+          .localCheckpoint(true)
+      }
+      val mine = sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
+      val out = dist.filter(col("d") > 0)
+        .groupBy("src")
+        .agg(count(lit(1)).as("n_reached"),
+          sum("d").as("sum_dist"),
+          Ql.r(sum(lit(1.0) / col("d")), 4).as("harmonic"))
+        .orderBy("src")
+        .localCheckpoint(true)
+      mine.values.foreach(_.unpersist(blocking = false))
+      out
+    },
+    Some {
+      val rounds = (1 to 4).map { i =>
+        s"""d$i AS (
+          SELECT src, node, min(d) AS d FROM (
+            SELECT src, node, d FROM d${i - 1}
+            UNION ALL
+            SELECT d${i - 1}.src, adj.v AS node, d${i - 1}.d + adj.w AS d
+            FROM d${i - 1} JOIN adj ON adj.u = d${i - 1}.node)
+          GROUP BY 1, 2)"""
+      }.mkString(",\n")
+      s"""
+      WITH items AS ($itemsSql),
+      edges AS (SELECT a, b, 100 // s_ab AS w FROM ($pairsSql) WHERE s_ab >= 2),
+      adj AS (
+        SELECT a AS u, b AS v, w FROM edges
+        UNION ALL SELECT b AS u, a AS v, w FROM edges),
+      srcs AS (SELECT DISTINCT a FROM edges ORDER BY a LIMIT 4),
+      d0 AS (SELECT a AS src, a AS node, CAST(0 AS BIGINT) AS d FROM srcs),
+      $rounds
+      SELECT src, CAST(count(*) AS BIGINT) AS n_reached,
+             CAST(sum(d) AS BIGINT) AS sum_dist,
+             ${Ql.R("sum(1.0 / d)", 4)} AS harmonic
+      FROM d4 WHERE d > 0 GROUP BY 1 ORDER BY src
+    """
+    })
+
   override def defs: Seq[QueryDef] =
     Seq(pagerank, marketBasket, triangleCount, itemCf, itemsets3, rfmSegments,
       hits, assortativity, degreeHist, kcore, linkPred, sssp, modularity,
-      graph2hop, recCoverage)
+      graph2hop, recCoverage, closeness)
 }

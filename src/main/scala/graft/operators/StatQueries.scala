@@ -903,8 +903,124 @@ object StatQueries extends QueryModule {
       """))
   }
 
+  // ---------------------------------------------------------------- forecast backtest
+
+  /** Rolling-origin forecast backtest of the two standard baselines —
+    * naive (yesterday) and seasonal-naive (same weekday last week) —
+    * over the per-type daily counts: MAE, MAPE, and MASE (Hyndman &
+    * Koehler 2006; MASE = model MAE / naive MAE, the scale-free score
+    * every forecasting bake-off reports). Daily counts are exact
+    * integers, so every |error| is an exact BIGINT and both MAEs are
+    * one exact divide; only MAPE's per-day ratios are summed as doubles
+    * (rounded 4 dp). Evaluation restricts to days where BOTH lags
+    * exist, so the two MAEs cover the identical day set. The corpus
+    * pass is one keyed daily count; everything after runs on the
+    * calendar-bounded table with type-partitioned lag windows.
+    */
+  private val forecastEval = QueryDef(
+    "q_forecast_eval",
+    (spark, sfDir) => {
+      val daily = Tables.events(spark, sfDir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("l1", lag("c", 1).over(w))
+        .withColumn("l7", lag("c", 7).over(w))
+        .filter(col("l1").isNotNull && col("l7").isNotNull)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_eval"),
+          sum(abs(col("c") - col("l1"))).as("ae1"),
+          sum(abs(col("c") - col("l7"))).as("ae7"),
+          sum(abs(col("c") - col("l1")).cast("double") / col("c")).as("pe1"))
+        .selectExpr("event_type", "n_eval",
+          s"${Ql.R("CAST(ae1 AS DOUBLE) / n_eval", 4)} AS mae_naive",
+          s"${Ql.R("CAST(ae7 AS DOUBLE) / n_eval", 4)} AS mae_snaive",
+          s"${Ql.R("100.0 * pe1 / n_eval", 4)} AS mape_naive",
+          s"${Ql.R("CAST(ae7 AS DOUBLE) / ae1", 4)} AS mase_snaive")
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      lagged AS (
+        SELECT event_type, c,
+               lag(c, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+               lag(c, 7) OVER (PARTITION BY event_type ORDER BY day) AS l7
+        FROM daily),
+      a AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+               CAST(sum(abs(c - l1)) AS BIGINT) AS ae1,
+               CAST(sum(abs(c - l7)) AS BIGINT) AS ae7,
+               sum(CAST(abs(c - l1) AS DOUBLE) / c) AS pe1
+        FROM lagged WHERE l1 IS NOT NULL AND l7 IS NOT NULL
+        GROUP BY 1)
+      SELECT event_type, n_eval,
+             ${Ql.R("CAST(ae1 AS DOUBLE) / n_eval", 4)} AS mae_naive,
+             ${Ql.R("CAST(ae7 AS DOUBLE) / n_eval", 4)} AS mae_snaive,
+             ${Ql.R("100.0 * pe1 / n_eval", 4)} AS mape_naive,
+             ${Ql.R("CAST(ae7 AS DOUBLE) / ae1", 4)} AS mase_snaive
+      FROM a ORDER BY event_type
+    """))
+
+  // ---------------------------------------------------------------- quantile normalization
+
+  /** Empirical-CDF (rank) normalization of the event-value feature per
+    * type — the monotone transform that makes any distribution uniform
+    * before cross-feature comparison — verified by its own decile
+    * histogram (a uniformized feature must land ~n/10 per decile). The
+    * inclusive CDF is exact arithmetic over the bounded cent GRID
+    * (≤49k distinct cells by the 2-decimal construction): one corpus
+    * pass collapses onto the grid, the cumulative count is a
+    * type-PARTITIONED prefix window over grid rows, and the decile
+    * index floor(10·cum/n) is an exact rational vs integer compare in
+    * both engines. Nothing in the plan touches corpus rows after the
+    * first aggregation.
+    */
+  private val quantileNormalize = QueryDef(
+    "q_quantile_normalize",
+    (spark, sfDir) => {
+      val grid = Tables.events(spark, sfDir)
+        .select(col("event_type"),
+          Ql.r(col("value") * 100, 0).cast("long").as("c"))
+        .groupBy("event_type", "c").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid
+        .withColumn("cum", sum("cnt").over(w))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
+        // decile of the inclusive empirical CDF, exact integer arithmetic
+        .withColumn("decile",
+          least(expr("(10 * cum) div n"), lit(9L)))
+        .groupBy("event_type", "decile")
+        .agg(sum("cnt").as("n_rows"), count(lit(1)).as("n_cells"))
+        .orderBy("event_type", "decile")
+    },
+    Some("""
+      WITH grid AS (
+        SELECT event_type,
+               CAST(round((value * 100) + 1e-9, 0) AS BIGINT) AS c,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+      cdf AS (
+        SELECT event_type, cnt,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS n
+        FROM grid)
+      SELECT event_type,
+             CAST(least((10 * cum) // n, 9) AS BIGINT) AS decile,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_cells
+      FROM cdf GROUP BY 1, 2 ORDER BY 1, 2
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(ridge, linearTrend, bootstrapCi, sampleSystematic, holtForecast,
       decayEngagement, mannWhitney, theilIndex, stratAte, cramersV,
-      pcaPower, dpCounts, decisionStump, burstiness)
+      pcaPower, dpCounts, decisionStump, burstiness, forecastEval,
+      quantileNormalize)
 }
