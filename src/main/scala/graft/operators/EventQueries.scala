@@ -1366,6 +1366,54 @@ object EventQueries extends QueryModule {
       ORDER BY s.h
     """))
 
+  /** Level-2 sequential pattern support (the PrefixSpan/GSP first rung,
+    * Pei et al. 2001): for every ordered event-type pair (a → b), how
+    * many users exhibit SOME a-event strictly before SOME b-event —
+    * subsequence containment, not adjacency (q_markov_transitions
+    * counts adjacent steps; this counts "ever followed, at any gap").
+    * The containment test needs only each user's FIRST a and LAST b:
+    * min/max event micros per (user, type) — one keyed aggregation —
+    * then a per-user 5×5 type pairing (bounded fanout: the type
+    * vocabulary, not the event volume) compared on exact integer
+    * micros. Support is reported absolute and as a fraction of users
+    * active on both types.
+    */
+  private val seqPairs = QueryDef(
+    "q_seq_pairs",
+    (spark, sfDir) => {
+      val spans = Tables.events(spark, sfDir)
+        .groupBy("user_id", "event_type")
+        .agg(min(unix_micros(col("ts"))).as("first_us"),
+          max(unix_micros(col("ts"))).as("last_us"))
+      spans.as("a").join(spans.as("b"), Seq("user_id"))
+        .filter(col("a.event_type") =!= col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_users_both"),
+          sum((col("a.first_us") < col("b.last_us")).cast("long"))
+            .as("n_users_seq"))
+        .selectExpr("type_a", "type_b", "n_users_both", "n_users_seq",
+          s"${Ql.R("CAST(n_users_seq AS DOUBLE) / n_users_both", 4)} AS support")
+        .orderBy("type_a", "type_b")
+    },
+    Some(s"""
+      WITH spans AS (
+        SELECT user_id, event_type,
+               min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us
+        FROM events GROUP BY 1, 2),
+      pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_users_both,
+               CAST(sum(CASE WHEN a.first_us < b.last_us THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_users_seq
+        FROM spans a JOIN spans b
+          ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        GROUP BY 1, 2)
+      SELECT type_a, type_b, n_users_both, n_users_seq,
+             ${Ql.R("CAST(n_users_seq AS DOUBLE) / n_users_both", 4)} AS support
+      FROM pairs ORDER BY type_a, type_b
+    """))
+
   /** Position-based (U-shaped) multi-touch attribution — the 40/20/40
     * sibling of q_attribution's last-touch rule: each user's pre-first-
     * purchase journey of views and clicks splits the conversion credit
@@ -1435,5 +1483,6 @@ object EventQueries extends QueryModule {
     funnelWindowed, ewmaDaily, madAnomaly, psiDrift, autocorr, benford,
     dowProfile, ksDrift, stickiness, timeToConvert, cusumChangepoint,
     stlSeasonal, userFeatures, twap, stlResidualAnomaly,
-    seasonalStrength, rollingDistinct, kaplanMeier, attributionPosition)
+    seasonalStrength, rollingDistinct, kaplanMeier, attributionPosition,
+    seqPairs)
 }

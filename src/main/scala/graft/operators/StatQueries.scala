@@ -1018,9 +1018,99 @@ object StatQueries extends QueryModule {
       FROM cdf GROUP BY 1, 2 ORDER BY 1, 2
     """))
 
+  // ---------------------------------------------------------------- imputation eval
+
+  /** Missing-value imputation with a measured error bar: mask a
+    * deterministic 1/10 hash sample of the event values, impute them
+    * with the per-type mean of the SURVIVING values, and report the
+    * imputation RMSE and bias against the held-out truth — the
+    * fill-and-audit loop every feature pipeline runs before shipping a
+    * mean-impute. Mask membership is a pure hash function of the event
+    * id (the q_aqp_sum_ci sampling idiom), per-type means are computed
+    * over exact integer cents of unmasked rows only, and the error
+    * sums run in doubles over exact integer differences (rounded 4 dp).
+    * One corpus pass + a types-sized broadcast back — nothing grows
+    * with the corpus but the first aggregation.
+    */
+  private val imputeEval = QueryDef(
+    "q_impute_eval",
+    (spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .select(col("event_type"),
+          Ql.r(col("value") * 100, 0).cast("long").as("cents"),
+          (expr(Ql.md5PrefixLong("CAST(event_id AS STRING)", 4)) % 10 === 0)
+            .cast("long").as("masked"))
+      val means = e.filter(col("masked") === 0)
+        .groupBy("event_type")
+        .agg(expr("CAST(sum(cents) AS DOUBLE) / count(*)").as("imp_cents"))
+      e.filter(col("masked") === 1)
+        .join(broadcast(means), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_masked"),
+          Ql.r(expr("avg(imp_cents - cents) / 100.0"), 4).as("bias"),
+          Ql.r(expr("sqrt(avg((imp_cents - cents) * (imp_cents - cents))) / 100.0"), 4)
+            .as("rmse"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT event_type,
+               CAST(${Ql.R("value * 100", 0)} AS BIGINT) AS cents,
+               CASE WHEN (${Ql.Md5PrefixLong("CAST(event_id AS VARCHAR)", 4)}) % 10 = 0
+                    THEN 1 ELSE 0 END AS masked
+        FROM events),
+      means AS (
+        SELECT event_type, CAST(sum(cents) AS DOUBLE) / count(*) AS imp_cents
+        FROM e WHERE masked = 0 GROUP BY 1)
+      SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_masked,
+             ${Ql.R("avg(imp_cents - cents) / 100.0", 4)} AS bias,
+             ${Ql.R("sqrt(avg((imp_cents - cents) * (imp_cents - cents))) / 100.0", 4)} AS rmse
+      FROM e JOIN means ON e.event_type = means.event_type
+      WHERE masked = 1
+      GROUP BY 1 ORDER BY 1
+    """))
+
+  // ---------------------------------------------------------------- partial correlation
+
+  /** First-order partial correlation ρ(quantity, price · discount) —
+    * "does quantity still track price once discount is controlled for"
+    * — from the three pairwise Pearson correlations by the standard
+    * recursion ρ_xy·z = (ρ_xy − ρ_xz·ρ_yz)/√((1−ρ_xz²)(1−ρ_yz²)). One
+    * corpus aggregation computes all three corr() built-ins (shared
+    * shuffle); each is rounded to 6 dp BEFORE entering the shared
+    * composition formula so both engines feed identical operands. The
+    * raw correlation is reported next to the partial one — the
+    * confounding delta IS the readout.
+    */
+  private val partialCorr: QueryDef = {
+    val p = "(rxy - rxz * ryz) / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))"
+    QueryDef(
+      "q_partial_corr",
+      (spark, sfDir) =>
+        Tables.lineitem(spark, sfDir)
+          .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"),
+            col("l_discount").as("z"))
+          .agg(count(lit(1)).as("n"),
+            Ql.r(corr("x", "y"), 6).as("rxy"),
+            Ql.r(corr("x", "z"), 6).as("rxz"),
+            Ql.r(corr("y", "z"), 6).as("ryz"))
+          .selectExpr("n", "rxy", "rxz", "ryz",
+            s"${Ql.R(p, 6)} AS partial_rxy_z"),
+      Some(s"""
+        WITH a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 ${Ql.R("corr(l_quantity, l_extendedprice)", 6)} AS rxy,
+                 ${Ql.R("corr(l_quantity, l_discount)", 6)} AS rxz,
+                 ${Ql.R("corr(l_extendedprice, l_discount)", 6)} AS ryz
+          FROM lineitem)
+        SELECT n, rxy, rxz, ryz, ${Ql.R(p, 6)} AS partial_rxy_z
+        FROM a
+      """))
+  }
+
   def defs: Seq[QueryDef] =
     Seq(ridge, linearTrend, bootstrapCi, sampleSystematic, holtForecast,
       decayEngagement, mannWhitney, theilIndex, stratAte, cramersV,
       pcaPower, dpCounts, decisionStump, burstiness, forecastEval,
-      quantileNormalize)
+      quantileNormalize, imputeEval, partialCorr)
 }
