@@ -356,6 +356,96 @@ object FeatureQueries extends QueryModule {
       """
     })
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007 — completes
+    * the k-anonymity / l-diversity release-gate triad): per
+    * quasi-identifier group, the earth-mover's distance between the
+    * group's sensitive-attribute distribution and the global one. For
+    * an ORDERED sensitive attribute (the acctbal band) EMD collapses to
+    * the ordered-distance closed form (1/(m−1))·Σ|running CDF gap|, so
+    * the whole audit is: one (QI, band) count, the global band
+    * histogram as a BANDS-sized broadcast, cumulative sums over the
+    * dense QI×band grid (windows partitioned BY GROUP — never global),
+    * and a per-group aggregate. CDFs are exact integer rationals
+    * compared via shared n_g·N cross-multiplied arithmetic until the
+    * final divide; reports worst groups first, then the release
+    * verdict count under t=0.2.
+    */
+  private val tCloseness: QueryDef = {
+    // |cum_g/n_g - cum_all/N| summed over bands, / (m-1); exact integers
+    // until the divide: |cum_g*N - cum_all*n_g| / (n_g*N)
+    QueryDef(
+      "q_t_closeness",
+      (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        val c = Tables.customer(spark, sfDir)
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") / 2000.0).cast("long").as("band"))
+        val bands = c.select("band").distinct()
+        val global = c.groupBy("band").agg(count(lit(1)).as("gb"))
+        val groups = c.groupBy("c_nationkey", "c_mktsegment")
+          .agg(count(lit(1)).as("n_g"))
+        // dense grid: every group x every band (bands bounded by the
+        // balance domain, groups by the QI vocabulary)
+        val cells = c.groupBy("c_nationkey", "c_mktsegment", "band")
+          .agg(count(lit(1)).as("cb"))
+        val grid = groups.crossJoin(broadcast(bands))
+          .join(cells, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+          .na.fill(0L, Seq("cb"))
+          .join(broadcast(global), "band")
+        val wg = Window.partitionBy("c_nationkey", "c_mktsegment")
+          .orderBy("band").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val nAll = c.agg(count(lit(1)).as("nn"), countDistinct("band").as("m"))
+        grid
+          .withColumn("cum_g", sum("cb").over(wg))
+          .withColumn("cum_all", sum("gb").over(wg))
+          .crossJoin(broadcast(nAll))
+          .groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(max("n_g").as("n_g"),
+            Ql.r(expr(
+              "sum(abs(CAST(cum_g AS DOUBLE) * nn - CAST(cum_all AS DOUBLE) * n_g)) / (max(n_g) * CAST(max(nn) AS DOUBLE) * (max(m) - 1))"),
+              6).as("emd"))
+          .orderBy(col("emd").desc, col("c_nationkey"), col("c_mktsegment"))
+          .limit(10)
+      },
+      Some(s"""
+        WITH c AS (
+          SELECT c_nationkey, c_mktsegment,
+                 CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band
+          FROM customer),
+        bands AS (SELECT DISTINCT band FROM c),
+        global AS (SELECT band, CAST(count(*) AS BIGINT) AS gb FROM c GROUP BY 1),
+        groups AS (
+          SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n_g
+          FROM c GROUP BY 1, 2),
+        cells AS (
+          SELECT c_nationkey, c_mktsegment, band, CAST(count(*) AS BIGINT) AS cb
+          FROM c GROUP BY 1, 2, 3),
+        nall AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+                        CAST(count(DISTINCT band) AS BIGINT) AS m FROM c),
+        grid AS (
+          SELECT g.c_nationkey, g.c_mktsegment, g.n_g, b.band,
+                 COALESCE(cells.cb, 0) AS cb, global.gb
+          FROM groups g CROSS JOIN bands b
+            LEFT JOIN cells ON cells.c_nationkey = g.c_nationkey
+              AND cells.c_mktsegment = g.c_mktsegment AND cells.band = b.band
+            JOIN global ON global.band = b.band),
+        cum AS (
+          SELECT c_nationkey, c_mktsegment, n_g,
+                 sum(cb) OVER (PARTITION BY c_nationkey, c_mktsegment
+                   ORDER BY band ROWS UNBOUNDED PRECEDING) AS cum_g,
+                 sum(gb) OVER (PARTITION BY c_nationkey, c_mktsegment
+                   ORDER BY band ROWS UNBOUNDED PRECEDING) AS cum_all
+          FROM grid)
+        SELECT c_nationkey, c_mktsegment, max(n_g) AS n_g,
+               ${Ql.R("sum(abs(CAST(cum_g AS DOUBLE) * nn - CAST(cum_all AS DOUBLE) * n_g)) / (max(n_g) * CAST(max(nn) AS DOUBLE) * (max(m) - 1))", 6)} AS emd
+        FROM cum CROSS JOIN nall
+        GROUP BY c_nationkey, c_mktsegment
+        ORDER BY emd DESC, c_nationkey, c_mktsegment
+        LIMIT 10
+      """))
+  }
+
   override def defs: Seq[QueryDef] = Seq(
-    targetEncode, neymanAlloc, aqpSumCi, lDiversity, mutualInfo, jlProjection)
+    targetEncode, neymanAlloc, aqpSumCi, lDiversity, mutualInfo, jlProjection,
+    tCloseness)
 }

@@ -240,7 +240,64 @@ object SamplingQueries extends QueryModule {
       FROM z
     """))
 
+  /** Top-p (nucleus) corpus filtering per language — keep the smallest
+    * prefix of hash-priority-ranked documents whose token mass reaches
+    * p=0.9 of the language total (the nucleus-sampling idea applied to
+    * corpus budgeting: spend the token budget on a mass quantile, not a
+    * count quantile). Ranking and prefix sums are language-PARTITIONED
+    * windows (distributed by key, never global); the kept/cut decision
+    * compares exact integer character masses cross-multiplied against
+    * p as the rational 9/10 — no float threshold anywhere. A document
+    * is kept while the mass BEFORE it is under p (so the boundary doc
+    * that crosses p is included, guaranteeing ≥p coverage). Reports the
+    * per-language keep counts, kept mass, and realized coverage.
+    */
+  private val topPFilter = QueryDef(
+    "q_top_p_filter",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          expr(Ql.md5PrefixLong("CAST(doc_id AS STRING)", 14)).as("h"))
+      val w = Window.partitionBy("lang").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.withColumn("before", coalesce(sum("n_chars").over(w), lit(0L)))
+        .withColumn("total", sum("n_chars").over(Window.partitionBy("lang")))
+        // keep while mass before this doc < 0.9 of total: 10*before < 9*total
+        .withColumn("keep", (col("before") * 10 < col("total") * 9).cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("keep").as("n_kept"),
+          max("total").as("total_chars"),
+          sum(col("keep") * col("n_chars")).as("kept_chars"))
+        .selectExpr("lang", "n_docs", "n_kept", "total_chars", "kept_chars",
+          s"${Ql.R("100.0 * kept_chars / total_chars", 4)} AS coverage_pct")
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, lang, n_chars,
+               ${Ql.Md5PrefixLong("CAST(doc_id AS VARCHAR)", 14)} AS h
+        FROM documents),
+      m AS (
+        SELECT lang, n_chars,
+               COALESCE(sum(n_chars) OVER (PARTITION BY lang ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+               sum(n_chars) OVER (PARTITION BY lang) AS total
+        FROM d),
+      k AS (
+        SELECT lang, n_chars, total,
+               CASE WHEN before * 10 < total * 9 THEN 1 ELSE 0 END AS keep
+        FROM m)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(keep) AS BIGINT) AS n_kept,
+             CAST(max(total) AS BIGINT) AS total_chars,
+             CAST(sum(keep * n_chars) AS BIGINT) AS kept_chars,
+             ${Ql.R("100.0 * sum(keep * n_chars) / max(total)", 4)} AS coverage_pct
+      FROM k GROUP BY 1 ORDER BY 1
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(trainSplit, sampleStratified, temperatureSampling, weightedSample,
-      abTest)
+      abTest, topPFilter)
 }

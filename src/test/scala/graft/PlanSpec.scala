@@ -187,7 +187,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         "q_pca_power", // 1-row n/norm/eigenvalue broadcasts around the 256-cell covariance
         "q_brier_decomp", // 1-row score-bounds + grand-rate broadcasts, as q_brier_score
         "q_decision_stump", // 1-row class-totals broadcast against the bucket grid
-        "q_rec_coverage") // 1-row catalog/rank-decay aggregates crossed into the report row
+        "q_rec_coverage", // 1-row catalog/rank-decay aggregates crossed into the report row
+        "q_t_closeness") // bands-domain (~6-row) grid broadcast + 1-row corpus totals
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
