@@ -1108,9 +1108,210 @@ object StatQueries extends QueryModule {
       """))
   }
 
+  // ---------------------------------------------------------------- one-way ANOVA
+
+  /** One-way ANOVA of the event value across event types: F-statistic
+    * and η² (variance explained by the grouping) from the textbook
+    * between/within sum-of-squares identity SSB = Σ nᵢx̄ᵢ² − n·x̄²,
+    * SSW = SST − SSB. Everything derives from three exact BIGINT
+    * moments per group (n, Σcents, Σcents²) — ONE map-side-combined
+    * aggregation over the corpus, then a 5-row reduce; the F and η²
+    * arithmetic is shared formula text over those integers, so the
+    * engines cannot drift. Σcents² bounds int64 to ~sf 1e3 (49k-cent
+    * values; past that the second moment switches to double — noted,
+    * not silent).
+    */
+  private val anova: QueryDef = {
+    // k groups, n rows; SSB/SSW in cent^2 from exact sums
+    val ssb = "(sum(CAST(s AS DOUBLE) * s / ng) - CAST(sum(s) AS DOUBLE) * sum(s) / sum(ng))"
+    val ssw = "(sum(CAST(s2 AS DOUBLE)) - sum(CAST(s AS DOUBLE) * s / ng))"
+    val f = s"(($ssb / (count(*) - 1)) / ($ssw / (sum(ng) - count(*))))"
+    val eta2 = s"($ssb / ($ssb + $ssw))"
+    QueryDef(
+      "q_anova",
+      (spark, sfDir) =>
+        Tables.events(spark, sfDir)
+          .select(col("event_type"),
+            Ql.r(col("value") * 100, 0).cast("long").as("cents"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("ng"), sum("cents").as("s"),
+            sum(col("cents") * col("cents")).as("s2"))
+          .agg(
+            count(lit(1)).as("k"),
+            sum("ng").as("n"),
+            Ql.r(expr(ssb) / 10000.0, 2).as("ssb_dollars2"),
+            Ql.r(expr(ssw) / 10000.0, 2).as("ssw_dollars2"),
+            Ql.r(expr(f), 4).as("f_stat"),
+            Ql.r(expr(eta2), 6).as("eta_sq")),
+      Some(s"""
+        WITH g AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+                 CAST(sum(CAST(${Ql.R("value * 100", 0)} AS BIGINT)) AS BIGINT) AS s,
+                 CAST(sum(CAST(${Ql.R("value * 100", 0)} AS BIGINT)
+                        * CAST(${Ql.R("value * 100", 0)} AS BIGINT)) AS BIGINT) AS s2
+          FROM events GROUP BY 1)
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(ng) AS BIGINT) AS n,
+               ${Ql.R(s"$ssb / 10000.0", 2)} AS ssb_dollars2,
+               ${Ql.R(s"$ssw / 10000.0", 2)} AS ssw_dollars2,
+               ${Ql.R(f, 4)} AS f_stat,
+               ${Ql.R(eta2, 6)} AS eta_sq
+        FROM g
+      """))
+  }
+
+  // ---------------------------------------------------------------- power analysis
+
+  /** Two-proportion power analysis seeded from the PILOT data — "how
+    * many users per arm does the next A/B need": observed conversion
+    * rates by the deterministic arm hash (the q_ab_test assignment),
+    * then the classical n = (z_{α/2}√(2p̄q̄) + z_β√(p₁q₁+p₂q₂))²/Δ²
+    * per-arm sample size for 80% power at α=0.05, plus the same for a
+    * +10% relative lift target. All counts are exact integers; the
+    * formula is shared text with the z constants written as plain
+    * decimal literals (1.96, 0.8416) so both engines parse identical
+    * doubles — no inverse-normal needed at runtime.
+    */
+  private val powerAnalysis: QueryDef = {
+    val p1 = "(CAST(c1 AS DOUBLE) / n1)"
+    val p2 = "(CAST(c2 AS DOUBLE) / n2)"
+    val pbar = s"(($p1 + $p2) / 2.0)"
+    // z-sum squared via explicit multiply — pow() is not bit-guaranteed
+    // across libm implementations (NOTES.md fact #30). A zero effect
+    // (p2 = p1, e.g. a pilot with no conversions) needs infinite n:
+    // NULL by the same CASE in both engines (Spark ANSI raises on /0
+    // where DuckDB emits inf — they'd diverge without the guard).
+    def nFor(p2e: String) = {
+      val zsum = s"""(1.96 * sqrt(2.0 * $pbar * (1.0 - $pbar))
+           + 0.8416 * sqrt($p1 * (1.0 - $p1) + $p2e * (1.0 - $p2e)))"""
+      s"""CASE WHEN ($p2e - $p1) = 0.0 THEN NULL
+              ELSE CAST(ceil(($zsum * $zsum)
+                / (($p2e - $p1) * ($p2e - $p1))) AS BIGINT) END"""
+    }
+    QueryDef(
+      "q_power_analysis",
+      (spark, sfDir) => {
+        val arms = Tables.events(spark, sfDir)
+          .groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase" && col("value") > 180, 1L)
+            .otherwise(0L)).as("conv"))
+          .withColumn("arm",
+            expr(Ql.md5PrefixLong("concat('exp1:', user_id)", 4)) % 2)
+        arms.agg(
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c1"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+            sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c2"))
+          .selectExpr("n1", "c1", "n2", "c2",
+            s"${Ql.R(p1, 6)} AS rate_a",
+            s"${Ql.R(p2, 6)} AS rate_b",
+            s"${nFor(p2)} AS n_detect_observed",
+            s"${nFor(s"($p1 * 1.1)")} AS n_detect_10pct_lift")
+      },
+      Some(s"""
+        WITH u AS (
+          SELECT user_id,
+                 max(CASE WHEN event_type = 'purchase' AND value > 180
+                          THEN 1 ELSE 0 END) AS conv
+          FROM events GROUP BY 1),
+        a AS (
+          SELECT user_id, conv,
+                 (${Ql.Md5PrefixLong("'exp1:' || CAST(user_id AS VARCHAR)", 4)}) % 2 AS arm
+          FROM u),
+        s AS (
+          SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                 CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c2
+          FROM a)
+        SELECT n1, c1, n2, c2,
+               ${Ql.R(p1, 6)} AS rate_a,
+               ${Ql.R(p2, 6)} AS rate_b,
+               ${nFor(p2)} AS n_detect_observed,
+               ${nFor(s"($p1 * 1.1)")} AS n_detect_10pct_lift
+        FROM s
+      """))
+  }
+
+  // ---------------------------------------------------------------- CUPED
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013) —
+    * the pre-experiment-covariate adjustment every mature experiment
+    * platform applies before the t-test: θ = cov(pre, post)/var(pre)
+    * over per-user value sums from the first vs second half of the
+    * window, adjusted metric Y − θ(X − X̄), and the headline
+    * var(adjusted)/var(post) reduction factor (= 1 − ρ² by identity).
+    * Per-user sums are exact BIGINT cents from ONE user-keyed pass;
+    * cov/var come from the exact moment sums via shared formula text;
+    * only the final ratios are doubles. The cut date is derived from
+    * the data bounds as a 1-row broadcast, never a collect.
+    */
+  private val cuped: QueryDef = {
+    val varPre = "(sxx - CAST(sx AS DOUBLE) * sx / n)"
+    val varPost = "(syy - CAST(sy AS DOUBLE) * sy / n)"
+    val covXY = "(sxy - CAST(sx AS DOUBLE) * sy / n)"
+    val theta = s"($covXY / $varPre)"
+    val reduction = s"(1.0 - ($covXY * $covXY) / ($varPre * $varPost))"
+    QueryDef(
+      "q_cuped",
+      (spark, sfDir) => {
+        val e = Tables.events(spark, sfDir)
+          .select(col("user_id"), col("ts"),
+            Ql.r(col("value") * 100, 0).cast("long").as("cents"))
+        // exact integer date arithmetic: midpoint day of the observed
+        // range (epoch-micros midpoints can straddle a midnight by ulps)
+        val cut = e.agg(min(to_date(col("ts"))).as("d0"),
+            max(to_date(col("ts"))).as("d1"))
+          .selectExpr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT)) AS cut")
+        val users = e.crossJoin(broadcast(cut))
+          .groupBy("user_id")
+          .agg(
+            sum(when(to_date(col("ts")) < col("cut"), col("cents")).otherwise(0L)).as("x"),
+            sum(when(to_date(col("ts")) >= col("cut"), col("cents")).otherwise(0L)).as("y"))
+        users.agg(
+            count(lit(1)).as("n"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+          .selectExpr("n",
+            s"${Ql.R(s"$theta", 6)} AS theta",
+            s"${Ql.R(s"$varPost / (n - 1.0) / 10000.0", 2)} AS var_post_dollars2",
+            s"${Ql.R(s"$reduction", 6)} AS var_ratio_adjusted")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT user_id, ts,
+                 CAST(${Ql.R("value * 100", 0)} AS BIGINT) AS cents
+          FROM events),
+        cut AS (
+          SELECT min(CAST(ts AS DATE))
+                 + CAST(date_diff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) // 2 AS INT) AS cut
+          FROM e),
+        users AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN CAST(ts AS DATE) < cut THEN cents ELSE 0 END) AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN CAST(ts AS DATE) >= cut THEN cents ELSE 0 END) AS BIGINT) AS y
+          FROM e CROSS JOIN cut GROUP BY 1),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM users)
+        SELECT n,
+               ${Ql.R(theta, 6)} AS theta,
+               ${Ql.R(s"$varPost / (n - 1.0) / 10000.0", 2)} AS var_post_dollars2,
+               ${Ql.R(reduction, 6)} AS var_ratio_adjusted
+        FROM m
+      """))
+  }
+
   def defs: Seq[QueryDef] =
     Seq(ridge, linearTrend, bootstrapCi, sampleSystematic, holtForecast,
       decayEngagement, mannWhitney, theilIndex, stratAte, cramersV,
       pcaPower, dpCounts, decisionStump, burstiness, forecastEval,
-      quantileNormalize, imputeEval, partialCorr)
+      quantileNormalize, imputeEval, partialCorr, anova, powerAnalysis,
+      cuped)
 }

@@ -188,7 +188,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         "q_brier_decomp", // 1-row score-bounds + grand-rate broadcasts, as q_brier_score
         "q_decision_stump", // 1-row class-totals broadcast against the bucket grid
         "q_rec_coverage", // 1-row catalog/rank-decay aggregates crossed into the report row
-        "q_t_closeness") // bands-domain (~6-row) grid broadcast + 1-row corpus totals
+        "q_t_closeness", // bands-domain (~6-row) grid broadcast + 1-row corpus totals
+        "q_cuped") // 1-row cut-date broadcast for the pre/post split
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
