@@ -1423,8 +1423,8 @@ object EventQueries extends QueryModule {
     * rank, journey length — one co-partitioned shuffle family, no
     * global windows); credits are doubles via identical CASE text and
     * the channel totals round at 2 dp (the suite's accepted mean-sum
-    * class). Output: per event type, touches, full-credit conversions
-    * touched, and the position-weighted credit.
+    * class). Output: per event type, the touch count and the
+    * position-weighted credit total.
     */
   private val attributionPosition = QueryDef(
     "q_attribution_position",

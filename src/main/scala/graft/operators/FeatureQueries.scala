@@ -365,10 +365,12 @@ object FeatureQueries extends QueryModule {
     * the whole audit is: one (QI, band) count, the global band
     * histogram as a BANDS-sized broadcast, cumulative sums over the
     * dense QI×band grid (windows partitioned BY GROUP — never global),
-    * and a per-group aggregate. CDFs are exact integer rationals
-    * compared via shared n_g·N cross-multiplied arithmetic until the
-    * final divide; reports worst groups first, then the release
-    * verdict count under t=0.2.
+    * and a per-group aggregate. The cumulative counts are exact
+    * integers; the |cum_g·N − cum_all·n_g| cross-products are evaluated
+    * in doubles via shared formula text (identical in both engines;
+    * exact as long as n_g·N stays under 2^53 — a per-group × corpus
+    * product, so fine to ~10⁸ customers per QI group at 10⁸ rows).
+    * Reports the worst 10 groups by EMD, largest first.
     */
   private val tCloseness: QueryDef = {
     // |cum_g/n_g - cum_all/N| summed over bands, / (m-1); exact integers

@@ -296,28 +296,34 @@ object GraphQueries extends QueryModule {
     * cosine with a neighbor-id tiebreak; top-10 per item plans as
     * WindowGroupLimit (a k-row heap per item, no per-item sort).
     */
-  private val itemCf = QueryDef(
-    "q_item_cf",
-    (spark, sfDir) => {
-      import org.apache.spark.sql.expressions.Window
-      val items = orderItems(spark, sfDir)
-        .localCheckpoint(true) // feeds supports and pairs
-      val supp = items.groupBy("l_partkey").agg(count(lit(1)).as("s"))
-      val pairs = itemPairs(items).filter(col("s_ab") >= 2)
-      val directed = pairs.select(col("a").as("item"), col("b").as("nbr"), col("s_ab"))
-        .unionByName(pairs.select(col("b").as("item"), col("a").as("nbr"), col("s_ab")))
-      val w = Window.partitionBy("item").orderBy(col("cosine").desc, col("nbr"))
-      directed
-        .join(supp.select(col("l_partkey").as("item"), col("s").as("s_i")), "item")
-        .join(supp.select(col("l_partkey").as("nbr"), col("s").as("s_n")), "nbr")
-        .withColumn("cosine", Ql.r(col("s_ab") / sqrt(col("s_i") * col("s_n")), 4))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("item"), col("rank"), col("nbr"), col("cosine"))
-        .orderBy("item", "rank")
-    },
-    Some(s"""
-      WITH items AS ($itemsSql),
+  /** The item-CF top-10 ranking shared by q_item_cf (serving the lists)
+    * and q_rec_coverage (auditing them) — ONE definition so the audit
+    * can never drift from the ranking it claims to audit (support
+    * floor, rounding scale, tiebreak all live here). Returns
+    * (item, rank, nbr, cosine); the input frame is checkpointed because
+    * it feeds supports and pairs.
+    */
+  private[operators] def cfTopK(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val items = orderItems(spark, sfDir)
+      .localCheckpoint(true) // feeds supports and pairs
+    val supp = items.groupBy("l_partkey").agg(count(lit(1)).as("s"))
+    val pairs = itemPairs(items).filter(col("s_ab") >= 2)
+    val directed = pairs.select(col("a").as("item"), col("b").as("nbr"), col("s_ab"))
+      .unionByName(pairs.select(col("b").as("item"), col("a").as("nbr"), col("s_ab")))
+    val w = Window.partitionBy("item").orderBy(col("cosine").desc, col("nbr"))
+    directed
+      .join(supp.select(col("l_partkey").as("item"), col("s").as("s_i")), "item")
+      .join(supp.select(col("l_partkey").as("nbr"), col("s").as("s_n")), "nbr")
+      .withColumn("cosine", Ql.r(col("s_ab") / sqrt(col("s_i") * col("s_n")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("item"), col("rank"), col("nbr"), col("cosine"))
+  }
+
+  /** Oracle twin of [[cfTopK]]: the chained CTEs through `topk`. */
+  private[operators] val cfTopKSql = s"""items AS ($itemsSql),
       supp AS (SELECT l_partkey, count(*) AS s FROM items GROUP BY 1),
       pairs AS (SELECT * FROM ($pairsSql) WHERE s_ab >= 2),
       directed AS (
@@ -328,12 +334,21 @@ object GraphQueries extends QueryModule {
                ${Ql.R("s_ab / sqrt(si.s * sn.s)", 4)} AS cosine
         FROM directed
           JOIN supp si ON si.l_partkey = item
-          JOIN supp sn ON sn.l_partkey = nbr)
-      SELECT item,
-             CAST(row_number() OVER (PARTITION BY item ORDER BY cosine DESC, nbr) AS INT) AS rank,
-             nbr, cosine
-      FROM scored
-      QUALIFY rank <= 10
+          JOIN supp sn ON sn.l_partkey = nbr),
+      topk AS (
+        SELECT item,
+               CAST(row_number() OVER (PARTITION BY item ORDER BY cosine DESC, nbr) AS INT) AS rank,
+               nbr, cosine
+        FROM scored
+        QUALIFY rank <= 10)"""
+
+  private val itemCf = QueryDef(
+    "q_item_cf",
+    (spark, sfDir) => cfTopK(spark, sfDir).orderBy("item", "rank"),
+    Some(s"""
+      WITH $cfTopKSql
+      SELECT item, rank, nbr, cosine
+      FROM topk
       ORDER BY item, rank
     """))
 
@@ -990,77 +1005,56 @@ object GraphQueries extends QueryModule {
     * neighbor), the Herfindahl concentration of neighbor appearances
     * (popularity bias — HHI needs no sorting, unlike a Gini, so it
     * stays one aggregation), and the cosine decay from rank 1 to rank
-    * 10 (how fast list quality falls off). Rebuilds the CF ranking with
-    * the shared [[orderItems]]/[[itemPairs]] algebra, then every audit
-    * number comes from neighbor-catalog-sized aggregations; appearance
-    * shares are exact integer counts divided once at the end.
+    * 10 (how fast list quality falls off). Audits the EXACT ranking
+    * q_item_cf serves — both call the shared [[cfTopK]] definition, so
+    * the audit cannot drift from the production lists; every audit
+    * number comes from neighbor-catalog-sized aggregations, and
+    * appearance shares are exact integer counts divided once at the
+    * end.
     */
   private val recCoverage = QueryDef(
     "q_rec_coverage",
     (spark, sfDir) => {
-      import org.apache.spark.sql.expressions.Window
-      val items = orderItems(spark, sfDir).localCheckpoint(true)
-      val supp = items.groupBy("l_partkey").agg(count(lit(1)).as("s"))
-      val pairs = itemPairs(items).filter(col("s_ab") >= 2)
-      val directed = pairs.select(col("a").as("item"), col("b").as("nbr"), col("s_ab"))
-        .unionByName(pairs.select(col("b").as("item"), col("a").as("nbr"), col("s_ab")))
-      val w = Window.partitionBy("item").orderBy(col("cosine").desc, col("nbr"))
-      val topk = directed
-        .join(supp.select(col("l_partkey").as("item"), col("s").as("s_i")), "item")
-        .join(supp.select(col("l_partkey").as("nbr"), col("s").as("s_n")), "nbr")
-        .withColumn("cosine", Ql.r(col("s_ab") / sqrt(col("s_i") * col("s_n")), 4))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .localCheckpoint(true) // feeds three audit aggregations
-      val catalog = supp.agg(countDistinct("l_partkey").as("n_catalog"))
+      val topk = cfTopK(spark, sfDir)
+        .localCheckpoint(true) // feeds the appearance and decay aggregations
+      val catalog = orderItems(spark, sfDir)
+        .agg(countDistinct("l_partkey").as("n_catalog"))
       val app = topk.groupBy("nbr").agg(count(lit(1)).as("ap"))
       val hhi = app.agg(sum("ap").as("tap"),
           sum(col("ap") * col("ap")).as("sap"),
           countDistinct("nbr").as("n_recommended"))
         .selectExpr("tap", "sap", "n_recommended",
           s"${Ql.R("CAST(sap AS DOUBLE) / (CAST(tap AS DOUBLE) * tap)", 6)} AS hhi")
-      val decay = topk.groupBy("rank")
-        .agg(Ql.r(avg("cosine"), 4).as("mc"))
-      val d1 = decay.filter(col("rank") === 1).select(col("mc").as("mean_cos_r1"))
-      val d10 = decay.filter(col("rank") === 10).select(col("mc").as("mean_cos_r10"))
+      // conditional aggregation, not a join against a filtered frame: an
+      // item set with no 10-deep list must yield a NULL mean, not an
+      // empty report (the empty-d10 cross-join collapse)
+      val decay = topk.agg(
+        Ql.r(avg(when(col("rank") === 1, col("cosine"))), 4).as("mean_cos_r1"),
+        Ql.r(avg(when(col("rank") === 10, col("cosine"))), 4).as("mean_cos_r10"))
       hhi.crossJoin(broadcast(catalog))
-        .crossJoin(broadcast(d1)).crossJoin(broadcast(d10))
+        .crossJoin(broadcast(decay))
         .selectExpr("n_catalog", "n_recommended",
           s"${Ql.R("100.0 * n_recommended / n_catalog", 2)} AS coverage_pct",
           "hhi", "mean_cos_r1", "mean_cos_r10")
     },
     Some(s"""
-      WITH items AS ($itemsSql),
-      supp AS (SELECT l_partkey, count(*) AS s FROM items GROUP BY 1),
-      pairs AS (SELECT * FROM ($pairsSql) WHERE s_ab >= 2),
-      directed AS (
-        SELECT a AS item, b AS nbr, s_ab FROM pairs
-        UNION ALL SELECT b, a, s_ab FROM pairs),
-      scored AS (
-        SELECT item, nbr,
-               ${Ql.R("s_ab / sqrt(si.s * sn.s)", 4)} AS cosine
-        FROM directed
-          JOIN supp si ON si.l_partkey = item
-          JOIN supp sn ON sn.l_partkey = nbr),
-      topk AS (
-        SELECT item, nbr, cosine,
-               row_number() OVER (PARTITION BY item
-                 ORDER BY cosine DESC, nbr) AS rank
-        FROM scored QUALIFY rank <= 10),
-      cat AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_catalog FROM supp),
+      WITH $cfTopKSql,
+      cat AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_catalog FROM items),
       app AS (SELECT nbr, CAST(count(*) AS BIGINT) AS ap FROM topk GROUP BY 1),
       h AS (
         SELECT CAST(sum(ap) AS BIGINT) AS tap,
                CAST(sum(ap * ap) AS BIGINT) AS sap,
                CAST(count(DISTINCT nbr) AS BIGINT) AS n_recommended
         FROM app),
-      d1 AS (SELECT ${Ql.R("avg(cosine)", 4)} AS mean_cos_r1 FROM topk WHERE rank = 1),
-      d10 AS (SELECT ${Ql.R("avg(cosine)", 4)} AS mean_cos_r10 FROM topk WHERE rank = 10)
+      d AS (
+        SELECT ${Ql.R("avg(CASE WHEN rank = 1 THEN cosine END)", 4)} AS mean_cos_r1,
+               ${Ql.R("avg(CASE WHEN rank = 10 THEN cosine END)", 4)} AS mean_cos_r10
+        FROM topk)
       SELECT n_catalog, n_recommended,
              ${Ql.R("100.0 * n_recommended / n_catalog", 2)} AS coverage_pct,
              ${Ql.R("CAST(sap AS DOUBLE) / (CAST(tap AS DOUBLE) * tap)", 6)} AS hhi,
              mean_cos_r1, mean_cos_r10
-      FROM h CROSS JOIN cat CROSS JOIN d1 CROSS JOIN d10
+      FROM h CROSS JOIN cat CROSS JOIN d
     """))
 
   /** Multi-source closeness centrality within a 4-hop horizon — the

@@ -44,6 +44,20 @@ object Ql {
   def md5PrefixLong(e: String, digits: Int): String =
     s"CAST(conv(substring(md5(CAST(($e) AS BINARY)), 1, $digits), 16, 10) AS BIGINT)"
 
+  /** JVM-side twin of [[md5PrefixLong]](CAST(id AS STRING), 14) mapped
+    * into (0,1): the first 56 md5 bits of the id's decimal string over
+    * 2^56. The streaming processors (top-k, reservoir) compute their
+    * priorities with this so stream and batch ranks cannot drift by an
+    * ulp — ONE definition, or the replay-equivalence proofs silently
+    * split.
+    */
+  def u56(id: Long): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .take(7).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) / 7.2057594037927936e16
+  }
+
   /** DuckDB twin of [[md5PrefixLong]] (no conv(); hex digits via a
     * strpos shift-fold).
     */

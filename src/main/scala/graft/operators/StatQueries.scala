@@ -287,6 +287,11 @@ object StatQueries extends QueryModule {
           .agg(Ql.r(avg(col("value")), 6).as("x"))
           .groupBy("event_type")
           .agg(expr("transform(array_sort(collect_list(struct(day, x))), a -> a.x)").as("xs"))
+          // the l2/b2 initialization needs two observations; a
+          // single-day series would make the slice length negative
+          // (runtime error) where the oracle's rn=2 base simply drops
+          // the type — drop it identically here
+          .filter(size(col("xs")) >= 2)
           .selectExpr(
             "event_type",
             "CAST(size(xs) AS BIGINT) AS n_days",
@@ -1164,24 +1169,28 @@ object StatQueries extends QueryModule {
 
   /** Two-proportion power analysis seeded from the PILOT data — "how
     * many users per arm does the next A/B need": observed conversion
-    * rates by the deterministic arm hash (the q_ab_test assignment),
+    * rates under a deterministic md5 arm split (salt 'exp1'; a PILOT
+    * partition of its own, not q_ab_test's percent-bucket assignment),
     * then the classical n = (z_{α/2}√(2p̄q̄) + z_β√(p₁q₁+p₂q₂))²/Δ²
     * per-arm sample size for 80% power at α=0.05, plus the same for a
-    * +10% relative lift target. All counts are exact integers; the
-    * formula is shared text with the z constants written as plain
-    * decimal literals (1.96, 0.8416) so both engines parse identical
-    * doubles — no inverse-normal needed at runtime.
+    * +10% relative lift target. p̄ is the pooled rate of the SCENARIO
+    * under test — (p₁+p₂ᵉ)/2 with the hypothesized p₂ᵉ, not the
+    * observed pair — so the lift column sizes the lift hypothesis, not
+    * the pilot's accident. All counts are exact integers; the formula
+    * is shared text with the z constants written as plain decimal
+    * literals (1.96, 0.8416) so both engines parse identical doubles —
+    * no inverse-normal needed at runtime.
     */
   private val powerAnalysis: QueryDef = {
     val p1 = "(CAST(c1 AS DOUBLE) / n1)"
     val p2 = "(CAST(c2 AS DOUBLE) / n2)"
-    val pbar = s"(($p1 + $p2) / 2.0)"
     // z-sum squared via explicit multiply — pow() is not bit-guaranteed
     // across libm implementations (NOTES.md fact #30). A zero effect
     // (p2 = p1, e.g. a pilot with no conversions) needs infinite n:
     // NULL by the same CASE in both engines (Spark ANSI raises on /0
     // where DuckDB emits inf — they'd diverge without the guard).
     def nFor(p2e: String) = {
+      val pbar = s"(($p1 + $p2e) / 2.0)"
       val zsum = s"""(1.96 * sqrt(2.0 * $pbar * (1.0 - $pbar))
            + 0.8416 * sqrt($p1 * (1.0 - $p1) + $p2e * (1.0 - $p2e)))"""
       s"""CASE WHEN ($p2e - $p1) = 0.0 THEN NULL

@@ -688,16 +688,7 @@ object StreamingJobs {
           org.apache.spark.sql.Encoders.scalaLong),
         TTLConfig.NONE)
 
-    /** 56-bit md5 prefix of the doc id's decimal string — the JVM twin
-      * of [[graft.operators.Ql.md5PrefixLong]] (same UTF-8 bytes, same
-      * hex prefix, same integer).
-      */
-    private def u56(docId: Long): Double = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(docId.toString.getBytes("UTF-8"))
-        .take(7).map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(hex, 16) / 7.2057594037927936e16
-    }
+    private def u56(docId: Long): Double = graft.operators.Ql.u56(docId)
 
     override def handleInputRows(key: String, rows: Iterator[TopKInput],
         timers: TimerValues): Iterator[TopKOut] = {
@@ -946,22 +937,12 @@ object StreamingJobs {
           org.apache.spark.sql.Encoders.scalaLong),
         TTLConfig.NONE)
 
-    /** JVM twin of [[graft.operators.Ql.md5PrefixLong]] over the id's
-      * decimal string (the [[TopKProcessor]] u56 convention).
-      */
-    private def u56(id: Long): Double = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(id.toString.getBytes("UTF-8"))
-        .take(7).map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(hex, 16) / 7.2057594037927936e16
-    }
-
     override def handleInputRows(key: String, rows: Iterator[ResInput],
         timers: TimerValues): Iterator[ResOut] = {
       val (s0, seq) = if (st.exists()) st.get() else (ResState(Nil, Nil), 0L)
       val m = new scala.collection.mutable.HashMap[Long, Double]
       s0.ids.indices.foreach(i => m(s0.ids(i)) = s0.prio(i))
-      rows.foreach(r => m(r.event_id) = u56(r.event_id))
+      rows.foreach(r => m(r.event_id) = graft.operators.Ql.u56(r.event_id))
       val bottom = m.toSeq.sortBy { case (id, u) => (u, id) }.take(k)
       st.update((ResState(bottom.map(_._2), bottom.map(_._1)), seq + 1))
       bottom.iterator.zipWithIndex.map { case ((id, u), i) =>
