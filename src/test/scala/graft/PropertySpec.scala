@@ -522,4 +522,107 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(r.getLong(r.fieldIndex("nb")) == nb)
     assert(r.getLong(r.fieldIndex("u2")) == math.round(2 * u), "U2 = 2U")
   }
+
+  test("q_decision_stump's top split equals a brute-force scan of every bucket") {
+    // The query ranks splits by prefix-summed gini over the bucket grid;
+    // the independent check enumerates every bucket boundary from raw
+    // rows and computes the weighted impurity directly.
+    val sf = "/root/testdata/sf0.001"
+    val rows = Tables.lineitem(spark, sf)
+      .select((operators.Ql.r(col("l_extendedprice") * 100, 0).cast("long")),
+        col("l_returnflag"))
+      .collect().map(r => (r.getLong(0) / 10000L, if (r.getString(1) == "R") 1L else 0L))
+    val byBucket = rows.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    val buckets = byBucket.keys.toSeq.sorted
+    val (n, p) = (rows.length.toLong, rows.map(_._2).sum)
+    def gini(nl: Long, pl: Long): Double = {
+      val (nr, pr) = (n - nl, p - pl)
+      val gl = nl - (pl.toDouble * pl / nl + (nl - pl).toDouble * (nl - pl) / nl)
+      val gr = nr - (pr.toDouble * pr / nr + (nr - pr).toDouble * (nr - pr) / nr)
+      (gl + gr) / (nl.toDouble + nr)
+    }
+    var cumN = 0L; var cumP = 0L
+    val scored = buckets.flatMap { b =>
+      val (bn, bp) = byBucket(b); cumN += bn; cumP += bp
+      if (cumN < n) Some((operators.Ql.rd(gini(cumN, cumP), 6), b)) else None
+    }
+    val want = scored.sortBy { case (g, b) => (g, b) }.take(3)
+    val got = SparkEntry.queries("q_decision_stump")(spark, sf)
+      .collect().map(r => (r.getDouble(r.fieldIndex("gini")), r.getLong(r.fieldIndex("bucket"))))
+    assert(got.toSeq == want, s"${got.toSeq} vs $want")
+  }
+
+  test("q_t_closeness EMD equals a brute-force distribution walk per group") {
+    // The query's cross-multiplied windowed form vs the definition:
+    // build both CDFs per group directly and average the absolute gaps.
+    val sf = "/root/testdata/sf0.001"
+    val rows = Tables.customer(spark, sf)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 2000.0).cast("long").as("band"))
+      .collect().map(r => ((r.getInt(0), r.getString(1)), r.getLong(2)))
+    val bands = rows.map(_._2).distinct.sorted
+    val nAll = rows.length.toLong
+    val globalCum = bands.map(b => b -> rows.count(_._2 <= b).toLong).toMap
+    val emds = rows.groupBy(_._1).map { case (g, members) =>
+      val ng = members.length.toLong
+      val gaps = bands.map { b =>
+        val cumG = members.count(_._2 <= b).toLong
+        math.abs(cumG.toDouble * nAll - globalCum(b).toDouble * ng)
+      }
+      g -> operators.Ql.rd(gaps.sum / (ng * nAll.toDouble * (bands.length - 1)), 6)
+    }
+    val got = SparkEntry.queries("q_t_closeness")(spark, sf)
+      .collect().map(r => ((r.getInt(0), r.getString(1)), r.getDouble(r.fieldIndex("emd"))))
+    got.foreach { case (g, emd) =>
+      assert(math.abs(emd - emds(g)) <= 1e-9, s"$g: $emd vs ${emds(g)}")
+    }
+    // worst-first ordering holds
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sortBy(-_))
+  }
+
+  test("q_bootstrap_ci: weights are valid Poisson draws and the CI brackets sanely") {
+    // Structural properties that hold for ANY hash outcome: the interval
+    // is ordered, the replicate count is 32, and the bootstrap mean sits
+    // inside [ci_lo, ci_hi] (avg of the values whose quantiles bound it).
+    val sf = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("q_bootstrap_ci")(spark, sf).collect().head
+    val (nReps, bootMean) = (r.getLong(r.fieldIndex("n_reps")), r.getDouble(r.fieldIndex("boot_mean")))
+    val (lo, hi) = (r.getDouble(r.fieldIndex("ci_lo")), r.getDouble(r.fieldIndex("ci_hi")))
+    val truth = r.getDouble(r.fieldIndex("mean_true"))
+    assert(nReps == 32)
+    assert(lo <= hi, s"interval ($lo, $hi) inverted")
+    assert(lo <= bootMean && bootMean <= hi, "bootstrap mean outside its own CI")
+    // Poisson(1) resampling keeps the replicate means near the truth:
+    // at n≈1.5k orders the CI half-width is well under 10% of the mean
+    assert(math.abs(bootMean - truth) < 0.1 * truth,
+      s"bootstrap mean $bootMean far from truth $truth")
+  }
+
+  test("q_seq_pairs support equals a brute-force subsequence scan") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val types = ev.map(_._2).distinct.sorted
+    val got = SparkEntry.queries("q_seq_pairs")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    for (a <- types; b <- types if a != b) {
+      val users = byUser.values.filter(es =>
+        es.exists(_._2 == a) && es.exists(_._2 == b))
+      val seq = users.count { es =>
+        val firstA = es.filter(_._2 == a).map(_._3).min
+        val lastB = es.filter(_._2 == b).map(_._3).max
+        firstA < lastB // some a strictly before some b
+      }
+      got.get((a, b)) match {
+        case Some((both, s)) =>
+          assert(both == users.size, s"($a,$b) n_users_both")
+          assert(s == seq, s"($a,$b) n_users_seq: $s vs $seq")
+        case None => assert(users.isEmpty, s"($a,$b) missing but ${users.size} users")
+      }
+    }
+  }
 }
