@@ -1317,10 +1317,214 @@ object StatQueries extends QueryModule {
       """))
   }
 
+  // ---------------------------------------------------------------- ridge λ sweep (CV)
+
+  /** Hyperparameter sweep with a held-out validation split — model
+    * selection as TWO corpus passes regardless of grid size: pass one
+    * accumulates the train-side normal-equation statistics (exact
+    * BIGINTs, 80% of rows by a deterministic md5 split — the
+    * q_train_split idiom), pass two scores EVERY λ's closed-form β on
+    * the 20% validation rows via a 4-row broadcast join (the grid rides
+    * the broadcast, the corpus is read once). Validation RMSE is
+    * reported in dollars: the sqrt compresses the summation-order
+    * residue ~13 digits below the 4 dp rounding. The winning λ is
+    * whichever row minimizes rmse — left to the reader like any lift
+    * chart (deterministic ordering by λ keeps the output stable).
+    */
+  private val ridgeCv: QueryDef = {
+    val det = "(CAST(s11 AS DOUBLE) + lam) * (s22 + lam) - CAST(s12 AS DOUBLE) * s12"
+    val beta1 = s"((s22 + lam) * b1 - CAST(s12 AS DOUBLE) * b2) / ($det)"
+    val beta2 = s"((CAST(s11 AS DOUBLE) + lam) * b2 - CAST(s12 AS DOUBLE) * b1) / ($det)"
+    QueryDef(
+      "q_ridge_cv",
+      (spark, sfDir) => {
+        val rows = Tables.lineitem(spark, sfDir)
+          .select(
+            col("l_quantity").cast("long").as("x1"),
+            Ql.r(col("l_discount") * 100, 0).cast("long").as("x2"),
+            Ql.r(col("l_extendedprice") * 100, 0).cast("long").as("y"),
+            (expr(Ql.md5PrefixLong("concat('cv:', l_orderkey, '-', l_linenumber)", 4))
+              % 5 === 0).cast("long").as("holdout"))
+        val stats = rows.filter(col("holdout") === 0)
+          .agg(sum(col("x1") * col("x1")).as("s11"),
+            sum(col("x1") * col("x2")).as("s12"),
+            sum(col("x2") * col("x2")).as("s22"),
+            sum(col("x1") * col("y")).as("b1"),
+            sum(col("x2") * col("y")).as("b2"))
+        // λ grid as plain decimal literals — power(10, k) is libm
+        // territory (NOTES.md #30); literals parse identically
+        val grid = stats
+          .crossJoin(broadcast(spark.range(1, 5).selectExpr(
+            """CASE id WHEN 1 THEN 100.0 WHEN 2 THEN 1000.0
+                       WHEN 3 THEN 10000.0 ELSE 100000.0 END AS lam""")))
+          .selectExpr("lam", s"$beta1 AS bb1", s"$beta2 AS bb2")
+        rows.filter(col("holdout") === 1)
+          .crossJoin(broadcast(grid))
+          .selectExpr("lam",
+            "(y - bb1 * x1 - bb2 * x2) AS resid")
+          .groupBy("lam")
+          .agg(count(lit(1)).as("n_val"),
+            Ql.r(sqrt(avg(expr("resid * resid"))) / 100.0, 4).as("rmse_dollars"))
+          .orderBy("lam")
+      },
+      Some(s"""
+        WITH rows_ AS (
+          SELECT CAST(l_quantity AS BIGINT) AS x1,
+                 CAST(${Ql.R("l_discount * 100", 0)} AS BIGINT) AS x2,
+                 CAST(${Ql.R("l_extendedprice * 100", 0)} AS BIGINT) AS y,
+                 CASE WHEN (${Ql.Md5PrefixLong(
+                   "'cv:' || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)", 4)}) % 5 = 0
+                      THEN 1 ELSE 0 END AS holdout
+          FROM lineitem),
+        stats AS (
+          SELECT CAST(sum(x1 * x1) AS BIGINT) AS s11,
+                 CAST(sum(x1 * x2) AS BIGINT) AS s12,
+                 CAST(sum(x2 * x2) AS BIGINT) AS s22,
+                 CAST(sum(x1 * y) AS BIGINT) AS b1,
+                 CAST(sum(x2 * y) AS BIGINT) AS b2
+          FROM rows_ WHERE holdout = 0),
+        grid AS (
+          SELECT CASE lam_exp WHEN 1 THEN 100.0 WHEN 2 THEN 1000.0
+                              WHEN 3 THEN 10000.0 ELSE 100000.0 END AS lam,
+                 $beta1 AS bb1, $beta2 AS bb2
+          FROM stats CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS lam_exp)),
+        scored AS (
+          SELECT lam, (y - bb1 * x1 - bb2 * x2) AS resid
+          FROM rows_ CROSS JOIN grid WHERE holdout = 1)
+        SELECT lam, CAST(count(*) AS BIGINT) AS n_val,
+               ${Ql.R("sqrt(avg(resid * resid)) / 100.0", 4)} AS rmse_dollars
+        FROM scored GROUP BY 1 ORDER BY lam
+      """))
+  }
+
+  // ---------------------------------------------------------------- median CI
+
+  /** Distribution-free confidence interval for the median by order
+    * statistics (the binomial/sign construction: the true median lies
+    * between order statistics k_lo = ⌈n/2 − z√n/2⌉ and
+    * k_hi = ⌈n/2 + z√n/2⌉ with ~95% confidence — no normality
+    * assumption, exact data values as endpoints). Ranks come from the
+    * type-partitioned cumulative counts over the bounded cent grid
+    * (the q_quantile_normalize machinery); the three reported values
+    * are the grid values whose cumulative count first reaches each
+    * target rank — integer-exact selection, no interpolation to
+    * diverge. The rank targets use ceil over a shared sqrt expression.
+    */
+  private val medianCi = QueryDef(
+    "q_median_ci",
+    (spark, sfDir) => {
+      val grid = Tables.events(spark, sfDir)
+        .select(col("event_type"),
+          Ql.r(col("value") * 100, 0).cast("long").as("c"))
+        .groupBy("event_type", "c").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cdf = grid
+        .withColumn("cum", sum("cnt").over(w))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
+        .withColumn("k_med", expr("CAST(ceil(n / 2.0) AS BIGINT)"))
+        .withColumn("k_lo", expr("CAST(ceil(n / 2.0 - 0.98 * sqrt(CAST(n AS DOUBLE))) AS BIGINT)"))
+        .withColumn("k_hi", expr("CAST(ceil(n / 2.0 + 0.98 * sqrt(CAST(n AS DOUBLE))) AS BIGINT)"))
+      cdf.groupBy("event_type")
+        .agg(max("n").as("n"),
+          min(when(col("cum") >= col("k_lo"), col("c"))).as("lo_cents"),
+          min(when(col("cum") >= col("k_med"), col("c"))).as("med_cents"),
+          min(when(col("cum") >= col("k_hi"), col("c"))).as("hi_cents"))
+        .selectExpr("event_type", "n",
+          s"${Ql.R("lo_cents / 100.0", 2)} AS ci_lo",
+          s"${Ql.R("med_cents / 100.0", 2)} AS median",
+          s"${Ql.R("hi_cents / 100.0", 2)} AS ci_hi")
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH grid AS (
+        SELECT event_type, CAST(${Ql.R("value * 100", 0)} AS BIGINT) AS c,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+      cdf AS (
+        SELECT event_type, c,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS n
+        FROM grid),
+      k AS (
+        SELECT event_type, c, cum, n,
+               CAST(ceil(n / 2.0) AS BIGINT) AS k_med,
+               CAST(ceil(n / 2.0 - 0.98 * sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS k_lo,
+               CAST(ceil(n / 2.0 + 0.98 * sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS k_hi
+        FROM cdf)
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             ${Ql.R("min(CASE WHEN cum >= k_lo THEN c END) / 100.0", 2)} AS ci_lo,
+             ${Ql.R("min(CASE WHEN cum >= k_med THEN c END) / 100.0", 2)} AS median,
+             ${Ql.R("min(CASE WHEN cum >= k_hi THEN c END) / 100.0", 2)} AS ci_hi
+      FROM k GROUP BY 1 ORDER BY 1
+    """))
+
+  // ---------------------------------------------------------------- Welch's t-test
+
+  /** Welch's unequal-variance t-test between the md5 pilot arms on the
+    * purchase value — the continuous-metric sibling of q_ab_test's
+    * two-proportion z (variances unknown and unequal, the DEFAULT for
+    * revenue metrics): t from exact per-arm moment sums, plus the
+    * Welch–Satterthwaite effective degrees of freedom. All moments are
+    * exact BIGINT cent sums from one pass; t and df are shared formula
+    * text. No p-value — the t CDF needs special functions neither
+    * engine guarantees bit-identically; the (t, df) pair IS the
+    * decision input, as in every stats library's summary line.
+    */
+  private val welchTtest: QueryDef = {
+    val m1 = "(CAST(s1 AS DOUBLE) / n1)"
+    val m2 = "(CAST(s2_ AS DOUBLE) / n2)"
+    val v1 = s"((q1 - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1.0))"
+    val v2 = s"((q2 - CAST(s2_ AS DOUBLE) * s2_ / n2) / (n2 - 1.0))"
+    val se2 = s"($v1 / n1 + $v2 / n2)"
+    val t = s"(($m1 - $m2) / sqrt($se2))"
+    val df = s"(($se2 * $se2) / (($v1 / n1) * ($v1 / n1) / (n1 - 1.0) + ($v2 / n2) * ($v2 / n2) / (n2 - 1.0)))"
+    QueryDef(
+      "q_welch_ttest",
+      (spark, sfDir) =>
+        Tables.events(spark, sfDir)
+          .filter(col("event_type") === "purchase")
+          .select(Ql.r(col("value") * 100, 0).cast("long").as("cents"),
+            (expr(Ql.md5PrefixLong("concat('exp1:', user_id)", 4)) % 2).as("arm"))
+          .agg(
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("arm") === 0, col("cents")).otherwise(0L)).as("s1"),
+            sum(when(col("arm") === 0, col("cents") * col("cents")).otherwise(0L)).as("q1"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+            sum(when(col("arm") === 1, col("cents")).otherwise(0L)).as("s2_"),
+            sum(when(col("arm") === 1, col("cents") * col("cents")).otherwise(0L)).as("q2"))
+          .selectExpr("n1", "n2",
+            s"${Ql.R(s"$m1 / 100.0", 4)} AS mean_a",
+            s"${Ql.R(s"$m2 / 100.0", 4)} AS mean_b",
+            s"${Ql.R(t, 4)} AS t_stat",
+            s"${Ql.R(df, 2)} AS df_welch"),
+      Some(s"""
+        WITH e AS (
+          SELECT CAST(${Ql.R("value * 100", 0)} AS BIGINT) AS cents,
+                 (${Ql.Md5PrefixLong("'exp1:' || CAST(user_id AS VARCHAR)", 4)}) % 2 AS arm
+          FROM events WHERE event_type = 'purchase'),
+        m AS (
+          SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT) AS s1,
+                 CAST(sum(CASE WHEN arm = 0 THEN cents * cents ELSE 0 END) AS BIGINT) AS q1,
+                 CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                 CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT) AS s2_,
+                 CAST(sum(CASE WHEN arm = 1 THEN cents * cents ELSE 0 END) AS BIGINT) AS q2
+          FROM e)
+        SELECT n1, n2,
+               ${Ql.R(s"$m1 / 100.0", 4)} AS mean_a,
+               ${Ql.R(s"$m2 / 100.0", 4)} AS mean_b,
+               ${Ql.R(t, 4)} AS t_stat,
+               ${Ql.R(df, 2)} AS df_welch
+        FROM m
+      """))
+  }
+
   def defs: Seq[QueryDef] =
     Seq(ridge, linearTrend, bootstrapCi, sampleSystematic, holtForecast,
       decayEngagement, mannWhitney, theilIndex, stratAte, cramersV,
       pcaPower, dpCounts, decisionStump, burstiness, forecastEval,
       quantileNormalize, imputeEval, partialCorr, anova, powerAnalysis,
-      cuped)
+      cuped, ridgeCv, medianCi, welchTtest)
 }
