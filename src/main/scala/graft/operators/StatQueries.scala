@@ -1521,10 +1521,157 @@ object StatQueries extends QueryModule {
       """))
   }
 
+  // ---------------------------------------------------------------- Hill tail index
+
+  /** Hill estimator of the order-value tail index over the top-200
+    * order statistics — the heavy-tail diagnostic behind "can we
+    * mean-impute this metric or does the tail own the sum" (α ≤ 2
+    * means infinite variance, percentile methods only). The top-k is a
+    * TakeOrderedAndProject head (value DESC, key tiebreak — a k-row
+    * heap per partition, no global sort); the estimator
+    * α̂ = 1/(mean(ln xᵢ) − ln x₍ₖ₎) runs over the 200-row frame with
+    * the threshold x₍ₖ₎ as a 1-row broadcast. Values are exact
+    * 2-decimal dollars, so both engines feed libm identical ln
+    * operands; the mean-of-logs is rounded before the reciprocal.
+    */
+  private val tailIndex = QueryDef(
+    "q_tail_index",
+    (spark, sfDir) => {
+      val top = Tables.orders(spark, sfDir)
+        .select(col("o_totalprice").as("x"), col("o_orderkey"))
+        .orderBy(col("x").desc, col("o_orderkey")).limit(200)
+      val xk = top.agg(min("x").as("xk"))
+      top.crossJoin(broadcast(xk))
+        .agg(count(lit(1)).as("k"),
+          Ql.r(max("x"), 2).as("x_max"),
+          Ql.r(min("x"), 2).as("x_k"),
+          Ql.r(avg(expr("ln(x)")) - expr("ln(min(xk))"), 6).as("mean_excess_log"))
+        .selectExpr("k", "x_max", "x_k", "mean_excess_log",
+          s"${Ql.R("1.0 / mean_excess_log", 4)} AS hill_alpha")
+    },
+    Some(s"""
+      WITH top AS (
+        SELECT o_totalprice AS x FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 200),
+      xk AS (SELECT min(x) AS xk FROM top),
+      a AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               ${Ql.R("max(x)", 2)} AS x_max,
+               ${Ql.R("min(x)", 2)} AS x_k,
+               ${Ql.R("avg(ln(x)) - ln(min(xk.xk))", 6)} AS mean_excess_log
+        FROM top CROSS JOIN xk)
+      SELECT k, x_max, x_k, mean_excess_log,
+             ${Ql.R("1.0 / mean_excess_log", 4)} AS hill_alpha
+      FROM a
+    """))
+
+  // ---------------------------------------------------------------- Gumbel block maxima
+
+  /** Extreme-value capacity planning: fit a Gumbel distribution to the
+    * DAILY MAXIMUM event value per type by the method of moments
+    * (β̂ = s·√6/π, μ̂ = x̄ − γβ̂ with γ, √6/π as shared decimal
+    * literals) and report the 30-day return level μ̂ − β̂·ln(−ln(1−1/30))
+    * — "the value you should expect to see exceeded about once a
+    * month". Block maxima are exact integer cents from one keyed
+    * aggregation over the calendar-bounded daily table; mean and
+    * sample std come from exact moment sums; every constant is a
+    * decimal literal so no engine touches libm beyond ln/sqrt on
+    * identical operands.
+    */
+  private val extremeValue: QueryDef = {
+    val mean = "(CAST(sm AS DOUBLE) / nd)"
+    val sd = s"sqrt((s2m - nd * $mean * $mean) / (nd - 1.0))"
+    val beta = s"($sd * 0.7796968012336293)" // sqrt(6)/pi
+    val mu = s"($mean - 0.5772156649015329 * $beta)" // Euler-Mascheroni
+    val ret30 = s"($mu - $beta * ln(-ln(1.0 - 1.0/30.0)))"
+    QueryDef(
+      "q_extreme_value",
+      (spark, sfDir) =>
+        Tables.events(spark, sfDir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(max(Ql.r(col("value") * 100, 0).cast("long")).as("mx"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("nd"), sum("mx").as("sm"),
+            sum(col("mx") * col("mx")).as("s2m"))
+          .selectExpr("event_type", "nd",
+            s"${Ql.R(s"$mean / 100.0", 2)} AS mean_daily_max",
+            s"${Ql.R(s"$beta / 100.0", 4)} AS gumbel_beta",
+            s"${Ql.R(s"$mu / 100.0", 4)} AS gumbel_mu",
+            s"${Ql.R(s"$ret30 / 100.0", 2)} AS return_level_30d")
+          .orderBy("event_type"),
+      Some(s"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 max(CAST(${Ql.R("value * 100", 0)} AS BIGINT)) AS mx
+          FROM events GROUP BY 1, 2),
+        m AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+                 CAST(sum(mx) AS BIGINT) AS sm,
+                 CAST(sum(mx * mx) AS BIGINT) AS s2m
+          FROM daily GROUP BY 1)
+        SELECT event_type, nd,
+               ${Ql.R(s"$mean / 100.0", 2)} AS mean_daily_max,
+               ${Ql.R(s"$beta / 100.0", 4)} AS gumbel_beta,
+               ${Ql.R(s"$mu / 100.0", 4)} AS gumbel_mu,
+               ${Ql.R(s"$ret30 / 100.0", 2)} AS return_level_30d
+        FROM m ORDER BY event_type
+      """))
+  }
+
+  // ---------------------------------------------------------------- Mann-Kendall + Sen
+
+  /** Mann-Kendall trend test AND Theil-Sen slope of the daily count
+    * series per type — the robust monotone-trend pair (no linearity or
+    * normality assumption; the regulatory-monitoring standard next to
+    * q_linear_trend's OLS). Both need all day PAIRS — legitimate
+    * because the daily table is CALENDAR-BOUNDED (the pair join is
+    * days², not corpus²; at 10 years ≈ 6.7M pairs per type, still
+    * trivial). S and the tie-corrected variance are exact integers;
+    * the Sen slope is the exact median over interpolated pair slopes
+    * (both engines use the (n−1)p percentile definition, operands are
+    * exact integer ratios).
+    */
+  private val mannKendall = QueryDef(
+    "q_mann_kendall",
+    (spark, sfDir) => {
+      val daily = Tables.events(spark, sfDir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val pairs = daily.as("a")
+        .join(daily.as("b"), Seq("event_type"))
+        .filter(col("a.day") < col("b.day"))
+        .select(col("event_type"),
+          signum(col("b.c") - col("a.c")).cast("long").as("sgn"),
+          ((col("b.c") - col("a.c")).cast("double")
+            / datediff(col("b.day"), col("a.day"))).as("slope"))
+      pairs.groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("sgn").as("s_stat"),
+          Ql.r(expr("percentile(slope, 0.5)"), 4).as("sen_slope"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      pairs AS (
+        SELECT a.event_type,
+               CAST(sign(b.c - a.c) AS BIGINT) AS sgn,
+               CAST(b.c - a.c AS DOUBLE) / date_diff('day', a.day, b.day) AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(sgn) AS BIGINT) AS s_stat,
+             ${Ql.R("percentile_cont(0.5) WITHIN GROUP (ORDER BY slope)", 4)} AS sen_slope
+      FROM pairs GROUP BY 1 ORDER BY 1
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(ridge, linearTrend, bootstrapCi, sampleSystematic, holtForecast,
       decayEngagement, mannWhitney, theilIndex, stratAte, cramersV,
       pcaPower, dpCounts, decisionStump, burstiness, forecastEval,
       quantileNormalize, imputeEval, partialCorr, anova, powerAnalysis,
-      cuped, ridgeCv, medianCi, welchTtest)
+      cuped, ridgeCv, medianCi, welchTtest, tailIndex, extremeValue,
+      mannKendall)
 }

@@ -190,7 +190,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         "q_rec_coverage", // 1-row catalog/rank-decay aggregates crossed into the report row
         "q_t_closeness", // bands-domain (~6-row) grid broadcast + 1-row corpus totals
         "q_cuped", // 1-row cut-date broadcast for the pre/post split
-        "q_ridge_cv") // 4-row lambda-grid broadcast onto the validation scan
+        "q_ridge_cv", // 4-row lambda-grid broadcast onto the validation scan
+        "q_tail_index") // 1-row threshold broadcast over the top-200 frame
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
