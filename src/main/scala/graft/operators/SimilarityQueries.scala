@@ -639,7 +639,135 @@ object SimilarityQueries extends QueryModule {
       FROM s GROUP BY 1 ORDER BY 1
     """))
 
+  /** Simplified (centroid-based) silhouette of the labeled embedding
+    * clustering (Rousseeuw 1987; the centroid variant trades the exact
+    * all-pairs a(i)/b(i) for distances to the K centroids — THE
+    * tractable form at corpus scale, O(nK) instead of O(n²)). Each
+    * vector meets all K label centroids via one broadcast (K = label
+    * vocabulary), cosine DISTANCE 1−cos gives a (own centroid) and b
+    * (best other), s = (b−a)/max(a,b). The q_doc_outlier float
+    * discipline: centroids rounded 6 dp, per-pair cosines rounded 4 dp
+    * BEFORE the s arithmetic, so both engines compose identical
+    * operands; a degenerate max(a,b)=0 yields s=0 by the same CASE.
+    * Output: per label, mean silhouette, the misassignment count
+    * (b < a — a vector nearer another centroid), and sizes.
+    */
+  private val silhouette = QueryDef(
+    "q_silhouette",
+    (spark, sfDir) => {
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label"), Vectors.toDouble(col("embedding")).as("v"))
+      val cent = e.select(col("label"), posexplode(col("v")))
+        .groupBy("label", "pos")
+        .agg(Ql.r(avg(col("col")), 6).as("m"))
+        .groupBy("label")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)")
+          .as("c"))
+        .select(col("label").as("clabel"), col("c"))
+      val scored = e.crossJoin(broadcast(cent))
+        .withColumn("cos", Ql.r(Vectors.cosine(col("v"), col("c")), 4))
+        .groupBy("vec_id", "label")
+        .agg(
+          max(when(col("clabel") === col("label"), col("cos"))).as("cos_own"),
+          max(when(col("clabel") =!= col("label"), col("cos"))).as("cos_oth"))
+        .selectExpr("vec_id", "label",
+          "1.0 - cos_own AS a", "1.0 - cos_oth AS b")
+        .selectExpr("vec_id", "label",
+          """CASE WHEN greatest(a, b) = 0.0 THEN 0.0
+                  ELSE (b - a) / greatest(a, b) END AS s""",
+          "CASE WHEN b < a THEN 1 ELSE 0 END AS misassigned")
+      scored.groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          Ql.r(avg("s"), 4).as("mean_silhouette"),
+          sum("misassigned").cast("long").as("n_misassigned"))
+        .orderBy("label")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      cent AS (
+        SELECT label AS clabel, list(m ORDER BY pos) AS c FROM (
+          SELECT label, g.i AS pos, ${Ql.R("avg(v[g.i])", 6)} AS m
+          FROM e, generate_series(1, 64) g(i) GROUP BY 1, 2)
+        GROUP BY label),
+      pairs AS (
+        SELECT vec_id, label, clabel,
+               ${Ql.R(
+      "list_dot_product(e.v, cent.c) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cent.c, cent.c)))",
+      4)} AS cos
+        FROM e CROSS JOIN cent),
+      ab AS (
+        SELECT vec_id, label,
+               1.0 - max(CASE WHEN clabel = label THEN cos END) AS a,
+               1.0 - max(CASE WHEN clabel <> label THEN cos END) AS b
+        FROM pairs GROUP BY 1, 2),
+      s AS (
+        SELECT label,
+               CASE WHEN greatest(a, b) = 0.0 THEN 0.0
+                    ELSE (b - a) / greatest(a, b) END AS s,
+               CASE WHEN b < a THEN 1 ELSE 0 END AS misassigned
+        FROM ab)
+      SELECT label, count(*) AS n,
+             ${Ql.R("avg(s)", 4)} AS mean_silhouette,
+             CAST(sum(misassigned) AS BIGINT) AS n_misassigned
+      FROM s GROUP BY 1 ORDER BY 1
+    """))
+
+  /** Embedding-distribution drift as the linear-kernel maximum mean
+    * discrepancy between the even- and odd-id halves of the corpus —
+    * MMD² = ‖μ₀ − μ₁‖² (Gretton et al. 2012 with k(x,y)=x·y; the
+    * version that needs only the two MEAN vectors, so the corpus cost
+    * is one keyed average per dimension — no pairwise kernel matrix).
+    * Per-dimension means are rounded at 6 dp before the squared-gap
+    * sum (64 terms); reports MMD², the worst-drifting dimension's gap,
+    * and both half sizes. The same query against time halves is the
+    * production embedding-space drift alarm.
+    */
+  private val embeddingDrift = QueryDef(
+    "q_embedding_drift",
+    (spark, sfDir) => {
+      val e = Tables.embeddings(spark, sfDir)
+        .select((col("vec_id") % 2).cast("long").as("half"),
+          posexplode(Vectors.toDouble(col("embedding"))))
+      val means = e.groupBy("half", "pos")
+        .agg(count(lit(1)).as("n"), Ql.r(avg(col("col")), 6).as("m"))
+      means.groupBy("pos")
+        .agg(
+          max(when(col("half") === 0, col("m"))).as("m0"),
+          max(when(col("half") === 1, col("m"))).as("m1"),
+          max(when(col("half") === 0, col("n"))).as("n0"),
+          max(when(col("half") === 1, col("n"))).as("n1"))
+        .agg(
+          max("n0").as("n_even"), max("n1").as("n_odd"),
+          Ql.r(sum(expr("(m0 - m1) * (m0 - m1)")), 8).as("mmd_sq"),
+          Ql.r(max(expr("abs(m0 - m1)")), 6).as("max_dim_gap"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id % 2 AS half, g.i AS pos,
+               CAST(embedding[g.i] AS DOUBLE) AS x
+        FROM embeddings, generate_series(1, 64) g(i)),
+      means AS (
+        SELECT half, pos, CAST(count(*) AS BIGINT) AS n,
+               ${Ql.R("avg(x)", 6)} AS m
+        FROM e GROUP BY 1, 2),
+      d AS (
+        SELECT pos,
+               max(CASE WHEN half = 0 THEN m END) AS m0,
+               max(CASE WHEN half = 1 THEN m END) AS m1,
+               max(CASE WHEN half = 0 THEN n END) AS n0,
+               max(CASE WHEN half = 1 THEN n END) AS n1
+        FROM means GROUP BY 1)
+      SELECT CAST(max(n0) AS BIGINT) AS n_even, CAST(max(n1) AS BIGINT) AS n_odd,
+             ${Ql.R("sum((m0 - m1) * (m0 - m1))", 8)} AS mmd_sq,
+             ${Ql.R("max(abs(m0 - m1))", 6)} AS max_dim_gap
+    FROM d
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     similarTopk, knnVote, annIvf, docEmbedJoin, embedQuantize, pqCodes,
-    semanticDedup, annIvfPq, annRecall, docOutlier)
+    semanticDedup, annIvfPq, annRecall, docOutlier, silhouette,
+    embeddingDrift)
 }

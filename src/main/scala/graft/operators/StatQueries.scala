@@ -1667,11 +1667,74 @@ object StatQueries extends QueryModule {
       FROM pairs GROUP BY 1 ORDER BY 1
     """))
 
+  // ---------------------------------------------------------------- SPC control chart
+
+  /** Shewhart individuals (XmR) control chart over the daily mean
+    * value per type — the SPC monitor that predates every ML drift
+    * detector and still gates factory dashboards: center line x̄,
+    * moving-range mean MR̄ from consecutive-day |differences|, control
+    * limits x̄ ± 2.66·MR̄ (the d2-derived constant as a shared decimal
+    * literal), and the out-of-control day count. Daily means are
+    * rounded at 6 dp before differencing (the q_ewma_daily contract);
+    * all downstream arithmetic is shared formula text over the
+    * calendar-bounded daily table with type-partitioned lag windows.
+    */
+  private val spcChart: QueryDef = {
+    val ucl = "(xbar + 2.66 * mrbar)"
+    val lcl = "(xbar - 2.66 * mrbar)"
+    QueryDef(
+      "q_spc_chart",
+      (spark, sfDir) => {
+        val daily = Tables.events(spark, sfDir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(Ql.r(avg(col("value")), 6).as("x"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val withMr = daily
+          .withColumn("mr", abs(col("x") - lag("x", 1).over(w)))
+        val limits = withMr.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"),
+            Ql.r(avg("x"), 6).as("xbar"),
+            Ql.r(avg("mr"), 6).as("mrbar"))
+        withMr.join(broadcast(limits), "event_type")
+          .groupBy("event_type")
+          .agg(max("n_days").as("n_days"),
+            Ql.r(max("xbar"), 4).as("center"),
+            Ql.r(max(expr(ucl)), 4).as("ucl"),
+            Ql.r(max(expr(lcl)), 4).as("lcl"),
+            sum(when(col("x") > expr(ucl) || col("x") < expr(lcl), 1L)
+              .otherwise(0L)).as("n_out_of_control"))
+          .orderBy("event_type")
+      },
+      Some(s"""
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day,
+                 ${Ql.R("avg(value)", 6)} AS x
+          FROM events GROUP BY 1, 2),
+        mr AS (
+          SELECT event_type, x,
+                 abs(x - lag(x, 1) OVER (PARTITION BY event_type ORDER BY day)) AS mr
+          FROM daily),
+        lim AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                 ${Ql.R("avg(x)", 6)} AS xbar,
+                 ${Ql.R("avg(mr)", 6)} AS mrbar
+          FROM mr GROUP BY 1)
+        SELECT mr.event_type, max(n_days) AS n_days,
+               ${Ql.R("max(xbar)", 4)} AS center,
+               ${Ql.R(s"max($ucl)", 4)} AS ucl,
+               ${Ql.R(s"max($lcl)", 4)} AS lcl,
+               CAST(sum(CASE WHEN x > $ucl OR x < $lcl THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_out_of_control
+        FROM mr JOIN lim ON mr.event_type = lim.event_type
+        GROUP BY 1 ORDER BY 1
+      """))
+  }
+
   def defs: Seq[QueryDef] =
     Seq(ridge, linearTrend, bootstrapCi, sampleSystematic, holtForecast,
       decayEngagement, mannWhitney, theilIndex, stratAte, cramersV,
       pcaPower, dpCounts, decisionStump, burstiness, forecastEval,
       quantileNormalize, imputeEval, partialCorr, anova, powerAnalysis,
       cuped, ridgeCv, medianCi, welchTtest, tailIndex, extremeValue,
-      mannKendall)
+      mannKendall, spcChart)
 }
