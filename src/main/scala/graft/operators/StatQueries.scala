@@ -1730,11 +1730,144 @@ object StatQueries extends QueryModule {
       """))
   }
 
+  // ---------------------------------------------------------------- Bloom sizing
+
+  /** Bloom-filter capacity planner for the decontamination membership
+    * sets (the design pass in front of q_bloom_decontam): per language,
+    * the distinct 5-gram count n drives the textbook sizing
+    * m = ⌈n·(−ln p)/ln²2⌉ bits and k = round((m/n)·ln 2) hashes for
+    * target false-positive rates 1% and 0.1%. The corpus-sized work is
+    * ONE distinct-shingle count per language (5-grams hashed to 56-bit
+    * ints post-explode, the q_contamination idiom); the sizing
+    * arithmetic runs on the languages×2 grid with every transcendental
+    * constant written as a shared decimal literal (−ln p and 1/ln²2
+    * precomputed — no libm at query time at all).
+    */
+  private val bloomSizing: QueryDef = {
+    // -ln(0.01), -ln(0.001), 1/ln(2)^2, ln(2) as literals
+    val cases = Seq(("0.01", "4.605170185988091"), ("0.001", "6.907755278982137"))
+    def sizing(nlp: String) = (
+      s"CAST(ceil(n * $nlp * 2.0813689810056077) AS BIGINT)", // m bits
+      s"CAST(${Ql.R(s"(ceil(n * $nlp * 2.0813689810056077) / n) * 0.6931471805599453", 0)} AS BIGINT)") // k
+    QueryDef(
+      "q_bloom_sizing",
+      (spark, sfDir) => {
+        val grams = Tables.documents(spark, sfDir)
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 5)
+          .select(col("lang"), explode(expr(
+            "transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', slice(toks, i + 1, 5)))"))
+            .as("sh0"))
+          .select(col("lang"), expr(Ql.md5PrefixLong("sh0", 14)).as("sh"))
+          .groupBy("lang")
+          .agg(countDistinct("sh").as("n"))
+        cases.map { case (p, nlp) =>
+          val (m, k) = sizing(nlp)
+          grams.selectExpr("lang", s"CAST($p AS DOUBLE) AS target_fpr", "n",
+            s"$m AS m_bits", s"$k AS k_hashes",
+            s"${Ql.R(s"ceil(n * $nlp * 2.0813689810056077) / 8388608.0", 4)} AS mbytes")
+        }.reduce(_.unionByName(_)).orderBy("lang", "target_fpr")
+      },
+      Some {
+        val branches = cases.map { case (p, nlp) =>
+          val (m, k) = sizing(nlp)
+          s"""SELECT lang, CAST($p AS DOUBLE) AS target_fpr, n,
+                 $m AS m_bits, $k AS k_hashes,
+                 ${Ql.R(s"ceil(n * $nlp * 2.0813689810056077) / 8388608.0", 4)} AS mbytes
+             FROM grams"""
+        }.mkString("\nUNION ALL\n")
+        s"""
+        WITH toks AS (
+          SELECT lang, string_split(text, ' ') AS t FROM documents
+          WHERE len(string_split(text, ' ')) >= 5),
+        sh AS (
+          SELECT lang,
+                 ${Ql.Md5PrefixLong("array_to_string(t[i:i+4], ' ')", 14)} AS sh
+          FROM (SELECT lang, t, unnest(generate_series(1, len(t) - 4)) AS i
+                FROM toks)),
+        grams AS (
+          SELECT lang, CAST(count(DISTINCT sh) AS BIGINT) AS n
+          FROM sh GROUP BY 1)
+        $branches
+        ORDER BY lang, target_fpr
+      """
+      })
+  }
+
+  // ---------------------------------------------------------------- RLE layout audit
+
+  /** Run-length-encoding benefit of clustering — the compression twin
+    * of q_zone_map_audit's pruning story: the SAME rows sharded by
+    * md5 hash vs clustered by ship month, and for each layout the
+    * number of `l_returnflag` value RUNS under the within-shard sort
+    * order (runs ≈ pages after RLE; fewer runs = better compression).
+    * Run counting is a lag window PARTITIONED BY SHARD (64/84-way
+    * distributed, never global) over exact values — pure integer
+    * output. The clustered layout wins because returnflag correlates
+    * with ship date; the audit states that delta as numbers.
+    */
+  private val rleLayout: QueryDef = {
+    def runsFor(shardExpr: String, layout: String) = (spark: org.apache.spark.sql.SparkSession, sfDir: String) => {
+      val base = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_shipdate"))
+        .withColumn("shard", expr(shardExpr))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+      // (duplicated lines exist) — the flag itself closes the sort key
+      // so tied rows group identical values adjacently in BOTH engines
+      val w = Window.partitionBy("shard")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_returnflag")
+      base
+        .withColumn("prev", lag("l_returnflag", 1).over(w))
+        .select(lit(layout).as("layout"),
+          when(col("prev").isNull || col("prev") =!= col("l_returnflag"), 1L)
+            .otherwise(0L).as("is_run_start"))
+    }
+    QueryDef(
+      "q_rle_layout",
+      (spark, sfDir) => {
+        val hash = runsFor(
+          s"${Ql.md5PrefixLong("concat(l_orderkey, '-', l_linenumber)", 4)} % 64",
+          "hash64")(spark, sfDir)
+        val clustered = runsFor(
+          "year(l_shipdate) * 12 + month(l_shipdate)", "month_clustered")(spark, sfDir)
+        hash.unionByName(clustered)
+          .groupBy("layout")
+          .agg(count(lit(1)).as("n_rows"), sum("is_run_start").as("n_runs"))
+          .selectExpr("layout", "n_rows", "n_runs",
+            s"${Ql.R("CAST(n_rows AS DOUBLE) / n_runs", 2)} AS avg_run_len")
+          .orderBy("layout")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate FROM lineitem),
+        hash_runs AS (
+          SELECT 'hash64' AS layout,
+                 CASE WHEN lag(l_returnflag) OVER (
+                        PARTITION BY (${Ql.Md5PrefixLong("CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)", 4)}) % 64
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber, l_returnflag)
+                      IS DISTINCT FROM l_returnflag THEN 1 ELSE 0 END AS is_run_start
+          FROM base),
+        month_runs AS (
+          SELECT 'month_clustered' AS layout,
+                 CASE WHEN lag(l_returnflag) OVER (
+                        PARTITION BY year(l_shipdate) * 12 + month(l_shipdate)
+                        ORDER BY l_shipdate, l_orderkey, l_linenumber, l_returnflag)
+                      IS DISTINCT FROM l_returnflag THEN 1 ELSE 0 END AS is_run_start
+          FROM base),
+        u AS (SELECT * FROM hash_runs UNION ALL SELECT * FROM month_runs)
+        SELECT layout, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(is_run_start) AS BIGINT) AS n_runs,
+               ${Ql.R("CAST(count(*) AS DOUBLE) / sum(is_run_start)", 2)} AS avg_run_len
+        FROM u GROUP BY 1 ORDER BY 1
+      """))
+  }
+
   def defs: Seq[QueryDef] =
     Seq(ridge, linearTrend, bootstrapCi, sampleSystematic, holtForecast,
       decayEngagement, mannWhitney, theilIndex, stratAte, cramersV,
       pcaPower, dpCounts, decisionStump, burstiness, forecastEval,
       quantileNormalize, imputeEval, partialCorr, anova, powerAnalysis,
       cuped, ridgeCv, medianCi, welchTtest, tailIndex, extremeValue,
-      mannKendall, spcChart)
+      mannKendall, spcChart, bloomSizing, rleLayout)
 }

@@ -960,6 +960,80 @@ object StreamingJobs {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  // ---- H6: online SPC (XmR) monitor against frozen control limits ----
+
+  case class SpcInput(ts: java.sql.Timestamp, event_type: String, x: Double)
+  case class SpcLimits(event_type: String, xbar: Double, mrbar: Double)
+  case class SpcState(lastDayUs: Long, nDays: Long, nOoc: Long,
+      xbar: Double, mrbar: Double, seq: Long)
+  case class SpcOut(event_type: String, seq: Long, n_days: Long,
+      n_out_of_control: Long, ucl: Double, lcl: Double)
+
+  /** H6: the streaming twin of `q_spc_chart` — an online Shewhart
+    * individuals monitor against FROZEN control limits from the
+    * profiling pass (the [[CusumProcessor]] / [[DriftProcessor]]
+    * "load the profile, then watch the stream" shape; a deployed chart
+    * pins its limits exactly as a deployed CUSUM pins μ). State per
+    * type is O(1): the last-applied day (the [[EwmaProcessor]]
+    * duplicate-day guard) and the running out-of-control count. Each
+    * arriving daily mean is compared against x̄ ± 2.66·MR̄ computed
+    * JVM-side with the same operand order as the batch expression, so
+    * on a replay of the profiled window the final count equals the
+    * batch `n_out_of_control` EXACTLY (ScaleSmokeSpec). Unprofiled
+    * types are not monitored — the batch twin's join drops them the
+    * same way.
+    */
+  class SpcProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        String, SpcInput, SpcOut, SpcLimits] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[SpcState] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SpcState]("spc_state",
+        org.apache.spark.sql.Encoders.product[SpcState], TTLConfig.NONE)
+
+    override def handleInitialState(key: String, initial: SpcLimits,
+        timers: TimerValues): Unit =
+      st.update(SpcState(Long.MinValue, 0L, 0L, initial.xbar, initial.mrbar, 0L))
+
+    private def micros(ts: java.sql.Timestamp): Long =
+      (ts.getTime / 1000) * 1000000L + ts.getNanos / 1000
+
+    override def handleInputRows(key: String, rows: Iterator[SpcInput],
+        timers: TimerValues): Iterator[SpcOut] = {
+      if (!st.exists()) return Iterator.empty
+      val s0 = st.get()
+      var (lastUs, nDays, nOoc) = (s0.lastDayUs, s0.nDays, s0.nOoc)
+      val ucl = s0.xbar + 2.66 * s0.mrbar
+      val lcl = s0.xbar - 2.66 * s0.mrbar
+      rows.toArray.sortBy(r => micros(r.ts)).foreach { r =>
+        val us = micros(r.ts)
+        if (us > lastUs) { // duplicate-day / replay guard
+          if (r.x > ucl || r.x < lcl) nOoc += 1
+          nDays += 1
+          lastUs = us
+        }
+      }
+      st.update(SpcState(lastUs, nDays, nOoc, s0.xbar, s0.mrbar, s0.seq + 1))
+      if (nDays == 0) Iterator.empty
+      else Iterator.single(SpcOut(key, s0.seq + 1, nDays, nOoc,
+        graft.operators.Ql.rd(ucl, 4), graft.operators.Ql.rd(lcl, 4)))
+    }
+  }
+
+  def spcMonitor(daily: Dataset[SpcInput],
+      limits: Dataset[SpcLimits]): Dataset[SpcOut] = {
+    import daily.sparkSession.implicits._
+    requireRocksDb(daily.sparkSession)
+    daily
+      .groupByKey(_.event_type)
+      .transformWithState(new SpcProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        limits.groupByKey(_.event_type))
+  }
+
   // ---- H6: online CUSUM changepoint monitor (frozen reference mean) ----
 
   case class CusumInput(ts: java.sql.Timestamp, event_type: String, x: Double)

@@ -327,6 +327,53 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     want.foreach { case (k, w) => assert(got(k) == w, s"$k: ${got(k)} vs $w") }
   }
 
+  test("sf0.01 online SPC monitor equals the batch q_spc_chart OOC count") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs
+    val sf = "/root/testdata/sf0.01"
+    // Freeze the control limits from the profiling pass (the batch
+    // query's own xbar/mrbar, rounded 6 dp identically), replay the
+    // 6-dp daily-mean series time-sliced, and the final emission per
+    // type must equal the batch chart row EXACTLY.
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(operators.Ql.r(avg(col("value")), 6).as("x"))
+      .select(col("day").cast("timestamp").as("ts"), col("event_type"), col("x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("ts")
+    val limits = daily
+      .withColumn("mr", abs(col("x") - lag("x", 1).over(w)))
+      .groupBy("event_type")
+      .agg(operators.Ql.r(avg("x"), 6).as("xbar"),
+        operators.Ql.r(avg("mr"), 6).as("mrbar"))
+      .as[StreamingJobs.SpcLimits]
+    val in = sliceReplay(daily, 4, "graft_spc")
+    val src = spark.readStream.schema(daily.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .as[StreamingJobs.SpcInput]
+    val q = StreamingJobs.spcMonitor(src, limits)
+      .writeStream.format("memory").queryName("spc_scale")
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_spc_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "SPC stream did not finish in 180s")
+    val got = spark.table("spc_scale")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+          .orderBy(col("seq").desc)))
+      .filter(col("rn") === 1)
+      .select("event_type", "n_days", "n_out_of_control", "ucl", "lcl")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val want = SparkEntry.queries("q_spc_chart")(spark, sf)
+      .select(col("event_type"), col("n_days"),
+        col("n_out_of_control"), col("ucl"), col("lcl"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(got.keySet == want.keySet, s"${got.keySet} vs ${want.keySet}")
+    want.foreach { case (k, v) => assert(got(k) == v, s"$k: ${got(k)} vs $v") }
+  }
+
   test("sf0.01 streaming top-k maintenance equals the batch weighted ranking") {
     import spark.implicits._
     import graft.streaming.StreamingJobs
