@@ -1863,11 +1863,100 @@ object StatQueries extends QueryModule {
       """))
   }
 
+  // ---------------------------------------------------------------- quantile regression
+
+  /** Median (τ=0.5) regression of price on quantity by pinball-loss
+    * grid search — the robust-fit companion to the OLS/ridge family
+    * (L1 regression has no closed form; the grid is the distributed
+    * answer: K candidate slopes ride ONE broadcast, the corpus is read
+    * once, and each candidate's total pinball loss partial-aggregates
+    * map-side — the same two-pass shape as q_ridge_cv). Candidate
+    * slopes are integer cents-per-unit (50k..250k step 10k, bracketing
+    * the unit-price range); residuals are exact integers, so the loss is an
+    * exact 0.5·|r| sum scaled ×2 to stay integral, and the winner is an
+    * integer argmin — no float anywhere until the report.
+    */
+  private val quantileRegression = QueryDef(
+    "q_quantile_regression",
+    (spark, sfDir) => {
+      val rows = Tables.lineitem(spark, sfDir)
+        .select(col("l_quantity").cast("long").as("x"),
+          Ql.r(col("l_extendedprice") * 100, 0).cast("long").as("y"))
+      val grid = spark.range(0, 21)
+        .selectExpr("50000 + id * 10000 AS slope")
+      rows.crossJoin(broadcast(grid))
+        // 2*pinball(0.5) = |residual| — integral, engine-exact
+        .selectExpr("slope", "abs(y - slope * x) AS l1")
+        .groupBy("slope")
+        .agg(count(lit(1)).as("n"), sum("l1").as("loss2x"))
+        .selectExpr("slope", "n", "loss2x",
+          s"${Ql.R("loss2x / (2.0 * n) / 100.0", 4)} AS mean_pinball_dollars")
+        .orderBy("loss2x", "slope")
+        .limit(5)
+    },
+    Some(s"""
+      WITH rows_ AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(${Ql.R("l_extendedprice * 100", 0)} AS BIGINT) AS y
+        FROM lineitem),
+      grid AS (SELECT 50000 + unnest(generate_series(0, 20)) * 10000 AS slope),
+      scored AS (
+        SELECT slope, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(abs(y - slope * x)) AS BIGINT) AS loss2x
+        FROM rows_ CROSS JOIN grid GROUP BY 1)
+      SELECT slope, n, loss2x,
+             ${Ql.R("loss2x / (2.0 * n) / 100.0", 4)} AS mean_pinball_dollars
+      FROM scored ORDER BY loss2x, slope LIMIT 5
+    """))
+
+  // ---------------------------------------------------------------- price elasticity
+
+  /** Discount elasticity of demand — the ln-ln OLS the pricing team
+    * runs: aggregate quantity per discount level (11 levels, exact
+    * integers), regress ln(total quantity) on ln(1 − discount)
+    * effective-price factor with the regr_* built-ins over the
+    * 11-point table. The corpus-sized work is one keyed sum; the fit
+    * sees only the level table. Positive slope = deeper discounts move
+    * volume; the magnitude is the (local) elasticity estimate. Level
+    * keys are exact integer basis points; logs run on identical
+    * operands in both engines and the fit is rounded at 4 dp.
+    */
+  private val priceElasticity = QueryDef(
+    "q_price_elasticity",
+    (spark, sfDir) =>
+      Tables.lineitem(spark, sfDir)
+        .select(Ql.r(col("l_discount") * 100, 0).cast("long").as("disc_pts"),
+          col("l_quantity").cast("long").as("q"))
+        .groupBy("disc_pts")
+        .agg(count(lit(1)).as("n_lines"), sum("q").as("total_qty"))
+        .agg(
+          count(lit(1)).as("n_levels"),
+          sum("n_lines").as("n_lines"),
+          Ql.r(expr(
+            "regr_slope(ln(CAST(total_qty AS DOUBLE)), ln(1.0 - disc_pts / 100.0))"), 4)
+            .as("elasticity"),
+          Ql.r(expr(
+            "regr_r2(ln(CAST(total_qty AS DOUBLE)), ln(1.0 - disc_pts / 100.0))"), 4)
+            .as("r2")),
+    Some(s"""
+      WITH lvl AS (
+        SELECT CAST(${Ql.R("l_discount * 100", 0)} AS BIGINT) AS disc_pts,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        FROM lineitem GROUP BY 1)
+      SELECT CAST(count(*) AS BIGINT) AS n_levels,
+             CAST(sum(n_lines) AS BIGINT) AS n_lines,
+             ${Ql.R("regr_slope(ln(CAST(total_qty AS DOUBLE)), ln(1.0 - disc_pts / 100.0))", 4)} AS elasticity,
+             ${Ql.R("regr_r2(ln(CAST(total_qty AS DOUBLE)), ln(1.0 - disc_pts / 100.0))", 4)} AS r2
+      FROM lvl
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(ridge, linearTrend, bootstrapCi, sampleSystematic, holtForecast,
       decayEngagement, mannWhitney, theilIndex, stratAte, cramersV,
       pcaPower, dpCounts, decisionStump, burstiness, forecastEval,
       quantileNormalize, imputeEval, partialCorr, anova, powerAnalysis,
       cuped, ridgeCv, medianCi, welchTtest, tailIndex, extremeValue,
-      mannKendall, spcChart, bloomSizing, rleLayout)
+      mannKendall, spcChart, bloomSizing, rleLayout, quantileRegression,
+      priceElasticity)
 }
