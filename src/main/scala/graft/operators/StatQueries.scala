@@ -1869,31 +1869,33 @@ object StatQueries extends QueryModule {
     * grid search — the robust-fit companion to the OLS/ridge family
     * (L1 regression has no closed form; the grid is the distributed
     * answer: K candidate slopes ride ONE broadcast, the corpus is read
-    * once, and each candidate's total pinball loss partial-aggregates
-    * map-side — the same two-pass shape as q_ridge_cv). Candidate
-    * slopes are integer cents-per-unit (50k..250k step 10k, bracketing
-    * the unit-price range); residuals are exact integers, so the loss is an
-    * exact 0.5·|r| sum scaled ×2 to stay integral, and the winner is an
-    * integer argmin — no float anywhere until the report.
+    * once, and each candidate's loss is ONE conditional aggregate in a
+    * single HashAggregate — no 21× row explosion, no extra shuffle
+    * volume at any corpus size; the 1-row result unpivots to the grid
+    * via stack()). Candidate slopes are integer cents-per-unit
+    * (50k..250k step 10k, bracketing the unit-price range); residuals
+    * are exact integers, so the loss is an exact 0.5·|r| sum scaled ×2
+    * to stay integral, and the winner is an integer argmin — no float
+    * anywhere until the report.
     */
-  private val quantileRegression = QueryDef(
-    "q_quantile_regression",
-    (spark, sfDir) => {
-      val rows = Tables.lineitem(spark, sfDir)
-        .select(col("l_quantity").cast("long").as("x"),
-          Ql.r(col("l_extendedprice") * 100, 0).cast("long").as("y"))
-      val grid = spark.range(0, 21)
-        .selectExpr("50000 + id * 10000 AS slope")
-      rows.crossJoin(broadcast(grid))
-        // 2*pinball(0.5) = |residual| — integral, engine-exact
-        .selectExpr("slope", "abs(y - slope * x) AS l1")
-        .groupBy("slope")
-        .agg(count(lit(1)).as("n"), sum("l1").as("loss2x"))
-        .selectExpr("slope", "n", "loss2x",
-          s"${Ql.R("loss2x / (2.0 * n) / 100.0", 4)} AS mean_pinball_dollars")
-        .orderBy("loss2x", "slope")
-        .limit(5)
-    },
+  private val quantileRegression: QueryDef = {
+    val slopes = (0 to 20).map(50000 + _ * 10000)
+    QueryDef(
+      "q_quantile_regression",
+      (spark, sfDir) => {
+        val rows = Tables.lineitem(spark, sfDir)
+          .select(col("l_quantity").cast("long").as("x"),
+            Ql.r(col("l_extendedprice") * 100, 0).cast("long").as("y"))
+        val aggs = slopes.map(s =>
+          sum(abs(col("y") - lit(s.toLong) * col("x"))).as(s"l$s"))
+        rows.agg(count(lit(1)).as("n"), aggs: _*)
+          .selectExpr("n",
+            s"stack(21, ${slopes.map(s => s"CAST($s AS BIGINT), l$s").mkString(", ")}) AS (slope, loss2x)")
+          .selectExpr("slope", "n", "loss2x",
+            s"${Ql.R("loss2x / (2.0 * n) / 100.0", 4)} AS mean_pinball_dollars")
+          .orderBy("loss2x", "slope")
+          .limit(5)
+      },
     Some(s"""
       WITH rows_ AS (
         SELECT CAST(l_quantity AS BIGINT) AS x,
@@ -1908,6 +1910,7 @@ object StatQueries extends QueryModule {
              ${Ql.R("loss2x / (2.0 * n) / 100.0", 4)} AS mean_pinball_dollars
       FROM scored ORDER BY loss2x, slope LIMIT 5
     """))
+  }
 
   // ---------------------------------------------------------------- price elasticity
 
@@ -1951,6 +1954,94 @@ object StatQueries extends QueryModule {
       FROM lvl
     """))
 
+  // ---------------------------------------------------------------- calendar gaps
+
+  /** Data-freshness / continuity audit of the event feed: per type,
+    * the observed day count vs the calendar span, the LONGEST gap
+    * between consecutive present days, and when it started — the "did
+    * ingestion silently skip days" check every pipeline dashboard
+    * needs. One keyed distinct-day aggregation (corpus-sized, map-side
+    * combined), then lag windows over the calendar-bounded day table;
+    * everything is exact integer day arithmetic, and the worst gap is
+    * picked on (gap DESC, day) so ties cannot diverge the engines.
+    */
+  private val calendarGaps = QueryDef(
+    "q_calendar_gaps",
+    (spark, sfDir) => {
+      val days = Tables.events(spark, sfDir)
+        .select(col("event_type"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy("event_type").orderBy("day")
+      days
+        .withColumn("gap", datediff(col("day"), lag("day", 1).over(w)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          (datediff(max("day"), min("day")) + 1).cast("long").as("span_days"),
+          max(coalesce(col("gap"), lit(1))).cast("long").as("max_gap_days"),
+          date_format(min("day"), "yyyy-MM-dd").as("first_day"),
+          date_format(max("day"), "yyyy-MM-dd").as("last_day"))
+        .withColumn("missing_days", col("span_days") - col("n_days"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events),
+      g AS (
+        SELECT event_type, day,
+               date_diff('day', lag(day) OVER (PARTITION BY event_type ORDER BY day), day) AS gap
+        FROM days)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT) AS span_days,
+             CAST(max(COALESCE(gap, 1)) AS BIGINT) AS max_gap_days,
+             strftime(min(day), '%Y-%m-%d') AS first_day,
+             strftime(max(day), '%Y-%m-%d') AS last_day,
+             CAST(date_diff('day', min(day), max(day)) + 1 - count(*) AS BIGINT) AS missing_days
+      FROM g GROUP BY 1 ORDER BY 1
+    """))
+
+  // ---------------------------------------------------------------- duplication rate
+
+  /** Per-source exact-duplication scoreboard — the rollup a curation
+    * run reports before anyone asks "how dirty is this source":
+    * sha-256 content groups per source, the document vs distinct-
+    * content counts, the duplication rate, and the wasted bytes
+    * (chars beyond one copy per group). One hash-keyed aggregation
+    * (the q_dedup_exact digest discipline — the shuffle moves 32-byte
+    * hashes) followed by a sources-sized rollup; all counts exact
+    * BIGINTs, the rate one rounded divide.
+    */
+  private val dupRate = QueryDef(
+    "q_dup_rate",
+    (spark, sfDir) =>
+      Tables.documents(spark, sfDir)
+        .select(col("source"), sha2(col("text"), 256).as("h"),
+          col("n_chars"))
+        .groupBy("source", "h")
+        .agg(count(lit(1)).as("copies"), sum("n_chars").as("chars"),
+          min("n_chars").as("keep_chars"))
+        .groupBy("source")
+        .agg(sum("copies").as("n_docs"),
+          count(lit(1)).as("n_unique"),
+          sum(col("chars") - col("keep_chars")).as("wasted_chars"))
+        .selectExpr("source", "n_docs", "n_unique",
+          "n_docs - n_unique AS n_dup_docs",
+          s"${Ql.R("100.0 * (n_docs - n_unique) / n_docs", 4)} AS dup_pct",
+          "wasted_chars")
+        .orderBy("source"),
+    Some(s"""
+      WITH g AS (
+        SELECT source, sha256(text) AS h,
+               CAST(count(*) AS BIGINT) AS copies,
+               CAST(sum(n_chars) AS BIGINT) AS chars,
+               CAST(min(n_chars) AS BIGINT) AS keep_chars
+        FROM documents GROUP BY 1, 2)
+      SELECT source, CAST(sum(copies) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_unique,
+             CAST(sum(copies) - count(*) AS BIGINT) AS n_dup_docs,
+             ${Ql.R("100.0 * (sum(copies) - count(*)) / sum(copies)", 4)} AS dup_pct,
+             CAST(sum(chars - keep_chars) AS BIGINT) AS wasted_chars
+      FROM g GROUP BY 1 ORDER BY 1
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(ridge, linearTrend, bootstrapCi, sampleSystematic, holtForecast,
       decayEngagement, mannWhitney, theilIndex, stratAte, cramersV,
@@ -1958,5 +2049,5 @@ object StatQueries extends QueryModule {
       quantileNormalize, imputeEval, partialCorr, anova, powerAnalysis,
       cuped, ridgeCv, medianCi, welchTtest, tailIndex, extremeValue,
       mannKendall, spcChart, bloomSizing, rleLayout, quantileRegression,
-      priceElasticity)
+      priceElasticity, calendarGaps, dupRate)
 }
