@@ -599,6 +599,77 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       s"bootstrap mean $bootMean far from truth $truth")
   }
 
+  test("q_median_ci endpoints are the exact order statistics at the binomial ranks") {
+    val sf = "/root/testdata/sf0.001"
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), operators.Ql.r(col("value") * 100, 0).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    val got = SparkEntry.queries("q_median_ci")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (t, xs) =>
+      val n = xs.length
+      def at(k: Long): Double = xs(math.max(0, k.toInt - 1)) / 100.0
+      val kMed = math.ceil(n / 2.0).toLong
+      val kLo = math.ceil(n / 2.0 - 0.98 * math.sqrt(n.toDouble)).toLong
+      val kHi = math.ceil(n / 2.0 + 0.98 * math.sqrt(n.toDouble)).toLong
+      val (gn, lo, med, hi) = got(t)
+      assert(gn == n, s"$t n")
+      assert(lo <= med && med <= hi, s"$t ordering: $lo $med $hi")
+      assert(math.abs(med - operators.Ql.rd(at(kMed), 2)) <= 1e-9, s"$t median")
+      assert(math.abs(lo - operators.Ql.rd(at(kLo), 2)) <= 1e-9, s"$t lo")
+      assert(math.abs(hi - operators.Ql.rd(at(kHi), 2)) <= 1e-9, s"$t hi")
+    }
+  }
+
+  test("q_quantile_regression losses equal a brute-force residual scan") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long"),
+        operators.Ql.r(col("l_extendedprice") * 100, 0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val losses = (0 to 20).map { i =>
+      val s = 50000L + i * 10000L
+      s -> rows.map { case (x, y) => math.abs(y - s * x) }.sum
+    }.toMap
+    val got = SparkEntry.queries("q_quantile_regression")(spark, sf)
+      .collect().map(r => (r.getLong(r.fieldIndex("slope")),
+        r.getLong(r.fieldIndex("loss2x"))))
+    // the reported top-5 must carry the exact brute-force losses AND be
+    // the 5 smallest under the (loss, slope) order
+    got.foreach { case (s, l) => assert(losses(s) == l, s"slope $s loss") }
+    val want = losses.toSeq.map { case (s, l) => (l, s) }.sorted.take(5)
+    assert(got.toSeq.map { case (s, l) => (l, s) } == want)
+  }
+
+  test("q_extreme_value Gumbel fit equals plain-scala method-of-moments") {
+    val sf = "/root/testdata/sf0.001"
+    val maxima = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")))
+      .agg(max(operators.Ql.r(col("value") * 100, 0).cast("long")).as("mx"))
+      .collect().map(r => r.getString(0) -> r.getLong(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = SparkEntry.queries("q_extreme_value")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(r.fieldIndex("gumbel_beta")),
+          r.getDouble(r.fieldIndex("gumbel_mu")),
+          r.getDouble(r.fieldIndex("return_level_30d")))).toMap
+    maxima.foreach { case (t, xs) =>
+      val n = xs.size.toDouble
+      val mean = xs.sum / n
+      val sd = math.sqrt((xs.map(x => x.toDouble * x).sum - n * mean * mean) / (n - 1.0))
+      val beta = sd * 0.7796968012336293
+      val mu = mean - 0.5772156649015329 * beta
+      val ret = mu - beta * math.log(-math.log(1.0 - 1.0 / 30.0))
+      val (gb, gm, gr) = got(t)
+      assert(math.abs(gb - operators.Ql.rd(beta / 100.0, 4)) <= 1e-9, s"$t beta")
+      assert(math.abs(gm - operators.Ql.rd(mu / 100.0, 4)) <= 1e-9, s"$t mu")
+      assert(math.abs(gr - operators.Ql.rd(ret / 100.0, 2)) <= 1e-6, s"$t return level")
+    }
+  }
+
   test("q_seq_pairs support equals a brute-force subsequence scan") {
     val sf = "/root/testdata/sf0.001"
     val ev = Tables.events(spark, sf)
