@@ -1414,6 +1414,150 @@ object EventQueries extends QueryModule {
       FROM pairs ORDER BY type_a, type_b
     """))
 
+  /** Stationary distribution of the event-type Markov chain — where
+    * the q_markov_transitions matrix settles: three unrolled power-
+    * iteration steps π' = πP from the uniform start over the TYPES-
+    * SIZED chain (the matrix is 5×5 — bounded by the type vocabulary,
+    * so every iteration is a broadcast-scale join; the corpus appears
+    * only in the one lag-pair aggregation). Transition rows are exact
+    * integer counts normalized per step via shared formula text; each
+    * iterate is rounded at 8 dp before the next multiply (the
+    * q_pca_power rounded-trajectory contract), and the report compares
+    * π₃ to the raw visit share so the "long-run vs observed" drift is
+    * the readout.
+    */
+  private val markovStationary = QueryDef(
+    "q_markov_stationary",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // feeds all three iterations + the share
+      val p = pairs
+        .withColumn("p",
+          expr("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)"))
+        .select(col("from_type"), col("to_type"), col("p"))
+      // k as a 1-row broadcast, not a driver-side count
+      val kf = p.select(col("from_type")).distinct()
+        .agg(count(lit(1)).cast("double").as("k"))
+      var pi = p.select(col("from_type").as("t")).distinct()
+        .crossJoin(broadcast(kf))
+        .selectExpr("t", "1.0 / k AS pi")
+      for (_ <- 1 to 3) {
+        pi = p.join(pi.select(col("t").as("from_type"), col("pi")), "from_type")
+          .groupBy(col("to_type").as("t"))
+          .agg(Ql.r(sum(expr("pi * p")), 8).as("pi"))
+      }
+      val visits = pairs.groupBy(col("to_type").as("t"))
+        .agg(sum("n").as("nv"))
+      val tot = pairs.agg(sum("n").as("nt"))
+      pi.join(visits, "t").crossJoin(broadcast(tot))
+        .selectExpr("t AS event_type",
+          s"${Ql.R("pi", 4)} AS stationary_pi",
+          s"${Ql.R("CAST(nv AS DOUBLE) / nt", 4)} AS visit_share")
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH pairs AS (
+        SELECT from_type, event_type AS to_type, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT event_type,
+                     lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS from_type
+              FROM events)
+        WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      p AS (
+        SELECT from_type, to_type,
+               CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+        FROM pairs),
+      k AS (SELECT CAST(count(DISTINCT from_type) AS DOUBLE) AS k FROM p),
+      pi0 AS (SELECT DISTINCT from_type AS t, 1.0 / k.k AS pi FROM p, k),
+      pi1 AS (SELECT to_type AS t, ${Ql.R("sum(pi * p)", 8)} AS pi
+              FROM p JOIN pi0 ON p.from_type = pi0.t GROUP BY 1),
+      pi2 AS (SELECT to_type AS t, ${Ql.R("sum(pi * p)", 8)} AS pi
+              FROM p JOIN pi1 ON p.from_type = pi1.t GROUP BY 1),
+      pi3 AS (SELECT to_type AS t, ${Ql.R("sum(pi * p)", 8)} AS pi
+              FROM p JOIN pi2 ON p.from_type = pi2.t GROUP BY 1),
+      visits AS (SELECT to_type AS t, CAST(sum(n) AS BIGINT) AS nv
+                 FROM pairs GROUP BY 1),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM pairs)
+      SELECT pi3.t AS event_type,
+             ${Ql.R("pi3.pi", 4)} AS stationary_pi,
+             ${Ql.R("CAST(nv AS DOUBLE) / nt", 4)} AS visit_share
+      FROM pi3 JOIN visits ON pi3.t = visits.t CROSS JOIN tot
+      ORDER BY event_type
+    """))
+
+  /** Cohort lifetime value — the revenue twin of q_retention_cohorts:
+    * users grouped by first-seen week, purchase value accumulated per
+    * week offset, reported as the CUMULATIVE per-user LTV curve each
+    * cohort has traced so far. Money is exact BIGINT cents end to end;
+    * the cumulative sum runs over the tiny cohort×offset grid
+    * (calendar-bounded), partitioned by cohort; per-user division is
+    * one rounded divide at the end. All user-level work is one keyed
+    * aggregation family on user_id.
+    */
+  private val cohortLtv = QueryDef(
+    "q_cohort_ltv",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_type"),
+          Ql.r(col("value") * 100, 0).cast("long").as("cents"))
+      val firstSeen = e.groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("d0"))
+        .withColumn("cohort", expr("date_trunc('week', d0)"))
+      val cohortSizes = firstSeen.groupBy("cohort")
+        .agg(countDistinct("user_id").as("n_users"))
+      val weekly = e.filter(col("event_type") === "purchase")
+        .join(firstSeen, "user_id")
+        .withColumn("wk", floor(datediff(to_date(col("ts")), col("d0")) / 7).cast("long"))
+        .groupBy("cohort", "wk")
+        .agg(sum("cents").as("rev_cents"))
+      val wc = Window.partitionBy("cohort").orderBy("wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      weekly
+        .withColumn("cum_cents", sum("rev_cents").over(wc))
+        .join(broadcast(cohortSizes), "cohort")
+        .selectExpr("date_format(cohort, 'yyyy-MM-dd') AS cohort_week",
+          "wk", "n_users",
+          s"${Ql.R("rev_cents / 100.0", 2)} AS week_revenue",
+          s"${Ql.R("cum_cents / 100.0 / n_users", 4)} AS cum_ltv_per_user")
+        .orderBy("cohort_week", "wk")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, ts, event_type,
+               CAST(${Ql.R("value * 100", 0)} AS BIGINT) AS cents
+        FROM events),
+      fs AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+               date_trunc('week', min(CAST(ts AS DATE))) AS cohort
+        FROM e GROUP BY 1),
+      cs AS (SELECT cohort, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             FROM fs GROUP BY 1),
+      weekly AS (
+        SELECT fs.cohort, CAST(floor(date_diff('day', d0, CAST(e.ts AS DATE)) / 7) AS BIGINT) AS wk,
+               CAST(sum(cents) AS BIGINT) AS rev_cents
+        FROM e JOIN fs ON e.user_id = fs.user_id
+        WHERE event_type = 'purchase'
+        GROUP BY 1, 2),
+      cum AS (
+        SELECT cohort, wk, rev_cents,
+               sum(rev_cents) OVER (PARTITION BY cohort ORDER BY wk
+                 ROWS UNBOUNDED PRECEDING) AS cum_cents
+        FROM weekly)
+      SELECT strftime(CAST(cum.cohort AS DATE), '%Y-%m-%d') AS cohort_week, wk, n_users,
+             ${Ql.R("rev_cents / 100.0", 2)} AS week_revenue,
+             ${Ql.R("cum_cents / 100.0 / n_users", 4)} AS cum_ltv_per_user
+      FROM cum JOIN cs ON cum.cohort = cs.cohort
+      ORDER BY cohort_week, wk
+    """))
+
   /** Position-based (U-shaped) multi-touch attribution — the 40/20/40
     * sibling of q_attribution's last-touch rule: each user's pre-first-
     * purchase journey of views and clicks splits the conversion credit
@@ -1484,5 +1628,5 @@ object EventQueries extends QueryModule {
     dowProfile, ksDrift, stickiness, timeToConvert, cusumChangepoint,
     stlSeasonal, userFeatures, twap, stlResidualAnomaly,
     seasonalStrength, rollingDistinct, kaplanMeier, attributionPosition,
-    seqPairs)
+    seqPairs, markovStationary, cohortLtv)
 }

@@ -192,7 +192,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         "q_cuped", // 1-row cut-date broadcast for the pre/post split
         "q_ridge_cv", // 4-row lambda-grid broadcast onto the validation scan
         "q_tail_index", // 1-row threshold broadcast over the top-200 frame
-        "q_silhouette") // K-row (label-vocabulary) centroid broadcast, as q_knn_vote
+        "q_silhouette", // K-row (label-vocabulary) centroid broadcast, as q_knn_vote
+        "q_markov_stationary") // 1-row state-count + pair-total broadcasts on the 5-state chain
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
