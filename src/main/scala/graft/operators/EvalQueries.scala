@@ -898,8 +898,125 @@ object EvalQueries extends QueryModule {
       """))
   }
 
+  /** Spearman rank correlation between the units-sold and revenue
+    * rankings of the part catalog (the q_rrf_fusion pair, asked "how
+    * much do these two orderings even agree") via the closed form
+    * ρ = 1 − 6Σd²/(n(n²−1)) over exact integer ranks. Ranks are global
+    * ordinals with a part-key tiebreak (total order, so the no-ties
+    * closed form is exact) assigned by the two-level pattern with
+    * HIGHEST-SET-BIT buckets — ≤64 bucket rows at ANY scale (the
+    * q_degree_hist log₂ trick), offsets from the 64-row histogram,
+    * in-bucket distributed windows. Σd² is an exact BIGINT; only the
+    * final ρ divides in doubles via shared text. A log₂ bucket can get
+    * catalog-heavy under skew — the documented trade for a provably
+    * bounded histogram (same class as the n_chars range buckets).
+    */
+  private val spearman: QueryDef = {
+    val rho = "1.0 - 6.0 * sd2 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * n - 1.0))"
+    QueryDef(
+      "q_spearman",
+      (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        val parts = Tables.lineitem(spark, sfDir)
+          .groupBy("l_partkey")
+          .agg(sum(col("l_quantity").cast("long")).as("q"),
+            sum(Ql.r(col("l_extendedprice") * 100, 0).cast("long")).as("r"))
+          .localCheckpoint(true) // feeds both rank assignments
+        def ranks(metric: String, rank: String) = {
+          val withB = parts.withColumn("bkt", expr(s"length(bin($metric))"))
+          val offsets = withB.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+            .withColumn("off", coalesce(sum(col("cnt")).over(
+              Window.orderBy("bkt")
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            .select("bkt", "off")
+          val inB = Window.partitionBy("bkt").orderBy(metric, "l_partkey")
+          withB.join(broadcast(offsets), "bkt")
+            .withColumn(rank, col("off") + row_number().over(inB))
+            .select("l_partkey", rank)
+        }
+        ranks("q", "rq").join(ranks("r", "rr"), "l_partkey")
+          .selectExpr("rq - rr AS d")
+          .agg(count(lit(1)).as("n"), sum(expr("d * d")).as("sd2"))
+          .selectExpr("n", "sd2", s"${Ql.R(rho, 6)} AS spearman_rho")
+      },
+      Some(s"""
+        WITH parts AS (
+          SELECT l_partkey,
+                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+                 CAST(sum(CAST(${Ql.R("l_extendedprice * 100", 0)} AS BIGINT)) AS BIGINT) AS r
+          FROM lineitem GROUP BY 1),
+        rq AS (SELECT l_partkey,
+                      row_number() OVER (ORDER BY q, l_partkey) AS rq FROM parts),
+        rr AS (SELECT l_partkey,
+                      row_number() OVER (ORDER BY r, l_partkey) AS rr FROM parts),
+        d AS (SELECT rq - rr AS d FROM rq JOIN rr USING (l_partkey)),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(d * d) AS BIGINT) AS sd2 FROM d)
+        SELECT n, sd2, ${Ql.R(rho, 6)} AS spearman_rho FROM a
+      """))
+  }
+
+  /** Kendall's τ over the HEADS of the two rankings — the top-200 by
+    * units and by revenue, intersected, then every pair of common
+    * items checked for concordance across the two metrics. The heads
+    * are TakeOrdered k-row frames, so the pair join is ≤ C(200,2) —
+    * bounded by the report size, not the catalog (exact τ over the full
+    * catalog is the all-pairs trap; the head is where rank agreement
+    * matters for a merchandising page anyway). Metric orders carry the
+    * part-key tiebreak (total orders ⇒ no tie terms), all counts exact
+    * integers, τ = (C − D)/(m(m−1)/2) one rounded divide.
+    */
+  private val kendallHead = QueryDef(
+    "q_kendall_head",
+    (spark, sfDir) => {
+      val parts = Tables.lineitem(spark, sfDir)
+        .groupBy("l_partkey")
+        .agg(sum(col("l_quantity").cast("long")).as("q"),
+          sum(Ql.r(col("l_extendedprice") * 100, 0).cast("long")).as("r"))
+        .localCheckpoint(true)
+      val topQ = parts.orderBy(col("q").desc, col("l_partkey")).limit(200)
+      val topR = parts.orderBy(col("r").desc, col("l_partkey")).limit(200)
+      val common = topQ.select("l_partkey", "q", "r")
+        .join(topR.select("l_partkey"), "l_partkey")
+      val pairs = common.as("a").join(broadcast(common.as("b")),
+          col("a.l_partkey") < col("b.l_partkey"))
+        .select(
+          // strict orders with id tiebreak: (q, key) and (r, key)
+          (((col("a.q") > col("b.q")) ||
+            (col("a.q") === col("b.q") && col("a.l_partkey") > col("b.l_partkey")))
+            === ((col("a.r") > col("b.r")) ||
+            (col("a.r") === col("b.r") && col("a.l_partkey") > col("b.l_partkey"))))
+            .cast("long").as("concordant"))
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          sum("concordant").as("c"))
+        .selectExpr("n_pairs", "c", "n_pairs - c AS d",
+          s"${Ql.R("(CAST(c AS DOUBLE) - (n_pairs - c)) / n_pairs", 6)} AS kendall_tau")
+    },
+    Some(s"""
+      WITH parts AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+               CAST(sum(CAST(${Ql.R("l_extendedprice * 100", 0)} AS BIGINT)) AS BIGINT) AS r
+        FROM lineitem GROUP BY 1),
+      topq AS (SELECT l_partkey, q, r FROM parts
+               ORDER BY q DESC, l_partkey LIMIT 200),
+      topr AS (SELECT l_partkey FROM parts
+               ORDER BY r DESC, l_partkey LIMIT 200),
+      common AS (SELECT topq.* FROM topq JOIN topr USING (l_partkey)),
+      pairs AS (
+        SELECT CASE WHEN ((a.q > b.q) OR (a.q = b.q AND a.l_partkey > b.l_partkey))
+                       = ((a.r > b.r) OR (a.r = b.r AND a.l_partkey > b.l_partkey))
+                    THEN 1 ELSE 0 END AS concordant
+        FROM common a JOIN common b ON a.l_partkey < b.l_partkey)
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(concordant) AS BIGINT) AS c,
+             CAST(count(*) - sum(concordant) AS BIGINT) AS d,
+             ${Ql.R("(CAST(sum(concordant) AS DOUBLE) - (count(*) - sum(concordant))) / count(*)", 6)} AS kendall_tau
+      FROM pairs
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(auc, gini, ndcg, winsorize, mrr, calibrationBins, rrfFusion,
       decileLift, kappaAgreement, brierScore, avgPrecision, ksScores,
-      woeIv, wilsonCi, brierDecomp)
+      woeIv, wilsonCi, brierDecomp, spearman, kendallHead)
 }

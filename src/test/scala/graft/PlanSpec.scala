@@ -193,7 +193,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         "q_ridge_cv", // 4-row lambda-grid broadcast onto the validation scan
         "q_tail_index", // 1-row threshold broadcast over the top-200 frame
         "q_silhouette", // K-row (label-vocabulary) centroid broadcast, as q_knn_vote
-        "q_markov_stationary") // 1-row state-count + pair-total broadcasts on the 5-state chain
+        "q_markov_stationary", // 1-row state-count + pair-total broadcasts on the 5-state chain
+        "q_kendall_head") // <=200-row head-intersection pair join (report-sized)
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
@@ -224,7 +225,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_modularity", // community table (bounded by the brand vocabulary)
       "q_sample_systematic", // 16-row hash-range bucket-offset histogram
       "q_mann_whitney", // ~50-row value-grid bucket histogram
-      "q_decision_stump") // ~20-row price-range bucket-offset histogram
+      "q_decision_stump", // ~20-row price-range bucket-offset histogram
+      "q_spearman") // <=64-row highest-set-bit bucket histogram
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val bad = df.queryExecution.sparkPlan.collect {
