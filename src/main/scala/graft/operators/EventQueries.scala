@@ -1558,6 +1558,49 @@ object EventQueries extends QueryModule {
       ORDER BY cohort_week, wk
     """))
 
+  /** Inter-purchase interval distribution — the repeat-behavior metric
+    * behind replenishment reminders and churn-risk windows: per user,
+    * the day gaps between consecutive purchases (user-keyed lag window,
+    * one co-partitioned shuffle), then the corpus-level gap
+    * distribution as exact integer percentiles plus the share of gaps
+    * within a week. Gaps are exact integer days; the percentiles
+    * interpolate identical operands in both engines and round at 2 dp.
+    */
+  private val purchaseIntervals = QueryDef(
+    "q_purchase_intervals",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(spark, sfDir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap",
+          datediff(to_date(col("ts")), to_date(lag("ts", 1).over(w))))
+        .filter(col("gap").isNotNull)
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          Ql.r(expr("percentile(gap, 0.5)"), 2).as("p50_days"),
+          Ql.r(expr("percentile(gap, 0.9)"), 2).as("p90_days"),
+          max("gap").cast("long").as("max_days"),
+          Ql.r(expr("100.0 * sum(CASE WHEN gap <= 7 THEN 1 ELSE 0 END) / count(*)"), 4)
+            .as("within_week_pct"))
+    },
+    Some(s"""
+      WITH p AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+      g AS (
+        SELECT date_diff('day',
+                 CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DATE),
+                 CAST(ts AS DATE)) AS gap
+        FROM p)
+      SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+             ${Ql.R("percentile_cont(0.5) WITHIN GROUP (ORDER BY gap)", 2)} AS p50_days,
+             ${Ql.R("percentile_cont(0.9) WITHIN GROUP (ORDER BY gap)", 2)} AS p90_days,
+             CAST(max(gap) AS BIGINT) AS max_days,
+             ${Ql.R("100.0 * sum(CASE WHEN gap <= 7 THEN 1 ELSE 0 END) / count(*)", 4)} AS within_week_pct
+      FROM g WHERE gap IS NOT NULL
+    """))
+
   /** Position-based (U-shaped) multi-touch attribution — the 40/20/40
     * sibling of q_attribution's last-touch rule: each user's pre-first-
     * purchase journey of views and clicks splits the conversion credit
@@ -1628,5 +1671,5 @@ object EventQueries extends QueryModule {
     dowProfile, ksDrift, stickiness, timeToConvert, cusumChangepoint,
     stlSeasonal, userFeatures, twap, stlResidualAnomaly,
     seasonalStrength, rollingDistinct, kaplanMeier, attributionPosition,
-    seqPairs, markovStationary, cohortLtv)
+    seqPairs, markovStationary, cohortLtv, purchaseIntervals)
 }
