@@ -1558,6 +1558,54 @@ object EventQueries extends QueryModule {
       ORDER BY cohort_week, wk
     """))
 
+  /** Growth accounting — each day's active users split into NEW (first
+    * day ever), RETURNING (active within the prior 7 days), and
+    * RESURRECTED (back after 7+ days away) — the DAU decomposition
+    * every growth dashboard leads with. The machinery is two user-keyed
+    * windows (first-seen via min, previous-active-day via lag over the
+    * per-user distinct-day table) — one co-partitioned shuffle family,
+    * exact integer day arithmetic, and a calendar-bounded daily report.
+    */
+  private val growthAccounting = QueryDef(
+    "q_growth_accounting",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val userDays = Tables.events(spark, sfDir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      userDays
+        .withColumn("prev", lag("day", 1).over(w))
+        .withColumn("cls",
+          when(col("prev").isNull, "new")
+            .when(datediff(col("day"), col("prev")) <= 7, "returning")
+            .otherwise("resurrected"))
+        .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("dau"),
+          sum((col("cls") === "new").cast("long")).as("n_new"),
+          sum((col("cls") === "returning").cast("long")).as("n_returning"),
+          sum((col("cls") === "resurrected").cast("long")).as("n_resurrected"))
+        .orderBy("day")
+    },
+    Some("""
+      WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      c AS (
+        SELECT day,
+               CASE WHEN lag(day) OVER (PARTITION BY user_id ORDER BY day) IS NULL
+                      THEN 'new'
+                    WHEN date_diff('day',
+                      lag(day) OVER (PARTITION BY user_id ORDER BY day), day) <= 7
+                      THEN 'returning'
+                    ELSE 'resurrected' END AS cls
+        FROM ud)
+      SELECT strftime(day, '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS dau,
+             CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN cls = 'returning' THEN 1 ELSE 0 END) AS BIGINT) AS n_returning,
+             CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      FROM c GROUP BY 1 ORDER BY 1
+    """))
+
   /** Inter-purchase interval distribution — the repeat-behavior metric
     * behind replenishment reminders and churn-risk windows: per user,
     * the day gaps between consecutive purchases (user-keyed lag window,
@@ -1671,5 +1719,6 @@ object EventQueries extends QueryModule {
     dowProfile, ksDrift, stickiness, timeToConvert, cusumChangepoint,
     stlSeasonal, userFeatures, twap, stlResidualAnomaly,
     seasonalStrength, rollingDistinct, kaplanMeier, attributionPosition,
-    seqPairs, markovStationary, cohortLtv, purchaseIntervals)
+    seqPairs, markovStationary, cohortLtv, purchaseIntervals,
+    growthAccounting)
 }
