@@ -166,7 +166,29 @@ object Bench {
     // Runs BEFORE the 92-query loop: in r3 it ran last and measured the
     // loop's leftover JVM pressure (6.1k rows/s vs 14.4k fresh), not the
     // streaming job.
-    val (streamRows, streamSec, streamMedianEps) = try {
+    // steady-set batch statistics shared by the headline job and the
+    // per-processor runs: drop the first batch (codegen + state-store
+    // init) and trailing empty finalizer batches; median per-batch rate
+    // is robust to one slow outlier batch (GC pause, compaction)
+    def steadyStats(q: org.apache.spark.sql.streaming.StreamingQuery)
+        : (Long, Double, Double) = {
+      val steady = q.recentProgress.drop(1).filter(_.numInputRows > 0)
+      val rows = steady.map(_.numInputRows).sum
+      val procSec = steady
+        .flatMap(p => Option(p.durationMs.get("triggerExecution")))
+        .map(_.toLong).sum / 1e3
+      val perBatch = steady.flatMap { p =>
+        Option(p.durationMs.get("triggerExecution"))
+          .map(_.toLong).filter(_ > 0)
+          .map(ms => p.numInputRows.toDouble * 1e3 / ms)
+      }.sorted
+      val medianEps =
+        if (perBatch.isEmpty) 0.0
+        else if (perBatch.length % 2 == 1) perBatch(perBatch.length / 2)
+        else (perBatch(perBatch.length / 2 - 1) + perBatch(perBatch.length / 2)) / 2
+      (rows, procSec, medianEps)
+    }
+    val (streamRows, streamSec, streamMedianEps, stagedIn) = try {
       val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_ckpt").toString
       // Stage the events table as 8 TIME-SLICED files arriving in event-
       // time order (8 files × maxFilesPerTrigger=1 = 8 micro-batches).
@@ -217,31 +239,82 @@ object Bench {
       q.recentProgress.foreach { p =>
         System.err.println(s"[bench] stream batch ${p.batchId}: rows=${p.numInputRows} durations=${p.durationMs}")
       }
-      // steady set: drop the first batch (codegen + state-store init) and
-      // the trailing EMPTY batch AvailableNow runs to finalize state —
-      // its ~0.7s trigger carries 0 rows and deflated the rate ~12%
-      val steady = q.recentProgress.drop(1).filter(_.numInputRows > 0)
-      val rows = steady.map(_.numInputRows).sum
-      val procSec = steady
-        .flatMap(p => Option(p.durationMs.get("triggerExecution")))
-        .map(_.toLong).sum / 1e3
-      // median per-batch rate: robust to one slow outlier batch (GC pause,
-      // state-store compaction) that a sum-over-sum mean would absorb
-      val perBatch = steady.flatMap { p =>
-        Option(p.durationMs.get("triggerExecution"))
-          .map(_.toLong).filter(_ > 0)
-          .map(ms => p.numInputRows.toDouble * 1e3 / ms)
-      }.sorted
-      val medianEps =
-        if (perBatch.isEmpty) 0.0
-        else if (perBatch.length % 2 == 1) perBatch(perBatch.length / 2)
-        else (perBatch(perBatch.length / 2 - 1) + perBatch(perBatch.length / 2)) / 2
-      (rows, procSec, medianEps)
+      val (rows, procSec, medianEps) = steadyStats(q)
+      (rows, procSec, medianEps, Some(in.toString))
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] stream throughput FAILED: ${e.getMessage}")
-        (0L, 0.0, 0.0)
+        (0L, 0.0, 0.0, None)
     }
+    // Per-processor throughput over the SAME time-sliced replay: one
+    // AvailableNow run per raw-event stateful processor (fresh checkpoint,
+    // noop sink) reporting each steady MEDIAN batch rows/s — so a
+    // regression in one processor is attributable by name instead of
+    // hiding inside the aggregate readout. The daily-profile monitors
+    // (EWMA/SPC/CUSUM/drift/SCD2) consume tiny day×type tables where
+    // rows/s is meaningless, and the doc-driven processors (topK,
+    // inverted index) read a different corpus — all are
+    // equivalence-spec'd in ScaleSmokeSpec instead. SPARK_GRAFT_BENCH_PROCS=0
+    // disables the sweep.
+    val perProcessor: Seq[(String, Long)] =
+      if (sys.env.get("SPARK_GRAFT_BENCH_PROCS").contains("0")) Seq.empty
+      else stagedIn.map { in =>
+        import spark.implicits._
+        import org.apache.spark.sql.functions.{col, lit, pmod}
+        import streaming.StreamingJobs
+        val schema = Tables.events(spark, sfDir).schema
+        def src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(in)
+        def sess = src.select(col("user_id"), col("ts"), col("value"))
+          .withWatermark("ts", "30 minutes").as[StreamingJobs.SessionInput]
+        val jobs: Seq[(String, String, () => org.apache.spark.sql.DataFrame)] = Seq(
+          ("sessionize", "append", () => StreamingJobs.sessionize(sess).toDF),
+          // sessionizeTimers sets its OWN watermark — feed it the bare
+          // stream (redefining the watermark is an error in Spark 4)
+          ("sessionize_timers", "append", () => StreamingJobs.sessionizeTimers(
+            src.select(col("user_id"), col("ts"), col("value"))
+              .as[StreamingJobs.SessionInput]).toDF),
+          ("counters", "update", () => StreamingJobs.runningCounters(
+            src.select(col("user_id"), col("ts"), col("value"))
+              .as[StreamingJobs.SessionInput]).toDF),
+          ("funnel", "append", () => StreamingJobs.funnelStages(
+            src.select(col("user_id"), col("ts"), col("event_type"))
+              .as[StreamingJobs.FunnelInput]).toDF),
+          ("attribution", "append", () => StreamingJobs.attributionStream(
+            src.select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type"), col("value"))
+              .as[StreamingJobs.AttrInput]).toDF),
+          ("hll_distinct", "update", () => StreamingJobs.hllDistinctStream(
+            src.select(col("event_type"), col("user_id"))
+              .as[StreamingJobs.HllInput]).toDF),
+          ("misra_gries", "append", () => StreamingJobs.misraGriesStream(
+            src.select(col("event_type"),
+              pmod(col("user_id"), lit(50)).cast("long").as("item"))
+              .as[StreamingJobs.MgInput], 8).toDF),
+          ("reservoir", "append", () => StreamingJobs.reservoirStream(
+            src.select(col("event_type"), col("event_id"))
+              .as[StreamingJobs.ResInput], 16).toDF))
+        jobs.flatMap { case (name, mode, build) =>
+          try {
+            val ckpt = java.nio.file.Files
+              .createTempDirectory(s"graft_bench_proc_$name").toString
+            val q = build().writeStream.format("noop").outputMode(mode)
+              .option("checkpointLocation", ckpt)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+            if (!q.awaitTermination(120000)) {
+              q.stop(); throw new RuntimeException("timed out after 120s")
+            }
+            val (rows, sec, medEps) = steadyStats(q)
+            System.err.println(
+              f"[bench] stream proc $name%-18s rows=$rows sec=$sec%6.2f median_eps=${medEps.round}")
+            Some(name -> medEps.round)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] stream proc $name FAILED: ${e.getMessage}")
+            None
+          }
+        }
+      }.getOrElse(Seq.empty)
     val results = SparkEntry.queries.filter(q => only(q._1)).map { case (name, fn) =>
       name -> timeOne(name, fn, recordFailure = true)
     }
@@ -334,13 +407,17 @@ object Bench {
     //   - stdout: one line with the SLOWEST queries only, trimmed until the
     //     line fits the window with margin; queries_omitted says how many
     //     sub-threshold (fast) entries were elided.
+    val procJson =
+      if (perProcessor.isEmpty) ""
+      else perProcessor.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(""","stream_per_processor":{""", ",", "}")
     def lineFor(qs: Seq[(String, Double)], omitted: Int): String = {
       val qjson = qs.map { case (k, v) => "\"" + k + "\":" + ms3(v) }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted,"queries_full":"BENCH_LOCAL.json"""" else ""
       val grouped = groupedTotal
         .map(g => s""","grouped_total":${ms3(g)},"group_n":$groupN""").getOrElse("")
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qjson$om,"failures":$failures,"gc_in_queries_sec":${ms3(gcInQueries / 1e3)},"stream_rows":$streamRows,"stream_rows_per_sec":${streamEps.round},"median_batch_rows_per_sec":${streamMedianEps.round}$slowestJson,"steady_state_total":${ms3(steadyTotal)}$grouped,"sf":"$sfDir","total_sec":${ms3(total)}}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qjson$om,"failures":$failures,"gc_in_queries_sec":${ms3(gcInQueries / 1e3)},"stream_rows":$streamRows,"stream_rows_per_sec":${streamEps.round},"median_batch_rows_per_sec":${streamMedianEps.round}$procJson$slowestJson,"steady_state_total":${ms3(steadyTotal)}$grouped,"sf":"$sfDir","total_sec":${ms3(total)}}"""
     }
     val bySlowest = results.toSeq.sortBy { case (k, v) => (-v, k) }
     val fullJson = lineFor(bySlowest, 0)

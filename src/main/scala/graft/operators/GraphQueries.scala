@@ -113,6 +113,61 @@ object GraphQueries extends QueryModule {
     out
   }
 
+  /** Run-to-convergence PageRank: the [[pageRank]] update loop with an
+    * L1-delta stop instead of a fixed round count — iterate until
+    * Σ|prₜ − prₜ₋₁| < tol (or fail past maxRounds, the
+    * [[kcoreConverged]] contract). The per-round step is IDENTICAL to
+    * [[pageRank]]'s (same joins, same 7-dp [[Ql.r]] rounding), so after
+    * k rounds the two produce byte-equal ranks — PropertySpec proves
+    * loop == fixed-round where the fixed count suffices, and that on a
+    * slow-mixing graph the loop runs past the fixed count and lands
+    * within tol of the fixpoint where the fixed variant does not. The
+    * delta is a 1-row aggregate fetched per round (the convergence
+    * decision is driver-side by necessity, as in [[kcoreConverged]]);
+    * each round localCheckpoints — the delta's action materializes the
+    * new ranks anyway, so the barrier is free and lineage stays flat.
+    * The oracled q_pagerank keeps the fixed-round contract (a shared
+    * round constant is what makes the DuckDB twin exact); this variant
+    * is for production runs where the mixing time is unknown.
+    */
+  def pageRankConverged(edgesIn: org.apache.spark.sql.DataFrame, tol: Double,
+      maxRounds: Int = 100): (org.apache.spark.sql.DataFrame, Int) = {
+    val sc = edgesIn.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val edges = edgesIn.localCheckpoint(true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val nRow = edges.agg(countDistinct(col("src")).cast("double").as("n"))
+      .localCheckpoint(true)
+    var ranks = deg.crossJoin(broadcast(nRow))
+      .select(col("src").as("node"), (lit(1.0) / col("n")).as("pr"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var delta = Double.MaxValue
+    while (delta >= tol && rounds < maxRounds) {
+      val wt = ranks.join(deg, ranks("node") === deg("src"))
+        .select(col("src"), (col("pr") / col("d")).as("w"))
+      val next = edges.join(wt, "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("w")).as("s"))
+        .crossJoin(broadcast(nRow))
+        .select(col("dst").as("node"),
+          Ql.r(lit(1 - damping) / col("n") + lit(damping) * col("s"), 7).as("pr"))
+        .localCheckpoint(true)
+      delta = next.join(ranks.select(col("node"), col("pr").as("pr0")), "node")
+        .agg(sum(abs(col("pr") - col("pr0"))).as("d")).head().getDouble(0)
+      ranks = next
+      rounds += 1
+    }
+    if (delta >= tol)
+      throw new IllegalStateException(
+        s"PageRank did not converge to $tol in $maxRounds rounds (delta=$delta)")
+    val mine = sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
+    val out = ranks.localCheckpoint(true)
+    mine.values.foreach(_.unpersist(blocking = false))
+    (out, rounds)
+  }
+
   /** Fixed-iteration PageRank, not run-to-convergence: a fixed round
     * count makes the result deterministic enough to oracle (the DuckDB
     * twin unrolls the same `iterations` rounds as chained CTEs — the two

@@ -187,13 +187,17 @@ object PipelineQueries extends QueryModule {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("lang")
         .orderBy(expr(Ql.md5PrefixLong("CAST(doc_id AS STRING)", 14)), col("doc_id"))
-      Tables.documents(spark, sfDir)
-        // n_docs BEFORE rn: InferWindowGroupLimit only fires when the
-        // rank filter sits directly above the rank window — interposing
-        // the count window would demote the plan to a full per-group sort
-        .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("lang")))
+      val docs = Tables.documents(spark, sfDir)
+      // per-lang sizes as a tiny aggregate joined back AFTER the rank
+      // filter — a count(*) OVER (PARTITION BY lang) window would drag
+      // the whole corpus through |langs| tasks (and sit between the rank
+      // window and its filter, demoting InferWindowGroupLimit to a full
+      // per-group sort)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      docs
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
+        .join(broadcast(counts), "lang")
         .groupBy("lang")
         .agg(
           max(col("n_docs")).as("n_docs"),

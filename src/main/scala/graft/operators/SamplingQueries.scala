@@ -244,13 +244,21 @@ object SamplingQueries extends QueryModule {
     * prefix of hash-priority-ranked documents whose token mass reaches
     * p=0.9 of the language total (the nucleus-sampling idea applied to
     * corpus budgeting: spend the token budget on a mass quantile, not a
-    * count quantile). Ranking and prefix sums are language-PARTITIONED
-    * windows (distributed by key, never global); the kept/cut decision
-    * compares exact integer character masses cross-multiplied against
-    * p as the rational 9/10 — no float threshold anywhere. A document
-    * is kept while the mass BEFORE it is under p (so the boundary doc
-    * that crosses p is included, guaranteeing ≥p coverage). Reports the
-    * per-language keep counts, kept mass, and realized coverage.
+    * count quantile). Language cardinality is tiny, so a lang-partitioned
+    * prefix window would funnel O(corpus) rows through a handful of
+    * tasks — instead the per-language running mass uses the two-level
+    * bucket-offset pattern (EvalQueries.bucketOffsets' shape, here keyed
+    * per (lang, hash-prefix bucket)): a ≤ langs×256-row broadcast
+    * histogram carries each bucket's exclusive mass offset, and the only
+    * window over corpus rows is partitioned by (lang, bkt) — 256-way
+    * parallel per language at any scale. The per-language total is a
+    * broadcast join of the histogram rollup, not a whole-partition
+    * window. The kept/cut decision compares exact integer character
+    * masses cross-multiplied against p as the rational 9/10 — no float
+    * threshold anywhere. A document is kept while the mass BEFORE it is
+    * under p (so the boundary doc that crosses p is included,
+    * guaranteeing ≥p coverage). Reports the per-language keep counts,
+    * kept mass, and realized coverage.
     */
   private val topPFilter = QueryDef(
     "q_top_p_filter",
@@ -259,10 +267,23 @@ object SamplingQueries extends QueryModule {
       val d = Tables.documents(spark, sfDir)
         .select(col("doc_id"), col("lang"), col("n_chars"),
           expr(Ql.md5PrefixLong("CAST(doc_id AS STRING)", 14)).as("h"))
-      val w = Window.partitionBy("lang").orderBy("h", "doc_id")
+        // top-8-bit bucket of the 56-bit priority hash: bucket order IS
+        // hash order, so per-bucket offsets + in-bucket prefixes compose
+        // to the exact per-language global prefix sum
+        .withColumn("bkt", shiftright(col("h"), 48))
+      val hist = d.groupBy("lang", "bkt").agg(sum("n_chars").as("b_mass"))
+      val wOff = Window.partitionBy("lang").orderBy("bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
-      d.withColumn("before", coalesce(sum("n_chars").over(w), lit(0L)))
-        .withColumn("total", sum("n_chars").over(Window.partitionBy("lang")))
+      val offsets = hist // histogram rows: ≤ langs × 256 — broadcastable
+        .withColumn("off", coalesce(sum("b_mass").over(wOff), lit(0L)))
+        .select("lang", "bkt", "off")
+      val totals = hist.groupBy("lang").agg(sum("b_mass").as("total"))
+      val wIn = Window.partitionBy("lang", "bkt").orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.join(broadcast(offsets), Seq("lang", "bkt"))
+        .join(broadcast(totals), Seq("lang"))
+        .withColumn("before",
+          col("off") + coalesce(sum("n_chars").over(wIn), lit(0L)))
         // keep while mass before this doc < 0.9 of total: 10*before < 9*total
         .withColumn("keep", (col("before") * 10 < col("total") * 9).cast("long"))
         .groupBy("lang")

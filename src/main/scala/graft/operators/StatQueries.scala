@@ -615,13 +615,19 @@ object StatQueries extends QueryModule {
       cells.join(broadcast(rowm), "event_type")
         .join(broadcast(colm), "dow")
         .crossJoin(broadcast(tot))
-        .selectExpr("o", "rn", "cn", "n",
+        .selectExpr("event_type", "dow", "o", "rn", "cn", "n",
           "CAST(rn AS DOUBLE) * cn / n AS e")
+        // dof and the V denominator derive from the OBSERVED table shape
+        // (count(distinct) over the 35-cell frame), not hard-coded 5×7 —
+        // a sparser dataset missing a type or a weekday still reports
+        // the right statistics on both engines
         .agg(max("n").as("n"),
-          Ql.r(sum(expr("(o - e) * (o - e) / e")), 4).as("chi2"))
+          Ql.r(sum(expr("(o - e) * (o - e) / e")), 4).as("chi2"),
+          countDistinct("event_type").as("r"),
+          countDistinct("dow").as("c"))
         .selectExpr("n", "chi2",
-          "24 AS dof",
-          s"${Ql.R("sqrt(chi2 / (CAST(n AS DOUBLE) * 4))", 4)} AS cramers_v")
+          "CAST((r - 1) * (c - 1) AS INT) AS dof",
+          s"${Ql.R("sqrt(chi2 / (CAST(n AS DOUBLE) * least(r - 1, c - 1)))", 4)} AS cramers_v")
     },
     Some(s"""
       WITH cells AS (
@@ -631,13 +637,14 @@ object StatQueries extends QueryModule {
       colm AS (SELECT dow, CAST(sum(o) AS BIGINT) AS cn FROM cells GROUP BY 1),
       tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
       x AS (
-        SELECT o, rn, cn, n, CAST(rn AS DOUBLE) * cn / n AS e
+        SELECT event_type, dow, o, rn, cn, n, CAST(rn AS DOUBLE) * cn / n AS e
         FROM cells JOIN rowm USING (event_type) JOIN colm USING (dow) CROSS JOIN tot),
       a AS (
-        SELECT max(n) AS n, ${Ql.R("sum((o - e) * (o - e) / e)", 4)} AS chi2
+        SELECT max(n) AS n, ${Ql.R("sum((o - e) * (o - e) / e)", 4)} AS chi2,
+               count(DISTINCT event_type) AS r, count(DISTINCT dow) AS c
         FROM x)
-      SELECT n, chi2, 24 AS dof,
-             ${Ql.R("sqrt(chi2 / (CAST(n AS DOUBLE) * 4))", 4)} AS cramers_v
+      SELECT n, chi2, CAST((r - 1) * (c - 1) AS INT) AS dof,
+             ${Ql.R("sqrt(chi2 / (CAST(n AS DOUBLE) * least(r - 1, c - 1)))", 4)} AS cramers_v
       FROM a
     """))
 
@@ -1919,8 +1926,10 @@ object StatQueries extends QueryModule {
     * integers), regress ln(total quantity) on ln(1 − discount)
     * effective-price factor with the regr_* built-ins over the
     * 11-point table. The corpus-sized work is one keyed sum; the fit
-    * sees only the level table. Positive slope = deeper discounts move
-    * volume; the magnitude is the (local) elasticity estimate. Level
+    * sees only the level table. With X = ln(1 − discount), a deeper
+    * discount LOWERS X — so volume rising with discount depth shows up
+    * as a NEGATIVE slope (the usual sign of a price elasticity); the
+    * magnitude is the (local) elasticity estimate. Level
     * keys are exact integer basis points; logs run on identical
     * operands in both engines and the fit is rounded at 4 dp.
     */

@@ -982,6 +982,17 @@ object StreamingJobs {
     * batch `n_out_of_control` EXACTLY (ScaleSmokeSpec). Unprofiled
     * types are not monitored — the batch twin's join drops them the
     * same way.
+    *
+    * INPUT-ORDER CONTRACT: days must arrive non-decreasing per type
+    * ACROSS micro-batches (within a batch the processor sorts). The
+    * `us > lastUs` guard that makes at-least-once replay idempotent
+    * also means a genuinely NEW day arriving after a later day has
+    * been applied is dropped, silently diverging n_days /
+    * n_out_of_control from the batch chart. This is the same
+    * upstream-ordering contract as [[Scd2Processor]] / the funnel
+    * processors: satisfy it with ordered landing files (as
+    * ScaleSmokeSpec's time-sliced replay does) or a watermark-buffered
+    * pre-sort; don't feed it shuffled days.
     */
   class SpcProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[

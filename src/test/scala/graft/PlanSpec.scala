@@ -241,6 +241,63 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("no windows partitioned ONLY by low-cardinality keys over unbounded inputs") {
+    // The entity-scaled sibling of the unpartitioned-window guard (the
+    // ADVICE-r9 q_top_p_filter class): a window whose partitionSpec is
+    // solely a tiny-vocabulary key (language, event type, order flags)
+    // funnels O(input / |vocab|) rows through a handful of tasks — it
+    // LOOKS distributed but is O(corpus) per task at scale. Adding a
+    // hash-bucket / ordinal column to the partitionSpec (the two-level
+    // pattern) breaks the class, as does running the window over an
+    // already-aggregated bounded table — the whitelist below is the
+    // latter, each entry justified by what bounds the window's input:
+    val lowCard = Set("lang", "event_type", "l_returnflag", "l_linestatus",
+      "o_orderstatus", "o_orderpriority", "c_mktsegment", "r_name", "n_name",
+      "p_brand", "dow", "stratum", "segment", "label")
+    val boundedInputOk: Map[String, String] = Map(
+      // (query -> what bounds the low-card-partitioned window's input)
+      "q_stl_seasonal" -> "input = day×type daily-mean table (calendar-bounded)",
+      "q_stl_residual_anomaly" -> "input = day×type daily table (calendar-bounded)",
+      "q_anomaly_zscore" -> "input = day×type daily table (calendar-bounded)",
+      "q_anomaly_mad" -> "input = day×type daily table (calendar-bounded)",
+      "q_cusum_changepoint" -> "input = day×type daily-mean table (calendar-bounded)",
+      "q_ewma_daily" -> "input = day×type daily-mean table (calendar-bounded)",
+      "q_spc_chart" -> "input = day×type daily-mean table (calendar-bounded)",
+      "q_seasonal_strength" -> "input = day×type daily table (calendar-bounded)",
+      "q_markov_transitions" -> "input = type×type transition table (25 rows)",
+      "q_ts_resample" -> "input = hour×type resampled grid (calendar-bounded)",
+      "q_autocorr" -> "input = day×type daily table (calendar-bounded)",
+      "q_forecast_eval" -> "input = day×type daily table (calendar-bounded)",
+      "q_calendar_gaps" -> "input = day×type daily table (calendar-bounded)",
+      "q_benford" -> "input = dense 9-digit×type grid (≤9·|types| rows)",
+      "q_zipf_slope" -> "input = per-lang word-frequency table (vocabulary-bounded)",
+      "q_chi2_terms" -> "input = lang×word score table (vocabulary-bounded); rank filter plans WindowGroupLimit",
+      "q_quantile_sketch" -> "input = equi-width histogram relation (bin-bounded)",
+      "q_ks_drift" -> "input = type×distinct-cent grid (≤49k cells/type by the 2-decimal value domain)",
+      "q_quantile_normalize" -> "input = type×cent grid (≤49k cells/type by the 2-decimal value domain)",
+      "q_median_ci" -> "input = type×cent grid (≤49k cells/type by the 2-decimal value domain)",
+      "q_win_cume" -> "input filtered to user_id<10 (fixed user set; E1 cume_dist coverage demo)",
+      "q_sample_reservoir" -> "rank filter sits directly above the window → WindowGroupLimit caps rows at k per group map-side",
+      "q_top_p_filter" -> "offset window runs over the ≤|langs|×256-row bucket histogram")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      if (boundedInputOk.contains(name)) None
+      else {
+        val df = SparkEntry.queries(name)(spark, sf)
+        val bad = df.queryExecution.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.nonEmpty &&
+                w.partitionSpec.forall(_.references.forall(a => lowCard(a.name))) => w
+        }
+        if (bad.isEmpty) None else Some(s"$name (${bad.size})")
+      }
+    }
+    assert(offenders.isEmpty,
+      s"windows partitioned only by low-cardinality key(s) — " +
+        s"O(input/|vocab|) per task at scale; add a bucket column " +
+        s"(two-level pattern) or whitelist with a boundedness " +
+        s"justification: ${offenders.mkString(", ")}")
+  }
+
   test("runtime bloom-filter join: selective dim side injects a bloom into the fact scan") {
     // At 100 TB the win is pruning fact rows BEFORE the shuffle when the
     // dim side is filtered but too big to broadcast. Production default
