@@ -650,6 +650,72 @@ object StatQueries extends QueryModule {
 
   // ---------------------------------------------------------------- PCA (power iteration)
 
+  /** One power-iteration step over a covariance relation `cov(i, j, c)`:
+    * w = C·v, renormalized to unit length and 8-dp rounded — the shared
+    * rounded-trajectory step q_pca_power unrolls three times (its DuckDB
+    * twin splices the identical formula text per round). Exposed so the
+    * run-to-convergence variant and PropertySpec share ONE definition of
+    * the step with the oracled query.
+    */
+  def powerIterStep(cov: org.apache.spark.sql.DataFrame,
+      v: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = cov.join(v.select(col("i").as("j"), col("v")), "j")
+      .groupBy("i").agg(sum(expr("c * v")).as("w"))
+    val norm = w.agg(sqrt(sum(expr("w * w"))).as("nrm"))
+    w.crossJoin(broadcast(norm)).selectExpr("i", s"${Ql.R("w / nrm", 8)} AS v")
+  }
+
+  /** Rayleigh quotient vᵀCv of a unit iterate against `cov(i, j, c)` —
+    * the eigenvalue estimate q_pca_power reports, as a driver-side
+    * double (1-row aggregate fetch; convergence decisions are
+    * driver-side by necessity, the kcoreConverged contract).
+    */
+  def rayleighQuotient(cov: org.apache.spark.sql.DataFrame,
+      v: org.apache.spark.sql.DataFrame): Double =
+    cov.join(v.select(col("i"), col("v").as("vi")), "i")
+      .join(v.select(col("i").as("j"), col("v").as("vj")), "j")
+      .agg(sum(expr("vi * c * vj")).as("r")).head().getDouble(0)
+
+  /** Run-to-convergence power iteration: [[powerIterStep]] repeated
+    * until the Rayleigh quotient moves less than `tol` between rounds
+    * (or fail past maxRounds) — the production variant for matrices
+    * whose spectral gap is unknown, where q_pca_power's fixed 3 rounds
+    * (chosen for the oracle contract) may not suffice. Each round is
+    * one join + aggregate over the MATRIX relation (256 rows for the
+    * 16-dim query), never the corpus: iterating to convergence costs
+    * rounds × a trivial job, not rounds × a corpus pass. Returns
+    * (unit iterate, eigenvalue estimate, rounds run). PropertySpec
+    * proves loop == fixed-round on a well-separated spectrum and
+    * loop-past-fixed on a narrow one.
+    */
+  def powerIterationConverged(covIn: org.apache.spark.sql.DataFrame,
+      tol: Double, maxRounds: Int = 200)
+      : (org.apache.spark.sql.DataFrame, Double, Int) = {
+    val sc = covIn.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cov = covIn.localCheckpoint(true)
+    val d = cov.select("i").distinct()
+    val dims = d.count() // matrix dimension — report-sized driver fetch
+    var v = d.withColumn("v", lit(1.0 / math.sqrt(dims.toDouble)))
+    var rounds = 0
+    var lastR = Double.NaN
+    var delta = Double.MaxValue
+    while (delta >= tol && rounds < maxRounds) {
+      v = powerIterStep(cov, v).localCheckpoint(true)
+      val r = rayleighQuotient(cov, v)
+      if (!lastR.isNaN) delta = math.abs(r - lastR)
+      lastR = r
+      rounds += 1
+    }
+    if (delta >= tol)
+      throw new IllegalStateException(
+        s"power iteration did not converge to $tol in $maxRounds rounds (delta=$delta)")
+    val mine = sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
+    val out = v.localCheckpoint(true)
+    mine.values.foreach(_.unpersist(blocking = false))
+    (out, lastR, rounds)
+  }
+
   /** Top principal component of the embedding cloud (first 16 dims for
     * the demo; the plan is dimension-generic) by distributed covariance
     * + fixed-round power iteration. The 100 TB shape: the corpus-sized
@@ -691,14 +757,8 @@ object StatQueries extends QueryModule {
         // iterations, the Rayleigh quotient) — pin it so the corpus
         // self-join runs ONCE, not once per reference
         .localCheckpoint(true)
-      def iterate(v: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-        val w = cov.join(v.select(col("i").as("j"), col("v")), "j")
-          .groupBy("i").agg(sum(expr("c * v")).as("w"))
-        val norm = w.agg(sqrt(sum(expr("w * w"))).as("nrm"))
-        w.crossJoin(broadcast(norm)).selectExpr("i", s"${Ql.R("w / nrm", 8)} AS v")
-      }
       val v0 = cov.select(col("i")).distinct().withColumn("v", lit(0.25))
-      val v3 = iterate(iterate(iterate(v0)))
+      val v3 = powerIterStep(cov, powerIterStep(cov, powerIterStep(cov, v0)))
       val eig = cov
         .join(v3.select(col("i"), col("v").as("vi")), "i")
         .join(v3.select(col("i").as("j"), col("v").as("vj")), "j")

@@ -395,36 +395,50 @@ object TextQueries extends QueryModule {
     * product, per-term scores to 6 before the ≤3-term sum, the final
     * score to 4 — cross-engine log/pow ulp hygiene.
     */
+  /** The BM25 scoring pipeline, factored so the oracled q_bm25_topk and
+    * the ScaleSmokeSpec stream-index round-trip share ONE definition:
+    * `dfOverride` lets the caller substitute per-term document
+    * frequencies maintained elsewhere (the streaming InvIndexProcessor's
+    * upserted `df` column) for the batch-computed ones — the serving
+    * split where term statistics live in a hot index and per-doc term
+    * frequencies in the forward index. None ⇒ compute df from the
+    * corpus (the query's own path).
+    */
+  def bm25TopK(docsTable: org.apache.spark.sql.DataFrame, terms: Seq[String],
+      dfOverride: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val termArr = s"array(${terms.map(t => s"'$t'").mkString(", ")})"
+    val (k1, b) = (1.2, 0.75)
+    val d = docsTable
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
+    val stats = d.agg(count(lit(1)).cast("double").as("n"),
+      Ql.r(avg(col("dl")), 6).as("avgdl"))
+    val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
+      .filter(expr(s"array_contains($termArr, w)"))
+      .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+    val dfT = dfOverride.getOrElse(
+      tf.groupBy("w").agg(count(lit(1)).cast("double").as("df")))
+    tf.join(broadcast(dfT), "w")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", Ql.r(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6))
+      // 2.2 as the same decimal LITERAL both engines parse — the Scala
+      // expression k1+1 computes 1.2+1.0 at runtime, which lands on a
+      // round-to-even tie a hair away from parsed 2.2
+      .withColumn("ts", Ql.r(
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_terms"), min(col("dl")).as("dl"),
+        Ql.r(sum(col("ts")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+      .select("doc_id", "n_hit_terms", "dl", "score")
+  }
+
   private val bm25 = QueryDef(
     "q_bm25_topk",
-    (spark, sfDir) => {
-      val terms = Seq("stream", "join", "window")
-      val termArr = s"array(${terms.map(t => s"'$t'").mkString(", ")})"
-      val (k1, b) = (1.2, 0.75)
-      val d = Tables.documents(spark, sfDir)
-        .withColumn("toks", split(col("text"), " "))
-        .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
-      val stats = d.agg(count(lit(1)).cast("double").as("n"),
-        Ql.r(avg(col("dl")), 6).as("avgdl"))
-      val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
-        .filter(expr(s"array_contains($termArr, w)"))
-        .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
-      val dfT = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
-      tf.join(broadcast(dfT), "w")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf", Ql.r(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6))
-        // 2.2 as the same decimal LITERAL both engines parse — the Scala
-        // expression k1+1 computes 1.2+1.0 at runtime, which lands on a
-        // round-to-even tie a hair away from parsed 2.2
-        .withColumn("ts", Ql.r(
-          col("idf") * (col("tf") * lit(2.2)) /
-            (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_hit_terms"), min(col("dl")).as("dl"),
-          Ql.r(sum(col("ts")), 4).as("score"))
-        .orderBy(col("score").desc, col("doc_id")).limit(20)
-        .select("doc_id", "n_hit_terms", "dl", "score")
-    },
+    (spark, sfDir) =>
+      bm25TopK(Tables.documents(spark, sfDir), Seq("stream", "join", "window")),
     Some(s"""
       WITH d AS (
         SELECT doc_id, string_split(text, ' ') AS toks,

@@ -229,6 +229,78 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       "k=1 must converge in zero rounds with every node kept")
   }
 
+  test("convergence-loop PageRank equals its fixed-round twin and outruns 8 rounds on a slow mixer") {
+    import spark.implicits._
+    // Fast case: symmetric star (hub 1 ↔ 2,3,4). The loop and the
+    // fixed-round variant share the identical 7-dp-rounded step, so the
+    // converged result must be BYTE-EQUAL to pageRank run for exactly
+    // the number of rounds the loop took.
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val sym = star.unionByName(
+      star.select(col("dst").as("src"), col("src").as("dst")))
+    val tol = 1e-2
+    val (prC, k) = operators.GraphQueries.pageRankConverged(sym, tol)
+    val fixedK = operators.GraphQueries.pageRank(sym, k)
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(m(prC) == m(fixedK),
+      s"loop after $k rounds must equal pageRank(rounds=$k) exactly")
+    assert(math.abs(m(prC).values.sum - 1.0) < 1e-4, "mass conservation")
+    // Slow case: directed 30-cycle with one chord (0→15). Information
+    // moves one node per round, damped by 0.85 — the L1 delta decays
+    // ~0.85^t, so 8 rounds (the oracled q_pagerank contract, tuned to
+    // the co-purchase graph) land an order of magnitude short of tol.
+    val cyc = ((0 until 30).map(i => (i.toLong, ((i + 1) % 30).toLong))
+      :+ (0L, 15L)).toDF("src", "dst")
+    val tolS = 1e-3
+    val (prS, kS) = operators.GraphQueries.pageRankConverged(cyc, tolS)
+    assert(kS > 8, s"slow mixer must need more than 8 rounds, took $kS")
+    // ...and 8 fixed rounds genuinely hadn't converged: one more round
+    // still moves the ranks by at least tol
+    val m8 = m(operators.GraphQueries.pageRank(cyc, 8))
+    val m9 = m(operators.GraphQueries.pageRank(cyc, 9))
+    val d89 = m8.toSeq.map { case (n, p) => math.abs(p - m9(n)) }.sum
+    assert(d89 >= tolS, s"round 8→9 delta $d89 must still exceed tol=$tolS")
+    assert(math.abs(m(prS).values.sum - 1.0) < 1e-4, "mass conservation")
+  }
+
+  test("convergence-loop power iteration equals its fixed-round twin and outruns 3 rounds on a narrow spectrum") {
+    import spark.implicits._
+    def diag(eigs: Double*): org.apache.spark.sql.DataFrame =
+      eigs.zipWithIndex.map { case (e, ix) => ((ix + 1).toLong, (ix + 1).toLong, e) }
+        .toDF("i", "j", "c")
+    // Wide spectrum (ratio 0.01): three fixed rounds are plenty — the
+    // loop stops early and must match the same number of shared
+    // 8-dp-rounded powerIterStep applications from the same uniform
+    // start (1/√d = 1/2 for d=4) exactly.
+    val wide = diag(100.0, 1.0, 0.5, 0.1)
+    val (vW, eigW, kW) = operators.StatQueries.powerIterationConverged(wide, 1e-6)
+    var vFixed = wide.select(col("i")).distinct().withColumn("v", lit(0.5))
+    (1 to kW).foreach { _ =>
+      vFixed = operators.StatQueries.powerIterStep(wide, vFixed)
+    }
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(m(vW) == m(vFixed),
+      s"loop after $kW rounds must equal $kW fixed powerIterStep rounds")
+    assert(math.abs(eigW - 100.0) < 1e-3, s"eigenvalue $eigW must be ~100")
+    assert(math.abs(m(vW)(1L)) > 0.999, "dominant loading must align with e1")
+    // Narrow spectrum (ratio 0.8): Rayleigh error decays ~0.64^t, so
+    // q_pca_power's fixed 3 rounds are far from converged while the
+    // loop runs past them and lands within tolerance of the true λ₁.
+    val narrow = diag(4.0, 3.2, 1.0, 0.5)
+    val (vN, eigN, kN) = operators.StatQueries.powerIterationConverged(narrow, 1e-4)
+    assert(kN > 3, s"narrow spectrum must need more than 3 rounds, took $kN")
+    assert(math.abs(eigN - 4.0) < 1e-3, s"converged eigenvalue $eigN must be ~4")
+    var v3 = narrow.select(col("i")).distinct().withColumn("v", lit(0.5))
+    (1 to 3).foreach { _ =>
+      v3 = operators.StatQueries.powerIterStep(narrow, v3)
+    }
+    val eig3 = operators.StatQueries.rayleighQuotient(narrow, v3)
+    assert(math.abs(eig3 - 4.0) > math.abs(eigN - 4.0) && math.abs(eig3 - 4.0) > 1e-2,
+      s"3 fixed rounds ($eig3) must sit farther from λ₁ than the loop ($eigN)")
+  }
+
   test("pointer-jumping CC labels disjoint components independently") {
     import spark.implicits._
     // two triangles + an isolated edge — labels must be each component's min

@@ -469,6 +469,154 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     got.zip(want).foreach { case (g, w) => assert(g == w, s"$g vs $w") }
   }
 
+  test("10x skew stress: salting levels the hot-key join that overwhelms one task") {
+    import spark.implicits._
+    // Well past 10× the sf0.1 events table (4M rows vs 100k) with ONE
+    // hot key holding ~45% of all rows — the pathological power-law
+    // whale the salted join exists for, sized so the hot task is the
+    // unsalted makespan: on 4 local cores the break-even hot share is
+    // 25% (total/4), so 45% makes the single hot task the critical
+    // path and leveling it a real wall-clock win, not a rounding one. AQE's runtime mitigations are disabled for the
+    // measurement (skew-split and coalescing model the case Skew.scala
+    // documents as "beyond what AQE handles": the operator pre-salts
+    // instead of relying on runtime re-plan), and broadcast is off so
+    // the join genuinely shuffles. Assertions: the two plans agree
+    // row-for-row; the UNSALTED join stage has a task reading >4×
+    // the median shuffle rows (the skew exists); the SALTED stage's
+    // max task stays within 4× of its median in BOTH rows and task
+    // time (the skew is gone); and best-of-2 wall-clock improves.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.shuffle.partitions")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    val stats = new org.apache.spark.scheduler.SparkListener {
+      val tasks = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        synchronized {
+          val rec = Option(t.taskMetrics)
+            .map(_.shuffleReadMetrics.recordsRead).getOrElse(0L)
+          tasks += ((t.stageId, t.taskInfo.duration, rec))
+        }
+      def reset(): Unit = synchronized { tasks.clear() }
+      // tasks of the stage that read the most shuffle rows = the join stage
+      def joinStage(): Seq[(Long, Long)] = synchronized {
+        val byStage = tasks.groupBy(_._1)
+        val (_, ts) = byStage.maxBy { case (_, xs) => xs.map(_._3).sum }
+        ts.map(x => (x._2, x._3)).toSeq
+      }
+    }
+    def median(xs: Seq[Long]): Long = {
+      val s = xs.sorted; s(s.length / 2)
+    }
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val hot = 9999L
+      val left = spark.range(4000000L).select(
+        when(pmod(col("id"), lit(100)) < 45, lit(hot))
+          .otherwise(pmod(hash(col("id")), lit(10000)).cast("long")).as("k"),
+        (col("id") % 97).cast("double").as("value")).cache()
+      val right = spark.range(10000L).select(col("id").as("k"),
+        concat(lit("seg"), (col("id") % 5)).as("seg")).cache()
+      left.count(); right.count() // materialize outside the timings
+      // the aggregate hashes each JOINED row (seg makes it post-join):
+      // real per-row reduce-side work, so the hot task's cost is the
+      // stage's critical path rather than the (perfectly parallel)
+      // map-side shuffle writes
+      def scored(j: org.apache.spark.sql.DataFrame) = j.groupBy("seg")
+        .agg(count(lit(1)).as("n"),
+          sum(length(md5(repeat(concat_ws("|", col("value"), col("seg")), 8)))).as("sv"))
+      def unsalted() = scored(left.join(right, "k"))
+      // bucket count >= 2x shuffle partitions: with 16 buckets over 32
+      // partitions the MEDIAN partition holds no hot bucket at all and
+      // the max/median ratio measures bucket-to-partition collision
+      // variance (~5x), not leveling; 64 buckets put ~2 hot buckets in
+      // every partition so the ratio measures what salting actually does
+      def salted() = scored(operators.Skew.saltedJoin(left, right, "k", buckets = 64))
+      assert(unsalted().collect().toSet == salted().collect().toSet,
+        "salted join must be row-identical to the direct join") // also warms
+      spark.sparkContext.addSparkListener(stats)
+      def time(f: () => org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime(); f().collect(); (System.nanoTime() - t0) / 1e9
+      }
+      // best-of-2 per variant: one ambient-load spike must not decide it
+      val tU = math.min(time(unsalted), { stats.reset(); time(unsalted) })
+      val joinU = stats.joinStage()
+      val skewU = joinU.map(_._2).max.toDouble / math.max(1L, median(joinU.map(_._2)))
+      stats.reset()
+      val tS = math.min(time(salted), { stats.reset(); time(salted) })
+      val joinS = stats.joinStage()
+      val rowSkewS = joinS.map(_._2).max.toDouble / math.max(1L, median(joinS.map(_._2)))
+      val timeSkewS = joinS.map(_._1).max.toDouble / math.max(1L, median(joinS.map(_._1)))
+      spark.sparkContext.removeSparkListener(stats)
+      info(f"unsalted: $tU%.2f s, join-stage row skew ${skewU}%.1fx; " +
+        f"salted: $tS%.2f s, row skew ${rowSkewS}%.1fx, task-time skew ${timeSkewS}%.1fx")
+      assert(skewU > 4.0,
+        f"unsalted hot task must read >4x median rows (got ${skewU}%.1fx) — " +
+          "otherwise this test isn't exercising skew")
+      assert(rowSkewS <= 4.0,
+        f"salted join must level shuffle rows within 4x of median, got ${rowSkewS}%.1fx")
+      // time ratio gets a small absolute floor: a 4-core local box can
+      // land a GC pause in one 50 ms task; rows are the deterministic
+      // signal, time the corroborating one
+      assert(timeSkewS <= 4.0 || joinS.map(_._1).max < 500,
+        f"salted join task times must stay within 4x of median, got ${timeSkewS}%.1fx")
+      assert(tS < tU,
+        f"salted ($tS%.2f s) must beat the unsalted hot-task makespan ($tU%.2f s)")
+      left.unpersist(); right.unpersist()
+    } finally restore.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  test("sf0.01 BM25 served from the stream-built index equals the batch top-k") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs
+    val sf = "/root/testdata/sf0.01"
+    // Close the index-maintenance loop: the InvIndexProcessor maintains
+    // per-token (df, tf, postings) under arrivals; a retrieval layer
+    // serves BM25 from that hot index's term statistics plus the
+    // forward index (per-doc term frequencies). Replay the corpus
+    // through the processor, then run the SHARED bm25TopK scoring with
+    // dfOverride = the stream-built df column — the top-20 must equal
+    // the batch q_bm25_topk (which computes df itself) row-for-row at
+    // the same replay horizon (all slices consumed = same watermark).
+    val occ = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("ts", col("doc_id").cast("timestamp"))
+    val in = sliceReplay(occ, 4, "graft_bm25idx")
+    val src = spark.readStream.schema(occ.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .select(col("tok"), col("doc_id"), col("cnt"))
+      .as[StreamingJobs.TokenPosting]
+    val updates = StreamingJobs.invIndexStream(src).toDF()
+    val table = java.nio.file.Files.createTempDirectory("graft_bm25idx_table").toString
+    val q = StreamingJobs.upsertSink(updates, table,
+        java.nio.file.Files.createTempDirectory("graft_bm25idx_ckpt").toString,
+        key = "tok", versionCol = "tf")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "index stream did not finish in 180s")
+    val terms = Seq("stream", "join", "window")
+    val dfStream = StreamingJobs.readUpserted(spark, table).get
+      .filter(col("tok").isin(terms: _*))
+      .select(col("tok").as("w"), col("df").cast("double").as("df"))
+    val got = operators.TextQueries
+      .bm25TopK(Tables.documents(spark, sf), terms, Some(dfStream))
+      .collect().map(_.toSeq)
+    val want = SparkEntry.queries("q_bm25_topk")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(got.length == want.length && got.length == 20,
+      s"top-k sizes: ${got.length} vs ${want.length}")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g vs $w") }
+  }
+
   test("sf0.01 streaming HLL maintenance equals the batch hll_sketch_agg estimate exactly") {
     import spark.implicits._
     import graft.streaming.StreamingJobs
