@@ -33,7 +33,8 @@ object SparkEntry {
     operators.WarehouseQueries,
     operators.EvalQueries,
     operators.FeatureQueries,
-    operators.StatQueries)
+    operators.StatQueries,
+    operators.MlQueries)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
 

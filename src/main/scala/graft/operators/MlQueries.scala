@@ -1,0 +1,444 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed classical-ML operators fit by SUFFICIENT STATISTICS — the
+  * StatQueries discipline (ridge/OLS precedent) extended to iterative
+  * fitters: every model update consumes a handful of map-side-partial
+  * aggregates; no per-row model state, no driver-side data, corpus passes
+  * = the algorithm's round count. Cross-engine determinism follows the
+  * shared-formula-text contract (NOTES fact 25): each round's
+  * transcendental sums are rounded BEFORE the closed-form update, so both
+  * engines walk the same rounded trajectory (the q_pca_power /
+  * q_ewma_daily pattern).
+  */
+object MlQueries extends QueryModule {
+
+  // ---------------------------------------------------------------- logistic (IRLS)
+
+  /** Logistic regression of order urgency on ln(price) by two unrolled
+    * IRLS/Newton rounds — the workhorse GLM, fit exactly the way it
+    * scales: each round is ONE corpus aggregation producing the 2×2
+    * weighted normal equations (Σw, Σwx, Σwx², Σ(y−p), Σ(y−p)x), then a
+    * closed-form 2×2 solve on the 1-row stats frame. β starts at (0,0)
+    * (round 1 ⇒ the weighted-least-squares start), each updated β is
+    * rounded to 8 dp and broadcast back into the next pass — the rounded
+    * trajectory both engines share. Per-row sigmoids use libm exp whose
+    * last-ulp may differ across engines; the 6-dp rounding of the SUMS
+    * absorbs it (n·ulp ≈ 1e-12 ≪ the tie distance), the same hygiene as
+    * q_lm_perplexity. Reports n, positives, both coefficients, and the
+    * final log-likelihood.
+    */
+  private val logisticIrls: QueryDef = {
+    val sigp = "1.0 / (1.0 + exp(-(b0 + b1 * x)))"
+    val det = "(sw * swxx - swx * swx)"
+    val upd0 = Ql.R(s"b0 + (swxx * sr - swx * srx) / $det", 8)
+    val upd1 = Ql.R(s"b1 + (sw * srx - swx * sr) / $det", 8)
+    QueryDef(
+      "q_logistic_irls",
+      (spark, sfDir) => {
+        val d = Tables.orders(spark, sfDir).selectExpr(
+          "CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS y",
+          "ln(o_totalprice) AS x")
+          .localCheckpoint(true) // 3 passes (2 rounds + the LL readout)
+        def round(beta: DataFrame): DataFrame =
+          d.crossJoin(broadcast(beta))
+            .selectExpr("y", "x", "b0", "b1", s"$sigp AS p")
+            .agg(max(col("b0")).as("b0"), max(col("b1")).as("b1"),
+              Ql.r(sum(expr("p * (1.0 - p)")), 6).as("sw"),
+              Ql.r(sum(expr("p * (1.0 - p) * x")), 6).as("swx"),
+              Ql.r(sum(expr("p * (1.0 - p) * x * x")), 6).as("swxx"),
+              Ql.r(sum(expr("y - p")), 6).as("sr"),
+              Ql.r(sum(expr("(y - p) * x")), 6).as("srx"))
+            .selectExpr(s"$upd0 AS b0", s"$upd1 AS b1")
+        val beta0 = d.sparkSession.range(1)
+          .select(lit(0.0).as("b0"), lit(0.0).as("b1"))
+        val beta2 = round(round(beta0))
+        d.crossJoin(broadcast(beta2))
+          .selectExpr("y", "b0", "b1", s"$sigp AS p")
+          .agg(count(lit(1)).as("n"),
+            sum(col("y")).cast("long").as("n_pos"),
+            Ql.r(max(col("b0")), 4).as("beta0"),
+            Ql.r(max(col("b1")), 4).as("beta1"),
+            Ql.r(sum(expr("y * ln(p) + (1.0 - y) * ln(1.0 - p)")), 2).as("log_lik"))
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS y,
+                 ln(o_totalprice) AS x
+          FROM orders),
+        s1 AS (
+          SELECT max(b0) AS b0, max(b1) AS b1,
+                 ${Ql.R("sum(p * (1.0 - p))", 6)} AS sw,
+                 ${Ql.R("sum(p * (1.0 - p) * x)", 6)} AS swx,
+                 ${Ql.R("sum(p * (1.0 - p) * x * x)", 6)} AS swxx,
+                 ${Ql.R("sum(y - p)", 6)} AS sr,
+                 ${Ql.R("sum((y - p) * x)", 6)} AS srx
+          FROM (SELECT y, x, b0, b1, $sigp AS p
+                FROM d CROSS JOIN (SELECT 0.0 AS b0, 0.0 AS b1))),
+        beta1 AS (SELECT $upd0 AS b0, $upd1 AS b1 FROM s1),
+        s2 AS (
+          SELECT max(b0) AS b0, max(b1) AS b1,
+                 ${Ql.R("sum(p * (1.0 - p))", 6)} AS sw,
+                 ${Ql.R("sum(p * (1.0 - p) * x)", 6)} AS swx,
+                 ${Ql.R("sum(p * (1.0 - p) * x * x)", 6)} AS swxx,
+                 ${Ql.R("sum(y - p)", 6)} AS sr,
+                 ${Ql.R("sum((y - p) * x)", 6)} AS srx
+          FROM (SELECT y, x, b0, b1, $sigp AS p FROM d CROSS JOIN beta1)),
+        beta2 AS (SELECT $upd0 AS b0, $upd1 AS b1 FROM s2)
+        SELECT count(*) AS n,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               ${Ql.R("max(b0)", 4)} AS beta0,
+               ${Ql.R("max(b1)", 4)} AS beta1,
+               ${Ql.R("sum(y * ln(p) + (1.0 - y) * ln(1.0 - p))", 2)} AS log_lik
+        FROM (SELECT y, b0, b1, $sigp AS p FROM d CROSS JOIN beta2)
+      """))
+  }
+
+  // ---------------------------------------------------------------- overdispersion
+
+  /** Poisson overdispersion screen on daily event counts — the test that
+    * decides count-model family (Poisson vs negative binomial) before
+    * anyone fits one. Per type: n days, mean and sample variance of the
+    * daily count from EXACT integer sums (Σc, Σc²), the dispersion
+    * ratio σ²/μ, and the method-of-moments NB size r = μ²/(σ²−μ) with
+    * the underdispersed case (σ²≤μ, where NB is undefined) CASE-guarded
+    * identically in both engines (NOTES fact 31). All divisions are
+    * IEEE-on-identical-integers — bit-equal across engines — rounded
+    * 4 dp for the report.
+    */
+  private val overdispersion = QueryDef(
+    "q_overdispersion",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("c")).as("s"), sum(col("c") * col("c")).as("s2"))
+        .selectExpr("event_type", "n_days",
+          "CAST(s AS DOUBLE) / n_days AS mu",
+          "(s2 - CAST(s AS DOUBLE) * s / n_days) / (n_days - 1) AS v")
+        .selectExpr("event_type", "n_days",
+          s"${Ql.R("mu", 4)} AS mean_daily",
+          s"${Ql.R("v", 4)} AS var_daily",
+          s"${Ql.R("v / mu", 4)} AS dispersion",
+          s"CASE WHEN v <= mu THEN NULL ELSE ${Ql.R("mu * mu / (v - mu)", 4)} END AS nb_size")
+        .orderBy("event_type"),
+    Some(s"""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      agg AS (
+        SELECT event_type, count(*) AS n_days,
+               CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS s2
+        FROM daily GROUP BY 1),
+      mv AS (
+        SELECT event_type, n_days,
+               CAST(s AS DOUBLE) / n_days AS mu,
+               (s2 - CAST(s AS DOUBLE) * s / n_days) / (n_days - 1) AS v
+        FROM agg)
+      SELECT event_type, n_days,
+             ${Ql.R("mu", 4)} AS mean_daily,
+             ${Ql.R("v", 4)} AS var_daily,
+             ${Ql.R("v / mu", 4)} AS dispersion,
+             CASE WHEN v <= mu THEN NULL ELSE ${Ql.R("mu * mu / (v - mu)", 4)} END AS nb_size
+      FROM mv ORDER BY event_type
+    """))
+
+  // ---------------------------------------------------------------- VaR / CVaR
+
+  /** Historical Value-at-Risk and expected shortfall (CVaR) of the event
+    * value distribution per type — the tail-risk pair every risk/abuse
+    * dashboard reports. Works entirely on the bounded cent GRID
+    * (≤49k cells by the 2-decimal value domain — the q_median_ci
+    * machinery): VaR95 is the smallest cent with 20·cum ≥ 19·n (exact
+    * integer cross-multiplication, no float quantile), CVaR95 the exact
+    * integer mean of the ≥VaR tail. Corpus work is one keyed count; the
+    * window runs over grid rows partitioned by type.
+    */
+  private val varCvar = QueryDef(
+    "q_var_cvar",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val grid = Tables.events(spark, sfDir)
+        .select(col("event_type"), Ql.r(col("value") * 100, 0).cast("long").as("c"))
+        .groupBy("event_type", "c").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cdf = grid
+        .withColumn("cum", sum("cnt").over(w))
+      val tot = grid.groupBy("event_type")
+        .agg(sum("cnt").as("n"), sum(col("c") * col("cnt")).as("s_all"))
+      val varRow = cdf.join(broadcast(tot), "event_type")
+        .filter(col("cum") * 20 >= col("n") * 19)
+        .groupBy("event_type").agg(min("c").as("var_c"))
+      grid.join(broadcast(varRow), "event_type")
+        .filter(col("c") >= col("var_c"))
+        .groupBy("event_type")
+        .agg(max("var_c").as("var_c"), sum("cnt").as("tail_n"),
+          sum(col("c") * col("cnt")).as("tail_s"))
+        .join(broadcast(tot), "event_type")
+        .selectExpr("event_type", "n",
+          s"${Ql.R("var_c / 100.0", 2)} AS var95",
+          s"${Ql.R("CAST(tail_s AS DOUBLE) / tail_n / 100.0", 4)} AS cvar95",
+          "tail_n")
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH grid AS (
+        SELECT event_type, CAST(${Ql.R("value * 100", 0)} AS BIGINT) AS c,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+      cdf AS (
+        SELECT event_type, c, cnt,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM grid),
+      tot AS (
+        SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+        FROM grid GROUP BY 1),
+      v AS (
+        SELECT event_type, CAST(min(c) AS BIGINT) AS var_c
+        FROM cdf JOIN tot USING (event_type)
+        WHERE cum * 20 >= n * 19
+        GROUP BY 1)
+      SELECT grid.event_type, max(n) AS n,
+             ${Ql.R("max(var_c) / 100.0", 2)} AS var95,
+             ${Ql.R("CAST(sum(c * cnt) AS DOUBLE) / sum(cnt) / 100.0", 4)} AS cvar95,
+             CAST(sum(cnt) AS BIGINT) AS tail_n
+      FROM grid JOIN v USING (event_type) JOIN tot ON grid.event_type = tot.event_type
+      WHERE c >= var_c
+      GROUP BY 1 ORDER BY 1
+    """))
+
+  // ---------------------------------------------------------------- naive Bayes
+
+  /** Multinomial naive-Bayes language classifier with add-1 smoothing,
+    * trained and evaluated on the corpus (resubstitution — the quick
+    * "is this signal learnable" screen before any split). The model IS
+    * a relation: per-(lang, token) log-probabilities over the dense
+    * langs×vocab grid (vocabulary-bounded — ~31 unigrams here, ~10⁵ in
+    * the wild, never corpus-sized), built from one token-count
+    * aggregation. Scoring joins the per-doc term frequencies against
+    * the BROADCAST grid (a langs-fold fan-out of the doc-token table,
+    * the forward-index shape), sums tf·lnp per (doc, lang), adds the
+    * ln prior, and takes the per-doc argmax via a doc-partitioned
+    * rank-1 window (≤|langs| rows per partition, key cardinality =
+    * corpus — fully distributed). ln values are rounded to 6 dp before
+    * the sums, scores to 4 dp, ties broken lang-ascending. Reports the
+    * confusion matrix.
+    */
+  private val naiveBayes = QueryDef(
+    "q_naive_bayes",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang").as("true_lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("doc_id", "true_lang", "tok").agg(count(lit(1)).as("tf"))
+      val counts = toks.groupBy(col("true_lang").as("lang"), col("tok"))
+        .agg(sum("tf").as("c"))
+      val vocab = counts.select("tok").distinct()
+      val vSize = vocab.agg(count(lit(1)).as("v"))
+      val langTot = counts.groupBy("lang").agg(sum("c").as("tot"))
+      val priors = Tables.documents(spark, sfDir)
+        .groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+        .crossJoin(broadcast(
+          Tables.documents(spark, sfDir).agg(count(lit(1)).as("ndt"))))
+        .selectExpr("lang", s"${Ql.R("ln(CAST(nd AS DOUBLE) / ndt)", 6)} AS lnprior")
+      val grid = langTot.crossJoin(broadcast(vocab)) // langs x vocab — vocabulary-bounded
+        .join(counts, Seq("lang", "tok"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .crossJoin(broadcast(vSize))
+        .selectExpr("lang", "tok",
+          s"${Ql.R("ln((c + 1.0) / (tot + v))", 6)} AS lnp")
+      val scores = toks
+        .join(broadcast(grid), "tok")
+        .groupBy("doc_id", "true_lang", "lang")
+        .agg(Ql.r(sum(col("tf") * col("lnp")), 4).as("s0"))
+        .join(broadcast(priors), "lang")
+        .withColumn("score", Ql.r(col("s0") + col("lnprior"), 4))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("lang"))
+      scores.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy(col("true_lang"), col("lang").as("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, lang AS true_lang, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE len(tok) > 0
+        GROUP BY 1, 2, 3),
+      counts AS (
+        SELECT true_lang AS lang, tok, CAST(sum(tf) AS BIGINT) AS c
+        FROM toks GROUP BY 1, 2),
+      vocab AS (SELECT DISTINCT tok FROM counts),
+      vs AS (SELECT count(*) AS v FROM vocab),
+      langtot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM counts GROUP BY 1),
+      priors AS (
+        SELECT lang, ${Ql.R("ln(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents))", 6)} AS lnprior
+        FROM documents GROUP BY 1),
+      grid AS (
+        SELECT langtot.lang, vocab.tok,
+               ${Ql.R("ln((COALESCE(c, 0) + 1.0) / (tot + v))", 6)} AS lnp
+        FROM langtot CROSS JOIN vocab
+        LEFT JOIN counts ON counts.lang = langtot.lang AND counts.tok = vocab.tok
+        CROSS JOIN vs),
+      scores AS (
+        SELECT doc_id, true_lang, g.lang,
+               ${Ql.R(s"${Ql.R("sum(tf * lnp)", 4)} + max(lnprior)", 4)} AS score
+        FROM toks JOIN grid g USING (tok) JOIN priors p ON g.lang = p.lang
+        GROUP BY 1, 2, 3),
+      pred AS (
+        SELECT doc_id, true_lang, lang AS pred_lang,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, lang) AS rk
+        FROM scores)
+      SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM pred WHERE rk = 1
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """))
+
+  // ---------------------------------------------------------------- boosted stumps
+
+  /** Two rounds of gradient boosting with regression-stump base learners
+    * (squared loss — each round fits the previous round's residuals),
+    * predicting event value from hour-of-day then day-of-week. The
+    * 100 TB shape: a round is ONE histogram aggregation (24 then 7
+    * buckets), the split search runs over the prefix sums of that
+    * broadcast-sized histogram, and the chosen split goes back as a
+    * 1-row broadcast — corpus passes = round count, exactly like the
+    * IRLS fitter above. Exactness: values become integer CENTS, leaf
+    * means are rounded to integer cents (floor(x+0.5) — deterministic
+    * on both engines), so round-2 residuals and BOTH reported SSEs are
+    * exact BIGINT arithmetic end-to-end; the split gain Σl²/nl + Σr²/nr
+    * is a double over exact integers (IEEE-identical across engines).
+    * Output: one row per round with the split, leaf means, gain, and
+    * the post-round SSE — monotonically decreasing by construction.
+    */
+  private val boostedStumps: QueryDef = {
+    val gain = "CAST(sl AS DOUBLE) * sl / nl + CAST(sr AS DOUBLE) * sr / nr"
+    QueryDef(
+      "q_boosted_stumps",
+      (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.events(spark, sfDir)
+          .selectExpr("hour(ts) AS h", "(dayofweek(ts) - 1) AS dw",
+            s"CAST(${Ql.R("value * 100", 0)} AS BIGINT) AS c")
+          .localCheckpoint(true) // 3 passes: 2 histograms + the SSE readout
+        // best threshold t: rows with feature < t go left; candidates are
+        // the prefix rows of the bounded histogram (≤24 rows — the window
+        // below runs over the histogram, never the corpus)
+        def bestSplit(hist: DataFrame, featCol: String): DataFrame = {
+          val w = Window.orderBy(featCol)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val tot = hist.agg(sum("n").as("nt"), sum("s").as("st"))
+          hist
+            .withColumn("nl", sum("n").over(w))
+            .withColumn("sl", sum("s").over(w))
+            .crossJoin(broadcast(tot))
+            .filter(col("nl") < col("nt")) // a split must leave a right side
+            .selectExpr(s"$featCol + 1 AS thr", "nl", "sl",
+              "nt - nl AS nr", "st - sl AS sr")
+            .selectExpr("thr", "nl", "nr",
+              "CAST(floor(CAST(sl AS DOUBLE) / nl + 0.5) AS BIGINT) AS mu_l",
+              "CAST(floor(CAST(sr AS DOUBLE) / nr + 0.5) AS BIGINT) AS mu_r",
+              s"$gain AS g")
+            .orderBy(col("g").desc, col("thr")).limit(1)
+        }
+        val h1 = base.groupBy(col("h")).agg(count(lit(1)).as("n"), sum("c").as("s"))
+        val s1 = bestSplit(h1.withColumnRenamed("h", "f"), "f")
+          .localCheckpoint(true)
+        val r1 = base.crossJoin(broadcast(s1))
+          .selectExpr("dw", "c - CASE WHEN h < thr THEN mu_l ELSE mu_r END AS r")
+        val h2 = r1.groupBy(col("dw")).agg(count(lit(1)).as("n"), sum("r").as("s"))
+        val s2 = bestSplit(h2.withColumnRenamed("dw", "f"), "f")
+          .localCheckpoint(true)
+        val sse = base.crossJoin(broadcast(s1.selectExpr("thr AS t1", "mu_l AS l1", "mu_r AS r1")))
+          .crossJoin(broadcast(s2.selectExpr("thr AS t2", "mu_l AS l2", "mu_r AS r2")))
+          .selectExpr("c - CASE WHEN h < t1 THEN l1 ELSE r1 END AS e1",
+            "dw", "t2", "l2", "r2")
+          .selectExpr("e1", "e1 - CASE WHEN dw < t2 THEN l2 ELSE r2 END AS e2")
+          .agg(sum(expr("e1 * e1")).as("sse1"), sum(expr("e2 * e2")).as("sse2"))
+        val row1 = s1.crossJoin(broadcast(sse))
+          .selectExpr("1 AS round", "'hour' AS feature", "CAST(thr AS INT) AS thr",
+            "nl", "nr", "mu_l AS mu_l_cents", "mu_r AS mu_r_cents",
+            s"${Ql.R("g", 4)} AS gain", "sse1 AS sse_after")
+        val row2 = s2.crossJoin(broadcast(sse))
+          .selectExpr("2 AS round", "'dow' AS feature", "CAST(thr AS INT) AS thr",
+            "nl", "nr", "mu_l AS mu_l_cents", "mu_r AS mu_r_cents",
+            s"${Ql.R("g", 4)} AS gain", "sse2 AS sse_after")
+        row1.unionByName(row2).orderBy("round")
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT hour(ts) AS h, dayofweek(ts) AS dw,
+                 CAST(${Ql.R("value * 100", 0)} AS BIGINT) AS c
+          FROM events),
+        h1 AS (SELECT h AS f, count(*) AS n, CAST(sum(c) AS BIGINT) AS s
+               FROM base GROUP BY 1),
+        p1 AS (
+          SELECT f + 1 AS thr,
+                 sum(n) OVER (ORDER BY f ROWS UNBOUNDED PRECEDING) AS nl,
+                 CAST(sum(s) OVER (ORDER BY f ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sl,
+                 (SELECT sum(n) FROM h1) AS nt, (SELECT sum(s) FROM h1) AS st
+          FROM h1),
+        c1 AS (
+          SELECT thr, CAST(nl AS BIGINT) AS nl, CAST(nt - nl AS BIGINT) AS nr,
+                 CAST(floor(CAST(sl AS DOUBLE) / nl + 0.5) AS BIGINT) AS mu_l,
+                 CAST(floor(CAST(st - sl AS DOUBLE) / (nt - nl) + 0.5) AS BIGINT) AS mu_r,
+                 CAST(sl AS DOUBLE) * sl / nl
+                   + CAST(st - sl AS DOUBLE) * (st - sl) / (nt - nl) AS g
+          FROM p1 WHERE nl < nt),
+        s1 AS (SELECT * FROM c1 ORDER BY g DESC, thr LIMIT 1),
+        r1 AS (
+          SELECT dw, c - CASE WHEN h < thr THEN mu_l ELSE mu_r END AS r
+          FROM base CROSS JOIN s1),
+        h2 AS (SELECT dw AS f, count(*) AS n, CAST(sum(r) AS BIGINT) AS s
+               FROM r1 GROUP BY 1),
+        p2 AS (
+          SELECT f + 1 AS thr,
+                 sum(n) OVER (ORDER BY f ROWS UNBOUNDED PRECEDING) AS nl,
+                 CAST(sum(s) OVER (ORDER BY f ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sl,
+                 (SELECT sum(n) FROM h2) AS nt, (SELECT CAST(sum(s) AS BIGINT) FROM h2) AS st
+          FROM h2),
+        c2 AS (
+          SELECT thr, CAST(nl AS BIGINT) AS nl, CAST(nt - nl AS BIGINT) AS nr,
+                 CAST(floor(CAST(sl AS DOUBLE) / nl + 0.5) AS BIGINT) AS mu_l,
+                 CAST(floor(CAST(st - sl AS DOUBLE) / (nt - nl) + 0.5) AS BIGINT) AS mu_r,
+                 CAST(sl AS DOUBLE) * sl / nl
+                   + CAST(st - sl AS DOUBLE) * (st - sl) / (nt - nl) AS g
+          FROM p2 WHERE nl < nt),
+        s2 AS (SELECT * FROM c2 ORDER BY g DESC, thr LIMIT 1),
+        sse AS (
+          SELECT CAST(sum(e1 * e1) AS BIGINT) AS sse1,
+                 CAST(sum(e2 * e2) AS BIGINT) AS sse2
+          FROM (
+            SELECT e1, e1 - CASE WHEN dw < s2.thr THEN s2.mu_l ELSE s2.mu_r END AS e2
+            FROM (
+              SELECT dw, c - CASE WHEN h < s1.thr THEN s1.mu_l ELSE s1.mu_r END AS e1
+              FROM base CROSS JOIN s1) CROSS JOIN s2))
+        SELECT 1 AS round, 'hour' AS feature, CAST(thr AS INT) AS thr, nl, nr,
+               mu_l AS mu_l_cents, mu_r AS mu_r_cents,
+               ${Ql.R("g", 4)} AS gain, sse1 AS sse_after
+        FROM s1 CROSS JOIN sse
+        UNION ALL
+        SELECT 2 AS round, 'dow' AS feature, CAST(thr AS INT) AS thr, nl, nr,
+               mu_l AS mu_l_cents, mu_r AS mu_r_cents,
+               ${Ql.R("g", 4)} AS gain, sse2 AS sse_after
+        FROM s2 CROSS JOIN sse
+        ORDER BY round
+      """))
+  }
+
+  override def defs: Seq[QueryDef] =
+    Seq(logisticIrls, overdispersion, varCvar, naiveBayes, boostedStumps)
+}

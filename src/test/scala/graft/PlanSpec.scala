@@ -194,7 +194,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         "q_tail_index", // 1-row threshold broadcast over the top-200 frame
         "q_silhouette", // K-row (label-vocabulary) centroid broadcast, as q_knn_vote
         "q_markov_stationary", // 1-row state-count + pair-total broadcasts on the 5-state chain
-        "q_kendall_head") // <=200-row head-intersection pair join (report-sized)
+        "q_kendall_head", // <=200-row head-intersection pair join (report-sized)
+      "q_logistic_irls", // 1-row beta broadcasts per IRLS round
+      "q_boosted_stumps", // 1-row split/sse broadcasts per boosting round
+      "q_naive_bayes") // 1-row vocab-size/doc-total + langs x vocab grid broadcasts
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
@@ -226,7 +229,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_sample_systematic", // 16-row hash-range bucket-offset histogram
       "q_mann_whitney", // ~50-row value-grid bucket histogram
       "q_decision_stump", // ~20-row price-range bucket-offset histogram
-      "q_spearman") // <=64-row highest-set-bit bucket histogram
+      "q_spearman", // <=64-row highest-set-bit bucket histogram
+      "q_boosted_stumps") // <=24-row feature-histogram prefix sums
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val bad = df.queryExecution.sparkPlan.collect {
@@ -278,7 +282,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_median_ci" -> "input = type×cent grid (≤49k cells/type by the 2-decimal value domain)",
       "q_win_cume" -> "input filtered to user_id<10 (fixed user set; E1 cume_dist coverage demo)",
       "q_sample_reservoir" -> "rank filter sits directly above the window → WindowGroupLimit caps rows at k per group map-side",
-      "q_top_p_filter" -> "offset window runs over the ≤|langs|×256-row bucket histogram")
+      "q_top_p_filter" -> "offset window runs over the ≤|langs|×256-row bucket histogram",
+      "q_var_cvar" -> "input = type×cent grid (≤49k cells/type by the 2-decimal value domain)")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (boundedInputOk.contains(name)) None
       else {
