@@ -34,7 +34,8 @@ object SparkEntry {
     operators.EvalQueries,
     operators.FeatureQueries,
     operators.StatQueries,
-    operators.MlQueries)
+    operators.MlQueries,
+    operators.ProductQueries)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
 

@@ -1,0 +1,295 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over the event stream — the RFM/engagement
+  * battery a growth team runs daily, built on the repo's scale idioms:
+  * global ranks come from the two-level HIGHEST-SET-BIT bucket pattern
+  * (≤64 histogram rows at any scale, q_spearman's trick — never a
+  * single-partition window over users), distributions come from bounded
+  * histograms, and every reported number is exact-integer or
+  * shared-formula-rounded for the cross-engine gate.
+  */
+object ProductQueries extends QueryModule {
+
+  /** Global dense ordinals (1..n, total order with an id tiebreak) for a
+    * positive BIGINT metric column via highest-set-bit buckets: ≤64
+    * bucket rows feed a broadcast offset histogram; the only window over
+    * the input is partitioned by bucket. Shared by the RFM and Lorenz
+    * sweeps below (one definition, like EvalQueries.bucketOffsets).
+    */
+  private def bitRanks(df: DataFrame, metric: String, idCol: String,
+      rankName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withB = df.withColumn("bkt", expr(s"length(bin($metric))"))
+    val offsets = withB.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(
+        Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bkt", "off")
+    val inB = Window.partitionBy("bkt").orderBy(metric, idCol)
+    withB.join(broadcast(offsets), "bkt")
+      .withColumn(rankName, col("off") + row_number().over(inB))
+      .select(idCol, rankName)
+  }
+
+  // ---------------------------------------------------------------- RFM
+
+  /** RFM segmentation of the purchase base — recency/frequency/monetary
+    * quintile codes (5 = best: most recent, most frequent, highest
+    * spend), the classic CRM cut. Per-user aggregates (last-purchase
+    * epoch-µs "freshness", purchase count, exact cent spend) rank
+    * through [[bitRanks]]; quintile = ((5·(rank−1)) div n) + 1 — exact
+    * integer arithmetic against the 1-row user-count broadcast, no
+    * float quantile. Freshness (not day-recency) is the recency metric
+    * so rank-ascending uniformly means score-ascending. Reports each
+    * occupied (r,f,m) cell with its size and average spend.
+    */
+  private val rfmSegments = QueryDef(
+    "q_rfm_segments",
+    (spark, sfDir) => {
+      val u = Tables.events(spark, sfDir)
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(max(unix_micros(col("ts"))).as("fresh"),
+          count(lit(1)).as("freq"),
+          sum(Ql.r(col("value") * 100, 0).cast("long")).as("cents"))
+        .localCheckpoint(true) // feeds three rank sweeps
+      val n = u.agg(count(lit(1)).as("n"))
+      val q = "((5 * (%s - 1)) div n) + 1"
+      u.join(bitRanks(u, "fresh", "user_id", "rk_r"), "user_id")
+        .join(bitRanks(u, "freq", "user_id", "rk_f"), "user_id")
+        .join(bitRanks(u, "cents", "user_id", "rk_m"), "user_id")
+        .crossJoin(broadcast(n))
+        .selectExpr("cents",
+          s"${q.format("rk_r")} AS r_score",
+          s"${q.format("rk_f")} AS f_score",
+          s"${q.format("rk_m")} AS m_score")
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_users"),
+          sum("cents").as("seg_cents"))
+        .selectExpr("r_score", "f_score", "m_score", "n_users",
+          s"${Ql.R("CAST(seg_cents AS DOUBLE) / n_users / 100.0", 2)} AS avg_spend")
+        .orderBy("r_score", "f_score", "m_score")
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT user_id, epoch_us(max(ts)) AS fresh,
+               count(*) AS freq,
+               CAST(sum(CAST(${Ql.R("value * 100", 0)} AS BIGINT)) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM u),
+      ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY fresh, user_id) AS rk_r,
+               row_number() OVER (ORDER BY freq, user_id) AS rk_f,
+               row_number() OVER (ORDER BY cents, user_id) AS rk_m
+        FROM u),
+      scored AS (
+        SELECT cents,
+               ((5 * (rk_r - 1)) // n) + 1 AS r_score,
+               ((5 * (rk_f - 1)) // n) + 1 AS f_score,
+               ((5 * (rk_m - 1)) // n) + 1 AS m_score
+        FROM ranked CROSS JOIN n)
+      SELECT CAST(r_score AS BIGINT) AS r_score,
+             CAST(f_score AS BIGINT) AS f_score,
+             CAST(m_score AS BIGINT) AS m_score,
+             count(*) AS n_users,
+             ${Ql.R("CAST(sum(cents) AS DOUBLE) / count(*) / 100.0", 2)} AS avg_spend
+      FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """))
+
+  // ---------------------------------------------------------------- power-user curve
+
+  /** Power-user curve: how many users were active on ≥ d distinct days —
+    * the L28-style engagement distribution. Per-user distinct-day
+    * counts collapse onto a histogram bounded by the calendar (≤ days
+    * in window rows); the ≥-cumulative runs over THAT histogram. All
+    * counts exact; percentages are one rounded divide.
+    */
+  private val powerUserCurve = QueryDef(
+    "q_power_user_curve",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = Tables.events(spark, sfDir)
+        .groupBy("user_id")
+        .agg(countDistinct(to_date(col("ts"))).as("d"))
+        .groupBy("d").agg(count(lit(1)).as("n_users"))
+      val tot = hist.agg(sum("n_users").as("nt"))
+      val w = Window.orderBy(col("d").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cum_ge", sum("n_users").over(w))
+        .crossJoin(broadcast(tot))
+        .selectExpr("d AS active_days", "n_users",
+          s"${Ql.R("100.0 * n_users / nt", 4)} AS pct_users",
+          "cum_ge AS users_ge",
+          s"${Ql.R("100.0 * cum_ge / nt", 4)} AS pct_ge")
+        .orderBy("active_days")
+    },
+    Some(s"""
+      WITH hist AS (
+        SELECT d, count(*) AS n_users FROM (
+          SELECT user_id, count(DISTINCT CAST(ts AS DATE)) AS d
+          FROM events GROUP BY 1)
+        GROUP BY 1),
+      c AS (
+        SELECT d, n_users,
+               CAST(sum(n_users) OVER (ORDER BY d DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ge,
+               (SELECT CAST(sum(n_users) AS BIGINT) FROM hist) AS nt
+        FROM hist)
+      SELECT CAST(d AS BIGINT) AS active_days, n_users,
+             ${Ql.R("100.0 * n_users / nt", 4)} AS pct_users,
+             cum_ge AS users_ge,
+             ${Ql.R("100.0 * cum_ge / nt", 4)} AS pct_ge
+      FROM c ORDER BY 1
+    """))
+
+  // ---------------------------------------------------------------- 3-step paths
+
+  /** Top 3-step behavioral paths — the event-type trigram counts behind
+    * "what do users do next" sankeys. Per-user lead windows (user-keyed
+    * — fully distributed, ≤ per-user event count per partition slice)
+    * emit each consecutive type triple; the count table is bounded by
+    * |types|³; top-20 by support with full-path tiebreak plans as
+    * TakeOrderedAndProject.
+    */
+  private val eventPaths3 = QueryDef(
+    "q_event_paths3",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("t1"))
+        .withColumn("t2", lead("t1", 1).over(w))
+        .withColumn("t3", lead("t1", 2).over(w))
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(20)
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_type AS t1,
+               lead(event_type, 1) OVER w AS t2,
+               lead(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      SELECT t1, t2, t3, count(*) AS n
+      FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      GROUP BY 1, 2, 3
+      ORDER BY n DESC, t1, t2, t3 LIMIT 20
+    """))
+
+  // ---------------------------------------------------------------- session entropy
+
+  /** Behavioral diversity: Shannon entropy of each user's event-type mix,
+    * reported as average entropy per activity band (highest-set-bit
+    * buckets of event count — bounded bands, and summing H across a
+    * band's users before rounding absorbs per-term libm-ln ulps, the
+    * q_lm_perplexity hygiene). H = Σ (c/n)·ln(n/c) over the per-user
+    * type counts — exact rational inputs to each ln.
+    */
+  private val sessionEntropy = QueryDef(
+    "q_session_entropy",
+    (spark, sfDir) => {
+      val perType = Tables.events(spark, sfDir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      val perUser = perType
+        .withColumn("n", sum("c").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+        .groupBy("user_id")
+        .agg(max("n").as("n"),
+          sum(expr("(CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c)")).as("h"))
+      perUser
+        .withColumn("band", expr("length(bin(n))"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_users"),
+          min("n").as("min_events"), max("n").as("max_events"),
+          Ql.r(avg("h"), 4).as("avg_entropy"))
+        .selectExpr("CAST(band AS INT) AS band", "n_users", "min_events",
+          "max_events", "avg_entropy")
+        .orderBy("band")
+    },
+    Some(s"""
+      WITH pt AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      pn AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM pt GROUP BY 1),
+      pu AS (
+        SELECT pt.user_id, max(n) AS n,
+               sum((CAST(c AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / c)) AS h
+        FROM pt JOIN pn ON pt.user_id = pn.user_id GROUP BY 1)
+      SELECT CAST(length(bin(n)) AS INT) AS band,
+             count(*) AS n_users,
+             CAST(min(n) AS BIGINT) AS min_events,
+             CAST(max(n) AS BIGINT) AS max_events,
+             ${Ql.R("avg(h)", 4)} AS avg_entropy
+      FROM pu GROUP BY 1 ORDER BY 1
+    """))
+
+  // ---------------------------------------------------------------- Lorenz curve
+
+  /** Lorenz concentration curve of customer spend by spend decile — the
+    * "what share of revenue do the top deciles hold" readout (the
+    * curve whose area q_gini summarizes; deciles are what the
+    * dashboard shows). Customer ranks come from [[bitRanks]]; decile =
+    * ((10·(rank−1)) div n) + 1 exact; per-decile cent sums are exact
+    * BIGINTs, shares one rounded divide, and the cumulative share runs
+    * over the 10-row decile table.
+    */
+  private val lorenzCurve = QueryDef(
+    "q_lorenz_curve",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cust = Tables.orders(spark, sfDir)
+        .groupBy("o_custkey")
+        .agg(sum(Ql.r(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+        .localCheckpoint(true)
+      val n = cust.agg(count(lit(1)).as("n"), sum("cents").as("tot"))
+      val dec = cust.join(bitRanks(cust, "cents", "o_custkey", "rk"), "o_custkey")
+        .crossJoin(broadcast(n))
+        .selectExpr("cents", "tot", "((10 * (rk - 1)) div n) + 1 AS decile")
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_cust"), sum("cents").as("dec_cents"),
+          max("tot").as("tot"))
+      val w = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec
+        .withColumn("cum_cents", sum("dec_cents").over(w))
+        .selectExpr("decile", "n_cust",
+          s"${Ql.R("CAST(dec_cents AS DOUBLE) / 100.0", 2)} AS spend",
+          s"${Ql.R("100.0 * dec_cents / tot", 4)} AS share_pct",
+          s"${Ql.R("100.0 * cum_cents / tot", 4)} AS cum_share_pct")
+        .orderBy("decile")
+    },
+    Some(s"""
+      WITH cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(${Ql.R("o_totalprice * 100", 0)} AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1),
+      n AS (SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS tot FROM cust),
+      ranked AS (
+        SELECT cents, row_number() OVER (ORDER BY cents, o_custkey) AS rk
+        FROM cust),
+      dec AS (
+        SELECT ((10 * (rk - 1)) // n) + 1 AS decile, count(*) AS n_cust,
+               CAST(sum(cents) AS BIGINT) AS dec_cents, max(tot) AS tot
+        FROM ranked CROSS JOIN n GROUP BY 1),
+      c AS (
+        SELECT decile, n_cust, dec_cents, tot,
+               CAST(sum(dec_cents) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        FROM dec)
+      SELECT CAST(decile AS BIGINT) AS decile, n_cust,
+             ${Ql.R("CAST(dec_cents AS DOUBLE) / 100.0", 2)} AS spend,
+             ${Ql.R("100.0 * dec_cents / tot", 4)} AS share_pct,
+             ${Ql.R("100.0 * cum_cents / tot", 4)} AS cum_share_pct
+      FROM c ORDER BY 1
+    """))
+
+  override def defs: Seq[QueryDef] =
+    Seq(rfmSegments, powerUserCurve, eventPaths3, sessionEntropy, lorenzCurve)
+}

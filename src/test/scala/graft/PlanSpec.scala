@@ -197,7 +197,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         "q_kendall_head", // <=200-row head-intersection pair join (report-sized)
       "q_logistic_irls", // 1-row beta broadcasts per IRLS round
       "q_boosted_stumps", // 1-row split/sse broadcasts per boosting round
-      "q_naive_bayes") // 1-row vocab-size/doc-total + langs x vocab grid broadcasts
+      "q_naive_bayes", // 1-row vocab-size/doc-total + langs x vocab grid broadcasts
+      "q_rfm_segments", // 1-row user-count broadcast for the quintile arithmetic
+      "q_power_user_curve", // 1-row user-total broadcast for the percentages
+      "q_lorenz_curve") // 1-row (n, total-cents) broadcast for decile shares
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
@@ -230,7 +233,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_mann_whitney", // ~50-row value-grid bucket histogram
       "q_decision_stump", // ~20-row price-range bucket-offset histogram
       "q_spearman", // <=64-row highest-set-bit bucket histogram
-      "q_boosted_stumps") // <=24-row feature-histogram prefix sums
+      "q_boosted_stumps", // <=24-row feature-histogram prefix sums
+      "q_rfm_segments", "q_lorenz_curve", // <=64-row highest-set-bit offset histograms
+      "q_power_user_curve") // active-days histogram (calendar-bounded rows)
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val bad = df.queryExecution.sparkPlan.collect {
