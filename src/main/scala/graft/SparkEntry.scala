@@ -35,7 +35,8 @@ object SparkEntry {
     operators.FeatureQueries,
     operators.StatQueries,
     operators.MlQueries,
-    operators.ProductQueries)
+    operators.ProductQueries,
+    operators.RetrievalQueries)
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
 

@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.functions.Vectors
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Retrieval-serving operators — the ranking layer above the corpus
+  * (BM25 feeds these; the ANN stack is their vector sibling). Scale
+  * discipline: candidate generation is the only corpus-sized work; every
+  * re-ranking loop runs on a checkpointed report-sized frame (top-k
+  * candidates), so iteration count multiplies trivial jobs, not corpus
+  * passes.
+  */
+object RetrievalQueries extends QueryModule {
+
+  // ---------------------------------------------------------------- MMR
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998,
+    * public) of the BM25 top-20: greedily pick 5 results maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-picked (λ=0.7) — the
+    * standard diversity pass between retrieval and display. Candidates
+    * come from the SHARED [[TextQueries.bm25TopK]] pipeline (one
+    * definition with q_bm25_topk, Spark and oracle both); similarities
+    * are embedding dot products (L2-normalized ⇒ cosine) over the
+    * 20-candidate frame — a ≤20×19 pair table, bounded by the report,
+    * never the corpus. Each greedy round is one aggregation over that
+    * checkpointed pair frame. Scores: bm25 4 dp, sims 6 dp, the MMR
+    * combination re-rounded at 6 dp with doc-id tiebreak — IEEE-exact
+    * arithmetic on identically rounded inputs in both engines.
+    */
+  private val mmrRerank = QueryDef(
+    "q_mmr_rerank",
+    (spark, sfDir) => {
+      val cand = TextQueries
+        .bm25TopK(Tables.documents(spark, sfDir), Seq("stream", "join", "window"))
+        .localCheckpoint(true) // 20 rows
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id").as("doc_id"), Vectors.toDouble(col("embedding")).as("v"))
+      val ce = emb.join(broadcast(cand.select("doc_id", "score")), "doc_id")
+        .localCheckpoint(true) // 20 rows with vectors
+      val a = ce.selectExpr("doc_id AS i", "score AS si", "v AS vi")
+      val b = ce.selectExpr("doc_id AS j", "v AS vj")
+      val pair = a.join(broadcast(b), col("i") =!= col("j"))
+        .select(col("i"), col("si"), col("j"),
+          Ql.r(Vectors.dot(col("vi"), col("vj")), 6).as("sim"))
+        .localCheckpoint(true) // <=20*19 rows
+      val s1 = ce.selectExpr("doc_id", "score AS rel")
+        .orderBy(col("rel").desc, col("doc_id")).limit(1)
+        .selectExpr("doc_id", "1 AS rank", "rel",
+          s"${Ql.R("0.7 * rel", 6)} AS mmr")
+      def next(sel: DataFrame, r: Int): DataFrame = {
+        val picked = pair
+          .join(sel.select(col("doc_id").as("j")), "j")
+          .groupBy("i", "si").agg(max("sim").as("ms"))
+          .join(sel.select(col("doc_id").as("i")), Seq("i"), "left_anti")
+          .selectExpr("i AS doc_id", s"$r AS rank", "si AS rel",
+            s"${Ql.R("0.7 * si - 0.3 * ms", 6)} AS mmr")
+          .orderBy(col("mmr").desc, col("doc_id")).limit(1)
+        sel.unionByName(picked)
+      }
+      (2 to 5).foldLeft(s1)(next).orderBy("rank")
+    },
+    Some(s"""
+      WITH ${TextQueries.bm25OracleCtes},
+      cand AS (${TextQueries.bm25OracleSelect}),
+      emb AS (SELECT vec_id AS doc_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+      ce AS (SELECT c.doc_id, c.score AS si, v
+             FROM cand c JOIN emb USING (doc_id)),
+      pair AS (
+        SELECT a.doc_id AS i, a.si, b.doc_id AS j,
+               ${Ql.R("list_dot_product(a.v, b.v)", 6)} AS sim
+        FROM ce a JOIN ce b ON a.doc_id <> b.doc_id),
+      s1 AS (SELECT doc_id, 1 AS rank, si AS rel, ${Ql.R("0.7 * si", 6)} AS mmr
+             FROM ce ORDER BY si DESC, doc_id LIMIT 1),
+      p2 AS (SELECT i, si, max(sim) AS ms FROM pair
+             WHERE j IN (SELECT doc_id FROM s1)
+               AND i NOT IN (SELECT doc_id FROM s1) GROUP BY 1, 2),
+      s2 AS (SELECT i AS doc_id, 2 AS rank, si AS rel,
+                    ${Ql.R("0.7 * si - 0.3 * ms", 6)} AS mmr
+             FROM p2 ORDER BY mmr DESC, i LIMIT 1),
+      u2 AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+      p3 AS (SELECT i, si, max(sim) AS ms FROM pair
+             WHERE j IN (SELECT doc_id FROM u2)
+               AND i NOT IN (SELECT doc_id FROM u2) GROUP BY 1, 2),
+      s3 AS (SELECT i AS doc_id, 3 AS rank, si AS rel,
+                    ${Ql.R("0.7 * si - 0.3 * ms", 6)} AS mmr
+             FROM p3 ORDER BY mmr DESC, i LIMIT 1),
+      u3 AS (SELECT * FROM u2 UNION ALL SELECT * FROM s3),
+      p4 AS (SELECT i, si, max(sim) AS ms FROM pair
+             WHERE j IN (SELECT doc_id FROM u3)
+               AND i NOT IN (SELECT doc_id FROM u3) GROUP BY 1, 2),
+      s4 AS (SELECT i AS doc_id, 4 AS rank, si AS rel,
+                    ${Ql.R("0.7 * si - 0.3 * ms", 6)} AS mmr
+             FROM p4 ORDER BY mmr DESC, i LIMIT 1),
+      u4 AS (SELECT * FROM u3 UNION ALL SELECT * FROM s4),
+      p5 AS (SELECT i, si, max(sim) AS ms FROM pair
+             WHERE j IN (SELECT doc_id FROM u4)
+               AND i NOT IN (SELECT doc_id FROM u4) GROUP BY 1, 2),
+      s5 AS (SELECT i AS doc_id, 5 AS rank, si AS rel,
+                    ${Ql.R("0.7 * si - 0.3 * ms", 6)} AS mmr
+             FROM p5 ORDER BY mmr DESC, i LIMIT 1),
+      u5 AS (SELECT * FROM u4 UNION ALL SELECT * FROM s5)
+      SELECT doc_id, rank, rel, mmr FROM u5 ORDER BY rank
+    """))
+
+  // ---------------------------------------------------------------- autocomplete
+
+  /** Prefix-autocomplete index build: for every 3-char word prefix with
+    * enough support, the top-3 completions by corpus frequency — the
+    * relation a typeahead service serves. One corpus token count
+    * collapses onto the vocabulary; the rank window partitions by
+    * prefix over vocabulary-bounded rows. Counts exact; ties broken
+    * alphabetically.
+    */
+  private val autocompletePrefix = QueryDef(
+    "q_autocomplete_prefix",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 3)
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 20)
+        .withColumn("prefix", substring(col("w"), 1, 3))
+      val rk = Window.partitionBy("prefix").orderBy(col("cnt").desc, col("w"))
+      words.withColumn("rank", row_number().over(rk))
+        .filter(col("rank") <= 3)
+        .select(col("prefix"), col("rank"), col("w").as("word"), col("cnt"))
+        .orderBy("prefix", "rank")
+    },
+    Some("""
+      WITH words AS (
+        SELECT w, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) >= 3
+        GROUP BY 1 HAVING count(*) >= 20),
+      ranked AS (
+        SELECT substring(w, 1, 3) AS prefix,
+               CAST(row_number() OVER (PARTITION BY substring(w, 1, 3)
+                 ORDER BY cnt DESC, w) AS INT) AS rank,
+               w AS word, cnt
+        FROM words)
+      SELECT prefix, rank, word, cnt
+      FROM ranked WHERE rank <= 3
+      ORDER BY prefix, rank
+    """))
+
+  // ---------------------------------------------------------------- vocab overlap
+
+  /** Pairwise language vocabulary overlap — the Jaccard matrix that
+    * says whether per-language routing (indexes, tokenizers, dedup
+    * scopes) can share resources. Per-language distinct-token sets
+    * collapse to vocabulary-bounded relations; the intersection is a
+    * token equi-join over them; the lang-pair grid (|langs|² rows)
+    * left-joins the intersection counts so disjoint pairs report 0.
+    */
+  private val langVocabOverlap = QueryDef(
+    "q_lang_vocab_overlap",
+    (spark, sfDir) => {
+      val lv = Tables.documents(spark, sfDir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .distinct()
+        .localCheckpoint(true) // langs x vocab rows — feeds sizes, grid, inter
+      val sizes = lv.groupBy("lang").agg(count(lit(1)).as("sz"))
+      val inter = lv.as("a")
+        .join(lv.as("b"), col("a.tok") === col("b.tok") && col("a.lang") < col("b.lang"))
+        .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+        .agg(count(lit(1)).as("inter"))
+      sizes.as("sa").join(broadcast(sizes.as("sb")),
+          col("sa.lang") < col("sb.lang"))
+        .select(col("sa.lang").as("lang_a"), col("sa.sz").as("n_a"),
+          col("sb.lang").as("lang_b"), col("sb.sz").as("n_b"))
+        .join(inter, Seq("lang_a", "lang_b"), "left")
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+        .selectExpr("lang_a", "lang_b", "n_a", "n_b", "inter",
+          s"${Ql.R("CAST(inter AS DOUBLE) / (n_a + n_b - inter)", 4)} AS jaccard")
+        .orderBy("lang_a", "lang_b")
+    },
+    Some(s"""
+      WITH lv AS (
+        SELECT DISTINCT lang, tok
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE len(tok) > 0),
+      sizes AS (SELECT lang, count(*) AS sz FROM lv GROUP BY 1),
+      inter AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS inter
+        FROM lv a JOIN lv b ON a.tok = b.tok AND a.lang < b.lang
+        GROUP BY 1, 2)
+      SELECT sa.lang AS lang_a, sb.lang AS lang_b,
+             sa.sz AS n_a, sb.sz AS n_b,
+             CAST(COALESCE(inter, 0) AS BIGINT) AS inter,
+             ${Ql.R("CAST(COALESCE(inter, 0) AS DOUBLE) / (sa.sz + sb.sz - COALESCE(inter, 0))", 4)} AS jaccard
+      FROM sizes sa JOIN sizes sb ON sa.lang < sb.lang
+      LEFT JOIN inter ON inter.lang_a = sa.lang AND inter.lang_b = sb.lang
+      ORDER BY 1, 2
+    """))
+
+  override def defs: Seq[QueryDef] =
+    Seq(mmrRerank, autocompletePrefix, langVocabOverlap)
+}

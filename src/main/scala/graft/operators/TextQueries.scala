@@ -435,12 +435,12 @@ object TextQueries extends QueryModule {
       .select("doc_id", "n_hit_terms", "dl", "score")
   }
 
-  private val bm25 = QueryDef(
-    "q_bm25_topk",
-    (spark, sfDir) =>
-      bm25TopK(Tables.documents(spark, sfDir), Seq("stream", "join", "window")),
-    Some(s"""
-      WITH d AS (
+  /** The q_bm25_topk DuckDB oracle, split into reusable CTE-body +
+    * final-select pieces so q_mmr_rerank's oracle can embed the exact
+    * same candidate pipeline (one definition on the oracle side too).
+    */
+  private[operators] val bm25OracleCtes = s"""
+      d AS (
         SELECT doc_id, string_split(text, ' ') AS toks,
                len(string_split(text, ' ')) AS dl
         FROM documents),
@@ -455,12 +455,19 @@ object TextQueries extends QueryModule {
         SELECT doc_id, dl,
                ${Ql.R(s"""${Ql.R("ln((n - df + 0.5) / (df + 0.5) + 1.0)", 6)}
                  * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))""", 6)} AS ts
-        FROM tf JOIN dft USING (w), st)
+        FROM tf JOIN dft USING (w), st)"""
+
+  private[operators] val bm25OracleSelect = s"""
       SELECT doc_id, count(*) AS n_hit_terms, CAST(min(dl) AS INT) AS dl,
              ${Ql.R("sum(ts)", 4)} AS score
       FROM scored GROUP BY 1
-      ORDER BY score DESC, doc_id LIMIT 20
-    """))
+      ORDER BY score DESC, doc_id LIMIT 20"""
+
+  private val bm25 = QueryDef(
+    "q_bm25_topk",
+    (spark, sfDir) =>
+      bm25TopK(Tables.documents(spark, sfDir), Seq("stream", "join", "window")),
+    Some(s"WITH $bm25OracleCtes\n$bm25OracleSelect"))
 
   /** Pointwise mutual information over adjacent token pairs — the
     * collocation detector (Church & Hanks 1990, public) behind phrase

@@ -200,7 +200,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_naive_bayes", // 1-row vocab-size/doc-total + langs x vocab grid broadcasts
       "q_rfm_segments", // 1-row user-count broadcast for the quintile arithmetic
       "q_power_user_curve", // 1-row user-total broadcast for the percentages
-      "q_lorenz_curve") // 1-row (n, total-cents) broadcast for decile shares
+      "q_lorenz_curve", // 1-row (n, total-cents) broadcast for decile shares
+      "q_mmr_rerank", // <=20-candidate pair table + 1-row greedy picks (report-sized)
+      "q_lang_vocab_overlap") // |langs|-row size-table inequality self-join (grid-sized)
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
