@@ -293,7 +293,11 @@ object Bench {
               .as[StreamingJobs.MgInput], 8).toDF),
           ("reservoir", "append", () => StreamingJobs.reservoirStream(
             src.select(col("event_type"), col("event_id"))
-              .as[StreamingJobs.ResInput], 16).toDF))
+              .as[StreamingJobs.ResInput], 16).toDF),
+          ("rfm", "update", () => StreamingJobs.rfmStream(
+            src.filter(col("event_type") === lit("purchase"))
+              .select(col("user_id"), col("ts"), col("value"))
+              .as[StreamingJobs.RfmInput]).toDF))
         jobs.flatMap { case (name, mode, build) =>
           try {
             val ckpt = java.nio.file.Files

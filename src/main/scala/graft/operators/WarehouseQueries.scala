@@ -678,8 +678,65 @@ object WarehouseQueries extends QueryModule {
       FROM e
     """))
 
+  /** Bitmap-index build + algebra: the per-event-type user bitmap as a
+    * (type, word)→mask RELATION — 63 users per BIGINT word (bit =
+    * user mod 63 keeps every shift below the sign bit, sidestepping
+    * cross-engine 1<<63 semantics), masks folded with bit_or — then
+    * pairwise type co-activity answered ENTIRELY in bitmap algebra:
+    * popcount(maskA AND maskB) summed over words. This is the segment
+    * bitmap-index pattern (Roaring's dense-container idea as a
+    * relation): the index is corpus-rows → |types|·(users/63) words,
+    * and intersection queries never touch the fact table again. The
+    * DuckDB oracle deliberately does NOT mirror the bitmaps — it
+    * computes the same counts by plain distinct-set arithmetic, so the
+    * hash match cross-validates the bitmap algebra against an
+    * independent definition (the q_kcore brute-force philosophy).
+    */
+  private val bitmapIndex = QueryDef(
+    "q_bitmap_index",
+    (spark, sfDir) => {
+      val masks = Tables.events(spark, sfDir)
+        .selectExpr("event_type", "user_id div 63 AS word",
+          "CAST(user_id % 63 AS INT) AS b")
+        .groupBy("event_type", "word")
+        .agg(expr("bit_or(shiftleft(1L, b))").as("mask"))
+        .localCheckpoint(true) // the index relation — built once, queried twice
+      val sizes = masks.groupBy("event_type")
+        .agg(sum(expr("bit_count(mask)")).cast("long").as("nu"))
+      val both = masks.as("a")
+        .join(masks.as("b"),
+          col("a.word") === col("b.word") && col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+        .agg(sum(expr("bit_count(a.mask & b.mask)")).cast("long").as("n_both"))
+      sizes.as("sa").join(broadcast(sizes.as("sb")),
+          col("sa.event_type") < col("sb.event_type"))
+        .select(col("sa.event_type").as("type_a"), col("sa.nu").as("users_a"),
+          col("sb.event_type").as("type_b"), col("sb.nu").as("users_b"))
+        .join(both, Seq("type_a", "type_b"), "left")
+        .withColumn("n_both", coalesce(col("n_both"), lit(0L)))
+        .selectExpr("type_a", "type_b", "users_a", "users_b", "n_both",
+          s"${Ql.R("CAST(n_both AS DOUBLE) / (users_a + users_b - n_both)", 4)} AS jaccard")
+        .orderBy("type_a", "type_b")
+    },
+    Some(s"""
+      WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+      sizes AS (SELECT event_type, count(*) AS nu FROM tu GROUP BY 1),
+      inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+        FROM tu a JOIN tu b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+      SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+             CAST(sa.nu AS BIGINT) AS users_a, CAST(sb.nu AS BIGINT) AS users_b,
+             CAST(COALESCE(n_both, 0) AS BIGINT) AS n_both,
+             ${Ql.R("CAST(COALESCE(n_both, 0) AS DOUBLE) / (sa.nu + sb.nu - COALESCE(n_both, 0))", 4)} AS jaccard
+      FROM sizes sa JOIN sizes sb ON sa.event_type < sb.event_type
+      LEFT JOIN inter ON inter.type_a = sa.event_type AND inter.type_b = sb.event_type
+      ORDER BY 1, 2
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(skyline, histogram2d, zorderLayout, equidepthBins, kAnonymity,
       shardSkew, compactionBins, cdcApply, snapshotDiff, columnProfile,
-      zoneMapAudit, joinSizeEst)
+      zoneMapAudit, joinSizeEst, bitmapIndex)
 }

@@ -355,6 +355,63 @@ object StreamingJobs {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  // ---- H6: streaming RFM maintenance (the q_rfm_segments feeder) ----
+
+  case class RfmInput(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class RfmOut(user_id: Long, fresh_us: Long, freq: Long, cents: Long)
+
+  /** Streaming twin of q_rfm_segments' per-user aggregates: last-purchase
+    * epoch-µs "freshness", purchase count, exact cent spend — the hot
+    * per-user state a CRM serves while the quintile CUTS are recomputed
+    * batch-side (rank thresholds need the population; the per-user
+    * numbers do not). State is O(1) per user and the merge
+    * (max, +count, +cents) is commutative over exact integers, so —
+    * like the HLL maintainer — replay equality against the batch
+    * aggregate is EXACT with no ordering precondition; exactly-once per
+    * event is the only contract (upsert-sink replay discharges
+    * at-least-once). Cents are rounded per row with [[graft.operators.Ql.rd]],
+    * the proven JVM twin of the batch `Ql.r` column rounding.
+    */
+  class RfmProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, RfmInput, RfmOut] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("rfm",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    private def micros(ts: java.sql.Timestamp): Long =
+      (ts.getTime / 1000) * 1000000L + ts.getNanos / 1000
+
+    override def handleInputRows(key: Long, rows: Iterator[RfmInput],
+        timers: TimerValues): Iterator[RfmOut] = {
+      var (fresh, freq, cents) =
+        if (st.exists()) st.get() else (Long.MinValue, 0L, 0L)
+      rows.foreach { r =>
+        fresh = math.max(fresh, micros(r.ts))
+        freq += 1
+        cents += graft.operators.Ql.rd(r.value * 100, 0).toLong
+      }
+      st.update((fresh, freq, cents))
+      Iterator.single(RfmOut(key, fresh, freq, cents))
+    }
+  }
+
+  def rfmStream(purchases: Dataset[RfmInput]): Dataset[RfmOut] = {
+    import purchases.sparkSession.implicits._
+    requireRocksDb(purchases.sparkSession)
+    purchases
+      .groupByKey(_.user_id)
+      .transformWithState(new RfmProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   // ---- H6: transformWithState funnel stage machine ----
 
   case class FunnelInput(user_id: Long, ts: java.sql.Timestamp, event_type: String)

@@ -617,6 +617,45 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     got.zip(want).foreach { case (g, w) => assert(g == w, s"$g vs $w") }
   }
 
+  test("sf0.01 streaming RFM maintenance equals the batch per-user aggregates exactly") {
+    import spark.implicits._
+    import graft.streaming.StreamingJobs
+    val sf = "/root/testdata/sf0.01"
+    // The q_rfm_segments feeder: per-user (freshness, frequency, cents)
+    // maintained under arrivals. The merge is (max, +, +) over exact
+    // integers — commutative AND order-free, so like the HLL case the
+    // final upserted rows must equal the batch aggregation EXACTLY with
+    // no ordering precondition; freq is the strictly-increasing upsert
+    // version.
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val in = sliceReplay(ev, 4, "graft_rfm")
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .as[StreamingJobs.RfmInput]
+    val updates = StreamingJobs.rfmStream(src).toDF()
+    val table = java.nio.file.Files.createTempDirectory("graft_rfm_table").toString
+    val q = StreamingJobs.upsertSink(updates, table,
+        java.nio.file.Files.createTempDirectory("graft_rfm_ckpt").toString,
+        key = "user_id", versionCol = "freq")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "RFM stream did not finish in 180s")
+    val got = StreamingJobs.readUpserted(spark, table).get
+      .select("user_id", "fresh_us", "freq", "cents")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val want = ev
+      .groupBy("user_id")
+      .agg(max(unix_micros(col("ts"))).as("fresh"),
+        count(lit(1)).as("freq"),
+        sum(operators.Ql.r(col("value") * 100, 0).cast("long")).as("cents"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == want.keySet,
+      s"user sets differ: ${got.size} vs ${want.size}")
+    want.foreach { case (k, v) => assert(got(k) == v, s"user $k: ${got(k)} vs $v") }
+  }
+
   test("sf0.01 streaming HLL maintenance equals the batch hll_sketch_agg estimate exactly") {
     import spark.implicits._
     import graft.streaming.StreamingJobs
