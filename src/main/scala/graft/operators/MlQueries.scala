@@ -439,6 +439,163 @@ object MlQueries extends QueryModule {
       """))
   }
 
+  // ---------------------------------------------------------------- sequential A/B
+
+  /** Sequential A/B monitoring with a √-information boundary — the
+    * "peek every week without inflating α" chart (O'Brien–Fleming's
+    * shape: boundary(t) = z_final/√fraction, conservative early, 1.96
+    * at full information; retrospectively replayed, day d's row
+    * is what the monitor showed with the data through that day).
+    * Exposure unit = purchase event by event time (every user's FIRST
+    * event lands on corpus day 1 in this data, so entry-cohort
+    * accumulation would be a single degenerate look); arm assignment is
+    * the q_ab_test deterministic hash bucket, conversion its value>180
+    * metric. Daily entries collapse to a calendar-bounded table; the
+    * cumulative window runs over THAT; the z is the pooled
+    * two-proportion statistic on exact integer cumulative counts.
+    */
+  private val sequentialAb = QueryDef(
+    "q_sequential_ab",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perEvent = Tables.events(spark, sfDir)
+        .filter(col("event_type") === "purchase")
+        .select(to_date(col("ts")).as("d0"),
+          (col("value") > 180).cast("long").as("conv"),
+          when(expr(SamplingQueries.bucketExpr("user_id")) < 50, "A")
+            .otherwise("B").as("arm"))
+      val minD = perEvent.agg(min("d0").as("dmin"))
+      val look = perEvent.crossJoin(broadcast(minD))
+        .selectExpr("CAST(datediff(d0, dmin) AS BIGINT) AS look", "arm", "conv")
+        .groupBy("look")
+        .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("ea"),
+          sum(when(col("arm") === "A", col("conv")).otherwise(0L)).as("ca"),
+          sum(when(col("arm") === "B", 1L).otherwise(0L)).as("eb"),
+          sum(when(col("arm") === "B", col("conv")).otherwise(0L)).as("cb"))
+      val tot = look.agg(sum(col("ea") + col("eb")).as("nt"))
+      val w = Window.orderBy("look")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      look
+        .withColumn("na", sum("ea").over(w)).withColumn("nb", sum("eb").over(w))
+        .withColumn("xa", sum("ca").over(w)).withColumn("xb", sum("cb").over(w))
+        .crossJoin(broadcast(tot))
+        .selectExpr("look", "na", "nb", "xa", "xb",
+          s"${Ql.R("CAST(na + nb AS DOUBLE) / nt", 4)} AS info_frac",
+          "CAST(xa + xb AS DOUBLE) / (na + nb) AS pool",
+          "CAST(na + nb AS DOUBLE) / nt AS frac")
+        .selectExpr("look", "na", "nb", "xa", "xb", "info_frac",
+          s"""CASE WHEN pool = 0.0 OR pool = 1.0 THEN 0.0 ELSE
+            ${Ql.R("""(CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+              / sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))""", 4)} END AS z""",
+          s"${Ql.R("1.96 / sqrt(frac)", 4)} AS boundary")
+        .withColumn("crossed", (abs(col("z")) > col("boundary")).cast("int"))
+        .orderBy("look")
+    },
+    Some(s"""
+      WITH perEvent AS (
+        SELECT CAST(ts AS DATE) AS d0,
+               CASE WHEN value > 180 THEN 1 ELSE 0 END AS conv,
+               CASE WHEN ${Ql.Md5PrefixLong("CAST(user_id AS VARCHAR)", 4)} % 100 < 50
+                 THEN 'A' ELSE 'B' END AS arm
+        FROM events WHERE event_type = 'purchase'),
+      md AS (SELECT min(d0) AS dmin FROM perEvent),
+      look AS (
+        SELECT (d0 - dmin) AS look,
+               CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ea,
+               CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS ca,
+               CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS eb,
+               CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS cb
+        FROM perEvent CROSS JOIN md GROUP BY 1),
+      tot AS (SELECT CAST(sum(ea + eb) AS BIGINT) AS nt FROM look),
+      c AS (
+        SELECT look,
+               CAST(sum(ea) OVER win AS BIGINT) AS na,
+               CAST(sum(eb) OVER win AS BIGINT) AS nb,
+               CAST(sum(ca) OVER win AS BIGINT) AS xa,
+               CAST(sum(cb) OVER win AS BIGINT) AS xb,
+               nt
+        FROM look CROSS JOIN tot
+        WINDOW win AS (ORDER BY look ROWS UNBOUNDED PRECEDING)),
+      s AS (
+        SELECT look, na, nb, xa, xb,
+               ${Ql.R("CAST(na + nb AS DOUBLE) / nt", 4)} AS info_frac,
+               CAST(xa + xb AS DOUBLE) / (na + nb) AS pool,
+               CAST(na + nb AS DOUBLE) / nt AS frac
+        FROM c)
+      SELECT look, na, nb, xa, xb, info_frac,
+             CASE WHEN pool = 0.0 OR pool = 1.0 THEN 0.0 ELSE
+               ${Ql.R("""(CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+                 / sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))""", 4)} END AS z,
+             ${Ql.R("1.96 / sqrt(frac)", 4)} AS boundary,
+             CAST(abs(CASE WHEN pool = 0.0 OR pool = 1.0 THEN 0.0 ELSE
+               ${Ql.R("""(CAST(xa AS DOUBLE) / na - CAST(xb AS DOUBLE) / nb)
+                 / sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))""", 4)} END)
+               > ${Ql.R("1.96 / sqrt(frac)", 4)} AS INT) AS crossed
+      FROM s ORDER BY look
+    """))
+
+  // ---------------------------------------------------------------- pairwise post-hoc
+
+  /** Post-hoc pairwise mean comparisons between event types (the step
+    * after q_anova's omnibus F): every type pair's mean-value difference
+    * with the pooled-variance standard error and a Bonferroni-adjusted
+    * significance flag (|z| > 2.81 ≈ the two-sided 5% cut for C(5,2)
+    * comparisons). Group moments come from ONE corpus aggregation on
+    * exact integer cents; the pair grid is |types|² — report-sized. All
+    * arithmetic past the moments is IEEE-on-exact-integers, rounded
+    * 4 dp.
+    */
+  private val pairwiseMeans = QueryDef(
+    "q_pairwise_means",
+    (spark, sfDir) => {
+      val g = Tables.events(spark, sfDir)
+        .select(col("event_type"), Ql.r(col("value") * 100, 0).cast("long").as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("c").as("s"), sum(expr("c * c")).as("s2"))
+        .localCheckpoint(true) // |types| rows feed the pooled MSE and the grid
+      val pooled = g.agg(
+        sum("n").as("nt"), count(lit(1)).as("k"),
+        // within-group sum of squares: Σ(s2 - s²/n), exact integer s/s2
+        sum(expr("s2 - CAST(s AS DOUBLE) * s / n")).as("ssw"))
+        .selectExpr("nt", "k", "ssw / (nt - k) AS mse")
+      g.as("a").join(broadcast(g.as("b")),
+          col("a.event_type") < col("b.event_type"))
+        .crossJoin(broadcast(pooled))
+        .selectExpr("a.event_type AS type_a", "b.event_type AS type_b",
+          "a.n AS n_a", "b.n AS n_b",
+          s"${Ql.R("(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n) / 100.0", 4)} AS mean_diff",
+          s"${Ql.R("sqrt(mse * (1.0 / a.n + 1.0 / b.n)) / 100.0", 4)} AS se",
+          s"""${Ql.R("""(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+            / sqrt(mse * (1.0 / a.n + 1.0 / b.n))""", 4)} AS z""")
+        .withColumn("sig_bonferroni", (abs(col("z")) > 2.81).cast("int"))
+        .orderBy("type_a", "type_b")
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS s2
+        FROM (SELECT event_type, CAST(${Ql.R("value * 100", 0)} AS BIGINT) AS c
+              FROM events)
+        GROUP BY 1),
+      pooled AS (
+        SELECT sum(n) AS nt, count(*) AS k,
+               sum(s2 - CAST(s AS DOUBLE) * s / n) AS ssw
+        FROM g),
+      p AS (SELECT nt, k, ssw / (nt - k) AS mse FROM pooled)
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.n AS n_a, b.n AS n_b,
+             ${Ql.R("(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n) / 100.0", 4)} AS mean_diff,
+             ${Ql.R("sqrt(mse * (1.0 / a.n + 1.0 / b.n)) / 100.0", 4)} AS se,
+             ${Ql.R("""(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+               / sqrt(mse * (1.0 / a.n + 1.0 / b.n))""", 4)} AS z,
+             CAST(abs(${Ql.R("""(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+               / sqrt(mse * (1.0 / a.n + 1.0 / b.n))""", 4)}) > 2.81 AS INT) AS sig_bonferroni
+      FROM g a JOIN g b ON a.event_type < b.event_type
+      CROSS JOIN p
+      ORDER BY 1, 2
+    """))
+
   override def defs: Seq[QueryDef] =
-    Seq(logisticIrls, overdispersion, varCvar, naiveBayes, boostedStumps)
+    Seq(logisticIrls, overdispersion, varCvar, naiveBayes, boostedStumps,
+      sequentialAb, pairwiseMeans)
 }

@@ -202,7 +202,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_power_user_curve", // 1-row user-total broadcast for the percentages
       "q_lorenz_curve", // 1-row (n, total-cents) broadcast for decile shares
       "q_mmr_rerank", // <=20-candidate pair table + 1-row greedy picks (report-sized)
-      "q_lang_vocab_overlap") // |langs|-row size-table inequality self-join (grid-sized)
+      "q_lang_vocab_overlap", // |langs|-row size-table inequality self-join (grid-sized)
+      "q_bitmap_index", // |types|-row size-table inequality self-join (grid-sized)
+      "q_sequential_ab", // 1-row min-date / total-count broadcasts
+      "q_pairwise_means") // |types|-row moment-table pair grid + 1-row pooled MSE
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
@@ -237,7 +240,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_spearman", // <=64-row highest-set-bit bucket histogram
       "q_boosted_stumps", // <=24-row feature-histogram prefix sums
       "q_rfm_segments", "q_lorenz_curve", // <=64-row highest-set-bit offset histograms
-      "q_power_user_curve") // active-days histogram (calendar-bounded rows)
+      "q_power_user_curve", // active-days histogram (calendar-bounded rows)
+      "q_sequential_ab") // daily-look table (calendar-bounded rows)
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val bad = df.queryExecution.sparkPlan.collect {
