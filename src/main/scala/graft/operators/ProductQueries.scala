@@ -37,9 +37,12 @@ object ProductQueries extends QueryModule {
 
   // ---------------------------------------------------------------- RFM
 
-  /** RFM segmentation of the purchase base — recency/frequency/monetary
-    * quintile codes (5 = best: most recent, most frequent, highest
-    * spend), the classic CRM cut. Per-user aggregates (last-purchase
+  /** Quintile-scored RFM segmentation of the purchase base —
+    * recency/frequency/monetary codes 1-5 (5 = best: most recent, most
+    * frequent, highest spend) where the CUTS are data-driven population
+    * quintiles, the complement of q_rfm_segments' fixed business bands
+    * (that one answers "who is in OUR segments", this one "how does the
+    * population split evenly"). Per-user aggregates (last-purchase
     * epoch-µs "freshness", purchase count, exact cent spend) rank
     * through [[bitRanks]]; quintile = ((5·(rank−1)) div n) + 1 — exact
     * integer arithmetic against the 1-row user-count broadcast, no
@@ -48,7 +51,7 @@ object ProductQueries extends QueryModule {
     * occupied (r,f,m) cell with its size and average spend.
     */
   private val rfmSegments = QueryDef(
-    "q_rfm_segments",
+    "q_rfm_quintiles",
     (spark, sfDir) => {
       val u = Tables.events(spark, sfDir)
         .filter(col("event_type") === "purchase")

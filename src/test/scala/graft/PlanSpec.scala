@@ -198,7 +198,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_logistic_irls", // 1-row beta broadcasts per IRLS round
       "q_boosted_stumps", // 1-row split/sse broadcasts per boosting round
       "q_naive_bayes", // 1-row vocab-size/doc-total + langs x vocab grid broadcasts
-      "q_rfm_segments", // 1-row user-count broadcast for the quintile arithmetic
+      "q_rfm_quintiles", // 1-row user-count broadcast for the quintile arithmetic
       "q_power_user_curve", // 1-row user-total broadcast for the percentages
       "q_lorenz_curve", // 1-row (n, total-cents) broadcast for decile shares
       "q_mmr_rerank", // <=20-candidate pair table + 1-row greedy picks (report-sized)
@@ -239,7 +239,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_decision_stump", // ~20-row price-range bucket-offset histogram
       "q_spearman", // <=64-row highest-set-bit bucket histogram
       "q_boosted_stumps", // <=24-row feature-histogram prefix sums
-      "q_rfm_segments", "q_lorenz_curve", // <=64-row highest-set-bit offset histograms
+      "q_rfm_quintiles", "q_lorenz_curve", // <=64-row highest-set-bit offset histograms
       "q_power_user_curve", // active-days histogram (calendar-bounded rows)
       "q_sequential_ab") // daily-look table (calendar-bounded rows)
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
