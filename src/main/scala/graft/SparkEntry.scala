@@ -40,6 +40,13 @@ object SparkEntry {
 
   private lazy val all: Seq[QueryDef] = modules.flatMap(_.defs)
 
+  /** Names registered by more than one module — the `queries` map is
+    * last-wins, so a collision silently SHADOWS an earlier query (hit
+    * once: two q_rfm_segments). RegistrySpec asserts this is empty.
+    */
+  def duplicateNames: Seq[String] =
+    all.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }.toSeq.sorted
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     operators.EventQueries.hourlyEventStats.fn(spark, "/root/testdata/sf0.001")

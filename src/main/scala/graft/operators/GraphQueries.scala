@@ -1185,8 +1185,103 @@ object GraphQueries extends QueryModule {
     """
     })
 
+  /** 3-truss peeling (Cohen 2008, public): drop every edge that closes
+    * no triangle, twice — the cohesion filter one notch above k-core
+    * (k-core keeps well-connected VERTICES; k-truss keeps well-supported
+    * EDGES, killing bridge/star noise that survives coring). Per-edge
+    * triangle support comes from the SAME degree-oriented wedge join as
+    * q_triangle_count (O(m^1.5) bound), with each oriented triangle
+    * mapped back to its three undirected edges and counted — never an
+    * all-pairs step. Two unrolled rounds keep the oracle exact (the
+    * loop-until-fixpoint variant would follow kcoreConverged's proven
+    * pattern); per-round triangle totals fall out of Σsupport/3. The
+    * oracle enumerates triangles with the plain id-ordered 3-join —
+    * independent machinery, same semantics.
+    */
+  private val ktruss: QueryDef = {
+    QueryDef(
+      "q_ktruss",
+      (spark, sfDir) => {
+        // per-edge triangle support of an id-ordered (a<b) edge list
+        def edgeSupport(edges: org.apache.spark.sql.DataFrame) = {
+          val deg = edges.select(col("a").as("v"))
+            .unionByName(edges.select(col("b").as("v")))
+            .groupBy("v").agg(count(lit(1)).as("dg"))
+          val keyed = edges
+            .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
+            .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
+          val aFirst = col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b"))
+          val oriented = keyed.select(
+            when(aFirst, col("a")).otherwise(col("b")).as("src"),
+            when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+            when(aFirst, col("db")).otherwise(col("da")).as("kd"))
+            .localCheckpoint(true)
+          val o1 = oriented.select(col("src"), col("dst").as("d1"), col("kd").as("k1"))
+          val o2 = oriented.select(col("src"), col("dst").as("d2"), col("kd").as("k2"))
+          val tri = o1.join(o2, "src")
+            .filter(col("k1") < col("k2") || (col("k1") === col("k2") && col("d1") < col("d2")))
+            .join(oriented.select(col("src").as("d1"), col("dst").as("d2")), Seq("d1", "d2"))
+            .select(col("src").as("x"), col("d1").as("y"), col("d2").as("z"))
+          val sides = tri.select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+            .unionAll(tri.select(least(col("x"), col("z")).as("a"), greatest(col("x"), col("z")).as("b")))
+            .unionAll(tri.select(least(col("y"), col("z")).as("a"), greatest(col("y"), col("z")).as("b")))
+          sides.groupBy("a", "b").agg(count(lit(1)).as("sup"))
+        }
+        val e0 = itemPairs(orderItems(spark, sfDir))
+          .filter(col("s_ab") >= 2).select("a", "b")
+          .localCheckpoint(true)
+        val s1 = edgeSupport(e0).localCheckpoint(true)
+        val e1 = s1.filter(col("sup") >= 1).select("a", "b").localCheckpoint(true)
+        val s2 = edgeSupport(e1).localCheckpoint(true)
+        def roundRow(r: Int, in: org.apache.spark.sql.DataFrame,
+            sup: org.apache.spark.sql.DataFrame) =
+          in.agg(count(lit(1)).as("n_edges_in"))
+            .crossJoin(broadcast(sup.agg(
+              coalesce(expr("sum(sup) div 3"), lit(0L)).as("n_triangles"),
+              coalesce(sum((col("sup") >= 1).cast("long")), lit(0L)).as("n_kept"))))
+            .selectExpr(s"$r AS round", "n_edges_in", "n_triangles", "n_kept")
+        roundRow(1, e0, s1).unionByName(roundRow(2, e1, s2)).orderBy("round")
+      },
+      Some(s"""
+        WITH items AS ($itemsSql),
+        e0 AS (SELECT a, b FROM ($pairsSql) WHERE s_ab >= 2),
+        t1 AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e0 e1 JOIN e0 e2 ON e1.b = e2.a
+            JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+        s1 AS (
+          SELECT a, b, count(*) AS sup FROM (
+            SELECT x AS a, y AS b FROM t1
+            UNION ALL SELECT x, z FROM t1
+            UNION ALL SELECT y, z FROM t1)
+          GROUP BY 1, 2),
+        e1 AS (SELECT a, b FROM s1 WHERE sup >= 1),
+        t2 AS (
+          SELECT x1.a AS x, x1.b AS y, x2.b AS z
+          FROM e1 x1 JOIN e1 x2 ON x1.b = x2.a
+            JOIN e1 x3 ON x3.a = x1.a AND x3.b = x2.b),
+        s2 AS (
+          SELECT a, b, count(*) AS sup FROM (
+            SELECT x AS a, y AS b FROM t2
+            UNION ALL SELECT x, z FROM t2
+            UNION ALL SELECT y, z FROM t2)
+          GROUP BY 1, 2)
+        SELECT 1 AS round,
+               (SELECT count(*) FROM e0) AS n_edges_in,
+               COALESCE((SELECT CAST(sum(sup) AS BIGINT) // 3 FROM s1), 0) AS n_triangles,
+               COALESCE((SELECT count(*) FROM s1 WHERE sup >= 1), 0) AS n_kept
+        UNION ALL
+        SELECT 2 AS round,
+               (SELECT count(*) FROM e1) AS n_edges_in,
+               COALESCE((SELECT CAST(sum(sup) AS BIGINT) // 3 FROM s2), 0) AS n_triangles,
+               COALESCE((SELECT count(*) FROM s2 WHERE sup >= 1), 0) AS n_kept
+        ORDER BY round
+      """))
+  }
+
   override def defs: Seq[QueryDef] =
     Seq(pagerank, marketBasket, triangleCount, itemCf, itemsets3, rfmSegments,
       hits, assortativity, degreeHist, kcore, linkPred, sssp, modularity,
-      graph2hop, recCoverage, closeness)
+      graph2hop, recCoverage, closeness, ktruss)
 }
