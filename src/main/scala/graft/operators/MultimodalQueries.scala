@@ -133,6 +133,103 @@ object MultimodalQueries extends QueryModule {
       FROM g GROUP BY media_type ORDER BY media_type
     """))
 
+  /** Metadata quality gate over the full media corpus — the pre-decode
+    * filter every multimodal ingest runs (resolution floors for images/
+    * video, frame floors for video, size floors for audio) so the
+    * expensive decode stage never sees junk. Gates are pure metadata
+    * predicates (the 100 TB point: this pass reads extracted metadata
+    * columns, never payload bytes); per-type pass/reject counts and the
+    * dominant reject reason are the report. The stub decoder's
+    * md5-derived dimensions are mirrored in the oracle, so the gate
+    * logic is value-checked end to end.
+    */
+  private val mediaQualityGate = QueryDef(
+    "q_media_quality_gate",
+    (spark, sfDir) => {
+      val feats = MultimodalPipeline.extractFeatures(
+        MultimodalPipeline.mediaTable(spark, sfDir)).toDF()
+      feats
+        .withColumn("reject_reason",
+          when(col("media_type").isin("image", "video") &&
+            (col("width") < 96 || col("height") < 96), "low_res")
+            .when(col("media_type") === "video" && col("n_frames") < 4, "too_few_frames")
+            .when(col("media_type") === "audio" && col("byte_len") < 64, "too_small")
+            .otherwise("pass"))
+        .groupBy("media_type", "reject_reason")
+        .agg(count(lit(1)).as("n"), sum(col("byte_len").cast("long")).as("bytes"))
+        .orderBy("media_type", "reject_reason")
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               CAST(octet_length(encode(text)) AS INT) AS byte_len,
+               md5(text) AS h
+        FROM documents),
+      f AS (
+        SELECT doc_id, media_type, byte_len,
+               CAST(64 + 8 * ${hexValSql("substr(h, 1, 1)")} AS INT) AS width,
+               CAST(64 + 8 * ${hexValSql("substr(h, 2, 1)")} AS INT) AS height,
+               CAST(1 + ${hexValSql("substr(h, 3, 1)")} % 8 AS INT) AS n_frames
+        FROM m),
+      g AS (
+        SELECT media_type, byte_len,
+               CASE WHEN media_type IN ('image', 'video')
+                      AND (width < 96 OR height < 96) THEN 'low_res'
+                    WHEN media_type = 'video' AND n_frames < 4 THEN 'too_few_frames'
+                    WHEN media_type = 'audio' AND byte_len < 64 THEN 'too_small'
+                    ELSE 'pass' END AS reject_reason
+        FROM f)
+      SELECT media_type, reject_reason, count(*) AS n,
+             CAST(sum(byte_len) AS BIGINT) AS bytes
+      FROM g GROUP BY 1, 2 ORDER BY 1, 2
+    """))
+
+  /** Modality mixture report — the per-modality share of objects and
+    * bytes a data-mixture planner balances before training (the
+    * multimodal twin of q_mix_weights). One metadata aggregation;
+    * shares are single rounded divides against 1-row corpus totals.
+    */
+  private val modalityMix = QueryDef(
+    "q_modality_mix",
+    (spark, sfDir) => {
+      val feats = MultimodalPipeline.extractFeatures(
+        MultimodalPipeline.mediaTable(spark, sfDir)).toDF()
+        .groupBy("media_type")
+        .agg(count(lit(1)).as("n_objects"),
+          sum(col("byte_len").cast("long")).as("bytes"),
+          sum(col("n_frames").cast("long")).as("frames"))
+      val tot = feats.agg(sum("n_objects").as("nt"), sum("bytes").as("bt"))
+      feats.crossJoin(broadcast(tot))
+        .selectExpr("media_type", "n_objects", "bytes", "frames",
+          s"${Ql.R("100.0 * n_objects / nt", 4)} AS object_pct",
+          s"${Ql.R("100.0 * bytes / bt", 4)} AS byte_pct")
+        .orderBy("media_type")
+    },
+    Some(s"""
+      WITH m AS (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               CAST(octet_length(encode(text)) AS INT) AS byte_len,
+               CAST(1 + ${hexValSql("substr(md5(text), 3, 1)")} % 8 AS INT) AS n_frames
+        FROM documents),
+      g AS (
+        SELECT media_type, count(*) AS n_objects,
+               CAST(sum(byte_len) AS BIGINT) AS bytes,
+               CAST(sum(n_frames) AS BIGINT) AS frames
+        FROM m GROUP BY 1),
+      t AS (SELECT CAST(sum(n_objects) AS BIGINT) AS nt,
+                   CAST(sum(bytes) AS BIGINT) AS bt FROM g)
+      SELECT media_type, n_objects, bytes, frames,
+             ${Ql.R("100.0 * n_objects / nt", 4)} AS object_pct,
+             ${Ql.R("100.0 * bytes / bt", 4)} AS byte_pct
+      FROM g CROSS JOIN t ORDER BY media_type
+    """))
+
   override def defs: Seq[QueryDef] =
-    Seq(multimodalFeatures, multimodalFrames, mediaDedup)
+    Seq(multimodalFeatures, multimodalFrames, mediaDedup, mediaQualityGate,
+      modalityMix)
 }

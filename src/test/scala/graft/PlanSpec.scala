@@ -206,7 +206,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_bitmap_index", // |types|-row size-table inequality self-join (grid-sized)
       "q_sequential_ab", // 1-row min-date / total-count broadcasts
       "q_pairwise_means", // |types|-row moment-table pair grid + 1-row pooled MSE
-      "q_ktruss") // 1-row per-round edge/triangle totals crossed into report rows
+      "q_ktruss", // 1-row per-round edge/triangle totals crossed into report rows
+      "q_modality_mix") // 1-row corpus-totals broadcast into the 3-row modality report
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
