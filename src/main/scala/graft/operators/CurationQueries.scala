@@ -643,8 +643,63 @@ object CurationQueries extends QueryModule {
       ORDER BY lang
     """))
 
+  /** Token-budget apportionment: split a fixed training budget
+    * (B = 1,000,000 tokens; n_chars is the token proxy) across
+    * languages proportionally to corpus mass by Hamilton's
+    * largest-remainder method — floor(B·massᵢ/total) each, then the
+    * leftover units go to the largest remainders. EVERYTHING is exact
+    * 64-bit integer arithmetic (quotient and remainder of B·massᵢ,
+    * a rank over the ≤|langs|-row remainder table), so Σalloc = B by
+    * construction on both engines — the planner q_mix_weights's
+    * weights feed in production, reduced here to raw shares so the
+    * apportionment itself is the operator under test. (At 100 TB,
+    * B·massᵢ wants DECIMAL(38) headroom; the shape is unchanged.)
+    */
+  private val tokenBudgetPlan = QueryDef(
+    "q_token_budget_plan",
+    (spark, sfDir) => {
+      val b = 1000000L
+      val m = Tables.documents(spark, sfDir)
+        .groupBy("lang").agg(sum("n_chars").as("mass"))
+      val tot = m.agg(sum("mass").as("t"))
+      val base = m.crossJoin(broadcast(tot))
+        .selectExpr("lang", "mass", "t",
+          s"($b * mass) div t AS alloc0", s"($b * mass) % t AS rem")
+      val left = base.agg((lit(b) - sum(col("alloc0"))).as("r"))
+      val rk = Window.orderBy(col("rem").desc, col("lang"))
+      base
+        .withColumn("rk", row_number().over(rk))
+        .crossJoin(broadcast(left))
+        .selectExpr("lang", "mass",
+          s"${Ql.R("100.0 * mass / t", 4)} AS share_pct",
+          "CAST(rk <= r AS INT) AS got_extra",
+          "alloc0 + CAST(rk <= r AS LONG) AS alloc")
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH m AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS mass
+                 FROM documents GROUP BY 1),
+      t AS (SELECT CAST(sum(mass) AS BIGINT) AS t FROM m),
+      base AS (
+        SELECT lang, mass, t,
+               (1000000 * mass) // t AS alloc0,
+               (1000000 * mass) % t AS rem
+        FROM m CROSS JOIN t),
+      lft AS (SELECT CAST(1000000 - sum(alloc0) AS BIGINT) AS r FROM base),
+      ranked AS (
+        SELECT lang, mass, t, alloc0,
+               row_number() OVER (ORDER BY rem DESC, lang) AS rk
+        FROM base)
+      SELECT lang, mass,
+             ${Ql.R("100.0 * mass / t", 4)} AS share_pct,
+             CAST(rk <= r AS INT) AS got_extra,
+             CAST(alloc0 + CAST(rk <= r AS INT) AS BIGINT) AS alloc
+      FROM ranked CROSS JOIN lft
+      ORDER BY lang
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(segmentDedup, repetitionFilter, domainBudget, wordEntropy,
       globalOrdinals, chi2Terms, klDivergence, dupGramCoverage,
-      gopherQuality, piiRedact, mixWeights)
+      gopherQuality, piiRedact, mixWeights, tokenBudgetPlan)
 }

@@ -595,7 +595,182 @@ object MlQueries extends QueryModule {
       ORDER BY 1, 2
     """))
 
+  // ---------------------------------------------------------------- trimmed mean
+
+  /** 5%-trimmed mean of the event value per type — the robust location
+    * estimate that survives fat tails without q_winsorize's clamping.
+    * Entirely exact integer arithmetic on the bounded cent grid: the
+    * trim bounds are integer ranks lo = (5n) div 100 and hi = (95n) div
+    * 100, each grid cell contributes min(cum, hi) − max(cum_prev, lo)
+    * of its rows (clamped at 0) to the kept mass, and the kept cent sum
+    * is exact — one final rounded divide. The only window runs over the
+    * ≤49k-cell grid partitioned by type.
+    */
+  private val trimmedMean = QueryDef(
+    "q_trimmed_mean",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val grid = Tables.events(spark, sfDir)
+        .select(col("event_type"), Ql.r(col("value") * 100, 0).cast("long").as("c"))
+        .groupBy("event_type", "c").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = grid.groupBy("event_type").agg(sum("cnt").as("n"))
+      grid
+        .withColumn("cum", sum("cnt").over(w))
+        .join(broadcast(tot), "event_type")
+        .selectExpr("event_type", "c", "n", "cum", "cum - cnt AS cum0",
+          "(5 * n) div 100 AS lo", "(95 * n) div 100 AS hi")
+        .selectExpr("event_type", "c", "n", "lo", "hi",
+          "greatest(0L, least(cum, hi) - greatest(cum0, lo)) AS kept")
+        .groupBy("event_type")
+        .agg(max("n").as("n"), max(col("hi") - col("lo")).as("n_kept"),
+          sum(expr("c * kept")).as("kept_cents"))
+        .selectExpr("event_type", "n", "n_kept",
+          s"${Ql.R("CAST(kept_cents AS DOUBLE) / n_kept / 100.0", 4)} AS trimmed_mean")
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH grid AS (
+        SELECT event_type, CAST(${Ql.R("value * 100", 0)} AS BIGINT) AS c,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+      tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM grid GROUP BY 1),
+      cdf AS (
+        SELECT event_type, c, cnt,
+               CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM grid),
+      k AS (
+        SELECT cdf.event_type, c, n,
+               (5 * n) // 100 AS lo, (95 * n) // 100 AS hi,
+               greatest(0, least(cum, (95 * n) // 100)
+                 - greatest(cum - cnt, (5 * n) // 100)) AS kept
+        FROM cdf JOIN tot ON cdf.event_type = tot.event_type)
+      SELECT event_type, max(n) AS n,
+             CAST(max(hi - lo) AS BIGINT) AS n_kept,
+             ${Ql.R("CAST(sum(c * kept) AS DOUBLE) / max(hi - lo) / 100.0", 4)} AS trimmed_mean
+      FROM k GROUP BY 1 ORDER BY 1
+    """))
+
+  // ---------------------------------------------------------------- binary segmentation
+
+  /** Two-level binary segmentation of the daily revenue series — the
+    * classic multiple-changepoint detector (the CUSUM/changepoint family
+    * generalized past one break): find the split of the day-ordered
+    * totals that maximizes the two-segment SSE gain, then search each
+    * side and report the better second break. The series is the
+    * calendar-bounded daily table (≤ days-in-window rows), totals exact
+    * cents, the gain Σl²/nl + Σr²/nr a double over exact integers —
+    * IEEE-identical across engines, argmax tiebroken on the day. The
+    * corpus contributes ONE aggregation; both search rounds run on the
+    * tiny series.
+    */
+  private val changepointBinseg: QueryDef = {
+    QueryDef(
+      "q_changepoint_binseg",
+      (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(spark, sfDir)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(sum(Ql.r(col("value") * 100, 0).cast("long")).as("x"))
+          .localCheckpoint(true) // the tiny series feeds both rounds
+        // best split of a day-ordered segment: rows with day < split go
+        // left; gain relative to the segment's own mean-only SSE
+        def bestSplit(seg: DataFrame, segName: String): DataFrame = {
+          val w = Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val tot = seg.agg(count(lit(1)).as("nt"), sum("x").as("st"))
+          seg
+            .withColumn("nl", sum(lit(1L)).over(w))
+            .withColumn("sl", sum("x").over(w))
+            .crossJoin(broadcast(tot))
+            .filter(col("nl") < col("nt"))
+            .selectExpr(s"'$segName' AS segment", "day AS split_after",
+              "nl", "nt - nl AS nr",
+              """CAST(sl AS DOUBLE) * sl / nl + CAST(st - sl AS DOUBLE) * (st - sl) / (nt - nl)
+                 - CAST(st AS DOUBLE) * st / nt AS gain""",
+              "CAST(floor(CAST(sl AS DOUBLE) / nl + 0.5) AS BIGINT) AS mean_l_cents",
+              "CAST(floor(CAST(st - sl AS DOUBLE) / (nt - nl) + 0.5) AS BIGINT) AS mean_r_cents")
+            .orderBy(col("gain").desc, col("split_after")).limit(1)
+        }
+        val s1 = bestSplit(daily, "full").localCheckpoint(true)
+        val left = daily.crossJoin(broadcast(s1.select(col("split_after").as("cut"))))
+          .filter(col("day") <= col("cut")).select("day", "x")
+        val right = daily.crossJoin(broadcast(s1.select(col("split_after").as("cut"))))
+          .filter(col("day") > col("cut")).select("day", "x")
+        val s2 = bestSplit(left, "left").unionByName(bestSplit(right, "right"))
+          .orderBy(col("gain").desc, col("split_after")).limit(1)
+        s1.unionByName(s2)
+          .selectExpr("segment", "CAST(split_after AS STRING) AS split_after",
+            "nl", "nr", "mean_l_cents", "mean_r_cents",
+            s"${Ql.R("gain / 10000.0", 2)} AS gain_dollars_sq")
+          .orderBy(col("segment"))
+      },
+      Some(s"""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(sum(CAST(${Ql.R("value * 100", 0)} AS BIGINT)) AS BIGINT) AS x
+          FROM events GROUP BY 1),
+        p1 AS (
+          SELECT day,
+                 CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS nl,
+                 CAST(sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sl,
+                 (SELECT count(*) FROM daily) AS nt,
+                 (SELECT CAST(sum(x) AS BIGINT) FROM daily) AS st
+          FROM daily),
+        c1 AS (
+          SELECT 'full' AS segment, day AS split_after, nl, nt - nl AS nr,
+                 CAST(sl AS DOUBLE) * sl / nl
+                   + CAST(st - sl AS DOUBLE) * (st - sl) / (nt - nl)
+                   - CAST(st AS DOUBLE) * st / nt AS gain,
+                 CAST(floor(CAST(sl AS DOUBLE) / nl + 0.5) AS BIGINT) AS mean_l_cents,
+                 CAST(floor(CAST(st - sl AS DOUBLE) / (nt - nl) + 0.5) AS BIGINT) AS mean_r_cents
+          FROM p1 WHERE nl < nt),
+        s1 AS (SELECT * FROM c1 ORDER BY gain DESC, split_after LIMIT 1),
+        lseg AS (SELECT day, x FROM daily WHERE day <= (SELECT split_after FROM s1)),
+        rseg AS (SELECT day, x FROM daily WHERE day > (SELECT split_after FROM s1)),
+        pl AS (
+          SELECT day,
+                 CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS nl,
+                 CAST(sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sl,
+                 (SELECT count(*) FROM lseg) AS nt,
+                 (SELECT CAST(sum(x) AS BIGINT) FROM lseg) AS st
+          FROM lseg),
+        cl AS (
+          SELECT 'left' AS segment, day AS split_after, nl, nt - nl AS nr,
+                 CAST(sl AS DOUBLE) * sl / nl
+                   + CAST(st - sl AS DOUBLE) * (st - sl) / (nt - nl)
+                   - CAST(st AS DOUBLE) * st / nt AS gain,
+                 CAST(floor(CAST(sl AS DOUBLE) / nl + 0.5) AS BIGINT) AS mean_l_cents,
+                 CAST(floor(CAST(st - sl AS DOUBLE) / (nt - nl) + 0.5) AS BIGINT) AS mean_r_cents
+          FROM pl WHERE nl < nt),
+        pr AS (
+          SELECT day,
+                 CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS nl,
+                 CAST(sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sl,
+                 (SELECT count(*) FROM rseg) AS nt,
+                 (SELECT CAST(sum(x) AS BIGINT) FROM rseg) AS st
+          FROM rseg),
+        cr AS (
+          SELECT 'right' AS segment, day AS split_after, nl, nt - nl AS nr,
+                 CAST(sl AS DOUBLE) * sl / nl
+                   + CAST(st - sl AS DOUBLE) * (st - sl) / (nt - nl)
+                   - CAST(st AS DOUBLE) * st / nt AS gain,
+                 CAST(floor(CAST(sl AS DOUBLE) / nl + 0.5) AS BIGINT) AS mean_l_cents,
+                 CAST(floor(CAST(st - sl AS DOUBLE) / (nt - nl) + 0.5) AS BIGINT) AS mean_r_cents
+          FROM pr WHERE nl < nt),
+        s2 AS (SELECT * FROM (SELECT * FROM cl UNION ALL SELECT * FROM cr)
+               ORDER BY gain DESC, split_after LIMIT 1)
+        SELECT segment, CAST(split_after AS VARCHAR) AS split_after, nl, nr,
+               mean_l_cents, mean_r_cents,
+               ${Ql.R("gain / 10000.0", 2)} AS gain_dollars_sq
+        FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+        ORDER BY segment
+      """))
+  }
+
   override def defs: Seq[QueryDef] =
     Seq(logisticIrls, overdispersion, varCvar, naiveBayes, boostedStumps,
-      sequentialAb, pairwiseMeans)
+      sequentialAb, pairwiseMeans, trimmedMean, changepointBinseg)
 }

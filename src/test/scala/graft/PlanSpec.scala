@@ -207,7 +207,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_sequential_ab", // 1-row min-date / total-count broadcasts
       "q_pairwise_means", // |types|-row moment-table pair grid + 1-row pooled MSE
       "q_ktruss", // 1-row per-round edge/triangle totals crossed into report rows
-      "q_modality_mix") // 1-row corpus-totals broadcast into the 3-row modality report
+      "q_modality_mix", // 1-row corpus-totals broadcast into the 3-row modality report
+      "q_changepoint_binseg", // 1-row split/segment-total broadcasts per search round
+      "q_token_budget_plan", // 1-row total-mass / leftover broadcasts
+      "q_trimmed_mean") // |types|-row total broadcast onto the cent grid
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
@@ -243,7 +246,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_boosted_stumps", // <=24-row feature-histogram prefix sums
       "q_rfm_quintiles", "q_lorenz_curve", // <=64-row highest-set-bit offset histograms
       "q_power_user_curve", // active-days histogram (calendar-bounded rows)
-      "q_sequential_ab") // daily-look table (calendar-bounded rows)
+      "q_sequential_ab", // daily-look table (calendar-bounded rows)
+      "q_changepoint_binseg", // daily series table (calendar-bounded rows)
+      "q_token_budget_plan") // remainder rank over the <=|langs|-row share table
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val bad = df.queryExecution.sparkPlan.collect {
@@ -296,7 +301,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_win_cume" -> "input filtered to user_id<10 (fixed user set; E1 cume_dist coverage demo)",
       "q_sample_reservoir" -> "rank filter sits directly above the window → WindowGroupLimit caps rows at k per group map-side",
       "q_top_p_filter" -> "offset window runs over the ≤|langs|×256-row bucket histogram",
-      "q_var_cvar" -> "input = type×cent grid (≤49k cells/type by the 2-decimal value domain)")
+      "q_var_cvar" -> "input = type×cent grid (≤49k cells/type by the 2-decimal value domain)",
+      "q_trimmed_mean" -> "input = type×cent grid (≤49k cells/type by the 2-decimal value domain)")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (boundedInputOk.contains(name)) None
       else {

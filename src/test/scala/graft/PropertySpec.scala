@@ -768,4 +768,47 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("q_token_budget_plan is a valid Hamilton apportionment") {
+    // The apportionment LAWS, independent of the SQL: allocations sum to
+    // exactly B, and each language's share is its exact quota floored or
+    // floored+1 (Hamilton's method never strays further).
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_token_budget_plan")(spark, sf)
+      .select("lang", "mass", "alloc").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val b = 1000000L
+    val total = rows.map(_._2).sum
+    assert(rows.map(_._3).sum == b, "allocations must sum to the budget exactly")
+    rows.foreach { case (lang, mass, alloc) =>
+      val quotaFloor = b * mass / total
+      assert(alloc == quotaFloor || alloc == quotaFloor + 1,
+        s"$lang: alloc $alloc must be floor($b*$mass/$total) or +1")
+    }
+  }
+
+  test("q_changepoint_binseg's first split equals a brute-force SSE scan") {
+    // Independent check of the split-search algebra: recompute the daily
+    // series driver-side and scan EVERY split for the two-segment SSE
+    // minimizer; the query's round-1 row must name the same day.
+    val sf = "/root/testdata/sf0.001"
+    val daily = Tables.events(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.to_date(col("ts")).as("day"))
+      .agg(org.apache.spark.sql.functions.sum(
+        operators.Ql.r(col("value") * 100, 0).cast("long")).as("x"))
+      .orderBy("day")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+    def sse(xs: Seq[Long]): Double = {
+      val m = xs.sum.toDouble / xs.size
+      xs.map(x => (x - m) * (x - m)).sum
+    }
+    val best = (1 until daily.length).map { k =>
+      val (l, r) = daily.splitAt(k)
+      (sse(daily.map(_._2)) - sse(l.map(_._2)) - sse(r.map(_._2)), daily(k - 1)._1)
+    }.sortBy { case (g, d) => (-g, d) }.head // gain desc, day asc — the query's tiebreak
+    val got = SparkEntry.queries("q_changepoint_binseg")(spark, sf)
+      .filter(col("segment") === "full").head()
+    assert(got.getString(1) == best._2,
+      s"round-1 split ${got.getString(1)} vs brute-force ${best._2}")
+  }
 }
