@@ -447,7 +447,67 @@ object FeatureQueries extends QueryModule {
       """))
   }
 
+  /** Universe-sampled JOIN estimation (the AQP trick plain Bernoulli
+    * sampling gets WRONG on joins): sample the JOIN KEY universe — keep
+    * a customer iff their key hashes into 16 of 256 buckets (p = 1/16)
+    * — so both join sides keep exactly the same keys and every
+    * surviving key's join output is complete; the estimator is a single
+    * ×16 scale-up. Independent per-side Bernoulli at the same budget
+    * would keep only p² of join rows and square the variance. Exact
+    * BIGINT cent sums end-to-end; the truth and the signed relative
+    * error ride along per segment, so the estimator is measured, not
+    * asserted.
+    */
+  private val aqpJoinUniverse = QueryDef(
+    "q_aqp_join_universe",
+    (spark, sfDir) => {
+      val cust = Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val orders = Tables.orders(spark, sfDir)
+        .select(col("o_custkey"),
+          Ql.r(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val joined = orders.join(broadcast(cust),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("c_custkey"), col("cents"))
+      val truth = joined.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_true"), sum("cents").as("s_true"))
+      val est = joined
+        .filter(expr(s"${Ql.md5PrefixLong("CAST(c_custkey AS STRING)", 4)} % 256 < 16"))
+        .groupBy("c_mktsegment")
+        .agg((count(lit(1)) * 16).as("n_est"), (sum("cents") * 16).as("s_est"))
+      truth.join(est, Seq("c_mktsegment"), "left")
+        .selectExpr("c_mktsegment", "n_true",
+          "coalesce(n_est, 0L) AS n_est",
+          s"${Ql.R("s_true / 100.0", 2)} AS revenue_true",
+          s"${Ql.R("coalesce(s_est, 0L) / 100.0", 2)} AS revenue_est",
+          s"${Ql.R("100.0 * (coalesce(s_est, 0L) - s_true) / s_true", 4)} AS rel_err_pct")
+        .orderBy("c_mktsegment")
+    },
+    Some(s"""
+      WITH j AS (
+        SELECT c_mktsegment, c_custkey,
+               CAST(${Ql.R("o_totalprice * 100", 0)} AS BIGINT) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      truth AS (
+        SELECT c_mktsegment, count(*) AS n_true,
+               CAST(sum(cents) AS BIGINT) AS s_true
+        FROM j GROUP BY 1),
+      est AS (
+        SELECT c_mktsegment, CAST(count(*) * 16 AS BIGINT) AS n_est,
+               CAST(sum(cents) * 16 AS BIGINT) AS s_est
+        FROM j
+        WHERE ${Ql.Md5PrefixLong("CAST(c_custkey AS VARCHAR)", 4)} % 256 < 16
+        GROUP BY 1)
+      SELECT c_mktsegment, n_true,
+             COALESCE(n_est, 0) AS n_est,
+             ${Ql.R("s_true / 100.0", 2)} AS revenue_true,
+             ${Ql.R("COALESCE(s_est, 0) / 100.0", 2)} AS revenue_est,
+             ${Ql.R("100.0 * (COALESCE(s_est, 0) - s_true) / s_true", 4)} AS rel_err_pct
+      FROM truth LEFT JOIN est USING (c_mktsegment)
+      ORDER BY 1
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     targetEncode, neymanAlloc, aqpSumCi, lDiversity, mutualInfo, jlProjection,
-    tCloseness)
+    tCloseness, aqpJoinUniverse)
 }

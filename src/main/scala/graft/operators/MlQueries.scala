@@ -770,7 +770,58 @@ object MlQueries extends QueryModule {
       """))
   }
 
+  // ---------------------------------------------------------------- off-policy eval
+
+  /** Inverse-propensity-scored off-policy evaluation — "what would THIS
+    * targeting rule have converted, from logs of a DIFFERENT policy",
+    * the counterfactual estimate behind every bandit/uplift readout.
+    * Logging policy: the q_ab_test 50/50 hash assignment (known
+    * propensity 0.5). Target policy π: treat (arm A) iff user_id is
+    * even. IPS value = mean over users of 1{logged==π(u)}·reward/0.5 —
+    * with p=0.5 that's exact integer arithmetic (2·Σ matched rewards /
+    * n); the self-normalized SNIPS variant (Σwr/Σw) divides matched
+    * rewards by matched count. The realized logging-policy mean rides
+    * along as the baseline. One per-user aggregation; everything after
+    * is integer divides rounded 4 dp.
+    */
+  private val ipsPolicyValue = QueryDef(
+    "q_ips_policy_value",
+    (spark, sfDir) => {
+      val u = Tables.events(spark, sfDir)
+        .groupBy("user_id")
+        .agg(max((col("event_type") === "purchase" && col("value") > 180).cast("long"))
+          .as("r"))
+        .selectExpr("user_id", "r",
+          s"CASE WHEN ${SamplingQueries.bucketExpr("user_id")} < 50 THEN 'A' ELSE 'B' END AS logged",
+          "CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS target")
+      u.agg(count(lit(1)).as("n"),
+          sum("r").as("r_all"),
+          sum(when(col("logged") === col("target"), 1L).otherwise(0L)).as("n_match"),
+          sum(when(col("logged") === col("target"), col("r")).otherwise(0L)).as("r_match"))
+        .selectExpr("n", "n_match",
+          s"${Ql.R("CAST(r_all AS DOUBLE) / n", 4)} AS logged_value",
+          s"${Ql.R("2.0 * r_match / n", 4)} AS ips_value",
+          s"${Ql.R("CAST(r_match AS DOUBLE) / n_match", 4)} AS snips_value")
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS r,
+               CASE WHEN ${Ql.Md5PrefixLong("CAST(user_id AS VARCHAR)", 4)} % 100 < 50
+                 THEN 'A' ELSE 'B' END AS logged,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS target
+        FROM events GROUP BY user_id)
+      SELECT count(*) AS n,
+             CAST(sum(CASE WHEN logged = target THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+             ${Ql.R("CAST(sum(r) AS DOUBLE) / count(*)", 4)} AS logged_value,
+             ${Ql.R("2.0 * sum(CASE WHEN logged = target THEN r ELSE 0 END) / count(*)", 4)} AS ips_value,
+             ${Ql.R("""CAST(sum(CASE WHEN logged = target THEN r ELSE 0 END) AS DOUBLE)
+               / sum(CASE WHEN logged = target THEN 1 ELSE 0 END)""", 4)} AS snips_value
+      FROM u
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(logisticIrls, overdispersion, varCvar, naiveBayes, boostedStumps,
-      sequentialAb, pairwiseMeans, trimmedMean, changepointBinseg)
+      sequentialAb, pairwiseMeans, trimmedMean, changepointBinseg,
+      ipsPolicyValue)
 }
