@@ -293,7 +293,72 @@ object PipelineQueries extends QueryModule {
       FROM packed GROUP BY 1 ORDER BY 1
     """))
 
+  /** Deterministic negative sampling for contrastive training pairs —
+    * for every (customer, purchased part) positive, draw 3 candidate
+    * negatives by hashing (user, item, slot) onto the part catalog,
+    * then REJECT any candidate the user actually purchased (the
+    * correctness step naive random negatives skip). Membership is a
+    * pure hash function, so the sample is stable under replay and
+    * repartition — the q_train_split contract extended to pair
+    * generation. Scale shape: a 3× explode of the positives plus one
+    * (user, item)-keyed anti join; the catalog bound is a 1-row
+    * broadcast. Reports the per-slot kept/collision budget so the
+    * effective negatives-per-positive rate is measured, not assumed.
+    */
+  private val negativeSampling = QueryDef(
+    "q_negative_sampling",
+    (spark, sfDir) => {
+      val pos = Tables.orders(spark, sfDir)
+        .join(Tables.lineitem(spark, sfDir),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("user"), col("l_partkey").as("item"))
+        .distinct()
+        .localCheckpoint(true) // feeds candidates AND the rejection join
+      val pmax = Tables.part(spark, sfDir).agg(max("p_partkey").as("pmax"))
+      val cands = pos
+        .select(col("user"), col("item"), explode(expr("sequence(0, 2)")).as("slot"))
+        .crossJoin(broadcast(pmax))
+        .selectExpr("user", "item", "slot",
+          s"1 + ${Ql.md5PrefixLong(
+            "concat(CAST(user AS STRING), ':', CAST(item AS STRING), ':', CAST(slot AS STRING))",
+            12)} % pmax AS neg_item")
+      val kept = cands.join(
+        pos.select(col("user"), col("item").as("neg_item")),
+        Seq("user", "neg_item"), "left_anti")
+      val nPos = pos.agg(count(lit(1)).as("n_pos"))
+      kept.groupBy("slot").agg(count(lit(1)).as("n_kept"))
+        .crossJoin(broadcast(nPos))
+        .selectExpr("CAST(slot AS BIGINT) AS slot", "n_pos", "n_kept",
+          "n_pos - n_kept AS n_rejected",
+          s"${Ql.R("CAST(n_kept AS DOUBLE) / n_pos", 4)} AS keep_rate")
+        .orderBy("slot")
+    },
+    Some(s"""
+      WITH pos AS (
+        SELECT DISTINCT o_custkey AS u, l_partkey AS item
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      pm AS (SELECT CAST(max(p_partkey) AS BIGINT) AS pmax FROM part),
+      cands AS (
+        SELECT u, item, slot,
+               1 + ${Ql.Md5PrefixLong(
+                 "CAST(u AS VARCHAR) || ':' || CAST(item AS VARCHAR) || ':' || CAST(slot AS VARCHAR)",
+                 12)} % pmax AS neg_item
+        FROM (SELECT u, item, unnest(generate_series(0, 2)) AS slot FROM pos)
+        CROSS JOIN pm),
+      kept AS (
+        SELECT c.slot FROM cands c
+        WHERE NOT EXISTS (SELECT 1 FROM pos p
+                          WHERE p.u = c.u AND p.item = c.neg_item)),
+      np AS (SELECT count(*) AS n_pos FROM pos)
+      SELECT CAST(slot AS BIGINT) AS slot, n_pos,
+             count(*) AS n_kept,
+             CAST(n_pos - count(*) AS BIGINT) AS n_rejected,
+             ${Ql.R("CAST(count(*) AS DOUBLE) / n_pos", 4)} AS keep_rate
+      FROM kept CROSS JOIN np
+      GROUP BY slot, n_pos ORDER BY slot
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(packSequences, docChunks, contamination, sampleReservoir,
-      curationPipeline)
+      curationPipeline, negativeSampling)
 }

@@ -648,6 +648,129 @@ object StatQueries extends QueryModule {
       FROM a
     """))
 
+  // ---------------------------------------------------------------- Holt-Winters
+
+  /** Additive Holt–Winters (level + trend + weekly seasonality) on the
+    * per-type daily mean — q_holt_forecast with the third smoothing
+    * equation, the full triple-exponential forecaster a demand planner
+    * actually runs. State per series is (l, b, s[7], t); the recursion
+    * is a sequential aggregate() fold over the calendar-bounded sorted
+    * series (the corpus collapses to day×type first — nothing else
+    * scales with data volume). Init: l₀ = week-1 mean, b₀ = (week-2
+    * mean − week-1 mean)/7, sᵢ = xᵢ − l₀; the fold then consumes days
+    * 8..n. Cross-engine exactness is the q_holt_forecast contract
+    * taken further: every update is the SAME formula shape over the
+    * SAME values in the same left-to-right order — the week means are
+    * explicit 7-term left-associated chains on both sides (DuckDB's
+    * sum() has no order guarantee, so the oracle pivots rn 1..14 into
+    * columns and adds them in the fold's order), and the recursive CTE
+    * carries the seven seasonal slots as columns updated by CASE.
+    * Output: final level/trend, 1-day and 7-day-ahead forecasts, and
+    * the seasonal amplitude.
+    */
+  private val holtWinters: QueryDef = {
+    // shared formula shapes — engines substitute their own variable names
+    def fL(sp: String, l: String, b: String) =
+      s"0.4 * (x - $sp) + 0.6 * ($l + $b)"
+    def fB(nl: String, l: String, b: String) =
+      s"0.3 * (($nl) - $l) + 0.7 * $b"
+    def fS(nl: String, sp: String) =
+      s"0.2 * (x - ($nl)) + 0.8 * $sp"
+    QueryDef(
+      "q_holt_winters",
+      (spark, sfDir) => {
+        val sp = "element_at(acc.s, CAST(pmod(acc.t, 7) + 1 AS INT))"
+        val nl = fL(sp, "acc.l", "acc.b")
+        val w1 = "(((((( element_at(xs, 1) + element_at(xs, 2)) + element_at(xs, 3)) + element_at(xs, 4)) + element_at(xs, 5)) + element_at(xs, 6)) + element_at(xs, 7)) / 7"
+        val w2 = "(((((( element_at(xs, 8) + element_at(xs, 9)) + element_at(xs, 10)) + element_at(xs, 11)) + element_at(xs, 12)) + element_at(xs, 13)) + element_at(xs, 14)) / 7"
+        Tables.events(spark, sfDir)
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(Ql.r(avg(col("value")), 6).as("x"))
+          .groupBy("event_type")
+          .agg(expr("transform(array_sort(collect_list(struct(day, x))), a -> a.x)").as("xs"))
+          .filter(size(col("xs")) >= 15) // two init weeks + one folded day
+          .selectExpr(
+            "event_type",
+            "CAST(size(xs) AS BIGINT) AS n_days",
+            s"""aggregate(
+                  slice(xs, 8, size(xs) - 7),
+                  named_struct(
+                    'l', CAST($w1 AS DOUBLE),
+                    'b', CAST((($w2) - ($w1)) / 7 AS DOUBLE),
+                    't', 7,
+                    's', transform(slice(xs, 1, 7), v -> v - ($w1))),
+                  (acc, x) -> named_struct(
+                    'l', ${fL(sp, "acc.l", "acc.b")},
+                    'b', ${fB(nl, "acc.l", "acc.b")},
+                    't', acc.t + 1,
+                    's', transform(acc.s, (v, i) -> IF(i = pmod(acc.t, 7), ${fS(nl, sp)}, v))),
+                  acc -> acc) AS hw""")
+          .selectExpr(
+            "event_type", "n_days",
+            s"${Ql.R("hw.l", 4)} AS level",
+            s"${Ql.R("hw.b", 4)} AS trend",
+            s"${Ql.R("hw.l + hw.b + element_at(hw.s, CAST(pmod(hw.t, 7) + 1 AS INT))", 4)} AS forecast_1d",
+            s"${Ql.R("hw.l + 7 * hw.b + element_at(hw.s, CAST(pmod(hw.t + 6, 7) + 1 AS INT))", 4)} AS forecast_7d",
+            s"${Ql.R("array_max(hw.s) - array_min(hw.s)", 4)} AS season_amplitude")
+          .orderBy("event_type")
+      },
+      Some {
+        val sp = "(CASE r.t % 7 WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END)"
+        val nl = fL(sp, "r.l", "r.b")
+        val sUpd = (0 to 6).map(i =>
+          s"CASE WHEN r.t % 7 = $i THEN ${fS(nl, sp)} ELSE r.s$i END").mkString(",\n                 ")
+        val w1 = "(((((( x1 + x2) + x3) + x4) + x5) + x6) + x7) / 7"
+        val w2 = "(((((( x8 + x9) + x10) + x11) + x12) + x13) + x14) / 7"
+        val pivots = (1 to 14).map(i => s"max(CASE WHEN rn = $i THEN x END) AS x$i").mkString(", ")
+        val finalS = "(CASE r.t % 7 WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END)"
+        val finalS6 = "(CASE (r.t + 6) % 7 WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 ELSE r.s6 END)"
+        val sMax = "greatest(r.s0, r.s1, r.s2, r.s3, r.s4, r.s5, r.s6)"
+        val sMin = "least(r.s0, r.s1, r.s2, r.s3, r.s4, r.s5, r.s6)"
+        s"""
+        WITH RECURSIVE daily AS (
+          SELECT CAST(ts AS DATE) AS day, event_type,
+                 ${Ql.R("avg(value)", 6)} AS x
+          FROM events GROUP BY 1, 2),
+        seq AS (
+          SELECT event_type, x,
+                 row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+          FROM daily),
+        n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+              FROM seq GROUP BY 1 HAVING count(*) >= 15),
+        piv AS (
+          SELECT seq.event_type, $pivots
+          FROM seq JOIN n ON seq.event_type = n.event_type
+          WHERE rn <= 14 GROUP BY 1),
+        init AS (
+          SELECT event_type,
+                 CAST($w1 AS DOUBLE) AS l,
+                 CAST((($w2) - ($w1)) / 7 AS DOUBLE) AS b,
+                 x1 - ($w1) AS s0, x2 - ($w1) AS s1, x3 - ($w1) AS s2,
+                 x4 - ($w1) AS s3, x5 - ($w1) AS s4, x6 - ($w1) AS s5,
+                 x7 - ($w1) AS s6
+          FROM piv),
+        rec AS (
+          SELECT event_type, 7 AS t, l, b, s0, s1, s2, s3, s4, s5, s6
+          FROM init
+          UNION ALL
+          SELECT r.event_type, r.t + 1,
+                 ${fL(sp, "r.l", "r.b")},
+                 ${fB(nl, "r.l", "r.b")},
+                 $sUpd
+          FROM rec r JOIN seq s
+            ON s.event_type = r.event_type AND s.rn = r.t + 1)
+        SELECT r.event_type, n.n_days,
+               ${Ql.R("r.l", 4)} AS level,
+               ${Ql.R("r.b", 4)} AS trend,
+               ${Ql.R(s"r.l + r.b + $finalS", 4)} AS forecast_1d,
+               ${Ql.R(s"r.l + 7 * r.b + $finalS6", 4)} AS forecast_7d,
+               ${Ql.R(s"$sMax - $sMin", 4)} AS season_amplitude
+        FROM rec r JOIN n ON n.event_type = r.event_type AND r.t = n.n_days
+        ORDER BY r.event_type
+      """
+      })
+  }
+
   // ---------------------------------------------------------------- PCA (power iteration)
 
   /** One power-iteration step over a covariance relation `cov(i, j, c)`:
@@ -2118,5 +2241,5 @@ object StatQueries extends QueryModule {
       quantileNormalize, imputeEval, partialCorr, anova, powerAnalysis,
       cuped, ridgeCv, medianCi, welchTtest, tailIndex, extremeValue,
       mannKendall, spcChart, bloomSizing, rleLayout, quantileRegression,
-      priceElasticity, calendarGaps, dupRate)
+      priceElasticity, calendarGaps, dupRate, holtWinters)
 }

@@ -210,7 +210,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_modality_mix", // 1-row corpus-totals broadcast into the 3-row modality report
       "q_changepoint_binseg", // 1-row split/segment-total broadcasts per search round
       "q_token_budget_plan", // 1-row total-mass / leftover broadcasts
-      "q_trimmed_mean") // |types|-row total broadcast onto the cent grid
+      "q_trimmed_mean", // |types|-row total broadcast onto the cent grid
+      "q_negative_sampling") // 1-row catalog-bound / positive-count broadcasts
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString

@@ -769,6 +769,45 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_holt_winters equals the textbook triple-smoothing recursion in plain scala") {
+    // Independent re-run of the additive Holt-Winters recursion (level,
+    // trend, 7 seasonal slots) over the same per-type daily means —
+    // validates the aggregate() fold's state threading and slot
+    // arithmetic, which the oracle (same formula text) cannot.
+    val sf = "/root/testdata/sf0.001"
+    val daily = Tables.events(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.to_date(col("ts")).as("day"),
+        col("event_type"))
+      .agg(operators.Ql.r(org.apache.spark.sql.functions.avg(col("value")), 6).as("x"))
+      .collect().map(r => (r.getString(1), r.getDate(0).toString, r.getDouble(2)))
+    val got = SparkEntry.queries("q_holt_winters")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    daily.groupBy(_._1).foreach { case (tpe, rows) =>
+      val xs = rows.sortBy(_._2).map(_._3)
+      if (xs.length >= 15) {
+        val w1 = xs.take(7).foldLeft(0.0)(_ + _) / 7
+        val w2 = xs.slice(7, 14).foldLeft(0.0)(_ + _) / 7
+        var l = w1; var b = (w2 - w1) / 7
+        val s = Array.tabulate(7)(i => xs(i) - w1)
+        var t = 7
+        xs.drop(7).foreach { x =>
+          val slot = t % 7
+          val sp = s(slot)
+          val nl = 0.4 * (x - sp) + 0.6 * (l + b)
+          val nb = 0.3 * (nl - l) + 0.7 * b
+          s(slot) = 0.2 * (x - nl) + 0.8 * sp
+          l = nl; b = nb; t += 1
+        }
+        val (gl, gb, gf1) = got(tpe)
+        assert(gl == operators.Ql.rd(l, 4), s"$tpe level: $gl vs $l")
+        assert(gb == operators.Ql.rd(b, 4), s"$tpe trend: $gb vs $b")
+        assert(gf1 == operators.Ql.rd(l + b + s(t % 7), 4),
+          s"$tpe forecast_1d")
+      } else assert(!got.contains(tpe), s"$tpe under 15 days must be dropped")
+    }
+  }
+
   test("q_token_budget_plan is a valid Hamilton apportionment") {
     // The apportionment LAWS, independent of the SQL: allocations sum to
     // exactly B, and each language's share is its exact quota floored or
