@@ -293,6 +293,91 @@ object ProductQueries extends QueryModule {
       FROM c ORDER BY 1
     """))
 
+  /** Qini uplift curve — the causal complement of the lift chart: for a
+    * targeting score (per-user engagement here), how many INCREMENTAL
+    * conversions does treating the top-k score deciles buy over the
+    * control arm (Radcliffe's Qini: cumᵀconv − cumᶜconv·cumᵀn/cumᶜn),
+    * against the random-targeting diagonal. Arms come from the
+    * q_ab_test deterministic hash split; score deciles from the shared
+    * [[bitRanks]] two-level ordinals (exact integer decile
+    * arithmetic); cumulative sums run top-decile-first over the 10-row
+    * decile table. Everything until the two rounded divides is exact
+    * integer counting.
+    */
+  private val qiniUplift = QueryDef(
+    "q_qini_uplift",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val u = Tables.events(spark, sfDir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("score"),
+          max((col("event_type") === "purchase" && col("value") > 180).cast("long"))
+            .as("conv"))
+        .withColumn("arm",
+          when(expr(SamplingQueries.bucketExpr("user_id")) < 50, "T").otherwise("C"))
+        .localCheckpoint(true)
+      val n = u.agg(count(lit(1)).as("n"))
+      val dec = u.join(bitRanks(u, "score", "user_id", "rk"), "user_id")
+        .crossJoin(broadcast(n))
+        .selectExpr("arm", "conv", "((10 * (rk - 1)) div n) + 1 AS decile")
+        .groupBy("decile")
+        .agg(sum(when(col("arm") === "T", 1L).otherwise(0L)).as("nt"),
+          sum(when(col("arm") === "T", col("conv")).otherwise(0L)).as("ct"),
+          sum(when(col("arm") === "C", 1L).otherwise(0L)).as("nc"),
+          sum(when(col("arm") === "C", col("conv")).otherwise(0L)).as("cc"))
+      val w = Window.orderBy(col("decile").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = dec.agg(sum("nt").as("tnt"), sum("ct").as("tct"),
+        sum("nc").as("tnc"), sum("cc").as("tcc"))
+      dec
+        .withColumn("cnt", sum("nt").over(w)).withColumn("cct", sum("ct").over(w))
+        .withColumn("cnc", sum("nc").over(w)).withColumn("ccc", sum("cc").over(w))
+        .crossJoin(broadcast(tot))
+        .selectExpr("decile", "cnt", "cct", "cnc", "ccc",
+          s"${Ql.R("cct - ccc * (CAST(cnt AS DOUBLE) / cnc)", 4)} AS qini",
+          s"""${Ql.R("""(tct - tcc * (CAST(tnt AS DOUBLE) / tnc))
+            * (CAST(cnt + cnc AS DOUBLE) / (tnt + tnc))""", 4)} AS qini_random""")
+        .orderBy(col("decile").desc)
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT user_id, count(*) AS score,
+               max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS conv,
+               CASE WHEN ${Ql.Md5PrefixLong("CAST(user_id AS VARCHAR)", 4)} % 100 < 50
+                 THEN 'T' ELSE 'C' END AS arm
+        FROM events GROUP BY user_id),
+      n AS (SELECT count(*) AS n FROM u),
+      ranked AS (
+        SELECT arm, conv,
+               row_number() OVER (ORDER BY score, user_id) AS rk
+        FROM u),
+      dec AS (
+        SELECT ((10 * (rk - 1)) // n) + 1 AS decile,
+               CAST(sum(CASE WHEN arm = 'T' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+               CAST(sum(CASE WHEN arm = 'T' THEN conv ELSE 0 END) AS BIGINT) AS ct,
+               CAST(sum(CASE WHEN arm = 'C' THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+               CAST(sum(CASE WHEN arm = 'C' THEN conv ELSE 0 END) AS BIGINT) AS cc
+        FROM ranked CROSS JOIN n GROUP BY 1),
+      tot AS (SELECT CAST(sum(nt) AS BIGINT) AS tnt, CAST(sum(ct) AS BIGINT) AS tct,
+                     CAST(sum(nc) AS BIGINT) AS tnc, CAST(sum(cc) AS BIGINT) AS tcc
+              FROM dec),
+      c AS (
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(sum(nt) OVER win AS BIGINT) AS cnt,
+               CAST(sum(ct) OVER win AS BIGINT) AS cct,
+               CAST(sum(nc) OVER win AS BIGINT) AS cnc,
+               CAST(sum(cc) OVER win AS BIGINT) AS ccc
+        FROM dec
+        WINDOW win AS (ORDER BY decile DESC ROWS UNBOUNDED PRECEDING))
+      SELECT decile, cnt, cct, cnc, ccc,
+             ${Ql.R("cct - ccc * (CAST(cnt AS DOUBLE) / cnc)", 4)} AS qini,
+             ${Ql.R("""(tct - tcc * (CAST(tnt AS DOUBLE) / tnc))
+               * (CAST(cnt + cnc AS DOUBLE) / (tnt + tnc))""", 4)} AS qini_random
+      FROM c CROSS JOIN tot
+      ORDER BY decile DESC
+    """))
+
   override def defs: Seq[QueryDef] =
-    Seq(rfmSegments, powerUserCurve, eventPaths3, sessionEntropy, lorenzCurve)
+    Seq(rfmSegments, powerUserCurve, eventPaths3, sessionEntropy, lorenzCurve,
+      qiniUplift)
 }

@@ -211,7 +211,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_changepoint_binseg", // 1-row split/segment-total broadcasts per search round
       "q_token_budget_plan", // 1-row total-mass / leftover broadcasts
       "q_trimmed_mean", // |types|-row total broadcast onto the cent grid
-      "q_negative_sampling") // 1-row catalog-bound / positive-count broadcasts
+      "q_negative_sampling", // 1-row catalog-bound / positive-count broadcasts
+      "q_qini_uplift") // 1-row user-count / arm-totals broadcasts
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
@@ -249,7 +250,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_power_user_curve", // active-days histogram (calendar-bounded rows)
       "q_sequential_ab", // daily-look table (calendar-bounded rows)
       "q_changepoint_binseg", // daily series table (calendar-bounded rows)
-      "q_token_budget_plan") // remainder rank over the <=|langs|-row share table
+      "q_token_budget_plan", // remainder rank over the <=|langs|-row share table
+      "q_qini_uplift") // cumulative window over the 10-row decile table
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val bad = df.queryExecution.sparkPlan.collect {
