@@ -377,7 +377,152 @@ object ProductQueries extends QueryModule {
       ORDER BY decile DESC
     """))
 
+  /** ABC/XYZ inventory segmentation — the supply-chain double cut:
+    * ABC classes by cumulative revenue share (A = the head items
+    * covering 80% of revenue, B to 95%, C the tail) and XYZ classes by
+    * demand variability (population CV of weekly units: X < 0.5
+    * steady, Y < 1.0, Z erratic). The ABC boundary is decided by exact
+    * integer cross-multiplication on the ASCENDING cumulative revenue
+    * (item is A ⟺ the revenue strictly above it in the descending
+    * order is < 80% of total ⟺ 5·cum_asc > total): the cumulative
+    * itself comes from a two-level sweep — per-bucket revenue sums
+    * over the ≤64-row highest-set-bit histogram plus in-bucket running
+    * sums — never a single-partition window. Weekly CVs count unsold
+    * weeks as zero demand via the 1-row week-count broadcast. Output:
+    * the 3×3 class grid with item counts and revenue share.
+    */
+  private val abcXyz = QueryDef(
+    "q_abc_xyz",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_partkey"),
+          col("l_quantity").cast("long").as("q"),
+          Ql.r(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+          weekofyear(col("o_orderdate")).as("wk"), year(col("o_orderdate")).as("yr"))
+        .localCheckpoint(true)
+      val weeks = li.select("yr", "wk").distinct().agg(count(lit(1)).as("nw"))
+      val parts = li.groupBy("l_partkey")
+        .agg(sum("cents").as("rev"), sum("q").as("qty"))
+      val wkly = li.groupBy("l_partkey", "yr", "wk").agg(sum("q").as("wq"))
+        .groupBy("l_partkey")
+        .agg(sum("wq").as("sq"), sum(expr("wq * wq")).as("sq2"))
+      // two-level ascending cumulative revenue: bucket revenue sums +
+      // in-bucket running sums, offsets from the <=64-row histogram
+      val withB = parts.withColumn("bkt", expr("length(bin(rev))"))
+      val offs = withB.groupBy("bkt").agg(sum("rev").as("brev"))
+        .withColumn("off", coalesce(sum(col("brev")).over(
+          Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bkt", "off")
+      val inB = Window.partitionBy("bkt").orderBy("rev", "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = parts.agg(sum("rev").as("trev"))
+      val classed = withB.join(broadcast(offs), "bkt")
+        .withColumn("cum", col("off") + sum("rev").over(inB))
+        .crossJoin(broadcast(tot))
+        .join(wkly, "l_partkey")
+        .crossJoin(broadcast(weeks))
+        .selectExpr("l_partkey", "rev",
+          "CASE WHEN 5 * cum > trev THEN 'A' WHEN 20 * cum > trev THEN 'B' ELSE 'C' END AS abc",
+          // population mean/var over ALL weeks (unsold weeks = 0 demand)
+          "CAST(sq AS DOUBLE) / nw AS mu",
+          "CAST(sq2 AS DOUBLE) / nw - (CAST(sq AS DOUBLE) / nw) * (CAST(sq AS DOUBLE) / nw) AS v")
+        .selectExpr("l_partkey", "rev", "abc",
+          "CASE WHEN sqrt(v) / mu < 0.5 THEN 'X' WHEN sqrt(v) / mu < 1.0 THEN 'Y' ELSE 'Z' END AS xyz")
+      classed.groupBy("abc", "xyz")
+        .agg(count(lit(1)).as("n_parts"), sum("rev").as("rev"))
+        .crossJoin(broadcast(tot))
+        .selectExpr("abc", "xyz", "n_parts",
+          s"${Ql.R("100.0 * rev / trev", 4)} AS revenue_pct")
+        .orderBy("abc", "xyz")
+    },
+    Some(s"""
+      WITH li AS (
+        SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+               CAST(${Ql.R("l_extendedprice * 100", 0)} AS BIGINT) AS cents,
+               weekofyear(o_orderdate) AS wk, year(o_orderdate) AS yr
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      weeks AS (SELECT count(*) AS nw FROM (SELECT DISTINCT yr, wk FROM li)),
+      parts AS (
+        SELECT l_partkey, CAST(sum(cents) AS BIGINT) AS rev
+        FROM li GROUP BY 1),
+      wkly AS (
+        SELECT l_partkey, CAST(sum(wq) AS BIGINT) AS sq,
+               CAST(sum(wq * wq) AS BIGINT) AS sq2
+        FROM (SELECT l_partkey, yr, wk, CAST(sum(q) AS BIGINT) AS wq
+              FROM li GROUP BY 1, 2, 3)
+        GROUP BY 1),
+      tot AS (SELECT CAST(sum(rev) AS BIGINT) AS trev FROM parts),
+      cum AS (
+        SELECT l_partkey, rev,
+               CAST(sum(rev) OVER (ORDER BY rev, l_partkey
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM parts),
+      classed AS (
+        SELECT c.l_partkey, c.rev,
+               CASE WHEN 5 * cum > trev THEN 'A'
+                    WHEN 20 * cum > trev THEN 'B' ELSE 'C' END AS abc,
+               CASE WHEN sqrt(CAST(sq2 AS DOUBLE) / nw
+                        - (CAST(sq AS DOUBLE) / nw) * (CAST(sq AS DOUBLE) / nw))
+                      / (CAST(sq AS DOUBLE) / nw) < 0.5 THEN 'X'
+                    WHEN sqrt(CAST(sq2 AS DOUBLE) / nw
+                        - (CAST(sq AS DOUBLE) / nw) * (CAST(sq AS DOUBLE) / nw))
+                      / (CAST(sq AS DOUBLE) / nw) < 1.0 THEN 'Y'
+                    ELSE 'Z' END AS xyz
+        FROM cum c JOIN wkly USING (l_partkey) CROSS JOIN tot CROSS JOIN weeks)
+      SELECT abc, xyz, count(*) AS n_parts,
+             ${Ql.R("100.0 * sum(rev) / max(trev)", 4)} AS revenue_pct
+      FROM classed CROSS JOIN tot
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """))
+
+  /** Affinity index (the merchandising lift matrix): how over- or
+    * under-represented each price band is within each customer
+    * segment — lift = P(band | segment) / P(band), the cross-sell
+    * targeting signal. One joined aggregation onto the segment×band
+    * grid; margins broadcast back; exact integer counts until the one
+    * rounded divide per cell.
+    */
+  private val affinityIndex = QueryDef(
+    "q_affinity_index",
+    (spark, sfDir) => {
+      val cells = Tables.orders(spark, sfDir)
+        .join(broadcast(Tables.customer(spark, sfDir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .selectExpr("c_mktsegment AS segment",
+          "least(3L, CAST(floor(o_totalprice / 100000.0) AS LONG)) AS band")
+        .groupBy("segment", "band").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // feeds both margins and the cells
+      val segTot = cells.groupBy("segment").agg(sum("n").as("ns"))
+      val bandTot = cells.groupBy("band").agg(sum("n").as("nb"))
+      val tot = cells.agg(sum("n").as("nt"))
+      cells.join(broadcast(segTot), "segment")
+        .join(broadcast(bandTot), "band")
+        .crossJoin(broadcast(tot))
+        .selectExpr("segment", "band", "n",
+          s"${Ql.R("(CAST(n AS DOUBLE) / ns) / (CAST(nb AS DOUBLE) / nt)", 4)} AS lift")
+        .orderBy("segment", "band")
+    },
+    Some(s"""
+      WITH cells AS (
+        SELECT c_mktsegment AS segment,
+               least(3, CAST(floor(o_totalprice / CAST(100000 AS DOUBLE)) AS BIGINT)) AS band,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+      st AS (SELECT segment, CAST(sum(n) AS BIGINT) AS ns FROM cells GROUP BY 1),
+      bt AS (SELECT band, CAST(sum(n) AS BIGINT) AS nb FROM cells GROUP BY 1),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cells)
+      SELECT segment, CAST(band AS BIGINT) AS band, n,
+             ${Ql.R("(CAST(n AS DOUBLE) / ns) / (CAST(nb AS DOUBLE) / nt)", 4)} AS lift
+      FROM cells JOIN st USING (segment) JOIN bt USING (band) CROSS JOIN t
+      ORDER BY 1, 2
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(rfmSegments, powerUserCurve, eventPaths3, sessionEntropy, lorenzCurve,
-      qiniUplift)
+      qiniUplift, abcXyz, affinityIndex)
 }

@@ -212,7 +212,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_token_budget_plan", // 1-row total-mass / leftover broadcasts
       "q_trimmed_mean", // |types|-row total broadcast onto the cent grid
       "q_negative_sampling", // 1-row catalog-bound / positive-count broadcasts
-      "q_qini_uplift") // 1-row user-count / arm-totals broadcasts
+      "q_qini_uplift", // 1-row user-count / arm-totals broadcasts
+      "q_abc_xyz", // 1-row total-revenue / week-count broadcasts
+      "q_affinity_index") // 1-row grand-total broadcast onto the segment x band grid
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
@@ -246,6 +248,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_decision_stump", // ~20-row price-range bucket-offset histogram
       "q_spearman", // <=64-row highest-set-bit bucket histogram
       "q_boosted_stumps", // <=24-row feature-histogram prefix sums
+      "q_abc_xyz", // <=64-row highest-set-bit revenue-sum offset histogram
       "q_rfm_quintiles", "q_lorenz_curve", // <=64-row highest-set-bit offset histograms
       "q_power_user_curve", // active-days histogram (calendar-bounded rows)
       "q_sequential_ab", // daily-look table (calendar-bounded rows)
