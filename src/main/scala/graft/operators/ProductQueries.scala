@@ -20,7 +20,7 @@ object ProductQueries extends QueryModule {
     * the input is partitioned by bucket. Shared by the RFM and Lorenz
     * sweeps below (one definition, like EvalQueries.bucketOffsets).
     */
-  private def bitRanks(df: DataFrame, metric: String, idCol: String,
+  private[graft] def bitRanks(df: DataFrame, metric: String, idCol: String,
       rankName: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val withB = df.withColumn("bkt", expr(s"length(bin($metric))"))

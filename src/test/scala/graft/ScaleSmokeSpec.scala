@@ -469,6 +469,35 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     got.zip(want).foreach { case (g, w) => assert(g == w, s"$g vs $w") }
   }
 
+  test("5M-row two-level ordinals are a bijection and match brute-force ranks") {
+    // The shared highest-set-bit rank machinery (ProductQueries.bitRanks
+    // — RFM quintiles, Lorenz deciles, Qini, ABC classes all sit on it)
+    // at 50× the bench corpus: ranks must be exactly 1..n with no
+    // duplicates (the two-level offset+in-bucket composition is a
+    // bijection), and spot rows must carry exactly 1 + |{rows strictly
+    // below in (metric, id) order}| — the definition, checked against
+    // independent count jobs.
+    val df = big.select(col("event_id"),
+      (col("value") * 100).cast("long").as("m"))
+    val ranks = operators.ProductQueries.bitRanks(df, "m", "event_id", "rk")
+      .cache()
+    val stats = ranks.agg(count(lit(1)), min("rk"), max("rk"),
+      countDistinct(col("rk"))).head()
+    assert(stats.getLong(0) == 5000000L && stats.getLong(1) == 1L &&
+      stats.getLong(2) == 5000000L && stats.getLong(3) == 5000000L,
+      s"ranks must be a bijection onto 1..5M: $stats")
+    val probes = ranks.filter(col("event_id").isin(0L, 2500000L, 4999999L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    probes.foreach { case (id, rk) =>
+      val Seq(m0) = df.filter(col("event_id") === id)
+        .collect().map(_.getLong(1)).toSeq
+      val below = df.filter(col("m") < m0 ||
+        (col("m") === m0 && col("event_id") < id)).count()
+      assert(rk == below + 1, s"id $id: rank $rk vs brute ${below + 1}")
+    }
+    ranks.unpersist()
+  }
+
   test("10x skew stress: salting levels the hot-key join that overwhelms one task") {
     import spark.implicits._
     // Well past 10× the sf0.1 events table (4M rows vs 100k) with ONE
