@@ -469,6 +469,7 @@ object FeatureQueries extends QueryModule {
       val joined = orders.join(broadcast(cust),
           col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment"), col("c_custkey"), col("cents"))
+        .localCheckpoint(true) // feeds the truth AND the sampled estimate
       val truth = joined.groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_true"), sum("cents").as("s_true"))
       val est = joined

@@ -170,8 +170,7 @@ object MlQueries extends QueryModule {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cdf = grid
         .withColumn("cum", sum("cnt").over(w))
-      val tot = grid.groupBy("event_type")
-        .agg(sum("cnt").as("n"), sum(col("c") * col("cnt")).as("s_all"))
+      val tot = grid.groupBy("event_type").agg(sum("cnt").as("n"))
       val varRow = cdf.join(broadcast(tot), "event_type")
         .filter(col("cum") * 20 >= col("n") * 19)
         .groupBy("event_type").agg(min("c").as("var_c"))
@@ -245,10 +244,12 @@ object MlQueries extends QueryModule {
       val vocab = counts.select("tok").distinct()
       val vSize = vocab.agg(count(lit(1)).as("v"))
       val langTot = counts.groupBy("lang").agg(sum("c").as("tot"))
-      val priors = Tables.documents(spark, sfDir)
+      // corpus doc count derives from the |langs|-row frame — no second
+      // corpus pass for a number the per-lang counts already determine
+      val langDocs = Tables.documents(spark, sfDir)
         .groupBy(col("lang")).agg(count(lit(1)).as("nd"))
-        .crossJoin(broadcast(
-          Tables.documents(spark, sfDir).agg(count(lit(1)).as("ndt"))))
+      val priors = langDocs
+        .crossJoin(broadcast(langDocs.agg(sum("nd").as("ndt"))))
         .selectExpr("lang", s"${Ql.R("ln(CAST(nd AS DOUBLE) / ndt)", 6)} AS lnprior")
       val grid = langTot.crossJoin(broadcast(vocab)) // langs x vocab — vocabulary-bounded
         .join(counts, Seq("lang", "tok"), "left")
@@ -563,11 +564,18 @@ object MlQueries extends QueryModule {
         .crossJoin(broadcast(pooled))
         .selectExpr("a.event_type AS type_a", "b.event_type AS type_b",
           "a.n AS n_a", "b.n AS n_b",
+          "k * (k - 1) div 2 AS m", // comparisons from the OBSERVED group count
           s"${Ql.R("(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n) / 100.0", 4)} AS mean_diff",
           s"${Ql.R("sqrt(mse * (1.0 / a.n + 1.0 / b.n)) / 100.0", 4)} AS se",
           s"""${Ql.R("""(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
             / sqrt(mse * (1.0 / a.n + 1.0 / b.n))""", 4)} AS z""")
-        .withColumn("sig_bonferroni", (abs(col("z")) > 2.81).cast("int"))
+        // Bonferroni cut z_{0.05/(2m)} from a shared tabulated ladder —
+        // the data decides the comparison count, not a 5-type literal
+        // (the q_cramers_v derived-shape lesson)
+        .withColumn("sig_bonferroni",
+          (abs(col("z")) > expr("CASE WHEN m <= 1 THEN 1.96 WHEN m <= 3 THEN 2.39 WHEN m <= 6 THEN 2.64 WHEN m <= 10 THEN 2.81 WHEN m <= 15 THEN 2.93 WHEN m <= 21 THEN 3.02 ELSE 3.1 END"))
+            .cast("int"))
+        .drop("m")
         .orderBy("type_a", "type_b")
     },
     Some(s"""
@@ -589,7 +597,14 @@ object MlQueries extends QueryModule {
              ${Ql.R("""(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
                / sqrt(mse * (1.0 / a.n + 1.0 / b.n))""", 4)} AS z,
              CAST(abs(${Ql.R("""(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
-               / sqrt(mse * (1.0 / a.n + 1.0 / b.n))""", 4)}) > 2.81 AS INT) AS sig_bonferroni
+               / sqrt(mse * (1.0 / a.n + 1.0 / b.n))""", 4)})
+               > (CASE WHEN k * (k - 1) // 2 <= 1 THEN 1.96
+                       WHEN k * (k - 1) // 2 <= 3 THEN 2.39
+                       WHEN k * (k - 1) // 2 <= 6 THEN 2.64
+                       WHEN k * (k - 1) // 2 <= 10 THEN 2.81
+                       WHEN k * (k - 1) // 2 <= 15 THEN 2.93
+                       WHEN k * (k - 1) // 2 <= 21 THEN 3.02 ELSE 3.1 END)
+               AS INT) AS sig_bonferroni
       FROM g a JOIN g b ON a.event_type < b.event_type
       CROSS JOIN p
       ORDER BY 1, 2
