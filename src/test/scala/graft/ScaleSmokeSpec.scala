@@ -469,6 +469,38 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     got.zip(want).foreach { case (g, w) => assert(g == w, s"$g vs $w") }
   }
 
+  test("5M-row bitmap-index co-activity equals distinct-set arithmetic") {
+    // q_bitmap_index's algebra at 50× bench scale: fold 5M events into
+    // per-type user bitmaps (63 users per BIGINT word), answer pairwise
+    // co-activity with popcount over ANDed masks, and check EVERY pair
+    // against the independent distinct-set join. The index is ~|types| ×
+    // users/63 words — the co-activity pass never rereads the events.
+    val masks = big
+      .selectExpr("event_type", "user_id div 63 AS word",
+        "CAST(user_id % 63 AS INT) AS b")
+      .groupBy("event_type", "word")
+      .agg(expr("bit_or(shiftleft(1L, b))").as("mask"))
+      .cache()
+    val viaBitmap = masks.as("a")
+      .join(masks.as("b"),
+        col("a.word") === col("b.word") && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(sum(expr("bit_count(a.mask & b.mask)")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val tu = big.select("event_type", "user_id").distinct().cache()
+    val viaSets = tu.as("a")
+      .join(tu.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(viaBitmap.keySet == viaSets.keySet, "pair sets differ")
+    viaBitmap.foreach { case (k, v) =>
+      assert(v == viaSets(k), s"$k: bitmap $v vs sets ${viaSets(k)}")
+    }
+    masks.unpersist(); tu.unpersist()
+  }
+
   test("5M-row two-level ordinals are a bijection and match brute-force ranks") {
     // The shared highest-set-bit rank machinery (ProductQueries.bitRanks
     // — RFM quintiles, Lorenz deciles, Qini, ABC classes all sit on it)
