@@ -835,8 +835,138 @@ object MlQueries extends QueryModule {
       FROM u
     """))
 
+  // ---------------------------------------------------------------- design effect
+
+  /** Survey/experiment design effect of user clustering — when
+    * randomization is per USER but the metric is per EVENT, responses
+    * within a user correlate and the effective sample size shrinks by
+    * DEFF = 1 + (m̄−1)·ICC (Kish). ICC comes from the one-way ANOVA
+    * variance components (MSB/MSW over users) on exact integer cents;
+    * m̄ is the mean events-per-user. Everything is two keyed
+    * aggregations + IEEE arithmetic on exact sums, rounded 4 dp — the
+    * number that says how badly a naive per-event z-test overstates
+    * significance.
+    */
+  private val designEffect = QueryDef(
+    "q_design_effect",
+    (spark, sfDir) => {
+      val perUser = Tables.events(spark, sfDir)
+        .select(col("user_id"), Ql.r(col("value") * 100, 0).cast("long").as("c"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("m"), sum("c").as("s"), sum(expr("c * c")).as("s2"))
+      perUser.agg(
+          count(lit(1)).as("k"), sum("m").as("n"),
+          sum("s").as("st"), sum("s2").as("s2t"),
+          sum(expr("CAST(s AS DOUBLE) * s / m")).as("ssb"))
+        .selectExpr("k", "n",
+          // SSW = Σ(s2_u − s_u²/m_u); SSB = Σ s_u²/m_u − (Σs)²/n
+          "(s2t - ssb) / (n - k) AS msw",
+          "(ssb - CAST(st AS DOUBLE) * st / n) / (k - 1) AS msb",
+          "CAST(n AS DOUBLE) / k AS mbar")
+        .selectExpr("k AS n_users", "n AS n_events",
+          s"${Ql.R("mbar", 4)} AS mean_events_per_user",
+          s"${Ql.R("(msb - msw) / (msb + (mbar - 1.0) * msw)", 4)} AS icc",
+          s"${Ql.R("1.0 + (mbar - 1.0) * ((msb - msw) / (msb + (mbar - 1.0) * msw))", 4)} AS deff")
+    },
+    Some(s"""
+      WITH pu AS (
+        SELECT user_id, count(*) AS m,
+               CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS s2
+        FROM (SELECT user_id, CAST(${Ql.R("value * 100", 0)} AS BIGINT) AS c
+              FROM events)
+        GROUP BY 1),
+      a AS (
+        SELECT count(*) AS k, CAST(sum(m) AS BIGINT) AS n,
+               CAST(sum(s) AS BIGINT) AS st, CAST(sum(s2) AS BIGINT) AS s2t,
+               sum(CAST(s AS DOUBLE) * s / m) AS ssb
+        FROM pu),
+      b AS (
+        SELECT k, n,
+               (s2t - ssb) / (n - k) AS msw,
+               (ssb - CAST(st AS DOUBLE) * st / n) / (k - 1) AS msb,
+               CAST(n AS DOUBLE) / k AS mbar
+        FROM a)
+      SELECT k AS n_users, n AS n_events,
+             ${Ql.R("mbar", 4)} AS mean_events_per_user,
+             ${Ql.R("(msb - msw) / (msb + (mbar - 1.0) * msw)", 4)} AS icc,
+             ${Ql.R("1.0 + (mbar - 1.0) * ((msb - msw) / (msb + (mbar - 1.0) * msw))", 4)} AS deff
+      FROM b
+    """))
+
+  // ---------------------------------------------------------------- ratio-metric CI
+
+  /** Delta-method confidence interval for a RATIO metric (revenue per
+    * event) per experiment arm — the correct error bar where naive
+    * per-event treatment ignores that both numerator and denominator
+    * are random per user (Deng et al.'s ratio-metric correction).
+    * Var(X̄/Ȳ) ≈ (1/n)·(σ²ₓ − 2R·σₓᵧ + R²·σ²ᵧ)/Ȳ², with per-user
+    * (revenue cents, event count) moments — all exact integers into
+    * IEEE formula text, rounded 4 dp. Reports each arm's ratio and
+    * 95% CI.
+    */
+  private val ratioMetricCi = QueryDef(
+    "q_ratio_metric_ci",
+    (spark, sfDir) => {
+      val u = Tables.events(spark, sfDir)
+        .select(col("user_id"), Ql.r(col("value") * 100, 0).cast("long").as("c"))
+        .groupBy("user_id")
+        .agg(sum("c").as("x"), count(lit(1)).as("y"))
+        .withColumn("arm",
+          when(expr(SamplingQueries.bucketExpr("user_id")) < 50, "A").otherwise("B"))
+      u.groupBy("arm")
+        .agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("CAST(x AS DOUBLE) * x")).as("sxx"),
+          sum(expr("CAST(x AS DOUBLE) * y")).as("sxy"),
+          sum(expr("CAST(y AS DOUBLE) * y")).as("syy"))
+        .selectExpr("arm", "n", "sx", "sy",
+          "CAST(sx AS DOUBLE) / n AS mx", "CAST(sy AS DOUBLE) / n AS my",
+          "(sxx - CAST(sx AS DOUBLE) * sx / n) / (n - 1) AS vx",
+          "(sxy - CAST(sx AS DOUBLE) * sy / n) / (n - 1) AS cxy",
+          "(syy - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS vy")
+        .selectExpr("arm", "n", "mx / my AS r",
+          "sqrt((vx - 2.0 * (mx / my) * cxy + (mx / my) * (mx / my) * vy) / n) / my AS se")
+        .selectExpr("arm", "n",
+          s"${Ql.R("r / 100.0", 4)} AS rev_per_event",
+          s"${Ql.R("(r - 1.96 * se) / 100.0", 4)} AS ci_lo",
+          s"${Ql.R("(r + 1.96 * se) / 100.0", 4)} AS ci_hi")
+        .orderBy("arm")
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT user_id, CAST(sum(c) AS BIGINT) AS x, count(*) AS y,
+               CASE WHEN ${Ql.Md5PrefixLong("CAST(user_id AS VARCHAR)", 4)} % 100 < 50
+                 THEN 'A' ELSE 'B' END AS arm
+        FROM (SELECT user_id, CAST(${Ql.R("value * 100", 0)} AS BIGINT) AS c
+              FROM events)
+        GROUP BY user_id),
+      m AS (
+        SELECT arm, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               sum(CAST(x AS DOUBLE) * x) AS sxx,
+               sum(CAST(x AS DOUBLE) * y) AS sxy,
+               sum(CAST(y AS DOUBLE) * y) AS syy
+        FROM u GROUP BY 1),
+      v AS (
+        SELECT arm, n,
+               CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+               (sxx - CAST(sx AS DOUBLE) * sx / n) / (n - 1) AS vx,
+               (sxy - CAST(sx AS DOUBLE) * sy / n) / (n - 1) AS cxy,
+               (syy - CAST(sy AS DOUBLE) * sy / n) / (n - 1) AS vy
+        FROM m),
+      s AS (
+        SELECT arm, n, mx / my AS r,
+               sqrt((vx - 2.0 * (mx / my) * cxy + (mx / my) * (mx / my) * vy) / n) / my AS se
+        FROM v)
+      SELECT arm, n,
+             ${Ql.R("r / 100.0", 4)} AS rev_per_event,
+             ${Ql.R("(r - 1.96 * se) / 100.0", 4)} AS ci_lo,
+             ${Ql.R("(r + 1.96 * se) / 100.0", 4)} AS ci_hi
+      FROM s ORDER BY arm
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(logisticIrls, overdispersion, varCvar, naiveBayes, boostedStumps,
       sequentialAb, pairwiseMeans, trimmedMean, changepointBinseg,
-      ipsPolicyValue)
+      ipsPolicyValue, designEffect, ratioMetricCi)
 }
