@@ -437,8 +437,15 @@ object StreamingJobs {
 
     override def handleInputRows(key: Long, rows: Iterator[FunnelInput],
         timers: TimerValues): Iterator[FunnelStage] = {
-      var (st, anchor) =
+      val (st0, anchor0) =
         if (state.exists()) state.get() else (0, Long.MinValue)
+      // Terminal keys (stage 3) can never advance — skip the scan AND the
+      // state write. Quiescent keys below also skip the write: a RocksDB
+      // put (+ changelog entry) per untouched key per batch is the
+      // dominant per-key cost once most of the population has settled.
+      if (st0 == 3) return Iterator.empty
+      var st = st0
+      var anchor = anchor0
       // Micro-batches carry no intra-batch order promise, but processing
       // in event-time order is equivalent to a chain of minima: the
       // earliest view, then the earliest click STRICTLY after it, then
@@ -478,7 +485,7 @@ object StreamingJobs {
         val p = minAfter(purchases, anchor)
         if (p != Long.MaxValue) { st = 3; anchor = p; out += FunnelStage(key, 3, p) }
       }
-      state.update((st, anchor))
+      if (st != st0 || anchor != anchor0) state.update((st, anchor))
       out.result().iterator
     }
   }
