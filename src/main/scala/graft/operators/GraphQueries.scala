@@ -1193,41 +1193,105 @@ object GraphQueries extends QueryModule {
     * q_triangle_count (O(m^1.5) bound), with each oriented triangle
     * mapped back to its three undirected edges and counted — never an
     * all-pairs step. Two unrolled rounds keep the oracle exact (the
-    * loop-until-fixpoint variant would follow kcoreConverged's proven
-    * pattern); per-round triangle totals fall out of Σsupport/3. The
-    * oracle enumerates triangles with the plain id-ordered 3-join —
-    * independent machinery, same semantics.
+    * loop-until-fixpoint variant is [[ktrussConverged]]); per-round
+    * triangle totals fall out of Σsupport/3. The oracle enumerates
+    * triangles with the plain id-ordered 3-join — independent
+    * machinery, same semantics.
     */
+  /** Per-edge triangle support of an id-ordered (a<b) undirected edge
+    * list — the degree-oriented wedge join shared by q_ktruss and
+    * [[ktrussConverged]]. Edges in zero triangles do NOT appear in the
+    * output (groupBy over triangle sides), so "support < t" reads as an
+    * anti/left join against this table. Internally localCheckpoints the
+    * oriented list (consumed by three joins); callers that loop must
+    * release persisted blocks themselves (the kcoreConverged pattern).
+    */
+  private[graft] def edgeSupport(edges: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val deg = edges.select(col("a").as("v"))
+      .unionByName(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val keyed = edges
+      .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = keyed.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("kd"))
+      .localCheckpoint(true)
+    val o1 = oriented.select(col("src"), col("dst").as("d1"), col("kd").as("k1"))
+    val o2 = oriented.select(col("src"), col("dst").as("d2"), col("kd").as("k2"))
+    val tri = o1.join(o2, "src")
+      .filter(col("k1") < col("k2") || (col("k1") === col("k2") && col("d1") < col("d2")))
+      .join(oriented.select(col("src").as("d1"), col("dst").as("d2")), Seq("d1", "d2"))
+      .select(col("src").as("x"), col("d1").as("y"), col("d2").as("z"))
+    val sides = tri.select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .unionAll(tri.select(least(col("x"), col("z")).as("a"), greatest(col("x"), col("z")).as("b")))
+      .unionAll(tri.select(least(col("y"), col("z")).as("a"), greatest(col("y"), col("z")).as("b")))
+    sides.groupBy("a", "b").agg(count(lit(1)).as("sup"))
+  }
+
+  /** Convergence-loop k-truss (Cohen 2008): peel every edge with
+    * triangle support < k−2 until a round removes nothing — the variant
+    * a graph of unknown peel depth needs (the oracled q_ktruss keeps its
+    * fixed 2-round contract because that is what the SQL twin can
+    * express). Per-round shape is ONE [[edgeSupport]] wedge join + a
+    * left join re-attaching support to the edge list, under the
+    * kcoreConverged loop discipline: eager localCheckpoint per round so
+    * Catalyst never re-analyzes accumulated lineage, convergence decided
+    * on a 1-row aggregate, every persisted block released before
+    * returning, loud failure past maxRounds. Termination: each non-final
+    * round strictly removes ≥1 edge, so rounds ≤ |E|; the k-truss
+    * fixpoint is unique (maximal subgraph with all edge supports ≥ k−2),
+    * so the loop cannot stabilize on a wrong answer. For k=3 the loop
+    * always fixes after one peel (removing a triangle-free edge cannot
+    * destroy a triangle), which is exactly why q_ktruss's 2-round unroll
+    * is exact there — PropertySpec proves loop == unroll for k=3 and
+    * loop-past-2 on a k=4 cascade chain.
+    *
+    * Input `edges` must be the id-ordered (a<b) undirected pair list,
+    * the q_ktruss convention. Returns (survivors(a, b, sup), peel rounds).
+    */
+  def ktrussConverged(edgesIn: org.apache.spark.sql.DataFrame, k: Int,
+      maxRounds: Int = 50): (org.apache.spark.sql.DataFrame, Int) = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    val t = (k - 2).toLong
+    val sc = edgesIn.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    var e = edgesIn.select("a", "b").localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    var supported: org.apache.spark.sql.DataFrame = null
+    while (!converged && rounds < maxRounds) {
+      // left join: edges in zero triangles are absent from edgeSupport's
+      // output and must read as sup=0, not silently survive
+      supported = e.join(edgeSupport(e), Seq("a", "b"), "left")
+        .select(col("a"), col("b"), coalesce(col("sup"), lit(0L)).as("sup"))
+        .localCheckpoint(true)
+      val Array(nEdges, nKept) = supported
+        .agg(count(lit(1)), sum(when(col("sup") >= t, 1L).otherwise(0L)))
+        .head().toSeq.map(v => if (v == null) 0L else v.asInstanceOf[Long]).toArray
+      if (nKept == nEdges) converged = true
+      else {
+        e = supported.filter(col("sup") >= t).select("a", "b")
+          .localCheckpoint(true)
+        rounds += 1
+      }
+    }
+    if (!converged)
+      throw new IllegalStateException(s"k-truss did not converge in $rounds rounds")
+    val mine = sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
+    val out = supported.localCheckpoint(true)
+    mine.values.foreach(_.unpersist(blocking = false))
+    (out, rounds)
+  }
+
   private val ktruss: QueryDef = {
     QueryDef(
       "q_ktruss",
       (spark, sfDir) => {
-        // per-edge triangle support of an id-ordered (a<b) edge list
-        def edgeSupport(edges: org.apache.spark.sql.DataFrame) = {
-          val deg = edges.select(col("a").as("v"))
-            .unionByName(edges.select(col("b").as("v")))
-            .groupBy("v").agg(count(lit(1)).as("dg"))
-          val keyed = edges
-            .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
-            .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
-          val aFirst = col("da") < col("db") ||
-            (col("da") === col("db") && col("a") < col("b"))
-          val oriented = keyed.select(
-            when(aFirst, col("a")).otherwise(col("b")).as("src"),
-            when(aFirst, col("b")).otherwise(col("a")).as("dst"),
-            when(aFirst, col("db")).otherwise(col("da")).as("kd"))
-            .localCheckpoint(true)
-          val o1 = oriented.select(col("src"), col("dst").as("d1"), col("kd").as("k1"))
-          val o2 = oriented.select(col("src"), col("dst").as("d2"), col("kd").as("k2"))
-          val tri = o1.join(o2, "src")
-            .filter(col("k1") < col("k2") || (col("k1") === col("k2") && col("d1") < col("d2")))
-            .join(oriented.select(col("src").as("d1"), col("dst").as("d2")), Seq("d1", "d2"))
-            .select(col("src").as("x"), col("d1").as("y"), col("d2").as("z"))
-          val sides = tri.select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
-            .unionAll(tri.select(least(col("x"), col("z")).as("a"), greatest(col("x"), col("z")).as("b")))
-            .unionAll(tri.select(least(col("y"), col("z")).as("a"), greatest(col("y"), col("z")).as("b")))
-          sides.groupBy("a", "b").agg(count(lit(1)).as("sup"))
-        }
         val e0 = itemPairs(orderItems(spark, sfDir))
           .filter(col("s_ab") >= 2).select("a", "b")
           .localCheckpoint(true)

@@ -850,4 +850,68 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(got.getString(1) == best._2,
       s"round-1 split ${got.getString(1)} vs brute-force ${best._2}")
   }
+
+  test("convergence-loop k-truss equals brute-force peeling and outruns the 2-round unroll on a lattice") {
+    import spark.implicits._
+    // In-memory peeler with the same fixpoint semantics (remove every
+    // edge in < k-2 triangles until a round removes nothing), counting
+    // only rounds that removed something — independent machinery.
+    def brute(edges: Set[(Long, Long)], k: Int): (Map[(Long, Long), Int], Int) = {
+      val t = k - 2
+      var e = edges
+      var rounds = 0
+      var done = false
+      var sup = Map.empty[(Long, Long), Int]
+      while (!done) {
+        val adj = e.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (v, s) => v -> s.map(_._2).toSet }
+        sup = e.map { case (a, b) => (a, b) -> (adj(a) & adj(b)).size }.toMap
+        val keep = e.filter(ab => sup(ab) >= t)
+        if (keep == e) done = true else { e = keep; rounds += 1 }
+      }
+      (sup, rounds)
+    }
+    // Triangulated grid patch: each unit cell (r,c) splits into the two
+    // triangles {(r,c),(r,c+1),(r+1,c+1)} and {(r,c),(r+1,c),(r+1,c+1)}.
+    // Interior edges sit in exactly 2 triangles, boundary edges in 1 —
+    // so 4-truss peeling eats one boundary layer per round and the loop
+    // must run well past the oracled q_ktruss 2-round unroll.
+    def vid(r: Int, c: Int): Long = (r * 100 + c).toLong
+    val R = 8; val C = 8
+    val lattice: Set[(Long, Long)] = (for {
+      r <- 0 to R; c <- 0 to C
+      (dr, dc) <- Seq((0, 1), (1, 0), (1, 1))
+      if r + dr <= R && c + dc <= C
+    } yield (vid(r, c), vid(r + dr, c + dc))).toSet // vid(r,c) < vid(r+dr,c+dc)
+    val e = lattice.toSeq.toDF("a", "b")
+    val (sup4, rounds4) = brute(lattice, 4)
+    val (got4df, gotRounds4) = operators.GraphQueries.ktrussConverged(e, 4)
+    val got4 = got4df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2).toInt).toMap
+    assert(got4 == sup4, s"4-truss survivors+support mismatch: " +
+      s"got ${got4.size} edges, brute ${sup4.size}")
+    assert(gotRounds4 == rounds4 && rounds4 > 2,
+      s"lattice must peel in > 2 rounds (loop $gotRounds4, brute $rounds4) — " +
+        "the shape the fixed 2-round unroll cannot finish")
+    info(s"4-truss on the 8x8 lattice: ${got4.size} surviving edges after $gotRounds4 peel rounds")
+    // k=3: removing a triangle-free edge cannot destroy a triangle, so
+    // ONE peel always reaches the fixpoint — which is exactly why the
+    // oracled q_ktruss 2-round unroll is exact there. Loop survivors
+    // must equal the unroll's round-2 support frame on a graph with
+    // triangle-free residue (pendant path off the lattice corner).
+    val pend = lattice + ((vid(R, C), 10000L)) + ((10000L, 10001L))
+    val pe = pend.toSeq.toDF("a", "b")
+    val (got3df, gotRounds3) = operators.GraphQueries.ktrussConverged(pe, 3)
+    val got3 = got3df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2).toInt).toMap
+    val (sup3, rounds3) = brute(pend, 3)
+    assert(got3 == sup3 && gotRounds3 == rounds3 && rounds3 == 1,
+      s"3-truss: loop ($gotRounds3 rounds, ${got3.size} edges) vs " +
+        s"brute ($rounds3 rounds, ${sup3.size} edges)")
+    val e1 = operators.GraphQueries.edgeSupport(pe)
+      .filter(col("sup") >= 1).select("a", "b")
+    val unroll = operators.GraphQueries.edgeSupport(e1).filter(col("sup") >= 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2).toInt).toMap
+    assert(got3 == unroll, "k=3 loop must equal the q_ktruss 2-round unroll exactly")
+  }
 }
