@@ -550,6 +550,9 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
       "spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.skewJoin.enabled",
       "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
       "spark.sql.shuffle.partitions")
       .map(k => k -> spark.conf.getOption(k)).toMap
     val stats = new org.apache.spark.scheduler.SparkListener {
@@ -578,10 +581,17 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
       spark.conf.set("spark.sql.shuffle.partitions", "32")
       val hot = 9999L
+      // pad makes shuffle BYTES proportional to rows: without it the hot
+      // key's rows (constant k, cycling value) LZ4-compress to almost
+      // nothing in the map outputs, and AQE's byte-based skew detector
+      // reports zero skewed partitions while the row/CPU skew is 27x —
+      // measured here before pad was added. At 100 TB the same applies:
+      // a constant-valued whale can hide from byte statistics.
       val left = spark.range(4000000L).select(
         when(pmod(col("id"), lit(100)) < 45, lit(hot))
           .otherwise(pmod(hash(col("id")), lit(10000)).cast("long")).as("k"),
-        (col("id") % 97).cast("double").as("value")).cache()
+        (col("id") % 97).cast("double").as("value"),
+        md5(col("id").cast("string")).as("pad")).cache()
       val right = spark.range(10000L).select(col("id").as("k"),
         concat(lit("seg"), (col("id") % 5)).as("seg")).cache()
       left.count(); right.count() // materialize outside the timings
@@ -591,7 +601,7 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
       // map-side shuffle writes
       def scored(j: org.apache.spark.sql.DataFrame) = j.groupBy("seg")
         .agg(count(lit(1)).as("n"),
-          sum(length(md5(repeat(concat_ws("|", col("value"), col("seg")), 8)))).as("sv"))
+          sum(length(md5(concat_ws("|", col("pad"), col("seg"))))).as("sv"))
       def unsalted() = scored(left.join(right, "k"))
       // bucket count >= 2x shuffle partitions: with 16 buckets over 32
       // partitions the MEDIAN partition holds no hot bucket at all and
@@ -614,9 +624,40 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
       val joinS = stats.joinStage()
       val rowSkewS = joinS.map(_._2).max.toDouble / math.max(1L, median(joinS.map(_._2)))
       val timeSkewS = joinS.map(_._1).max.toDouble / math.max(1L, median(joinS.map(_._1)))
+      // Third arm: no manual salt, AQE skew-join ON — the runtime
+      // alternative. At defaults AQE would NOT fire on this shape: the
+      // hot partition sits far below the 256 MB
+      // skewedPartitionThresholdInBytes, and the 64 MB advisory split
+      // target would put the whole whale in one chunk anyway. The
+      // head-to-head therefore runs AQE as you'd tune it on a cluster
+      // whose partitions are this size: threshold and advisory target
+      // dropped to 4 MB (factor 2x median), so the detector can see the
+      // whale and the splitter can actually carve it.
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      stats.reset()
+      val tA = math.min(time(unsalted), { stats.reset(); time(unsalted) })
+      val joinA = stats.joinStage()
+      val rowSkewA = joinA.map(_._2).max.toDouble / math.max(1L, median(joinA.map(_._2)))
       spark.sparkContext.removeSparkListener(stats)
       info(f"unsalted: $tU%.2f s, join-stage row skew ${skewU}%.1fx; " +
-        f"salted: $tS%.2f s, row skew ${rowSkewS}%.1fx, task-time skew ${timeSkewS}%.1fx")
+        f"salted: $tS%.2f s, row skew ${rowSkewS}%.1fx, task-time skew ${timeSkewS}%.1fx; " +
+        f"AQE skew-join: $tA%.2f s, row skew ${rowSkewA}%.1fx, " +
+        f"${joinA.size} join tasks (vs ${joinU.size} unsalted)")
+      // AQE must have actually split the whale: more join tasks than the
+      // static plan, and the max task's row share leveled vs unsalted
+      assert(joinA.size > joinU.size,
+        s"AQE skew-join must split the hot partition into extra tasks " +
+          s"(got ${joinA.size} vs unsalted ${joinU.size})")
+      assert(rowSkewA < skewU / 2,
+        f"AQE-split max task must read < half the unsalted skew ratio " +
+          f"(got ${rowSkewA}%.1fx vs ${skewU}%.1fx)")
+      assert(tA < tU,
+        f"AQE skew-join ($tA%.2f s) must beat the unsalted hot-task " +
+          f"makespan ($tU%.2f s)")
       assert(skewU > 4.0,
         f"unsalted hot task must read >4x median rows (got ${skewU}%.1fx) — " +
           "otherwise this test isn't exercising skew")
