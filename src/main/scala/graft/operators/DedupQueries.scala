@@ -133,8 +133,16 @@ object DedupQueries extends QueryModule {
     * q_dedup_recall (the quality metric over it), one definition so the
     * measured pipeline is the served one.
     */
-  private def lshBandPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingles(withPlants(spark, sfDir))
+  private def lshBandPairs(spark: SparkSession, sfDir: String): DataFrame =
+    lshBandPairsOf(withPlants(spark, sfDir))
+
+  /** The same banded pipeline over an arbitrary (doc_id, text) frame —
+    * the hook ScaleSmokeSpec drives at 5M docs to prove the candidate
+    * surface stays sparse and the planted-near-dup recall holds at 50×
+    * the bench corpus.
+    */
+  private[graft] def lshBandPairsOf(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
       .withColumn("m", md5(col("sh").cast("binary")))
       .withColumn("h1", expr("CAST(conv(substring(m, 1, 7), 16, 10) AS BIGINT)"))
       .withColumn("h2", expr("CAST(conv(substring(m, 8, 7), 16, 10) AS BIGINT)"))
