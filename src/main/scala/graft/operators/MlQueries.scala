@@ -965,8 +965,286 @@ object MlQueries extends QueryModule {
       FROM s ORDER BY arm
     """))
 
+  // ---------------------------------------------------------------- Theil–Sen slope
+
+  /** Theil–Sen estimator over the daily revenue series — the robust
+    * trend slope (median of all pairwise slopes) that a single outlier
+    * day cannot move, unlike the OLS q_linear_trend. The corpus work is
+    * one daily aggregation to exact cents; the pairwise stage is a
+    * calendar-bounded self-join (30 days ⇒ 435 pairs, report-sized
+    * forever — days grow with TIME, not data volume), and the median is
+    * taken exactly as the mean of the two middle order statistics so
+    * both engines select identical rows. Slope reported in dollars/day.
+    */
+  private val theilSen = QueryDef(
+    "q_theil_sen",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(spark, sfDir)
+        .select(to_date(col("ts")).as("day"),
+          Ql.r(col("value") * 100, 0).cast("long").as("c"))
+        .groupBy("day").agg(sum("c").as("c"))
+        .localCheckpoint(true) // feeds both join sides + the day count
+      val slopes = daily.select(col("day").as("d1"), col("c").as("c1"))
+        .join(daily.select(col("day").as("d2"), col("c").as("c2")),
+          col("d1") < col("d2"))
+        .select(((col("c2") - col("c1")).cast("double") /
+          datediff(col("d2"), col("d1"))).as("slope"))
+      val w = Window.orderBy("slope") // 435-row pair frame, calendar-bounded
+      slopes.withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(slopes.agg(count(lit(1)).as("np"))))
+        .filter(col("rn") === expr("(np + 1) div 2") ||
+          col("rn") === expr("(np + 2) div 2"))
+        .crossJoin(broadcast(daily.agg(count(lit(1)).as("n_days"))))
+        .groupBy("n_days", "np")
+        .agg(Ql.r(avg(col("slope")) / 100.0, 4).as("slope_dollars_per_day"))
+        .select(col("n_days"), col("np").as("n_pairs"),
+          col("slope_dollars_per_day"))
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(${Ql.R("value * 100", 0)} AS BIGINT)) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      pairs AS (
+        SELECT CAST(b.c - a.c AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+        FROM daily a JOIN daily b ON a.day < b.day),
+      r AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn FROM pairs),
+      np AS (SELECT count(*) AS np FROM pairs),
+      nd AS (SELECT count(*) AS n_days FROM daily)
+      SELECT n_days, np AS n_pairs,
+             ${Ql.R("avg(slope) / 100.0", 4)} AS slope_dollars_per_day
+      FROM r, np, nd
+      WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+      GROUP BY n_days, np
+    """))
+
+  // ---------------------------------------------------------------- runs test
+
+  /** Wald–Wolfowitz runs test on the daily revenue series: are the
+    * above/below-cutoff signs random in time, or do they cluster (trend /
+    * regime) or alternate (overcorrection)? The cutoff is the lower
+    * median — the ceil(n/2)-th order statistic, a member of the series, so
+    * "equal to cutoff" is well-defined and those days are excluded per
+    * the classic test. Runs are counted with one lag over the
+    * calendar-bounded daily frame; n₁, n₂, R are exact integers into the
+    * shared normal-approximation formula z = (R − μ)/σ with
+    * μ = 2n₁n₂/(n₁+n₂) + 1.
+    */
+  private val runsTest: QueryDef = {
+    val mu = "(2.0 * n1 * n2 / (n1 + n2) + 1.0)"
+    val sg = "sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / " +
+      "((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))"
+    QueryDef(
+      "q_runs_test",
+      (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(spark, sfDir)
+          .select(to_date(col("ts")).as("day"),
+            Ql.r(col("value") * 100, 0).cast("long").as("c"))
+          .groupBy("day").agg(sum("c").as("c"))
+          .localCheckpoint(true) // cutoff scan + sign scan
+        val cut = daily
+          .withColumn("rn", row_number().over(Window.orderBy("c", "day")))
+          .crossJoin(broadcast(daily.agg(count(lit(1)).as("nd"))))
+          .filter(col("rn") === expr("(nd + 1) div 2"))
+          .select(col("c").as("cut"))
+        val signs = daily.crossJoin(broadcast(cut))
+          .filter(col("c") =!= col("cut"))
+          .select(col("day"), (col("c") > col("cut")).cast("int").as("sign"))
+        val wd = Window.orderBy("day") // calendar-bounded daily frame
+        signs
+          .withColumn("prev", lag(col("sign"), 1).over(wd))
+          .agg(sum(col("sign")).as("n1"),
+            sum(lit(1) - col("sign")).as("n2"),
+            sum(when(col("prev").isNull || col("prev") =!= col("sign"), 1L)
+              .otherwise(0L)).as("n_runs"))
+          .selectExpr("n1 AS n_above", "n2 AS n_below", "n_runs",
+            s"${Ql.R(s"(n_runs - $mu) / $sg", 4)} AS z_score")
+      },
+      Some(s"""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(sum(CAST(${Ql.R("value * 100", 0)} AS BIGINT)) AS BIGINT) AS c
+          FROM events GROUP BY 1),
+        cut AS (
+          SELECT c AS cut FROM (
+            SELECT c, row_number() OVER (ORDER BY c, day) AS rn FROM daily)
+          WHERE rn = ((SELECT count(*) FROM daily) + 1) // 2),
+        signs AS (
+          SELECT day, CAST(c > cut AS INT) AS sign
+          FROM daily, cut WHERE c <> cut),
+        lagged AS (
+          SELECT sign, lag(sign) OVER (ORDER BY day) AS prev FROM signs),
+        s AS (
+          SELECT CAST(sum(sign) AS BIGINT) AS n1,
+                 CAST(sum(1 - sign) AS BIGINT) AS n2,
+                 CAST(sum(CASE WHEN prev IS NULL OR prev <> sign THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+          FROM lagged)
+        SELECT n1 AS n_above, n2 AS n_below, n_runs,
+               ${Ql.R(s"(n_runs - $mu) / $sg", 4)} AS z_score
+        FROM s
+      """))
+  }
+
+  // ---------------------------------------------------------------- McNemar
+
+  /** McNemar's test on paired binary outcomes per user — did clicking
+    * and purchasing disagree more in one direction than chance allows?
+    * The pair (ever-clicked, ever-purchased) is computed per user in one
+    * keyed aggregation; the test consumes only the discordant cells
+    * b (click ∧ ¬purchase) and c (¬click ∧ purchase) through the
+    * continuity-corrected χ² = (|b−c|−1)²/(b+c). All-integer corpus
+    * work; one row out.
+    */
+  private val mcnemar = QueryDef(
+    "q_mcnemar",
+    (spark, sfDir) =>
+      Tables.events(spark, sfDir)
+        .groupBy("user_id")
+        .agg(
+          max(when(col("event_type") === "click", 1).otherwise(0)).as("clk"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("pur"))
+        .agg(
+          sum(expr("clk * pur")).as("n_both"),
+          sum(expr("clk * (1 - pur)")).as("b"),
+          sum(expr("(1 - clk) * pur")).as("c"),
+          sum(expr("(1 - clk) * (1 - pur)")).as("n_neither"))
+        .selectExpr("n_both", "b AS n_click_only", "c AS n_purchase_only",
+          "n_neither",
+          s"${Ql.R("CASE WHEN b + c > 0 THEN (abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c) ELSE 0.0 END", 4)} AS chi2_cc"),
+    Some(s"""
+      WITH pu AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clk,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pur
+        FROM events GROUP BY 1),
+      s AS (
+        SELECT CAST(sum(clk * pur) AS BIGINT) AS n_both,
+               CAST(sum(clk * (1 - pur)) AS BIGINT) AS b,
+               CAST(sum((1 - clk) * pur) AS BIGINT) AS c,
+               CAST(sum((1 - clk) * (1 - pur)) AS BIGINT) AS n_neither
+        FROM pu)
+      SELECT n_both, b AS n_click_only, c AS n_purchase_only, n_neither,
+             ${Ql.R("CASE WHEN b + c > 0 THEN (abs(b - c) - 1.0) * (abs(b - c) - 1.0) / (b + c) ELSE 0.0 END", 4)} AS chi2_cc
+      FROM s
+    """))
+
+  // ---------------------------------------------------------------- effect sizes
+
+  /** Effect-size panel between return-flag populations on price cents:
+    * Cohen's d (pooled SD), Hedges' g (small-sample correction
+    * 1 − 3/(4N−9)), and Glass's Δ (control-group SD alone — the right
+    * denominator when the treatment changes variance). Corpus work is
+    * ONE 3-group moment aggregation; the pairwise panel is a 3-row grid
+    * self-join. Significance belongs to q_welch_ttest; this reports the
+    * magnitudes reviewers actually compare across studies.
+    */
+  private val cohensD: QueryDef = {
+    def m(i: Int) = s"(CAST(s$i AS DOUBLE) / n$i)"
+    def v(i: Int) = s"((ss$i - CAST(s$i AS DOUBLE) * s$i / n$i) / (n$i - 1))"
+    val pooled = s"(((n1 - 1) * ${v(1)} + (n2 - 1) * ${v(2)}) / (n1 + n2 - 2))"
+    val d = s"((${m(1)} - ${m(2)}) / sqrt($pooled))"
+    val g = s"($d * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)))"
+    val glass = s"((${m(1)} - ${m(2)}) / sqrt(${v(2)}))"
+    QueryDef(
+      "q_cohens_d",
+      (spark, sfDir) => {
+        val grp = Tables.lineitem(spark, sfDir)
+          .select(col("l_returnflag").as("flag"),
+            Ql.r(col("l_extendedprice") * 100, 0).cast("long").as("y"))
+          .groupBy("flag")
+          .agg(count(lit(1)).as("n"), sum("y").as("s"),
+            sum(expr("y * y")).as("ss"))
+          .localCheckpoint(true) // tiny; both sides of the pair grid
+        grp.select(col("flag").as("flag1"), col("n").as("n1"),
+            col("s").as("s1"), col("ss").as("ss1"))
+          .join(grp.select(col("flag").as("flag2"), col("n").as("n2"),
+            col("s").as("s2"), col("ss").as("ss2")),
+            col("flag1") < col("flag2"))
+          .selectExpr("flag1", "flag2", "n1", "n2",
+            s"${Ql.R(d, 4)} AS cohens_d",
+            s"${Ql.R(g, 4)} AS hedges_g",
+            s"${Ql.R(glass, 4)} AS glass_delta")
+          .orderBy("flag1", "flag2")
+      },
+      Some(s"""
+        WITH grp AS (
+          SELECT l_returnflag AS flag, count(*) AS n,
+                 CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS ss
+          FROM (SELECT l_returnflag,
+                       CAST(${Ql.R("l_extendedprice * 100", 0)} AS BIGINT) AS y
+                FROM lineitem)
+          GROUP BY 1)
+        SELECT flag1, flag2, n1, n2,
+               ${Ql.R(d, 4)} AS cohens_d,
+               ${Ql.R(g, 4)} AS hedges_g,
+               ${Ql.R(glass, 4)} AS glass_delta
+        FROM (
+          SELECT a.flag AS flag1, b.flag AS flag2,
+                 a.n AS n1, a.s AS s1, a.ss AS ss1,
+                 b.n AS n2, b.s AS s2, b.ss AS ss2
+          FROM grp a JOIN grp b ON a.flag < b.flag)
+        ORDER BY flag1, flag2
+      """))
+  }
+
+  // ---------------------------------------------------------------- entropy rate
+
+  /** Entropy rate of the per-user event-type Markov chain — bits of
+    * genuine surprise per step once the previous event is known, the
+    * sequence-predictability number behind session modeling:
+    * H = −Σ_ij (n_ij/N)·log₂(n_ij/n_i·) with empirical start weights.
+    * Corpus work = the same lag pass q_markov_transitions runs; the
+    * entropy folds the 25-cell transition table and its row totals in
+    * one aggregation — no window, no broadcast. Reports the rate, the
+    * uniform ceiling log₂(k), and their ratio (predictability).
+    */
+  private val entropyRate = QueryDef(
+    "q_entropy_rate",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val rowTot = pairs.groupBy("from_type").agg(sum("n").as("nf"))
+      pairs.join(rowTot, "from_type")
+        .agg(sum("n").as("nt"),
+          countDistinct("from_type").as("k"),
+          sum(expr("n * log2(CAST(n AS DOUBLE) / nf)")).as("num"))
+        .selectExpr("nt AS n_transitions", "k AS n_states",
+          s"${Ql.R("-num / nt", 4)} AS entropy_rate_bits",
+          s"${Ql.R("log2(CAST(k AS DOUBLE))", 4)} AS uniform_bits",
+          s"${Ql.R("(-num / nt) / log2(CAST(k AS DOUBLE))", 4)} AS efficiency")
+    },
+    Some(s"""
+      WITH pairs AS (
+        SELECT from_type, event_type AS to_type, count(*) AS n
+        FROM (SELECT event_type,
+                     lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS from_type
+              FROM events)
+        WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS nf FROM pairs GROUP BY 1),
+      s AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nt,
+               count(DISTINCT p.from_type) AS k,
+               sum(n * log2(CAST(n AS DOUBLE) / nf)) AS num
+        FROM pairs p JOIN tot t ON p.from_type = t.from_type)
+      SELECT nt AS n_transitions, k AS n_states,
+             ${Ql.R("-num / nt", 4)} AS entropy_rate_bits,
+             ${Ql.R("log2(CAST(k AS DOUBLE))", 4)} AS uniform_bits,
+             ${Ql.R("(-num / nt) / log2(CAST(k AS DOUBLE))", 4)} AS efficiency
+      FROM s
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(logisticIrls, overdispersion, varCvar, naiveBayes, boostedStumps,
       sequentialAb, pairwiseMeans, trimmedMean, changepointBinseg,
-      ipsPolicyValue, designEffect, ratioMetricCi)
+      ipsPolicyValue, designEffect, ratioMetricCi,
+      theilSen, runsTest, mcnemar, cohensD, entropyRate)
 }

@@ -214,7 +214,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_negative_sampling", // 1-row catalog-bound / positive-count broadcasts
       "q_qini_uplift", // 1-row user-count / arm-totals broadcasts
       "q_abc_xyz", // 1-row total-revenue / week-count broadcasts
-      "q_affinity_index") // 1-row grand-total broadcast onto the segment x band grid
+      "q_affinity_index", // 1-row grand-total broadcast onto the segment x band grid
+      "q_theil_sen", // <=31-row daily-table pair join (calendar-bounded) + 1-row count broadcasts
+      "q_runs_test", // 1-row cutoff / day-count broadcasts
+      "q_cohens_d") // 3-row returnflag moment-grid pair join
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
@@ -254,7 +257,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_sequential_ab", // daily-look table (calendar-bounded rows)
       "q_changepoint_binseg", // daily series table (calendar-bounded rows)
       "q_token_budget_plan", // remainder rank over the <=|langs|-row share table
-      "q_qini_uplift") // cumulative window over the 10-row decile table
+      "q_qini_uplift", // cumulative window over the 10-row decile table
+      "q_theil_sen", // rank over the <=465-row day-pair slope frame (calendar-bounded)
+      "q_runs_test") // rank + lag over the <=31-row daily frame (calendar-bounded)
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val bad = df.queryExecution.sparkPlan.collect {
