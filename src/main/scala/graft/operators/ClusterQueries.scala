@@ -190,5 +190,67 @@ object ClusterQueries extends QueryModule {
       FROM labels GROUP BY 1 ORDER BY 1
     """))
 
-  override def defs: Seq[QueryDef] = Seq(dedupClusters)
+  /** Canonical-representative selection — the step that turns clusters
+    * into an executable dedup decision: per near-dup cluster keep the
+    * longest document (ties broken by min doc_id, so reruns are stable)
+    * and count what the decision removes. Same CC labels as
+    * q_dedup_clusters; the selection is one row_number window
+    * partitioned by cluster label (cardinality scales with cluster
+    * count) over the label table, which is candidate-graph-sized, not
+    * corpus-sized. Reports per cluster: canonical id/length, docs and
+    * characters removed.
+    */
+  private val dedupCanonical = QueryDef(
+    "q_dedup_canonical",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = edges(spark, sfDir).cache()
+      val parts = math.max(1, (e.count() / 500000L).toInt)
+      val adj = e.select(col("d1").as("a"), col("d2").as("b"))
+        .unionByName(e.select(col("d2").as("a"), col("d1").as("b")))
+        .repartition(parts)
+        .cache()
+      val (labels, _) = connectedComponents(adj)
+      e.unpersist(false)
+      adj.unpersist(false)
+      val docs = DedupQueries.withPlants(spark, sfDir)
+        .select(col("doc_id").as("id"), length(col("text")).cast("long").as("len"))
+      val w = Window.partitionBy("lbl").orderBy(col("len").desc, col("id"))
+      labels.join(docs, "id")
+        .withColumn("rn", row_number().over(w))
+        .groupBy("lbl")
+        .agg(count(lit(1)).as("cluster_size"),
+          max(when(col("rn") === 1, col("id"))).as("canonical_id"),
+          max(when(col("rn") === 1, col("len"))).as("canonical_len"),
+          (count(lit(1)) - 1).as("n_removed"),
+          (sum("len") - max(when(col("rn") === 1, col("len")))).as("chars_removed"))
+        .select(col("lbl").as("cluster"), col("cluster_size"),
+          col("canonical_id"), col("canonical_len"), col("n_removed"),
+          col("chars_removed"))
+        .orderBy("cluster")
+    },
+    Some(s"""
+      $edgesSql,
+      adj AS (SELECT d1 AS a, d2 AS b FROM edges
+              UNION ALL SELECT d2, d1 FROM edges),
+      nodes AS (SELECT DISTINCT a AS id FROM adj),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT adj.b, reach.r FROM reach JOIN adj ON reach.id = adj.a),
+      labels AS (SELECT id, min(r) AS lbl FROM reach GROUP BY 1),
+      docs AS (SELECT doc_id AS id, CAST(len(text) AS BIGINT) AS len FROM planted),
+      ranked AS (
+        SELECT lbl, id, len,
+               row_number() OVER (PARTITION BY lbl ORDER BY len DESC, id) AS rn
+        FROM labels JOIN docs USING (id))
+      SELECT lbl AS cluster, count(*) AS cluster_size,
+             max(CASE WHEN rn = 1 THEN id END) AS canonical_id,
+             CAST(max(CASE WHEN rn = 1 THEN len END) AS BIGINT) AS canonical_len,
+             count(*) - 1 AS n_removed,
+             CAST(sum(len) - max(CASE WHEN rn = 1 THEN len END) AS BIGINT) AS chars_removed
+      FROM ranked GROUP BY 1 ORDER BY 1
+    """))
+
+  override def defs: Seq[QueryDef] = Seq(dedupClusters, dedupCanonical)
 }

@@ -141,17 +141,28 @@ object DedupQueries extends QueryModule {
     * surface stays sparse and the planted-near-dup recall holds at 50×
     * the bench corpus.
     */
-  private[graft] def lshBandPairsOf(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
-      .withColumn("m", md5(col("sh").cast("binary")))
+  private[graft] def lshBandPairsOf(docs: DataFrame): DataFrame =
+    bandPairsFromSigs(minhashSigsFromShingles(shingles(docs)))
+
+  /** 12 minhash values per doc from its (doc_id, sh) shingle set — the
+    * signature stage of [[lshBandPairsOf]], exposed separately so
+    * q_minhash_calibration can score signature agreement against exact
+    * Jaccard without rebuilding shingles.
+    */
+  private def minhashSigsFromShingles(sh: DataFrame): DataFrame =
+    sh.withColumn("m", md5(col("sh").cast("binary")))
       .withColumn("h1", expr("CAST(conv(substring(m, 1, 7), 16, 10) AS BIGINT)"))
       .withColumn("h2", expr("CAST(conv(substring(m, 8, 7), 16, 10) AS BIGINT)"))
-    val mh = sh
       .withColumn("seed", explode(expr("sequence(0, 11)")))
       .withColumn("hv", expr(
         "((2 * seed + 1) * h1 + (seed * seed + seed + 1) * h2 + seed) % 2147483647"))
       .groupBy("doc_id", "seed")
       .agg(min(col("hv")).as("mh"))
+
+  /** Band-bucket self-join over a (doc_id, seed, mh) signature frame —
+    * the candidate stage of [[lshBandPairsOf]].
+    */
+  private def bandPairsFromSigs(mh: DataFrame): DataFrame = {
     val bands = mh
       .withColumn("band", expr("CAST(seed div 3 AS INT)"))
       .groupBy("doc_id", "band")
@@ -732,8 +743,78 @@ object DedupQueries extends QueryModule {
       LIMIT 15
     """))
 
+  /** I2-calibration: does the 12-hash signature ESTIMATE the Jaccard it
+    * is supposed to estimate? For every LSH candidate pair, the fraction
+    * of agreeing minhashes (an unbiased estimator of J) is laid next to
+    * the exact shingle-set Jaccard, with the absolute error — the
+    * per-pair evidence behind q_dedup_recall's aggregate quality claim,
+    * and the number a 100 TB run consults before trusting signature
+    * agreement as a dedup threshold. Signature agreement is a 12-row
+    * join per CANDIDATE pair (report-sized); the exact side reuses the
+    * guarded shingle-intersection machinery.
+    */
+  private val minhashCalibration = QueryDef(
+    "q_minhash_calibration",
+    (spark, sfDir) => {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val docs = withPlants(spark, sfDir)
+      val sigs = minhashSigsFromShingles(shingles(docs)).localCheckpoint(true)
+      val cand = bandPairsFromSigs(sigs).localCheckpoint(true)
+      val shH = shingles(docs, hashed = true).cache()
+      val (inter, sizes) = shingleIntersections(shH)
+      val est = cand
+        .join(sigs.select(col("doc_id").as("d1"), col("seed"), col("mh").as("mh1")), "d1")
+        .join(sigs.select(col("doc_id").as("d2"), col("seed"), col("mh").as("mh2")),
+          Seq("d2", "seed"))
+        .groupBy("d1", "d2")
+        .agg(sum(when(col("mh1") === col("mh2"), 1L).otherwise(0L)).as("n_common_mh"))
+      val out = est
+        .join(inter, Seq("d1", "d2"), "left")
+        .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+        .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+        .selectExpr("d1", "d2", "n_common_mh",
+          s"${Ql.R("n_common_mh / 12.0", 4)} AS est_jaccard",
+          s"${Ql.R("CAST(inter AS DOUBLE) / (sz1 + sz2 - inter)", 4)} AS exact_jaccard",
+          s"${Ql.R("abs(n_common_mh / 12.0 - CAST(inter AS DOUBLE) / (sz1 + sz2 - inter))", 4)} AS abs_err")
+        .orderBy("d1", "d2")
+      // snapshot the loop's blocks BEFORE the final checkpoint so the
+      // result's own blocks survive the release (the recall pattern)
+      val mine = sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
+      val collected = out.localCheckpoint(true)
+      mine.values.foreach(_.unpersist(blocking = false))
+      collected
+    },
+    Some(s"""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, ${Ql.Md5PrefixLong("sh", 14)} AS sh
+        FROM ($shinglesSql)),
+      $interCtesSql,
+      $lshCandSql,
+      est AS (
+        SELECT c.d1, c.d2,
+               CAST(sum(CASE WHEN m1.mh = m2.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_common_mh
+        FROM cand c
+          JOIN mh m1 ON m1.doc_id = c.d1
+          JOIN mh m2 ON m2.doc_id = c.d2 AND m1.seed = m2.seed
+        GROUP BY 1, 2),
+      j AS (
+        SELECT e.d1, e.d2, e.n_common_mh, COALESCE(i.inter, 0) AS inter,
+               s1.sz AS sz1, s2.sz AS sz2
+        FROM est e
+          LEFT JOIN inter i ON i.d1 = e.d1 AND i.d2 = e.d2
+          JOIN sizes s1 ON s1.doc_id = e.d1
+          JOIN sizes s2 ON s2.doc_id = e.d2)
+      SELECT d1, d2, n_common_mh,
+             ${Ql.R("n_common_mh / 12.0", 4)} AS est_jaccard,
+             ${Ql.R("CAST(inter AS DOUBLE) / (sz1 + sz2 - inter)", 4)} AS exact_jaccard,
+             ${Ql.R("abs(n_common_mh / 12.0 - CAST(inter AS DOUBLE) / (sz1 + sz2 - inter))", 4)} AS abs_err
+      FROM j ORDER BY d1, d2
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs,
     dedupNgramJaccard, dedupEmbed, fuzzyJoin, containment, sortedNeighborhood,
-    dedupRecall, ngramNovelty)
+    dedupRecall, ngramNovelty, minhashCalibration)
 }

@@ -199,6 +199,78 @@ object RetrievalQueries extends QueryModule {
       ORDER BY 1, 2
     """))
 
+  // ---------------------------------------------------------------- query likelihood
+
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    * 2001) over the same three-term query q_bm25_topk serves — the
+    * language-modeling scorer a retrieval stack A/B-tests against BM25:
+    * score(d) = Σ_q ln((tf + μ·ctf_q/|C|) / (dl + μ)), μ = 100. The
+    * collection model is two broadcast-sized aggregates (3-row ctf table,
+    * 1-row token total); candidates are docs matching ≥1 term, and each
+    * candidate scores ALL query terms (zero-tf terms contribute the
+    * smoothed floor) via a 3-term literal explode joined left to the tf
+    * table — never a corpus × terms grid.
+    */
+  private val queryLikelihood: QueryDef = {
+    val terms = Seq("stream", "join", "window")
+    val termArr = s"array(${terms.map(t => s"'$t'").mkString(", ")})"
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val ts = "ln((tf + 100.0 * ctf / ctot) / (dl + 100.0))"
+    QueryDef(
+      "q_query_likelihood",
+      (spark, sfDir) => {
+        val tok = Tables.documents(spark, sfDir)
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"), size(col("toks")).as("dl"),
+            explode(col("toks")).as("w"))
+        val coll = tok.agg(count(lit(1)).cast("double").as("ctot"))
+        val hits = tok.filter(expr(s"array_contains($termArr, w)"))
+          .localCheckpoint(true) // feeds ctf, tf, and the candidate list
+        val ctf = hits.groupBy("w").agg(count(lit(1)).cast("double").as("ctf"))
+        val tf = hits.groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+        tf.select("doc_id", "dl").distinct()
+          .select(col("doc_id"), col("dl"), explode(expr(termArr)).as("w"))
+          .join(tf, Seq("doc_id", "dl", "w"), "left")
+          .na.fill(0L, Seq("tf"))
+          .join(broadcast(ctf), "w")
+          .crossJoin(broadcast(coll))
+          .withColumn("ts", Ql.r(expr(ts), 6))
+          .groupBy("doc_id")
+          .agg(sum(when(col("tf") > 0, 1L).otherwise(0L)).as("n_hit_terms"),
+            min("dl").as("dl"), Ql.r(sum(col("ts")), 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+          .select("doc_id", "n_hit_terms", "dl", "score")
+      },
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                 unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        coll AS (SELECT CAST(count(*) AS DOUBLE) AS ctot FROM tok),
+        ctf AS (SELECT w, CAST(count(*) AS DOUBLE) AS ctf
+                FROM tok WHERE w IN ($inList) GROUP BY 1),
+        tf AS (SELECT doc_id, dl, w, count(*) AS tf
+               FROM tok WHERE w IN ($inList) GROUP BY 1, 2, 3),
+        grid AS (
+          SELECT cd.doc_id, cd.dl, t.w
+          FROM (SELECT DISTINCT doc_id, dl FROM tf) cd,
+               (SELECT unnest([$inList]) AS w) t),
+        sc AS (
+          SELECT g.doc_id, g.dl, COALESCE(tf.tf, 0) AS tf, c.ctf, ctot
+          FROM grid g
+          LEFT JOIN tf ON g.doc_id = tf.doc_id AND g.w = tf.w
+          JOIN ctf c ON g.w = c.w, coll),
+        scored AS (
+          SELECT doc_id, dl, tf, ${Ql.R(ts, 6)} AS ts FROM sc)
+        SELECT doc_id,
+               CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_terms,
+               CAST(min(dl) AS INT) AS dl,
+               ${Ql.R("sum(ts)", 4)} AS score
+        FROM scored GROUP BY 1
+        ORDER BY score DESC, doc_id LIMIT 20
+      """))
+  }
+
   override def defs: Seq[QueryDef] =
-    Seq(mmrRerank, autocompletePrefix, langVocabOverlap)
+    Seq(mmrRerank, autocompletePrefix, langVocabOverlap, queryLikelihood)
 }

@@ -890,8 +890,56 @@ object TextQueries extends QueryModule {
       ORDER BY cosine DESC, a, b LIMIT 20
     """))
 
+  // ---------------------------------------------------------------- lexical diversity
+
+  /** Per-source lexical-diversity profile: type-token ratio, hapax
+    * fraction (types seen once — the Zipf tail mass), and mean token
+    * length. The curation signal that separates template-stamped or
+    * looping sources (low TTR, thin hapax tail) from diverse prose
+    * BEFORE expensive dedup runs. Shape is the inverted-index family:
+    * one (source, token) count aggregation, then a per-source fold —
+    * token counts and lengths stay exact integers into the formulas.
+    */
+  private val ttrProfile = QueryDef(
+    "q_ttr_profile",
+    (spark, sfDir) => {
+      val tok = Tables.documents(spark, sfDir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      val types = tok.groupBy("source", "w")
+        .agg(count(lit(1)).as("n"), sum(length(col("w"))).as("lsum"))
+      types.groupBy("source")
+        .agg(sum("n").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          sum("lsum").as("len_sum"))
+        .selectExpr("source", "n_tokens", "n_types", "n_hapax",
+          s"${Ql.R("CAST(n_types AS DOUBLE) / n_tokens", 4)} AS ttr",
+          s"${Ql.R("CAST(n_hapax AS DOUBLE) / n_types", 4)} AS hapax_frac",
+          s"${Ql.R("CAST(len_sum AS DOUBLE) / n_tokens", 4)} AS avg_tok_len")
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      types AS (
+        SELECT source, w, count(*) AS n, CAST(sum(len(w)) AS BIGINT) AS lsum
+        FROM tok GROUP BY 1, 2),
+      s AS (
+        SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+               count(*) AS n_types,
+               CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+               CAST(sum(lsum) AS BIGINT) AS len_sum
+        FROM types GROUP BY 1)
+      SELECT source, n_tokens, n_types, n_hapax,
+             ${Ql.R("CAST(n_types AS DOUBLE) / n_tokens", 4)} AS ttr,
+             ${Ql.R("CAST(n_hapax AS DOUBLE) / n_types", 4)} AS hapax_frac,
+             ${Ql.R("CAST(len_sum AS DOUBLE) / n_tokens", 4)} AS avg_tok_len
+      FROM s ORDER BY source
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     textStats, tfidf, langId, qualityScore, tokenCount, fingerprint,
     langRoute, bpeMerges, bm25, pmiBigrams, lmPerplexity, zipfSlope,
-    langIdF1, invertedIndex, featureHashing, heapsLaw, sparseCosinePairs)
+    langIdF1, invertedIndex, featureHashing, heapsLaw, sparseCosinePairs,
+    ttrProfile)
 }

@@ -217,7 +217,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_affinity_index", // 1-row grand-total broadcast onto the segment x band grid
       "q_theil_sen", // <=31-row daily-table pair join (calendar-bounded) + 1-row count broadcasts
       "q_runs_test", // 1-row cutoff / day-count broadcasts
-      "q_cohens_d") // 3-row returnflag moment-grid pair join
+      "q_cohens_d", // 3-row returnflag moment-grid pair join
+      "q_query_likelihood") // 1-row collection-token-total broadcast, as q_bm25_topk
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
