@@ -1015,8 +1015,90 @@ object EvalQueries extends QueryModule {
       FROM pairs
     """))
 
+  /** Isotonic (monotone) calibration of the q_calibration_bins score via
+    * pool-adjacent-violators, computed by the min-max identity
+    * (Ayer et al. 1955; Robertson–Wright–Dykstra 1988):
+    * iso_k = max_{i≤k} min_{j≥k} mean(y over bins i..j). The corpus work
+    * is ONE bin aggregation (the q_calibration_bins shape); PAV itself
+    * runs entirely on the ≤10-row bin table — cumulative integer sums
+    * over the bins, then an i≤k≤j triple join of three broadcast copies.
+    * Every bin-range mean is an exact BIGINT/BIGINT IEEE division, and
+    * min/max are order-insensitive, so the engines agree bit-for-bit
+    * before the final display rounding. At 100 TB the bin table is still
+    * 10 rows — the triple join never sees the corpus.
+    */
+  private val isotonicCalibration = QueryDef(
+    "q_isotonic_calibration",
+    (spark, sfDir) => {
+      val e = Tables.embeddings(spark, sfDir)
+        .select(
+          element_at(col("embedding"), 1).cast("double").as("score"),
+          when(col("label") === 0, 1L).otherwise(0L).as("pos"))
+      val bounds = e.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+      val wc = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = e.join(broadcast(bounds))
+        .withColumn("bin",
+          least(floor((col("score") - col("lo")) * lit(10.0)
+            / (col("hi") - col("lo"))), lit(9.0)).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("pos").as("y"),
+          Ql.r(avg(col("score")), 4).as("mean_score"))
+        .withColumn("cw", sum("n").over(wc))
+        .withColumn("cy", sum("y").over(wc))
+        .localCheckpoint(true) // ≤10 rows, consumed by three join arms
+      val i = cum.select(col("bin").as("bi"),
+        (col("cw") - col("n")).as("wi"), (col("cy") - col("y")).as("yi"))
+      val k = cum.select(col("bin").as("bk"))
+      val j = cum.select(col("bin").as("bj"),
+        col("cw").as("wj"), col("cy").as("yj"))
+      val iso = i.crossJoin(broadcast(k)).filter(col("bi") <= col("bk"))
+        .crossJoin(broadcast(j)).filter(col("bk") <= col("bj"))
+        .withColumn("m",
+          (col("yj") - col("yi")).cast("double") / (col("wj") - col("wi")))
+        .groupBy("bk", "bi").agg(min("m").as("m1"))
+        .groupBy("bk").agg(max("m1").as("iso"))
+      cum.join(iso, col("bin") === col("bk"))
+        .select(col("bin"), col("n"), col("mean_score"),
+          Ql.r(col("y").cast("double") / col("n"), 4).as("raw_rate"),
+          Ql.r(col("iso"), 4).as("iso_rate"))
+        .orderBy("bin")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT CAST(embedding[1] AS DOUBLE) AS score,
+               CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos
+        FROM embeddings),
+      b AS (SELECT min(score) AS lo, max(score) AS hi FROM e),
+      bins AS (
+        SELECT CAST(least(floor((score - lo) * 10.0 / (hi - lo)), 9.0) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS y,
+               ${Ql.R("avg(score)", 4)} AS mean_score
+        FROM e, b GROUP BY 1),
+      cum AS (
+        SELECT bin, n, y, mean_score,
+               CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cw,
+               CAST(sum(y) OVER (ORDER BY bin) AS BIGINT) AS cy
+        FROM bins),
+      tri AS (
+        SELECT k.bin AS bk, i.bin AS bi,
+               min(CAST(j.cy - (i.cy - i.y) AS DOUBLE)
+                   / (j.cw - (i.cw - i.n))) AS m1
+        FROM cum i, cum k, cum j
+        WHERE i.bin <= k.bin AND k.bin <= j.bin
+        GROUP BY 1, 2),
+      iso AS (SELECT bk AS bin, max(m1) AS iso FROM tri GROUP BY 1)
+      SELECT c.bin, c.n, c.mean_score,
+             ${Ql.R("CAST(c.y AS DOUBLE) / c.n", 4)} AS raw_rate,
+             ${Ql.R("iso.iso", 4)} AS iso_rate
+      FROM cum c JOIN iso ON c.bin = iso.bin
+      ORDER BY c.bin
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(auc, gini, ndcg, winsorize, mrr, calibrationBins, rrfFusion,
       decileLift, kappaAgreement, brierScore, avgPrecision, ksScores,
-      woeIv, wilsonCi, brierDecomp, spearman, kendallHead)
+      woeIv, wilsonCi, brierDecomp, spearman, kendallHead,
+      isotonicCalibration)
 }

@@ -218,7 +218,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_theil_sen", // <=31-row daily-table pair join (calendar-bounded) + 1-row count broadcasts
       "q_runs_test", // 1-row cutoff / day-count broadcasts
       "q_cohens_d", // 3-row returnflag moment-grid pair join
-      "q_query_likelihood") // 1-row collection-token-total broadcast, as q_bm25_topk
+      "q_query_likelihood", // 1-row collection-token-total broadcast, as q_bm25_topk
+      "q_isotonic_calibration") // 1-row score-bounds broadcast + i<=k<=j triple join of the <=10-row bin table
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
@@ -260,7 +261,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_token_budget_plan", // remainder rank over the <=|langs|-row share table
       "q_qini_uplift", // cumulative window over the 10-row decile table
       "q_theil_sen", // rank over the <=465-row day-pair slope frame (calendar-bounded)
-      "q_runs_test") // rank + lag over the <=31-row daily frame (calendar-bounded)
+      "q_runs_test", // rank + lag over the <=31-row daily frame (calendar-bounded)
+      "q_isotonic_calibration") // cumulative sums over the 10-row bin table (fixed bin count)
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val bad = df.queryExecution.sparkPlan.collect {
