@@ -324,14 +324,24 @@ object Bench {
     }
     // Noise-robust tail: re-time the N slowest successful queries in
     // isolation after the loop. In-loop first-run numbers on this box carry
-    // ±40% ambient load (r7: q_pagerank 11.9 s in-loop vs 8.4 s isolated),
+    // ±40% ambient load (r7: q_pagerank 11.9 s in-loop vs 8.4 s isolated;
+    // r11: an in-run rerun of the identical q_pagerank plan moved +25%),
     // so the headline total inherits whatever the OS was doing during the
     // tail queries. steady_state_total replaces each re-timed query's
     // in-loop time with min(first, rerun) — a best-of-2 for exactly the
-    // queries that dominate the total, cheap enough (~15-20 s) to run every
-    // round. The single-slowest first-vs-rerun pair stays as the canary.
+    // queries that dominate the total. The single-slowest first-vs-rerun
+    // pair stays as the canary.
+    //
+    // COMPARISON BASIS (r12, after four phantom >30% "regressions" on
+    // untouched code had to be hand-adjudicated in r11): the per-query
+    // values REPORTED in the "queries" map are best-of-2 for the re-timed
+    // tail (first-run elsewhere) — that map is the canonical per-query
+    // regression basis. "total" stays the first-run sum for cross-round
+    // continuity; "steady_state_total" is the best-of-2 sum and is the
+    // canonical TOTAL basis. The tail is deep enough (24) to cover every
+    // query the stdout line records.
     val failedSet0 = failed.toSet
-    val rerunN = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_N", "6").toInt
+    val rerunN = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_N", "24").toInt
     val slowestN = results.collect { case (k, v) if !failedSet0(k) => (k, v) }
       .toSeq.sortBy { case (k, v) => (-v, k) }.take(rerunN)
     val reruns: Map[String, Double] = slowestN.map { case (name, _) =>
@@ -421,9 +431,12 @@ object Bench {
       val om = if (omitted > 0) s""","queries_omitted":$omitted,"queries_full":"BENCH_LOCAL.json"""" else ""
       val grouped = groupedTotal
         .map(g => s""","grouped_total":${ms3(g)},"group_n":$groupN""").getOrElse("")
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qjson$om,"failures":$failures,"gc_in_queries_sec":${ms3(gcInQueries / 1e3)},"stream_rows":$streamRows,"stream_rows_per_sec":${streamEps.round},"median_batch_rows_per_sec":${streamMedianEps.round}$procJson$slowestJson,"steady_state_total":${ms3(steadyTotal)}$grouped,"sf":"$sfDir","total_sec":${ms3(total)}}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qjson,"queries_basis":"best_of_2_for_${rerunN}_slowest_first_run_rest"$om,"failures":$failures,"gc_in_queries_sec":${ms3(gcInQueries / 1e3)},"stream_rows":$streamRows,"stream_rows_per_sec":${streamEps.round},"median_batch_rows_per_sec":${streamMedianEps.round}$procJson$slowestJson,"steady_state_total":${ms3(steadyTotal)}$grouped,"sf":"$sfDir","total_sec":${ms3(total)}}"""
     }
-    val bySlowest = results.toSeq.sortBy { case (k, v) => (-v, k) }
+    // canonical per-query values: best-of-2 where a rerun exists
+    val bySlowest = results.map { case (k, v) =>
+      k -> math.min(v, reruns.getOrElse(k, v))
+    }.toSeq.sortBy { case (k, v) => (-v, k) }
     val fullJson = lineFor(bySlowest, 0)
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

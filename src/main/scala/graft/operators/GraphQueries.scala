@@ -1264,28 +1264,47 @@ object GraphQueries extends QueryModule {
     var rounds = 0
     var converged = false
     var supported: org.apache.spark.sql.DataFrame = null
-    while (!converged && rounds < maxRounds) {
-      // left join: edges in zero triangles are absent from edgeSupport's
-      // output and must read as sup=0, not silently survive
-      supported = e.join(edgeSupport(e), Seq("a", "b"), "left")
-        .select(col("a"), col("b"), coalesce(col("sup"), lit(0L)).as("sup"))
-        .localCheckpoint(true)
-      val Array(nEdges, nKept) = supported
-        .agg(count(lit(1)), sum(when(col("sup") >= t, 1L).otherwise(0L)))
-        .head().toSeq.map(v => if (v == null) 0L else v.asInstanceOf[Long]).toArray
-      if (nKept == nEdges) converged = true
-      else {
-        e = supported.filter(col("sup") >= t).select("a", "b")
+    // try/finally: the per-round checkpoint blocks must be released on the
+    // non-convergence throw (and any mid-loop failure) too, not only on
+    // the success path — a thrown loop must not leak blocks into the rest
+    // of a bench session. `doomed` is pinned BEFORE the result's own
+    // checkpoint so the finally never releases the survivors' blocks.
+    var doomed: Set[Int] = Set.empty
+    try {
+      while (!converged && rounds < maxRounds) {
+        // left join: edges in zero triangles are absent from edgeSupport's
+        // output and must read as sup=0, not silently survive
+        supported = e.join(edgeSupport(e), Seq("a", "b"), "left")
+          .select(col("a"), col("b"), coalesce(col("sup"), lit(0L)).as("sup"))
           .localCheckpoint(true)
-        rounds += 1
+        val Array(nEdges, nKept) = supported
+          .agg(count(lit(1)), sum(when(col("sup") >= t, 1L).otherwise(0L)))
+          .head().toSeq.map(v => if (v == null) 0L else v.asInstanceOf[Long]).toArray
+        if (nKept == nEdges) converged = true
+        else {
+          e = supported.filter(col("sup") >= t).select("a", "b")
+            .localCheckpoint(true)
+          rounds += 1
+        }
+      }
+      if (!converged) {
+        doomed = sc.getPersistentRDDs.keySet.toSet -- before
+        throw new IllegalStateException(s"k-truss did not converge in $rounds rounds")
+      }
+      // pin the loop's blocks BEFORE the final checkpoint so the result's
+      // own fresh blocks survive the finally's release (the recall pattern)
+      doomed = sc.getPersistentRDDs.keySet.toSet -- before
+      val out = supported.localCheckpoint(true)
+      (out, rounds)
+    } finally {
+      // on a mid-loop throw `doomed` is still empty — release everything
+      // created since `before`; on the planned paths it excludes `out`
+      val ids = if (doomed.nonEmpty) doomed
+        else sc.getPersistentRDDs.keySet.toSet -- before
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (ids(id)) rdd.unpersist(blocking = false)
       }
     }
-    if (!converged)
-      throw new IllegalStateException(s"k-truss did not converge in $rounds rounds")
-    val mine = sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
-    val out = supported.localCheckpoint(true)
-    mine.values.foreach(_.unpersist(blocking = false))
-    (out, rounds)
   }
 
   private val ktruss: QueryDef = {

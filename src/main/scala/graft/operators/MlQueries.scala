@@ -1141,8 +1141,17 @@ object MlQueries extends QueryModule {
     * magnitudes reviewers actually compare across studies.
     */
   private val cohensD: QueryDef = {
-    def m(i: Int) = s"(CAST(s$i AS DOUBLE) / n$i)"
-    def v(i: Int) = s"((ss$i - CAST(s$i AS DOUBLE) * s$i / n$i) / (n$i - 1))"
+    // Moments stay exact integers end-to-end: the squared-cent sum is
+    // accumulated WIDE (Spark DECIMAL(38,0), DuckDB HUGEINT) — per-group
+    // Σy² passes 6e18 already at bench scale, so a BIGINT accumulator
+    // would hit ANSI overflow at ~2× the data. Mean and variance are
+    // then PRE-ROUNDED (4 dp — relative error ≤1e-10 at cent scale, far
+    // below the output precision) before entering the effect-size
+    // formulas, so both engines derive d/g/Δ from identical quantized
+    // doubles rather than values an ulp apart near a rounding boundary
+    // (the q_welch_ttest exact-moments discipline, hardened one step).
+    def m(i: Int) = Ql.R(s"(CAST(s$i AS DOUBLE) / n$i)", 4)
+    def v(i: Int) = Ql.R(s"((CAST(ss$i AS DOUBLE) - CAST(s$i AS DOUBLE) * s$i / n$i) / (n$i - 1))", 4)
     val pooled = s"(((n1 - 1) * ${v(1)} + (n2 - 1) * ${v(2)}) / (n1 + n2 - 2))"
     val d = s"((${m(1)} - ${m(2)}) / sqrt($pooled))"
     val g = s"($d * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)))"
@@ -1155,7 +1164,7 @@ object MlQueries extends QueryModule {
             Ql.r(col("l_extendedprice") * 100, 0).cast("long").as("y"))
           .groupBy("flag")
           .agg(count(lit(1)).as("n"), sum("y").as("s"),
-            sum(expr("y * y")).as("ss"))
+            sum(col("y").cast("decimal(18,0)") * col("y")).as("ss"))
           .localCheckpoint(true) // tiny; both sides of the pair grid
         grp.select(col("flag").as("flag1"), col("n").as("n1"),
             col("s").as("s1"), col("ss").as("ss1"))
@@ -1171,7 +1180,7 @@ object MlQueries extends QueryModule {
       Some(s"""
         WITH grp AS (
           SELECT l_returnflag AS flag, count(*) AS n,
-                 CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS ss
+                 CAST(sum(y) AS BIGINT) AS s, sum(y * y) AS ss
           FROM (SELECT l_returnflag,
                        CAST(${Ql.R("l_extendedprice * 100", 0)} AS BIGINT) AS y
                 FROM lineitem)

@@ -220,37 +220,53 @@ object PipelineQueries extends QueryModule {
       GROUP BY 1 ORDER BY 1
     """))
 
-  /** I-e2e: the whole curation pipeline as ONE composed query — quality
-    * filter → exact dedup (sha256 keep-first) → weak-key near-dup removal
+  /** The curation DECISION chain, factored so the batch query and the
+    * streaming pipeline ([[graft.streaming.StreamingJobs.curationPipelineSink]])
+    * share ONE definition of every stage — gate (tok ≥ 20) → exact dedup
+    * (sha256 keep-first by doc_id) → weak-key near-dup removal
     * (lang + first-3-token prefix keep-first) → deterministic 80/10/10
-    * split → fixed-boundary packing per (split, source). Every stage is
-    * the oracled operator it reuses; composing them proves the operators
-    * chain without driver-side glue. Output: per-split corpus shape.
+    * hash split → fixed-boundary packing per (split, source). Returns the
+    * per-doc keep-list with its decisions: (doc_id, lang, source, tok,
+    * text_hash, prefix_key, split, shard). The streaming twin reproduces
+    * the same keep-list incrementally (batch-local windows + history
+    * anti-joins + carried pack offsets); ScaleSmokeSpec proves row-for-row
+    * equality on doc_id-sliced replay.
+    */
+  def curationKeepList(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keepFirstHash = Window.partitionBy("text_hash").orderBy("doc_id")
+    val keepFirstKey = Window.partitionBy("lang", "prefix_key").orderBy("doc_id")
+    val packW = Window.partitionBy("split", "source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("tok", size(split(col("text"), " ")))
+      .filter(col("tok") >= 20)
+      .withColumn("text_hash", sha2(col("text").cast("binary"), 256))
+      .withColumn("prefix_key", concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
+      .withColumn("rn_hash", row_number().over(keepFirstHash))
+      .filter(col("rn_hash") === 1)
+      .withColumn("rn_key", row_number().over(keepFirstKey))
+      .filter(col("rn_key") === 1)
+      .withColumn("bucket", expr(SamplingQueries.bucketExpr("doc_id")))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .withColumn("cum_before", sum(col("tok")).over(packW) - col("tok"))
+      .withColumn("shard", expr("cum_before div 2048"))
+      .select("doc_id", "lang", "source", "tok", "text_hash", "prefix_key",
+        "split", "shard")
+  }
+
+  /** I-e2e: the whole curation pipeline as ONE composed query — the
+    * [[curationKeepList]] stage chain aggregated to per-split corpus
+    * shape. Every stage is the oracled operator it reuses; composing them
+    * proves the operators chain without driver-side glue.
     */
   private val curationPipeline = QueryDef(
     "q_curation_pipeline",
     (spark, sfDir) => {
-      import org.apache.spark.sql.expressions.Window
-      val keepFirstHash = Window.partitionBy("text_hash").orderBy("doc_id")
-      val keepFirstKey = Window.partitionBy("lang", "prefix_key").orderBy("doc_id")
-      val packW = Window.partitionBy("split", "source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(spark, sfDir)
-        .withColumn("tok", size(split(col("text"), " ")))
-        .filter(col("tok") >= 20)
-        .withColumn("text_hash", sha2(col("text").cast("binary"), 256))
-        .withColumn("prefix_key", concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
-        .withColumn("rn_hash", row_number().over(keepFirstHash))
-        .filter(col("rn_hash") === 1)
-        .withColumn("rn_key", row_number().over(keepFirstKey))
-        .filter(col("rn_key") === 1)
-        .withColumn("bucket", expr(SamplingQueries.bucketExpr("doc_id")))
-        .withColumn("split",
-          when(col("bucket") < 80, "train")
-            .when(col("bucket") < 90, "val")
-            .otherwise("test"))
-        .withColumn("cum_before", sum(col("tok")).over(packW) - col("tok"))
-        .withColumn("shard", expr("cum_before div 2048"))
+      curationKeepList(Tables.documents(spark, sfDir))
         .groupBy("split")
         .agg(
           count(lit(1)).as("n_docs"),

@@ -12,12 +12,18 @@ object Ql {
     * shortest decimal representation HALF_UP; DuckDB rounds the binary
     * value — they disagree on exact .xx5 ties (e.g. 71.74/4). Nudging by
     * +1e-9 moves ties off the boundary the same way in both engines.
+    * The trailing `+ 0.0` normalizes IEEE signed zero: a tiny NEGATIVE
+    * value rounding to zero emits +0.0 from Spark (BigDecimal has no
+    * signed zero) but −0.0 from DuckDB (pure double round keeps the sign
+    * bit); −0.0 + 0.0 = +0.0 in IEEE 754, and x + 0.0 = x for every
+    * other x, so appending it in BOTH dialects makes them agree without
+    * touching any nonzero result (r11 verdict: q_cohens_d hash fail).
     * Use `R(expr, n)` in the oracle SQL twin.
     */
-  def r(c: Column, scale: Int = 2): Column = round(c + lit(1e-9), scale)
+  def r(c: Column, scale: Int = 2): Column = round(c + lit(1e-9), scale) + lit(0.0)
 
   /** Oracle-side twin of [[r]]: splice into DuckDB SQL. */
-  def R(expr: String, scale: Int = 2): String = s"round(($expr) + 1e-9, $scale)"
+  def R(expr: String, scale: Int = 2): String = s"(round(($expr) + 1e-9, $scale) + 0.0)"
 
   /** Scalar (JVM-side) twin of [[r]] for code that computes outside a
     * Column expression — stateful-processor arithmetic, spec assertions.
@@ -27,7 +33,7 @@ object Ql {
     */
   def rd(v: Double, scale: Int = 2): Double =
     java.math.BigDecimal.valueOf(v + 1e-9)
-      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
 
   /** Timestamp → second-granularity string; parquet timestamp logical types
     * (isAdjustedToUTC, unit) differ across engines, strings do not.

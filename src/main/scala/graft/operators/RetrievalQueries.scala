@@ -219,6 +219,8 @@ object RetrievalQueries extends QueryModule {
     QueryDef(
       "q_query_likelihood",
       (spark, sfDir) => {
+        val sc = spark.sparkContext
+        val before = sc.getPersistentRDDs.keySet
         val tok = Tables.documents(spark, sfDir)
           .withColumn("toks", split(col("text"), " "))
           .select(col("doc_id"), size(col("toks")).as("dl"),
@@ -227,12 +229,16 @@ object RetrievalQueries extends QueryModule {
         val hits = tok.filter(expr(s"array_contains($termArr, w)"))
           .localCheckpoint(true) // feeds ctf, tf, and the candidate list
         val ctf = hits.groupBy("w").agg(count(lit(1)).cast("double").as("ctf"))
+        // LEFT join + coalesce: a query term with zero collection
+        // frequency keeps its smoothed floor for every candidate rather
+        // than silently dropping out (same choice as the oracle twin).
         val tf = hits.groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
-        tf.select("doc_id", "dl").distinct()
+        val out = tf.select("doc_id", "dl").distinct()
           .select(col("doc_id"), col("dl"), explode(expr(termArr)).as("w"))
           .join(tf, Seq("doc_id", "dl", "w"), "left")
           .na.fill(0L, Seq("tf"))
-          .join(broadcast(ctf), "w")
+          .join(broadcast(ctf), Seq("w"), "left")
+          .na.fill(0.0, Seq("ctf"))
           .crossJoin(broadcast(coll))
           .withColumn("ts", Ql.r(expr(ts), 6))
           .groupBy("doc_id")
@@ -240,6 +246,12 @@ object RetrievalQueries extends QueryModule {
             min("dl").as("dl"), Ql.r(sum(col("ts")), 4).as("score"))
           .orderBy(col("score").desc, col("doc_id")).limit(20)
           .select("doc_id", "n_hit_terms", "dl", "score")
+        // release the eager checkpoint's blocks once the result is
+        // snapshotted (module contract: no blocks outlive the query)
+        val mine = sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
+        val collected = out.localCheckpoint(true)
+        mine.values.foreach(_.unpersist(blocking = false))
+        collected
       },
       Some(s"""
         WITH tok AS (
@@ -256,10 +268,11 @@ object RetrievalQueries extends QueryModule {
           FROM (SELECT DISTINCT doc_id, dl FROM tf) cd,
                (SELECT unnest([$inList]) AS w) t),
         sc AS (
-          SELECT g.doc_id, g.dl, COALESCE(tf.tf, 0) AS tf, c.ctf, ctot
+          SELECT g.doc_id, g.dl, COALESCE(tf.tf, 0) AS tf,
+                 COALESCE(c.ctf, 0.0) AS ctf, ctot
           FROM grid g
           LEFT JOIN tf ON g.doc_id = tf.doc_id AND g.w = tf.w
-          JOIN ctf c ON g.w = c.w, coll),
+          LEFT JOIN ctf c ON g.w = c.w, coll),
         scored AS (
           SELECT doc_id, dl, tf, ${Ql.R(ts, 6)} AS ts FROM sc)
         SELECT doc_id,

@@ -1504,6 +1504,124 @@ object StreamingJobs {
     * gates ⇒ no state store, no watermark; throughput scales with
     * partition count.
     */
+  /** I12 at PIPELINE granularity, streaming: the whole curation decision
+    * chain — gate → exact dedup → weak-key near-dup removal → hash split →
+    * shard packing — as ONE streaming job over the raw document stream,
+    * replacing the reference's per-record Lambda chain. Stage definitions
+    * are SHARED with the batch pipeline
+    * ([[graft.operators.PipelineQueries.curationKeepList]]): the stream's
+    * keep-list provably equals the batch one row-for-row under
+    * doc_id-ordered replay (ScaleSmokeSpec), because each global
+    * keep-first-by-doc_id window decomposes exactly into a batch-local
+    * keep-first plus an anti-join against every earlier batch's history,
+    * and the running pack offsets carry per (split, source) across
+    * batches.
+    *
+    * Cross-batch state lives in the OUTPUT directory, not the state store
+    * (each micro-batch writes its own `batch=<id>` subdirs with overwrite
+    * semantics — the scrubRoute/upsertSink idempotence contract, so a
+    * replayed batch overwrites its own partial output):
+    *   - `hashes/batch=<id>`: the batch's gate-surviving text_hashes —
+    *     a hash seen in ANY earlier batch means the current doc is not
+    *     the global first of its hash;
+    *   - `keys/batch=<id>`: the batch's exact-dedup-surviving
+    *     (lang, prefix_key) pairs — same decomposition for stage 3;
+    *   - `offsets/batch=<id>`: the tiny (split × source) cumulative token
+    *     table AFTER this batch — batch b reads b−1's snapshot, so replay
+    *     recomputes identical shard boundaries;
+    *   - `keep/batch=<id>`: the batch's slice of the final keep-list.
+    * Scale path: the history reads are hash/key-only column scans
+    * (pruned), the offsets table is splits × sources rows, and at real
+    * volume the per-batch history dirs compact into a bucketed table on
+    * a cadence — the anti-join shape is unchanged.
+    */
+  def curationPipelineSink(docs: DataFrame, outDir: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()) = {
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        def existing(sub: String): Seq[String] =
+          (0L until batchId).map(i => s"$outDir/$sub/batch=$i")
+            .filter(p => new java.io.File(p).exists())
+        // stage 1 (gate) + the decision keys, same expressions as the
+        // batch chain
+        val gated = batch
+          .withColumn("tok", size(split(col("text"), " ")))
+          .filter(col("tok") >= 20)
+          .withColumn("text_hash", sha2(col("text").cast("binary"), 256))
+          .withColumn("prefix_key",
+            concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
+          .persist()
+        // stage 2 (exact dedup): batch-local keep-first by doc_id, then
+        // drop anything whose hash appeared in an earlier batch — under
+        // doc_id-ordered replay that earlier doc IS the global first
+        val wHash = Window.partitionBy("text_hash").orderBy("doc_id")
+        val hashFirst = gated
+          .withColumn("rn", row_number().over(wHash))
+          .filter(col("rn") === 1).drop("rn")
+        val priorHashes = existing("hashes")
+        val s2 = (if (priorHashes.isEmpty) hashFirst
+          else hashFirst.join(spark.read.parquet(priorHashes: _*),
+            Seq("text_hash"), "left_anti")).persist()
+        // stage 3 (weak-key near-dup): same decomposition over the
+        // stage-2 SURVIVORS' keys (a key whose earlier holder lost the
+        // hash dedup must NOT block — only survivors' keys are history)
+        val wKey = Window.partitionBy("lang", "prefix_key").orderBy("doc_id")
+        val keyFirst = s2
+          .withColumn("rn", row_number().over(wKey))
+          .filter(col("rn") === 1).drop("rn")
+        val priorKeys = existing("keys")
+        val s3 = if (priorKeys.isEmpty) keyFirst
+          else keyFirst.join(spark.read.parquet(priorKeys: _*),
+            Seq("lang", "prefix_key"), "left_anti")
+        // stage 4 (split) is a pure hash of doc_id — no state; stage 5
+        // (packing) resumes each (split, source) group's cumulative token
+        // count from the previous batch's snapshot
+        val prevOff = {
+          val p = s"$outDir/offsets/batch=${batchId - 1}"
+          if (batchId > 0 && new java.io.File(p).exists()) spark.read.parquet(p)
+          else spark.range(0).select(lit("").as("split"), lit("").as("source"),
+            lit(0L).as("off"))
+        }
+        val packW = Window.partitionBy("split", "source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val packed = s3
+          .withColumn("bucket",
+            expr(graft.operators.SamplingQueries.bucketExpr("doc_id")))
+          .withColumn("split",
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val")
+              .otherwise("test"))
+          .join(broadcast(prevOff), Seq("split", "source"), "left")
+          .na.fill(0L, Seq("off"))
+          .withColumn("cum_before",
+            sum(col("tok")).over(packW) - col("tok") + col("off"))
+          .withColumn("shard", expr("cum_before div 2048"))
+          .persist()
+        packed
+          .select("doc_id", "lang", "source", "tok", "text_hash",
+            "prefix_key", "split", "shard")
+          .write.mode("overwrite").parquet(s"$outDir/keep/batch=$batchId")
+        // history + offsets snapshots for the NEXT batch (written last:
+        // a crash mid-batch replays from the checkpoint and overwrites)
+        gated.select("text_hash").distinct()
+          .write.mode("overwrite").parquet(s"$outDir/hashes/batch=$batchId")
+        s2.select("lang", "prefix_key").distinct()
+          .write.mode("overwrite").parquet(s"$outDir/keys/batch=$batchId")
+        val add = packed.groupBy("split", "source").agg(sum("tok").as("add"))
+        prevOff.join(add, Seq("split", "source"), "full_outer")
+          .select(col("split"), col("source"),
+            (coalesce(col("off"), lit(0L)) + coalesce(col("add"), lit(0L))).as("off"))
+          .write.mode("overwrite").parquet(s"$outDir/offsets/batch=$batchId")
+        packed.unpersist(); s2.unpersist(); gated.unpersist()
+        ()
+      }
+  }
+
   def scrubRoute(docs: DataFrame, acceptDir: String, dlqDir: String,
       checkpoint: String, trigger: Trigger = Trigger.AvailableNow()) = {
     docs.writeStream

@@ -66,6 +66,40 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     })
   }
 
+  test("Ql rounding normalizes IEEE signed zero in every dialect") {
+    // r11's q_cohens_d hash fail: a tiny NEGATIVE value rounding to zero
+    // emitted +0.0 from Spark (BigDecimal round has no signed zero) but
+    // −0.0 from DuckDB (double round keeps the sign bit), and the driver's
+    // value hash sees the sign bit. Ql.r / Ql.R / Ql.rd append `+ 0.0` so
+    // every rounded column in every query is immune — pin that here at
+    // the raw-bits level (== cannot distinguish ±0.0; doubleToRawLongBits
+    // can), on the Catalyst side, the JVM side, and for sanity a plain
+    // positive underflow too.
+    import spark.implicits._
+    def isPosZero(d: Double): Boolean =
+      java.lang.Double.doubleToRawLongBits(d) == 0L
+    val tiny = Seq(-3.03e-5, -1e-9, -4.9e-5, 2.1e-5) // all round to 0 at 4dp
+    val sparkSide = tiny.toDF("v")
+      .select(graft.operators.Ql.r(col("v"), 4).as("r"))
+      .collect().map(_.getDouble(0))
+    sparkSide.foreach { d =>
+      assert(d == 0.0 && isPosZero(d),
+        s"Ql.r must emit +0.0 for sub-half-ulp values, got bits ${java.lang.Double.doubleToRawLongBits(d)}")
+    }
+    tiny.foreach { v =>
+      val d = graft.operators.Ql.rd(v, 4)
+      assert(d == 0.0 && isPosZero(d), s"Ql.rd($v, 4) must emit +0.0")
+    }
+    // the Spark-SQL-parsed dialect of Ql.R (the oracle twin's text is the
+    // same string, so a Spark parse pins the expression shape both share)
+    val viaR = spark.sql(s"SELECT ${graft.operators.Ql.R("-0.0000303", 4)} AS r")
+      .head().getDouble(0)
+    assert(viaR == 0.0 && isPosZero(viaR), "Ql.R text must normalize -0.0")
+    // nonzero results must be untouched by the normalization
+    assert(graft.operators.Ql.rd(-0.00006, 4) == -0.0001)
+    assert(graft.operators.Ql.rd(1.23456, 4) == 1.2346)
+  }
+
   test("rank-sum AUC equals brute-force pairwise AUC, ties included") {
     // q_auc's grouped closed form (2·Σranks⁺ − P(P+1)) / (2·P·N) must
     // equal AUC's *definition*: P(score⁺ > score⁻) + ½·P(tie) over all
