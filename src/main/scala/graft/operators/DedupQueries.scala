@@ -813,8 +813,150 @@ object DedupQueries extends QueryModule {
       FROM j ORDER BY d1, d2
     """))
 
+  /** Content-defined chunking dedup (the LBFS rolling-window cutpoint
+    * scheme, Muthitacharoen et al. SOSP 2001) at TOKEN granularity — the
+    * sub-document layer of the dedup stack: document-level detectors
+    * (exact / MinHash / SimHash above) miss boilerplate PARAGRAPHS
+    * repeated across otherwise-distinct pages, and fixed-size chunking
+    * breaks on any insertion. A position is a cutpoint when the 4-token
+    * window ending there hashes ≡ 0 (mod 8) — content-defined, so an
+    * edit only re-chunks its neighborhood (expected chunk ≈ 8 tokens,
+    * geometric). Reports the chunk-level duplication profile: how many
+    * chunks, how many distinct, and the token fraction sub-document
+    * dedup would reclaim. Scale shape: per-doc windows (doc-bounded
+    * partitions), chunk assembly shuffles (doc_id, chunk)-local strings
+    * once, and the global dup count shuffles only 8-byte chunk digests —
+    * never payloads (the q_dedup_exact discipline one level down).
+    */
+  private val cdcChunkDedup = QueryDef(
+    "q_cdc_chunk_dedup",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wd = Window.partitionBy("doc_id").orderBy("pos")
+      val tok = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val cuts = tok
+        .withColumn("w1", lag(col("w"), 3).over(wd))
+        .withColumn("w2", lag(col("w"), 2).over(wd))
+        .withColumn("w3", lag(col("w"), 1).over(wd))
+        .withColumn("winstr", concat_ws(" ", col("w1"), col("w2"), col("w3"), col("w")))
+        // hash in a codegen'd projection (the shingles discipline)
+        .withColumn("cut",
+          when(col("pos") >= 3 &&
+            pmod(expr(Ql.md5PrefixLong("winstr", 14)), lit(8)) === 0, 1L)
+            .otherwise(0L))
+        .withColumn("chunk", coalesce(
+          sum(col("cut")).over(wd.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      val chunks = cuts.groupBy("doc_id", "chunk")
+        .agg(count(lit(1)).as("ntok"),
+          expr("array_join(transform(array_sort(collect_list(struct(pos, w))), x -> x.w), ' ')")
+            .as("cstr"))
+        .select(col("ntok"), expr(Ql.md5PrefixLong("cstr", 14)).as("chash"))
+      chunks.groupBy("chash")
+        .agg(count(lit(1)).as("copies"), max("ntok").as("ntok"))
+        .agg(sum("copies").as("n_chunks"),
+          count(lit(1)).as("n_distinct"),
+          sum(expr("copies * ntok")).as("total_tokens"),
+          sum(expr("(copies - 1) * ntok")).as("dup_tokens"),
+          max("copies").as("max_copies"))
+        .selectExpr("n_chunks", "n_distinct", "total_tokens", "dup_tokens",
+          "max_copies",
+          s"${Ql.R("CAST(total_tokens AS DOUBLE) / n_chunks", 4)} AS avg_chunk_tokens",
+          s"${Ql.R("CAST(dup_tokens AS DOUBLE) / total_tokens", 4)} AS dup_token_frac")
+    },
+    Some(s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      p AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM d),
+      c AS (
+        SELECT doc_id, i, t[i] AS w,
+               CASE WHEN i >= 4 AND
+                 (${Ql.Md5PrefixLong("array_to_string(t[i-3:i], ' ')", 14)}) % 8 = 0
+               THEN 1 ELSE 0 END AS cut
+        FROM p),
+      k AS (
+        SELECT doc_id, i, w,
+               coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+        FROM c),
+      ch AS (
+        SELECT count(*) AS ntok,
+               ${Ql.Md5PrefixLong("string_agg(w, ' ' ORDER BY i)", 14)} AS chash
+        FROM k GROUP BY doc_id, chunk),
+      g AS (SELECT chash, count(*) AS copies, max(ntok) AS ntok FROM ch GROUP BY 1),
+      s AS (
+        SELECT CAST(sum(copies) AS BIGINT) AS n_chunks,
+               count(*) AS n_distinct,
+               CAST(sum(copies * ntok) AS BIGINT) AS total_tokens,
+               CAST(sum((copies - 1) * ntok) AS BIGINT) AS dup_tokens,
+               CAST(max(copies) AS BIGINT) AS max_copies
+        FROM g)
+      SELECT n_chunks, n_distinct, total_tokens, dup_tokens, max_copies,
+             ${Ql.R("CAST(total_tokens AS DOUBLE) / n_chunks", 4)} AS avg_chunk_tokens,
+             ${Ql.R("CAST(dup_tokens AS DOUBLE) / total_tokens", 4)} AS dup_token_frac
+      FROM s
+    """))
+
+  /** Cross-SOURCE 5-gram overlap matrix — the corpus-composition
+    * diagnostic behind mixture design: which pairs of ingest sources are
+    * actually serving the same underlying content (mirrors, syndication,
+    * scrapes of each other), so their mixture weights double-count. One
+    * pass builds the DISTINCT (source, shingle-hash) table; the pair
+    * grid is a self-join keyed on the 8-byte shingle hash where each
+    * bucket holds at most |sources| rows per side — per-shingle fan-out
+    * is bounded by sources², never docs², so no df cap is needed (the
+    * shape q_containment needs a cap for at doc granularity). Pairs with
+    * zero shared shingles are absent (inner join) in BOTH engines.
+    * Reports |A∩B|, containment |A∩B|/min(|A|,|B|), and Jaccard per
+    * source pair.
+    */
+  private val crossSourceOverlap = QueryDef(
+    "q_cross_source_overlap",
+    (spark, sfDir) => {
+      val sh = Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 5)
+        .select(col("source"), explode(expr(
+          "transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', slice(toks, i + 1, 5)))")).as("sh0"))
+        .select(col("source"), expr(Ql.md5PrefixLong("sh0", 14)).as("h"))
+        .distinct()
+        .localCheckpoint(true) // feeds sizes AND both sides of the pair join
+      val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      sh.select(col("source").as("src_a"), col("h"))
+        .join(sh.select(col("source").as("src_b"), col("h")), "h")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+        .selectExpr("src_a", "src_b", "n_a", "n_b", "inter",
+          s"${Ql.R("CAST(inter AS DOUBLE) / least(n_a, n_b)", 4)} AS containment",
+          s"${Ql.R("CAST(inter AS DOUBLE) / (n_a + n_b - inter)", 4)} AS jaccard")
+        .orderBy("src_a", "src_b")
+    },
+    Some(s"""
+      WITH sh AS (
+        SELECT DISTINCT source, ${Ql.Md5PrefixLong("sh0", 14)} AS h
+        FROM (SELECT source, array_to_string(t[i+1:i+5], ' ') AS sh0
+              FROM (SELECT source, t, unnest(generate_series(0, len(t) - 5)) AS i
+                    FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+                    WHERE len(t) >= 5))),
+      sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, inter,
+             ${Ql.R("CAST(inter AS DOUBLE) / least(sa.n, sb.n)", 4)} AS containment,
+             ${Ql.R("CAST(inter AS DOUBLE) / (sa.n + sb.n - inter)", 4)} AS jaccard
+      FROM inter
+        JOIN sizes sa ON sa.source = src_a
+        JOIN sizes sb ON sb.source = src_b
+      ORDER BY src_a, src_b
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs,
     dedupNgramJaccard, dedupEmbed, fuzzyJoin, containment, sortedNeighborhood,
-    dedupRecall, ngramNovelty, minhashCalibration)
+    dedupRecall, ngramNovelty, minhashCalibration, cdcChunkDedup,
+    crossSourceOverlap)
 }

@@ -308,6 +308,151 @@ object MlQueries extends QueryModule {
       GROUP BY 1, 2 ORDER BY 1, 2
     """))
 
+  // ---------------------------------------------------------------- data scaling curve
+
+  /** Data-scaling curve — held-out accuracy of the multinomial
+    * naive-Bayes language classifier as a function of training-set SIZE
+    * (nested 10% / 20% / 40% / 80% hash-bucket subsets, evaluated on the
+    * disjoint ≥90 test buckets): the measurement behind every "do we
+    * need more data or better data" curation decision, and the
+    * experimental shape of the scaling-law literature with a classifier
+    * standing in for the LM. Nesting is free: one pass counts tokens per
+    * (lang, token, threshold-band); each threshold's model is a
+    * re-aggregation of that MODEL-SIZED table (vocab × langs × 4 bands),
+    * so four models cost one corpus scan, not four. Unseen test tokens
+    * (absent from a threshold's training vocab) are dropped for that
+    * threshold in both engines (inner join). Scoring discipline is
+    * q_naive_bayes's: 6 dp-rounded log-probs, 4 dp-rounded sums, argmax
+    * with lang-ascending ties. The grid broadcast is vocab-bounded; at a
+    * web-scale vocabulary it becomes a shuffle join keyed on token —
+    * same plan, bigger exchange.
+    */
+  private val dataScalingCurve: QueryDef = {
+    val segCase = "CASE WHEN bucket < 10 THEN 10 WHEN bucket < 20 THEN 20 " +
+      "WHEN bucket < 40 THEN 40 ELSE 80 END"
+    QueryDef(
+      "q_data_scaling_curve",
+      (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(spark, sfDir)
+          .withColumn("bucket", expr(SamplingQueries.bucketExpr("doc_id")))
+          .localCheckpoint(true) // train counts, priors, and test scan
+        val trainTok = docs.filter(col("bucket") < 80)
+          .select(col("lang"), expr(segCase).as("seg"),
+            explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val segCounts = trainTok.groupBy("lang", "tok", "seg")
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint(true) // model-sized: vocab x langs x 4 bands
+        val thr = segCounts
+          .select(col("lang"), col("tok"), col("seg"), col("c"),
+            explode(expr("array(10, 20, 40, 80)")).as("t"))
+          .filter(col("seg") <= col("t"))
+          .groupBy("t", "lang", "tok").agg(sum("c").as("c"))
+          .localCheckpoint(true) // feeds totals, vocab, and the grid
+        val langTot = thr.groupBy("t", "lang").agg(sum("c").as("tot"))
+        val vocabT = thr.select("t", "tok").distinct()
+        val vSize = vocabT.groupBy("t").agg(count(lit(1)).as("v"))
+        val segDocs = docs.filter(col("bucket") < 80)
+          .groupBy(col("lang"), expr(segCase).as("seg")).agg(count(lit(1)).as("nd"))
+        val pr0 = segDocs
+          .select(col("lang"), col("seg"), col("nd"),
+            explode(expr("array(10, 20, 40, 80)")).as("t"))
+          .filter(col("seg") <= col("t"))
+          .groupBy("t", "lang").agg(sum("nd").as("nd"))
+        val priors = pr0
+          .join(broadcast(pr0.groupBy("t").agg(sum("nd").as("ndt"))), "t")
+          .selectExpr("t", "lang",
+            s"${Ql.R("ln(CAST(nd AS DOUBLE) / ndt)", 6)} AS lnprior")
+        val grid = langTot
+          .join(broadcast(vocabT), "t")
+          .join(thr, Seq("t", "lang", "tok"), "left")
+          .na.fill(0L, Seq("c"))
+          .join(broadcast(vSize), "t")
+          .selectExpr("t", "lang", "tok",
+            s"${Ql.R("ln((c + 1.0) / (tot + v))", 6)} AS lnp")
+        val testTok = docs.filter(col("bucket") >= 90)
+          .select(col("doc_id"), col("lang").as("true_lang"),
+            explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .groupBy("doc_id", "true_lang", "tok").agg(count(lit(1)).as("tf"))
+        val scores = testTok
+          .join(broadcast(grid), "tok")
+          .groupBy("doc_id", "true_lang", "t", "lang")
+          .agg(Ql.r(sum(col("tf") * col("lnp")), 4).as("s0"))
+          .join(broadcast(priors), Seq("t", "lang"))
+          .withColumn("score", Ql.r(col("s0") + col("lnprior"), 4))
+        val w = Window.partitionBy("doc_id", "t")
+          .orderBy(col("score").desc, col("lang"))
+        scores.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .groupBy("t")
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("lang") === col("true_lang"), 1L).otherwise(0L)).as("n_correct"))
+          .selectExpr("t AS train_pct", "n_test", "n_correct",
+            s"${Ql.R("CAST(n_correct AS DOUBLE) / n_test", 4)} AS accuracy")
+          .orderBy("train_pct")
+      },
+      Some(s"""
+        WITH docs AS (
+          SELECT doc_id, lang, text,
+                 ${Ql.Md5PrefixLong("CAST(doc_id AS VARCHAR)", 4)} % 100 AS bucket
+          FROM documents),
+        ttok AS (
+          SELECT lang, $segCase AS seg, tok
+          FROM (SELECT lang, bucket, unnest(string_split(text, ' ')) AS tok
+                FROM docs WHERE bucket < 80)
+          WHERE len(tok) > 0),
+        seg_counts AS (SELECT lang, tok, seg, count(*) AS c FROM ttok GROUP BY 1, 2, 3),
+        thr AS (
+          SELECT t, lang, tok, CAST(sum(c) AS BIGINT) AS c
+          FROM seg_counts, (SELECT unnest([10, 20, 40, 80]) AS t) ts
+          WHERE seg <= t GROUP BY 1, 2, 3),
+        langtot AS (SELECT t, lang, CAST(sum(c) AS BIGINT) AS tot FROM thr GROUP BY 1, 2),
+        vocab AS (SELECT DISTINCT t, tok FROM thr),
+        vs AS (SELECT t, count(*) AS v FROM vocab GROUP BY 1),
+        segdocs AS (
+          SELECT lang, $segCase AS seg, count(*) AS nd
+          FROM docs WHERE bucket < 80 GROUP BY 1, 2),
+        pr0 AS (
+          SELECT t, lang, CAST(sum(nd) AS BIGINT) AS nd
+          FROM segdocs, (SELECT unnest([10, 20, 40, 80]) AS t) ts
+          WHERE seg <= t GROUP BY 1, 2),
+        ndt AS (SELECT t, CAST(sum(nd) AS BIGINT) AS ndt FROM pr0 GROUP BY 1),
+        priors AS (
+          SELECT pr0.t, lang, ${Ql.R("ln(CAST(nd AS DOUBLE) / ndt)", 6)} AS lnprior
+          FROM pr0 JOIN ndt ON pr0.t = ndt.t),
+        grid AS (
+          SELECT lt.t, lt.lang, vb.tok,
+                 ${Ql.R("ln((COALESCE(c, 0) + 1.0) / (tot + v))", 6)} AS lnp
+          FROM langtot lt
+            JOIN vocab vb ON lt.t = vb.t
+            LEFT JOIN thr ON thr.t = lt.t AND thr.lang = lt.lang AND thr.tok = vb.tok
+            JOIN vs ON vs.t = lt.t),
+        testtok AS (
+          SELECT doc_id, lang AS true_lang, tok, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+                FROM docs WHERE bucket >= 90)
+          WHERE len(tok) > 0 GROUP BY 1, 2, 3),
+        scores AS (
+          SELECT doc_id, true_lang, g.t, g.lang,
+                 ${Ql.R(s"${Ql.R("sum(tf * lnp)", 4)} + max(lnprior)", 4)} AS score
+          FROM testtok
+            JOIN grid g USING (tok)
+            JOIN priors p ON g.t = p.t AND g.lang = p.lang
+          GROUP BY 1, 2, 3, 4),
+        pred AS (
+          SELECT doc_id, true_lang, t, lang,
+                 row_number() OVER (PARTITION BY doc_id, t
+                   ORDER BY score DESC, lang) AS rk
+          FROM scores)
+        SELECT t AS train_pct, count(*) AS n_test,
+               CAST(sum(CASE WHEN lang = true_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+               ${Ql.R("CAST(sum(CASE WHEN lang = true_lang THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 4)} AS accuracy
+        FROM pred WHERE rk = 1
+        GROUP BY 1 ORDER BY 1
+      """))
+  }
+
   // ---------------------------------------------------------------- boosted stumps
 
   /** Two rounds of gradient boosting with regression-stump base learners
@@ -1255,5 +1400,5 @@ object MlQueries extends QueryModule {
     Seq(logisticIrls, overdispersion, varCvar, naiveBayes, boostedStumps,
       sequentialAb, pairwiseMeans, trimmedMean, changepointBinseg,
       ipsPolicyValue, designEffect, ratioMetricCi,
-      theilSen, runsTest, mcnemar, cohensD, entropyRate)
+      theilSen, runsTest, mcnemar, cohensD, entropyRate, dataScalingCurve)
 }

@@ -258,25 +258,13 @@ object PipelineQueries extends QueryModule {
         "split", "shard")
   }
 
-  /** I-e2e: the whole curation pipeline as ONE composed query — the
-    * [[curationKeepList]] stage chain aggregated to per-split corpus
-    * shape. Every stage is the oracled operator it reuses; composing them
-    * proves the operators chain without driver-side glue.
+  /** DuckDB twin of [[curationKeepList]] as a CTE chain ending in
+    * `packed(doc_id, lang, source, tok, split, shard, …)` — shared by
+    * q_curation_pipeline and q_shard_balance so the oracle stages cannot
+    * drift between the queries that consume the same decision.
     */
-  private val curationPipeline = QueryDef(
-    "q_curation_pipeline",
-    (spark, sfDir) => {
-      curationKeepList(Tables.documents(spark, sfDir))
-        .groupBy("split")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("tok")).as("tok_total"),
-          countDistinct(col("source"), col("shard")).as("n_shards"),
-          countDistinct(col("lang")).as("n_langs"))
-        .orderBy("split")
-    },
-    Some(s"""
-      WITH filtered AS (
+  private val keepListSql =
+    s"""filtered AS (
         SELECT doc_id, lang, source, text,
                len(string_split(text, ' ')) AS tok,
                sha256(text) AS text_hash,
@@ -297,16 +285,90 @@ object PipelineQueries extends QueryModule {
         FROM (SELECT *, ${Ql.Md5PrefixLong("CAST(doc_id AS VARCHAR)", 4)} % 100 AS b
               FROM keyed)),
       packed AS (
-        SELECT split, source, lang, tok,
+        SELECT doc_id, split, source, lang, tok,
                (CAST(sum(tok) OVER (PARTITION BY split, source ORDER BY doc_id
                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) - tok) // 2048
                  AS shard
-        FROM splitted)
+        FROM splitted)"""
+
+  /** I-e2e: the whole curation pipeline as ONE composed query — the
+    * [[curationKeepList]] stage chain aggregated to per-split corpus
+    * shape. Every stage is the oracled operator it reuses; composing them
+    * proves the operators chain without driver-side glue.
+    */
+  private val curationPipeline = QueryDef(
+    "q_curation_pipeline",
+    (spark, sfDir) => {
+      curationKeepList(Tables.documents(spark, sfDir))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("tok_total"),
+          countDistinct(col("source"), col("shard")).as("n_shards"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("split")
+    },
+    Some(s"""
+      WITH $keepListSql
       SELECT split, count(*) AS n_docs,
              CAST(sum(tok) AS BIGINT) AS tok_total,
              count(DISTINCT (source, shard)) AS n_shards,
              count(DISTINCT lang) AS n_langs
       FROM packed GROUP BY 1 ORDER BY 1
+    """))
+
+  /** Shard-packing balance audit over the [[curationKeepList]] decision —
+    * the load-leveling readout a 100 TB training run reads before
+    * launching: per split, how many shards the packing produced, the
+    * fill-factor distribution against the 2048-token boundary (mean /
+    * min fill, % of capacity), and how many are the inevitable
+    * under-full LAST shards of a (split, source) group. An ingest whose
+    * shards are systematically under-filled wastes reader throughput;
+    * one whose per-group tails dominate needs coarser groups. All work
+    * after the shared keep-list is a shard-count-sized aggregation.
+    */
+  private val shardBalance = QueryDef(
+    "q_shard_balance",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val wg = Window.partitionBy("split", "source")
+      val shards = curationKeepList(Tables.documents(spark, sfDir))
+        .withColumn("last_shard", max(col("shard")).over(wg))
+        .groupBy("split", "source", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("fill"),
+          max(when(col("shard") === col("last_shard"), 1L).otherwise(0L)).as("is_last"))
+      shards.groupBy("split")
+        .agg(count(lit(1)).as("n_shards"),
+          sum("is_last").as("n_tail_shards"),
+          sum("fill").as("tok_total"),
+          min("fill").as("min_fill"),
+          sum(when(col("is_last") === 0, col("fill")).otherwise(0L)).as("full_fill"),
+          sum(when(col("is_last") === 0, 1L).otherwise(0L)).as("n_full"))
+        .selectExpr("split", "n_shards", "n_tail_shards", "tok_total", "min_fill",
+          s"${Ql.R("CAST(tok_total AS DOUBLE) / n_shards / 2048.0 * 100", 4)} AS mean_fill_pct",
+          s"${Ql.R("CASE WHEN n_full > 0 THEN CAST(full_fill AS DOUBLE) / n_full / 2048.0 * 100 ELSE 0.0 END", 4)} AS nontail_fill_pct")
+        .orderBy("split")
+    },
+    Some(s"""
+      WITH $keepListSql,
+      shards AS (
+        SELECT split, source, shard, count(*) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS fill,
+               CASE WHEN shard = max(shard) OVER (PARTITION BY split, source)
+                 THEN 1 ELSE 0 END AS is_last
+        FROM packed GROUP BY split, source, shard),
+      s AS (
+        SELECT split, count(*) AS n_shards,
+               CAST(sum(is_last) AS BIGINT) AS n_tail_shards,
+               CAST(sum(fill) AS BIGINT) AS tok_total,
+               CAST(min(fill) AS BIGINT) AS min_fill,
+               CAST(sum(CASE WHEN is_last = 0 THEN fill ELSE 0 END) AS BIGINT) AS full_fill,
+               CAST(sum(CASE WHEN is_last = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_full
+        FROM shards GROUP BY 1)
+      SELECT split, n_shards, n_tail_shards, tok_total, min_fill,
+             ${Ql.R("CAST(tok_total AS DOUBLE) / n_shards / 2048.0 * 100", 4)} AS mean_fill_pct,
+             ${Ql.R("CASE WHEN n_full > 0 THEN CAST(full_fill AS DOUBLE) / n_full / 2048.0 * 100 ELSE 0.0 END", 4)} AS nontail_fill_pct
+      FROM s ORDER BY split
     """))
 
   /** Deterministic negative sampling for contrastive training pairs —
@@ -376,5 +438,5 @@ object PipelineQueries extends QueryModule {
 
   override def defs: Seq[QueryDef] =
     Seq(packSequences, docChunks, contamination, sampleReservoir,
-      curationPipeline, negativeSampling)
+      curationPipeline, negativeSampling, shardBalance)
 }

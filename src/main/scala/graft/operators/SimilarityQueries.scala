@@ -766,8 +766,100 @@ object SimilarityQueries extends QueryModule {
     FROM d
     """))
 
+  /** Mutual nearest-neighbor pair mining — the base form of
+    * parallel-data discovery (bitext mining, caption–image pairing,
+    * duplicate-account linking): a pair qualifies only when each vector
+    * is the OTHER's single nearest neighbor, the symmetric criterion
+    * that filters out hubs (a popular vector is many vectors' NN but
+    * reciprocates once at most, so plain top-1 mining drowns in hub
+    * pairs that mutual-NN rejects by construction). Scale shape is the
+    * SemDeDup partitioning: assign each vector to its nearest coarse
+    * centroid (one 10-row broadcast pass), compare pairs ONLY within a
+    * cluster — O(Σ cluster²), cluster id is the join key — then take
+    * the top-20 mutual pairs by cosine via TakeOrderedAndProject. The
+    * planted near-twins (same scheme as q_semantic_dedup) guarantee the
+    * mutual path is non-vacuously exercised; label agreement rides
+    * along as the mining-quality proxy.
+    */
+  private val mutualKnn = QueryDef(
+    "q_mutual_knn",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e0 = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label"), Vectors.toDouble(col("embedding")).as("v"))
+      val e = e0.unionByName(
+        e0.filter(col("vec_id") < 10).select(
+          (col("vec_id") + 100000).as("vec_id"), col("label"),
+          expr("concat(slice(v, 1, 63), array(element_at(v, 64) + 0.1d))").as("v")))
+        .cache()
+      val centroids = labelCentroids(e)
+        .select(col("label").as("cl"), col("centroid"))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cl"))
+      val assigned = e.crossJoin(broadcast(centroids))
+        .withColumn("cscore", Ql.r(Vectors.dot(col("v"), col("centroid")), 6))
+        .withColumn("arank", row_number().over(wAssign))
+        .filter(col("arank") === 1)
+        .select(col("cl").as("cluster"), col("vec_id"), col("label"), col("v"),
+          sqrt(Vectors.normSq(col("v"))).as("norm"))
+      val wnn = Window.partitionBy("d1").orderBy(col("score").desc, col("d2"))
+      val nn = assigned
+        .select(col("cluster"), col("vec_id").as("d1"), col("label").as("l1"),
+          col("v").as("v1"), col("norm").as("n1"))
+        .join(assigned.select(col("cluster"), col("vec_id").as("d2"),
+          col("label").as("l2"), col("v").as("v2"), col("norm").as("n2")),
+          "cluster")
+        .filter(col("d1") =!= col("d2"))
+        .withColumn("score",
+          Ql.r(Vectors.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4))
+        .withColumn("rn", row_number().over(wnn))
+        .filter(col("rn") === 1)
+        .select("d1", "d2", "l1", "l2", "score")
+        .localCheckpoint(true) // both sides of the reciprocity join
+      val out = nn
+        .join(nn.select(col("d1").as("m2"), col("d2").as("m1")),
+          col("d1") === col("m1") && col("d2") === col("m2"))
+        .filter(col("d1") < col("d2"))
+        .select(col("d1"), col("d2"), col("score"),
+          (col("l1") === col("l2")).cast("int").as("same_label"))
+        .orderBy(col("score").desc, col("d1")).limit(20)
+      e.unpersist(false)
+      out
+    },
+    Some(s"""
+      WITH e0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+      e AS (
+        SELECT * FROM e0
+        UNION ALL
+        SELECT vec_id + 100000, label, v[1:63] || [v[64] + 0.1] FROM e0 WHERE vec_id < 10),
+      cent AS (
+        SELECT label AS cl, list(c ORDER BY pos) AS centroid
+        FROM (SELECT label, g.i AS pos, avg(v[g.i]) AS c
+              FROM e, generate_series(1, 64) g(i)
+              GROUP BY 1, 2)
+        GROUP BY 1),
+      assigned AS (
+        SELECT cl AS cluster, vec_id, label, v,
+               sqrt(list_dot_product(v, v)) AS norm
+        FROM e, cent
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+          ORDER BY round(list_dot_product(v, centroid) + 1e-9, 6) DESC, cl) = 1),
+      nn AS (
+        SELECT d1, d2, l1, l2, score FROM (
+          SELECT a.vec_id AS d1, b.vec_id AS d2, a.label AS l1, b.label AS l2,
+                 ${Ql.R("list_dot_product(a.v, b.v) / (a.norm * b.norm)", 4)} AS score
+          FROM assigned a JOIN assigned b
+            ON a.cluster = b.cluster AND a.vec_id <> b.vec_id)
+        QUALIFY row_number() OVER (PARTITION BY d1 ORDER BY score DESC, d2) = 1)
+      SELECT x.d1, x.d2, x.score,
+             CAST(x.l1 = x.l2 AS INT) AS same_label
+      FROM nn x JOIN nn y ON x.d1 = y.d2 AND x.d2 = y.d1
+      WHERE x.d1 < x.d2
+      ORDER BY x.score DESC, x.d1 LIMIT 20
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     similarTopk, knnVote, annIvf, docEmbedJoin, embedQuantize, pqCodes,
     semanticDedup, annIvfPq, annRecall, docOutlier, silhouette,
-    embeddingDrift)
+    embeddingDrift, mutualKnn)
 }

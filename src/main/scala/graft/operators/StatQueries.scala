@@ -2234,6 +2234,65 @@ object StatQueries extends QueryModule {
       FROM g GROUP BY 1 ORDER BY 1
     """))
 
+  /** Delete-one-day jackknife standard error for the revenue-per-event
+    * RATIO metric (Quenouille/Tukey; the estimator every experimentation
+    * platform uses when the unit of randomization is a cluster — here a
+    * day — so the naive per-event variance is wrong and the delta method
+    * needs a derivative nobody wants to maintain). One exact-cents pass
+    * builds the per-day (Σcents, count) table; every leave-one-out ratio
+    * θ₍₋ᵢ₎ = (S−sᵢ)/(C−cᵢ) is computed against the 1-row totals
+    * broadcast, pre-rounded at 6 dp so both engines fold identical
+    * terms; var = (n−1)/n · Σ(θ₍₋ᵢ₎ − mean)². Reports θ, SE, 95% CI.
+    */
+  private val jackknifeSe: QueryDef = {
+    val theta = "(CAST(st AS DOUBLE) / ct / 100.0)"
+    val se = "(sqrt((nd - 1.0) / nd * (s2 - s1 * s1 / nd)) / 100.0)"
+    QueryDef(
+      "q_jackknife_se",
+      (spark, sfDir) => {
+        val daily = Tables.events(spark, sfDir)
+          .select(to_date(col("ts")).as("day"),
+            Ql.r(col("value") * 100, 0).cast("long").as("cents"))
+          .groupBy("day").agg(sum("cents").as("s"), count(lit(1)).as("c"))
+        val tot = daily.agg(sum("s").as("st"), sum("c").as("ct"),
+          count(lit(1)).as("nd"))
+        daily.crossJoin(broadcast(tot))
+          .selectExpr("st", "ct", "nd",
+            s"${Ql.R("CAST(st - s AS DOUBLE) / (ct - c)", 6)} AS loo")
+          .groupBy("st", "ct", "nd")
+          .agg(sum(col("loo")).as("s1"), sum(col("loo") * col("loo")).as("s2"))
+          .selectExpr("nd AS n_days",
+            s"${Ql.R(theta, 4)} AS rev_per_event",
+            s"${Ql.R(se, 6)} AS se_jackknife",
+            s"${Ql.R(s"$theta - 1.96 * $se", 4)} AS ci_lo",
+            s"${Ql.R(s"$theta + 1.96 * $se", 4)} AS ci_hi")
+      },
+      Some(s"""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 CAST(sum(CAST(${Ql.R("value * 100", 0)} AS BIGINT)) AS BIGINT) AS s,
+                 count(*) AS c
+          FROM events GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(s) AS BIGINT) AS st, CAST(sum(c) AS BIGINT) AS ct,
+                 count(*) AS nd
+          FROM daily),
+        loo AS (
+          SELECT st, ct, nd,
+                 ${Ql.R("CAST(st - s AS DOUBLE) / (ct - c)", 6)} AS loo
+          FROM daily, tot),
+        m AS (
+          SELECT st, ct, nd, sum(loo) AS s1, sum(loo * loo) AS s2
+          FROM loo GROUP BY 1, 2, 3)
+        SELECT nd AS n_days,
+               ${Ql.R(theta, 4)} AS rev_per_event,
+               ${Ql.R(se, 6)} AS se_jackknife,
+               ${Ql.R(s"$theta - 1.96 * $se", 4)} AS ci_lo,
+               ${Ql.R(s"$theta + 1.96 * $se", 4)} AS ci_hi
+        FROM m
+      """))
+  }
+
   def defs: Seq[QueryDef] =
     Seq(ridge, linearTrend, bootstrapCi, sampleSystematic, holtForecast,
       decayEngagement, mannWhitney, theilIndex, stratAte, cramersV,
@@ -2241,5 +2300,5 @@ object StatQueries extends QueryModule {
       quantileNormalize, imputeEval, partialCorr, anova, powerAnalysis,
       cuped, ridgeCv, medianCi, welchTtest, tailIndex, extremeValue,
       mannKendall, spcChart, bloomSizing, rleLayout, quantileRegression,
-      priceElasticity, calendarGaps, dupRate, holtWinters)
+      priceElasticity, calendarGaps, dupRate, holtWinters, jackknifeSe)
 }

@@ -937,9 +937,80 @@ object TextQueries extends QueryModule {
       FROM s ORDER BY source
     """))
 
+  /** Vocabulary coverage curve — the operational readout behind "how big
+    * a vocabulary do we need": the number of distinct token types (taken
+    * most-frequent-first) required to cover 50% / 90% / 99% of corpus
+    * token mass, plus what fraction of the full type inventory that is.
+    * Zipf's law (q_zipf_slope) predicts the SHAPE; this measures the
+    * actual tokenizer-sizing decision numbers. Corpus work is ONE token
+    * count aggregation; the frequency-descending cumulative sweep runs
+    * over the TYPE table via the two-level bucket pattern (≤64-row
+    * log2-count offset histogram + in-bucket windows — no
+    * single-partition window even at a 10M-type web-corpus vocabulary,
+    * where Heaps' law says types keep growing with corpus size). The
+    * coverage comparison is exact integer arithmetic (cum·100 ≥ pct·total
+    * — no float threshold to diverge the engines).
+    */
+  private val vocabCoverage = QueryDef(
+    "q_vocab_coverage",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val types = Tables.documents(spark, sfDir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        // log2 bucket of the count: ascending bkt = descending count
+        // class, <=64 buckets however large the corpus
+        .withColumn("bkt",
+          expr("CAST(floor(-log2(CAST(n AS DOUBLE))) AS BIGINT)"))
+        .localCheckpoint(true) // feeds the histogram AND the sweep
+      val hist = types.groupBy("bkt")
+        .agg(sum("n").as("b_mass"), count(lit(1)).as("b_types"))
+      val wPre = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = hist
+        .withColumn("off_mass", coalesce(sum(col("b_mass")).over(wPre), lit(0L)))
+        .withColumn("off_types", coalesce(sum(col("b_types")).over(wPre), lit(0L)))
+        .select("bkt", "off_mass", "off_types")
+      val inB = Window.partitionBy("bkt").orderBy(col("n").desc, col("w"))
+      val swept = types
+        .join(broadcast(offsets), "bkt")
+        .withColumn("cum_mass", col("off_mass") +
+          sum(col("n")).over(inB.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("rnk", col("off_types") + row_number().over(inB))
+      val tot = types.agg(sum("n").as("total"), count(lit(1)).as("n_types"))
+      swept
+        .crossJoin(broadcast(tot))
+        .select(col("rnk"), col("cum_mass"), col("total"), col("n_types"),
+          explode(expr("array(50, 90, 99)")).as("pct"))
+        .filter(col("cum_mass") * 100 >= col("pct") * col("total"))
+        .groupBy("pct")
+        .agg(min("rnk").as("types_needed"),
+          max("n_types").as("n_types"), max("total").as("total_tokens"))
+        .selectExpr("pct", "types_needed", "n_types", "total_tokens",
+          s"${Ql.R("CAST(types_needed AS DOUBLE) / n_types", 6)} AS vocab_frac")
+        .orderBy("pct")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT w, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY 1),
+      c AS (
+        SELECT w, n,
+               CAST(sum(n) OVER (ORDER BY n DESC, w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_mass,
+               row_number() OVER (ORDER BY n DESC, w) AS rnk
+        FROM t),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_types FROM t)
+      SELECT pct, min(rnk) AS types_needed,
+             max(n_types) AS n_types, max(total) AS total_tokens,
+             ${Ql.R("CAST(min(rnk) AS DOUBLE) / max(n_types)", 6)} AS vocab_frac
+      FROM c, tot, (SELECT unnest([50, 90, 99]) AS pct) tgt
+      WHERE cum_mass * 100 >= pct * total
+      GROUP BY pct ORDER BY pct
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     textStats, tfidf, langId, qualityScore, tokenCount, fingerprint,
     langRoute, bpeMerges, bm25, pmiBigrams, lmPerplexity, zipfSlope,
     langIdF1, invertedIndex, featureHashing, heapsLaw, sparseCosinePairs,
-    ttrProfile)
+    ttrProfile, vocabCoverage)
 }

@@ -219,7 +219,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_runs_test", // 1-row cutoff / day-count broadcasts
       "q_cohens_d", // 3-row returnflag moment-grid pair join
       "q_query_likelihood", // 1-row collection-token-total broadcast, as q_bm25_topk
-      "q_isotonic_calibration") // 1-row score-bounds broadcast + i<=k<=j triple join of the <=10-row bin table
+      "q_isotonic_calibration", // 1-row score-bounds broadcast + i<=k<=j triple join of the <=10-row bin table
+      "q_vocab_coverage", // 1-row (total-mass, type-count) broadcast onto the type sweep
+      "q_jackknife_se", // 1-row day-table totals broadcast for the leave-one-out ratios
+      "q_mutual_knn") // K-row (label-vocabulary) centroid broadcast, as q_semantic_dedup
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
@@ -262,7 +265,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_qini_uplift", // cumulative window over the 10-row decile table
       "q_theil_sen", // rank over the <=465-row day-pair slope frame (calendar-bounded)
       "q_runs_test", // rank + lag over the <=31-row daily frame (calendar-bounded)
-      "q_isotonic_calibration") // cumulative sums over the 10-row bin table (fixed bin count)
+      "q_isotonic_calibration", // cumulative sums over the 10-row bin table (fixed bin count)
+      "q_vocab_coverage") // <=64-row log2-count offset histogram (two-level ordinal pattern)
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val bad = df.queryExecution.sparkPlan.collect {
