@@ -139,23 +139,30 @@ object DedupQueries extends QueryModule {
   /** The same banded pipeline over an arbitrary (doc_id, text) frame —
     * the hook ScaleSmokeSpec drives at 5M docs to prove the candidate
     * surface stays sparse and the planted-near-dup recall holds at 50×
-    * the bench corpus.
+    * the bench corpus. `seedOffset` selects a disjoint slice of the
+    * universal hash family (seeds offset..offset+11) so
+    * q_capture_recapture can run two INDEPENDENT instances of the
+    * pipeline over one corpus.
     */
-  private[graft] def lshBandPairsOf(docs: DataFrame): DataFrame =
-    bandPairsFromSigs(minhashSigsFromShingles(shingles(docs)))
+  private[graft] def lshBandPairsOf(docs: DataFrame, seedOffset: Int = 0): DataFrame =
+    bandPairsFromSigs(minhashSigsFromShingles(shingles(docs), seedOffset))
 
   /** 12 minhash values per doc from its (doc_id, sh) shingle set — the
     * signature stage of [[lshBandPairsOf]], exposed separately so
     * q_minhash_calibration can score signature agreement against exact
-    * Jaccard without rebuilding shingles.
+    * Jaccard without rebuilding shingles. Seeds run
+    * offset..offset+11, so distinct offsets give independent hash
+    * functions from the same `(2i+1)·h1 + (i²+i+1)·h2 + i mod p` family
+    * (coefficients stay < 2⁶ · 2²⁸ — no int64 overflow through
+    * offset 12).
     */
-  private def minhashSigsFromShingles(sh: DataFrame): DataFrame =
+  private def minhashSigsFromShingles(sh: DataFrame, seedOffset: Int = 0): DataFrame =
     sh.withColumn("m", md5(col("sh").cast("binary")))
       .withColumn("h1", expr("CAST(conv(substring(m, 1, 7), 16, 10) AS BIGINT)"))
       .withColumn("h2", expr("CAST(conv(substring(m, 8, 7), 16, 10) AS BIGINT)"))
       .withColumn("seed", explode(expr("sequence(0, 11)")))
       .withColumn("hv", expr(
-        "((2 * seed + 1) * h1 + (seed * seed + seed + 1) * h2 + seed) % 2147483647"))
+        s"((2 * (seed + $seedOffset) + 1) * h1 + ((seed + $seedOffset) * (seed + $seedOffset) + (seed + $seedOffset) + 1) * h2 + (seed + $seedOffset)) % 2147483647"))
       .groupBy("doc_id", "seed")
       .agg(min(col("hv")).as("mh"))
 
@@ -177,11 +184,14 @@ object DedupQueries extends QueryModule {
       .distinct()
   }
 
-  /** Oracle twin of [[lshBandPairs]] — CTE chain ending in
-    * `cand(d1, d2)`. First CTE is named `msh` so it can coexist with the
-    * Jaccard side's `sh` CTE inside one WITH (q_dedup_recall).
+  /** Oracle twin of [[lshBandPairs]] as a parameterized CTE chain ending
+    * in `cand<sfx>(d1, d2)` — `sfx` suffixes every CTE name so two
+    * independent instances (distinct `off` seed offsets) coexist in one
+    * WITH (q_capture_recapture); the unsuffixed offset-0 instance is
+    * [[lshCandSql]]. First CTE is named `msh` so it can also coexist
+    * with the Jaccard side's `sh` CTE (q_dedup_recall).
     */
-  private val lshCandSql = s"""msh AS (
+  private def lshCandSqlNamed(sfx: String, off: Int) = s"""msh$sfx AS (
         SELECT doc_id, sh,
                list_sum(list_transform(generate_series(0, 6), j ->
                  CAST(strpos('0123456789abcdef', substr(md5(sh), j + 1, 1)) - 1 AS BIGINT)
@@ -190,19 +200,21 @@ object DedupQueries extends QueryModule {
                  CAST(strpos('0123456789abcdef', substr(md5(sh), j + 8, 1)) - 1 AS BIGINT)
                    << (4 * (6 - j)))) AS h2
         FROM ($shinglesSql)),
-      mh AS (
+      mh$sfx AS (
         SELECT doc_id, g.i AS seed,
-               min(((2 * g.i + 1) * h1 + (g.i * g.i + g.i + 1) * h2 + g.i) % 2147483647) AS mh
-        FROM msh, generate_series(0, 11) g(i)
+               min(((2 * (g.i + $off) + 1) * h1 + ((g.i + $off) * (g.i + $off) + (g.i + $off) + 1) * h2 + (g.i + $off)) % 2147483647) AS mh
+        FROM msh$sfx, generate_series(0, 11) g(i)
         GROUP BY 1, 2),
-      bands AS (
+      bands$sfx AS (
         SELECT doc_id, seed // 3 AS band,
                string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
-        FROM mh GROUP BY 1, 2),
-      cand AS (
+        FROM mh$sfx GROUP BY 1, 2),
+      cand$sfx AS (
         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        FROM bands a JOIN bands b
+        FROM bands$sfx a JOIN bands$sfx b
           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)"""
+
+  private val lshCandSql = lshCandSqlNamed("", 0)
 
   private val dedupMinhash = QueryDef(
     "q_dedup_minhash",
@@ -283,9 +295,13 @@ object DedupQueries extends QueryModule {
     * is expressible in both engines). Shared by the fingerprint query (I2b)
     * and the banded hamming pair detector.
     */
-  private def simhashFp(spark: SparkSession, sfDir: String, maxDoc: Int): DataFrame =
-    Tables.documents(spark, sfDir)
-      .filter(col("doc_id") < maxDoc)
+  /** 60-bit SimHash fingerprint per doc over an arbitrary
+    * (doc_id, text) frame — the generalization q_capture_recapture
+    * drives over the plant corpus; [[simhashFp]] keeps the original
+    * raw-documents signature for the oracled fingerprint/pair queries.
+    */
+  private def simhashFpOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
       .withColumn("h", md5(col("tok").cast("binary")))
       .withColumn("j", explode(expr("sequence(0, 59)")))
@@ -296,20 +312,29 @@ object DedupQueries extends QueryModule {
       .groupBy("doc_id")
       .agg(sum(expr("CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END")).as("fingerprint"))
 
-  /** DuckDB twin of [[simhashFp]]. */
-  private def simhashFpSql(maxDoc: Int): String =
+  private def simhashFp(spark: SparkSession, sfDir: String, maxDoc: Int): DataFrame =
+    simhashFpOf(Tables.documents(spark, sfDir).filter(col("doc_id") < maxDoc))
+
+  /** DuckDB twin of [[simhashFpOf]] — `src` is the source relation text
+    * (with any inline WHERE), e.g. `documents WHERE doc_id < 100`.
+    */
+  private def simhashFpSqlFrom(src: String): String =
     s"""bits AS (
         SELECT doc_id, g.j,
                ((strpos('0123456789abcdef', substr(md5(tok), 1 + j // 4, 1)) - 1)
                  >> (j % 4)) & 1 AS bit
         FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-              FROM documents WHERE doc_id < $maxDoc),
+              FROM $src),
              generate_series(0, 59) g(j)),
       sums AS (SELECT doc_id, j, sum(bit * 2 - 1) AS s FROM bits GROUP BY 1, 2),
       fp AS (
         SELECT doc_id,
                CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS f
         FROM sums GROUP BY doc_id)"""
+
+  /** DuckDB twin of [[simhashFp]]. */
+  private def simhashFpSql(maxDoc: Int): String =
+    simhashFpSqlFrom(s"documents WHERE doc_id < $maxDoc")
 
   /** I2b: SimHash fingerprint + popcount per document. */
   private val dedupSimhash = QueryDef(
@@ -954,9 +979,64 @@ object DedupQueries extends QueryModule {
       ORDER BY src_a, src_b
     """))
 
+  /** Capture–recapture audit of the LSH detector's blind spot (Chapman's
+    * corrected Lincoln–Petersen estimator, classical mark-recapture
+    * statistics): run the SAME 4×3 band pipeline TWICE with disjoint
+    * slices of the universal hash family (seeds 0–11 vs 12–23) — for a
+    * pair at Jaccard s, each run captures it independently with the same
+    * probability p(s) = 1−(1−s³)⁴, which is exactly the mark-recapture
+    * setting — and estimate the TOTAL candidate-worthy pair population
+    * from the two catches and their overlap:
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1. This answers the question
+    * q_dedup_recall cannot at 100 TB, where the exact all-pairs truth is
+    * uncomputable: "how many near-dup pairs does one LSH run miss?" —
+    * run-coverage n/N̂ is the operating estimate of single-run recall
+    * over the corpus's ACTUAL similarity profile, not at one nominal
+    * Jaccard. Each corpus-sized pipeline runs ONCE into a
+    * pair-list-sized checkpoint (the q_dedup_recall discipline);
+    * everything downstream is three 1-row aggregates crossed.
+    */
+  private val captureRecapture: QueryDef = {
+    val nhat = "((n_run1 + 1.0) * (n_run2 + 1.0) / (m_both + 1.0) - 1.0)"
+    QueryDef(
+      "q_capture_recapture",
+      (spark, sfDir) => {
+        val sc = spark.sparkContext
+        val before = sc.getPersistentRDDs.keySet
+        val docs = withPlants(spark, sfDir)
+        val run1 = lshBandPairsOf(docs).localCheckpoint(true)
+        val run2 = lshBandPairsOf(docs, seedOffset = 12).localCheckpoint(true)
+        val out = run1.agg(count(lit(1)).as("n_run1"))
+          .crossJoin(broadcast(run2.agg(count(lit(1)).as("n_run2"))))
+          .crossJoin(broadcast(
+            run1.join(run2, Seq("d1", "d2")).agg(count(lit(1)).as("m_both"))))
+          .selectExpr("n_run1", "n_run2", "m_both",
+            s"${Ql.R(nhat, 2)} AS chapman_n_hat",
+            s"${Ql.R(s"n_run1 / $nhat", 4)} AS run1_coverage",
+            s"${Ql.R(s"n_run2 / $nhat", 4)} AS run2_coverage")
+        val mine = sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
+        val collected = out.localCheckpoint(true)
+        mine.values.foreach(_.unpersist(blocking = false))
+        collected
+      },
+      Some(s"""
+        WITH $lshCandSql,
+        ${lshCandSqlNamed("2", 12)},
+        s AS (
+          SELECT (SELECT count(*) FROM cand) AS n_run1,
+                 (SELECT count(*) FROM cand2) AS n_run2,
+                 (SELECT count(*) FROM cand JOIN cand2 USING (d1, d2)) AS m_both)
+        SELECT n_run1, n_run2, m_both,
+               ${Ql.R(nhat, 2)} AS chapman_n_hat,
+               ${Ql.R(s"n_run1 / $nhat", 4)} AS run1_coverage,
+               ${Ql.R(s"n_run2 / $nhat", 4)} AS run2_coverage
+        FROM s
+      """))
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs,
     dedupNgramJaccard, dedupEmbed, fuzzyJoin, containment, sortedNeighborhood,
     dedupRecall, ngramNovelty, minhashCalibration, cdcChunkDedup,
-    crossSourceOverlap)
+    crossSourceOverlap, captureRecapture)
 }

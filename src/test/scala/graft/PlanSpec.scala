@@ -222,7 +222,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_isotonic_calibration", // 1-row score-bounds broadcast + i<=k<=j triple join of the <=10-row bin table
       "q_vocab_coverage", // 1-row (total-mass, type-count) broadcast onto the type sweep
       "q_jackknife_se", // 1-row day-table totals broadcast for the leave-one-out ratios
-      "q_mutual_knn") // K-row (label-vocabulary) centroid broadcast, as q_semantic_dedup
+      "q_mutual_knn", // K-row (label-vocabulary) centroid broadcast, as q_semantic_dedup
+      "q_capture_recapture") // three 1-row detector-count aggregates crossed into the report row
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString

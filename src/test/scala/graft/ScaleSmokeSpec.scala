@@ -114,6 +114,42 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
       s"banding math promises ~92% plant recall, measured ${found / 1000.0}")
   }
 
+  test("capture-recapture: two independent LSH runs recover a borderline plant population") {
+    // The q_capture_recapture estimator proven where it matters: a
+    // population BOTH runs only partially catch. 50k base docs + 1000
+    // borderline plants with the first 3 of 10 tokens replaced — 5 of 11
+    // union shingles shared, J ≈ 0.45, single-run capture probability
+    // p = 1-(1-0.45³)⁴ ≈ 0.32. Each run alone sees ~a third of the
+    // population; Chapman's N̂ = (n₁+1)(n₂+1)/(m+1) − 1 must still land
+    // near the true 1000 — that is the whole value of the estimator at
+    // 100 TB, where the exact truth set is uncomputable. Independence of
+    // the two catches comes from the disjoint hash-family slices
+    // (seeds 0-11 vs 12-23), the same mechanism the oracled query uses.
+    val base = spark.range(50000L).select(col("id").as("doc_id"),
+      expr("concat_ws(' ', transform(sequence(0, 9), " +
+        "j -> concat('w', pmod(hash(id * 10 + j), 50000))))").as("text"))
+    val plants = base.filter(col("doc_id") < 1000).select(
+      (col("doc_id") + 50000L).as("doc_id"),
+      regexp_replace(col("text"), "^\\S+ \\S+ \\S+", "x y z").as("text"))
+    val corpus = base.unionByName(plants).localCheckpoint(true)
+    val run1 = operators.DedupQueries.lshBandPairsOf(corpus).localCheckpoint(true)
+    val run2 = operators.DedupQueries.lshBandPairsOf(corpus, seedOffset = 12)
+      .localCheckpoint(true)
+    val n1 = run1.count(); val n2 = run2.count()
+    val m = run1.join(run2, Seq("d1", "d2")).count()
+    val nHat = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+    info(f"capture-recapture: run1=$n1 run2=$n2 overlap=$m -> N-hat=$nHat%.0f " +
+      f"(true 1000); single-run coverage ${n1 / nHat}%.2f")
+    // each run alone must be PARTIAL (the estimator's reason to exist)
+    assert(n1 < 700 && n2 < 700,
+      s"borderline plants must be only partially caught per run ($n1, $n2)")
+    assert(n1 > 150 && n2 > 150,
+      s"the banding math promises ~32% capture, got $n1 / $n2")
+    // ... and the two partial catches must reconstruct the population
+    assert(math.abs(nHat - 1000.0) < 250.0,
+      f"Chapman estimate $nHat%.0f must land within 25%% of the planted 1000")
+  }
+
   test("5M-doc dedup DECISION path: candidates → clusters → canonical keep-list") {
     // The stage AFTER candidate detection, at the same 50x corpus scale:
     // the SAME connectedComponents + canonical-pick window the oracled
