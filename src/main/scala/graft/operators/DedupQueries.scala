@@ -166,16 +166,23 @@ object DedupQueries extends QueryModule {
       .groupBy("doc_id", "seed")
       .agg(min(col("hv")).as("mh"))
 
-  /** Band-bucket self-join over a (doc_id, seed, mh) signature frame —
-    * the candidate stage of [[lshBandPairsOf]].
+  /** (doc_id, band, band_key) table from a (doc_id, seed, mh) signature
+    * frame — the bucket-key stage of [[lshBandPairsOf]], exposed
+    * separately so q_lsh_bucket_occupancy can audit bucket sizes without
+    * running the pair join.
     */
-  private def bandPairsFromSigs(mh: DataFrame): DataFrame = {
-    val bands = mh
-      .withColumn("band", expr("CAST(seed div 3 AS INT)"))
+  private def bandKeysFromSigs(mh: DataFrame): DataFrame =
+    mh.withColumn("band", expr("CAST(seed div 3 AS INT)"))
       .groupBy("doc_id", "band")
       .agg(expr(
         "array_join(transform(array_sort(collect_list(struct(seed, mh))), x -> CAST(x.mh AS STRING)), ',')")
         .as("band_key"))
+
+  /** Band-bucket self-join over a (doc_id, seed, mh) signature frame —
+    * the candidate stage of [[lshBandPairsOf]].
+    */
+  private def bandPairsFromSigs(mh: DataFrame): DataFrame = {
+    val bands = bandKeysFromSigs(mh)
     val a = bands.select(col("band"), col("band_key"), col("doc_id").as("d1"))
     val b = bands.select(col("band"), col("band_key"), col("doc_id").as("d2"))
     a.join(b, Seq("band", "band_key"))
@@ -1034,9 +1041,105 @@ object DedupQueries extends QueryModule {
       """))
   }
 
+  /** Shingle document-frequency profile — the MEASURED justification for
+    * this module's one scale rule (drop df>100 shingles before any
+    * self-join): per log2-df bucket, how many distinct shingles live
+    * there, their instance mass, and — the number that actually sizes the
+    * join — their pair work Σ df·(df−1)/2, plus each bucket's share of
+    * total pair work. At web scale a handful of boilerplate shingles own
+    * essentially all pair work while carrying zero dedup signal; this
+    * report is how you pick the cap for YOUR corpus instead of
+    * inheriting 100. One distinct-shingle aggregation + a ≤64-row
+    * histogram; the share denominator is a 1-row broadcast.
+    */
+  private val shingleDfProfile = QueryDef(
+    "q_shingle_df_profile",
+    (spark, sfDir) => {
+      val df = shingles(Tables.documents(spark, sfDir).select("doc_id", "text"),
+          hashed = true)
+        .groupBy("sh").agg(count(lit(1)).as("df"))
+        .withColumn("bkt", expr("CAST(floor(log2(CAST(df AS DOUBLE))) AS BIGINT)"))
+      val hist = df.groupBy("bkt")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum("df").as("instances"),
+          sum(expr("df * (df - 1) div 2")).as("pair_work"))
+        .localCheckpoint(true) // <=64 rows; feeds the share total too
+      hist.crossJoin(broadcast(hist.agg(sum("pair_work").as("total_pw"))))
+        .selectExpr("bkt AS df_log2_bucket", "n_shingles", "instances",
+          "pair_work",
+          s"${Ql.R("CASE WHEN total_pw > 0 THEN 100.0 * pair_work / total_pw ELSE 0.0 END", 4)} AS pair_work_pct")
+        .orderBy("df_log2_bucket")
+    },
+    Some(s"""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, ${Ql.Md5PrefixLong("sh0", 14)} AS sh
+        FROM (SELECT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS sh0
+              FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 3)) AS i
+                    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+                    WHERE len(t) >= 3))),
+      d AS (
+        SELECT sh, count(*) AS df,
+               CAST(floor(log2(CAST(count(*) AS DOUBLE))) AS BIGINT) AS bkt
+        FROM sh GROUP BY 1),
+      hist AS (
+        SELECT bkt, count(*) AS n_shingles,
+               CAST(sum(df) AS BIGINT) AS instances,
+               CAST(sum(df * (df - 1) // 2) AS BIGINT) AS pair_work
+        FROM d GROUP BY 1),
+      tot AS (SELECT CAST(sum(pair_work) AS BIGINT) AS total_pw FROM hist)
+      SELECT bkt AS df_log2_bucket, n_shingles, instances, pair_work,
+             ${Ql.R("CASE WHEN total_pw > 0 THEN 100.0 * pair_work / total_pw ELSE 0.0 END", 4)} AS pair_work_pct
+      FROM hist, tot ORDER BY df_log2_bucket
+    """))
+
+  /** LSH band-bucket occupancy audit — direct evidence that the
+    * candidate self-join is bounded: per log2 bucket-size class, how
+    * many (band, band_key) buckets there are, the docs they hold, and
+    * the candidate pairs Σ c·(c−1)/2 they generate. The whole LSH scale
+    * argument is "pairs form only inside buckets and buckets stay
+    * small"; this measures the bucket-size distribution that argument
+    * rides on (a corpus whose top class suddenly owns the pair mass
+    * needs more rows per band or a bucket cap). Signature + band-key
+    * stages are the SHARED [[lshBandPairsOf]] machinery; the audit adds
+    * one bucket-count aggregation and a ≤64-row histogram.
+    */
+  private val lshBucketOccupancy = QueryDef(
+    "q_lsh_bucket_occupancy",
+    (spark, sfDir) => {
+      val buckets = bandKeysFromSigs(minhashSigsFromShingles(
+          shingles(withPlants(spark, sfDir))))
+        .groupBy("band", "band_key").agg(count(lit(1)).as("c"))
+        .withColumn("bkt", expr("CAST(floor(log2(CAST(c AS DOUBLE))) AS BIGINT)"))
+      val hist = buckets.groupBy("bkt")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum("c").as("docs"),
+          sum(expr("c * (c - 1) div 2")).as("cand_pairs"))
+        .localCheckpoint(true)
+      hist.crossJoin(broadcast(hist.agg(sum("cand_pairs").as("total_cp"))))
+        .selectExpr("bkt AS size_log2_bucket", "n_buckets", "docs", "cand_pairs",
+          s"${Ql.R("CASE WHEN total_cp > 0 THEN 100.0 * cand_pairs / total_cp ELSE 0.0 END", 4)} AS cand_pair_pct")
+        .orderBy("size_log2_bucket")
+    },
+    Some(s"""
+      WITH $lshCandSql,
+      occ AS (
+        SELECT band, band_key, count(*) AS c,
+               CAST(floor(log2(CAST(count(*) AS DOUBLE))) AS BIGINT) AS bkt
+        FROM bands GROUP BY 1, 2),
+      hist AS (
+        SELECT bkt, count(*) AS n_buckets, CAST(sum(c) AS BIGINT) AS docs,
+               CAST(sum(c * (c - 1) // 2) AS BIGINT) AS cand_pairs
+        FROM occ GROUP BY 1),
+      tot AS (SELECT CAST(sum(cand_pairs) AS BIGINT) AS total_cp FROM hist)
+      SELECT bkt AS size_log2_bucket, n_buckets, docs, cand_pairs,
+             ${Ql.R("CASE WHEN total_cp > 0 THEN 100.0 * cand_pairs / total_cp ELSE 0.0 END", 4)} AS cand_pair_pct
+      FROM hist, tot ORDER BY size_log2_bucket
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs,
     dedupNgramJaccard, dedupEmbed, fuzzyJoin, containment, sortedNeighborhood,
     dedupRecall, ngramNovelty, minhashCalibration, cdcChunkDedup,
-    crossSourceOverlap, captureRecapture)
+    crossSourceOverlap, captureRecapture, shingleDfProfile,
+    lshBucketOccupancy)
 }

@@ -436,7 +436,57 @@ object PipelineQueries extends QueryModule {
       GROUP BY slot, n_pos ORDER BY slot
     """))
 
+  /** Selection-bias audit of the curation decision — does the
+    * gate+dedup chain systematically disfavor some ingest sources? A
+    * keep-rate far from the corpus average silently reweights the
+    * training mixture AFTER the mixture weights were chosen, the
+    * classic way a "neutral" cleaning pass changes what the model sees.
+    * Per source: corpus docs, kept docs (the shared
+    * [[curationKeepList]] decision), keep rate, and the binomial
+    * standardized residual z = (k − n·p̂)/√(n·p̂(1−p̂)) against the
+    * overall rate, with a |z| > 2 flag. Two source-keyed aggregations
+    * joined on the |sources|-row grid; the overall rate is a 1-row
+    * broadcast.
+    */
+  private val dedupSourceBias: QueryDef = {
+    val z = "((kept - n_docs * p) / sqrt(n_docs * p * (1.0 - p)))"
+    QueryDef(
+      "q_dedup_source_bias",
+      (spark, sfDir) => {
+        val docs = Tables.documents(spark, sfDir)
+        val corpus = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val kept = curationKeepList(docs)
+          .groupBy("source").agg(count(lit(1)).as("kept"))
+        val tot = corpus.agg(sum("n_docs").as("nt"))
+          .crossJoin(broadcast(kept.agg(sum("kept").as("kt"))))
+          .selectExpr(s"${Ql.R("CAST(kt AS DOUBLE) / nt", 6)} AS p")
+        corpus.join(kept, Seq("source"), "left")
+          .na.fill(0L, Seq("kept"))
+          .crossJoin(broadcast(tot))
+          .selectExpr("source", "n_docs", "kept",
+            s"${Ql.R("CAST(kept AS DOUBLE) / n_docs", 4)} AS keep_rate",
+            s"${Ql.R("p", 4)} AS overall_rate",
+            s"${Ql.R(z, 4)} AS z_residual",
+            s"CAST(abs($z) > 2.0 AS INT) AS biased")
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH $keepListSql,
+        corpus AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        kept AS (SELECT source, count(*) AS kept FROM packed GROUP BY 1),
+        tot AS (
+          SELECT ${Ql.R("CAST((SELECT count(*) FROM packed) AS DOUBLE) / (SELECT count(*) FROM documents)", 6)} AS p)
+        SELECT source, n_docs, COALESCE(kept, 0) AS kept,
+               ${Ql.R("CAST(COALESCE(kept, 0) AS DOUBLE) / n_docs", 4)} AS keep_rate,
+               ${Ql.R("p", 4)} AS overall_rate,
+               ${Ql.R(z.replace("kept", "COALESCE(kept, 0)"), 4)} AS z_residual,
+               CAST(abs(${z.replace("kept", "COALESCE(kept, 0)")}) > 2.0 AS INT) AS biased
+        FROM corpus LEFT JOIN kept USING (source), tot
+        ORDER BY source
+      """))
+  }
+
   override def defs: Seq[QueryDef] =
     Seq(packSequences, docChunks, contamination, sampleReservoir,
-      curationPipeline, negativeSampling, shardBalance)
+      curationPipeline, negativeSampling, shardBalance, dedupSourceBias)
 }

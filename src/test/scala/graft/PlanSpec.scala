@@ -223,7 +223,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_vocab_coverage", // 1-row (total-mass, type-count) broadcast onto the type sweep
       "q_jackknife_se", // 1-row day-table totals broadcast for the leave-one-out ratios
       "q_mutual_knn", // K-row (label-vocabulary) centroid broadcast, as q_semantic_dedup
-      "q_capture_recapture") // three 1-row detector-count aggregates crossed into the report row
+      "q_capture_recapture", // three 1-row detector-count aggregates crossed into the report row
+      "q_shingle_df_profile", // 1-row pair-work total broadcast onto the <=64-row histogram
+      "q_lsh_bucket_occupancy", // 1-row candidate-pair total broadcast onto the <=64-row histogram
+      "q_dedup_source_bias") // 1-row overall-keep-rate broadcast onto the |sources|-row grid
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
