@@ -1290,28 +1290,73 @@ object EventQueries extends QueryModule {
     * greatest(f, 1e-300) floor keeps a fully-dying last stratum finite
     * in both engines.
     */
+  /** Shared survival scaffolding for q_kaplan_meier / q_nelson_aalen:
+    * per-user time-to-first-purchase observations (t, ev), right-censored
+    * at the corpus horizon — ONE definition so the two estimators cannot
+    * drift. localCheckpointed: feeds deaths, at-risk counts, and horizon
+    * counts in both queries.
+    */
+  private def survivalObs(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+    val horizon = e.agg(max("day").as("maxd"))
+    e.groupBy("user_id")
+      .agg(min("day").as("d0"),
+        min(when(col("event_type") === "purchase", col("day"))).as("dp"))
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("dp").isNotNull, datediff(col("dp"), col("d0")))
+          .otherwise(datediff(col("maxd"), col("d0"))).cast("long").as("t"),
+        col("dp").isNotNull.cast("long").as("ev"))
+      .localCheckpoint(true)
+  }
+
+  /** Per-event-day risk table (t, d, n, f): deaths d, at-risk n, and the
+    * KM factor f = (n−d)/n on distinct event DAYS — calendar-bounded, so
+    * the at-risk counts come from a broadcast theta-join of that tiny
+    * table against the per-user frame (a counting pass, no
+    * single-partition window).
+    */
+  private def survivalFactors(
+      obs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val deaths = obs.filter(col("ev") === 1)
+      .groupBy("t").agg(count(lit(1)).as("d"))
+    obs.select(col("t").as("ot"))
+      .join(broadcast(deaths), col("ot") >= col("t"))
+      .groupBy("t", "d").agg(count(lit(1)).as("n"))
+      .select(col("t"), col("d"), col("n"),
+        ((col("n") - col("d")) / col("n").cast("double")).as("f"))
+  }
+
+  /** Oracle-side twin of [[survivalObs]]/[[survivalFactors]] — the CTE
+    * block both survival oracles splice in.
+    */
+  private val survivalOracleCtes = s"""
+      e AS (
+        SELECT user_id, event_type, CAST(ts AS DATE) AS day FROM events),
+      horizon AS (SELECT max(day) AS maxd FROM e),
+      obs AS (
+        SELECT CAST(CASE WHEN dp IS NOT NULL THEN datediff('day', d0, dp)
+                         ELSE datediff('day', d0, maxd) END AS BIGINT) AS t,
+               CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM (SELECT user_id, min(day) AS d0,
+                     min(CASE WHEN event_type = 'purchase' THEN day END) AS dp
+              FROM e GROUP BY 1) CROSS JOIN horizon),
+      deaths AS (SELECT t, CAST(count(*) AS BIGINT) AS d
+                 FROM obs WHERE ev = 1 GROUP BY 1),
+      factors AS (
+        SELECT d.t, d.d, CAST(count(*) AS BIGINT) AS n,
+               (CAST(count(*) AS BIGINT) - d.d) / CAST(count(*) AS DOUBLE) AS f
+        FROM obs o JOIN deaths d ON o.t >= d.t
+        GROUP BY d.t, d.d),
+      hz AS (SELECT CAST(unnest([1, 3, 7, 14, 30]) AS BIGINT) AS h)"""
+
   private val kaplanMeier = QueryDef(
     "q_kaplan_meier",
     (spark, sfDir) => {
-      val e = Tables.events(spark, sfDir)
-        .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
-      val horizon = e.agg(max("day").as("maxd"))
-      val obs = e.groupBy("user_id")
-        .agg(min("day").as("d0"),
-          min(when(col("event_type") === "purchase", col("day"))).as("dp"))
-        .crossJoin(broadcast(horizon))
-        .select(
-          when(col("dp").isNotNull, datediff(col("dp"), col("d0")))
-            .otherwise(datediff(col("maxd"), col("d0"))).cast("long").as("t"),
-          col("dp").isNotNull.cast("long").as("ev"))
-        .localCheckpoint(true) // feeds deaths, at-risk counts, and horizon counts
-      val deaths = obs.filter(col("ev") === 1)
-        .groupBy("t").agg(count(lit(1)).as("d"))
-      val factors = obs.select(col("t").as("ot"))
-        .join(broadcast(deaths), col("ot") >= col("t"))
-        .groupBy("t", "d").agg(count(lit(1)).as("n"))
-        .select(col("t"), col("d"), col("n"),
-          ((col("n") - col("d")) / col("n").cast("double")).as("f"))
+      val obs = survivalObs(spark, sfDir)
+      val factors = survivalFactors(obs)
       val hz = obs.sparkSession.range(1)
         .select(explode(expr("array(1L, 3L, 7L, 14L, 30L)")).as("h"))
       // coalesce BEFORE greatest: both engines' greatest() skips NULLs, so
@@ -1333,24 +1378,7 @@ object EventQueries extends QueryModule {
         .orderBy("h")
     },
     Some(s"""
-      WITH e AS (
-        SELECT user_id, event_type, CAST(ts AS DATE) AS day FROM events),
-      horizon AS (SELECT max(day) AS maxd FROM e),
-      obs AS (
-        SELECT CAST(CASE WHEN dp IS NOT NULL THEN datediff('day', d0, dp)
-                         ELSE datediff('day', d0, maxd) END AS BIGINT) AS t,
-               CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS ev
-        FROM (SELECT user_id, min(day) AS d0,
-                     min(CASE WHEN event_type = 'purchase' THEN day END) AS dp
-              FROM e GROUP BY 1) CROSS JOIN horizon),
-      deaths AS (SELECT t, CAST(count(*) AS BIGINT) AS d
-                 FROM obs WHERE ev = 1 GROUP BY 1),
-      factors AS (
-        SELECT d.t, d.d, CAST(count(*) AS BIGINT) AS n,
-               (CAST(count(*) AS BIGINT) - d.d) / CAST(count(*) AS DOUBLE) AS f
-        FROM obs o JOIN deaths d ON o.t >= d.t
-        GROUP BY d.t, d.d),
-      hz AS (SELECT CAST(unnest([1, 3, 7, 14, 30]) AS BIGINT) AS h),
+      WITH $survivalOracleCtes,
       surv AS (
         SELECT h,
                ${Ql.R("exp(sum(ln(greatest(coalesce(f, 1.0), 1e-300))))", 6)} AS survival,
@@ -1364,6 +1392,49 @@ object EventQueries extends QueryModule {
              n_conv_by_h, survival
       FROM surv s LEFT JOIN ar ON s.h = ar.h
       ORDER BY s.h
+    """))
+
+  /** Nelson–Aalen cumulative hazard of the same time-to-first-purchase
+    * process (Nelson 1972 / Aalen 1978, public): H(h) = Σ_{t≤h} dₜ/nₜ
+    * over the shared [[survivalFactors]] risk table, with the
+    * Fleming–Harrington survival exp(−H) laid next to it — the
+    * lower-variance small-risk-set alternative to q_kaplan_meier's
+    * product-limit estimate (the two agree as d/n → 0, and their gap is
+    * itself a risk-set-size diagnostic). The hazard sum runs over ≤31
+    * per-day ratios of exact integers; it is rounded at 6 dp BEFORE the
+    * exp (the q_lm_perplexity discipline: both engines exponentiate the
+    * same double, so libm-vs-JVM exp ulps cannot compound). Scale shape
+    * is q_kaplan_meier's: one keyed per-user aggregation, a broadcast
+    * theta-join against the calendar-bounded day table, report-sized
+    * output.
+    */
+  private val nelsonAalen = QueryDef(
+    "q_nelson_aalen",
+    (spark, sfDir) => {
+      val obs = survivalObs(spark, sfDir)
+      val factors = survivalFactors(obs)
+      val hz = obs.sparkSession.range(1)
+        .select(explode(expr("array(1L, 3L, 7L, 14L, 30L)")).as("h"))
+      hz.join(broadcast(factors), col("t") <= col("h"), "left")
+        .groupBy("h")
+        .agg(
+          coalesce(count(col("t")), lit(0L)).as("n_event_days"),
+          Ql.r(coalesce(sum(col("d") / col("n").cast("double")), lit(0.0)), 6)
+            .as("cum_hazard"))
+        .withColumn("fh_survival", Ql.r(exp(-col("cum_hazard")), 6))
+        .orderBy("h")
+    },
+    Some(s"""
+      WITH $survivalOracleCtes,
+      na AS (
+        SELECT h,
+               CAST(count(factors.t) AS BIGINT) AS n_event_days,
+               ${Ql.R("coalesce(sum(d / CAST(n AS DOUBLE)), 0.0)", 6)} AS cum_hazard
+        FROM hz LEFT JOIN factors ON factors.t <= hz.h
+        GROUP BY h)
+      SELECT h, n_event_days, cum_hazard,
+             ${Ql.R("exp(-cum_hazard)", 6)} AS fh_survival
+      FROM na ORDER BY h
     """))
 
   /** Level-2 sequential pattern support (the PrefixSpan/GSP first rung,
@@ -1718,7 +1789,8 @@ object EventQueries extends QueryModule {
     funnelWindowed, ewmaDaily, madAnomaly, psiDrift, autocorr, benford,
     dowProfile, ksDrift, stickiness, timeToConvert, cusumChangepoint,
     stlSeasonal, userFeatures, twap, stlResidualAnomaly,
-    seasonalStrength, rollingDistinct, kaplanMeier, attributionPosition,
+    seasonalStrength, rollingDistinct, kaplanMeier, nelsonAalen,
+    attributionPosition,
     seqPairs, markovStationary, cohortLtv, purchaseIntervals,
     growthAccounting)
 }

@@ -691,40 +691,43 @@ object MlQueries extends QueryModule {
     * arithmetic past the moments is IEEE-on-exact-integers, rounded
     * 4 dp.
     */
-  private val pairwiseMeans = QueryDef(
-    "q_pairwise_means",
-    (spark, sfDir) => {
-      val g = Tables.events(spark, sfDir)
-        .select(col("event_type"), Ql.r(col("value") * 100, 0).cast("long").as("c"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("c").as("s"), sum(expr("c * c")).as("s2"))
-        .localCheckpoint(true) // |types| rows feed the pooled MSE and the grid
-      val pooled = g.agg(
-        sum("n").as("nt"), count(lit(1)).as("k"),
-        // within-group sum of squares: Σ(s2 - s²/n), exact integer s/s2
-        sum(expr("s2 - CAST(s AS DOUBLE) * s / n")).as("ssw"))
-        .selectExpr("nt", "k", "ssw / (nt - k) AS mse")
-      g.as("a").join(broadcast(g.as("b")),
-          col("a.event_type") < col("b.event_type"))
-        .crossJoin(broadcast(pooled))
-        .selectExpr("a.event_type AS type_a", "b.event_type AS type_b",
-          "a.n AS n_a", "b.n AS n_b",
-          "k * (k - 1) div 2 AS m", // comparisons from the OBSERVED group count
-          s"${Ql.R("(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n) / 100.0", 4)} AS mean_diff",
-          s"${Ql.R("sqrt(mse * (1.0 / a.n + 1.0 / b.n)) / 100.0", 4)} AS se",
-          s"""${Ql.R("""(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
-            / sqrt(mse * (1.0 / a.n + 1.0 / b.n))""", 4)} AS z""")
-        // Bonferroni cut z_{0.05/(2m)} from a shared tabulated ladder —
-        // the data decides the comparison count, not a 5-type literal
-        // (the q_cramers_v derived-shape lesson)
-        .withColumn("sig_bonferroni",
-          (abs(col("z")) > expr("CASE WHEN m <= 1 THEN 1.96 WHEN m <= 3 THEN 2.39 WHEN m <= 6 THEN 2.64 WHEN m <= 10 THEN 2.81 WHEN m <= 15 THEN 2.93 WHEN m <= 21 THEN 3.02 ELSE 3.1 END"))
-            .cast("int"))
-        .drop("m")
-        .orderBy("type_a", "type_b")
-    },
-    Some(s"""
-      WITH g AS (
+  /** Shared pairwise z grid behind q_pairwise_means and
+    * q_benjamini_hochberg — every event-type pair's mean-difference z
+    * statistic from ONE corpus aggregation of exact integer cents, plus
+    * the observed comparison count m = C(k,2). ONE definition so the
+    * two multiple-comparison procedures judge identical statistics.
+    * Columns: type_a, type_b, n_a, n_b, m, mean_diff, se, z (4 dp).
+    */
+  private def pairwiseZGrid(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
+    val g = Tables.events(spark, sfDir)
+      .select(col("event_type"), Ql.r(col("value") * 100, 0).cast("long").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"), sum(expr("c * c")).as("s2"))
+      .localCheckpoint(true) // |types| rows feed the pooled MSE and the grid
+    val pooled = g.agg(
+      sum("n").as("nt"), count(lit(1)).as("k"),
+      // within-group sum of squares: Σ(s2 - s²/n), exact integer s/s2
+      sum(expr("s2 - CAST(s AS DOUBLE) * s / n")).as("ssw"))
+      .selectExpr("nt", "k", "ssw / (nt - k) AS mse")
+    g.as("a").join(broadcast(g.as("b")),
+        col("a.event_type") < col("b.event_type"))
+      .crossJoin(broadcast(pooled))
+      .selectExpr("a.event_type AS type_a", "b.event_type AS type_b",
+        "a.n AS n_a", "b.n AS n_b",
+        "k * (k - 1) div 2 AS m", // comparisons from the OBSERVED group count
+        s"${Ql.R("(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n) / 100.0", 4)} AS mean_diff",
+        s"${Ql.R("sqrt(mse * (1.0 / a.n + 1.0 / b.n)) / 100.0", 4)} AS se",
+        s"""${Ql.R("""(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+          / sqrt(mse * (1.0 / a.n + 1.0 / b.n))""", 4)} AS z""")
+  }
+
+  /** Oracle-side twin of [[pairwiseZGrid]] — the CTE block both
+    * multiple-comparison oracles splice in; `grid` carries the same
+    * columns the Spark helper emits.
+    */
+  private val pairwiseZOracleCtes = s"""
+      g AS (
         SELECT event_type, count(*) AS n,
                CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS s2
         FROM (SELECT event_type, CAST(${Ql.R("value * 100", 0)} AS BIGINT) AS c
@@ -734,25 +737,120 @@ object MlQueries extends QueryModule {
         SELECT sum(n) AS nt, count(*) AS k,
                sum(s2 - CAST(s AS DOUBLE) * s / n) AS ssw
         FROM g),
-      p AS (SELECT nt, k, ssw / (nt - k) AS mse FROM pooled)
-      SELECT a.event_type AS type_a, b.event_type AS type_b,
-             a.n AS n_a, b.n AS n_b,
-             ${Ql.R("(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n) / 100.0", 4)} AS mean_diff,
-             ${Ql.R("sqrt(mse * (1.0 / a.n + 1.0 / b.n)) / 100.0", 4)} AS se,
-             ${Ql.R("""(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
-               / sqrt(mse * (1.0 / a.n + 1.0 / b.n))""", 4)} AS z,
-             CAST(abs(${Ql.R("""(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
-               / sqrt(mse * (1.0 / a.n + 1.0 / b.n))""", 4)})
-               > (CASE WHEN k * (k - 1) // 2 <= 1 THEN 1.96
-                       WHEN k * (k - 1) // 2 <= 3 THEN 2.39
-                       WHEN k * (k - 1) // 2 <= 6 THEN 2.64
-                       WHEN k * (k - 1) // 2 <= 10 THEN 2.81
-                       WHEN k * (k - 1) // 2 <= 15 THEN 2.93
-                       WHEN k * (k - 1) // 2 <= 21 THEN 3.02 ELSE 3.1 END)
+      p AS (SELECT nt, k, ssw / (nt - k) AS mse FROM pooled),
+      grid AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.n AS n_a, b.n AS n_b,
+               k * (k - 1) // 2 AS m,
+               ${Ql.R("(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n) / 100.0", 4)} AS mean_diff,
+               ${Ql.R("sqrt(mse * (1.0 / a.n + 1.0 / b.n)) / 100.0", 4)} AS se,
+               ${Ql.R("""(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+                 / sqrt(mse * (1.0 / a.n + 1.0 / b.n))""", 4)} AS z
+        FROM g a JOIN g b ON a.event_type < b.event_type
+        CROSS JOIN p)"""
+
+  private val pairwiseMeans = QueryDef(
+    "q_pairwise_means",
+    (spark, sfDir) =>
+      pairwiseZGrid(spark, sfDir)
+        // Bonferroni cut z_{0.05/(2m)} from a shared tabulated ladder —
+        // the data decides the comparison count, not a 5-type literal
+        // (the q_cramers_v derived-shape lesson)
+        .withColumn("sig_bonferroni",
+          (abs(col("z")) > expr("CASE WHEN m <= 1 THEN 1.96 WHEN m <= 3 THEN 2.39 WHEN m <= 6 THEN 2.64 WHEN m <= 10 THEN 2.81 WHEN m <= 15 THEN 2.93 WHEN m <= 21 THEN 3.02 ELSE 3.1 END"))
+            .cast("int"))
+        .drop("m")
+        .orderBy("type_a", "type_b"),
+    Some(s"""
+      WITH $pairwiseZOracleCtes
+      SELECT type_a, type_b, n_a, n_b, mean_diff, se, z,
+             CAST(abs(z)
+               > (CASE WHEN m <= 1 THEN 1.96
+                       WHEN m <= 3 THEN 2.39
+                       WHEN m <= 6 THEN 2.64
+                       WHEN m <= 10 THEN 2.81
+                       WHEN m <= 15 THEN 2.93
+                       WHEN m <= 21 THEN 3.02 ELSE 3.1 END)
                AS INT) AS sig_bonferroni
-      FROM g a JOIN g b ON a.event_type < b.event_type
-      CROSS JOIN p
+      FROM grid
       ORDER BY 1, 2
+    """))
+
+  /** Two-sided normal p-value text shared verbatim by both engines
+    * (fact #25 shared-formula discipline): p = erfc(|z|/√2) via the
+    * Abramowitz–Stegun 7.1.26 rational approximation (max abs error
+    * 1.5e-7 — far below the 6 dp report rounding). `x`/`t` are column
+    * names the caller's previous projection must define; every op is a
+    * basic IEEE +,*,/ on identical doubles except the final exp, whose
+    * argument −x² is identical in both engines (z is pre-rounded 4 dp)
+    * so a libm-vs-JVM ulp can only surface exactly at a 6 dp boundary
+    * (the q_lm_perplexity round-before-exp discipline).
+    */
+  private val normalPSql =
+    """((((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+        - 0.284496736) * t + 0.254829592) * t) * exp(-(x * x)))"""
+
+  /** Benjamini–Hochberg FDR step-up (Benjamini & Hochberg 1995, public)
+    * over the SAME pairwise mean-comparison grid q_pairwise_means
+    * Bonferroni-gates — the two procedures differ exactly when m grows,
+    * which is the multiple-testing regime a many-segment corpus
+    * dashboard lives in. From the shared [[pairwiseZGrid]]: two-sided
+    * p per pair (A&S erfc, 6 dp), ascending p-rank k (deterministic
+    * (p, type_a, type_b) tiebreak — ties share p, so the step-up cutoff
+    * is tie-order-invariant), BH threshold k·α/m at α = 0.05, and
+    * reject ranks ≤ max{k : p₍ₖ₎ ≤ k·α/m}. The step-up scan and rank
+    * window run on the m ≤ C(|types|,2) grid — report-sized however
+    * large the corpus (PlanSpec bounded-window whitelist), and the
+    * corpus itself is touched by exactly one keyed aggregation.
+    */
+  private val benjaminiHochberg = QueryDef(
+    "q_benjamini_hochberg",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = pairwiseZGrid(spark, sfDir)
+        .selectExpr("type_a", "type_b", "m", "z", "abs(z) / sqrt(2.0) AS x")
+        .withColumn("t", expr("1.0 / (1.0 + 0.3275911 * x)"))
+        .withColumn("p_value", Ql.r(expr(normalPSql), 6))
+        .localCheckpoint(true) // grid-sized; feeds the rank scan twice
+      val ranked = scored
+        .withColumn("k",
+          row_number().over(Window.orderBy("p_value", "type_a", "type_b"))
+            .cast("long"))
+        .withColumn("bh_threshold",
+          Ql.r(col("k").cast("double") * lit(0.05) / col("m"), 6))
+      val cutoff = ranked.filter(col("p_value") <= col("bh_threshold"))
+        .agg(coalesce(max("k"), lit(0L)).as("kmax"))
+      ranked.crossJoin(broadcast(cutoff))
+        .withColumn("sig_bh", (col("k") <= col("kmax")).cast("int"))
+        .select(col("type_a"), col("type_b"), col("z"), col("p_value"),
+          col("k"), col("bh_threshold"), col("sig_bh"))
+        .orderBy("type_a", "type_b")
+    },
+    Some(s"""
+      WITH $pairwiseZOracleCtes,
+      xs AS (
+        SELECT type_a, type_b, m, z, abs(z) / sqrt(2.0) AS x FROM grid),
+      ts AS (
+        SELECT type_a, type_b, m, z, x, 1.0 / (1.0 + 0.3275911 * x) AS t
+        FROM xs),
+      scored AS (
+        SELECT type_a, type_b, m, z,
+               ${Ql.R(normalPSql, 6)} AS p_value
+        FROM ts),
+      ranked AS (
+        SELECT type_a, type_b, z, p_value,
+               CAST(row_number() OVER (ORDER BY p_value, type_a, type_b)
+                 AS BIGINT) AS k,
+               ${Ql.R("CAST(row_number() OVER (ORDER BY p_value, type_a, type_b) AS DOUBLE) * 0.05 / m", 6)}
+                 AS bh_threshold
+        FROM scored),
+      cutoff AS (
+        SELECT CAST(coalesce(max(k), 0) AS BIGINT) AS kmax
+        FROM ranked WHERE p_value <= bh_threshold)
+      SELECT type_a, type_b, z, p_value, k, bh_threshold,
+             CAST(k <= kmax AS INT) AS sig_bh
+      FROM ranked CROSS JOIN cutoff
+      ORDER BY type_a, type_b
     """))
 
   // ---------------------------------------------------------------- trimmed mean
@@ -1400,5 +1498,6 @@ object MlQueries extends QueryModule {
     Seq(logisticIrls, overdispersion, varCvar, naiveBayes, boostedStumps,
       sequentialAb, pairwiseMeans, trimmedMean, changepointBinseg,
       ipsPolicyValue, designEffect, ratioMetricCi,
-      theilSen, runsTest, mcnemar, cohensD, entropyRate, dataScalingCurve)
+      theilSen, runsTest, mcnemar, cohensD, entropyRate, dataScalingCurve,
+      benjaminiHochberg)
 }

@@ -2293,6 +2293,83 @@ object StatQueries extends QueryModule {
       """))
   }
 
+  /** Simpson's-paradox audit (Simpson 1951; Blyth 1972, public): the
+    * per-segment vs pooled slope of event value against hour-of-day, and
+    * a flag for segments whose association REVERSES sign when the
+    * pooling collapses the segment structure — the aggregation-reversal
+    * hazard every cross-source corpus dashboard needs checked before a
+    * pooled trend is believed. All slopes come from exact BIGINT
+    * sufficient statistics (x = hour ∈ 0..23, y = value cents):
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), with every product cast
+    * to DOUBLE first — the pairwise IEEE ops on identical exact-integer
+    * inputs are bit-deterministic across engines, where float
+    * accumulation (regr_slope) would not be. The reversal flag compares
+    * the ROUNDED slopes' signs so both engines decide from identical
+    * doubles. One keyed aggregation over the corpus; the pooled row is a
+    * 1-row broadcast.
+    */
+  private val simpsonParadox = QueryDef(
+    "q_simpson_paradox",
+    (spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .select(col("event_type"),
+          hour(col("ts")).cast("long").as("x"),
+          Ql.r(col("value") * 100, 0).cast("long").as("y"))
+      val g = e.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+        .localCheckpoint(true) // |types| rows feed the grid and the pooled fold
+      val slope =
+        """(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"""
+      val pooled = g.agg(sum("n").as("n"), sum("sx").as("sx"),
+          sum("sy").as("sy"), sum("sxy").as("sxy"), sum("sxx").as("sxx"))
+        .selectExpr(s"${Ql.R(slope, 6)} AS pooled_slope")
+      g.crossJoin(broadcast(pooled))
+        .selectExpr("event_type", "n",
+          s"${Ql.R(slope, 6)} AS segment_slope", "pooled_slope")
+        .withColumn("reversed",
+          (signum(col("segment_slope")) =!= signum(col("pooled_slope")))
+            .cast("int"))
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT event_type,
+               CAST(hour(ts) AS BIGINT) AS x,
+               CAST(${Ql.R("value * 100", 0)} AS BIGINT) AS y
+        FROM events),
+      g AS (
+        SELECT event_type, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM e GROUP BY 1),
+      pooled AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS sx,
+               CAST(sum(sy) AS BIGINT) AS sy, CAST(sum(sxy) AS BIGINT) AS sxy,
+               CAST(sum(sxx) AS BIGINT) AS sxx
+        FROM g),
+      ps AS (
+        SELECT ${Ql.R(
+            """(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)""", 6)}
+          AS pooled_slope
+        FROM pooled)
+      SELECT event_type, n,
+             ${Ql.R(
+            """(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)""", 6)}
+          AS segment_slope,
+             pooled_slope,
+             CAST(sign(${Ql.R(
+            """(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)""", 6)})
+               <> sign(pooled_slope) AS INT) AS reversed
+      FROM g CROSS JOIN ps
+      ORDER BY event_type
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(ridge, linearTrend, bootstrapCi, sampleSystematic, holtForecast,
       decayEngagement, mannWhitney, theilIndex, stratAte, cramersV,
@@ -2300,5 +2377,6 @@ object StatQueries extends QueryModule {
       quantileNormalize, imputeEval, partialCorr, anova, powerAnalysis,
       cuped, ridgeCv, medianCi, welchTtest, tailIndex, extremeValue,
       mannKendall, spcChart, bloomSizing, rleLayout, quantileRegression,
-      priceElasticity, calendarGaps, dupRate, holtWinters, jackknifeSe)
+      priceElasticity, calendarGaps, dupRate, holtWinters, jackknifeSe,
+      simpsonParadox)
 }

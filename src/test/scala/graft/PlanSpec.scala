@@ -270,7 +270,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_theil_sen", // rank over the <=465-row day-pair slope frame (calendar-bounded)
       "q_runs_test", // rank + lag over the <=31-row daily frame (calendar-bounded)
       "q_isotonic_calibration", // cumulative sums over the 10-row bin table (fixed bin count)
-      "q_vocab_coverage") // <=64-row log2-count offset histogram (two-level ordinal pattern)
+      "q_vocab_coverage", // <=64-row log2-count offset histogram (two-level ordinal pattern)
+      "q_benjamini_hochberg") // p-rank over the C(|types|,2)-row comparison grid (report-sized)
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val bad = df.queryExecution.sparkPlan.collect {
