@@ -1096,9 +1096,113 @@ object EvalQueries extends QueryModule {
       ORDER BY c.bin
     """))
 
+  /** Bradley–Terry pairwise-strength ratings (Bradley & Terry 1952;
+    * MM algorithm per Hunter 2004, public) — the model behind
+    * pairwise-preference leaderboards: players are event types, and each
+    * calendar day each type pair plays one "match" won by the type with
+    * the higher daily event count (equal counts = no game). Win/game
+    * totals come from ONE daily aggregation plus a per-day |types|²
+    * pairing (bounded fanout: the type vocabulary, not the event
+    * volume); the MM fixed-point p_i ← W_i / Σ_j n_ij/(p_i+p_j) then
+    * iterates 8 rounds over the |types|-row rating table with per-round
+    * 7 dp rounding in BOTH engines (the q_pagerank drift quench) and
+    * localCheckpoint per round (lineage truncation, fact #13).
+    * Identifiability: ratings are anchored to the alphabetically-first
+    * type (a single division — no float-sum normalizer whose addition
+    * order could diverge the engines). Oracle = 8 unrolled CTE rounds
+    * generated from one Scala template; the multiply-referenced CTEs are
+    * AS MATERIALIZED — DuckDB inlines CTEs per reference, and the pi/pj
+    * DOUBLE reference to the previous round would otherwise expand into
+    * 2^rounds re-evaluations of the whole chain (EMFILE on the source
+    * parquet before it even got slow; the q_sql_recursive
+    * materialize-first lesson, sharpened).
+    */
+  private val btIters = 8
+
+  private val bradleyTerry = QueryDef(
+    "q_bradley_terry",
+    (spark, sfDir) => {
+      val daily = Tables.events(spark, sfDir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val pw = daily.as("a").join(daily.as("b"), "day")
+        .filter(col("a.event_type") =!= col("b.event_type") &&
+          col("a.c") =!= col("b.c"))
+        .groupBy(col("a.event_type").as("i"), col("b.event_type").as("j"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("a.c") > col("b.c")).cast("long")).as("w"))
+        .localCheckpoint(true) // |types|² rows drive every MM round
+      val wt = pw.groupBy("i")
+        .agg(sum("w").as("wins"), sum("n").as("games"))
+        .localCheckpoint(true)
+      val anchorType = wt.agg(min("i").as("at"))
+      var r = wt.select(col("i").as("type"), lit(1.0).as("p"))
+        .localCheckpoint(true)
+      for (_ <- 1 to btIters) {
+        val den = pw
+          .join(r.as("pi"), col("i") === col("pi.type"))
+          .join(r.as("pj"), col("j") === col("pj.type"))
+          .groupBy("i")
+          .agg(sum(col("n") / (col("pi.p") + col("pj.p"))).as("den"))
+        val u = wt.join(den, "i")
+          .select(col("i").as("type"),
+            (col("wins").cast("double") / col("den")).as("p"))
+        val anchor = u.join(broadcast(anchorType), col("type") === col("at"))
+          .select(col("p").as("ap"))
+        r = u.crossJoin(broadcast(anchor))
+          .select(col("type"),
+            Ql.r(col("p") / greatest(col("ap"), lit(1e-12)), 7).as("p"))
+          .localCheckpoint(true)
+      }
+      wt.join(r, col("i") === col("type"))
+        .select(col("i").as("event_type"), col("games"), col("wins"),
+          Ql.r(col("p"), 4).as("bt_rating"))
+        .orderBy(col("bt_rating").desc, col("event_type"))
+    },
+    Some {
+      val rounds = (1 to btIters).map { t =>
+        s"""
+      d$t AS (
+        SELECT e.i AS type, sum(e.n / (pi.p + pj.p)) AS den
+        FROM pw e
+        JOIN r${t - 1} pi ON e.i = pi.type
+        JOIN r${t - 1} pj ON e.j = pj.type
+        GROUP BY 1),
+      u$t AS MATERIALIZED (
+        SELECT w.i AS type, CAST(w.wins AS DOUBLE) / d.den AS p
+        FROM wt w JOIN d$t d ON w.i = d.type),
+      a$t AS (SELECT p AS ap FROM u$t JOIN anch ON u$t.type = anch.at),
+      r$t AS MATERIALIZED (
+        SELECT type, ${Ql.R("p / greatest(ap, 1e-12)", 7)} AS p
+        FROM u$t CROSS JOIN a$t)"""
+      }.mkString(",")
+      s"""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c
+        FROM events GROUP BY 1, 2),
+      pw AS MATERIALIZED (
+        SELECT a.event_type AS i, b.event_type AS j,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN a.c > b.c THEN 1 ELSE 0 END) AS BIGINT) AS w
+        FROM daily a JOIN daily b
+          ON a.day = b.day AND a.event_type <> b.event_type AND a.c <> b.c
+        GROUP BY 1, 2),
+      wt AS MATERIALIZED (
+        SELECT i, CAST(sum(w) AS BIGINT) AS wins,
+               CAST(sum(n) AS BIGINT) AS games
+        FROM pw GROUP BY 1),
+      anch AS (SELECT min(i) AS at FROM wt),
+      r0 AS MATERIALIZED (SELECT i AS type, 1.0 AS p FROM wt),$rounds
+      SELECT w.i AS event_type, w.games, w.wins,
+             ${Ql.R("r.p", 4)} AS bt_rating
+      FROM wt w JOIN r$btIters r ON w.i = r.type
+      ORDER BY bt_rating DESC, event_type
+    """
+    })
+
   override def defs: Seq[QueryDef] =
     Seq(auc, gini, ndcg, winsorize, mrr, calibrationBins, rrfFusion,
       decileLift, kappaAgreement, brierScore, avgPrecision, ksScores,
       woeIv, wilsonCi, brierDecomp, spearman, kendallHead,
-      isotonicCalibration)
+      isotonicCalibration, bradleyTerry)
 }

@@ -226,7 +226,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_capture_recapture", // three 1-row detector-count aggregates crossed into the report row
       "q_shingle_df_profile", // 1-row pair-work total broadcast onto the <=64-row histogram
       "q_lsh_bucket_occupancy", // 1-row candidate-pair total broadcast onto the <=64-row histogram
-      "q_dedup_source_bias") // 1-row overall-keep-rate broadcast onto the |sources|-row grid
+      "q_dedup_source_bias", // 1-row overall-keep-rate broadcast onto the |sources|-row grid
+      "q_nelson_aalen", // 5-row horizon + ≤31-row day-factor broadcasts, as q_kaplan_meier
+      "q_simpson_paradox", // 1-row pooled-slope broadcast onto the |types|-row grid
+      "q_benjamini_hochberg", // |types|-row moment pair grid + 1-row pooled MSE / step-up cutoff broadcasts
+      "q_bradley_terry") // |types|²-row pair grid + 1-row anchor broadcast per MM round
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
