@@ -1008,9 +1008,195 @@ object TextQueries extends QueryModule {
       GROUP BY pct ORDER BY pct
     """))
 
+  /** Good–Turing frequency re-estimation over the corpus 5-gram
+    * distribution (Good 1953; Gale & Sampson 1995 "Simple Good–Turing",
+    * public): the frequency-of-frequencies table N_r, the Turing
+    * re-estimate r* = (r+1)·N_{r+1}/N_r for the small-r head where it is
+    * defined, and the unseen-event mass P₀ = N₁/N — the quantity that
+    * tells a corpus builder how much probability its n-gram model should
+    * reserve for n-grams it has never seen (unigrams would be degenerate
+    * here: the corpus vocabulary is 31 words, while its 5-gram space is
+    * tens of thousands — fact #20's lesson applied). Shape: one explode
+    * + one keyed count to the type table, one count to the ≤max-count-row
+    * histogram, a self-join of the histogram on r+1, a 1-row totals
+    * broadcast — nothing wider than the histogram past the first
+    * aggregation.
+    */
+  private val goodTuring = QueryDef(
+    "q_good_turing",
+    (spark, sfDir) => {
+      val grams = Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 5)
+        .select(explode(expr(
+          """transform(sequence(0, size(toks) - 5),
+               i -> concat_ws(' ', slice(toks, i + 1, 5)))""")).as("g"))
+      val counts = grams.groupBy("g").agg(count(lit(1)).as("r"))
+      val hist = counts.groupBy("r").agg(count(lit(1)).as("n_r"))
+        .localCheckpoint(true) // ≤max-count rows; feeds totals and the r+1 self-join
+      val totals = hist.agg(
+        sum(expr("r * n_r")).as("n_tokens"),
+        coalesce(sum(when(col("r") === 1, col("n_r"))), lit(0L)).as("n1"))
+      hist.as("h")
+        .join(hist.as("h1").select(col("r").as("r1"), col("n_r").as("n_next")),
+          col("r") + 1 === col("r1"), "left")
+        .filter(col("r") <= 10)
+        .crossJoin(broadcast(totals))
+        .selectExpr("r", "n_r",
+          "CAST(coalesce(n_next, 0) AS BIGINT) AS n_next",
+          s"""CASE WHEN coalesce(n_next, 0) = 0 THEN CAST(NULL AS DOUBLE)
+            ELSE ${Ql.R("(r + 1) * CAST(n_next AS DOUBLE) / n_r", 4)} END AS r_star""",
+          s"${Ql.R("CAST(n1 AS DOUBLE) / n_tokens", 6)} AS p_unseen")
+        .orderBy("r")
+    },
+    Some(s"""
+      WITH grams AS (
+        SELECT unnest(list_transform(generate_series(1, len(t) - 4),
+                 i -> array_to_string(t[i : i + 4], ' '))) AS g
+        FROM (SELECT string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 5),
+      counts AS (SELECT g, count(*) AS r FROM grams GROUP BY 1),
+      hist AS MATERIALIZED (
+        SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM counts GROUP BY 1),
+      totals AS (
+        SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens,
+               CAST(coalesce(sum(CASE WHEN r = 1 THEN n_r END), 0) AS BIGINT) AS n1
+        FROM hist)
+      SELECT h.r, h.n_r,
+             CAST(coalesce(h1.n_r, 0) AS BIGINT) AS n_next,
+             CASE WHEN coalesce(h1.n_r, 0) = 0 THEN CAST(NULL AS DOUBLE)
+                  ELSE ${Ql.R("(h.r + 1) * CAST(h1.n_r AS DOUBLE) / h.n_r", 4)} END AS r_star,
+             ${Ql.R("CAST(n1 AS DOUBLE) / n_tokens", 6)} AS p_unseen
+      FROM hist h LEFT JOIN hist h1 ON h.r + 1 = h1.r
+      CROSS JOIN totals
+      WHERE h.r <= 10
+      ORDER BY h.r
+    """))
+
+  /** Interpolated Kneser–Ney bigram language model scored on a held-out
+    * split (Kneser & Ney 1995; Chen & Goodman 1999, public) — the
+    * smoothing that actually ships in n-gram LMs, next to
+    * q_lm_perplexity's plain add-k: absolute discount D = 0.75 on seen
+    * bigrams, with the discounted mass backed off to the CONTINUATION
+    * distribution (how many distinct contexts precede w₂, not how often
+    * w₂ occurs). Train/held-out is the standard replay-stable doc_id
+    * hash split (80/20). The model tables are vocabulary-bounded (≤V
+    * unigram rows, ≤V² bigram rows) and broadcast onto the held-out
+    * bigram stream; corpus work is one explode + keyed counts per side.
+    * Continuation probabilities carry an add-0.5 smoothing floor
+    * (documented convention, identical both engines) so an unseen
+    * continuation cannot produce ln(0); per-bigram log-probs round at
+    * 6 dp, the per-lang mean at 6 dp BEFORE exp (the q_lm_perplexity
+    * discipline), perplexity at 4 dp.
+    */
+  /** The interpolated-KN probability, ONE text spliced into both engines
+    * (fact #25): exponent-notation literals (75e-2, 5e-1) parse as DOUBLE
+    * in both dialects — plain 0.75 parses as DECIMAL in both Spark and
+    * DuckDB, and their differing decimal scale-propagation rules split
+    * the arithmetic at the last ulp (measured: one held-out bigram's
+    * micro-unit NLL off by 1).
+    */
+  private val knProbSql =
+    """CASE WHEN c1 IS NULL
+         THEN (coalesce(nbw, 0) + 5e-1) / (bt + 5e-1 * v)
+         ELSE greatest(coalesce(c12, 0) - 75e-2, 0e0) / c1
+           + (75e-2 * nfw / c1)
+             * ((coalesce(nbw, 0) + 5e-1) / (bt + 5e-1 * v)) END"""
+
+  private val kneserNey = QueryDef(
+    "q_kneser_ney",
+    (spark, sfDir) => {
+      val bigrams = Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .withColumn("is_train",
+          expr(s"${SamplingQueries.bucketExpr("doc_id")} < 80"))
+        .select(col("lang"), col("is_train"), explode(expr(
+          """transform(sequence(0, size(toks) - 2),
+               i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))""")).as("bg"))
+        .withColumn("a", element_at(split(col("bg"), " "), 1))
+        .withColumn("b", element_at(split(col("bg"), " "), 2))
+      val tb = bigrams.filter(col("is_train"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c12"))
+        .localCheckpoint(true) // ≤V² rows; feeds histories, continuations, totals
+      val hist = tb.groupBy("a")
+        .agg(sum("c12").as("c1"), count(lit(1)).as("nfw"))
+      val cont = tb.groupBy("b").agg(count(lit(1)).as("nbw"))
+      val tot = tb.agg(count(lit(1)).as("bt")).crossJoin(broadcast(
+        tb.select(col("a").as("w")).union(tb.select(col("b").as("w")))
+          .distinct().agg(count(lit(1)).as("v"))))
+      bigrams.filter(!col("is_train"))
+        .join(broadcast(tb), Seq("a", "b"), "left")
+        .join(broadcast(hist), Seq("a"), "left")
+        .join(broadcast(cont), Seq("b"), "left")
+        .crossJoin(broadcast(tot))
+        .selectExpr("lang", "c1 IS NULL AS oov_ctx", s"$knProbSql AS p")
+        // micro-unit NLL: the per-bigram term becomes an exact BIGINT, so
+        // the corpus sum is order-independent — a double accumulation here
+        // measured a 1-ulp engine split exactly on a 6 dp mean boundary
+        .selectExpr("lang", "oov_ctx",
+          s"CAST(${Ql.R("-ln(p) * 1000000", 0)} AS BIGINT) AS nll_u")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("oov_ctx").cast("long")).as("n_oov_ctx"),
+          Ql.r(sum(col("nll_u")) / lit(1e6) / count(lit(1)), 6).as("mean_nll"))
+        .withColumn("perplexity", Ql.r(exp(col("mean_nll")), 4))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH bigrams AS MATERIALIZED (
+        SELECT lang,
+               ${Ql.Md5PrefixLong("CAST(doc_id AS VARCHAR)", 4)} % 100 < 80
+                 AS is_train,
+               string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b
+        FROM (
+          SELECT lang, doc_id,
+                 unnest(list_transform(generate_series(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i + 1])) AS bg
+          FROM (SELECT lang, doc_id, string_split(text, ' ') AS t
+                FROM documents)
+          WHERE len(t) >= 2)),
+      tb AS MATERIALIZED (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS c12
+        FROM bigrams WHERE is_train GROUP BY 1, 2),
+      hist AS (
+        SELECT a, CAST(sum(c12) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS nfw
+        FROM tb GROUP BY 1),
+      cont AS (SELECT b, CAST(count(*) AS BIGINT) AS nbw FROM tb GROUP BY 1),
+      tot AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM tb) AS bt,
+               (SELECT CAST(count(*) AS BIGINT) FROM
+                 (SELECT a AS w FROM tb UNION SELECT b FROM tb)) AS v),
+      scored AS (
+        SELECT lang, c1 IS NULL AS oov_ctx,
+               $knProbSql AS p
+        FROM (
+          SELECT g.lang, tb.c12, hist.c1, hist.nfw, cont.nbw, tot.bt, tot.v
+          FROM bigrams g
+          LEFT JOIN tb ON g.a = tb.a AND g.b = tb.b
+          LEFT JOIN hist ON g.a = hist.a
+          LEFT JOIN cont ON g.b = cont.b
+          CROSS JOIN tot
+          WHERE NOT g.is_train) h),
+      nlls AS (
+        SELECT lang, oov_ctx,
+               CAST(${Ql.R("-ln(p) * 1000000", 0)} AS BIGINT) AS nll_u
+        FROM scored),
+      agg AS (
+        SELECT lang, count(*) AS n_bigrams,
+               CAST(sum(CASE WHEN oov_ctx THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_oov_ctx,
+               ${Ql.R("CAST(sum(nll_u) AS DOUBLE) / 1e6 / count(*)", 6)} AS mean_nll
+        FROM nlls GROUP BY 1)
+      SELECT lang, n_bigrams, n_oov_ctx, mean_nll,
+             ${Ql.R("exp(mean_nll)", 4)} AS perplexity
+      FROM agg ORDER BY lang
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     textStats, tfidf, langId, qualityScore, tokenCount, fingerprint,
     langRoute, bpeMerges, bm25, pmiBigrams, lmPerplexity, zipfSlope,
     langIdF1, invertedIndex, featureHashing, heapsLaw, sparseCosinePairs,
-    ttrProfile, vocabCoverage)
+    ttrProfile, vocabCoverage, goodTuring, kneserNey)
 }

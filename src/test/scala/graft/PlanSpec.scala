@@ -230,7 +230,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_nelson_aalen", // 5-row horizon + ≤31-row day-factor broadcasts, as q_kaplan_meier
       "q_simpson_paradox", // 1-row pooled-slope broadcast onto the |types|-row grid
       "q_benjamini_hochberg", // |types|-row moment pair grid + 1-row pooled MSE / step-up cutoff broadcasts
-      "q_bradley_terry") // |types|²-row pair grid + 1-row anchor broadcast per MM round
+      "q_bradley_terry", // |types|²-row pair grid + 1-row anchor broadcast per MM round
+      "q_good_turing", // 1-row (N, N1) totals broadcast onto the ≤max-count-row histogram
+      "q_kneser_ney") // vocab-bounded model-table broadcasts + 1-row (B, V) totals
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
