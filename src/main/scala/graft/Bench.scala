@@ -96,7 +96,10 @@ object Bench {
         "q_dedup_recall",
         // r8 second session: iterative Bellman-Ford (per-round codegen,
         // pagerank family) and the deg≤50 wedge join
-        "q_sssp", "q_link_pred")
+        "q_sssp", "q_link_pred",
+        // r12: both run the full exact-Jaccard + LSH candidate stack
+        // (the q_dedup_recall cost family)
+        "q_dedup_threshold_sweep", "q_lsh_banding_planner")
     (lightWarm ++ heavyWarm)
       .filter(SparkEntry.queries.contains)
       .foreach { n =>

@@ -1136,10 +1136,239 @@ object DedupQueries extends QueryModule {
       FROM hist, tot ORDER BY size_log2_bucket
     """))
 
+  /** LSH candidate pairs with their exact shingle-set overlap:
+    * (d1, d2, inter, sz1, sz2) — the scored-pair scaffold
+    * q_dedup_threshold_sweep and q_lsh_banding_planner share (the same
+    * join q_minhash_calibration performs inline). Everything downstream
+    * of the band join is candidate-sized. Caller owns block hygiene.
+    */
+  private def candidateOverlap(docs: DataFrame): DataFrame = {
+    val shH = shingles(docs, hashed = true).cache()
+    val (inter, sizes) = shingleIntersections(shH)
+    lshBandPairsOf(docs)
+      .join(inter, Seq("d1", "d2"), "left")
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .select("d1", "d2", "inter", "sz1", "sz2")
+  }
+
+  /** Oracle twin of [[candidateOverlap]] — `pj` CTE, appended after the
+    * sh / [[interCtesSql]] / [[lshCandSql]] chain.
+    */
+  private val candOverlapSql = """pj AS MATERIALIZED (
+        SELECT c.d1, c.d2, COALESCE(i.inter, 0) AS inter,
+               s1.sz AS sz1, s2.sz AS sz2
+        FROM cand c
+          LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+          JOIN sizes s1 ON s1.doc_id = c.d1
+          JOIN sizes s2 ON s2.doc_id = c.d2)"""
+
+  /** Jaccard-threshold sweep of the served dedup pipeline's DECISIONS
+    * (the knob-tuning view of near-dup dedup, cf. Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better",
+    * public): for each candidate threshold t ∈ {0.5..0.9}, how many
+    * candidate pairs the pipeline would call duplicates, how many
+    * documents the keep-lowest-id rule would remove, and the document /
+    * token keep rates — the curve a corpus owner reads before picking
+    * the production threshold. The dup test is EXACT integer arithmetic
+    * (inter·10 ≥ t10·union — no float thresholding anywhere), the sweep
+    * runs over the candidate-sized scored-pair table × a 5-row literal
+    * grid, and the removed-token accounting joins the (t, doc) removals
+    * against per-doc token counts by doc_id — distributed, never
+    * collected. Measured over the LSH candidate set, i.e. the decisions
+    * the SERVED pipeline would actually make (sub-LSH-recall pairs are
+    * out of scope by construction, as in production).
+    */
+  private val thresholdSweep = QueryDef(
+    "q_dedup_threshold_sweep",
+    (spark, sfDir) => {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val docs = withPlants(spark, sfDir)
+      val pj = candidateOverlap(docs).localCheckpoint(true)
+      val tokLen = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tl"))
+      val totals = tokLen.agg(count(lit(1)).as("n_docs"),
+        sum("tl").as("n_tokens"))
+      val sweep = pj
+        .select(col("d1"), col("d2"), col("inter"), col("sz1"), col("sz2"),
+          explode(expr("array(5L, 6L, 7L, 8L, 9L)")).as("t10"))
+        .filter(col("inter") * 10 >=
+          col("t10") * (col("sz1") + col("sz2") - col("inter")))
+        .localCheckpoint(true) // candidate-sized × 5
+      val pairsPerT = sweep.groupBy("t10").agg(count(lit(1)).as("n_dup_pairs"))
+      val removedTok = sweep.select("t10", "d2").distinct()
+        .join(tokLen, col("d2") === col("doc_id"))
+        .groupBy("t10")
+        .agg(count(lit(1)).as("n_docs_removed"),
+          sum("tl").as("tokens_removed"))
+      val out = spark.range(1)
+        .select(explode(expr("array(5L, 6L, 7L, 8L, 9L)")).as("t10"))
+        .join(pairsPerT, Seq("t10"), "left")
+        .join(removedTok, Seq("t10"), "left")
+        .crossJoin(broadcast(totals))
+        .selectExpr("CAST(t10 AS DOUBLE) / 10 AS threshold",
+          "CAST(coalesce(n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs",
+          "CAST(coalesce(n_docs_removed, 0) AS BIGINT) AS n_docs_removed",
+          "n_docs",
+          s"${Ql.R("1.0 - CAST(coalesce(n_docs_removed, 0) AS DOUBLE) / n_docs", 6)} AS doc_keep_rate",
+          "CAST(coalesce(tokens_removed, 0) AS BIGINT) AS tokens_removed",
+          s"${Ql.R("1.0 - CAST(coalesce(tokens_removed, 0) AS DOUBLE) / n_tokens", 6)} AS token_keep_rate")
+        .orderBy("threshold")
+      val mine = sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
+      val collected = out.localCheckpoint(true)
+      mine.values.foreach(_.unpersist(blocking = false))
+      collected
+    },
+    Some(s"""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, ${Ql.Md5PrefixLong("sh", 14)} AS sh
+        FROM ($shinglesSql)),
+      $interCtesSql,
+      $lshCandSql,
+      $candOverlapSql,
+      tok AS MATERIALIZED (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tl
+        FROM $plantsSql),
+      totals AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(tl) AS BIGINT) AS n_tokens
+        FROM tok),
+      grid AS (SELECT CAST(unnest([5, 6, 7, 8, 9]) AS BIGINT) AS t10),
+      sweep AS MATERIALIZED (
+        SELECT g.t10, p.d1, p.d2
+        FROM pj p JOIN grid g
+          ON p.inter * 10 >= g.t10 * (p.sz1 + p.sz2 - p.inter)),
+      ppt AS (SELECT t10, count(*) AS n_dup_pairs FROM sweep GROUP BY 1),
+      rt AS (
+        SELECT r.t10, count(*) AS n_docs_removed,
+               CAST(sum(t.tl) AS BIGINT) AS tokens_removed
+        FROM (SELECT DISTINCT t10, d2 FROM sweep) r
+        JOIN tok t ON r.d2 = t.doc_id
+        GROUP BY 1)
+      SELECT CAST(g.t10 AS DOUBLE) / 10 AS threshold,
+             CAST(coalesce(ppt.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+             CAST(coalesce(rt.n_docs_removed, 0) AS BIGINT) AS n_docs_removed,
+             totals.n_docs,
+             ${Ql.R("1.0 - CAST(coalesce(rt.n_docs_removed, 0) AS DOUBLE) / totals.n_docs", 6)} AS doc_keep_rate,
+             CAST(coalesce(rt.tokens_removed, 0) AS BIGINT) AS tokens_removed,
+             ${Ql.R("1.0 - CAST(coalesce(rt.tokens_removed, 0) AS DOUBLE) / totals.n_tokens", 6)} AS token_keep_rate
+      FROM grid g
+      LEFT JOIN ppt ON g.t10 = ppt.t10
+      LEFT JOIN rt ON g.t10 = rt.t10
+      CROSS JOIN totals
+      ORDER BY threshold
+    """))
+
+  /** LSH banding planner: for every (bands b × rows r) layout of the
+    * 12-hash signature budget, the S-curve detect probability
+    * P(candidate | J) = 1 − (1 − Jʳ)ᵇ (Leskovec–Rajaraman–Ullman,
+    * Mining of Massive Datasets ch. 3, public) EVALUATED OVER THE
+    * MEASURED candidate-pair Jaccard profile — expected true-dup recall
+    * (J ≥ 0.6) and expected candidate volume per layout, next to each
+    * layout's analytic 50%-crossover similarity (1/b)^(1/r). This is
+    * the table that justifies the served 4×3 choice with data instead
+    * of folklore, and re-runs cheaply whenever the corpus's similarity
+    * profile drifts. Determinism: Jʳ and (1−Jʳ)ᵇ are LITERAL
+    * multiplication chains generated per layout (no libm pow — fact
+    * #30), per-pair detect probabilities become exact BIGINT micro-units
+    * before summation (order-independent), and the crossover constants
+    * are Scala-precomputed literals spliced into both dialects. One
+    * candidate-sized scan computes all six layouts' sums as aggregate
+    * columns, then unpivots.
+    */
+  private val bandingConfigs = Seq((12, 1), (6, 2), (4, 3), (3, 4), (2, 6), (1, 12))
+
+  private def bandingDetectSql(b: Int, r: Int): String = {
+    def chain(v: String, n: Int) = List.fill(n)(v).mkString(" * ")
+    val q = s"(1e0 - (${chain("j", r)}))"
+    s"(1e0 - (${chain(q, b)}))"
+  }
+
+  private def bandingJ50(b: Int, r: Int): String =
+    "%.6f".formatLocal(java.util.Locale.ROOT, math.pow(1.0 / b, 1.0 / r))
+
+  private val bandingPlanner = QueryDef(
+    "q_lsh_banding_planner",
+    (spark, sfDir) => {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val pj = candidateOverlap(withPlants(spark, sfDir))
+      val scored = pj.selectExpr(
+        s"${Ql.R("CAST(inter AS DOUBLE) / (sz1 + sz2 - inter)", 4)} AS j",
+        "CAST(inter * 10 >= 6 * (sz1 + sz2 - inter) AS BIGINT) AS dup")
+      val puCols = bandingConfigs.flatMap { case (b, r) =>
+        val pu = s"CAST(${Ql.R(s"${bandingDetectSql(b, r)} * 1000000", 0)} AS BIGINT)"
+        Seq(s"sum($pu) AS sp_${b}_$r",
+          s"sum(CASE WHEN dup = 1 THEN $pu ELSE 0 END) AS spd_${b}_$r")
+      }
+      val aggCols = Seq(expr("count(*) AS n_pairs"),
+        expr("sum(dup) AS n_dups")) ++ puCols.map(expr)
+      val agg1 = scored.agg(aggCols.head, aggCols.tail: _*)
+      val stackArgs = bandingConfigs
+        .map { case (b, r) => s"$b, $r, sp_${b}_$r, spd_${b}_$r" }
+        .mkString(", ")
+      val j50Case = "CASE " + bandingConfigs.map { case (b, r) =>
+        s"WHEN bands = $b THEN ${bandingJ50(b, r)}e0"
+      }.mkString(" ") + " END"
+      val out = agg1.selectExpr("n_pairs", "n_dups",
+          s"stack(${bandingConfigs.size}, $stackArgs) AS (bands, rows_per_band, sp, spd)")
+        .selectExpr("CAST(bands AS INT) AS bands",
+          "CAST(rows_per_band AS INT) AS rows_per_band",
+          s"$j50Case AS j50",
+          "n_pairs", "n_dups",
+          s"${Ql.R("sp / 1e6", 2)} AS exp_candidate_pairs",
+          s"CASE WHEN n_dups = 0 THEN 0e0 ELSE ${Ql.R("spd / 1e6 / n_dups", 6)} END AS exp_dup_recall")
+        .orderBy(col("bands").desc)
+      val mine = sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
+      val collected = out.localCheckpoint(true)
+      mine.values.foreach(_.unpersist(blocking = false))
+      collected
+    },
+    Some {
+      val cfgSelects = bandingConfigs.map { case (b, r) =>
+        s"""SELECT $b AS bands, $r AS rows_per_band,
+                   ${bandingJ50(b, r)}e0 AS j50,
+                   n_pairs, n_dups, sp_${b}_$r AS sp, spd_${b}_$r AS spd
+            FROM agg1"""
+      }.mkString("\n        UNION ALL\n        ")
+      val puCols = bandingConfigs.flatMap { case (b, r) =>
+        val pu = s"CAST(${Ql.R(s"${bandingDetectSql(b, r)} * 1000000", 0)} AS BIGINT)"
+        Seq(s"CAST(sum($pu) AS BIGINT) AS sp_${b}_$r",
+          s"CAST(sum(CASE WHEN dup = 1 THEN $pu ELSE 0 END) AS BIGINT) AS spd_${b}_$r")
+      }.mkString(",\n               ")
+      s"""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, ${Ql.Md5PrefixLong("sh", 14)} AS sh
+        FROM ($shinglesSql)),
+      $interCtesSql,
+      $lshCandSql,
+      $candOverlapSql,
+      scored AS (
+        SELECT ${Ql.R("CAST(inter AS DOUBLE) / (sz1 + sz2 - inter)", 4)} AS j,
+               CAST(inter * 10 >= 6 * (sz1 + sz2 - inter) AS BIGINT) AS dup
+        FROM pj),
+      agg1 AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(dup) AS BIGINT) AS n_dups,
+               $puCols
+        FROM scored),
+      cfg AS (
+        $cfgSelects)
+      SELECT bands, rows_per_band, j50, n_pairs, n_dups,
+             ${Ql.R("sp / 1e6", 2)} AS exp_candidate_pairs,
+             CASE WHEN n_dups = 0 THEN 0e0
+                  ELSE ${Ql.R("spd / 1e6 / n_dups", 6)} END AS exp_dup_recall
+      FROM cfg
+      ORDER BY bands DESC
+    """
+    })
+
   override def defs: Seq[QueryDef] = Seq(
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs,
     dedupNgramJaccard, dedupEmbed, fuzzyJoin, containment, sortedNeighborhood,
     dedupRecall, ngramNovelty, minhashCalibration, cdcChunkDedup,
     crossSourceOverlap, captureRecapture, shingleDfProfile,
-    lshBucketOccupancy)
+    lshBucketOccupancy, thresholdSweep, bandingPlanner)
 }
