@@ -486,7 +486,82 @@ object PipelineQueries extends QueryModule {
       """))
   }
 
+  /** Data-constrained scaling planner (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models", public): given the unique-token
+    * supply U the [[curationKeepList]] decision actually keeps, how much
+    * EFFECTIVE training data does repeating the corpus k epochs buy?
+    * The paper's value model discounts each repetition exponentially
+    * with half-life R* ≈ 15.4 effective repetitions; evaluated here in
+    * discrete-compounding form D'(k) = U·(1 + R*·(1 − (1−1/R*)^(k−1)))
+    * — the geometric-decay sum with literal multiplication-chain powers
+    * (no libm exp/pow, fact #30; the 144e-1/154e-1 decay base is a
+    * shared-text DOUBLE division identical in both engines). One row per
+    * planned epoch count k ∈ {1,2,4,8,16}: tokens seen, effective
+    * tokens, marginal efficiency, and the budget as a multiple of the
+    * pre-dedup gated supply — the table that answers "repeat the
+    * deduped corpus or keep the duplicates" with the paper's curve.
+    * Corpus work: the keep-list stages plus one gate-level token sum;
+    * everything after is arithmetic on a 1-row totals broadcast.
+    */
+  private val dataConstrainedScaling = QueryDef(
+    "q_data_constrained_scaling",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      val u = curationKeepList(docs)
+        .agg(sum(col("tok").cast("long")).as("u"))
+      val t = docs
+        .select(size(split(col("text"), " ")).cast("long").as("tok"))
+        .filter(col("tok") >= 20)
+        .agg(sum("tok").as("t"))
+      val epochs = Seq(1, 2, 4, 8, 16)
+      def decayChain(n: Int) =
+        if (n == 0) "1e0"
+        else List.fill(n)("(144e-1 / 154e-1)").mkString(" * ")
+      def effText(k: Int) =
+        s"(u * (1e0 + 154e-1 * (1e0 - ${decayChain(k - 1)})))"
+      val stackArgs =
+        epochs.map(k => s"${k}L, ${effText(k)}").mkString(", ")
+      u.crossJoin(broadcast(t))
+        .selectExpr("u", "t",
+          s"stack(${epochs.size}, $stackArgs) AS (epochs, eff)")
+        .selectExpr("epochs", "u AS tokens_unique", "t AS tokens_gated",
+          "epochs * u AS tokens_seen",
+          s"${Ql.R("eff", 2)} AS effective_tokens",
+          s"${Ql.R("eff / (epochs * u)", 6)} AS efficiency",
+          s"${Ql.R("CAST(epochs * u AS DOUBLE) / t", 4)} AS budget_vs_gated")
+        .orderBy("epochs")
+    },
+    Some {
+      val epochs = Seq(1, 2, 4, 8, 16)
+      def decayChain(n: Int) =
+        if (n == 0) "1e0"
+        else List.fill(n)("(144e-1 / 154e-1)").mkString(" * ")
+      val perK = epochs.map { k =>
+        s"""SELECT ${k} AS epochs,
+                   (u * (1e0 + 154e-1 * (1e0 - ${decayChain(k - 1)})))
+                     AS eff, u, t
+            FROM totals"""
+      }.mkString("\n        UNION ALL\n        ")
+      s"""
+      WITH $keepListSql,
+      totals AS MATERIALIZED (
+        SELECT (SELECT CAST(sum(tok) AS BIGINT) FROM packed) AS u,
+               (SELECT CAST(sum(tok) AS BIGINT) FROM filtered) AS t),
+      grid AS (
+        $perK)
+      SELECT CAST(epochs AS BIGINT) AS epochs,
+             u AS tokens_unique, t AS tokens_gated,
+             CAST(epochs * u AS BIGINT) AS tokens_seen,
+             ${Ql.R("eff", 2)} AS effective_tokens,
+             ${Ql.R("eff / (epochs * u)", 6)} AS efficiency,
+             ${Ql.R("CAST(epochs * u AS DOUBLE) / t", 4)} AS budget_vs_gated
+      FROM grid
+      ORDER BY epochs
+    """
+    })
+
   override def defs: Seq[QueryDef] =
     Seq(packSequences, docChunks, contamination, sampleReservoir,
-      curationPipeline, negativeSampling, shardBalance, dedupSourceBias)
+      curationPipeline, negativeSampling, shardBalance, dedupSourceBias,
+      dataConstrainedScaling)
 }

@@ -232,7 +232,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_benjamini_hochberg", // |types|-row moment pair grid + 1-row pooled MSE / step-up cutoff broadcasts
       "q_bradley_terry", // |types|²-row pair grid + 1-row anchor broadcast per MM round
       "q_good_turing", // 1-row (N, N1) totals broadcast onto the ≤max-count-row histogram
-      "q_kneser_ney") // vocab-bounded model-table broadcasts + 1-row (B, V) totals
+      "q_kneser_ney", // vocab-bounded model-table broadcasts + 1-row (B, V) totals
+      "q_data_constrained_scaling") // 1-row (U, T) token-supply broadcast under the 5-row epoch grid
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
