@@ -948,4 +948,201 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2).toInt).toMap
     assert(got3 == unroll, "k=3 loop must equal the q_ktruss 2-round unroll exactly")
   }
+
+  test("q_nelson_aalen equals the sequential d/n hazard sum at sf0.001") {
+    // The query computes H(h) through a theta-join aggregation shared
+    // with q_kaplan_meier; the independent check is the DEFINITION:
+    // walk event days sequentially and add d_t/n_t literally.
+    val sf = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toLocalDate))
+    val maxd = rows.map(_._3).max
+    val obs = rows.groupBy(_._1).values.map { es =>
+      val d0 = es.map(_._3).min
+      val dp = es.filter(_._2 == "purchase").map(_._3) match {
+        case e if e.isEmpty => None
+        case e => Some(e.min)
+      }
+      val t = dp.map(p => java.time.temporal.ChronoUnit.DAYS.between(d0, p))
+        .getOrElse(java.time.temporal.ChronoUnit.DAYS.between(d0, maxd))
+      (t, dp.isDefined)
+    }.toSeq
+    val deaths = obs.filter(_._2).groupBy(_._1).view.mapValues(_.size).toMap
+    val got = SparkEntry.queries("q_nelson_aalen")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == Seq(1L, 3L, 7L, 14L, 30L))
+    got.foreach { case (h, nDays, haz, fh) =>
+      val ts = deaths.keys.toSeq.sorted.filter(_ <= h)
+      assert(nDays == ts.size, s"n_event_days at h=$h")
+      val brute = ts.map(t => deaths(t).toDouble / obs.count(_._1 >= t)).sum
+      assert(math.abs(haz - operators.Ql.rd(brute, 6)) <= 1e-6,
+        s"cum_hazard at h=$h: $haz vs brute $brute")
+      assert(math.abs(fh - operators.Ql.rd(math.exp(-haz), 6)) <= 1e-6,
+        s"fh_survival at h=$h")
+    }
+  }
+
+  test("q_benjamini_hochberg implements the exact step-up rule") {
+    // Independent of the p-value formula: given the reported p's, the
+    // BH decision must be EXACTLY max{k : p_(k) <= k·α/m} applied to
+    // every rank — brute-forced here over the collected grid; plus the
+    // structural laws (ranks are a permutation consistent with
+    // ascending p; p decreases in |z|; thresholds are k·α/m).
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_benjamini_hochberg")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5), r.getInt(6)))
+    val m = rows.length
+    assert(m >= 3, "expected a multi-pair comparison grid")
+    val byK = rows.sortBy(_._5)
+    assert(byK.map(_._5).toSeq == (1L to m).map(_.toLong),
+      "ranks must be a permutation of 1..m")
+    assert(byK.toSeq.sliding(2).forall {
+      case Seq(a, b) => a._4 <= b._4 + 1e-12
+      case _ => true
+    }, "rank order must follow ascending p")
+    byK.foreach(t => assert(
+      math.abs(t._6 - operators.Ql.rd(t._5 * 0.05 / m, 6)) <= 1e-9,
+      s"bh_threshold at k=${t._5}"))
+    val kmax = byK.filter(t => t._4 <= t._6).map(_._5)
+      .reduceOption(_ max _).getOrElse(0L)
+    rows.foreach(t => assert((t._5 <= kmax) == (t._7 == 1),
+      s"sig_bh at (${t._1}, ${t._2})"))
+    rows.foreach(t => assert(t._4 >= 0.0 && t._4 <= 1.0, "p in [0,1]"))
+    val byZ = rows.sortBy(t => math.abs(t._3))
+    assert(byZ.toSeq.sliding(2).forall {
+      case Seq(a, b) => a._4 >= b._4 - 1e-9
+      case _ => true
+    }, "p must be non-increasing in |z|")
+  }
+
+  test("q_bradley_terry equals a plain-JVM MM fixed point from the daily counts") {
+    // Rebuild the win/game matrix and run the same 8 MM rounds (with
+    // the same per-round Ql.rd(…,7) rounding and min-type anchor) in
+    // plain Scala — only the float-sum order can differ, so ratings
+    // must agree to a 4 dp ulp and the integer fields exactly.
+    val sf = "/root/testdata/sf0.001"
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+    val w = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    val n = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    for {
+      (_, es) <- daily.groupBy(_._1)
+      a <- es; b <- es
+      if a._2 != b._2 && a._3 != b._3
+    } {
+      n((a._2, b._2)) += 1
+      if (a._3 > b._3) w((a._2, b._2)) += 1
+    }
+    val types = n.keys.map(_._1).toSeq.distinct.sorted
+    val wins = types.map(t => t -> types.filter(_ != t).map(o => w((t, o))).sum).toMap
+    val games = types.map(t => t -> types.filter(_ != t).map(o => n((t, o))).sum).toMap
+    var p = types.map(_ -> 1.0).toMap
+    for (_ <- 1 to 8) {
+      val u = types.map { i =>
+        val den = types.filter(j => j != i && n((i, j)) > 0)
+          .map(j => n((i, j)).toDouble / (p(i) + p(j))).sum
+        i -> wins(i).toDouble / den
+      }.toMap
+      val ap = math.max(u(types.min), 1e-12)
+      p = u.map { case (t, v) => t -> operators.Ql.rd(v / ap, 7) }
+    }
+    val got = SparkEntry.queries("q_bradley_terry")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet == types.toSet)
+    got.foreach { case (t, g, ws, rating) =>
+      assert(g == games(t), s"games($t)")
+      assert(ws == wins(t), s"wins($t)")
+      assert(math.abs(rating - operators.Ql.rd(p(t), 4)) <= 2e-4,
+        s"rating($t): $rating vs JVM ${p(t)}")
+    }
+  }
+
+  test("q_good_turing equals brute-force frequency-of-frequencies at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val texts = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0))
+    val counts = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for {
+      t <- texts
+      toks = t.split(" ")
+      if toks.length >= 5
+      i <- 0 to toks.length - 5
+    } counts(toks.slice(i, i + 5).mkString(" ")) += 1
+    val hist = counts.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nTok = counts.values.sum
+    val n1 = hist.getOrElse(1L, 0L)
+    val got = SparkEntry.queries("q_good_turing")(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSet == hist.keys.filter(_ <= 10).toSet,
+      "histogram head rows")
+    got.foreach { r =>
+      val (rr, nr, nn) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(nr == hist(rr), s"N_r at r=$rr")
+      assert(nn == hist.getOrElse(rr + 1, 0L), s"N_{r+1} at r=$rr")
+      if (nn == 0) assert(r.isNullAt(3), s"r* must be NULL when N_{r+1}=0")
+      else assert(math.abs(r.getDouble(3) -
+        operators.Ql.rd((rr + 1) * nn.toDouble / nr, 4)) <= 1e-9, s"r* at r=$rr")
+      assert(math.abs(r.getDouble(4) -
+        operators.Ql.rd(n1.toDouble / nTok, 6)) <= 1e-9, "p_unseen")
+    }
+  }
+
+  test("q_kneser_ney equals a plain-JVM interpolated-KN scorer at sf0.001") {
+    // Full independent reimplementation: rebuild the hash split, the
+    // bigram/continuation tables, and the interpolated-KN probability in
+    // plain Scala with the same left-associated arithmetic; micro-unit
+    // NLL sums are exact integers, so per-lang counts and mean NLL must
+    // match to an ulp of the final 6 dp rounding.
+    val sf = "/root/testdata/sf0.001"
+    def bucket(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(2).map(b => f"$b%02x").mkString
+      java.lang.Integer.parseInt(hex, 16) % 100
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bgs(t: String): Seq[(String, String)] = {
+      val k = t.split(" ")
+      if (k.length < 2) Seq.empty else k.sliding(2).map(a => (a(0), a(1))).toSeq
+    }
+    val c12 = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    for (d <- docs if bucket(d._1) < 80; bg <- bgs(d._3)) c12(bg) += 1
+    val c1 = c12.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val nfw = c12.toSeq.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val nbw = c12.toSeq.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val bt = c12.size.toLong
+    val v = (c12.keys.map(_._1) ++ c12.keys.map(_._2)).toSet.size.toLong
+    val sums = scala.collection.mutable.Map[String, (Long, Long, Long)]()
+      .withDefaultValue((0L, 0L, 0L))
+    for (d <- docs if bucket(d._1) >= 80; bg <- bgs(d._3)) {
+      val pcont = (nbw.getOrElse(bg._2, 0L) + 0.5) / (bt + 0.5 * v)
+      val (p, oov) = c1.get(bg._1) match {
+        case None => (pcont, 1L)
+        case Some(h) =>
+          (math.max(c12.getOrElse(bg, 0L) - 0.75, 0.0) / h
+            + (0.75 * nfw(bg._1) / h) * pcont, 0L)
+      }
+      val nllU = operators.Ql.rd(-math.log(p) * 1000000, 0).toLong
+      val (cn, co, cs) = sums(d._2)
+      sums(d._2) = (cn + 1, co + oov, cs + nllU)
+    }
+    val got = SparkEntry.queries("q_kneser_ney")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._1).toSet == sums.keySet)
+    got.foreach { case (lang, nb, noov, meanNll, ppl) =>
+      val (cn, co, cs) = sums(lang)
+      assert(nb == cn, s"n_bigrams($lang)")
+      assert(noov == co, s"n_oov_ctx($lang)")
+      assert(math.abs(meanNll - operators.Ql.rd(cs / 1e6 / cn, 6)) <= 1e-6,
+        s"mean_nll($lang): $meanNll vs JVM ${cs / 1e6 / cn}")
+      assert(math.abs(ppl - operators.Ql.rd(math.exp(meanNll), 4)) <= 1e-4,
+        s"perplexity($lang)")
+    }
+  }
 }
