@@ -2370,6 +2370,145 @@ object StatQueries extends QueryModule {
       ORDER BY event_type
     """))
 
+  /** Hurst exponent of the daily revenue series by rescaled-range (R/S)
+    * analysis (Hurst 1951; Mandelbrot & Wallis 1969, public): H ≈ 0.5
+    * means the series' daily fluctuations compound like a random walk,
+    * H > 0.5 long-range persistence — the diagnostic that says whether
+    * week-scale aggregates can be variance-extrapolated from day-scale
+    * ones. For block sizes m ∈ {4,8,16,32}: split the day-indexed
+    * series into complete m-day blocks, R = range of the within-block
+    * cumulative deviation, S = population std, H = OLS slope of
+    * ln(mean R/S) on ln m. Determinism is EXACT-INTEGER R/S algebra:
+    * with P_k the integer cent prefix sum, the cumulative deviation
+    * numerator m·P_k − k·ΣX and the variance m·ΣX² − (ΣX)² are BIGINT,
+    * so R/S = (max−min)/sqrt(·) is two IEEE ops on exact integers;
+    * per-block ratios become micro-unit BIGINTs before the per-m mean
+    * (order-independent), and the ln m regressors are Scala-precomputed
+    * literals. Day series and block tables are calendar-bounded; the
+    * one unpartitioned row_number runs over the day table (whitelisted),
+    * and in-block windows partition by (m, block).
+    *
+    * Scale ceiling (documented, the q_cohens_d lesson): the exact-integer
+    * variance term m·Σc² stays inside BIGINT while daily revenue is
+    * under ~5.4e8 cents (≈ $5.4M/day at m = 32) — four orders above this
+    * corpus; past that, move c to DECIMAL(38,0)/HUGEINT in both twins.
+    */
+  /** ln(m)·10⁶ regressors for the four R/S block sizes, Scala-precomputed
+    * integer literals shared by both dialects.
+    */
+  private val hurstXu: Seq[(Int, Long)] =
+    Seq(4, 8, 16, 32).map(m => m -> math.round(math.log(m.toDouble) * 1e6))
+
+  private val hurstExponent = QueryDef(
+    "q_hurst_exponent",
+    (spark, sfDir) => {
+      val xCase = "CASE " + hurstXu.map { case (m, xu) =>
+        s"WHEN m = $m THEN ${xu}L"
+      }.mkString(" ") + " END"
+      val daily = Tables.events(spark, sfDir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(Ql.r(col("value") * 100, 0).cast("long")).as("c"))
+      val indexed = daily
+        .withColumn("rn",
+          row_number().over(Window.orderBy("day")).cast("long"))
+        .localCheckpoint(true) // calendar-bounded day table
+      val grid = indexed
+        .select(col("rn"), col("c"),
+          explode(expr("array(4L, 8L, 16L, 32L)")).as("m"))
+        .withColumn("blk", expr("(rn - 1) div m"))
+      val withK = grid
+        .withColumn("k",
+          row_number().over(Window.partitionBy("m", "blk").orderBy("rn"))
+            .cast("long"))
+        .withColumn("p", sum("c").over(Window.partitionBy("m", "blk")
+          .orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)))
+      val btot = grid.groupBy("m", "blk")
+        .agg(count(lit(1)).as("n"), sum("c").as("sx"),
+          sum(expr("c * c")).as("sxx"))
+        .filter(col("n") === col("m")) // complete blocks only
+      val rs = withK.join(btot, Seq("m", "blk"))
+        .withColumn("num", col("m") * col("p") - col("k") * col("sx"))
+        .groupBy("m", "blk", "sx", "sxx")
+        .agg(max("num").as("mx"), min("num").as("mn"))
+        .withColumn("varn", expr("m * sxx - sx * sx"))
+        .filter(col("varn") > 0)
+        .selectExpr("m",
+          s"CAST(${Ql.R("(mx - mn) / sqrt(varn) * 1000000", 0)} AS BIGINT) AS rs_u")
+      val perM = rs.groupBy("m")
+        .agg(count(lit(1)).as("n_blocks"), sum("rs_u").as("srs"))
+        .selectExpr("m", "n_blocks",
+          s"${Ql.R("srs / 1e6 / n_blocks", 6)} AS mean_rs")
+        .localCheckpoint(true) // ≤4 rows; feeds the regression twice
+      val reg = perM.selectExpr("m", "n_blocks", "mean_rs",
+        s"$xCase AS xu",
+        s"CAST(${Ql.R("ln(mean_rs) * 1000000", 0)} AS BIGINT) AS yu")
+      val slope = reg.agg(count(lit(1)).as("np"), sum("xu").as("sxu"),
+          sum("yu").as("syu"), sum(expr("xu * yu")).as("sxy"),
+          sum(expr("xu * xu")).as("sxx2"))
+        .selectExpr(s"""${Ql.R(
+          """(CAST(np AS DOUBLE) * sxy - CAST(sxu AS DOUBLE) * syu)
+             / (CAST(np AS DOUBLE) * sxx2 - CAST(sxu AS DOUBLE) * sxu)""", 4)}
+          AS hurst""")
+      reg.crossJoin(broadcast(slope))
+        .select(col("m"), col("n_blocks"), col("mean_rs"), col("hurst"))
+        .orderBy("m")
+    },
+    Some {
+      val xCase = "CASE " + hurstXu.map { case (m, xu) =>
+        s"WHEN m = $m THEN CAST($xu AS BIGINT)"
+      }.mkString(" ") + " END"
+      s"""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(${Ql.R("value * 100", 0)} AS BIGINT)) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      indexed AS (
+        SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn, c
+        FROM daily),
+      grid AS MATERIALIZED (
+        SELECT rn, c, CAST(m AS BIGINT) AS m, (rn - 1) // m AS blk
+        FROM indexed, (SELECT unnest([4, 8, 16, 32]) AS m)),
+      withk AS (
+        SELECT m, blk,
+               CAST(row_number() OVER w AS BIGINT) AS k,
+               CAST(sum(c) OVER (PARTITION BY m, blk ORDER BY rn
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+        FROM grid
+        WINDOW w AS (PARTITION BY m, blk ORDER BY rn)),
+      btot AS (
+        SELECT m, blk, count(*) AS n,
+               CAST(sum(c) AS BIGINT) AS sx,
+               CAST(sum(c * c) AS BIGINT) AS sxx
+        FROM grid GROUP BY 1, 2
+        HAVING count(*) = m),
+      rs AS (
+        SELECT w.m,
+               CAST(${Ql.R("(max(w.m * w.p - w.k * b.sx) - min(w.m * w.p - w.k * b.sx)) / sqrt(w.m * b.sxx - b.sx * b.sx) * 1000000", 0)} AS BIGINT)
+                 AS rs_u
+        FROM withk w JOIN btot b ON w.m = b.m AND w.blk = b.blk
+        WHERE w.m * b.sxx - b.sx * b.sx > 0
+        GROUP BY w.m, w.blk, b.sx, b.sxx),
+      perm AS MATERIALIZED (
+        SELECT m, CAST(count(*) AS BIGINT) AS n_blocks,
+               ${Ql.R("CAST(sum(rs_u) AS DOUBLE) / 1e6 / count(*)", 6)} AS mean_rs
+        FROM rs GROUP BY 1),
+      reg AS MATERIALIZED (
+        SELECT m, n_blocks, mean_rs,
+               $xCase AS xu,
+               CAST(${Ql.R("ln(mean_rs) * 1000000", 0)} AS BIGINT) AS yu
+        FROM perm),
+      slope AS (
+        SELECT ${Ql.R(
+          """(CAST(count(*) AS DOUBLE) * sum(xu * yu) - CAST(sum(xu) AS DOUBLE) * sum(yu))
+             / (CAST(count(*) AS DOUBLE) * sum(xu * xu) - CAST(sum(xu) AS DOUBLE) * sum(xu))""", 4)}
+          AS hurst
+        FROM reg)
+      SELECT m, n_blocks, mean_rs, hurst
+      FROM reg CROSS JOIN slope
+      ORDER BY m
+    """
+    })
+
   def defs: Seq[QueryDef] =
     Seq(ridge, linearTrend, bootstrapCi, sampleSystematic, holtForecast,
       decayEngagement, mannWhitney, theilIndex, stratAte, cramersV,
@@ -2378,5 +2517,5 @@ object StatQueries extends QueryModule {
       cuped, ridgeCv, medianCi, welchTtest, tailIndex, extremeValue,
       mannKendall, spcChart, bloomSizing, rleLayout, quantileRegression,
       priceElasticity, calendarGaps, dupRate, holtWinters, jackknifeSe,
-      simpsonParadox)
+      simpsonParadox, hurstExponent)
 }

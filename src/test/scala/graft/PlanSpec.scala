@@ -233,7 +233,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_bradley_terry", // |types|²-row pair grid + 1-row anchor broadcast per MM round
       "q_good_turing", // 1-row (N, N1) totals broadcast onto the ≤max-count-row histogram
       "q_kneser_ney", // vocab-bounded model-table broadcasts + 1-row (B, V) totals
-      "q_data_constrained_scaling") // 1-row (U, T) token-supply broadcast under the 5-row epoch grid
+      "q_data_constrained_scaling", // 1-row (U, T) token-supply broadcast under the 5-row epoch grid
+      "q_hurst_exponent") // 1-row OLS-slope broadcast onto the 4-row block-size table
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
@@ -278,7 +279,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_runs_test", // rank + lag over the <=31-row daily frame (calendar-bounded)
       "q_isotonic_calibration", // cumulative sums over the 10-row bin table (fixed bin count)
       "q_vocab_coverage", // <=64-row log2-count offset histogram (two-level ordinal pattern)
-      "q_benjamini_hochberg") // p-rank over the C(|types|,2)-row comparison grid (report-sized)
+      "q_benjamini_hochberg", // p-rank over the C(|types|,2)-row comparison grid (report-sized)
+      "q_hurst_exponent") // day-index row_number over the calendar-bounded day table
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val bad = df.queryExecution.sparkPlan.collect {
