@@ -853,6 +853,110 @@ object MlQueries extends QueryModule {
       ORDER BY type_a, type_b
     """))
 
+  /** Split-conformal prediction intervals (Papadopoulos et al. 2002;
+    * Vovk et al. 2005; Lei et al. 2018, public) for a per-(type, hour)
+    * mean-value predictor — the distribution-free uncertainty wrapper
+    * every deployed scorer needs: with a 60/20/20 hash split, the 90%
+    * interval half-width is the ⌈(n_cal+1)·0.9⌉-th smallest calibration
+    * residual, and finite-sample theory guarantees ≥90% test coverage
+    * with NO assumption on the value distribution. Everything decisive
+    * is exact-integer: predictions are cent-rounded BIGINTs from the
+    * train moment grid (|types|×24 rows, broadcast), residuals are
+    * integer cents, the order statistic comes from a cumulative count
+    * over the per-type residual-cent grid (≤49k cells/type by the
+    * 2-decimal value domain — the q_median_ci pattern), and the
+    * ⌈·⌉ rank is integer arithmetic (9·(n+1)+9) div 10. The corpus
+    * sees three keyed aggregations (train moments, calibration grid,
+    * test coverage); nothing unbounded.
+    */
+  private val conformalInterval = QueryDef(
+    "q_conformal_interval",
+    (spark, sfDir) => {
+      val base = Tables.events(spark, sfDir)
+        .select(col("event_type"), hour(col("ts")).as("hr"),
+          Ql.r(col("value") * 100, 0).cast("long").as("y"),
+          expr(SamplingQueries.bucketExpr("event_id")).as("b"))
+      val model = base.filter(col("b") < 60)
+        .groupBy("event_type", "hr")
+        .agg(sum("y").as("sx"), count(lit(1)).as("n"))
+        .selectExpr("event_type", "hr",
+          s"CAST(${Ql.R("CAST(sx AS DOUBLE) / n", 0)} AS BIGINT) AS yhat")
+        .localCheckpoint(true) // |types|×24 rows
+      val cal = base.filter(col("b") >= 60 && col("b") < 80)
+        .join(broadcast(model), Seq("event_type", "hr"))
+        .select(col("event_type"), abs(col("y") - col("yhat")).as("r"))
+      val calN = cal.groupBy("event_type").agg(count(lit(1)).as("n_cal"))
+      val grid = cal.groupBy("event_type", "r").agg(count(lit(1)).as("c"))
+      val cum = grid
+        .withColumn("cum", sum("c").over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("event_type").orderBy("r")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      val qhat = cum.join(broadcast(calN), "event_type")
+        .filter(col("cum") >= expr("(9 * (n_cal + 1) + 9) div 10"))
+        .groupBy("event_type").agg(min("r").as("q90"))
+      val test = base.filter(col("b") >= 80)
+        .join(broadcast(model), Seq("event_type", "hr"))
+        .join(broadcast(qhat), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_test"),
+          sum((abs(col("y") - col("yhat")) <= col("q90")).cast("long"))
+            .as("n_covered"))
+      test.join(broadcast(calN), "event_type")
+        .join(broadcast(qhat), "event_type")
+        .selectExpr("event_type", "n_cal", "n_test",
+          s"${Ql.R("q90 / 100.0", 2)} AS half_width",
+          s"${Ql.R("CAST(n_covered AS DOUBLE) / n_test", 4)} AS coverage")
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH base AS MATERIALIZED (
+        SELECT event_type, hour(ts) AS hr,
+               CAST(${Ql.R("value * 100", 0)} AS BIGINT) AS y,
+               ${Ql.Md5PrefixLong("CAST(event_id AS VARCHAR)", 4)} % 100 AS b
+        FROM events),
+      model AS MATERIALIZED (
+        SELECT event_type, hr,
+               CAST(${Ql.R("CAST(sum(y) AS DOUBLE) / count(*)", 0)} AS BIGINT) AS yhat
+        FROM base WHERE b < 60 GROUP BY 1, 2),
+      cal AS MATERIALIZED (
+        SELECT base.event_type, abs(y - yhat) AS r
+        FROM base JOIN model
+          ON base.event_type = model.event_type AND base.hr = model.hr
+        WHERE b >= 60 AND b < 80),
+      caln AS MATERIALIZED (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal
+        FROM cal GROUP BY 1),
+      grid AS (
+        SELECT event_type, r, count(*) AS c FROM cal GROUP BY 1, 2),
+      cum AS (
+        SELECT event_type, r,
+               CAST(sum(c) OVER (PARTITION BY event_type ORDER BY r
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM grid),
+      qhat AS MATERIALIZED (
+        SELECT cum.event_type, CAST(min(r) AS BIGINT) AS q90
+        FROM cum JOIN caln ON cum.event_type = caln.event_type
+        WHERE cum >= (9 * (n_cal + 1) + 9) // 10
+        GROUP BY 1),
+      test AS (
+        SELECT base.event_type, count(*) AS n_test,
+               CAST(sum(CASE WHEN abs(y - yhat) <= q90 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_covered
+        FROM base
+        JOIN model ON base.event_type = model.event_type AND base.hr = model.hr
+        JOIN qhat ON base.event_type = qhat.event_type
+        WHERE b >= 80
+        GROUP BY 1)
+      SELECT t.event_type, c.n_cal, t.n_test,
+             ${Ql.R("q.q90 / 100.0", 2)} AS half_width,
+             ${Ql.R("CAST(t.n_covered AS DOUBLE) / t.n_test", 4)} AS coverage
+      FROM test t
+      JOIN caln c ON t.event_type = c.event_type
+      JOIN qhat q ON t.event_type = q.event_type
+      ORDER BY t.event_type
+    """))
+
   // ---------------------------------------------------------------- trimmed mean
 
   /** 5%-trimmed mean of the event value per type — the robust location
@@ -1499,5 +1603,5 @@ object MlQueries extends QueryModule {
       sequentialAb, pairwiseMeans, trimmedMean, changepointBinseg,
       ipsPolicyValue, designEffect, ratioMetricCi,
       theilSen, runsTest, mcnemar, cohensD, entropyRate, dataScalingCurve,
-      benjaminiHochberg)
+      benjaminiHochberg, conformalInterval)
 }

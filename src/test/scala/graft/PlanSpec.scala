@@ -234,7 +234,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_good_turing", // 1-row (N, N1) totals broadcast onto the ≤max-count-row histogram
       "q_kneser_ney", // vocab-bounded model-table broadcasts + 1-row (B, V) totals
       "q_data_constrained_scaling", // 1-row (U, T) token-supply broadcast under the 5-row epoch grid
-      "q_hurst_exponent") // 1-row OLS-slope broadcast onto the 4-row block-size table
+      "q_hurst_exponent", // 1-row OLS-slope broadcast onto the 4-row block-size table
+      "q_conformal_interval") // |types|x24 model grid + |types|-row caln/qhat broadcasts
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
@@ -334,7 +335,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_sample_reservoir" -> "rank filter sits directly above the window → WindowGroupLimit caps rows at k per group map-side",
       "q_top_p_filter" -> "offset window runs over the ≤|langs|×256-row bucket histogram",
       "q_var_cvar" -> "input = type×cent grid (≤49k cells/type by the 2-decimal value domain)",
-      "q_trimmed_mean" -> "input = type×cent grid (≤49k cells/type by the 2-decimal value domain)")
+      "q_trimmed_mean" -> "input = type×cent grid (≤49k cells/type by the 2-decimal value domain)",
+      "q_conformal_interval" -> "input = type×residual-cent grid (≤49k cells/type by the 2-decimal value domain)")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (boundedInputOk.contains(name)) None
       else {
