@@ -1194,9 +1194,58 @@ object TextQueries extends QueryModule {
       FROM agg ORDER BY lang
     """))
 
+  /** Discrete power-law MLE for the per-language word-frequency tail
+    * (Clauset, Shalizi & Newman 2009 §3.1, public): the Hill-style
+    * estimator α̂ = 1 + n / Σ ln(xᵢ/(x_min − ½)) over frequencies
+    * x ≥ x_min = 20, with its standard error (α̂−1)/√n — the
+    * maximum-likelihood complement to q_zipf_slope's rank-frequency OLS
+    * (OLS on log-log ranks is known-biased; disagreement between the
+    * two columns IS the diagnostic). Input is the vocabulary-bounded
+    * (lang, word, freq) table from one corpus explode+count; per-term
+    * logs become exact integer micro-units before the per-lang sum
+    * (order-independent), and the ½ correction is the exponent-notation
+    * literal 195e-1 (the DECIMAL-literal trap). Output is |langs| rows.
+    */
+  private val powerLawMle = QueryDef(
+    "q_power_law_mle",
+    (spark, sfDir) => {
+      val freqs = Tables.documents(spark, sfDir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("x"))
+        .filter(col("x") >= 20)
+      freqs
+        .select(col("lang"),
+          expr(s"CAST(${Ql.R("ln(x / 195e-1) * 1000000", 0)} AS BIGINT)").as("lu"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tail"), sum("lu").as("slu"))
+        .selectExpr("lang", "n_tail",
+          s"${Ql.R("1e0 + CAST(n_tail AS DOUBLE) * 1000000 / slu", 4)} AS alpha",
+          s"${Ql.R("(CAST(n_tail AS DOUBLE) * 1000000 / slu) / sqrt(n_tail)", 6)} AS se")
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH freqs AS (
+        SELECT lang, w, count(*) AS x
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2
+        HAVING count(*) >= 20),
+      lus AS (
+        SELECT lang,
+               CAST(${Ql.R("ln(x / 195e-1) * 1000000", 0)} AS BIGINT) AS lu
+        FROM freqs),
+      agg AS (
+        SELECT lang, count(*) AS n_tail, CAST(sum(lu) AS BIGINT) AS slu
+        FROM lus GROUP BY 1)
+      SELECT lang, n_tail,
+             ${Ql.R("1e0 + CAST(n_tail AS DOUBLE) * 1000000 / slu", 4)} AS alpha,
+             ${Ql.R("(CAST(n_tail AS DOUBLE) * 1000000 / slu) / sqrt(n_tail)", 6)} AS se
+      FROM agg ORDER BY lang
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     textStats, tfidf, langId, qualityScore, tokenCount, fingerprint,
     langRoute, bpeMerges, bm25, pmiBigrams, lmPerplexity, zipfSlope,
     langIdF1, invertedIndex, featureHashing, heapsLaw, sparseCosinePairs,
-    ttrProfile, vocabCoverage, goodTuring, kneserNey)
+    ttrProfile, vocabCoverage, goodTuring, kneserNey, powerLawMle)
 }
