@@ -957,6 +957,111 @@ object MlQueries extends QueryModule {
       ORDER BY t.event_type
     """))
 
+  /** Nearest-neighbor matching ATT (Rubin 1973; Rosenbaum & Rubin 1983's
+    * matching-on-a-balancing-score shape, public): the treatment effect
+    * of a signup-first start on purchase revenue, matching each treated user to
+    * controls at the nearest activity level within a caliper — the
+    * matching complement to q_strat_ate's stratification and q_cuped's
+    * regression adjustment. Matching runs on the DISTINCT-score grids
+    * (activity-count domains, value-bounded like the cent grids), never
+    * user×user: treated-score × control-score theta-join within caliper
+    * 5, nearest by (|Δ|, control score) rank, and matched-control
+    * outcome = the mean at that score (matching with replacement,
+    * averaging score ties — deterministic, no per-user tiebreak). Per
+    * treated user the (y_t − ȳ_c) term becomes an exact micro-cent
+    * BIGINT before summation. Reports the naive mean gap next to the
+    * matched ATT; the corpus sees one per-user aggregation.
+    */
+  private val matchingAtt = QueryDef(
+    "q_matching_att",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val users = Tables.events(spark, sfDir)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("s"),
+          sum(when(col("event_type") === "purchase",
+            Ql.r(col("value") * 100, 0).cast("long")).otherwise(0L)).as("y"),
+          // treatment = the user's FIRST event is a signup (an onboarding
+          // cohort, ~1/|types| of users) — "ever signed up" is degenerate
+          // here: every user eventually signs up
+          max(when(col("rn") === 1 && col("event_type") === "signup", 1)
+            .otherwise(0)).as("treated"))
+        .localCheckpoint(true) // feeds grids, naive means, and the match join
+      val cGrid = users.filter(col("treated") === 0)
+        .groupBy("s").agg(count(lit(1)).as("cn"), sum("y").as("cy"))
+      val tGrid = users.filter(col("treated") === 1)
+        .select(col("s").as("ts")).distinct()
+      val nearest = tGrid
+        .join(broadcast(cGrid), abs(col("ts") - col("s")) <= 5)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("ts").orderBy(abs(col("ts") - col("s")), col("s"))))
+        .filter(col("rn") === 1)
+        .select(col("ts"), col("cn"), col("cy"))
+      val matched = users.filter(col("treated") === 1)
+        .join(broadcast(nearest), col("s") === col("ts"), "left")
+      val naive = users.agg(
+        sum(when(col("treated") === 1, col("y"))).as("ty"),
+        sum(col("treated").cast("long")).as("tn"),
+        sum(when(col("treated") === 0, col("y"))).as("cy0"),
+        sum(lit(1) - col("treated")).cast("long").as("cn0"))
+      matched.agg(
+          count(lit(1)).as("n_treated"),
+          sum(col("ts").isNotNull.cast("long")).as("n_matched"),
+          sum(when(col("ts").isNotNull,
+            expr(s"CAST(${Ql.R("(y - CAST(cy AS DOUBLE) / cn) * 10000", 0)} AS BIGINT)"))
+            .otherwise(0L)).as("att_u"))
+        .crossJoin(broadcast(naive))
+        .selectExpr("n_treated", "n_matched", "cn0 AS n_control",
+          s"${Ql.R("(CAST(ty AS DOUBLE) / tn - CAST(cy0 AS DOUBLE) / cn0) / 100.0", 2)} AS naive_diff",
+          s"${Ql.R("CAST(att_u AS DOUBLE) / 1e4 / n_matched / 100.0", 2)} AS att")
+    },
+    Some(s"""
+      WITH users AS MATERIALIZED (
+        SELECT user_id, count(*) AS s,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(${Ql.R("value * 100", 0)} AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS y,
+               max(CASE WHEN rn = 1 AND event_type = 'signup' THEN 1 ELSE 0 END)
+                 AS treated
+        FROM (SELECT user_id, event_type, value,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn
+              FROM events)
+        GROUP BY 1),
+      cgrid AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS cn, CAST(sum(y) AS BIGINT) AS cy
+        FROM users WHERE treated = 0 GROUP BY 1),
+      tgrid AS (SELECT DISTINCT s AS ts FROM users WHERE treated = 1),
+      nearest AS MATERIALIZED (
+        SELECT ts, cn, cy FROM (
+          SELECT t.ts, c.cn, c.cy,
+                 row_number() OVER (PARTITION BY t.ts
+                   ORDER BY abs(t.ts - c.s), c.s) AS rn
+          FROM tgrid t JOIN cgrid c ON abs(t.ts - c.s) <= 5)
+        WHERE rn = 1),
+      naive AS (
+        SELECT CAST(sum(CASE WHEN treated = 1 THEN y END) AS BIGINT) AS ty,
+               CAST(sum(treated) AS BIGINT) AS tn,
+               CAST(sum(CASE WHEN treated = 0 THEN y END) AS BIGINT) AS cy0,
+               CAST(sum(1 - treated) AS BIGINT) AS cn0
+        FROM users),
+      m AS (
+        SELECT count(*) AS n_treated,
+               CAST(sum(CASE WHEN n.ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_matched,
+               CAST(sum(CASE WHEN n.ts IS NOT NULL
+                 THEN CAST(${Ql.R("(u.y - CAST(n.cy AS DOUBLE) / n.cn) * 10000", 0)} AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS att_u
+        FROM users u LEFT JOIN nearest n ON u.s = n.ts
+        WHERE u.treated = 1)
+      SELECT n_treated, n_matched, cn0 AS n_control,
+             ${Ql.R("(CAST(ty AS DOUBLE) / tn - CAST(cy0 AS DOUBLE) / cn0) / 100.0", 2)} AS naive_diff,
+             ${Ql.R("CAST(att_u AS DOUBLE) / 1e4 / n_matched / 100.0", 2)} AS att
+      FROM m CROSS JOIN naive
+    """))
+
   // ---------------------------------------------------------------- trimmed mean
 
   /** 5%-trimmed mean of the event value per type — the robust location
@@ -1603,5 +1708,5 @@ object MlQueries extends QueryModule {
       sequentialAb, pairwiseMeans, trimmedMean, changepointBinseg,
       ipsPolicyValue, designEffect, ratioMetricCi,
       theilSen, runsTest, mcnemar, cohensD, entropyRate, dataScalingCurve,
-      benjaminiHochberg, conformalInterval)
+      benjaminiHochberg, conformalInterval, matchingAtt)
 }
