@@ -972,11 +972,50 @@ object MlQueries extends QueryModule {
     * BIGINT before summation. Reports the naive mean gap next to the
     * matched ATT; the corpus sees one per-user aggregation.
     */
+  /** The grid-matching estimator over a prepared (s, y, treated) user
+    * frame — exposed so ScaleSmokeSpec can drive the SAME code at 5M
+    * users with a planted effect. `caliper` bounds the score distance.
+    * Returns one row: n_treated, n_matched, n_control, naive_diff, att
+    * (both in currency units = cents/100).
+    */
+  private[graft] def matchingAttOf(users0: org.apache.spark.sql.DataFrame,
+      caliper: Int = 5): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = users0.localCheckpoint(true) // feeds grids, naive means, match join
+    val cGrid = users.filter(col("treated") === 0)
+      .groupBy("s").agg(count(lit(1)).as("cn"), sum("y").as("cy"))
+    val tGrid = users.filter(col("treated") === 1)
+      .select(col("s").as("ts")).distinct()
+    val nearest = tGrid
+      .join(broadcast(cGrid), abs(col("ts") - col("s")) <= caliper)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("ts").orderBy(abs(col("ts") - col("s")), col("s"))))
+      .filter(col("rn") === 1)
+      .select(col("ts"), col("cn"), col("cy"))
+    val matched = users.filter(col("treated") === 1)
+      .join(broadcast(nearest), col("s") === col("ts"), "left")
+    val naive = users.agg(
+      sum(when(col("treated") === 1, col("y"))).as("ty"),
+      sum(col("treated").cast("long")).as("tn"),
+      sum(when(col("treated") === 0, col("y"))).as("cy0"),
+      sum(lit(1) - col("treated")).cast("long").as("cn0"))
+    matched.agg(
+        count(lit(1)).as("n_treated"),
+        sum(col("ts").isNotNull.cast("long")).as("n_matched"),
+        sum(when(col("ts").isNotNull,
+          expr(s"CAST(${Ql.R("(y - CAST(cy AS DOUBLE) / cn) * 10000", 0)} AS BIGINT)"))
+          .otherwise(0L)).as("att_u"))
+      .crossJoin(broadcast(naive))
+      .selectExpr("n_treated", "n_matched", "cn0 AS n_control",
+        s"${Ql.R("(CAST(ty AS DOUBLE) / tn - CAST(cy0 AS DOUBLE) / cn0) / 100.0", 2)} AS naive_diff",
+        s"${Ql.R("CAST(att_u AS DOUBLE) / 1e4 / n_matched / 100.0", 2)} AS att")
+  }
+
   private val matchingAtt = QueryDef(
     "q_matching_att",
     (spark, sfDir) => {
       import org.apache.spark.sql.expressions.Window
-      val users = Tables.events(spark, sfDir)
+      matchingAttOf(Tables.events(spark, sfDir)
         .withColumn("rn", row_number().over(
           Window.partitionBy("user_id").orderBy("ts", "event_id")))
         .groupBy("user_id")
@@ -987,35 +1026,7 @@ object MlQueries extends QueryModule {
           // cohort, ~1/|types| of users) — "ever signed up" is degenerate
           // here: every user eventually signs up
           max(when(col("rn") === 1 && col("event_type") === "signup", 1)
-            .otherwise(0)).as("treated"))
-        .localCheckpoint(true) // feeds grids, naive means, and the match join
-      val cGrid = users.filter(col("treated") === 0)
-        .groupBy("s").agg(count(lit(1)).as("cn"), sum("y").as("cy"))
-      val tGrid = users.filter(col("treated") === 1)
-        .select(col("s").as("ts")).distinct()
-      val nearest = tGrid
-        .join(broadcast(cGrid), abs(col("ts") - col("s")) <= 5)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("ts").orderBy(abs(col("ts") - col("s")), col("s"))))
-        .filter(col("rn") === 1)
-        .select(col("ts"), col("cn"), col("cy"))
-      val matched = users.filter(col("treated") === 1)
-        .join(broadcast(nearest), col("s") === col("ts"), "left")
-      val naive = users.agg(
-        sum(when(col("treated") === 1, col("y"))).as("ty"),
-        sum(col("treated").cast("long")).as("tn"),
-        sum(when(col("treated") === 0, col("y"))).as("cy0"),
-        sum(lit(1) - col("treated")).cast("long").as("cn0"))
-      matched.agg(
-          count(lit(1)).as("n_treated"),
-          sum(col("ts").isNotNull.cast("long")).as("n_matched"),
-          sum(when(col("ts").isNotNull,
-            expr(s"CAST(${Ql.R("(y - CAST(cy AS DOUBLE) / cn) * 10000", 0)} AS BIGINT)"))
-            .otherwise(0L)).as("att_u"))
-        .crossJoin(broadcast(naive))
-        .selectExpr("n_treated", "n_matched", "cn0 AS n_control",
-          s"${Ql.R("(CAST(ty AS DOUBLE) / tn - CAST(cy0 AS DOUBLE) / cn0) / 100.0", 2)} AS naive_diff",
-          s"${Ql.R("CAST(att_u AS DOUBLE) / 1e4 / n_matched / 100.0", 2)} AS att")
+            .otherwise(0)).as("treated")))
     },
     Some(s"""
       WITH users AS MATERIALIZED (

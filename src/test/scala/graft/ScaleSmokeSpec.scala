@@ -668,6 +668,37 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     ranks.unpersist()
   }
 
+  test("grid matching recovers a planted effect at 5M users (score grids, never user x user)") {
+    // Confounded synthetic cohort: score s ∈ 1..100, propensity RISES
+    // with s (5% at s=1 → 55% at s=100), outcome rises with s
+    // (1000·s cents) plus a constant +5000-cent treatment effect and
+    // ±500-cent hash noise independent of arm. The naive mean gap
+    // therefore absorbs the confounding (treated users sit at high s);
+    // matching at the same score must strip it and recover ≈ $50.00.
+    // This drives the SAME matchingAttOf code q_matching_att serves —
+    // proving the matcher's work stays on the ≤100-row score grids at
+    // 33× the bench user count, not on user×user pairs.
+    val users = spark.range(5000000L)
+      .selectExpr("id", "CAST(1 + pmod(hash(id, 1), 100) AS BIGINT) AS s")
+      .selectExpr("id", "s",
+        "CASE WHEN pmod(hash(id, 2), 100) < 5 + CAST(s div 2 AS INT) THEN 1 ELSE 0 END AS treated")
+      .selectExpr("s", "treated",
+        "CAST(s * 1000 + treated * 5000 + pmod(hash(id, 4), 1000) AS BIGINT) AS y")
+    val t0 = System.nanoTime()
+    val row = operators.MlQueries.matchingAttOf(users).collect().head
+    val secs = (System.nanoTime() - t0) / 1e9
+    val (nT, nM, nC) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val (naive, att) = (row.getDouble(3), row.getDouble(4))
+    info(f"5M users: $nT%d treated / $nC%d control, $nM%d matched, " +
+      f"naive=$$$naive%.2f att=$$$att%.2f (planted $$50.00), $secs%.1f s")
+    assert(nT + nC == 5000000L)
+    assert(nM == nT, "every treated score has same-score controls at 50k users/score")
+    assert(math.abs(att - 50.0) < 1.0,
+      s"matching must recover the planted $$50 effect, got $att")
+    assert(naive - 50.0 > 5.0,
+      s"the naive gap must visibly absorb the planted confounding, got $naive")
+  }
+
   test("10x skew stress: salting levels the hot-key join that overwhelms one task") {
     import spark.implicits._
     // Well past 10× the sf0.1 events table (4M rows vs 100k) with ONE
