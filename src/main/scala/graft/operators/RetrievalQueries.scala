@@ -211,41 +211,88 @@ object RetrievalQueries extends QueryModule {
     * smoothed floor) via a 3-term literal explode joined left to the tf
     * table — never a corpus × terms grid.
     */
-  private val queryLikelihood: QueryDef = {
-    val terms = Seq("stream", "join", "window")
+  /** The Dirichlet-QL top-20 scorer over an arbitrary documents frame —
+    * factored so q_rank_overlap can lay its ranking next to BM25's
+    * (ONE definition of the pipeline; the QueryDef below owns block
+    * hygiene). Returns (doc_id, n_hit_terms, dl, score) top-20 by
+    * (score DESC, doc_id). NOTE: eagerly localCheckpoints its hit list —
+    * callers release blocks via the snapshot pattern.
+    */
+  private[operators] def qlTopK(docs: DataFrame, terms: Seq[String]): DataFrame = {
     val termArr = s"array(${terms.map(t => s"'$t'").mkString(", ")})"
+    val ts = "ln((tf + 100.0 * ctf / ctot) / (dl + 100.0))"
+    val tok = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("w"))
+    val coll = tok.agg(count(lit(1)).cast("double").as("ctot"))
+    val hits = tok.filter(expr(s"array_contains($termArr, w)"))
+      .localCheckpoint(true) // feeds ctf, tf, and the candidate list
+    val ctf = hits.groupBy("w").agg(count(lit(1)).cast("double").as("ctf"))
+    // LEFT join + coalesce: a query term with zero collection
+    // frequency keeps its smoothed floor for every candidate rather
+    // than silently dropping out (same choice as the oracle twin).
+    val tf = hits.groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+    tf.select("doc_id", "dl").distinct()
+      .select(col("doc_id"), col("dl"), explode(expr(termArr)).as("w"))
+      .join(tf, Seq("doc_id", "dl", "w"), "left")
+      .na.fill(0L, Seq("tf"))
+      .join(broadcast(ctf), Seq("w"), "left")
+      .na.fill(0.0, Seq("ctf"))
+      .crossJoin(broadcast(coll))
+      .withColumn("ts", Ql.r(expr(ts), 6))
+      .groupBy("doc_id")
+      .agg(sum(when(col("tf") > 0, 1L).otherwise(0L)).as("n_hit_terms"),
+        min("dl").as("dl"), Ql.r(sum(col("ts")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+      .select("doc_id", "n_hit_terms", "dl", "score")
+  }
+
+  /** Oracle twin of [[qlTopK]] as a prefix-parameterized CTE chain ending
+    * in `${px}top(doc_id, n_hit_terms, dl, score)` — prefixed so it can
+    * coexist with the BM25 oracle CTEs in q_rank_overlap's WITH.
+    */
+  private def qlOracleCtes(px: String, terms: Seq[String]): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     val ts = "ln((tf + 100.0 * ctf / ctot) / (dl + 100.0))"
+    s"""${px}tok AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                 unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        ${px}coll AS (SELECT CAST(count(*) AS DOUBLE) AS ctot FROM ${px}tok),
+        ${px}ctf AS (SELECT w, CAST(count(*) AS DOUBLE) AS ctf
+                FROM ${px}tok WHERE w IN ($inList) GROUP BY 1),
+        ${px}tf AS (SELECT doc_id, dl, w, count(*) AS tf
+               FROM ${px}tok WHERE w IN ($inList) GROUP BY 1, 2, 3),
+        ${px}grid AS (
+          SELECT cd.doc_id, cd.dl, t.w
+          FROM (SELECT DISTINCT doc_id, dl FROM ${px}tf) cd,
+               (SELECT unnest([$inList]) AS w) t),
+        ${px}sc AS (
+          SELECT g.doc_id, g.dl, COALESCE(tf.tf, 0) AS tf,
+                 COALESCE(c.ctf, 0.0) AS ctf, ctot
+          FROM ${px}grid g
+          LEFT JOIN ${px}tf tf ON g.doc_id = tf.doc_id AND g.w = tf.w
+          LEFT JOIN ${px}ctf c ON g.w = c.w, ${px}coll),
+        ${px}scored AS (
+          SELECT doc_id, dl, tf, ${Ql.R(ts, 6)} AS ts FROM ${px}sc),
+        ${px}top AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_terms,
+                 CAST(min(dl) AS INT) AS dl,
+                 ${Ql.R("sum(ts)", 4)} AS score
+          FROM ${px}scored GROUP BY 1
+          ORDER BY score DESC, doc_id LIMIT 20)"""
+  }
+
+  private val queryLikelihood: QueryDef = {
+    val terms = Seq("stream", "join", "window")
     QueryDef(
       "q_query_likelihood",
       (spark, sfDir) => {
         val sc = spark.sparkContext
         val before = sc.getPersistentRDDs.keySet
-        val tok = Tables.documents(spark, sfDir)
-          .withColumn("toks", split(col("text"), " "))
-          .select(col("doc_id"), size(col("toks")).as("dl"),
-            explode(col("toks")).as("w"))
-        val coll = tok.agg(count(lit(1)).cast("double").as("ctot"))
-        val hits = tok.filter(expr(s"array_contains($termArr, w)"))
-          .localCheckpoint(true) // feeds ctf, tf, and the candidate list
-        val ctf = hits.groupBy("w").agg(count(lit(1)).cast("double").as("ctf"))
-        // LEFT join + coalesce: a query term with zero collection
-        // frequency keeps its smoothed floor for every candidate rather
-        // than silently dropping out (same choice as the oracle twin).
-        val tf = hits.groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
-        val out = tf.select("doc_id", "dl").distinct()
-          .select(col("doc_id"), col("dl"), explode(expr(termArr)).as("w"))
-          .join(tf, Seq("doc_id", "dl", "w"), "left")
-          .na.fill(0L, Seq("tf"))
-          .join(broadcast(ctf), Seq("w"), "left")
-          .na.fill(0.0, Seq("ctf"))
-          .crossJoin(broadcast(coll))
-          .withColumn("ts", Ql.r(expr(ts), 6))
-          .groupBy("doc_id")
-          .agg(sum(when(col("tf") > 0, 1L).otherwise(0L)).as("n_hit_terms"),
-            min("dl").as("dl"), Ql.r(sum(col("ts")), 4).as("score"))
-          .orderBy(col("score").desc, col("doc_id")).limit(20)
-          .select("doc_id", "n_hit_terms", "dl", "score")
+        val out = qlTopK(Tables.documents(spark, sfDir), terms)
         // release the eager checkpoint's blocks once the result is
         // snapshotted (module contract: no blocks outlive the query)
         val mine = sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
@@ -254,36 +301,104 @@ object RetrievalQueries extends QueryModule {
         collected
       },
       Some(s"""
-        WITH tok AS (
-          SELECT doc_id, len(string_split(text, ' ')) AS dl,
-                 unnest(string_split(text, ' ')) AS w
-          FROM documents),
-        coll AS (SELECT CAST(count(*) AS DOUBLE) AS ctot FROM tok),
-        ctf AS (SELECT w, CAST(count(*) AS DOUBLE) AS ctf
-                FROM tok WHERE w IN ($inList) GROUP BY 1),
-        tf AS (SELECT doc_id, dl, w, count(*) AS tf
-               FROM tok WHERE w IN ($inList) GROUP BY 1, 2, 3),
-        grid AS (
-          SELECT cd.doc_id, cd.dl, t.w
-          FROM (SELECT DISTINCT doc_id, dl FROM tf) cd,
-               (SELECT unnest([$inList]) AS w) t),
-        sc AS (
-          SELECT g.doc_id, g.dl, COALESCE(tf.tf, 0) AS tf,
-                 COALESCE(c.ctf, 0.0) AS ctf, ctot
-          FROM grid g
-          LEFT JOIN tf ON g.doc_id = tf.doc_id AND g.w = tf.w
-          LEFT JOIN ctf c ON g.w = c.w, coll),
-        scored AS (
-          SELECT doc_id, dl, tf, ${Ql.R(ts, 6)} AS ts FROM sc)
-        SELECT doc_id,
-               CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_terms,
-               CAST(min(dl) AS INT) AS dl,
-               ${Ql.R("sum(ts)", 4)} AS score
-        FROM scored GROUP BY 1
-        ORDER BY score DESC, doc_id LIMIT 20
+        WITH ${qlOracleCtes("", terms)}
+        SELECT doc_id, n_hit_terms, dl, score FROM top
+        ORDER BY score DESC, doc_id
+      """))
+  }
+
+  /** Rank-Biased Overlap between the two served rankers (Webber, Moffat
+    * & Zobel 2010, public): how much do BM25's and query-likelihood's
+    * top-20 lists for the same query actually agree, weighted the way a
+    * user reads — geometrically decaying depth weights (p = 0.9), so
+    * rank-1 disagreement costs more than rank-20. Reports per-depth
+    * overlap X_d and agreement X_d/d plus the truncated RBO score
+    * Σ (1−p)p^(d−1)·X_d/d — the ranker-diff metric a retrieval stack
+    * watches when it swaps scorers. Both rankings come from the SAME
+    * served pipelines ([[TextQueries.bm25TopK]] / [[qlTopK]]); all
+    * depth work runs on the two 20-row lists (rank windows whitelisted
+    * as bounded), the depth weights are Scala-precomputed
+    * exponent-notation literals, and per-depth terms accumulate as
+    * exact nano-unit BIGINTs.
+    */
+  private val rankOverlap: QueryDef = {
+    val terms = Seq("stream", "join", "window")
+    val k = 20
+    val coefs = (1 to k).map(d =>
+      d -> "%.17e".formatLocal(java.util.Locale.ROOT, 0.1 * math.pow(0.9, d - 1)))
+    val coefCase = "CASE " + coefs.map { case (d, c) =>
+      s"WHEN d = $d THEN $c"
+    }.mkString(" ") + " END"
+    QueryDef(
+      "q_rank_overlap",
+      (spark, sfDir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sc = spark.sparkContext
+        val before = sc.getPersistentRDDs.keySet
+        val docs = Tables.documents(spark, sfDir)
+        def ranked(df: DataFrame, rc: String) = df
+          .withColumn(rc, row_number()
+            .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+          .select(col("doc_id"), col(rc))
+        val a = ranked(TextQueries.bm25TopK(docs, terms), "ra")
+        val b = ranked(qlTopK(docs, terms), "rb")
+        val common = a.join(b, "doc_id")
+          .select(col("doc_id"), greatest(col("ra"), col("rb")).as("dmin"))
+          .localCheckpoint(true) // ≤20 rows
+        val depths = spark.range(1, k + 1).select(col("id").as("d"))
+        val ov = depths
+          .join(broadcast(common), col("dmin") <= col("d"), "left")
+          .groupBy("d").agg(count(col("doc_id")).as("overlap"))
+        val out = ov
+          .withColumn("agreement", Ql.r(col("overlap") / col("d").cast("double"), 4))
+          .withColumn("term_u", expr(
+            s"CAST(${Ql.R(s"($coefCase) * overlap / d * 1000000000", 0)} AS BIGINT)"))
+        val rbo = out.agg(
+          Ql.r(sum("term_u") / lit(1e9), 6).as("rbo"))
+        val res = out.crossJoin(broadcast(rbo))
+          .select(col("d"), col("overlap"), col("agreement"), col("rbo"))
+          .orderBy("d")
+        val mine = sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
+        val collected = res.localCheckpoint(true)
+        mine.values.foreach(_.unpersist(blocking = false))
+        collected
+      },
+      Some(s"""
+        WITH ${TextQueries.bm25OracleCtes},
+        atop AS (${TextQueries.bm25OracleSelect}),
+        ${qlOracleCtes("q", terms)},
+        ra AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS ra
+          FROM atop),
+        rb AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rb
+          FROM qtop),
+        common AS MATERIALIZED (
+          SELECT ra.doc_id, greatest(ra.ra, rb.rb) AS dmin
+          FROM ra JOIN rb ON ra.doc_id = rb.doc_id),
+        depths AS (SELECT CAST(unnest(generate_series(1, $k)) AS BIGINT) AS d),
+        ov AS MATERIALIZED (
+          SELECT d, CAST(count(c.doc_id) AS BIGINT) AS overlap
+          FROM depths LEFT JOIN common c ON c.dmin <= depths.d
+          GROUP BY 1),
+        terms_t AS MATERIALIZED (
+          SELECT d, overlap,
+                 ${Ql.R("overlap / CAST(d AS DOUBLE)", 4)} AS agreement,
+                 CAST(${Ql.R(s"($coefCase) * overlap / d * 1000000000", 0)} AS BIGINT)
+                   AS term_u
+          FROM ov),
+        rbo AS (
+          SELECT ${Ql.R("CAST(sum(term_u) AS DOUBLE) / 1e9", 6)} AS rbo
+          FROM terms_t)
+        SELECT d, overlap, agreement, rbo
+        FROM terms_t CROSS JOIN rbo
+        ORDER BY d
       """))
   }
 
   override def defs: Seq[QueryDef] =
-    Seq(mmrRerank, autocompletePrefix, langVocabOverlap, queryLikelihood)
+    Seq(mmrRerank, autocompletePrefix, langVocabOverlap, queryLikelihood,
+      rankOverlap)
 }
