@@ -1243,9 +1243,77 @@ object TextQueries extends QueryModule {
       FROM agg ORDER BY lang
     """))
 
+  /** UMass topic coherence per source (Mimno et al. EMNLP 2011, public),
+    * treating each source's top-10 document-frequency words as its
+    * "topic": coherence = Σ_{rank i < j} ln((D(wᵢ,wⱼ)+1)/D(wᵢ)) over
+    * within-source document co-occurrence — the intrinsic score that
+    * flags a source whose characteristic vocabulary does NOT actually
+    * co-occur (scraper mixing content, template pollution). Scale shape:
+    * the doc–word incidence explodes DISTINCT words per doc
+    * (array_distinct before the explode), the top-10 rank is a
+    * WindowGroupLimit per source, co-occurrence restricts incidence to
+    * the broadcast top-word set (≤45 pair rows per doc), and the ≤45
+    * per-source terms accumulate as exact micro-unit BIGINTs.
+    */
+  private val topicCoherence = QueryDef(
+    "q_topic_coherence",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val inc = Tables.documents(spark, sfDir)
+        .select(col("source"), col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("w"))
+      val top = inc.groupBy("source", "w").agg(count(lit(1)).as("dfw"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("source").orderBy(col("dfw").desc, col("w"))))
+        .filter(col("r") <= 10)
+        .localCheckpoint(true) // |sources|×10 rows
+      val tinc = inc.join(broadcast(top), Seq("source", "w"))
+      val cooc = tinc.as("a")
+        .join(tinc.as("b"), Seq("source", "doc_id"))
+        .filter(col("a.r") < col("b.r"))
+        .groupBy(col("source"), col("a.r").as("ri"), col("b.r").as("rj"),
+          col("a.dfw").as("dfi"))
+        .agg(count(lit(1)).as("dij"))
+      cooc
+        .selectExpr("source",
+          s"CAST(${Ql.R("ln((dij + 1e0) / dfi) * 1000000", 0)} AS BIGINT) AS t_u")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_pairs"),
+          Ql.r(sum("t_u") / lit(1e6), 4).as("coherence"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH inc AS MATERIALIZED (
+        SELECT DISTINCT source, doc_id, w
+        FROM (SELECT source, doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents)),
+      top AS MATERIALIZED (
+        SELECT source, w, dfw, r FROM (
+          SELECT source, w, count(*) AS dfw,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY count(*) DESC, w) AS r
+          FROM inc GROUP BY source, w)
+        WHERE r <= 10),
+      tinc AS MATERIALIZED (
+        SELECT i.source, i.doc_id, t.r, t.dfw
+        FROM inc i JOIN top t ON i.source = t.source AND i.w = t.w),
+      cooc AS (
+        SELECT a.source, a.r AS ri, b.r AS rj, a.dfw AS dfi,
+               CAST(count(*) AS BIGINT) AS dij
+        FROM tinc a JOIN tinc b
+          ON a.source = b.source AND a.doc_id = b.doc_id AND a.r < b.r
+        GROUP BY 1, 2, 3, 4)
+      SELECT source, count(*) AS n_pairs,
+             ${Ql.R("CAST(sum(CAST(" + Ql.R("ln((dij + 1e0) / dfi) * 1000000", 0) + " AS BIGINT)) AS DOUBLE) / 1e6", 4)} AS coherence
+      FROM cooc
+      GROUP BY 1
+      ORDER BY source
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     textStats, tfidf, langId, qualityScore, tokenCount, fingerprint,
     langRoute, bpeMerges, bm25, pmiBigrams, lmPerplexity, zipfSlope,
     langIdF1, invertedIndex, featureHashing, heapsLaw, sparseCosinePairs,
-    ttrProfile, vocabCoverage, goodTuring, kneserNey, powerLawMle)
+    ttrProfile, vocabCoverage, goodTuring, kneserNey, powerLawMle,
+    topicCoherence)
 }
