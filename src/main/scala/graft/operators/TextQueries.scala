@@ -1315,5 +1315,71 @@ object TextQueries extends QueryModule {
     langRoute, bpeMerges, bm25, pmiBigrams, lmPerplexity, zipfSlope,
     langIdF1, invertedIndex, featureHashing, heapsLaw, sparseCosinePairs,
     ttrProfile, vocabCoverage, goodTuring, kneserNey, powerLawMle,
-    topicCoherence)
+    topicCoherence, krippendorffAlpha)
+
+  /** Krippendorff's α between the true language label and the n-gram
+    * heuristic's prediction (Krippendorff 1970/2004, public) — the
+    * agreement coefficient q_kappa_agreement's Cohen κ cannot replace
+    * when raters can ABSTAIN: units where the heuristic produced no
+    * prediction (the confusion matrix's '??' row) are dropped from the
+    * coincidence matrix exactly as Krippendorff prescribes for units
+    * with fewer than two codes, and the expected-disagreement term uses
+    * the pooled coincidence marginals n_c(n_c−1)/(n(n−1)) rather than
+    * per-rater margins. Everything is exact integer algebra on the
+    * shared [[langConfusion]] matrix (|langs|²-sized) until the final
+    * α division. One corpus pass (inside langConfusion); the rest is
+    * report-sized.
+    */
+  private lazy val krippendorffAlpha = QueryDef(
+    "q_krippendorff_alpha",
+    (spark, sfDir) => {
+      val conf = langConfusion(spark, sfDir).localCheckpoint(true)
+      val paired = conf.filter(col("pred") =!= "??")
+      val o = paired.select(col("lang").as("a"), col("pred").as("b"), col("n"))
+        .union(paired.select(col("pred").as("a"), col("lang").as("b"), col("n")))
+        .groupBy("a", "b").agg(sum("n").as("o"))
+        .localCheckpoint(true) // ≤(|langs|)² coincidence cells
+      val marg = o.groupBy("a").agg(sum("o").as("nc"))
+      val tot = o.agg(sum("o").as("nn"),
+        sum(when(col("a") === col("b"), col("o")).otherwise(0L)).as("diag"))
+      val de = marg.agg(sum(expr("nc * (nc - 1)")).as("sncc"))
+      val miss = conf.agg(sum("n").as("n_items"),
+        sum(when(col("pred") === "??", col("n")).otherwise(0L)).as("n_missing"))
+      tot.crossJoin(broadcast(de)).crossJoin(broadcast(miss))
+        .selectExpr("n_items", "n_missing",
+          "nn div 2 AS n_paired",
+          s"${Ql.R("CAST(diag AS DOUBLE) / nn", 4)} AS pct_agreement",
+          s"""${Ql.R(
+            """1e0 - (1e0 - CAST(diag AS DOUBLE) / nn)
+               / (1e0 - CAST(sncc AS DOUBLE) / (CAST(nn AS DOUBLE) * (nn - 1)))""", 6)}
+            AS alpha""")
+    },
+    Some(s"""
+      WITH $langConfusionSql,
+      paired AS (SELECT lang, pred, n FROM confusion WHERE pred <> '??'),
+      o AS MATERIALIZED (
+        SELECT a, b, CAST(sum(n) AS BIGINT) AS o FROM (
+          SELECT lang AS a, pred AS b, n FROM paired
+          UNION ALL
+          SELECT pred AS a, lang AS b, n FROM paired)
+        GROUP BY 1, 2),
+      marg AS (SELECT a, CAST(sum(o) AS BIGINT) AS nc FROM o GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(o) AS BIGINT) AS nn,
+               CAST(sum(CASE WHEN a = b THEN o ELSE 0 END) AS BIGINT) AS diag
+        FROM o),
+      de AS (SELECT CAST(sum(nc * (nc - 1)) AS BIGINT) AS sncc FROM marg),
+      miss AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_items,
+               CAST(sum(CASE WHEN pred = '??' THEN n ELSE 0 END) AS BIGINT)
+                 AS n_missing
+        FROM confusion)
+      SELECT n_items, n_missing, nn // 2 AS n_paired,
+             ${Ql.R("CAST(diag AS DOUBLE) / nn", 4)} AS pct_agreement,
+             ${Ql.R(
+            """1e0 - (1e0 - CAST(diag AS DOUBLE) / nn)
+               / (1e0 - CAST(sncc AS DOUBLE) / (CAST(nn AS DOUBLE) * (nn - 1)))""", 6)}
+               AS alpha
+      FROM tot CROSS JOIN de CROSS JOIN miss
+    """))
 }
