@@ -1143,9 +1143,19 @@ object DedupQueries extends QueryModule {
     * of the band join is candidate-sized. Caller owns block hygiene.
     */
   private def candidateOverlap(docs: DataFrame): DataFrame = {
-    val shH = shingles(docs, hashed = true).cache()
+    // ONE corpus shingle pass feeds both sides: the exact-overlap
+    // machinery consumes the md5-prefix projection (re-distinct'd so a
+    // 56-bit collision cannot inflate intersection counts, matching
+    // shingles(hashed = true) exactly), the minhash signatures consume
+    // the string shingles — rebuilding shingles per side doubled the
+    // dominant explode+distinct of the two heaviest queries (review
+    // finding)
+    val shStr = shingles(docs).cache()
+    val shH = shStr
+      .select(col("doc_id"), expr(Ql.md5PrefixLong("sh", 14)).as("sh"))
+      .distinct()
     val (inter, sizes) = shingleIntersections(shH)
-    lshBandPairsOf(docs)
+    bandPairsFromSigs(minhashSigsFromShingles(shStr))
       .join(inter, Seq("d1", "d2"), "left")
       .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
       .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")

@@ -865,9 +865,11 @@ object MlQueries extends QueryModule {
     * integer cents, the order statistic comes from a cumulative count
     * over the per-type residual-cent grid (≤49k cells/type by the
     * 2-decimal value domain — the q_median_ci pattern), and the
-    * ⌈·⌉ rank is integer arithmetic (9·(n+1)+9) div 10. The corpus
-    * sees three keyed aggregations (train moments, calibration grid,
-    * test coverage); nothing unbounded.
+    * ⌈·⌉ rank is integer arithmetic (9·(n+1)+9) div 10. A type whose
+    * calibration split is smaller than the rank gets q̂ = +∞ per the
+    * theory (NULL half-width, coverage 1.0) instead of vanishing. The
+    * corpus sees three keyed aggregations (train moments, calibration
+    * grid, test coverage); nothing unbounded.
     */
   private val conformalInterval = QueryDef(
     "q_conformal_interval",
@@ -895,17 +897,24 @@ object MlQueries extends QueryModule {
       val qhat = cum.join(broadcast(calN), "event_type")
         .filter(col("cum") >= expr("(9 * (n_cal + 1) + 9) div 10"))
         .groupBy("event_type").agg(min("r").as("q90"))
+      // LEFT joins + the IS NULL arm: a type whose calibration split is
+      // smaller than the ⌈·⌉ rank has q̂ = +∞ per split-conformal theory
+      // (the interval covers everything) — it must report a NULL
+      // half-width and coverage 1.0, not vanish from the output
+      // (review finding)
       val test = base.filter(col("b") >= 80)
         .join(broadcast(model), Seq("event_type", "hr"))
-        .join(broadcast(qhat), "event_type")
+        .join(broadcast(qhat), Seq("event_type"), "left")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_test"),
-          sum((abs(col("y") - col("yhat")) <= col("q90")).cast("long"))
-            .as("n_covered"))
-      test.join(broadcast(calN), "event_type")
-        .join(broadcast(qhat), "event_type")
-        .selectExpr("event_type", "n_cal", "n_test",
-          s"${Ql.R("q90 / 100.0", 2)} AS half_width",
+          sum((col("q90").isNull || abs(col("y") - col("yhat")) <= col("q90"))
+            .cast("long")).as("n_covered"))
+      test.join(broadcast(calN), Seq("event_type"), "left")
+        .join(broadcast(qhat), Seq("event_type"), "left")
+        .selectExpr("event_type",
+          "CAST(coalesce(n_cal, 0) AS BIGINT) AS n_cal", "n_test",
+          s"""CASE WHEN q90 IS NULL THEN CAST(NULL AS DOUBLE)
+            ELSE ${Ql.R("q90 / 100.0", 2)} END AS half_width""",
           s"${Ql.R("CAST(n_covered AS DOUBLE) / n_test", 4)} AS coverage")
         .orderBy("event_type")
     },
@@ -941,19 +950,21 @@ object MlQueries extends QueryModule {
         GROUP BY 1),
       test AS (
         SELECT base.event_type, count(*) AS n_test,
-               CAST(sum(CASE WHEN abs(y - yhat) <= q90 THEN 1 ELSE 0 END)
-                 AS BIGINT) AS n_covered
+               CAST(sum(CASE WHEN q90 IS NULL OR abs(y - yhat) <= q90
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
         FROM base
         JOIN model ON base.event_type = model.event_type AND base.hr = model.hr
-        JOIN qhat ON base.event_type = qhat.event_type
+        LEFT JOIN qhat ON base.event_type = qhat.event_type
         WHERE b >= 80
         GROUP BY 1)
-      SELECT t.event_type, c.n_cal, t.n_test,
-             ${Ql.R("q.q90 / 100.0", 2)} AS half_width,
+      SELECT t.event_type,
+             CAST(coalesce(c.n_cal, 0) AS BIGINT) AS n_cal, t.n_test,
+             CASE WHEN q.q90 IS NULL THEN CAST(NULL AS DOUBLE)
+                  ELSE ${Ql.R("q.q90 / 100.0", 2)} END AS half_width,
              ${Ql.R("CAST(t.n_covered AS DOUBLE) / t.n_test", 4)} AS coverage
       FROM test t
-      JOIN caln c ON t.event_type = c.event_type
-      JOIN qhat q ON t.event_type = q.event_type
+      LEFT JOIN caln c ON t.event_type = c.event_type
+      LEFT JOIN qhat q ON t.event_type = q.event_type
       ORDER BY t.event_type
     """))
 

@@ -1271,10 +1271,18 @@ object TextQueries extends QueryModule {
       val cooc = tinc.as("a")
         .join(tinc.as("b"), Seq("source", "doc_id"))
         .filter(col("a.r") < col("b.r"))
-        .groupBy(col("source"), col("a.r").as("ri"), col("b.r").as("rj"),
-          col("a.dfw").as("dfi"))
+        .groupBy(col("source"), col("a.r").as("ri"), col("b.r").as("rj"))
         .agg(count(lit(1)).as("dij"))
-      cooc
+      // LEFT-join the full rank-pair grid: a top-word pair with ZERO
+      // document co-occurrence must contribute ln(1/D(wi)) — the most
+      // negative term and the exact signal this query exists to flag —
+      // not silently vanish from the sum (review finding)
+      val pairs = top.as("a").join(top.as("b"), Seq("source"))
+        .filter(col("a.r") < col("b.r"))
+        .select(col("source"), col("a.r").as("ri"), col("b.r").as("rj"),
+          col("a.dfw").as("dfi"))
+      pairs.join(cooc, Seq("source", "ri", "rj"), "left")
+        .withColumn("dij", coalesce(col("dij"), lit(0L)))
         .selectExpr("source",
           s"CAST(${Ql.R("ln((dij + 1e0) / dfi) * 1000000", 0)} AS BIGINT) AS t_u")
         .groupBy("source")
@@ -1298,14 +1306,22 @@ object TextQueries extends QueryModule {
         SELECT i.source, i.doc_id, t.r, t.dfw
         FROM inc i JOIN top t ON i.source = t.source AND i.w = t.w),
       cooc AS (
-        SELECT a.source, a.r AS ri, b.r AS rj, a.dfw AS dfi,
+        SELECT a.source, a.r AS ri, b.r AS rj,
                CAST(count(*) AS BIGINT) AS dij
         FROM tinc a JOIN tinc b
           ON a.source = b.source AND a.doc_id = b.doc_id AND a.r < b.r
-        GROUP BY 1, 2, 3, 4)
+        GROUP BY 1, 2, 3),
+      pairs AS (
+        SELECT a.source, a.r AS ri, b.r AS rj, a.dfw AS dfi
+        FROM top a JOIN top b ON a.source = b.source AND a.r < b.r),
+      scoredp AS (
+        SELECT p.source,
+               coalesce(c.dij, 0) AS dij, p.dfi
+        FROM pairs p LEFT JOIN cooc c
+          ON p.source = c.source AND p.ri = c.ri AND p.rj = c.rj)
       SELECT source, count(*) AS n_pairs,
              ${Ql.R("CAST(sum(CAST(" + Ql.R("ln((dij + 1e0) / dfi) * 1000000", 0) + " AS BIGINT)) AS DOUBLE) / 1e6", 4)} AS coherence
-      FROM cooc
+      FROM scoredp
       GROUP BY 1
       ORDER BY source
     """))

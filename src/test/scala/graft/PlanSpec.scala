@@ -236,7 +236,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_data_constrained_scaling", // 1-row (U, T) token-supply broadcast under the 5-row epoch grid
       "q_hurst_exponent", // 1-row OLS-slope broadcast onto the 4-row block-size table
       "q_conformal_interval", // |types|x24 model grid + |types|-row caln/qhat broadcasts
-      "q_matching_att") // caliper theta-join of value-bounded score grids + 1-row naive broadcast
+      "q_matching_att", // caliper theta-join of value-bounded score grids + 1-row naive broadcast
+      "q_krippendorff_alpha") // three 1-row coincidence aggregates crossed into the report row
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
