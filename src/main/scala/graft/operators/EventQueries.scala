@@ -1437,6 +1437,113 @@ object EventQueries extends QueryModule {
       FROM na ORDER BY h
     """))
 
+  /** Shapley-value channel attribution (Shapley 1953; the
+    * coalition-game attribution of Zhao et al. 2018, public): each
+    * marketing channel's credit for conversions is its average marginal
+    * contribution across ALL channel coalitions — the game-theoretic
+    * answer to the question q_attribution (last-touch) and
+    * q_attribution_position (U-shaped) answer with heuristics. Channels
+    * are the pre-first-purchase touch types {click, view, signup}
+    * (error is non-marketing noise, purchase is the conversion itself);
+    * a user's coalition is the exact SET of channels touched before
+    * their first purchase, v(S) counts conversions whose coalition ⊆ S.
+    * Everything after one per-user aggregation runs on the 8-row
+    * coalition lattice with exact integer arithmetic: masks via
+    * sum(DISTINCT bit), subset sums via bitwise AND, and the n=3
+    * factorial weights as the integer ladder 6·w ∈ {2,1,2} so
+    * φ·6 stays a BIGINT until the final display divide. Efficiency law
+    * (Σφ = v(grand) − v(∅)) is pinned in PropertySpec.
+    */
+  private val shapleyAttribution = QueryDef(
+    "q_shapley_attribution",
+    (spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val firstP = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("us").as("pus"))
+      val masks = e.join(firstP, "user_id")
+        .filter(col("us") < col("pus"))
+        .select(col("user_id"),
+          when(col("event_type") === "click", 1L)
+            .when(col("event_type") === "view", 2L)
+            .when(col("event_type") === "signup", 4L).as("b"))
+        .filter(col("b").isNotNull)
+        .groupBy("user_id").agg(sum_distinct(col("b")).as("mask"))
+      val nT = firstP.join(masks, Seq("user_id"), "left")
+        .select(coalesce(col("mask"), lit(0L)).as("mask"))
+        .groupBy("mask").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // ≤8 coalition rows
+      val vS = spark.range(8).select(col("id").as("s"))
+        .join(broadcast(nT), expr("(mask & s) = mask"), "left")
+        .groupBy("s").agg(coalesce(sum("n"), lit(0L)).as("v"))
+        .localCheckpoint(true) // 8 rows
+      val channels = spark.range(1)
+        .select(explode(expr(
+          "array(struct(1L AS bit, 'click' AS channel), " +
+            "struct(2L AS bit, 'view' AS channel), " +
+            "struct(4L AS bit, 'signup' AS channel))")).as("c"))
+        .select(col("c.bit"), col("c.channel"))
+      val grand = vS.filter(col("s") === 7).select(col("v").as("v_grand"))
+      channels
+        .join(broadcast(vS.select(col("s"), col("v"))), expr("(s & bit) = 0"))
+        .join(broadcast(vS.select(col("s").as("si"), col("v").as("vi"))),
+          expr("si = (s | bit)"))
+        .groupBy("bit", "channel")
+        .agg(sum(expr(
+          "(CASE bit_count(s) WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END) * (vi - v)"))
+          .as("phi6"))
+        .crossJoin(broadcast(grand))
+        .selectExpr("channel", "v_grand AS conversions",
+          s"${Ql.R("phi6 / 6.0", 4)} AS shapley",
+          s"""CASE WHEN v_grand = 0 THEN 0e0
+            ELSE ${Ql.R("phi6 / 6.0 / v_grand", 4)} END AS share""")
+        .orderBy("channel")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      firstp AS (
+        SELECT user_id, min(us) AS pus FROM e
+        WHERE event_type = 'purchase' GROUP BY 1),
+      masks AS (
+        SELECT e.user_id, CAST(sum(DISTINCT
+                 CASE e.event_type WHEN 'click' THEN 1
+                                   WHEN 'view' THEN 2
+                                   WHEN 'signup' THEN 4 END) AS BIGINT) AS mask
+        FROM e JOIN firstp f ON e.user_id = f.user_id AND e.us < f.pus
+        WHERE e.event_type IN ('click', 'view', 'signup')
+        GROUP BY 1),
+      nt AS MATERIALIZED (
+        SELECT coalesce(m.mask, 0) AS mask, CAST(count(*) AS BIGINT) AS n
+        FROM firstp f LEFT JOIN masks m ON f.user_id = m.user_id
+        GROUP BY 1),
+      vs AS MATERIALIZED (
+        SELECT s, CAST(coalesce(sum(n), 0) AS BIGINT) AS v
+        FROM (SELECT CAST(unnest(generate_series(0, 7)) AS BIGINT) AS s)
+        LEFT JOIN nt ON (nt.mask & s) = nt.mask
+        GROUP BY 1),
+      channels AS (
+        SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'click'),
+                              (CAST(2 AS BIGINT), 'view'),
+                              (CAST(4 AS BIGINT), 'signup')) t(bit, channel)),
+      grand AS (SELECT v AS v_grand FROM vs WHERE s = 7),
+      phi AS (
+        SELECT c.bit, c.channel,
+               CAST(sum((CASE bit_count(a.s) WHEN 0 THEN 2 WHEN 1 THEN 1
+                         ELSE 2 END) * (b.v - a.v)) AS BIGINT) AS phi6
+        FROM channels c
+        JOIN vs a ON (a.s & c.bit) = 0
+        JOIN vs b ON b.s = (a.s | c.bit)
+        GROUP BY 1, 2)
+      SELECT channel, v_grand AS conversions,
+             ${Ql.R("phi6 / 6.0", 4)} AS shapley,
+             CASE WHEN v_grand = 0 THEN 0e0
+                  ELSE ${Ql.R("phi6 / 6.0 / v_grand", 4)} END AS share
+      FROM phi CROSS JOIN grand
+      ORDER BY channel
+    """))
+
   /** Level-2 sequential pattern support (the PrefixSpan/GSP first rung,
     * Pei et al. 2001): for every ordered event-type pair (a → b), how
     * many users exhibit SOME a-event strictly before SOME b-event —
@@ -1790,7 +1897,7 @@ object EventQueries extends QueryModule {
     dowProfile, ksDrift, stickiness, timeToConvert, cusumChangepoint,
     stlSeasonal, userFeatures, twap, stlResidualAnomaly,
     seasonalStrength, rollingDistinct, kaplanMeier, nelsonAalen,
-    attributionPosition,
+    attributionPosition, shapleyAttribution,
     seqPairs, markovStationary, cohortLtv, purchaseIntervals,
     growthAccounting)
 }

@@ -237,7 +237,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_hurst_exponent", // 1-row OLS-slope broadcast onto the 4-row block-size table
       "q_conformal_interval", // |types|x24 model grid + |types|-row caln/qhat broadcasts
       "q_matching_att", // caliper theta-join of value-bounded score grids + 1-row naive broadcast
-      "q_krippendorff_alpha") // three 1-row coincidence aggregates crossed into the report row
+      "q_krippendorff_alpha", // three 1-row coincidence aggregates crossed into the report row
+      "q_shapley_attribution") // 8-row coalition-lattice theta joins + 1-row grand-total broadcast
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString

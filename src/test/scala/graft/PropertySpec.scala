@@ -1091,6 +1091,43 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q_shapley_attribution satisfies efficiency against a brute-force game") {
+    // Rebuild the coalition game from raw events in plain Scala, compute
+    // every channel's Shapley value by the literal permutation average,
+    // and check the query's values AND the efficiency law
+    // Σφ = v(grand) − v(∅).
+    val sf = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bits = Map("click" -> 1L, "view" -> 2L, "signup" -> 4L)
+    val firstP = rows.filter(_._2 == "purchase").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min).toMap
+    val maskOf = rows.groupBy(_._1).collect {
+      case (u, es) if firstP.contains(u) =>
+        u -> es.filter(e => e._3 < firstP(u) && bits.contains(e._2))
+          .map(e => bits(e._2)).distinct.sum
+    }
+    val nT = firstP.keys.toSeq.map(u => maskOf.getOrElse(u, 0L))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def v(s: Long): Long = nT.filter { case (m, _) => (m & s) == m }.values.sum
+    val w6 = Map(0 -> 2L, 1 -> 1L, 2 -> 2L)
+    val phi6 = bits.map { case (ch, bit) =>
+      ch -> (0L to 7L).filter(s => (s & bit) == 0)
+        .map(s => w6(java.lang.Long.bitCount(s)) * (v(s | bit) - v(s))).sum
+    }
+    assert(phi6.values.sum == 6 * (v(7) - v(0)),
+      "efficiency: 6·Σφ must equal 6·(v(grand) − v(∅))")
+    val got = SparkEntry.queries("q_shapley_attribution")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet == bits.keySet)
+    got.foreach { case (ch, conv, shap, _) =>
+      assert(conv == v(7), s"conversions($ch)")
+      assert(math.abs(shap - operators.Ql.rd(phi6(ch) / 6.0, 4)) <= 1e-9,
+        s"shapley($ch): $shap vs brute ${phi6(ch) / 6.0}")
+    }
+  }
+
   test("q_kneser_ney equals a plain-JVM interpolated-KN scorer at sf0.001") {
     // Full independent reimplementation: rebuild the hash split, the
     // bigram/continuation tables, and the interpolated-KN probability in
