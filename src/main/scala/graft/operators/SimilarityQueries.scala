@@ -858,8 +858,107 @@ object SimilarityQueries extends QueryModule {
       ORDER BY x.score DESC, x.d1 LIMIT 20
     """))
 
+  /** Greedy facility-location data selection (Nemhauser, Wolsey &
+    * Fisher 1978's (1−1/e) greedy; the coreset-selection shape of
+    * Mirzasoleiman et al. 2020, public): pick k = 5 exemplars from a
+    * deterministic candidate pool (vec_id ≡ 0 mod 10) maximizing
+    * F(S) = Σ_v max_{s∈S} sim(v, s) — the "cover the embedding space
+    * with few representatives" objective behind data-subset selection
+    * for training. Each greedy round is ONE corpus × remaining-pool
+    * scan (pool broadcast, the q_similar_topk shape) plus a corpus-keyed
+    * best-coverage update; per-pair marginal terms round to exact
+    * micro-unit BIGINTs so the argmax is order-independent, and picks
+    * tie-break on candidate id. Similarity is the raw dot product
+    * ([[graft.functions.DotProduct]] / list_dot_product, the proven
+    * cross-engine pair). Oracle = 5 unrolled MATERIALIZED rounds
+    * (fact #38). Reports each pick's marginal gain and the running
+    * objective.
+    */
+  private val submodularSelect = QueryDef(
+    "q_submodular_select",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+        .localCheckpoint(true)
+      var cands = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("c"), col("v").as("cv"))
+        .localCheckpoint(true)
+      var best = e.select(col("vec_id"), lit(0.0).as("best"))
+        .localCheckpoint(true)
+      var sel: org.apache.spark.sql.DataFrame = null
+      for (r <- 1 to 5) {
+        val sims = e.join(best, "vec_id")
+          .crossJoin(broadcast(cands))
+          .select(col("vec_id"), col("c"),
+            Ql.r(Vectors.dot(col("v"), col("cv")), 6).as("sim"), col("best"))
+          .localCheckpoint(true) // reused by the pick and the coverage update
+        val picked = sims
+          .selectExpr("c",
+            s"CAST(${Ql.R("greatest(sim - best, 0e0) * 1000000", 0)} AS BIGINT) AS tu")
+          .groupBy("c").agg(sum("tu").as("gu"))
+          .orderBy(col("gu").desc, col("c")).limit(1)
+          .withColumn("rank", lit(r))
+          .localCheckpoint(true) // 1 row
+        best = sims.join(broadcast(picked.select("c")), "c")
+          .select(col("vec_id"), greatest(col("best"), col("sim")).as("best"))
+          .localCheckpoint(true)
+        cands = cands.join(picked.select("c"), Seq("c"), "left_anti")
+          .localCheckpoint(true)
+        sel = if (sel == null) picked else sel.unionByName(picked)
+      }
+      val out = sel
+        .withColumn("objective", Ql.r(
+          sum("gu").over(Window.orderBy("rank")
+            .rowsBetween(Window.unboundedPreceding, 0)) / lit(1e6), 4))
+        .select(col("rank"), col("c").as("vec_id"),
+          Ql.r(col("gu") / lit(1e6), 4).as("marginal_gain"), col("objective"))
+        .orderBy("rank")
+      val mine = sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
+      val collected = out.localCheckpoint(true)
+      mine.values.foreach(_.unpersist(blocking = false))
+      collected
+    },
+    Some {
+      val rounds = (1 to 5).map { r =>
+        s"""
+      s$r AS MATERIALIZED (
+        SELECT e.vec_id, c.c,
+               ${Ql.R("list_dot_product(e.v, c.cv)", 6)} AS sim, b.best
+        FROM e JOIN best${r - 1} b ON e.vec_id = b.vec_id, cand${r - 1} c),
+      p$r AS MATERIALIZED (
+        SELECT $r AS rank, c, gu FROM (
+          SELECT c, CAST(sum(CAST(${Ql.R("greatest(sim - best, 0e0) * 1000000", 0)} AS BIGINT)) AS BIGINT) AS gu
+          FROM s$r GROUP BY 1)
+        ORDER BY gu DESC, c LIMIT 1),
+      best$r AS MATERIALIZED (
+        SELECT s.vec_id, greatest(s.best, s.sim) AS best
+        FROM s$r s JOIN p$r p ON s.c = p.c),
+      cand$r AS MATERIALIZED (
+        SELECT * FROM cand${r - 1} WHERE c NOT IN (SELECT c FROM p$r))"""
+      }.mkString(",")
+      s"""
+      WITH e AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      cand0 AS MATERIALIZED (
+        SELECT vec_id AS c, v AS cv FROM e WHERE vec_id % 10 = 0),
+      best0 AS MATERIALIZED (SELECT vec_id, 0e0 AS best FROM e),$rounds,
+      sel AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+              UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+              UNION ALL SELECT * FROM p5)
+      SELECT rank, c AS vec_id,
+             ${Ql.R("gu / 1e6", 4)} AS marginal_gain,
+             ${Ql.R("CAST(sum(gu) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e6", 4)}
+               AS objective
+      FROM sel ORDER BY rank
+    """
+    })
+
   override def defs: Seq[QueryDef] = Seq(
     similarTopk, knnVote, annIvf, docEmbedJoin, embedQuantize, pqCodes,
     semanticDedup, annIvfPq, annRecall, docOutlier, silhouette,
-    embeddingDrift, mutualKnn)
+    embeddingDrift, mutualKnn, submodularSelect)
 }
