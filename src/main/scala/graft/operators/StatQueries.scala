@@ -2509,6 +2509,211 @@ object StatQueries extends QueryModule {
     """
     })
 
+  /** Kruskal–Wallis k-sample rank test (Kruskal & Wallis 1952, public)
+    * across ALL event types — the omnibus nonparametric sibling of
+    * q_anova (which assumes normal errors) and the k-group extension of
+    * q_mann_whitney, sharing its exact-integer discipline: doubled
+    * mid-ranks over the bounded cent grid keep every rank an integer,
+    * per-group rank sums are exact BIGINTs, and the tie-correction term
+    * Σ(t³−t) is integer too. The global rank sweep uses the two-level
+    * bucket-offset pattern (≤50-row c div 1000 histogram — never a
+    * single-partition window over the grid). H and the tie-corrected H′
+    * are the only doubles; the 5%-level flag compares the ROUNDED H′ to
+    * the χ²(k−1) critical ladder (df ≤ 6 tabulated, the observed group
+    * count decides — the q_pairwise_means ladder discipline).
+    */
+  private val kruskalWallis = QueryDef(
+    "q_kruskal_wallis",
+    (spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .select(Ql.r(col("value") * 100, 0).cast("long").as("c"),
+          col("event_type"))
+      val cells = e.groupBy("c", "event_type").agg(count(lit(1)).as("nct"))
+      val totC = cells.groupBy("c").agg(sum("nct").as("cnt"))
+        .withColumn("bkt", expr("c div 1000"))
+      val offsets = totC.groupBy("bkt").agg(sum("cnt").as("bn"))
+        .withColumn("off",
+          coalesce(sum(col("bn")).over(Window.orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bkt", "off")
+      val ranked = totC.join(broadcast(offsets), "bkt")
+        .withColumn("cum", col("off") + coalesce(
+          sum(col("cnt")).over(Window.partitionBy("bkt").orderBy("c")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("c"), col("cnt"),
+          (lit(2L) * col("cum") + col("cnt") + 1L).as("m2"))
+      val grp = cells.join(ranked, "c")
+        .groupBy("event_type")
+        .agg(sum("nct").as("ng"), sum(expr("nct * m2")).as("r2"))
+        .localCheckpoint(true) // |types| rows
+      val ties = ranked.agg(sum("cnt").as("n"),
+        sum(expr("cnt * cnt * cnt - cnt")).as("tt"))
+      grp.agg(count(lit(1)).as("k"),
+          // (R2_g/2)²/n_g in DOUBLE: R2² exceeds BIGINT past ~3e9 doubled
+          // rank mass, and IEEE ops on identical exact integers are
+          // bit-deterministic across engines
+          sum(expr(
+            "CAST(r2 AS DOUBLE) * r2 / 4.0 / ng")).as("sr"))
+        .crossJoin(broadcast(ties))
+        .selectExpr("n", "k", "k - 1 AS df",
+          s"${Ql.R("12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sr - 3.0 * (n + 1)", 4)} AS h",
+          s"""${Ql.R(
+            """(12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sr - 3.0 * (n + 1))
+               / (1.0 - CAST(tt AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n))""", 4)}
+            AS h_corrected""")
+        .withColumn("crit_05", expr(
+          "CASE df WHEN 1 THEN 384e-2 WHEN 2 THEN 599e-2 WHEN 3 THEN 781e-2 WHEN 4 THEN 949e-2 WHEN 5 THEN 1107e-2 ELSE 1259e-2 END"))
+        .withColumn("significant", (col("h_corrected") > col("crit_05")).cast("int"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT CAST(${Ql.R("value * 100", 0)} AS BIGINT) AS c, event_type
+        FROM events),
+      cells AS MATERIALIZED (
+        SELECT c, event_type, CAST(count(*) AS BIGINT) AS nct
+        FROM e GROUP BY 1, 2),
+      totc AS (SELECT c, CAST(sum(nct) AS BIGINT) AS cnt FROM cells GROUP BY 1),
+      ranked AS MATERIALIZED (
+        SELECT c, cnt,
+               2 * COALESCE(sum(cnt) OVER (ORDER BY c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + cnt + 1 AS m2
+        FROM totc),
+      grp AS (
+        SELECT event_type, CAST(sum(nct) AS BIGINT) AS ng,
+               CAST(sum(nct * m2) AS BIGINT) AS r2
+        FROM cells JOIN ranked USING (c)
+        GROUP BY 1),
+      ties AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n,
+               CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tt
+        FROM ranked),
+      agg AS (
+        SELECT count(*) AS k,
+               sum(CAST(r2 AS DOUBLE) * r2 / 4.0 / ng) AS sr
+        FROM grp),
+      stat AS (
+        SELECT n, k, k - 1 AS df,
+               ${Ql.R("12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sr - 3.0 * (n + 1)", 4)} AS h,
+               ${Ql.R(
+            """(12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sr - 3.0 * (n + 1))
+               / (1.0 - CAST(tt AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n))""", 4)}
+                 AS h_corrected
+        FROM agg CROSS JOIN ties)
+      SELECT n, k, df, h, h_corrected,
+             CASE df WHEN 1 THEN 384e-2 WHEN 2 THEN 599e-2 WHEN 3 THEN 781e-2
+                     WHEN 4 THEN 949e-2 WHEN 5 THEN 1107e-2 ELSE 1259e-2 END
+               AS crit_05,
+             CAST(h_corrected >
+               (CASE df WHEN 1 THEN 384e-2 WHEN 2 THEN 599e-2 WHEN 3 THEN 781e-2
+                        WHEN 4 THEN 949e-2 WHEN 5 THEN 1107e-2 ELSE 1259e-2 END)
+               AS INT) AS significant
+      FROM stat
+    """))
+
+  /** Brown–Forsythe robust variance-homogeneity test (Brown & Forsythe
+    * 1974 — Levene's test with MEDIAN centers, public): the
+    * equal-variances prerequisite q_anova/q_pairwise_means silently
+    * assume, checked without normality assumptions. Per type: the exact
+    * lower-median order statistic from the type-partitioned cent grid
+    * (⌈n/2⌉-th value, no interpolation to diverge engines), absolute
+    * deviations z = |c − med| as exact integers, then the one-way F on z
+    * from integer moments (Σz, Σz², n per group). The 5% flag compares
+    * the ROUNDED F to the df₂→∞ critical ladder for df₁ ≤ 6 (N ≫ k here
+    * by five orders; documented approximation). Output: one row per
+    * type (median, mean |dev|) carrying the shared F/flag columns.
+    */
+  private val brownForsythe = QueryDef(
+    "q_brown_forsythe",
+    (spark, sfDir) => {
+      val e = Tables.events(spark, sfDir)
+        .select(Ql.r(col("value") * 100, 0).cast("long").as("c"),
+          col("event_type"))
+      val grid = e.groupBy("event_type", "c").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // type×cent grid; feeds the median and the moments
+      val ng = grid.groupBy("event_type").agg(sum("cnt").as("n_g"))
+      val med = grid
+        .withColumn("cum", sum("cnt").over(
+          Window.partitionBy("event_type").orderBy("c")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .join(broadcast(ng), "event_type")
+        .filter(col("cum") >= expr("(n_g + 1) div 2"))
+        .groupBy("event_type").agg(min("c").as("med"))
+      val mom = grid.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("cnt"),
+          abs(col("c") - col("med")).as("z"), col("med"))
+        .groupBy("event_type", "med")
+        .agg(sum("cnt").as("n_g"), sum(expr("cnt * z")).as("sz"),
+          sum(expr("cnt * z * z")).as("szz"))
+        .localCheckpoint(true) // |types| rows
+      val pooled = mom.agg(
+        sum("n_g").as("n"), count(lit(1)).as("k"),
+        sum("sz").as("szt"),
+        sum(expr("szz - CAST(sz AS DOUBLE) * sz / n_g")).as("ssw"),
+        sum(expr("CAST(sz AS DOUBLE) * sz / n_g")).as("sb0"))
+        .selectExpr("n", "k",
+          // SSB = Σ sz²/n_g − (Σsz)²/N (exact-integer inputs, IEEE ops)
+          "sb0 - CAST(szt AS DOUBLE) * szt / n AS ssb", "ssw")
+        .selectExpr("n", "k", "k - 1 AS df1", "n - k AS df2",
+          s"${Ql.R("(ssb / (k - 1)) / (ssw / (n - k))", 4)} AS f_bf")
+        .withColumn("crit_05", expr(
+          "CASE df1 WHEN 1 THEN 384e-2 WHEN 2 THEN 3e0 WHEN 3 THEN 26e-1 WHEN 4 THEN 237e-2 WHEN 5 THEN 221e-2 ELSE 21e-1 END"))
+        .withColumn("significant", (col("f_bf") > col("crit_05")).cast("int"))
+      mom.crossJoin(broadcast(pooled))
+        .selectExpr("event_type", "n_g",
+          s"${Ql.R("med / 100.0", 2)} AS median",
+          s"${Ql.R("CAST(sz AS DOUBLE) / n_g / 100.0", 4)} AS mean_absdev",
+          "df1", "df2", "f_bf", "crit_05", "significant")
+        .orderBy("event_type")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT CAST(${Ql.R("value * 100", 0)} AS BIGINT) AS c, event_type
+        FROM events),
+      grid AS MATERIALIZED (
+        SELECT event_type, c, CAST(count(*) AS BIGINT) AS cnt
+        FROM e GROUP BY 1, 2),
+      ngs AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_g
+              FROM grid GROUP BY 1),
+      med AS MATERIALIZED (
+        SELECT g.event_type, CAST(min(c) AS BIGINT) AS med
+        FROM (SELECT event_type, c,
+                     sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM grid) g
+        JOIN ngs ON g.event_type = ngs.event_type
+        WHERE g.cum >= (ngs.n_g + 1) // 2
+        GROUP BY 1),
+      mom AS MATERIALIZED (
+        SELECT g.event_type, m.med,
+               CAST(sum(cnt) AS BIGINT) AS n_g,
+               CAST(sum(cnt * abs(c - med)) AS BIGINT) AS sz,
+               CAST(sum(cnt * abs(c - med) * abs(c - med)) AS BIGINT) AS szz
+        FROM grid g JOIN med m ON g.event_type = m.event_type
+        GROUP BY 1, 2),
+      pooled AS MATERIALIZED (
+        SELECT n, k, k - 1 AS df1, n - k AS df2,
+               ${Ql.R("(ssb / (k - 1)) / (ssw / (n - k))", 4)} AS f_bf
+        FROM (
+          SELECT CAST(sum(n_g) AS BIGINT) AS n, count(*) AS k,
+                 sum(CAST(sz AS DOUBLE) * sz / n_g)
+                   - CAST(sum(sz) AS DOUBLE) * sum(sz) / sum(n_g) AS ssb,
+                 sum(szz - CAST(sz AS DOUBLE) * sz / n_g) AS ssw
+          FROM mom))
+      SELECT event_type, n_g,
+             ${Ql.R("med / 100.0", 2)} AS median,
+             ${Ql.R("CAST(sz AS DOUBLE) / n_g / 100.0", 4)} AS mean_absdev,
+             df1, df2, f_bf,
+             CASE df1 WHEN 1 THEN 384e-2 WHEN 2 THEN 3e0 WHEN 3 THEN 26e-1
+                      WHEN 4 THEN 237e-2 WHEN 5 THEN 221e-2 ELSE 21e-1 END
+               AS crit_05,
+             CAST(f_bf > (CASE df1 WHEN 1 THEN 384e-2 WHEN 2 THEN 3e0
+                          WHEN 3 THEN 26e-1 WHEN 4 THEN 237e-2
+                          WHEN 5 THEN 221e-2 ELSE 21e-1 END) AS INT) AS significant
+      FROM mom CROSS JOIN pooled
+      ORDER BY event_type
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(ridge, linearTrend, bootstrapCi, sampleSystematic, holtForecast,
       decayEngagement, mannWhitney, theilIndex, stratAte, cramersV,
@@ -2517,5 +2722,5 @@ object StatQueries extends QueryModule {
       cuped, ridgeCv, medianCi, welchTtest, tailIndex, extremeValue,
       mannKendall, spcChart, bloomSizing, rleLayout, quantileRegression,
       priceElasticity, calendarGaps, dupRate, holtWinters, jackknifeSe,
-      simpsonParadox, hurstExponent)
+      simpsonParadox, hurstExponent, kruskalWallis, brownForsythe)
 }

@@ -238,7 +238,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_conformal_interval", // |types|x24 model grid + |types|-row caln/qhat broadcasts
       "q_matching_att", // caliper theta-join of value-bounded score grids + 1-row naive broadcast
       "q_krippendorff_alpha", // three 1-row coincidence aggregates crossed into the report row
-      "q_shapley_attribution") // 8-row coalition-lattice theta joins + 1-row grand-total broadcast
+      "q_shapley_attribution", // 8-row coalition-lattice theta joins + 1-row grand-total broadcast
+      "q_kruskal_wallis", // 1-row tie-totals broadcast onto the |types|-row rank-sum report
+      "q_brown_forsythe") // 1-row pooled-F broadcast onto the |types|-row deviation report
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
@@ -284,7 +286,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_isotonic_calibration", // cumulative sums over the 10-row bin table (fixed bin count)
       "q_vocab_coverage", // <=64-row log2-count offset histogram (two-level ordinal pattern)
       "q_benjamini_hochberg", // p-rank over the C(|types|,2)-row comparison grid (report-sized)
-      "q_hurst_exponent") // day-index row_number over the calendar-bounded day table
+      "q_hurst_exponent", // day-index row_number over the calendar-bounded day table
+      "q_kruskal_wallis") // ≤50-row c div 1000 bucket-offset histogram (the q_mann_whitney pattern)
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val bad = df.queryExecution.sparkPlan.collect {
@@ -339,7 +342,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_top_p_filter" -> "offset window runs over the ≤|langs|×256-row bucket histogram",
       "q_var_cvar" -> "input = type×cent grid (≤49k cells/type by the 2-decimal value domain)",
       "q_trimmed_mean" -> "input = type×cent grid (≤49k cells/type by the 2-decimal value domain)",
-      "q_conformal_interval" -> "input = type×residual-cent grid (≤49k cells/type by the 2-decimal value domain)")
+      "q_conformal_interval" -> "input = type×residual-cent grid (≤49k cells/type by the 2-decimal value domain)",
+      "q_brown_forsythe" -> "input = type×cent grid (≤49k cells/type by the 2-decimal value domain)")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       if (boundedInputOk.contains(name)) None
       else {
