@@ -2714,6 +2714,168 @@ object StatQueries extends QueryModule {
       ORDER BY event_type
     """))
 
+  /** Friedman rank test (Friedman 1937, public): do the event types keep
+    * the same VALUE ordering day after day? Blocks = calendar days,
+    * treatments = event types, observations = the day×type mean value
+    * (6 dp, identical both engines); within-day doubled mid-ranks keep
+    * every rank an exact integer (the q_mann_whitney discipline applied
+    * per block), and χ²_F comes from the per-type doubled-rank sums.
+    * The repeated-measures complement of q_kruskal_wallis (which pools
+    * all observations and loses the day blocking). All windows run over
+    * the calendar-bounded day×type table. Mid-ranks stand in for the
+    * no-ties assumption (documented; exact ties on a 6 dp daily mean are
+    * measure-zero but handled identically in both engines).
+    */
+  private val friedmanTest = QueryDef(
+    "q_friedman_test",
+    (spark, sfDir) => {
+      val cell = Tables.events(spark, sfDir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(Ql.r(avg(Ql.r(col("value") * 100, 0).cast("long")), 6).as("m"))
+        .localCheckpoint(true) // day×type table, calendar-bounded
+      // complete blocks only: a day missing a type cannot be ranked 1..k
+      val k = cell.agg(countDistinct("event_type").as("k"))
+      val days = cell.groupBy("day").agg(count(lit(1)).as("nt"))
+      val complete = days.join(broadcast(k), col("nt") === col("k"))
+        .select("day")
+      // rank() = 1 + rows strictly below (peer-order-independent), so the
+      // doubled mid-rank is 2·(rank−1) + tie_n + 1 — no ROWS frame whose
+      // arbitrary peer order could diverge the engines
+      val ranked = cell.join(broadcast(complete), "day")
+        .withColumn("tieN", count(lit(1)).over(
+          Window.partitionBy("day", "m")))
+        .withColumn("rk",
+          rank().over(Window.partitionBy("day").orderBy("m")).cast("long"))
+        .select(col("day"), col("event_type"),
+          (lit(2L) * (col("rk") - 1L) + col("tieN") + 1L).as("m2"))
+      val perType = ranked.groupBy("event_type")
+        .agg(sum("m2").as("r2"), count(lit(1)).as("n"))
+        .localCheckpoint(true) // |types| rows
+      perType.agg(count(lit(1)).as("k"), max("n").as("n"),
+          sum(expr("CAST(r2 AS DOUBLE) * r2 / 4.0")).as("sr2"))
+        .selectExpr("n", "k", "k - 1 AS df",
+          s"""${Ql.R(
+            """12.0 / (CAST(n AS DOUBLE) * k * (k + 1)) * sr2
+               - 3.0 * n * (k + 1)""", 4)} AS chi2_f""")
+        .withColumn("crit_05", expr(
+          "CASE df WHEN 1 THEN 384e-2 WHEN 2 THEN 599e-2 WHEN 3 THEN 781e-2 WHEN 4 THEN 949e-2 WHEN 5 THEN 1107e-2 ELSE 1259e-2 END"))
+        .withColumn("significant", (col("chi2_f") > col("crit_05")).cast("int"))
+    },
+    Some(s"""
+      WITH cell AS MATERIALIZED (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               ${Ql.R("avg(CAST(" + Ql.R("value * 100", 0) + " AS BIGINT))", 6)} AS m
+        FROM events GROUP BY 1, 2),
+      kk AS (SELECT count(DISTINCT event_type) AS k FROM cell),
+      complete AS (
+        SELECT day FROM cell CROSS JOIN kk
+        GROUP BY day, k HAVING count(*) = k),
+      ranked AS (
+        SELECT day, event_type, 2 * (rk - 1) + tie_n + 1 AS m2
+        FROM (
+          SELECT day, event_type,
+                 count(*) OVER (PARTITION BY day, m) AS tie_n,
+                 CAST(rank() OVER (PARTITION BY day ORDER BY m) AS BIGINT) AS rk
+          FROM cell JOIN complete USING (day))),
+      pertype AS (
+        SELECT event_type, CAST(sum(m2) AS BIGINT) AS r2,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ranked GROUP BY 1),
+      agg AS (
+        SELECT count(*) AS k, max(n) AS n,
+               sum(CAST(r2 AS DOUBLE) * r2 / 4.0) AS sr2
+        FROM pertype),
+      stat AS (
+        SELECT n, k, k - 1 AS df,
+               ${Ql.R(
+            """12.0 / (CAST(n AS DOUBLE) * k * (k + 1)) * sr2
+               - 3.0 * n * (k + 1)""", 4)} AS chi2_f
+        FROM agg)
+      SELECT n, k, df, chi2_f,
+             CASE df WHEN 1 THEN 384e-2 WHEN 2 THEN 599e-2 WHEN 3 THEN 781e-2
+                     WHEN 4 THEN 949e-2 WHEN 5 THEN 1107e-2 ELSE 1259e-2 END
+               AS crit_05,
+             CAST(chi2_f >
+               (CASE df WHEN 1 THEN 384e-2 WHEN 2 THEN 599e-2 WHEN 3 THEN 781e-2
+                        WHEN 4 THEN 949e-2 WHEN 5 THEN 1107e-2 ELSE 1259e-2 END)
+               AS INT) AS significant
+      FROM stat
+    """))
+
+  /** Cochran's Q (Cochran 1950, public) — the binary Friedman: across
+    * the event types as "treatments", does the per-user probability of
+    * a HIGH-VALUE day-one... here: of exhibiting each type at
+    * high-value (value > 180, the q_sequential_ab conversion bar) differ
+    * by type, blocking on users? x_{u,t} = 1 iff user u has a
+    * high-value event of type t; Q = k(k−1)·Σ_t(C_t − ΣR/k)² /
+    * (k·ΣR_u − ΣR_u²) is EXACT integer arithmetic end to end (column
+    * totals, per-user row totals, squared deviations via k-scaled
+    * cross-multiplication) until the final division. Rows with R_u = 0
+    * or k (all-negative / all-positive users) contribute nothing to
+    * either side — kept, as the formula self-cancels them. One per-user
+    * aggregation; the test statistic lives on |types|-row and 1-row
+    * frames.
+    */
+  private val cochranQ = QueryDef(
+    "q_cochran_q",
+    (spark, sfDir) => {
+      val x = Tables.events(spark, sfDir)
+        .groupBy("user_id", "event_type")
+        .agg(max((col("value") > 180).cast("long")).as("x"))
+      val k = x.agg(countDistinct("event_type").as("k"))
+      val colTot = x.groupBy("event_type").agg(sum("x").as("ct"))
+        .localCheckpoint(true) // |types| rows
+      val rowTot = x.groupBy("user_id").agg(sum("x").as("r"))
+        .agg(count(lit(1)).as("n_users"), sum("r").as("sr"),
+          sum(expr("r * r")).as("srr"))
+      // Q = k(k-1)·Σ(k·C_t − ΣR)² / (k² ·(k·ΣR − ΣR²)) — the k-scaled
+      // form keeps every term BIGINT (no fractional mean C̄ = ΣR/k)
+      colTot.crossJoin(broadcast(k)).crossJoin(broadcast(rowTot))
+        .agg(max("k").as("k"), max("n_users").as("n_users"),
+          max("sr").as("sr"), max("srr").as("srr"),
+          sum(expr("(k * ct - sr) * (k * ct - sr)")).as("dev2"))
+        .selectExpr("n_users", "k", "k - 1 AS df", "sr AS n_positive",
+          s"""CASE WHEN k * sr - srr = 0 THEN 0e0 ELSE ${Ql.R(
+            """CAST(k AS DOUBLE) * (k - 1) * dev2
+               / (CAST(k AS DOUBLE) * k * (k * sr - srr))""", 4)} END AS q""")
+        .withColumn("crit_05", expr(
+          "CASE df WHEN 1 THEN 384e-2 WHEN 2 THEN 599e-2 WHEN 3 THEN 781e-2 WHEN 4 THEN 949e-2 WHEN 5 THEN 1107e-2 ELSE 1259e-2 END"))
+        .withColumn("significant", (col("q") > col("crit_05")).cast("int"))
+    },
+    Some(s"""
+      WITH x AS MATERIALIZED (
+        SELECT user_id, event_type,
+               max(CASE WHEN value > 180 THEN 1 ELSE 0 END) AS x
+        FROM events GROUP BY 1, 2),
+      kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM x),
+      coltot AS (
+        SELECT event_type, CAST(sum(x) AS BIGINT) AS ct FROM x GROUP BY 1),
+      rowtot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(r) AS BIGINT) AS sr, CAST(sum(r * r) AS BIGINT) AS srr
+        FROM (SELECT user_id, CAST(sum(x) AS BIGINT) AS r FROM x GROUP BY 1)),
+      agg AS (
+        SELECT max(k) AS k, max(n_users) AS n_users, max(sr) AS sr,
+               max(srr) AS srr,
+               CAST(sum((k * ct - sr) * (k * ct - sr)) AS BIGINT) AS dev2
+        FROM coltot CROSS JOIN kk CROSS JOIN rowtot),
+      stat AS (
+        SELECT n_users, k, k - 1 AS df, sr AS n_positive,
+               CASE WHEN k * sr - srr = 0 THEN 0e0 ELSE ${Ql.R(
+            """CAST(k AS DOUBLE) * (k - 1) * dev2
+               / (CAST(k AS DOUBLE) * k * (k * sr - srr))""", 4)} END AS q
+        FROM agg)
+      SELECT n_users, k, df, n_positive, q,
+             CASE df WHEN 1 THEN 384e-2 WHEN 2 THEN 599e-2 WHEN 3 THEN 781e-2
+                     WHEN 4 THEN 949e-2 WHEN 5 THEN 1107e-2 ELSE 1259e-2 END
+               AS crit_05,
+             CAST(q >
+               (CASE df WHEN 1 THEN 384e-2 WHEN 2 THEN 599e-2 WHEN 3 THEN 781e-2
+                        WHEN 4 THEN 949e-2 WHEN 5 THEN 1107e-2 ELSE 1259e-2 END)
+               AS INT) AS significant
+      FROM stat
+    """))
+
   def defs: Seq[QueryDef] =
     Seq(ridge, linearTrend, bootstrapCi, sampleSystematic, holtForecast,
       decayEngagement, mannWhitney, theilIndex, stratAte, cramersV,
@@ -2722,5 +2884,6 @@ object StatQueries extends QueryModule {
       cuped, ridgeCv, medianCi, welchTtest, tailIndex, extremeValue,
       mannKendall, spcChart, bloomSizing, rleLayout, quantileRegression,
       priceElasticity, calendarGaps, dupRate, holtWinters, jackknifeSe,
-      simpsonParadox, hurstExponent, kruskalWallis, brownForsythe)
+      simpsonParadox, hurstExponent, kruskalWallis, brownForsythe,
+      friedmanTest, cochranQ)
 }

@@ -240,7 +240,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_krippendorff_alpha", // three 1-row coincidence aggregates crossed into the report row
       "q_shapley_attribution", // 8-row coalition-lattice theta joins + 1-row grand-total broadcast
       "q_kruskal_wallis", // 1-row tie-totals broadcast onto the |types|-row rank-sum report
-      "q_brown_forsythe") // 1-row pooled-F broadcast onto the |types|-row deviation report
+      "q_brown_forsythe", // 1-row pooled-F broadcast onto the |types|-row deviation report
+      "q_friedman_test", // 1-row k broadcast + calendar-bounded complete-day table
+      "q_cochran_q") // 1-row k / row-total broadcasts onto the |types|-row column totals
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
