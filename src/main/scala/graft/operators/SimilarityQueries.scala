@@ -872,7 +872,10 @@ object SimilarityQueries extends QueryModule {
     * ([[graft.functions.DotProduct]] / list_dot_product, the proven
     * cross-engine pair). Oracle = 5 unrolled MATERIALIZED rounds
     * (fact #38). Reports each pick's marginal gain and the running
-    * objective.
+    * objective. Contract when the pool is smaller than k: once the pool
+    * is exhausted, later rounds pick nothing in BOTH engines (the
+    * emptied coverage frame keeps them empty), so the output is
+    * min(k, |pool|) rows — by design, not an error.
     */
   private val submodularSelect = QueryDef(
     "q_submodular_select",
@@ -889,25 +892,43 @@ object SimilarityQueries extends QueryModule {
       var best = e.select(col("vec_id"), lit(0.0).as("best"))
         .localCheckpoint(true)
       var sel: org.apache.spark.sql.DataFrame = null
+      // per-round block release (review finding): the round's similarity
+      // matrix and the PREVIOUS round's best/cands snapshots are dead as
+      // soon as this round's frames are checkpointed — releasing them in
+      // the loop bounds the peak footprint to ~one matrix instead of five
+      var prevRoundIds: Set[Int] = Set.empty
       for (r <- 1 to 5) {
+        val preRound = sc.getPersistentRDDs.keySet
         val sims = e.join(best, "vec_id")
           .crossJoin(broadcast(cands))
           .select(col("vec_id"), col("c"),
             Ql.r(Vectors.dot(col("v"), col("cv")), 6).as("sim"), col("best"))
           .localCheckpoint(true) // reused by the pick and the coverage update
+        val simsIds = (sc.getPersistentRDDs.keySet -- preRound).toSet
         val picked = sims
           .selectExpr("c",
             s"CAST(${Ql.R("greatest(sim - best, 0e0) * 1000000", 0)} AS BIGINT) AS tu")
           .groupBy("c").agg(sum("tu").as("gu"))
           .orderBy(col("gu").desc, col("c")).limit(1)
           .withColumn("rank", lit(r))
-          .localCheckpoint(true) // 1 row
+          .localCheckpoint(true) // 1 row — read again by sel AFTER the loop
+        val pickedIds = (sc.getPersistentRDDs.keySet -- preRound).toSet -- simsIds
         best = sims.join(broadcast(picked.select("c")), "c")
           .select(col("vec_id"), greatest(col("best"), col("sim")).as("best"))
           .localCheckpoint(true)
         cands = cands.join(picked.select("c"), Seq("c"), "left_anti")
           .localCheckpoint(true)
         sel = if (sel == null) picked else sel.unionByName(picked)
+        // dead: this round's similarity matrix + the PREVIOUS round's
+        // best/cands snapshots. NEVER the picked rows — sel reads every
+        // picked checkpoint after the loop, and a released localCheckpoint
+        // cannot be recomputed.
+        val dead = simsIds ++ prevRoundIds
+        sc.getPersistentRDDs
+          .filter { case (id, _) => dead(id) }
+          .values.foreach(_.unpersist(blocking = false))
+        prevRoundIds =
+          (sc.getPersistentRDDs.keySet -- preRound).toSet -- simsIds -- pickedIds
       }
       val out = sel
         .withColumn("objective", Ql.r(

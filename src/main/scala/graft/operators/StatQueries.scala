@@ -2522,6 +2522,14 @@ object StatQueries extends QueryModule {
     * the χ²(k−1) critical ladder (df ≤ 6 tabulated, the observed group
     * count decides — the q_pairwise_means ladder discipline).
     */
+  /** χ²(df) 5% critical ladder for df ≤ 6 as ONE shared text (review
+    * finding: the literal was copy-pasted nine times across the three
+    * rank tests) — `df` is a column the caller's frame must carry.
+    */
+  private val chi2Crit05 =
+    """CASE df WHEN 1 THEN 384e-2 WHEN 2 THEN 599e-2 WHEN 3 THEN 781e-2
+       WHEN 4 THEN 949e-2 WHEN 5 THEN 1107e-2 ELSE 1259e-2 END"""
+
   private val kruskalWallis = QueryDef(
     "q_kruskal_wallis",
     (spark, sfDir) => {
@@ -2529,6 +2537,7 @@ object StatQueries extends QueryModule {
         .select(Ql.r(col("value") * 100, 0).cast("long").as("c"),
           col("event_type"))
       val cells = e.groupBy("c", "event_type").agg(count(lit(1)).as("nct"))
+        .localCheckpoint(true) // type×cent grid: feeds ranks, groups, ties
       val totC = cells.groupBy("c").agg(sum("nct").as("cnt"))
         .withColumn("bkt", expr("c div 1000"))
       val offsets = totC.groupBy("bkt").agg(sum("cnt").as("bn"))
@@ -2542,6 +2551,7 @@ object StatQueries extends QueryModule {
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .select(col("c"), col("cnt"),
           (lit(2L) * col("cum") + col("cnt") + 1L).as("m2"))
+        .localCheckpoint(true) // cent grid: feeds the group sums and the ties
       val grp = cells.join(ranked, "c")
         .groupBy("event_type")
         .agg(sum("nct").as("ng"), sum(expr("nct * m2")).as("r2"))
@@ -2561,8 +2571,7 @@ object StatQueries extends QueryModule {
             """(12.0 / (CAST(n AS DOUBLE) * (n + 1)) * sr - 3.0 * (n + 1))
                / (1.0 - CAST(tt AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n))""", 4)}
             AS h_corrected""")
-        .withColumn("crit_05", expr(
-          "CASE df WHEN 1 THEN 384e-2 WHEN 2 THEN 599e-2 WHEN 3 THEN 781e-2 WHEN 4 THEN 949e-2 WHEN 5 THEN 1107e-2 ELSE 1259e-2 END"))
+        .withColumn("crit_05", expr(chi2Crit05))
         .withColumn("significant", (col("h_corrected") > col("crit_05")).cast("int"))
     },
     Some(s"""
@@ -2601,13 +2610,8 @@ object StatQueries extends QueryModule {
                  AS h_corrected
         FROM agg CROSS JOIN ties)
       SELECT n, k, df, h, h_corrected,
-             CASE df WHEN 1 THEN 384e-2 WHEN 2 THEN 599e-2 WHEN 3 THEN 781e-2
-                     WHEN 4 THEN 949e-2 WHEN 5 THEN 1107e-2 ELSE 1259e-2 END
-               AS crit_05,
-             CAST(h_corrected >
-               (CASE df WHEN 1 THEN 384e-2 WHEN 2 THEN 599e-2 WHEN 3 THEN 781e-2
-                        WHEN 4 THEN 949e-2 WHEN 5 THEN 1107e-2 ELSE 1259e-2 END)
-               AS INT) AS significant
+             ($chi2Crit05) AS crit_05,
+             CAST(h_corrected > ($chi2Crit05) AS INT) AS significant
       FROM stat
     """))
 
@@ -2757,8 +2761,7 @@ object StatQueries extends QueryModule {
           s"""${Ql.R(
             """12.0 / (CAST(n AS DOUBLE) * k * (k + 1)) * sr2
                - 3.0 * n * (k + 1)""", 4)} AS chi2_f""")
-        .withColumn("crit_05", expr(
-          "CASE df WHEN 1 THEN 384e-2 WHEN 2 THEN 599e-2 WHEN 3 THEN 781e-2 WHEN 4 THEN 949e-2 WHEN 5 THEN 1107e-2 ELSE 1259e-2 END"))
+        .withColumn("crit_05", expr(chi2Crit05))
         .withColumn("significant", (col("chi2_f") > col("crit_05")).cast("int"))
     },
     Some(s"""
@@ -2792,13 +2795,8 @@ object StatQueries extends QueryModule {
                - 3.0 * n * (k + 1)""", 4)} AS chi2_f
         FROM agg)
       SELECT n, k, df, chi2_f,
-             CASE df WHEN 1 THEN 384e-2 WHEN 2 THEN 599e-2 WHEN 3 THEN 781e-2
-                     WHEN 4 THEN 949e-2 WHEN 5 THEN 1107e-2 ELSE 1259e-2 END
-               AS crit_05,
-             CAST(chi2_f >
-               (CASE df WHEN 1 THEN 384e-2 WHEN 2 THEN 599e-2 WHEN 3 THEN 781e-2
-                        WHEN 4 THEN 949e-2 WHEN 5 THEN 1107e-2 ELSE 1259e-2 END)
-               AS INT) AS significant
+             ($chi2Crit05) AS crit_05,
+             CAST(chi2_f > ($chi2Crit05) AS INT) AS significant
       FROM stat
     """))
 
@@ -2822,9 +2820,11 @@ object StatQueries extends QueryModule {
       val x = Tables.events(spark, sfDir)
         .groupBy("user_id", "event_type")
         .agg(max((col("value") > 180).cast("long")).as("x"))
-      val k = x.agg(countDistinct("event_type").as("k"))
       val colTot = x.groupBy("event_type").agg(sum("x").as("ct"))
         .localCheckpoint(true) // |types| rows
+      // k = the checkpointed column-total row count — recomputing it via
+      // countDistinct would rescan events (review finding)
+      val k = colTot.agg(count(lit(1)).as("k"))
       val rowTot = x.groupBy("user_id").agg(sum("x").as("r"))
         .agg(count(lit(1)).as("n_users"), sum("r").as("sr"),
           sum(expr("r * r")).as("srr"))
@@ -2838,8 +2838,7 @@ object StatQueries extends QueryModule {
           s"""CASE WHEN k * sr - srr = 0 THEN 0e0 ELSE ${Ql.R(
             """CAST(k AS DOUBLE) * (k - 1) * dev2
                / (CAST(k AS DOUBLE) * k * (k * sr - srr))""", 4)} END AS q""")
-        .withColumn("crit_05", expr(
-          "CASE df WHEN 1 THEN 384e-2 WHEN 2 THEN 599e-2 WHEN 3 THEN 781e-2 WHEN 4 THEN 949e-2 WHEN 5 THEN 1107e-2 ELSE 1259e-2 END"))
+        .withColumn("crit_05", expr(chi2Crit05))
         .withColumn("significant", (col("q") > col("crit_05")).cast("int"))
     },
     Some(s"""
@@ -2866,13 +2865,8 @@ object StatQueries extends QueryModule {
                / (CAST(k AS DOUBLE) * k * (k * sr - srr))""", 4)} END AS q
         FROM agg)
       SELECT n_users, k, df, n_positive, q,
-             CASE df WHEN 1 THEN 384e-2 WHEN 2 THEN 599e-2 WHEN 3 THEN 781e-2
-                     WHEN 4 THEN 949e-2 WHEN 5 THEN 1107e-2 ELSE 1259e-2 END
-               AS crit_05,
-             CAST(q >
-               (CASE df WHEN 1 THEN 384e-2 WHEN 2 THEN 599e-2 WHEN 3 THEN 781e-2
-                        WHEN 4 THEN 949e-2 WHEN 5 THEN 1107e-2 ELSE 1259e-2 END)
-               AS INT) AS significant
+             ($chi2Crit05) AS crit_05,
+             CAST(q > ($chi2Crit05) AS INT) AS significant
       FROM stat
     """))
 
