@@ -68,9 +68,17 @@ object DedupQueries extends QueryModule {
   private def shingleIntersections(
       sh: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val dfTab = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 100).select("sh")
-    val rare = sh.join(broadcast(dfTab), "sh")
+    // Broadcast the df>100 HOT-shingle EXCLUSION set, never the rare
+    // set: under a Zipfian shingle law the rare side is ~the whole
+    // vocabulary (corpus-scale at 100 TB, a guaranteed driver OOM),
+    // while the hot side is small at ANY scale — hot shingles need
+    // df·avg_doc_len corpus mass each, so their count is bounded by
+    // corpus_tokens/100 and in practice by the power law's short head.
+    // left_anti against the broadcast keeps exactly df≤100, same rows
+    // as the old inner join against the rare list.
+    val hotTab = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 100).select("sh")
+    val rare = sh.join(broadcast(hotTab), Seq("sh"), "left_anti")
     val inter = rare.select(col("sh"), col("doc_id").as("d1"))
       .join(rare.select(col("sh"), col("doc_id").as("d2")), "sh")
       .filter(col("d1") < col("d2"))
@@ -1002,6 +1010,16 @@ object DedupQueries extends QueryModule {
     * Jaccard. Each corpus-sized pipeline runs ONCE into a
     * pair-list-sized checkpoint (the q_dedup_recall discipline);
     * everything downstream is three 1-row aggregates crossed.
+    *
+    * Known bias: Chapman assumes HOMOGENEOUS capture probability, but
+    * under banding p(J) = 1−(1−J³)⁴ varies per pair — on a
+    * heterogeneous Jaccard profile the easy (high-J) pairs dominate
+    * both catches AND the overlap, so N̂ under-counts the hard low-J
+    * tail and n/N̂ OVERSTATES single-run recall. Read it as an upper
+    * bound, or stratify: bucket candidate pairs by their measured
+    * exact Jaccard (candidateOverlap computes inter/sz1/sz2 for every
+    * candidate) and apply Chapman per stratum — within a narrow J
+    * bucket p(J) is ~constant and the assumption holds.
     */
   private val captureRecapture: QueryDef = {
     val nhat = "((n_run1 + 1.0) * (n_run2 + 1.0) / (m_both + 1.0) - 1.0)"

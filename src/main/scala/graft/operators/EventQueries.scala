@@ -1415,12 +1415,19 @@ object EventQueries extends QueryModule {
       val factors = survivalFactors(obs)
       val hz = obs.sparkSession.range(1)
         .select(explode(expr("array(1L, 3L, 7L, 14L, 30L)")).as("h"))
+      // per-day hazard terms quantize to micro-unit BIGINTs BEFORE the
+      // sum (the q_kneser_ney discipline): each d/n ratio is one double
+      // division → one half-up round → an exact integer, so the
+      // cumulative sum is order-independent and cannot split engines by
+      // an ulp at the 6 dp display boundary
       hz.join(broadcast(factors), col("t") <= col("h"), "left")
         .groupBy("h")
         .agg(
           coalesce(count(col("t")), lit(0L)).as("n_event_days"),
-          Ql.r(coalesce(sum(col("d") / col("n").cast("double")), lit(0.0)), 6)
-            .as("cum_hazard"))
+          (coalesce(
+            sum(expr(s"CAST(${Ql.R("1000000.0 * d / n", 0)} AS BIGINT)")),
+            lit(0L)).cast("double") / lit(1e6)).as("cum_hazard"))
+        .withColumn("cum_hazard", Ql.r(col("cum_hazard"), 6))
         .withColumn("fh_survival", Ql.r(exp(-col("cum_hazard")), 6))
         .orderBy("h")
     },
@@ -1429,7 +1436,7 @@ object EventQueries extends QueryModule {
       na AS (
         SELECT h,
                CAST(count(factors.t) AS BIGINT) AS n_event_days,
-               ${Ql.R("coalesce(sum(d / CAST(n AS DOUBLE)), 0.0)", 6)} AS cum_hazard
+               ${Ql.R(s"CAST(coalesce(sum(CAST(${Ql.R("1000000.0 * d / n", 0)} AS BIGINT)), 0) AS DOUBLE) / 1e6", 6)} AS cum_hazard
         FROM hz LEFT JOIN factors ON factors.t <= hz.h
         GROUP BY h)
       SELECT h, n_event_days, cum_hazard,

@@ -2246,7 +2246,12 @@ object StatQueries extends QueryModule {
     */
   private val jackknifeSe: QueryDef = {
     val theta = "(CAST(st AS DOUBLE) / ct / 100.0)"
-    val se = "(sqrt((nd - 1.0) / nd * (s2 - s1 * s1 / nd)) / 100.0)"
+    // s1/s2 arrive as exact micro-unit integers (see below); rescale to
+    // cents HERE, in one shared formula string, so both engines run the
+    // identical double ops on identical integers
+    val s1d = "(CAST(s1 AS DOUBLE) / 1e6)"
+    val s2d = "(CAST(s2 AS DOUBLE) / 1e12)"
+    val se = s"(sqrt((nd - 1.0) / nd * ($s2d - $s1d * $s1d / nd)) / 100.0)"
     QueryDef(
       "q_jackknife_se",
       (spark, sfDir) => {
@@ -2256,11 +2261,19 @@ object StatQueries extends QueryModule {
           .groupBy("day").agg(sum("cents").as("s"), count(lit(1)).as("c"))
         val tot = daily.agg(sum("s").as("st"), sum("c").as("ct"),
           count(lit(1)).as("nd"))
+        // each leave-one-out ratio quantizes to a micro-unit BIGINT
+        // BEFORE the Σθ / Σθ² folds (the q_kneser_ney discipline): the
+        // sums become order-independent exact integers instead of
+        // doubles whose accumulation order could split engines by an
+        // ulp at the 6 dp SE boundary. Σθ² accumulates WIDE
+        // (DECIMAL(38,0) / HUGEINT product) — loo_u² ≈ 1e16 per day, so
+        // a year of days already strains a BIGINT accumulator.
         daily.crossJoin(broadcast(tot))
           .selectExpr("st", "ct", "nd",
-            s"${Ql.R("CAST(st - s AS DOUBLE) / (ct - c)", 6)} AS loo")
+            s"CAST(${Ql.R("1000000.0 * (st - s) / (ct - c)", 0)} AS BIGINT) AS loo_u")
           .groupBy("st", "ct", "nd")
-          .agg(sum(col("loo")).as("s1"), sum(col("loo") * col("loo")).as("s2"))
+          .agg(sum(col("loo_u")).as("s1"),
+            sum(col("loo_u").cast("decimal(18,0)") * col("loo_u")).as("s2"))
           .selectExpr("nd AS n_days",
             s"${Ql.R(theta, 4)} AS rev_per_event",
             s"${Ql.R(se, 6)} AS se_jackknife",
@@ -2279,10 +2292,11 @@ object StatQueries extends QueryModule {
           FROM daily),
         loo AS (
           SELECT st, ct, nd,
-                 ${Ql.R("CAST(st - s AS DOUBLE) / (ct - c)", 6)} AS loo
+                 CAST(${Ql.R("1000000.0 * (st - s) / (ct - c)", 0)} AS BIGINT) AS loo_u
           FROM daily, tot),
         m AS (
-          SELECT st, ct, nd, sum(loo) AS s1, sum(loo * loo) AS s2
+          SELECT st, ct, nd, sum(loo_u) AS s1,
+                 sum(CAST(loo_u AS HUGEINT) * loo_u) AS s2
           FROM loo GROUP BY 1, 2, 3)
         SELECT nd AS n_days,
                ${Ql.R(theta, 4)} AS rev_per_event,
@@ -2650,14 +2664,21 @@ object StatQueries extends QueryModule {
         .agg(sum("cnt").as("n_g"), sum(expr("cnt * z")).as("sz"),
           sum(expr("cnt * z * z")).as("szz"))
         .localCheckpoint(true) // |types| rows
+      // per-group SS terms quantize to 4 dp integer units BEFORE the
+      // k-row sum (the q_kneser_ney discipline): each group's sz²/n_g
+      // correction is one identical double op chain in both engines,
+      // rounded to an exact integer, so the cross-group fold is
+      // order-independent. Accumulators are WIDE (DECIMAL(38,0) /
+      // HUGEINT) — szz·1e4 is ~1e18 already at bench scale.
       val pooled = mom.agg(
         sum("n_g").as("n"), count(lit(1)).as("k"),
         sum("sz").as("szt"),
-        sum(expr("szz - CAST(sz AS DOUBLE) * sz / n_g")).as("ssw"),
-        sum(expr("CAST(sz AS DOUBLE) * sz / n_g")).as("sb0"))
+        sum(expr(s"CAST(${Ql.R("10000.0 * (szz - CAST(sz AS DOUBLE) * sz / n_g)", 0)} AS DECIMAL(38,0))")).as("ssw_u"),
+        sum(expr(s"CAST(${Ql.R("10000.0 * (CAST(sz AS DOUBLE) * sz / n_g)", 0)} AS DECIMAL(38,0))")).as("sb0_u"))
         .selectExpr("n", "k",
           // SSB = Σ sz²/n_g − (Σsz)²/N (exact-integer inputs, IEEE ops)
-          "sb0 - CAST(szt AS DOUBLE) * szt / n AS ssb", "ssw")
+          "CAST(sb0_u AS DOUBLE) / 1e4 - CAST(szt AS DOUBLE) * szt / n AS ssb",
+          "CAST(ssw_u AS DOUBLE) / 1e4 AS ssw")
         .selectExpr("n", "k", "k - 1 AS df1", "n - k AS df2",
           s"${Ql.R("(ssb / (k - 1)) / (ssw / (n - k))", 4)} AS f_bf")
         .withColumn("crit_05", expr(
@@ -2699,11 +2720,16 @@ object StatQueries extends QueryModule {
         SELECT n, k, k - 1 AS df1, n - k AS df2,
                ${Ql.R("(ssb / (k - 1)) / (ssw / (n - k))", 4)} AS f_bf
         FROM (
-          SELECT CAST(sum(n_g) AS BIGINT) AS n, count(*) AS k,
-                 sum(CAST(sz AS DOUBLE) * sz / n_g)
-                   - CAST(sum(sz) AS DOUBLE) * sum(sz) / sum(n_g) AS ssb,
-                 sum(szz - CAST(sz AS DOUBLE) * sz / n_g) AS ssw
-          FROM mom))
+          SELECT n, k,
+                 CAST(sb0_u AS DOUBLE) / 1e4
+                   - CAST(szt AS DOUBLE) * szt / n AS ssb,
+                 CAST(ssw_u AS DOUBLE) / 1e4 AS ssw
+          FROM (
+            SELECT CAST(sum(n_g) AS BIGINT) AS n, count(*) AS k,
+                   CAST(sum(sz) AS BIGINT) AS szt,
+                   sum(CAST(${Ql.R("10000.0 * (CAST(sz AS DOUBLE) * sz / n_g)", 0)} AS HUGEINT)) AS sb0_u,
+                   sum(CAST(${Ql.R("10000.0 * (szz - CAST(sz AS DOUBLE) * sz / n_g)", 0)} AS HUGEINT)) AS ssw_u
+            FROM mom)))
       SELECT event_type, n_g,
              ${Ql.R("med / 100.0", 2)} AS median,
              ${Ql.R("CAST(sz AS DOUBLE) / n_g / 100.0", 4)} AS mean_absdev,

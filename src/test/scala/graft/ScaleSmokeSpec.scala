@@ -209,7 +209,7 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
         s"($nClusters) must equal candidate pairs ($nCand)")
     assert(badSize == 0L, s"$badSize clusters are not the planted pair shape")
     assert(notLongest == 0L,
-      s"$badSize clusters picked a canonical shorter than their longest member")
+      s"$notLongest clusters picked a canonical shorter than their longest member")
     assert(badTie == 0L, s"$badTie equal-length clusters broke the min-id tie rule")
     assert(rounds <= 4,
       s"2-node components must converge in ~2 rounds (1 hop + fixpoint), got $rounds")
