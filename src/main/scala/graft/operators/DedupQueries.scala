@@ -1160,7 +1160,7 @@ object DedupQueries extends QueryModule {
     * join q_minhash_calibration performs inline). Everything downstream
     * of the band join is candidate-sized. Caller owns block hygiene.
     */
-  private def candidateOverlap(docs: DataFrame): DataFrame = {
+  private[graft] def candidateOverlap(docs: DataFrame): DataFrame = {
     // ONE corpus shingle pass feeds both sides: the exact-overlap
     // machinery consumes the md5-prefix projection (re-distinct'd so a
     // 56-bit collision cannot inflate intersection counts, matching

@@ -114,6 +114,56 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
       s"banding math promises ~92% plant recall, measured ${found / 1000.0}")
   }
 
+  test("5M-doc candidateOverlap: exact scoring at scale, broadcast only the hot set") {
+    // The scored-pair scaffold q_dedup_threshold_sweep / q_lsh_banding_planner
+    // ride (LSH candidates + exact shingle-overlap), driven at 50x the bench
+    // corpus — the scale where shingleIntersections' broadcast choice decides
+    // life or death. On THIS corpus the df<=100 rare set is the entire ~40M-
+    // shingle vocabulary (every shingle is near-unique), so broadcasting the
+    // rare side — the pre-r13 plan — would collect a corpus-sized list on the
+    // driver. The fixed plan broadcasts only the df>100 HOT set (bounded by
+    // corpus_tokens/100 at any scale; empty here) and left_antis against it.
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val pj = operators.DedupQueries.candidateOverlap(corpus5M)
+    // static-plan claim first: every PLANNED broadcast-join build side is the
+    // hot-set aggregate (filter df > 100) — the vocabulary-sized rare side
+    // never feeds a broadcast (sparkPlan = pre-AQE, so this is the DESIGN,
+    // not a runtime size accident)
+    val bjoins = pj.queryExecution.sparkPlan.collect { case b: BroadcastHashJoinExec => b }
+    assert(bjoins.nonEmpty, "expected the hot-set exclusion broadcast join in the plan")
+    bjoins.foreach { b =>
+      val build = (if (b.buildSide == BuildRight) b.right else b.left).toString
+      assert(build.contains("> 100"),
+        s"a broadcast build side is not the df>100 hot set:\n${build.take(800)}")
+    }
+    val t0 = System.nanoTime()
+    val snap = pj.localCheckpoint(true)
+    val nCand = snap.count()
+    // planted pairs carry 10-token docs: 8 shingles a side, first-token edit
+    // kills exactly one -> inter ~7 of union 9 (J ~0.78); recall bar is the
+    // LSH proof's own (they share lshBandPairsOf on the same corpus)
+    val plant = snap.filter(col("d1") < 1000 && col("d2") === col("d1") + 5000000L)
+      .select(
+        count(lit(1)).as("n"),
+        sum((col("inter") >= 6 && col("inter") <= col("sz1")).cast("long")).as("sane"),
+        sum((col("inter") * 10 >= (col("sz1") + col("sz2") - col("inter")) * 7).cast("long")).as("j07"))
+      .head()
+    val (nPlant, nSane, nJ07) = (plant.getLong(0), plant.getLong(1), plant.getLong(2))
+    info(f"5M-doc candidateOverlap: $nCand candidates scored in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s; planted candidates $nPlant, " +
+      f"overlap-sane $nSane, J>=0.7 $nJ07")
+    assert(nCand < 5000000L, s"candidate surface blew up: $nCand")
+    assert(nPlant >= 850L, s"plant recall must match the LSH proof's bar, got $nPlant")
+    assert(nSane == nPlant, s"${nPlant - nSane} planted pairs scored an impossible overlap")
+    assert(nJ07 >= (nPlant * 9) / 10,
+      s"planted pairs are J~0.78 by construction; only $nJ07 of $nPlant scored >= 0.7")
+    sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
+      .values.foreach(_.unpersist(blocking = false))
+  }
+
   test("capture-recapture: two independent LSH runs recover a borderline plant population") {
     // The q_capture_recapture estimator proven where it matters: a
     // population BOTH runs only partially catch. 50k base docs + 1000
