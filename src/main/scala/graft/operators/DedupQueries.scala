@@ -186,6 +186,47 @@ object DedupQueries extends QueryModule {
         "array_join(transform(array_sort(collect_list(struct(seed, mh))), x -> CAST(x.mh AS STRING)), ',')")
         .as("band_key"))
 
+  /** (doc_id, band, band_key) over an arbitrary (doc_id, text) frame —
+    * the per-doc LSH bucket keys of the SERVED 4×3 banding, exposed so
+    * the streaming curation pipeline's near-dup stage and its batch twin
+    * ([[graft.operators.PipelineQueries.curationKeepListLsh]]) bucket
+    * documents with exactly the machinery q_dedup_minhash serves. Band
+    * signatures are per-doc and batch-computable, which is what makes
+    * the stage streamable: cross-batch state is just the bucket keys of
+    * prior stage entrants.
+    */
+  private[graft] def bandKeysOf(docs: DataFrame): DataFrame =
+    bandKeysFromSigs(minhashSigsFromShingles(shingles(docs)))
+
+  /** Oracle twin of [[bandKeysOf]]: CTE chain ending in `${pfx}bands
+    * (doc_id, band, band_key)` over a CTE `src(doc_id, text)` — every
+    * CTE name is prefixed so the chain composes into larger WITHs
+    * (q_curation_pipeline_lsh splices it after its dedup stages).
+    */
+  private[graft] def bandKeysSqlOver(src: String, pfx: String): String = s"""${pfx}sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS sh
+        FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 3)) AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $src)
+              WHERE len(t) >= 3)),
+      ${pfx}msh AS (
+        SELECT doc_id, sh,
+               list_sum(list_transform(generate_series(0, 6), j ->
+                 CAST(strpos('0123456789abcdef', substr(md5(sh), j + 1, 1)) - 1 AS BIGINT)
+                   << (4 * (6 - j)))) AS h1,
+               list_sum(list_transform(generate_series(0, 6), j ->
+                 CAST(strpos('0123456789abcdef', substr(md5(sh), j + 8, 1)) - 1 AS BIGINT)
+                   << (4 * (6 - j)))) AS h2
+        FROM ${pfx}sh),
+      ${pfx}mh AS (
+        SELECT doc_id, g.i AS seed,
+               min(((2 * g.i + 1) * h1 + (g.i * g.i + g.i + 1) * h2 + g.i) % 2147483647) AS mh
+        FROM ${pfx}msh, generate_series(0, 11) g(i)
+        GROUP BY 1, 2),
+      ${pfx}bands AS (
+        SELECT doc_id, seed // 3 AS band,
+               string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
+        FROM ${pfx}mh GROUP BY 1, 2)"""
+
   /** Band-bucket self-join over a (doc_id, seed, mh) signature frame —
     * the candidate stage of [[lshBandPairsOf]].
     */

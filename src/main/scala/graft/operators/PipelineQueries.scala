@@ -291,6 +291,117 @@ object PipelineQueries extends QueryModule {
                  AS shard
         FROM splitted)"""
 
+  /** The LSH-backed sibling of [[curationKeepList]]: gate → exact-hash
+    * keep-first → MinHash-LSH bucket dedup → split → pack, with the
+    * weak (lang, first-3-tokens) key stage replaced by the REAL banding
+    * machinery q_dedup_minhash serves ([[DedupQueries.bandKeysOf]], 4
+    * bands × 3 rows). The dedup rule is first-in-every-bucket: a doc is
+    * dropped iff ANY of its 4 band buckets already holds an
+    * earlier-doc_id stage entrant — deliberately the aggressive
+    * bucket-greedy production knob (bucket collision ⇒ presumed
+    * near-dup; no pair verification step), and deliberately defined
+    * over stage ENTRANTS rather than survivors, because that is the
+    * rule that decomposes exactly into batch-local window + anti-join
+    * against prior batches' bucket keys — the decomposition the
+    * streaming twin ([[graft.streaming.StreamingJobs
+    * .curationPipelineSink]] with nearDup="lsh") is proven row-for-row
+    * against. The verified candidate→cluster→canonical path stays
+    * available as the batch q_dedup_canonical. Scale shape: band keys
+    * are per-doc (corpus-linear), the window partitions by
+    * (band, band_key) — high-cardinality buckets, never all-pairs.
+    */
+  def curationKeepListLsh(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keepFirstHash = Window.partitionBy("text_hash").orderBy("doc_id")
+    val wBand = Window.partitionBy("band", "band_key").orderBy("doc_id")
+    val packW = Window.partitionBy("split", "source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val deduped = docs
+      .withColumn("tok", size(split(col("text"), " ")))
+      .filter(col("tok") >= 20)
+      .withColumn("text_hash", sha2(col("text").cast("binary"), 256))
+      .withColumn("rn_hash", row_number().over(keepFirstHash))
+      .filter(col("rn_hash") === 1)
+    val bad = DedupQueries.bandKeysOf(deduped.select("doc_id", "text"))
+      .withColumn("rn", row_number().over(wBand))
+      .filter(col("rn") > 1)
+      .select("doc_id").distinct()
+    deduped.join(bad, Seq("doc_id"), "left_anti")
+      .withColumn("bucket", expr(SamplingQueries.bucketExpr("doc_id")))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .withColumn("cum_before", sum(col("tok")).over(packW) - col("tok"))
+      .withColumn("shard", expr("cum_before div 2048"))
+      .select("doc_id", "lang", "source", "tok", "text_hash", "split", "shard")
+  }
+
+  /** DuckDB twin of [[curationKeepListLsh]], ending in
+    * `lpacked(doc_id, split, source, lang, tok, shard)` — dedup stages
+    * shared with [[keepListSql]]'s text, band keys via
+    * [[DedupQueries.bandKeysSqlOver]] (the same CTE machinery the LSH
+    * candidate oracles use).
+    */
+  private val keepListLshSql =
+    s"""lfiltered AS (
+        SELECT doc_id, lang, source, text,
+               len(string_split(text, ' ')) AS tok,
+               sha256(text) AS text_hash
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 20),
+      ldeduped AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn_hash
+          FROM lfiltered) WHERE rn_hash = 1),
+      ${DedupQueries.bandKeysSqlOver("ldeduped", "l")},
+      lbad AS (
+        SELECT DISTINCT doc_id FROM (
+          SELECT doc_id, row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rn
+          FROM lbands) WHERE rn > 1),
+      lkept AS (
+        SELECT d.* FROM ldeduped d ANTI JOIN lbad b ON d.doc_id = b.doc_id),
+      lsplitted AS (
+        SELECT *,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT *, ${Ql.Md5PrefixLong("CAST(doc_id AS VARCHAR)", 4)} % 100 AS b
+              FROM lkept)),
+      lpacked AS (
+        SELECT doc_id, split, source, lang, tok,
+               (CAST(sum(tok) OVER (PARTITION BY split, source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) - tok) // 2048
+                 AS shard
+        FROM lsplitted)"""
+
+  /** I-e2e with the REAL near-dup detector in the chain: the
+    * [[curationKeepListLsh]] decision aggregated per split — what
+    * q_curation_pipeline reports for the weak-key chain, for the
+    * MinHash-LSH-backed one. Laid next to q_curation_pipeline this is
+    * the knob comparison a corpus owner reads: how much more the
+    * banding machinery removes than the prefix-key heuristic at
+    * identical gate/split/pack stages.
+    */
+  private val curationPipelineLsh = QueryDef(
+    "q_curation_pipeline_lsh",
+    (spark, sfDir) => {
+      curationKeepListLsh(Tables.documents(spark, sfDir))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("tok_total"),
+          countDistinct(col("source"), col("shard")).as("n_shards"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("split")
+    },
+    Some(s"""
+      WITH $keepListLshSql
+      SELECT split, count(*) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS tok_total,
+             count(DISTINCT (source, shard)) AS n_shards,
+             count(DISTINCT lang) AS n_langs
+      FROM lpacked GROUP BY 1 ORDER BY 1
+    """))
+
   /** I-e2e: the whole curation pipeline as ONE composed query — the
     * [[curationKeepList]] stage chain aggregated to per-split corpus
     * shape. Every stage is the oracled operator it reuses; composing them
@@ -562,6 +673,6 @@ object PipelineQueries extends QueryModule {
 
   override def defs: Seq[QueryDef] =
     Seq(packSequences, docChunks, contamination, sampleReservoir,
-      curationPipeline, negativeSampling, shardBalance, dedupSourceBias,
-      dataConstrainedScaling)
+      curationPipeline, curationPipelineLsh, negativeSampling, shardBalance,
+      dedupSourceBias, dataConstrainedScaling)
 }

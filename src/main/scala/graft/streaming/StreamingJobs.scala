@@ -1504,39 +1504,113 @@ object StreamingJobs {
     * gates ⇒ no state store, no watermark; throughput scales with
     * partition count.
     */
+  /** Compacted cross-batch history set for [[curationPipelineSink]] —
+    * an append-only keyed set stored as parquet with the
+    * [[upsertSink]] generation/pointer discipline, all filesystem
+    * access through the Hadoop FS API (works on HDFS/S3, not just a
+    * driver-local disk).
+    *
+    * Layout under `root/`: `gen-<b>/` compacted snapshots (complete =
+    * `_SUCCESS`), `_CURRENT` pointer, `delta/batch=<i>/` per-batch
+    * contributions since the last snapshot. Every `compactEvery`-th
+    * batch folds snapshot + deltas + its own contribution into a new
+    * generation and prunes; between compactions a batch appends one
+    * delta. Per-batch READ volume is therefore bounded by
+    * 1 + (compactEvery − 1) directories at any stream age — the r12
+    * design read `batch=0..B−1`, O(B) dirs per batch and O(B²) over a
+    * stream's life.
+    *
+    * Replay safety (exactly-once): `read(B)` only ever resolves
+    * generations with id < B plus deltas with id < B, so a batch
+    * replayed after its own compaction committed re-reads exactly the
+    * pre-B state (the previous generation survives pruning, and a
+    * compaction at B only deletes deltas the previous generation
+    * already covers); every write is an idempotent whole-dir overwrite.
+    */
+  private class HistorySet(spark: SparkSession, root: String, compactEvery: Int = 8) {
+    private val fs = fsFor(spark, root)
+    private def p(s: String) = new org.apache.hadoop.fs.Path(s"$root/$s")
+    private def complete(gen: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(p(gen), "_SUCCESS"))
+    private def genIds(): Seq[Long] =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(root))) Seq.empty
+      else fs.listStatus(new org.apache.hadoop.fs.Path(root))
+        .map(_.getPath.getName).toSeq
+        .filter(_.startsWith("gen-")).filter(complete)
+        .map(_.stripPrefix("gen-").toLong)
+
+    /** (history through batch `batchId`−1, number of dirs read). */
+    def read(batchId: Long): (Option[DataFrame], Int) = {
+      val gen = genIds().filter(_ < batchId).sorted.lastOption
+      val deltas = (gen.map(_ + 1).getOrElse(0L) until batchId)
+        .map(i => s"delta/batch=$i").filter(d => fs.exists(p(d)))
+      val dirs = gen.map(g => s"$root/gen-$g").toSeq ++ deltas.map(d => s"$root/$d")
+      (if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*)), dirs.size)
+    }
+
+    /** Record this batch's contribution; compact on the cadence. */
+    def write(batchId: Long, contribution: DataFrame,
+        history: Option[DataFrame]): Unit = {
+      if ((batchId + 1) % compactEvery == 0) {
+        val all = history.map(_.unionByName(contribution)).getOrElse(contribution)
+        all.distinct().write.mode("overwrite").parquet(s"$root/gen-$batchId")
+        commitPointer(spark, root, s"gen-$batchId")
+        val stale = genIds().sorted.dropRight(2)
+        stale.foreach(g => fs.delete(p(s"gen-$g"), true))
+        // deltas at or below the PREVIOUS snapshot are covered by both
+        // retained generations; newer ones must survive until this
+        // batch commits (a replay of batch B re-reads them)
+        val prevGen = genIds().filter(_ < batchId).sorted.lastOption.getOrElse(-1L)
+        (0L to prevGen).map(i => s"delta/batch=$i")
+          .filter(d => fs.exists(p(d))).foreach(d => fs.delete(p(d), true))
+      } else {
+        contribution.write.mode("overwrite").parquet(s"$root/delta/batch=$batchId")
+      }
+    }
+  }
+
   /** I12 at PIPELINE granularity, streaming: the whole curation decision
-    * chain — gate → exact dedup → weak-key near-dup removal → hash split →
-    * shard packing — as ONE streaming job over the raw document stream,
-    * replacing the reference's per-record Lambda chain. Stage definitions
-    * are SHARED with the batch pipeline
-    * ([[graft.operators.PipelineQueries.curationKeepList]]): the stream's
-    * keep-list provably equals the batch one row-for-row under
+    * chain — gate → exact dedup → near-dup removal → hash split → shard
+    * packing — as ONE streaming job over the raw document stream,
+    * replacing the reference's per-record Lambda chain. Stage
+    * definitions are SHARED with the batch pipeline
+    * ([[graft.operators.PipelineQueries.curationKeepList]] /
+    * [[graft.operators.PipelineQueries.curationKeepListLsh]]): the
+    * stream's keep-list provably equals the batch one row-for-row under
     * doc_id-ordered replay (ScaleSmokeSpec), because each global
     * keep-first-by-doc_id window decomposes exactly into a batch-local
-    * keep-first plus an anti-join against every earlier batch's history,
-    * and the running pack offsets carry per (split, source) across
-    * batches.
+    * keep-first plus an anti-join against the history of every earlier
+    * batch's STAGE ENTRANTS, and the running pack offsets carry per
+    * (split, source) across batches.
     *
-    * Cross-batch state lives in the OUTPUT directory, not the state store
-    * (each micro-batch writes its own `batch=<id>` subdirs with overwrite
-    * semantics — the scrubRoute/upsertSink idempotence contract, so a
-    * replayed batch overwrites its own partial output):
-    *   - `hashes/batch=<id>`: the batch's gate-surviving text_hashes —
-    *     a hash seen in ANY earlier batch means the current doc is not
-    *     the global first of its hash;
-    *   - `keys/batch=<id>`: the batch's exact-dedup-surviving
-    *     (lang, prefix_key) pairs — same decomposition for stage 3;
-    *   - `offsets/batch=<id>`: the tiny (split × source) cumulative token
-    *     table AFTER this batch — batch b reads b−1's snapshot, so replay
-    *     recomputes identical shard boundaries;
-    *   - `keep/batch=<id>`: the batch's slice of the final keep-list.
-    * Scale path: the history reads are hash/key-only column scans
-    * (pruned), the offsets table is splits × sources rows, and at real
-    * volume the per-batch history dirs compact into a bucketed table on
-    * a cadence — the anti-join shape is unchanged.
+    * `nearDup` selects stage 3: `"prefix"` keeps first per
+    * (lang, first-3-tokens) — the cheap heuristic; `"lsh"` buckets docs
+    * with the served MinHash banding
+    * ([[graft.operators.DedupQueries.bandKeysOf]], 4 bands × 3 rows)
+    * and drops a doc iff any of its band buckets holds an earlier
+    * entrant — the same first-in-every-bucket rule as the batch twin.
+    * Both histories are the stage's ENTRANTS (stage-2 survivors): an
+    * entrant blocks later look-alikes even if it was itself dropped, by
+    * construction of the batch window rule — that is what makes the
+    * decomposition exact.
+    *
+    * Cross-batch state lives in the OUTPUT directory, not the state
+    * store, via [[HistorySet]] (generation-compacted, Hadoop-FS,
+    * bounded per-batch read volume) — per-batch dir-read counts are
+    * recorded under `metrics/batch=<id>` so the boundedness is
+    * auditable, not asserted. The offsets table is (split × source)
+    * rows, rewritten per batch with two generations retained (replay of
+    * batch B reads B−1's snapshot). All per-batch outputs are
+    * idempotent whole-dir overwrites — the scrubRoute/upsertSink
+    * replay contract. At RocksDB-state volumes the same stage chain
+    * could instead hold hash/bucket history in transformWithState; the
+    * directory form is chosen so the keep-list, its decisions, and the
+    * dedup state stay one `spark.read.parquet` away from audit.
     */
   def curationPipelineSink(docs: DataFrame, outDir: String, checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()) = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      nearDup: String = "prefix") = {
+    require(nearDup == "prefix" || nearDup == "lsh", s"unknown nearDup mode: $nearDup")
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -1544,9 +1618,9 @@ object StreamingJobs {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import org.apache.spark.sql.expressions.Window
-        def existing(sub: String): Seq[String] =
-          (0L until batchId).map(i => s"$outDir/$sub/batch=$i")
-            .filter(p => new java.io.File(p).exists())
+        val fs = fsFor(spark, outDir)
+        val hashHist = new HistorySet(spark, s"$outDir/hashes")
+        val keyHist = new HistorySet(spark, s"$outDir/keys")
         // stage 1 (gate) + the decision keys, same expressions as the
         // batch chain
         val gated = batch
@@ -1563,32 +1637,50 @@ object StreamingJobs {
         val hashFirst = gated
           .withColumn("rn", row_number().over(wHash))
           .filter(col("rn") === 1).drop("rn")
-        val priorHashes = existing("hashes")
-        val s2 = (if (priorHashes.isEmpty) hashFirst
-          else hashFirst.join(spark.read.parquet(priorHashes: _*),
-            Seq("text_hash"), "left_anti")).persist()
-        // stage 3 (weak-key near-dup): same decomposition over the
-        // stage-2 SURVIVORS' keys (a key whose earlier holder lost the
-        // hash dedup must NOT block — only survivors' keys are history)
-        val wKey = Window.partitionBy("lang", "prefix_key").orderBy("doc_id")
-        val keyFirst = s2
-          .withColumn("rn", row_number().over(wKey))
-          .filter(col("rn") === 1).drop("rn")
-        val priorKeys = existing("keys")
-        val s3 = if (priorKeys.isEmpty) keyFirst
-          else keyFirst.join(spark.read.parquet(priorKeys: _*),
-            Seq("lang", "prefix_key"), "left_anti")
+        val (priorHashes, nHashDirs) = hashHist.read(batchId)
+        val s2 = priorHashes.fold(hashFirst)(h =>
+          hashFirst.join(h, Seq("text_hash"), "left_anti")).persist()
+        // stage 3 (near-dup): keep-first decomposition over the stage's
+        // ENTRANT history (stage-2 survivors)
+        val (priorKeys, nKeyDirs) = keyHist.read(batchId)
+        var bandsRef: Option[DataFrame] = None
+        val (s3, keyContribution) = nearDup match {
+          case "prefix" =>
+            val wKey = Window.partitionBy("lang", "prefix_key").orderBy("doc_id")
+            val keyFirst = s2
+              .withColumn("rn", row_number().over(wKey))
+              .filter(col("rn") === 1).drop("rn")
+            val kept = priorKeys.fold(keyFirst)(h =>
+              keyFirst.join(h, Seq("lang", "prefix_key"), "left_anti"))
+            (kept, s2.select("lang", "prefix_key").distinct())
+          case "lsh" =>
+            val bands = graft.operators.DedupQueries
+              .bandKeysOf(s2.select("doc_id", "text")).persist()
+            bandsRef = Some(bands)
+            val wBand = Window.partitionBy("band", "band_key").orderBy("doc_id")
+            val localBad = bands
+              .withColumn("rn", row_number().over(wBand))
+              .filter(col("rn") > 1).select("doc_id")
+            val histBad = priorKeys.fold(spark.range(0).select(col("id").as("doc_id")))(
+              h => bands.join(h, Seq("band", "band_key"), "left_semi").select("doc_id"))
+            val kept = s2.join(localBad.union(histBad).distinct(),
+              Seq("doc_id"), "left_anti")
+            (kept, bands.select("band", "band_key").distinct())
+        }
         // stage 4 (split) is a pure hash of doc_id — no state; stage 5
         // (packing) resumes each (split, source) group's cumulative token
         // count from the previous batch's snapshot
         val prevOff = {
-          val p = s"$outDir/offsets/batch=${batchId - 1}"
-          if (batchId > 0 && new java.io.File(p).exists()) spark.read.parquet(p)
+          val p = new org.apache.hadoop.fs.Path(s"$outDir/offsets/gen-${batchId - 1}")
+          if (batchId > 0 && fs.exists(p)) spark.read.parquet(p.toString)
           else spark.range(0).select(lit("").as("split"), lit("").as("source"),
             lit(0L).as("off"))
         }
         val packW = Window.partitionBy("split", "source").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val keepCols = Seq("doc_id", "lang", "source", "tok", "text_hash") ++
+          (if (nearDup == "prefix") Seq("prefix_key") else Nil) ++
+          Seq("split", "shard")
         val packed = s3
           .withColumn("bucket",
             expr(graft.operators.SamplingQueries.bucketExpr("doc_id")))
@@ -1603,21 +1695,29 @@ object StreamingJobs {
           .withColumn("shard", expr("cum_before div 2048"))
           .persist()
         packed
-          .select("doc_id", "lang", "source", "tok", "text_hash",
-            "prefix_key", "split", "shard")
+          .select(keepCols.head, keepCols.tail: _*)
           .write.mode("overwrite").parquet(s"$outDir/keep/batch=$batchId")
         // history + offsets snapshots for the NEXT batch (written last:
         // a crash mid-batch replays from the checkpoint and overwrites)
-        gated.select("text_hash").distinct()
-          .write.mode("overwrite").parquet(s"$outDir/hashes/batch=$batchId")
-        s2.select("lang", "prefix_key").distinct()
-          .write.mode("overwrite").parquet(s"$outDir/keys/batch=$batchId")
+        hashHist.write(batchId, gated.select("text_hash").distinct(), priorHashes)
+        keyHist.write(batchId, keyContribution, priorKeys)
         val add = packed.groupBy("split", "source").agg(sum("tok").as("add"))
         prevOff.join(add, Seq("split", "source"), "full_outer")
           .select(col("split"), col("source"),
             (coalesce(col("off"), lit(0L)) + coalesce(col("add"), lit(0L))).as("off"))
-          .write.mode("overwrite").parquet(s"$outDir/offsets/batch=$batchId")
+          .write.mode("overwrite").parquet(s"$outDir/offsets/gen-$batchId")
+        if (batchId >= 2)
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$outDir/offsets/gen-${batchId - 2}"), true)
+        // auditable boundedness: what this batch actually read
+        spark.range(1).select(
+          lit(batchId).as("batch_id"),
+          lit(nHashDirs).as("hash_hist_dirs"),
+          lit(nKeyDirs).as("key_hist_dirs"),
+          lit(nearDup).as("near_dup_mode"))
+          .write.mode("overwrite").parquet(s"$outDir/metrics/batch=$batchId")
         packed.unpersist(); s2.unpersist(); gated.unpersist()
+        bandsRef.foreach(_.unpersist())
         ()
       }
   }

@@ -1004,6 +1004,96 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(aggGot == aggWant, s"per-split shapes differ: $aggGot vs $aggWant")
   }
 
+  test("sf0.01 LSH-backed streaming curation equals the batch LSH keep-list row-for-row") {
+    import graft.streaming.StreamingJobs
+    val sf = "/root/testdata/sf0.01"
+    // The same pipeline-equality proof with the REAL near-dup detector in
+    // stage 3: the streaming sink in nearDup="lsh" mode (MinHash band
+    // buckets, first-in-every-bucket, history = prior batches' entrant
+    // bucket keys) must equal PipelineQueries.curationKeepListLsh — the
+    // batch chain the oracled q_curation_pipeline_lsh aggregates —
+    // ROW-FOR-ROW under doc_id-ordered replay, split and shard included.
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val in = sliceReplay(
+      docs.withColumn("ts", col("doc_id").cast("timestamp")), 6, "graft_clsh")
+    val src = spark.readStream
+      .schema(docs.withColumn("ts", col("doc_id").cast("timestamp")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .drop("ts")
+    val out = java.nio.file.Files.createTempDirectory("graft_clsh_out").toString
+    val q = StreamingJobs.curationPipelineSink(src, out,
+        java.nio.file.Files.createTempDirectory("graft_clsh_ckpt").toString,
+        nearDup = "lsh")
+      .start()
+    assert(q.awaitTermination(300000), "LSH curation stream did not finish in 300s")
+    val batches = new java.io.File(s"$out/keep").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.toString)
+    assert(batches.length >= 4,
+      s"replay must actually exercise cross-batch state, got ${batches.length} batches")
+    val cols = Seq("doc_id", "lang", "source", "tok", "text_hash", "split", "shard")
+    val got = spark.read.parquet(batches: _*)
+      .select(cols.head, cols.tail: _*)
+      .collect().map(_.toSeq).toSet
+    val want = operators.PipelineQueries.curationKeepListLsh(docs)
+      .collect().map(_.toSeq).toSet
+    info(s"LSH streaming keep-list: ${got.size} docs over ${batches.length} batches; " +
+      s"batch keep-list: ${want.size} docs")
+    assert(got.size == want.size && got == want,
+      s"keep-lists differ: ${(want -- got).take(3)} missing, " +
+        s"${(got -- want).take(3)} extra")
+  }
+
+  test("48-batch streaming curation: history read volume stays flat (compaction cadence)") {
+    import graft.streaming.StreamingJobs
+    val sf = "/root/testdata/sf0.001"
+    // The r12 design read batch=0..B-1 history dirs in batch B — O(B) dirs
+    // per batch, O(B²) over a stream's life. The generation-compacted
+    // HistorySet bounds that: every batch reads at most one snapshot +
+    // (compactEvery − 1) deltas, at ANY stream age. Run a 48-slice replay
+    // and audit the per-batch metrics the sink records — the late batches
+    // must read no more history dirs than the early ones — plus the final
+    // state layout (≤2 retained generations) and, since it is nearly free,
+    // the same row-for-row batch equality as the 6-slice proof.
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val in = sliceReplay(
+      docs.withColumn("ts", col("doc_id").cast("timestamp")), 48, "graft_c48")
+    val src = spark.readStream
+      .schema(docs.withColumn("ts", col("doc_id").cast("timestamp")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .drop("ts")
+    val out = java.nio.file.Files.createTempDirectory("graft_c48_out").toString
+    val q = StreamingJobs.curationPipelineSink(src, out,
+        java.nio.file.Files.createTempDirectory("graft_c48_ckpt").toString)
+      .start()
+    assert(q.awaitTermination(300000), "48-batch curation stream did not finish in 300s")
+    val metrics = spark.read.parquet(s"$out/metrics")
+      .select("batch_id", "hash_hist_dirs", "key_hist_dirs")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(metrics.length == 48, s"expected 48 batches, got ${metrics.length}")
+    val maxDirs = metrics.map(m => math.max(m._2, m._3)).max
+    val lateMax = metrics.filter(_._1 >= 40).map(m => math.max(m._2, m._3)).max
+    info(s"48-batch history reads: max dirs/batch $maxDirs, max over batches 40..47 " +
+      s"$lateMax (r12 design would read up to 47)")
+    assert(maxDirs <= 8, s"history read volume must stay within the compaction " +
+      s"cadence bound (1 snapshot + 7 deltas), got $maxDirs")
+    assert(lateMax <= 8, s"late batches must read no more than the cadence bound, got $lateMax")
+    // retained state stays bounded too: at most 2 generations per history
+    val gens = new java.io.File(s"$out/hashes").listFiles()
+      .map(_.getName).filter(_.startsWith("gen-"))
+    assert(gens.length <= 2, s"generation pruning must retain <=2, got ${gens.toSeq}")
+    // and the decisions are still exactly the batch chain's
+    val got = spark.read.parquet(s"$out/keep")
+      .select("doc_id", "split", "shard")
+      .collect().map(_.toSeq).toSet
+    val want = operators.PipelineQueries.curationKeepList(docs)
+      .select("doc_id", "split", "shard")
+      .collect().map(_.toSeq).toSet
+    assert(got == want, s"keep-lists differ after 48-batch replay: " +
+      s"${(want -- got).take(3)} missing, ${(got -- want).take(3)} extra")
+  }
+
   test("sf0.01 streaming RFM maintenance equals the batch per-user aggregates exactly") {
     import spark.implicits._
     import graft.streaming.StreamingJobs
