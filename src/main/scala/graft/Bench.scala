@@ -99,7 +99,12 @@ object Bench {
         "q_sssp", "q_link_pred",
         // r12: both run the full exact-Jaccard + LSH candidate stack
         // (the q_dedup_recall cost family)
-        "q_dedup_threshold_sweep", "q_lsh_banding_planner")
+        "q_dedup_threshold_sweep", "q_lsh_banding_planner",
+        // r13: the LSH curation chain runs the minhash banding over the
+        // whole deduped corpus (q_dedup_minhash cost family); stratified
+        // capture-recapture runs TWO hash-family passes plus the exact
+        // scorer (the q_capture_recapture + q_dedup_recall cost family)
+        "q_curation_pipeline_lsh", "q_capture_recapture_stratified")
     (lightWarm ++ heavyWarm)
       .filter(SparkEntry.queries.contains)
       .foreach { n =>

@@ -1100,6 +1100,131 @@ object DedupQueries extends QueryModule {
       """))
   }
 
+  /** Stratified capture–recapture (Sekar & Deming 1949, public): the
+    * remedy for [[captureRecapture]]'s documented homogeneity bias,
+    * MEASURED instead of caveated. Under banding the capture
+    * probability p(J) = 1−(1−J³)⁴ varies per pair, so pooled Chapman
+    * under-counts the hard low-J tail; within a narrow Jaccard bucket
+    * p(J) is ~constant and the assumption holds. So: score every pair
+    * either run catches with its EXACT shingle Jaccard (the
+    * candidateOverlap machinery — exact-integer stratum tests, no float
+    * thresholding), apply Chapman per stratum, and report the per-
+    * stratum estimates plus the stratified total N̂ = Σₛ N̂ₛ — read next
+    * to q_capture_recapture's pooled N̂, the gap IS the heterogeneity
+    * bias. One corpus shingle pass feeds both hash-family runs and the
+    * exact scorer; everything downstream of the checkpointed pair list
+    * is a ≤5-row aggregate. The stratified-total row quantizes
+    * per-stratum N̂ to integer cents before summing (order-independent
+    * fold, the micro-unit discipline).
+    */
+  private val captureRecaptureStratified: QueryDef = {
+    val nhat = "((n_run1 + 1.0) * (n_run2 + 1.0) / (m_both + 1.0) - 1.0)"
+    val strat = """CASE WHEN inter * 10 >= 7 * (sz1 + sz2 - inter) THEN 'a_j_ge_070'
+                        WHEN inter * 2 >= (sz1 + sz2 - inter) THEN 'b_j_050_070'
+                        WHEN inter * 100 >= 35 * (sz1 + sz2 - inter) THEN 'c_j_035_050'
+                        ELSE 'd_j_lt_035' END"""
+    QueryDef(
+      "q_capture_recapture_stratified",
+      (spark, sfDir) => {
+        val sc = spark.sparkContext
+        val before = sc.getPersistentRDDs.keySet
+        val docs = withPlants(spark, sfDir)
+        // one shingle pass, three consumers (the candidateOverlap
+        // discipline): exact scorer reads the re-distinct'd md5-prefix
+        // projection, both independent hash-family runs read the strings
+        val shStr = shingles(docs).cache()
+        val shH = shStr
+          .select(col("doc_id"), expr(Ql.md5PrefixLong("sh", 14)).as("sh"))
+          .distinct()
+        val (inter, sizes) = shingleIntersections(shH)
+        val run1 = bandPairsFromSigs(minhashSigsFromShingles(shStr))
+          .localCheckpoint(true)
+        val run2 = bandPairsFromSigs(minhashSigsFromShingles(shStr, 12))
+          .localCheckpoint(true)
+        val pairs = run1.select(col("d1"), col("d2"), lit(1L).as("in1"))
+          .join(run2.select(col("d1"), col("d2"), lit(1L).as("in2")),
+            Seq("d1", "d2"), "full_outer")
+          .na.fill(0L, Seq("in1", "in2"))
+        val preScored = sc.getPersistentRDDs.keySet
+        val scored = pairs.join(inter, Seq("d1", "d2"), "left")
+          .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+          .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+          .withColumn("inter", coalesce(col("inter"), lit(0L)))
+          .selectExpr(s"$strat AS stratum", "in1", "in2")
+          .localCheckpoint(true) // pair-list-sized; corpus work ends here
+        // release everything pinned along the way EXCEPT the result
+        // checkpoint itself (snapshot taken before it materialized)
+        val mine = sc.getPersistentRDDs.filter {
+          case (id, _) => !before(id) && preScored(id) }
+        mine.values.foreach(_.unpersist(blocking = false))
+        val perh = scored.groupBy("stratum").agg(
+          sum("in1").as("n_run1"), sum("in2").as("n_run2"),
+          sum(expr("in1 * in2")).as("m_both"))
+          .selectExpr("stratum", "n_run1", "n_run2", "m_both",
+            s"${Ql.R(nhat, 2)} AS n_hat")
+        val per = perh.selectExpr("stratum", "n_run1", "n_run2", "m_both",
+          "n_hat", s"${Ql.R("n_run1 / n_hat", 4)} AS run1_coverage")
+        val tot = perh.agg(
+          sum("n_run1").as("n_run1"), sum("n_run2").as("n_run2"),
+          sum("m_both").as("m_both"),
+          (sum(expr(s"CAST(${Ql.R("n_hat * 100", 0)} AS BIGINT)"))
+            .cast("double") / lit(100.0)).as("n_hat0"))
+          .selectExpr("'e_total_stratified' AS stratum",
+            "n_run1", "n_run2", "m_both",
+            s"${Ql.R("n_hat0", 2)} AS n_hat",
+            s"${Ql.R("n_run1 / n_hat0", 4)} AS run1_coverage")
+        per.unionByName(tot).orderBy("stratum")
+      },
+      Some(s"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, ${Ql.Md5PrefixLong("sh", 14)} AS sh
+          FROM ($shinglesSql)),
+        $interCtesSql,
+        $lshCandSql,
+        ${lshCandSqlNamed("2", 12)},
+        p1 AS (SELECT d1, d2, CAST(1 AS BIGINT) AS in1 FROM cand),
+        p2 AS (SELECT d1, d2, CAST(1 AS BIGINT) AS in2 FROM cand2),
+        pairs AS (
+          SELECT coalesce(p1.d1, p2.d1) AS d1, coalesce(p1.d2, p2.d2) AS d2,
+                 coalesce(in1, 0) AS in1, coalesce(in2, 0) AS in2
+          FROM p1 FULL JOIN p2 ON p1.d1 = p2.d1 AND p1.d2 = p2.d2),
+        scored AS MATERIALIZED (
+          SELECT $strat AS stratum, in1, in2
+          FROM (SELECT p.in1, p.in2, coalesce(i.inter, 0) AS inter,
+                       s1.sz AS sz1, s2.sz AS sz2
+                FROM pairs p
+                  LEFT JOIN inter i ON i.d1 = p.d1 AND i.d2 = p.d2
+                  JOIN sizes s1 ON s1.doc_id = p.d1
+                  JOIN sizes s2 ON s2.doc_id = p.d2)),
+        per0 AS (
+          SELECT stratum, CAST(sum(in1) AS BIGINT) AS n_run1,
+                 CAST(sum(in2) AS BIGINT) AS n_run2,
+                 CAST(sum(in1 * in2) AS BIGINT) AS m_both
+          FROM scored GROUP BY stratum),
+        perh AS (
+          SELECT stratum, n_run1, n_run2, m_both, ${Ql.R(nhat, 2)} AS n_hat
+          FROM per0),
+        per AS (
+          SELECT stratum, n_run1, n_run2, m_both, n_hat,
+                 ${Ql.R("n_run1 / n_hat", 4)} AS run1_coverage
+          FROM perh),
+        tot AS (
+          SELECT 'e_total_stratified' AS stratum,
+                 CAST(sum(n_run1) AS BIGINT) AS n_run1,
+                 CAST(sum(n_run2) AS BIGINT) AS n_run2,
+                 CAST(sum(m_both) AS BIGINT) AS m_both,
+                 CAST(sum(CAST(${Ql.R("n_hat * 100", 0)} AS BIGINT)) AS DOUBLE) / 100.0 AS n_hat0
+          FROM perh)
+        SELECT * FROM per
+        UNION ALL
+        SELECT stratum, n_run1, n_run2, m_both,
+               ${Ql.R("n_hat0", 2)} AS n_hat,
+               ${Ql.R("n_run1 / n_hat0", 4)} AS run1_coverage
+        FROM tot
+        ORDER BY stratum
+      """))
+  }
+
   /** Shingle document-frequency profile — the MEASURED justification for
     * this module's one scale rule (drop df>100 shingles before any
     * self-join): per log2-df bucket, how many distinct shingles live
@@ -1438,6 +1563,6 @@ object DedupQueries extends QueryModule {
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs,
     dedupNgramJaccard, dedupEmbed, fuzzyJoin, containment, sortedNeighborhood,
     dedupRecall, ngramNovelty, minhashCalibration, cdcChunkDedup,
-    crossSourceOverlap, captureRecapture, shingleDfProfile,
-    lshBucketOccupancy, thresholdSweep, bandingPlanner)
+    crossSourceOverlap, captureRecapture, captureRecaptureStratified,
+    shingleDfProfile, lshBucketOccupancy, thresholdSweep, bandingPlanner)
 }
