@@ -1094,6 +1094,49 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
       s"${(want -- got).take(3)} missing, ${(got -- want).take(3)} extra")
   }
 
+  test("5M-doc batch curation pipeline: the full keep-list chain at 50x bench scale") {
+    // q_curation_pipeline's decision chain (gate → exact dedup → weak-key
+    // near-dup → split → shard packing) executed end-to-end at 50× the
+    // bench corpus — the last headline pipeline without a 5M-scale
+    // execution proof. 30-token synthetic docs (so the ≥20-token gate
+    // passes), 1000 planted byte-identical duplicates; invariants: the
+    // planted dups all fall to the hash stage, the kept set carries no
+    // duplicate hash or (lang, prefix) key, and every (split, source)
+    // group's shards are contiguous from 0 (the packing law).
+    val base = spark.range(5000000L).select(
+      col("id").as("doc_id"),
+      element_at(array(lit("en"), lit("de"), lit("fr"), lit("es"), lit("it")),
+        (pmod(hash(col("id") * 3), lit(5)) + 1).cast("int")).as("lang"),
+      element_at(array(lit("web"), lit("books"), lit("code")),
+        (pmod(hash(col("id") * 5), lit(3)) + 1).cast("int")).as("source"),
+      expr("concat_ws(' ', transform(sequence(0, 29), " +
+        "j -> concat('w', pmod(hash(id * 31 + j), 30000))))").as("text"))
+    val dups = base.filter(col("doc_id") < 1000)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        col("lang"), col("source"), col("text"))
+    val docs = base.unionByName(dups)
+    val t0 = System.nanoTime()
+    val keep = operators.PipelineQueries.curationKeepList(docs).localCheckpoint(true)
+    val n = keep.count()
+    val agg = keep.agg(
+      countDistinct(col("text_hash")).as("h"),
+      countDistinct(col("lang"), col("prefix_key")).as("k"),
+      sum((col("doc_id") >= 5000000L).cast("long")).as("dup_survivors")).head()
+    val shardGaps = keep.groupBy("split", "source")
+      .agg((countDistinct(col("shard")) - (max(col("shard")) + 1)).as("gap"))
+      .filter(col("gap") =!= 0).count()
+    info(f"5M-doc curation keep-list: $n docs in ${(System.nanoTime() - t0) / 1e9}%.1f s; " +
+      s"distinct hashes ${agg.getLong(0)}, distinct keys ${agg.getLong(1)}, " +
+      s"planted-dup survivors ${agg.getLong(2)}, shard-numbering gaps $shardGaps")
+    assert(n >= 4999000L && n <= 5000000L,
+      s"~5M unique docs must survive (few random prefix collisions), got $n")
+    assert(agg.getLong(0) == n, "exact-dedup stage leaked a duplicate hash")
+    assert(agg.getLong(1) == n, "weak-key stage leaked a duplicate (lang, prefix) key")
+    assert(agg.getLong(2) == 0L,
+      s"all 1000 planted byte-identical dups must fall to the hash stage")
+    assert(shardGaps == 0L, "shard numbers must be contiguous per (split, source)")
+  }
+
   test("sf0.01 streaming RFM maintenance equals the batch per-user aggregates exactly") {
     import spark.implicits._
     import graft.streaming.StreamingJobs
