@@ -2668,13 +2668,21 @@ object StatQueries extends QueryModule {
       // k-row sum (the q_kneser_ney discipline): each group's sz²/n_g
       // correction is one identical double op chain in both engines,
       // rounded to an exact integer, so the cross-group fold is
-      // order-independent. Accumulators are WIDE (DECIMAL(38,0) /
-      // HUGEINT) — szz·1e4 is ~1e18 already at bench scale.
+      // order-independent. The PER-TERM cast is to BIGINT in both
+      // dialects — above 2⁵³ a double is already integral, so the
+      // binary-exact BIGINT cast agrees engine-to-engine at any
+      // magnitude < 2⁶³, whereas Spark's double→DECIMAL goes through
+      // Double.toString (17 sig digits) and would diverge from
+      // DuckDB's exact cast there. Only the ACCUMULATOR is widened
+      // (DECIMAL(38,0) / HUGEINT) — szz·1e4 is ~1e18 at bench scale,
+      // so k terms overflow a BIGINT sum at ~2× data.
       val pooled = mom.agg(
         sum("n_g").as("n"), count(lit(1)).as("k"),
         sum("sz").as("szt"),
-        sum(expr(s"CAST(${Ql.R("10000.0 * (szz - CAST(sz AS DOUBLE) * sz / n_g)", 0)} AS DECIMAL(38,0))")).as("ssw_u"),
-        sum(expr(s"CAST(${Ql.R("10000.0 * (CAST(sz AS DOUBLE) * sz / n_g)", 0)} AS DECIMAL(38,0))")).as("sb0_u"))
+        sum(expr(s"CAST(${Ql.R("10000.0 * (szz - CAST(sz AS DOUBLE) * sz / n_g)", 0)} AS BIGINT)")
+          .cast("decimal(38,0)")).as("ssw_u"),
+        sum(expr(s"CAST(${Ql.R("10000.0 * (CAST(sz AS DOUBLE) * sz / n_g)", 0)} AS BIGINT)")
+          .cast("decimal(38,0)")).as("sb0_u"))
         .selectExpr("n", "k",
           // SSB = Σ sz²/n_g − (Σsz)²/N (exact-integer inputs, IEEE ops)
           "CAST(sb0_u AS DOUBLE) / 1e4 - CAST(szt AS DOUBLE) * szt / n AS ssb",
@@ -2727,8 +2735,8 @@ object StatQueries extends QueryModule {
           FROM (
             SELECT CAST(sum(n_g) AS BIGINT) AS n, count(*) AS k,
                    CAST(sum(sz) AS BIGINT) AS szt,
-                   sum(CAST(${Ql.R("10000.0 * (CAST(sz AS DOUBLE) * sz / n_g)", 0)} AS HUGEINT)) AS sb0_u,
-                   sum(CAST(${Ql.R("10000.0 * (szz - CAST(sz AS DOUBLE) * sz / n_g)", 0)} AS HUGEINT)) AS ssw_u
+                   sum(CAST(${Ql.R("10000.0 * (CAST(sz AS DOUBLE) * sz / n_g)", 0)} AS BIGINT)) AS sb0_u,
+                   sum(CAST(${Ql.R("10000.0 * (szz - CAST(sz AS DOUBLE) * sz / n_g)", 0)} AS BIGINT)) AS ssw_u
             FROM mom)))
       SELECT event_type, n_g,
              ${Ql.R("med / 100.0", 2)} AS median,

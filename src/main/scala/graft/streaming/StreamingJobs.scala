@@ -1506,12 +1506,14 @@ object StreamingJobs {
     */
   /** Compacted cross-batch history set for [[curationPipelineSink]] —
     * an append-only keyed set stored as parquet with the
-    * [[upsertSink]] generation/pointer discipline, all filesystem
-    * access through the Hadoop FS API (works on HDFS/S3, not just a
-    * driver-local disk).
+    * [[upsertSink]] immutable-generation discipline (resolution by
+    * `_SUCCESS` completeness rather than a pointer file: `read(B)`
+    * must resolve generation ids < B, which a newest-wins pointer
+    * cannot express), all filesystem access through the Hadoop FS API
+    * (works on HDFS/S3, not just a driver-local disk).
     *
     * Layout under `root/`: `gen-<b>/` compacted snapshots (complete =
-    * `_SUCCESS`), `_CURRENT` pointer, `delta/batch=<i>/` per-batch
+    * `_SUCCESS`), `delta/batch=<i>/` per-batch
     * contributions since the last snapshot. Every `compactEvery`-th
     * batch folds snapshot + deltas + its own contribution into a new
     * generation and prunes; between compactions a batch appends one
@@ -1553,16 +1555,27 @@ object StreamingJobs {
         history: Option[DataFrame]): Unit = {
       if ((batchId + 1) % compactEvery == 0) {
         val all = history.map(_.unionByName(contribution)).getOrElse(contribution)
+        // a generation is resolvable the moment Spark's job commit drops
+        // _SUCCESS — genIds() is the single source of truth, no pointer
+        // file (read(B) must resolve gen ids < B, which a newest-wins
+        // pointer cannot express)
         all.distinct().write.mode("overwrite").parquet(s"$root/gen-$batchId")
-        commitPointer(spark, root, s"gen-$batchId")
         val stale = genIds().sorted.dropRight(2)
         stale.foreach(g => fs.delete(p(s"gen-$g"), true))
         // deltas at or below the PREVIOUS snapshot are covered by both
         // retained generations; newer ones must survive until this
-        // batch commits (a replay of batch B re-reads them)
+        // batch commits (a replay of batch B re-reads them). ONE
+        // listStatus of delta/ (bounded at ~2·compactEvery entries by
+        // this very pruning), not an exists() probe per historic batch
+        // id — per-compaction metadata calls stay O(compactEvery).
         val prevGen = genIds().filter(_ < batchId).sorted.lastOption.getOrElse(-1L)
-        (0L to prevGen).map(i => s"delta/batch=$i")
-          .filter(d => fs.exists(p(d))).foreach(d => fs.delete(p(d), true))
+        if (fs.exists(p("delta")))
+          fs.listStatus(p("delta")).map(_.getPath)
+            .filter { d =>
+              val n = d.getName
+              n.startsWith("batch=") && n.stripPrefix("batch=").toLong <= prevGen
+            }
+            .foreach(fs.delete(_, true))
       } else {
         contribution.write.mode("overwrite").parquet(s"$root/delta/batch=$batchId")
       }
