@@ -1520,7 +1520,13 @@ object StreamingJobs {
     * delta. Per-batch READ volume is therefore bounded by
     * 1 + (compactEvery − 1) directories at any stream age — the r12
     * design read `batch=0..B−1`, O(B) dirs per batch and O(B²) over a
-    * stream's life.
+    * stream's life. The trade is explicit: compaction rewrites the
+    * full history every compactEvery batches (amortized
+    * O(history/compactEvery) bytes written per batch — standard
+    * parquet-table compaction cost, tunable by the cadence) in
+    * exchange for bounded read fan-in; a history bigger than periodic
+    * rewrites tolerate belongs in transformWithState/RocksDB, whose
+    * LSM pays the same compaction cost incrementally.
     *
     * Replay safety (exactly-once): `read(B)` only ever resolves
     * generations with id < B plus deltas with id < B, so a batch
