@@ -526,6 +526,103 @@ object CurationQueries extends QueryModule {
       FROM f GROUP BY 1 ORDER BY 1
     """))
 
+  /** Gate-rule ablation over the SAME [[gopherSignals]] flags the served
+    * gate applies: per rule, how many docs fail it, how many it UNIQUELY
+    * kills (fails this rule, passes the other three — the docs the
+    * corpus loses to this rule alone), and the keep count if the rule
+    * were dropped. This is the report a gate owner reads before
+    * loosening a rule: a rule whose kills are all shared with other
+    * rules is free to remove; one with a large unique-kill mass is
+    * load-bearing. n_kept_without − n_kept ≡ n_unique_kills by
+    * construction — the identity is left visible as a cross-check. One
+    * corpus scan into a 1-row moment aggregate, unpivoted to 4 rows.
+    */
+  private val gopherRuleAblation = QueryDef(
+    "q_gopher_rule_ablation",
+    (spark, sfDir) => {
+      val d = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), col("source"))
+      val a = gopherSignals(d.unionByName(gopherPlants(spark)))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("keep").cast("long")).as("n_kept"),
+          sum((!col("wc_ok")).cast("long")).as("fail_wc"),
+          sum((!col("wc_ok") && col("ml_ok") && col("st_ok") && col("dg_ok")).cast("long")).as("only_wc"),
+          sum((col("ml_ok") && col("st_ok") && col("dg_ok")).cast("long")).as("kept_wo_wc"),
+          sum((!col("ml_ok")).cast("long")).as("fail_ml"),
+          sum((!col("ml_ok") && col("wc_ok") && col("st_ok") && col("dg_ok")).cast("long")).as("only_ml"),
+          sum((col("wc_ok") && col("st_ok") && col("dg_ok")).cast("long")).as("kept_wo_ml"),
+          sum((!col("st_ok")).cast("long")).as("fail_st"),
+          sum((!col("st_ok") && col("wc_ok") && col("ml_ok") && col("dg_ok")).cast("long")).as("only_st"),
+          sum((col("wc_ok") && col("ml_ok") && col("dg_ok")).cast("long")).as("kept_wo_st"),
+          sum((!col("dg_ok")).cast("long")).as("fail_dg"),
+          sum((!col("dg_ok") && col("wc_ok") && col("ml_ok") && col("st_ok")).cast("long")).as("only_dg"),
+          sum((col("wc_ok") && col("ml_ok") && col("st_ok")).cast("long")).as("kept_wo_dg"))
+      a.selectExpr("n_docs", "n_kept",
+        "stack(4, " +
+          "'digits', fail_dg, only_dg, kept_wo_dg, " +
+          "'meanlen', fail_ml, only_ml, kept_wo_ml, " +
+          "'stopwords', fail_st, only_st, kept_wo_st, " +
+          "'wordcount', fail_wc, only_wc, kept_wo_wc" +
+          ") AS (rule, n_fail, n_unique_kills, n_kept_without)")
+        .selectExpr("rule", "n_docs", "n_kept", "n_fail", "n_unique_kills",
+          "n_kept_without",
+          s"${Ql.R("CAST(n_unique_kills AS DOUBLE) / n_docs", 6)} AS unique_kill_rate")
+        .orderBy("rule")
+    },
+    Some(s"""
+      WITH plants AS (
+        SELECT * FROM (VALUES
+          (300000, 'tiny stub doc here now', 'planted'),
+          (300001, array_to_string(list_transform(generate_series(1, 30), i -> repeat('a', 20)), ' '), 'planted'),
+          (300002, array_to_string(list_transform(generate_series(1, 30), i -> CAST(i * 37 AS VARCHAR)), ' '), 'planted'),
+          (300003, array_to_string(list_transform(generate_series(1, 30), i -> substring('abcdefghij', 1 + i % 10, 1)), ' '), 'planted')
+        ) AS v(doc_id, text, source)),
+      u AS (SELECT doc_id, text, source FROM documents
+            UNION ALL SELECT doc_id, text, source FROM plants),
+      sig AS (
+        SELECT len(toks) AS n_words,
+               list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS mean_len,
+               len(list_distinct(list_intersect(toks, $stopList))) AS n_stop,
+               len(list_filter(toks, x -> translate(x, '0123456789', '') = '')) * 1.0
+                 / len(toks) AS digit_frac
+        FROM (SELECT string_split(text, ' ') AS toks FROM u)),
+      f AS (
+        SELECT (n_words >= 20 AND n_words <= 1000) AS wc_ok,
+               (mean_len >= 3.0 AND mean_len <= 10.0) AS ml_ok,
+               (n_stop >= 2) AS st_ok,
+               (digit_frac <= 0.2) AS dg_ok
+        FROM sig),
+      a AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(CASE WHEN wc_ok AND ml_ok AND st_ok AND dg_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN NOT wc_ok THEN 1 ELSE 0 END) AS BIGINT) AS fail_wc,
+               CAST(sum(CASE WHEN NOT wc_ok AND ml_ok AND st_ok AND dg_ok THEN 1 ELSE 0 END) AS BIGINT) AS only_wc,
+               CAST(sum(CASE WHEN ml_ok AND st_ok AND dg_ok THEN 1 ELSE 0 END) AS BIGINT) AS kept_wo_wc,
+               CAST(sum(CASE WHEN NOT ml_ok THEN 1 ELSE 0 END) AS BIGINT) AS fail_ml,
+               CAST(sum(CASE WHEN NOT ml_ok AND wc_ok AND st_ok AND dg_ok THEN 1 ELSE 0 END) AS BIGINT) AS only_ml,
+               CAST(sum(CASE WHEN wc_ok AND st_ok AND dg_ok THEN 1 ELSE 0 END) AS BIGINT) AS kept_wo_ml,
+               CAST(sum(CASE WHEN NOT st_ok THEN 1 ELSE 0 END) AS BIGINT) AS fail_st,
+               CAST(sum(CASE WHEN NOT st_ok AND wc_ok AND ml_ok AND dg_ok THEN 1 ELSE 0 END) AS BIGINT) AS only_st,
+               CAST(sum(CASE WHEN wc_ok AND ml_ok AND dg_ok THEN 1 ELSE 0 END) AS BIGINT) AS kept_wo_st,
+               CAST(sum(CASE WHEN NOT dg_ok THEN 1 ELSE 0 END) AS BIGINT) AS fail_dg,
+               CAST(sum(CASE WHEN NOT dg_ok AND wc_ok AND ml_ok AND st_ok THEN 1 ELSE 0 END) AS BIGINT) AS only_dg,
+               CAST(sum(CASE WHEN wc_ok AND ml_ok AND st_ok THEN 1 ELSE 0 END) AS BIGINT) AS kept_wo_dg
+        FROM f)
+      SELECT rule, n_docs, n_kept, n_fail, n_unique_kills, n_kept_without,
+             ${Ql.R("CAST(n_unique_kills AS DOUBLE) / n_docs", 6)} AS unique_kill_rate
+      FROM (
+        SELECT 'digits' AS rule, n_docs, n_kept, fail_dg AS n_fail,
+               only_dg AS n_unique_kills, kept_wo_dg AS n_kept_without FROM a
+        UNION ALL
+        SELECT 'meanlen', n_docs, n_kept, fail_ml, only_ml, kept_wo_ml FROM a
+        UNION ALL
+        SELECT 'stopwords', n_docs, n_kept, fail_st, only_st, kept_wo_st FROM a
+        UNION ALL
+        SELECT 'wordcount', n_docs, n_kept, fail_wc, only_wc, kept_wo_wc FROM a)
+      ORDER BY rule
+    """))
+
   /** PII detection + redaction — the scrubbing pass every training
     * pipeline runs before anything else sees the text. Email and phone
     * patterns stay inside the REGEX DIALECT both engines share
@@ -701,5 +798,6 @@ object CurationQueries extends QueryModule {
   override def defs: Seq[QueryDef] =
     Seq(segmentDedup, repetitionFilter, domainBudget, wordEntropy,
       globalOrdinals, chi2Terms, klDivergence, dupGramCoverage,
-      gopherQuality, piiRedact, mixWeights, tokenBudgetPlan)
+      gopherQuality, gopherRuleAblation, piiRedact, mixWeights,
+      tokenBudgetPlan)
 }

@@ -1100,6 +1100,58 @@ object DedupQueries extends QueryModule {
       """))
   }
 
+  /** Split-leakage audit: near-duplicate candidate pairs that STRADDLE
+    * the train/val/test boundary after the pipeline's deterministic
+    * doc_id-hash split — the within-corpus contamination doc-level
+    * splitting cannot see (a val doc that is a near-dup of a train doc
+    * inflates eval exactly like benchmark contamination; cf. Lee et al.
+    * 2022's dedup-before-split finding, public). Composes the SERVED
+    * detectors: [[lshBandPairs]] for the candidate surface and
+    * [[SamplingQueries.bucketExpr]]'s 80/10/10 assignment — so the
+    * leak count measures the actual pipeline's residual risk, not a
+    * hypothetical one. Pairs are canonicalized (split_a ≤ split_b
+    * lexically) into a ≤6-row matrix with each cell's share of all
+    * candidates; `is_leak` marks the off-diagonal cells. Everything
+    * after the band join is candidate-sized.
+    */
+  private val splitLeakage: QueryDef = {
+    def splitOf(bucket: String) =
+      s"CASE WHEN ($bucket) < 80 THEN 'train' WHEN ($bucket) < 90 THEN 'val' ELSE 'test' END"
+    QueryDef(
+      "q_split_leakage",
+      (spark, sfDir) => {
+        val withSplits = lshBandPairs(spark, sfDir)
+          .withColumn("s1", expr(splitOf(SamplingQueries.bucketExpr("d1"))))
+          .withColumn("s2", expr(splitOf(SamplingQueries.bucketExpr("d2"))))
+          .withColumn("split_a", least(col("s1"), col("s2")))
+          .withColumn("split_b", greatest(col("s1"), col("s2")))
+        val tot = withSplits.agg(count(lit(1)).as("n_total"))
+        withSplits.groupBy("split_a", "split_b")
+          .agg(count(lit(1)).as("n_pairs"))
+          .crossJoin(broadcast(tot))
+          .selectExpr("split_a", "split_b",
+            "CAST(split_a != split_b AS INT) AS is_leak", "n_pairs",
+            s"${Ql.R("100.0 * n_pairs / n_total", 4)} AS pct_of_candidates")
+          .orderBy("split_a", "split_b")
+      },
+      Some(s"""
+        WITH $lshCandSql,
+        sp AS (
+          SELECT least(s1, s2) AS split_a, greatest(s1, s2) AS split_b
+          FROM (
+            SELECT ${splitOf(SamplingQueries.bucketSql("d1"))} AS s1,
+                   ${splitOf(SamplingQueries.bucketSql("d2"))} AS s2
+            FROM cand)),
+        g AS (SELECT split_a, split_b, count(*) AS n_pairs FROM sp GROUP BY 1, 2),
+        tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n_total FROM g)
+        SELECT split_a, split_b,
+               CAST(split_a != split_b AS INT) AS is_leak, n_pairs,
+               ${Ql.R("100.0 * n_pairs / n_total", 4)} AS pct_of_candidates
+        FROM g CROSS JOIN tot
+        ORDER BY 1, 2
+      """))
+  }
+
   /** Stratified capture–recapture (Sekar & Deming 1949, public): the
     * remedy for [[captureRecapture]]'s documented homogeneity bias,
     * MEASURED instead of caveated. Under banding the capture
@@ -1564,5 +1616,6 @@ object DedupQueries extends QueryModule {
     dedupNgramJaccard, dedupEmbed, fuzzyJoin, containment, sortedNeighborhood,
     dedupRecall, ngramNovelty, minhashCalibration, cdcChunkDedup,
     crossSourceOverlap, captureRecapture, captureRecaptureStratified,
-    shingleDfProfile, lshBucketOccupancy, thresholdSweep, bandingPlanner)
+    splitLeakage, shingleDfProfile, lshBucketOccupancy, thresholdSweep,
+    bandingPlanner)
 }

@@ -22,7 +22,7 @@ object SamplingQueries extends QueryModule {
     s"${Ql.md5PrefixLong(s"CAST($key AS STRING)", 4)} % 100"
 
   /** DuckDB twin of [[bucketExpr]]. */
-  private def bucketSql(key: String): String =
+  private[graft] def bucketSql(key: String): String =
     s"${Ql.Md5PrefixLong(s"CAST($key AS VARCHAR)", 4)} % 100"
 
   /** 80/10/10 train/val/test split of events, pinned by event_id hash:

@@ -248,6 +248,71 @@ object TextQueries extends QueryModule {
       FROM d GROUP BY 1, 2 ORDER BY 1, 2
     """))
 
+  /** I8 tuning: quality-threshold sweep — the q_dedup_threshold_sweep
+    * instrument pointed at the quality gate instead of the dedup stage
+    * (CCNet-style filter calibration, Wenzek et al. 2020, public): for
+    * each cutoff t ∈ {0.4..0.8} over q_quality_score's combined score,
+    * how many documents and tokens survive — the doc/token keep-rate
+    * curve a corpus owner reads before picking the production cutoff.
+    * The keep test is EXACT integer arithmetic: score =
+    * (3·min(n,100)·n + 400·u + 300·(n−s)) / (1000·n) over token count
+    * n, distinct count u, stopword count s, so score ≥ t10/10 ⇔
+    * score_num ≥ t10·100·n — no float thresholding to flake an engine
+    * at a cutoff boundary. One corpus scan × a 5-row literal grid.
+    */
+  private val qualityThresholdSweep = QueryDef(
+    "q_quality_threshold_sweep",
+    (spark, sfDir) => {
+      val d = Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          size(col("toks")).cast("long").as("n"),
+          size(array_distinct(col("toks"))).cast("long").as("u"),
+          expr(s"CAST(size(filter(toks, x -> array_contains($stopArr, x))) AS BIGINT)").as("s"))
+        .withColumn("score_num",
+          expr("3 * least(n, 100) * n + 400 * u + 300 * (n - s)"))
+      val totals = d.agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+      val kept = d
+        .select(col("n"), col("score_num"),
+          explode(expr("array(4L, 5L, 6L, 7L, 8L)")).as("t10"))
+        .filter(col("score_num") >= col("t10") * lit(100L) * col("n"))
+        .groupBy("t10")
+        .agg(count(lit(1)).as("n_kept"), sum("n").as("tokens_kept"))
+      spark.range(1)
+        .select(explode(expr("array(4L, 5L, 6L, 7L, 8L)")).as("t10"))
+        .join(kept, Seq("t10"), "left")
+        .crossJoin(broadcast(totals))
+        .selectExpr("CAST(t10 AS DOUBLE) / 10 AS threshold",
+          "CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept",
+          "n_docs",
+          s"${Ql.R("CAST(coalesce(n_kept, 0) AS DOUBLE) / n_docs", 6)} AS doc_keep_rate",
+          "CAST(coalesce(tokens_kept, 0) AS BIGINT) AS tokens_kept",
+          s"${Ql.R("CAST(coalesce(tokens_kept, 0) AS DOUBLE) / n_tokens", 6)} AS token_keep_rate")
+        .orderBy("threshold")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT n, u, s, 3 * least(n, 100) * n + 400 * u + 300 * (n - s) AS score_num
+        FROM (SELECT CAST(len(toks) AS BIGINT) AS n,
+                     CAST(len(list_distinct(toks)) AS BIGINT) AS u,
+                     CAST(len(list_filter(toks, x -> list_contains($stopList, x))) AS BIGINT) AS s
+              FROM (SELECT string_split(text, ' ') AS toks FROM documents))),
+      grid AS (SELECT CAST(unnest([4, 5, 6, 7, 8]) AS BIGINT) AS t10),
+      k AS (
+        SELECT t10, count(*) AS n_kept, CAST(sum(n) AS BIGINT) AS tokens_kept
+        FROM d JOIN grid ON score_num >= t10 * 100 * n
+        GROUP BY 1),
+      tot AS (SELECT count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens FROM d)
+      SELECT CAST(g.t10 AS DOUBLE) / 10 AS threshold,
+             CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+             tot.n_docs,
+             ${Ql.R("CAST(coalesce(k.n_kept, 0) AS DOUBLE) / tot.n_docs", 6)} AS doc_keep_rate,
+             CAST(coalesce(k.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+             ${Ql.R("CAST(coalesce(k.tokens_kept, 0) AS DOUBLE) / tot.n_tokens", 6)} AS token_keep_rate
+      FROM grid g LEFT JOIN k ON g.t10 = k.t10 CROSS JOIN tot
+      ORDER BY threshold
+    """))
+
   /** I5: token counting — whitespace tokens plus a BPE-ish estimate
     * (⌈len/4⌉ subword units per word, integer arithmetic only).
     */
@@ -1327,7 +1392,8 @@ object TextQueries extends QueryModule {
     """))
 
   override def defs: Seq[QueryDef] = Seq(
-    textStats, tfidf, langId, qualityScore, tokenCount, fingerprint,
+    textStats, tfidf, langId, qualityScore, qualityThresholdSweep,
+    tokenCount, fingerprint,
     langRoute, bpeMerges, bm25, pmiBigrams, lmPerplexity, zipfSlope,
     langIdF1, invertedIndex, featureHashing, heapsLaw, sparseCosinePairs,
     ttrProfile, vocabCoverage, goodTuring, kneserNey, powerLawMle,
