@@ -104,7 +104,9 @@ object Bench {
         // whole deduped corpus (q_dedup_minhash cost family); stratified
         // capture-recapture runs TWO hash-family passes plus the exact
         // scorer (the q_capture_recapture + q_dedup_recall cost family)
-        "q_curation_pipeline_lsh", "q_capture_recapture_stratified")
+        "q_curation_pipeline_lsh", "q_capture_recapture_stratified",
+        // r13: runs the full edge-build + CC loop (q_dedup_clusters family)
+        "q_dedup_cluster_profile")
     (lightWarm ++ heavyWarm)
       .filter(SparkEntry.queries.contains)
       .foreach { n =>

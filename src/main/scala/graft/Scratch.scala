@@ -38,9 +38,9 @@ object Scratch {
         .select(col("doc_id"), expr(operators.Ql.md5PrefixLong("sh0", 14)).as("sh"))
         .distinct()
       t("psh distinct")(psh.count())
-      val dfTab = psh.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 100).select("sh")
-      val rare = psh.join(broadcast(dfTab), "sh")
+      val hotTab = psh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 100).select("sh")
+      val rare = psh.join(broadcast(hotTab), Seq("sh"), "left_anti")
       val e = rare.select(col("sh"), col("doc_id").as("d1"))
         .join(rare.select(col("sh"), col("doc_id").as("d2")), "sh")
         .filter(col("d1") < col("d2"))

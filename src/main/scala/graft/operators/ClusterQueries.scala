@@ -40,11 +40,13 @@ object ClusterQueries extends QueryModule {
     // shingles (df > 100) before the self-join; a boilerplate prefix
     // ("terms of service …") carries no clustering signal. No-op on this
     // corpus, load-bearing at 100 TB. psh is distinct per (doc_id, sh),
-    // so count(*) per sh IS the document frequency; the df table is tiny
-    // (distinct shingles) and broadcast back.
-    val dfTab = psh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 100).select("sh")
-    val rare = psh.join(broadcast(dfTab), "sh")
+    // so count(*) per sh IS the document frequency. Broadcast the df>100
+    // HOT exclusion set and left_anti — never the rare side, which is
+    // ~the whole prefix-shingle vocabulary under a Zipfian law (the r13
+    // shingleIntersections inversion, applied to its sibling here).
+    val hotTab = psh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > 100).select("sh")
+    val rare = psh.join(broadcast(hotTab), Seq("sh"), "left_anti")
     rare.select(col("sh"), col("doc_id").as("d1"))
       .join(rare.select(col("sh"), col("doc_id").as("d2")), "sh")
       .filter(col("d1") < col("d2"))
@@ -252,5 +254,61 @@ object ClusterQueries extends QueryModule {
       FROM ranked GROUP BY 1 ORDER BY 1
     """))
 
-  override def defs: Seq[QueryDef] = Seq(dedupClusters, dedupCanonical)
+  /** Cluster-SIZE profile of the duplicate graph — the power-law readout
+    * a dedup owner checks before trusting the canonical pass: per
+    * component size, how many clusters and documents live there and each
+    * size's share of all clustered docs. A healthy near-dup graph is
+    * dominated by pairs/triples; mass migrating into large components
+    * means the blocking key got too weak (template collapse) and the
+    * keep-one-per-cluster rule is about to delete real content. Profile
+    * covers CLUSTERED docs only — singletons never enter the edge list
+    * by construction (no candidate edge ⇒ nothing to decide). Runs the
+    * same [[edges]] + [[connectedComponents]] machinery the served
+    * decisions use; everything past the labels is cluster-count-sized.
+    */
+  private val dedupClusterProfile = QueryDef(
+    "q_dedup_cluster_profile",
+    (spark, sfDir) => {
+      val e = edges(spark, sfDir).cache()
+      val parts = math.max(1, (e.count() / 500000L).toInt)
+      val adj = e.select(col("d1").as("a"), col("d2").as("b"))
+        .unionByName(e.select(col("d2").as("a"), col("d1").as("b")))
+        .repartition(parts)
+        .cache()
+      val (labels, _) = connectedComponents(adj)
+      e.unpersist(false)
+      adj.unpersist(false)
+      val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+        .localCheckpoint(true) // cluster-count-sized; CC inputs released
+      val tot = sizes.agg(sum(col("cluster_size")).as("n_docs_total"))
+      sizes.groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"))
+        .crossJoin(broadcast(tot))
+        .selectExpr("cluster_size", "n_clusters",
+          "cluster_size * n_clusters AS n_docs",
+          s"${Ql.R("100.0 * cluster_size * n_clusters / n_docs_total", 4)} AS doc_pct")
+        .orderBy("cluster_size")
+    },
+    Some(s"""
+      $edgesSql,
+      adj AS (SELECT d1 AS a, d2 AS b FROM edges
+              UNION ALL SELECT d2, d1 FROM edges),
+      nodes AS (SELECT DISTINCT a AS id FROM adj),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT adj.b, reach.r FROM reach JOIN adj ON reach.id = adj.a),
+      labels AS (SELECT id, min(r) AS lbl FROM reach GROUP BY 1),
+      sizes AS (SELECT lbl, count(*) AS cluster_size FROM labels GROUP BY 1),
+      tot AS (SELECT CAST(sum(cluster_size) AS BIGINT) AS n_docs_total FROM sizes)
+      SELECT cluster_size, count(*) AS n_clusters,
+             CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+             ${Ql.R("100.0 * cluster_size * count(*) / any_value(n_docs_total)", 4)} AS doc_pct
+      FROM sizes CROSS JOIN tot
+      GROUP BY cluster_size
+      ORDER BY cluster_size
+    """))
+
+  override def defs: Seq[QueryDef] =
+    Seq(dedupClusters, dedupCanonical, dedupClusterProfile)
 }

@@ -428,6 +428,36 @@ object PipelineQueries extends QueryModule {
       FROM packed GROUP BY 1 ORDER BY 1
     """))
 
+  /** Shard MANIFEST over the [[curationKeepList]] decision — the
+    * operational artifact a training-data reader actually consumes:
+    * one row per (split, source, shard) with its document count, token
+    * total, and doc_id range, in deterministic order. q_shard_balance
+    * summarizes the packing's distribution; this IS the packing, ready
+    * to drive readers, resumable ingestion, and per-shard integrity
+    * checks. Output is shard-count-sized — at 100 TB that is the
+    * manifest itself (millions of rows, not corpus-sized), produced by
+    * one aggregation over the shared keep-list.
+    */
+  private val shardManifest = QueryDef(
+    "q_shard_manifest",
+    (spark, sfDir) =>
+      curationKeepList(Tables.documents(spark, sfDir))
+        .groupBy("split", "source", "shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("tokens"),
+          min(col("doc_id")).as("min_doc_id"),
+          max(col("doc_id")).as("max_doc_id"))
+        .orderBy("split", "source", "shard"),
+    Some(s"""
+      WITH $keepListSql
+      SELECT split, source, shard, count(*) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS tokens,
+             CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+             CAST(max(doc_id) AS BIGINT) AS max_doc_id
+      FROM packed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """))
+
   /** Shard-packing balance audit over the [[curationKeepList]] decision —
     * the load-leveling readout a 100 TB training run reads before
     * launching: per split, how many shards the packing produced, the
@@ -674,5 +704,5 @@ object PipelineQueries extends QueryModule {
   override def defs: Seq[QueryDef] =
     Seq(packSequences, docChunks, contamination, sampleReservoir,
       curationPipeline, curationPipelineLsh, negativeSampling, shardBalance,
-      dedupSourceBias, dataConstrainedScaling)
+      shardManifest, dedupSourceBias, dataConstrainedScaling)
 }

@@ -978,8 +978,91 @@ object SimilarityQueries extends QueryModule {
     """
     })
 
+  /** Embedding-table QA audit — the ingest gate every ANN/semantic-dedup
+    * stage should run before trusting a vendor's vectors: per label, row
+    * and dimension counts (dim_min = dim_max pins a ragged table), zero
+    * vectors (cosine-undefined; they silently match nothing or
+    * everything depending on the scorer), NaN carriers, and the L2-norm
+    * profile (un-normalized embeddings break dot-for-cosine shortcuts).
+    * Two planted defect rows under label −1 — a zero vector and a NaN
+    * carrier — keep every defect column's nonzero path exercised. Norms
+    * use the SERVED codegen dot ([[Vectors.dot]], the q_similar_topk
+    * scorer), are rounded at 6 dp, and the per-label mean folds
+    * micro-unit BIGINTs (order-independent; NaN rows excluded from norm
+    * stats, counted separately). One corpus scan, label-sized output.
+    */
+  private val embeddingNormAudit = QueryDef(
+    "q_embedding_norm_audit",
+    (spark, sfDir) => {
+      val plants = spark.range(2).selectExpr(
+        "id + 900000 AS vec_id",
+        """transform(sequence(1, 64),
+             i -> CAST(CASE WHEN id = 1 AND i = 1 THEN 'NaN' ELSE '0' END AS FLOAT))
+           AS embedding""",
+        "CAST(-1 AS INT) AS label")
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .unionByName(plants)
+        .withColumn("dim", size(col("embedding")))
+        .withColumn("ss",
+          graft.functions.Vectors.dot(
+            graft.functions.Vectors.toDouble(col("embedding")),
+            graft.functions.Vectors.toDouble(col("embedding"))))
+        .withColumn("is_nan", isnan(col("ss")))
+        .withColumn("norm", when(!col("is_nan"), Ql.r(sqrt(col("ss")), 6)))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          min("dim").as("dim_min"), max("dim").as("dim_max"),
+          sum(col("is_nan").cast("long")).as("n_nan_vecs"),
+          sum((!col("is_nan") && col("ss") === 0.0).cast("long")).as("n_zero_vecs"),
+          sum(expr(s"CAST(${Ql.R("norm * 1000000", 0)} AS BIGINT)")).as("sum_u"),
+          (count(lit(1)) - sum(col("is_nan").cast("long"))).as("fin_n"),
+          min("norm").as("min_norm"), max("norm").as("max_norm"))
+        .selectExpr("label", "n_vecs", "dim_min", "dim_max",
+          "n_nan_vecs", "n_zero_vecs",
+          s"${Ql.R("CAST(sum_u AS DOUBLE) / 1e6 / fin_n", 6)} AS avg_norm",
+          "min_norm", "max_norm")
+        .orderBy("label")
+    },
+    Some(s"""
+      WITH plants AS (
+        SELECT 900000 AS vec_id,
+               list_transform(generate_series(1, 64), i -> CAST(0 AS FLOAT)) AS embedding,
+               -1 AS label
+        UNION ALL
+        SELECT 900001,
+               list_transform(generate_series(1, 64),
+                 i -> CASE WHEN i = 1 THEN CAST('nan' AS FLOAT) ELSE CAST(0 AS FLOAT) END),
+               -1),
+      u AS (SELECT vec_id, embedding, label FROM embeddings
+            UNION ALL SELECT vec_id, embedding, label FROM plants),
+      s AS (
+        SELECT label, len(embedding) AS dim,
+               list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                list_transform(embedding, x -> CAST(x AS DOUBLE))) AS ss
+        FROM u),
+      f AS (
+        SELECT label, dim, isnan(ss) AS is_nan, ss,
+               CASE WHEN NOT isnan(ss) THEN ${Ql.R("sqrt(ss)", 6)} END AS norm
+        FROM s),
+      a AS (
+        SELECT label, count(*) AS n_vecs,
+               CAST(min(dim) AS INT) AS dim_min, CAST(max(dim) AS INT) AS dim_max,
+               CAST(sum(CASE WHEN is_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan_vecs,
+               CAST(sum(CASE WHEN NOT is_nan AND ss = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vecs,
+               CAST(sum(CAST(${Ql.R("norm * 1000000", 0)} AS BIGINT)) AS BIGINT) AS sum_u,
+               CAST(count(*) - sum(CASE WHEN is_nan THEN 1 ELSE 0 END) AS BIGINT) AS fin_n,
+               min(norm) AS min_norm, max(norm) AS max_norm
+        FROM f GROUP BY 1)
+      SELECT label, n_vecs, dim_min, dim_max, n_nan_vecs, n_zero_vecs,
+             ${Ql.R("CAST(sum_u AS DOUBLE) / 1e6 / fin_n", 6)} AS avg_norm,
+             min_norm, max_norm
+      FROM a ORDER BY label
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     similarTopk, knnVote, annIvf, docEmbedJoin, embedQuantize, pqCodes,
     semanticDedup, annIvfPq, annRecall, docOutlier, silhouette,
-    embeddingDrift, mutualKnn, submodularSelect)
+    embeddingDrift, mutualKnn, submodularSelect, embeddingNormAudit)
 }
