@@ -1535,7 +1535,7 @@ object StreamingJobs {
     * compaction at B only deletes deltas the previous generation
     * already covers); every write is an idempotent whole-dir overwrite.
     */
-  private class HistorySet(spark: SparkSession, root: String, compactEvery: Int = 8) {
+  private[graft] class HistorySet(spark: SparkSession, root: String, compactEvery: Int = 8) {
     private val fs = fsFor(spark, root)
     private def p(s: String) = new org.apache.hadoop.fs.Path(s"$root/$s")
     private def complete(gen: String): Boolean =

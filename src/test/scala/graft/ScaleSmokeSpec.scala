@@ -1094,6 +1094,46 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
       s"${(want -- got).take(3)} missing, ${(got -- want).take(3)} extra")
   }
 
+  test("HistorySet replay protocol: a replayed batch always resolves pre-batch state") {
+    import graft.streaming.StreamingJobs
+    // The exactly-once claim, pinned directly instead of argued in
+    // comments: for EVERY batch id — delta batches, the first compaction,
+    // a later compaction — read(B) after write(B) has committed must
+    // still resolve the state as it was BEFORE batch B (Spark only ever
+    // replays the last uncommitted batch, and a replayed foreachBatch
+    // must recompute identical output). Each batch contributes {B}, so
+    // expected read(B) = {0..B-1}; any stale/pruned-too-early dir shows
+    // up as a wrong set. Also pins the bounded-read and bounded-retention
+    // invariants batch by batch.
+    val root = java.nio.file.Files.createTempDirectory("graft_hist").toString
+    val h = new StreamingJobs.HistorySet(spark, root, compactEvery = 4)
+    def contrib(b: Long) = spark.range(b, b + 1).select(col("id").as("k"))
+    def readSet(b: Long): (Set[Long], Int) = {
+      val (df, n) = h.read(b)
+      (df.map(_.select("k").collect().map(_.getLong(0)).toSet).getOrElse(Set.empty), n)
+    }
+    (0L to 10L).foreach { b =>
+      val want = (0L until b).toSet
+      val (pre, nPre) = readSet(b)
+      assert(pre == want, s"batch $b pre-write read: got $pre, want $want")
+      h.write(b, contrib(b), h.read(b)._1)
+      // REPLAY of batch b after its write committed (incl. compactions at
+      // b = 3, 7): the re-read must STILL see only pre-b state
+      val (replay, nReplay) = readSet(b)
+      assert(replay == want,
+        s"REPLAYED batch $b read post-write state: got $replay, want $want")
+      assert(nPre <= 4 && nReplay <= 4,
+        s"batch $b read $nPre/$nReplay dirs — cadence bound (1 gen + 3 deltas) broken")
+      // ... and a replayed WRITE must be idempotent too
+      h.write(b, contrib(b), h.read(b)._1)
+      assert(readSet(b + 1)._1 == (0L to b).toSet,
+        s"double-write of batch $b corrupted the committed state")
+    }
+    val gens = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("gen-")).sorted
+    assert(gens.length <= 2, s"retention must keep <=2 generations, got ${gens.toSeq}")
+  }
+
   test("5M-doc batch curation pipeline: the full keep-list chain at 50x bench scale") {
     // q_curation_pipeline's decision chain (gate → exact dedup → weak-key
     // near-dup → split → shard packing) executed end-to-end at 50× the
