@@ -148,29 +148,52 @@ object ClusterQueries extends QueryModule {
     (labels, rounds)
   }
 
+  /** `labels(id, lbl)` over the candidate-edge graph — the ONE
+    * edges → adjacency → [[connectedComponents]] scaffold all three
+    * cluster queries run, factored so partition sizing and block
+    * hygiene cannot drift between them. Shuffles are sized to the
+    * CANDIDATE GRAPH, not the corpus default: the edge set after
+    * blocking is orders of magnitude smaller than the documents table,
+    * so corpus-sized partition counts just multiply per-round scheduler
+    * overhead (one partition per ~500k edges; the count is a cheap
+    * action on the cached frame). The loop's inputs are dead once the
+    * labels are checkpointed (lineage truncated), so their blocks are
+    * released here instead of taxing every later query in a
+    * bench/verify session.
+    */
+  private def clusterLabels(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = edges(spark, sfDir).cache()
+    val parts = math.max(1, (e.count() / 500000L).toInt)
+    val adj = e.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(e.select(col("d2").as("a"), col("d1").as("b")))
+      .repartition(parts)
+      .cache()
+    val (labels, _) = connectedComponents(adj)
+    e.unpersist(false)
+    adj.unpersist(false)
+    labels
+  }
+
+  /** Oracle twin of [[clusterLabels]]: recursive-CTE transitive closure
+    * ending in `labels(id, lbl)` — appended after [[edgesSql]], shared
+    * by the three cluster oracles.
+    */
+  private val ccSql =
+    """adj AS (SELECT d1 AS a, d2 AS b FROM edges
+              UNION ALL SELECT d2, d1 FROM edges),
+      nodes AS (SELECT DISTINCT a AS id FROM adj),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT adj.b, reach.r FROM reach JOIN adj ON reach.id = adj.a),
+      labels AS (SELECT id, min(r) AS lbl FROM reach GROUP BY 1)"""
+
   private val dedupClusters = QueryDef(
     "q_dedup_clusters",
     (spark, sfDir) => {
-      val e = edges(spark, sfDir).cache()
-      // size the loop's shuffles to the CANDIDATE GRAPH, not the corpus
-      // default: the edge set after blocking is orders of magnitude
-      // smaller than the documents table, so corpus-sized partition counts
-      // just multiply per-round scheduler overhead. One partition per
-      // ~500k edges, and the count is a cheap action on the cached frame.
-      val parts = math.max(1, (e.count() / 500000L).toInt)
-      val adj = e.select(col("d1").as("a"), col("d2").as("b"))
-        .unionByName(e.select(col("d2").as("a"), col("d1").as("b")))
-        .repartition(parts)
-        .cache()
-      val (labels, _) = connectedComponents(adj)
-      // the loop's inputs are dead once labels is checkpointed (lineage
-      // truncated) — release their blocks now instead of taxing every
-      // later query in a bench/verify session
-      e.unpersist(false)
-      adj.unpersist(false)
       // members as a comma-joined string: the verify harness hashes flat
       // scalar columns, so array columns are emitted pre-joined
-      labels
+      clusterLabels(spark, sfDir)
         .groupBy("lbl").agg(count(lit(1)).as("cluster_size"),
           array_join(transform(sort_array(collect_list(col("id"))),
             _.cast("string")), ",").as("members"))
@@ -179,14 +202,7 @@ object ClusterQueries extends QueryModule {
     },
     Some(s"""
       $edgesSql,
-      adj AS (SELECT d1 AS a, d2 AS b FROM edges
-              UNION ALL SELECT d2, d1 FROM edges),
-      nodes AS (SELECT DISTINCT a AS id FROM adj),
-      reach(id, r) AS (
-        SELECT id, id FROM nodes
-        UNION
-        SELECT adj.b, reach.r FROM reach JOIN adj ON reach.id = adj.a),
-      labels AS (SELECT id, min(r) AS lbl FROM reach GROUP BY 1)
+      $ccSql
       SELECT lbl AS cluster, count(*) AS cluster_size,
              array_to_string(list_sort(list(id)), ',') AS members
       FROM labels GROUP BY 1 ORDER BY 1
@@ -206,15 +222,7 @@ object ClusterQueries extends QueryModule {
     "q_dedup_canonical",
     (spark, sfDir) => {
       import org.apache.spark.sql.expressions.Window
-      val e = edges(spark, sfDir).cache()
-      val parts = math.max(1, (e.count() / 500000L).toInt)
-      val adj = e.select(col("d1").as("a"), col("d2").as("b"))
-        .unionByName(e.select(col("d2").as("a"), col("d1").as("b")))
-        .repartition(parts)
-        .cache()
-      val (labels, _) = connectedComponents(adj)
-      e.unpersist(false)
-      adj.unpersist(false)
+      val labels = clusterLabels(spark, sfDir)
       val docs = DedupQueries.withPlants(spark, sfDir)
         .select(col("doc_id").as("id"), length(col("text")).cast("long").as("len"))
       val w = Window.partitionBy("lbl").orderBy(col("len").desc, col("id"))
@@ -233,14 +241,7 @@ object ClusterQueries extends QueryModule {
     },
     Some(s"""
       $edgesSql,
-      adj AS (SELECT d1 AS a, d2 AS b FROM edges
-              UNION ALL SELECT d2, d1 FROM edges),
-      nodes AS (SELECT DISTINCT a AS id FROM adj),
-      reach(id, r) AS (
-        SELECT id, id FROM nodes
-        UNION
-        SELECT adj.b, reach.r FROM reach JOIN adj ON reach.id = adj.a),
-      labels AS (SELECT id, min(r) AS lbl FROM reach GROUP BY 1),
+      $ccSql,
       docs AS (SELECT doc_id AS id, CAST(len(text) AS BIGINT) AS len FROM planted),
       ranked AS (
         SELECT lbl, id, len,
@@ -269,16 +270,8 @@ object ClusterQueries extends QueryModule {
   private val dedupClusterProfile = QueryDef(
     "q_dedup_cluster_profile",
     (spark, sfDir) => {
-      val e = edges(spark, sfDir).cache()
-      val parts = math.max(1, (e.count() / 500000L).toInt)
-      val adj = e.select(col("d1").as("a"), col("d2").as("b"))
-        .unionByName(e.select(col("d2").as("a"), col("d1").as("b")))
-        .repartition(parts)
-        .cache()
-      val (labels, _) = connectedComponents(adj)
-      e.unpersist(false)
-      adj.unpersist(false)
-      val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
+      val sizes = clusterLabels(spark, sfDir)
+        .groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
         .localCheckpoint(true) // cluster-count-sized; CC inputs released
       val tot = sizes.agg(sum(col("cluster_size")).as("n_docs_total"))
       sizes.groupBy("cluster_size")
@@ -291,14 +284,7 @@ object ClusterQueries extends QueryModule {
     },
     Some(s"""
       $edgesSql,
-      adj AS (SELECT d1 AS a, d2 AS b FROM edges
-              UNION ALL SELECT d2, d1 FROM edges),
-      nodes AS (SELECT DISTINCT a AS id FROM adj),
-      reach(id, r) AS (
-        SELECT id, id FROM nodes
-        UNION
-        SELECT adj.b, reach.r FROM reach JOIN adj ON reach.id = adj.a),
-      labels AS (SELECT id, min(r) AS lbl FROM reach GROUP BY 1),
+      $ccSql,
       sizes AS (SELECT lbl, count(*) AS cluster_size FROM labels GROUP BY 1),
       tot AS (SELECT CAST(sum(cluster_size) AS BIGINT) AS n_docs_total FROM sizes)
       SELECT cluster_size, count(*) AS n_clusters,

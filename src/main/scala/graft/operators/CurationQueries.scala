@@ -474,24 +474,15 @@ object CurationQueries extends QueryModule {
       .withColumn("dg_ok", col("digit_frac") <= 0.2)
       .withColumn("keep", col("wc_ok") && col("ml_ok") && col("st_ok") && col("dg_ok"))
 
-  private val gopherQuality = QueryDef(
-    "q_gopher_quality",
-    (spark, sfDir) => {
-      val d = Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("text"), col("source"))
-      gopherSignals(d.unionByName(gopherPlants(spark)))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("keep").cast("long")).as("n_kept"),
-          sum((!col("wc_ok")).cast("long")).as("n_fail_wordcount"),
-          sum((!col("ml_ok")).cast("long")).as("n_fail_meanlen"),
-          sum((!col("st_ok")).cast("long")).as("n_fail_stopwords"),
-          sum((!col("dg_ok")).cast("long")).as("n_fail_digits"),
-          Ql.r(avg(col("mean_len")), 4).as("avg_word_len"))
-        .orderBy("source")
-    },
-    Some(s"""
-      WITH plants AS (
+  /** DuckDB twin of [[gopherSignals]] over documents ∪ [[gopherPlants]]:
+    * CTE chain ending in `f(source, wc_ok, ml_ok, st_ok, dg_ok,
+    * mean_len)` — ONE text shared by the q_gopher_quality and
+    * q_gopher_rule_ablation oracles, so the gate thresholds and the
+    * planted failure docs cannot drift between them (the keepListSql /
+    * lshCandSql discipline).
+    */
+  private val gateFlagsSql =
+    s"""plants AS (
         SELECT * FROM (VALUES
           (300000, 'tiny stub doc here now', 'planted'),
           (300001, array_to_string(list_transform(generate_series(1, 30), i -> repeat('a', 20)), ' '), 'planted'),
@@ -515,7 +506,26 @@ object CurationQueries extends QueryModule {
                (n_stop >= 2) AS st_ok,
                (digit_frac <= 0.2) AS dg_ok,
                mean_len
-        FROM sig)
+        FROM sig)"""
+
+  private val gopherQuality = QueryDef(
+    "q_gopher_quality",
+    (spark, sfDir) => {
+      val d = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), col("source"))
+      gopherSignals(d.unionByName(gopherPlants(spark)))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("keep").cast("long")).as("n_kept"),
+          sum((!col("wc_ok")).cast("long")).as("n_fail_wordcount"),
+          sum((!col("ml_ok")).cast("long")).as("n_fail_meanlen"),
+          sum((!col("st_ok")).cast("long")).as("n_fail_stopwords"),
+          sum((!col("dg_ok")).cast("long")).as("n_fail_digits"),
+          Ql.r(avg(col("mean_len")), 4).as("avg_word_len"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH $gateFlagsSql
       SELECT source, count(*) AS n_docs,
              CAST(sum(CASE WHEN wc_ok AND ml_ok AND st_ok AND dg_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
              CAST(sum(CASE WHEN NOT wc_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordcount,
@@ -571,28 +581,7 @@ object CurationQueries extends QueryModule {
         .orderBy("rule")
     },
     Some(s"""
-      WITH plants AS (
-        SELECT * FROM (VALUES
-          (300000, 'tiny stub doc here now', 'planted'),
-          (300001, array_to_string(list_transform(generate_series(1, 30), i -> repeat('a', 20)), ' '), 'planted'),
-          (300002, array_to_string(list_transform(generate_series(1, 30), i -> CAST(i * 37 AS VARCHAR)), ' '), 'planted'),
-          (300003, array_to_string(list_transform(generate_series(1, 30), i -> substring('abcdefghij', 1 + i % 10, 1)), ' '), 'planted')
-        ) AS v(doc_id, text, source)),
-      u AS (SELECT doc_id, text, source FROM documents
-            UNION ALL SELECT doc_id, text, source FROM plants),
-      sig AS (
-        SELECT len(toks) AS n_words,
-               list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS mean_len,
-               len(list_distinct(list_intersect(toks, $stopList))) AS n_stop,
-               len(list_filter(toks, x -> translate(x, '0123456789', '') = '')) * 1.0
-                 / len(toks) AS digit_frac
-        FROM (SELECT string_split(text, ' ') AS toks FROM u)),
-      f AS (
-        SELECT (n_words >= 20 AND n_words <= 1000) AS wc_ok,
-               (mean_len >= 3.0 AND mean_len <= 10.0) AS ml_ok,
-               (n_stop >= 2) AS st_ok,
-               (digit_frac <= 0.2) AS dg_ok
-        FROM sig),
+      WITH $gateFlagsSql,
       a AS (
         SELECT count(*) AS n_docs,
                CAST(sum(CASE WHEN wc_ok AND ml_ok AND st_ok AND dg_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

@@ -1120,15 +1120,20 @@ object DedupQueries extends QueryModule {
     QueryDef(
       "q_split_leakage",
       (spark, sfDir) => {
-        val withSplits = lshBandPairs(spark, sfDir)
+        // the expensive candidate pipeline runs ONCE into the <=6-row
+        // grouped matrix; the total is a sum over that tiny frame (the
+        // q_lsh_bucket_occupancy discipline), never a second pass that
+        // leans on exchange reuse
+        val g = lshBandPairs(spark, sfDir)
           .withColumn("s1", expr(splitOf(SamplingQueries.bucketExpr("d1"))))
           .withColumn("s2", expr(splitOf(SamplingQueries.bucketExpr("d2"))))
           .withColumn("split_a", least(col("s1"), col("s2")))
           .withColumn("split_b", greatest(col("s1"), col("s2")))
-        val tot = withSplits.agg(count(lit(1)).as("n_total"))
-        withSplits.groupBy("split_a", "split_b")
+          .groupBy("split_a", "split_b")
           .agg(count(lit(1)).as("n_pairs"))
-          .crossJoin(broadcast(tot))
+          .localCheckpoint(true)
+        val tot = g.agg(sum(col("n_pairs")).as("n_total"))
+        g.crossJoin(broadcast(tot))
           .selectExpr("split_a", "split_b",
             "CAST(split_a != split_b AS INT) AS is_leak", "n_pairs",
             s"${Ql.R("100.0 * n_pairs / n_total", 4)} AS pct_of_candidates")

@@ -271,23 +271,24 @@ object TextQueries extends QueryModule {
           expr(s"CAST(size(filter(toks, x -> array_contains($stopArr, x))) AS BIGINT)").as("s"))
         .withColumn("score_num",
           expr("3 * least(n, 100) * n + 400 * u + 300 * (n - s)"))
-      val totals = d.agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
-      val kept = d
-        .select(col("n"), col("score_num"),
+      // every doc yields every grid row, so ONE aggregation produces both
+      // the totals and the conditional keep sums — genuinely one corpus
+      // scan, no second totals pass, no left-join backfill for empty
+      // thresholds
+      d.select(col("n"), col("score_num"),
           explode(expr("array(4L, 5L, 6L, 7L, 8L)")).as("t10"))
-        .filter(col("score_num") >= col("t10") * lit(100L) * col("n"))
         .groupBy("t10")
-        .agg(count(lit(1)).as("n_kept"), sum("n").as("tokens_kept"))
-      spark.range(1)
-        .select(explode(expr("array(4L, 5L, 6L, 7L, 8L)")).as("t10"))
-        .join(kept, Seq("t10"), "left")
-        .crossJoin(broadcast(totals))
+        .agg(
+          count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
+          sum(when(col("score_num") >= col("t10") * lit(100L) * col("n"), 1L)
+            .otherwise(0L)).as("n_kept"),
+          sum(when(col("score_num") >= col("t10") * lit(100L) * col("n"), col("n"))
+            .otherwise(0L)).as("tokens_kept"))
         .selectExpr("CAST(t10 AS DOUBLE) / 10 AS threshold",
-          "CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept",
-          "n_docs",
-          s"${Ql.R("CAST(coalesce(n_kept, 0) AS DOUBLE) / n_docs", 6)} AS doc_keep_rate",
-          "CAST(coalesce(tokens_kept, 0) AS BIGINT) AS tokens_kept",
-          s"${Ql.R("CAST(coalesce(tokens_kept, 0) AS DOUBLE) / n_tokens", 6)} AS token_keep_rate")
+          "n_kept", "n_docs",
+          s"${Ql.R("CAST(n_kept AS DOUBLE) / n_docs", 6)} AS doc_keep_rate",
+          "tokens_kept",
+          s"${Ql.R("CAST(tokens_kept AS DOUBLE) / n_tokens", 6)} AS token_keep_rate")
         .orderBy("threshold")
     },
     Some(s"""
@@ -299,17 +300,17 @@ object TextQueries extends QueryModule {
               FROM (SELECT string_split(text, ' ') AS toks FROM documents))),
       grid AS (SELECT CAST(unnest([4, 5, 6, 7, 8]) AS BIGINT) AS t10),
       k AS (
-        SELECT t10, count(*) AS n_kept, CAST(sum(n) AS BIGINT) AS tokens_kept
-        FROM d JOIN grid ON score_num >= t10 * 100 * n
-        GROUP BY 1),
-      tot AS (SELECT count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens FROM d)
-      SELECT CAST(g.t10 AS DOUBLE) / 10 AS threshold,
-             CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
-             tot.n_docs,
-             ${Ql.R("CAST(coalesce(k.n_kept, 0) AS DOUBLE) / tot.n_docs", 6)} AS doc_keep_rate,
-             CAST(coalesce(k.tokens_kept, 0) AS BIGINT) AS tokens_kept,
-             ${Ql.R("CAST(coalesce(k.tokens_kept, 0) AS DOUBLE) / tot.n_tokens", 6)} AS token_keep_rate
-      FROM grid g LEFT JOIN k ON g.t10 = k.t10 CROSS JOIN tot
+        SELECT t10, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN score_num >= t10 * 100 * n THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN score_num >= t10 * 100 * n THEN n ELSE 0 END) AS BIGINT) AS tokens_kept
+        FROM d CROSS JOIN grid
+        GROUP BY 1)
+      SELECT CAST(t10 AS DOUBLE) / 10 AS threshold,
+             n_kept, n_docs,
+             ${Ql.R("CAST(n_kept AS DOUBLE) / n_docs", 6)} AS doc_keep_rate,
+             tokens_kept,
+             ${Ql.R("CAST(tokens_kept AS DOUBLE) / n_tokens", 6)} AS token_keep_rate
+      FROM k
       ORDER BY threshold
     """))
 
