@@ -243,7 +243,6 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_brown_forsythe", // 1-row pooled-F broadcast onto the |types|-row deviation report
       "q_friedman_test", // 1-row k broadcast + calendar-bounded complete-day table
       "q_cochran_q", // 1-row k / row-total broadcasts onto the |types|-row column totals
-      "q_quality_threshold_sweep", // 1-row (n_docs, n_tokens) totals broadcast onto the 5-row grid
       "q_split_leakage", // 1-row candidate-total broadcast onto the <=6-row split matrix
       "q_capture_recapture_stratified", // 1-row stratified-total aggregate unioned under the <=4-row stratum report
       "q_dedup_cluster_profile") // 1-row clustered-doc total broadcast onto the <=|sizes|-row histogram
