@@ -1114,9 +1114,15 @@ object DedupQueries extends QueryModule {
     * candidates; `is_leak` marks the off-diagonal cells. Everything
     * after the band join is candidate-sized.
     */
+  /** Shared 80/10/10 bucket→split rule (the pipeline's thresholds), one
+    * text spliced into both dialects of every split query so the
+    * boundaries cannot drift.
+    */
+  private def splitCase(bucket: String) =
+    s"CASE WHEN ($bucket) < 80 THEN 'train' WHEN ($bucket) < 90 THEN 'val' ELSE 'test' END"
+
   private val splitLeakage: QueryDef = {
-    def splitOf(bucket: String) =
-      s"CASE WHEN ($bucket) < 80 THEN 'train' WHEN ($bucket) < 90 THEN 'val' ELSE 'test' END"
+    def splitOf(bucket: String) = splitCase(bucket)
     QueryDef(
       "q_split_leakage",
       (spark, sfDir) => {
@@ -1156,6 +1162,163 @@ object DedupQueries extends QueryModule {
         ORDER BY 1, 2
       """))
   }
+
+  /** Cluster-aware split machinery shared by q_split_safe and
+    * q_split_safe_leakage: connected components over the SAME LSH
+    * candidate surface q_split_leakage audits ([[lshBandPairs]]), so
+    * every candidate pair is same-cluster by construction. Returns
+    * (labels(id, lbl), cand(d1, d2)); lbl is the cluster's min doc_id
+    * (the CC fixpoint), so its md5 bucket is exactly "the bucket of the
+    * cluster's min member". Shuffles size to the candidate graph (the
+    * ClusterQueries.clusterLabels discipline — candidate edges are
+    * orders of magnitude below corpus size, CC proven at 5M docs); the
+    * scaffold's pinned blocks are the caller's to release via the
+    * snapshot-and-release pattern.
+    */
+  private def lshClusters(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val cand = lshBandPairs(spark, sfDir).localCheckpoint(true)
+    val parts = math.max(1, (cand.count() / 500000L).toInt)
+    val adj = cand.select(col("d1").as("a"), col("d2").as("b"))
+      .unionByName(cand.select(col("d2").as("a"), col("d1").as("b")))
+      .repartition(parts)
+      .cache()
+    val (labels, _) = ClusterQueries.connectedComponents(adj)
+    adj.unpersist(false)
+    (labels, cand)
+  }
+
+  /** Oracle twin of [[lshClusters]]' label table: recursive-CTE
+    * transitive closure over the `cand` CTE ([[lshCandSql]]), ending in
+    * `labels(id, lbl)` — the ClusterQueries.ccSql shape, here over the
+    * LSH candidate edges.
+    */
+  private val lshCcSql =
+    """adj AS (SELECT d1 AS a, d2 AS b FROM cand
+              UNION ALL SELECT d2, d1 FROM cand),
+      nodes AS (SELECT DISTINCT a AS id FROM adj),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT adj.b, reach.r FROM reach JOIN adj ON reach.id = adj.a),
+      labels AS (SELECT id, min(r) AS lbl FROM reach GROUP BY 1)"""
+
+  /** The REMEDY q_split_leakage exists to motivate (the Lee et al. 2022
+    * dedup-before-split practice, public): assign train/val/test per
+    * DUPLICATE CLUSTER, not per doc. Connected components over the SAME
+    * LSH candidate surface the audit measures give every doc a cluster
+    * label (= the cluster's min doc_id); the split bucket hashes that
+    * label, so both endpoints of every near-dup candidate pair land in
+    * one split and boundary leakage is structurally zero
+    * (q_split_safe_leakage re-runs the audit over this assignment and
+    * finds an empty off-diagonal). Singletons — no candidate edge —
+    * keep the per-doc hash via coalesce(lbl, doc_id), so the 80/10/10
+    * proportions still hold corpus-wide. Reports the per-split profile:
+    * docs, clustered docs, clusters, doc share. Scale shape: CC runs on
+    * the candidate graph; the corpus-side work is one left join against
+    * the candidate-sized label table plus one aggregation.
+    */
+  private val splitSafe: QueryDef = QueryDef(
+    "q_split_safe",
+    (spark, sfDir) => {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val (labels, _) = lshClusters(spark, sfDir)
+      val assigned = withPlants(spark, sfDir).select("doc_id")
+        .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("split",
+          expr(splitCase(SamplingQueries.bucketExpr("coalesce(lbl, doc_id)"))))
+      val pre = sc.getPersistentRDDs.keySet
+      val g = assigned.groupBy("split").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("lbl").isNotNull, 1L).otherwise(0L)).as("n_clustered_docs"),
+          countDistinct(col("lbl")).as("n_clusters"))
+        .localCheckpoint(true) // 3-row report; scaffold blocks released below
+      val mine = sc.getPersistentRDDs.filter {
+        case (id, _) => !before(id) && pre(id) }
+      mine.values.foreach(_.unpersist(blocking = false))
+      val tot = g.agg(sum(col("n_docs")).as("n_total"))
+      g.crossJoin(broadcast(tot))
+        .selectExpr("split", "n_docs", "n_clustered_docs", "n_clusters",
+          s"${Ql.R("100.0 * n_docs / n_total", 4)} AS doc_pct")
+        .orderBy("split")
+    },
+    Some(s"""
+      WITH RECURSIVE $lshCandSql,
+      $lshCcSql,
+      assigned AS (
+        SELECT p.doc_id, l.lbl,
+               ${splitCase(SamplingQueries.bucketSql("coalesce(l.lbl, p.doc_id)"))} AS split
+        FROM $plantsSql p LEFT JOIN labels l ON l.id = p.doc_id),
+      g AS (
+        SELECT split, count(*) AS n_docs,
+               CAST(sum(CASE WHEN lbl IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered_docs,
+               count(DISTINCT lbl) AS n_clusters
+        FROM assigned GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM g)
+      SELECT split, n_docs, n_clustered_docs, n_clusters,
+             ${Ql.R("100.0 * n_docs / n_total", 4)} AS doc_pct
+      FROM g CROSS JOIN tot
+      ORDER BY 1
+    """))
+
+  /** The audit→remedy closure: q_split_leakage's exact measurement
+    * re-run over [[splitSafe]]'s cluster-aware assignment. Both
+    * endpoints of every LSH candidate pair share a connected component
+    * by construction, hence a bucket, hence a split — so the
+    * off-diagonal cells of the split-pair matrix are EMPTY and every
+    * reported row carries is_leak = 0 (q_split_leakage's per-doc
+    * hashing, by contrast, straddles a fixed ~2·80·10+… share of
+    * candidates). Endpoint splits come straight from the label table
+    * (every candidate endpoint is clustered by definition), so the
+    * whole query past the shared scaffold is candidate-sized.
+    */
+  private val splitSafeLeakage: QueryDef = QueryDef(
+    "q_split_safe_leakage",
+    (spark, sfDir) => {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val (labels, cand) = lshClusters(spark, sfDir)
+      val lab = labels.withColumn("split",
+        expr(splitCase(SamplingQueries.bucketExpr("lbl"))))
+      val pre = sc.getPersistentRDDs.keySet
+      val g = cand
+        .join(lab.select(col("id").as("d1"), col("split").as("s1")), "d1")
+        .join(lab.select(col("id").as("d2"), col("split").as("s2")), "d2")
+        .withColumn("split_a", least(col("s1"), col("s2")))
+        .withColumn("split_b", greatest(col("s1"), col("s2")))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .localCheckpoint(true) // <=6-row matrix; scaffold released below
+      val mine = sc.getPersistentRDDs.filter {
+        case (id, _) => !before(id) && pre(id) }
+      mine.values.foreach(_.unpersist(blocking = false))
+      val tot = g.agg(sum(col("n_pairs")).as("n_total"))
+      g.crossJoin(broadcast(tot))
+        .selectExpr("split_a", "split_b",
+          "CAST(split_a != split_b AS INT) AS is_leak", "n_pairs",
+          s"${Ql.R("100.0 * n_pairs / n_total", 4)} AS pct_of_candidates")
+        .orderBy("split_a", "split_b")
+    },
+    Some(s"""
+      WITH RECURSIVE $lshCandSql,
+      $lshCcSql,
+      lab AS (
+        SELECT id, ${splitCase(SamplingQueries.bucketSql("lbl"))} AS split
+        FROM labels),
+      sp AS (
+        SELECT least(a1.split, a2.split) AS split_a,
+               greatest(a1.split, a2.split) AS split_b
+        FROM cand c
+          JOIN lab a1 ON a1.id = c.d1
+          JOIN lab a2 ON a2.id = c.d2),
+      g AS (SELECT split_a, split_b, count(*) AS n_pairs FROM sp GROUP BY 1, 2),
+      tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n_total FROM g)
+      SELECT split_a, split_b,
+             CAST(split_a != split_b AS INT) AS is_leak, n_pairs,
+             ${Ql.R("100.0 * n_pairs / n_total", 4)} AS pct_of_candidates
+      FROM g CROSS JOIN tot
+      ORDER BY 1, 2
+    """))
 
   /** Stratified capture–recapture (Sekar & Deming 1949, public): the
     * remedy for [[captureRecapture]]'s documented homogeneity bias,
@@ -1621,6 +1784,6 @@ object DedupQueries extends QueryModule {
     dedupNgramJaccard, dedupEmbed, fuzzyJoin, containment, sortedNeighborhood,
     dedupRecall, ngramNovelty, minhashCalibration, cdcChunkDedup,
     crossSourceOverlap, captureRecapture, captureRecaptureStratified,
-    splitLeakage, shingleDfProfile, lshBucketOccupancy, thresholdSweep,
-    bandingPlanner)
+    splitLeakage, splitSafe, splitSafeLeakage, shingleDfProfile,
+    lshBucketOccupancy, thresholdSweep, bandingPlanner)
 }

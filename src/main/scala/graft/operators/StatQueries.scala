@@ -2273,7 +2273,11 @@ object StatQueries extends QueryModule {
             s"CAST(${Ql.R("1000000.0 * (st - s) / (ct - c)", 0)} AS BIGINT) AS loo_u")
           .groupBy("st", "ct", "nd")
           .agg(sum(col("loo_u")).as("s1"),
-            sum(col("loo_u").cast("decimal(18,0)") * col("loo_u")).as("s2"))
+            // decimal(20,0) covers the FULL BIGINT range (1e18 would not:
+            // an out-of-range loo_u nulls silently under Spark's
+            // sum-skips-nulls while the HUGEINT oracle keeps the term — a
+            // silent cross-engine divergence instead of a loud overflow)
+            sum(col("loo_u").cast("decimal(20,0)") * col("loo_u")).as("s2"))
           .selectExpr("nd AS n_days",
             s"${Ql.R(theta, 4)} AS rev_per_event",
             s"${Ql.R(se, 6)} AS se_jackknife",

@@ -1540,12 +1540,21 @@ object StreamingJobs {
     private def p(s: String) = new org.apache.hadoop.fs.Path(s"$root/$s")
     private def complete(gen: String): Boolean =
       fs.exists(new org.apache.hadoop.fs.Path(p(gen), "_SUCCESS"))
+    // a stray non-numeric dir under the root (a tool-created scratch
+    // dir, a manually-renamed generation) must be SKIPPED, not parsed:
+    // an unguarded .toLong here throws inside foreachBatch and kills
+    // the stream over a directory the protocol never wrote
+    private def numericSuffix(name: String, prefix: String): Option[Long] = {
+      val s = name.stripPrefix(prefix)
+      if (name.startsWith(prefix) && s.nonEmpty && s.forall(_.isDigit))
+        Some(s.toLong)
+      else None
+    }
     private def genIds(): Seq[Long] =
       if (!fs.exists(new org.apache.hadoop.fs.Path(root))) Seq.empty
       else fs.listStatus(new org.apache.hadoop.fs.Path(root))
         .map(_.getPath.getName).toSeq
-        .filter(_.startsWith("gen-")).filter(complete)
-        .map(_.stripPrefix("gen-").toLong)
+        .flatMap(n => numericSuffix(n, "gen-").filter(_ => complete(n)))
 
     /** (history through batch `batchId`−1, number of dirs read). */
     def read(batchId: Long): (Option[DataFrame], Int) = {
@@ -1556,9 +1565,15 @@ object StreamingJobs {
       (if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*)), dirs.size)
     }
 
-    /** Record this batch's contribution; compact on the cadence. */
+    /** Record this batch's contribution; compact on the cadence.
+      * Returns the rows rewritten by a compaction (the size of the new
+      * generation, read back from the written footers — a metadata-only
+      * count, no second pass over the union), or −1 for a plain delta
+      * batch — so the sink can surface the write-side amortization in
+      * `metrics/batch=<id>` next to the read-side dir counts.
+      */
     def write(batchId: Long, contribution: DataFrame,
-        history: Option[DataFrame]): Unit = {
+        history: Option[DataFrame]): Long = {
       if ((batchId + 1) % compactEvery == 0) {
         val all = history.map(_.unionByName(contribution)).getOrElse(contribution)
         // a generation is resolvable the moment Spark's job commit drops
@@ -1566,6 +1581,7 @@ object StreamingJobs {
         // file (read(B) must resolve gen ids < B, which a newest-wins
         // pointer cannot express)
         all.distinct().write.mode("overwrite").parquet(s"$root/gen-$batchId")
+        val rewritten = spark.read.parquet(s"$root/gen-$batchId").count()
         val stale = genIds().sorted.dropRight(2)
         stale.foreach(g => fs.delete(p(s"gen-$g"), true))
         // deltas at or below the PREVIOUS snapshot are covered by both
@@ -1577,15 +1593,144 @@ object StreamingJobs {
         val prevGen = genIds().filter(_ < batchId).sorted.lastOption.getOrElse(-1L)
         if (fs.exists(p("delta")))
           fs.listStatus(p("delta")).map(_.getPath)
-            .filter { d =>
-              val n = d.getName
-              n.startsWith("batch=") && n.stripPrefix("batch=").toLong <= prevGen
-            }
+            .filter(d => numericSuffix(d.getName, "batch=").exists(_ <= prevGen))
             .foreach(fs.delete(_, true))
+        rewritten
       } else {
         contribution.write.mode("overwrite").parquet(s"$root/delta/batch=$batchId")
+        -1L
       }
     }
+  }
+
+  /** Fail-fast guard for restarting a curation stream over an existing
+    * output directory in the WRONG near-dup mode (the key history's
+    * schema is mode-specific: a (lang, prefix_key) history read into a
+    * (band, band_key) join would fail mid-batch with an opaque
+    * AnalysisException). The mode is persisted in the output root on
+    * first contact; a restart supplying a different mode fails at batch
+    * start with a message that names both modes.
+    */
+  private def requireNearDupMode(spark: SparkSession, outDir: String,
+      nearDup: String): Unit = {
+    val fs = fsFor(spark, outDir)
+    val marker = new org.apache.hadoop.fs.Path(s"$outDir/_near_dup_mode")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val existing =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(existing == nearDup,
+        s"output dir $outDir holds a nearDup=$existing key history; " +
+          s"restarting it with nearDup=$nearDup would join the wrong key " +
+          s"schema — resume with nearDup=$existing or use a fresh outDir")
+    } else {
+      val out = fs.create(marker, true)
+      try out.write(nearDup.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** Stages 3–5 of the curation decision chain (near-dup removal → hash
+    * split → shard packing) plus the per-batch bookkeeping (keep-list
+    * write, key history, pack offsets, metrics) — ONE definition shared
+    * by [[curationPipelineSink]] (directory-backed exact-dedup history)
+    * and [[curationPipelineSinkTws]] (state-store exact-dedup), so the
+    * two sinks' decisions cannot drift. `s2` carries the exact-dedup
+    * survivors (doc_id, lang, source, text, tok, text_hash, prefix_key).
+    * `writeHashHistory` runs right after the keep-list lands (the
+    * crash-replay write order) and returns the hash compaction's
+    * rows-rewritten (−1 for a delta batch, or when the hash state lives
+    * in the state store).
+    */
+  private def curationStage345(outDir: String, batchId: Long, s2: DataFrame,
+      nearDup: String, hashHistDirs: Int, writeHashHistory: () => Long): Unit = {
+    val spark = s2.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val fs = fsFor(spark, outDir)
+    val keyHist = new HistorySet(spark, s"$outDir/keys")
+    // stage 3 (near-dup): keep-first decomposition over the stage's
+    // ENTRANT history (stage-2 survivors)
+    val (priorKeys, nKeyDirs) = keyHist.read(batchId)
+    var bandsRef: Option[DataFrame] = None
+    val (s3, keyContribution) = nearDup match {
+      case "prefix" =>
+        val wKey = Window.partitionBy("lang", "prefix_key").orderBy("doc_id")
+        val keyFirst = s2
+          .withColumn("rn", row_number().over(wKey))
+          .filter(col("rn") === 1).drop("rn")
+        val kept = priorKeys.fold(keyFirst)(h =>
+          keyFirst.join(h, Seq("lang", "prefix_key"), "left_anti"))
+        (kept, s2.select("lang", "prefix_key").distinct())
+      case "lsh" =>
+        val bands = graft.operators.DedupQueries
+          .bandKeysOf(s2.select("doc_id", "text")).persist()
+        bandsRef = Some(bands)
+        val wBand = Window.partitionBy("band", "band_key").orderBy("doc_id")
+        val localBad = bands
+          .withColumn("rn", row_number().over(wBand))
+          .filter(col("rn") > 1).select("doc_id")
+        val histBad = priorKeys.fold(spark.range(0).select(col("id").as("doc_id")))(
+          h => bands.join(h, Seq("band", "band_key"), "left_semi").select("doc_id"))
+        val kept = s2.join(localBad.union(histBad).distinct(),
+          Seq("doc_id"), "left_anti")
+        (kept, bands.select("band", "band_key").distinct())
+    }
+    // stage 4 (split) is a pure hash of doc_id — no state; stage 5
+    // (packing) resumes each (split, source) group's cumulative token
+    // count from the previous batch's snapshot
+    val prevOff = {
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/offsets/gen-${batchId - 1}")
+      if (batchId > 0 && fs.exists(p)) spark.read.parquet(p.toString)
+      else spark.range(0).select(lit("").as("split"), lit("").as("source"),
+        lit(0L).as("off"))
+    }
+    val packW = Window.partitionBy("split", "source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keepCols = Seq("doc_id", "lang", "source", "tok", "text_hash") ++
+      (if (nearDup == "prefix") Seq("prefix_key") else Nil) ++
+      Seq("split", "shard")
+    val packed = s3
+      .withColumn("bucket",
+        expr(graft.operators.SamplingQueries.bucketExpr("doc_id")))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .join(broadcast(prevOff), Seq("split", "source"), "left")
+      .na.fill(0L, Seq("off"))
+      .withColumn("cum_before",
+        sum(col("tok")).over(packW) - col("tok") + col("off"))
+      .withColumn("shard", expr("cum_before div 2048"))
+      .persist()
+    packed
+      .select(keepCols.head, keepCols.tail: _*)
+      .write.mode("overwrite").parquet(s"$outDir/keep/batch=$batchId")
+    // history + offsets snapshots for the NEXT batch (written last:
+    // a crash mid-batch replays from the checkpoint and overwrites)
+    val hashRewritten = writeHashHistory()
+    val keyRewritten = keyHist.write(batchId, keyContribution, priorKeys)
+    val add = packed.groupBy("split", "source").agg(sum("tok").as("add"))
+    prevOff.join(add, Seq("split", "source"), "full_outer")
+      .select(col("split"), col("source"),
+        (coalesce(col("off"), lit(0L)) + coalesce(col("add"), lit(0L))).as("off"))
+      .write.mode("overwrite").parquet(s"$outDir/offsets/gen-$batchId")
+    if (batchId >= 2)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$outDir/offsets/gen-${batchId - 2}"), true)
+    // auditable boundedness, BOTH sides of the compaction trade: what
+    // this batch read (dir counts) and what its compactions rewrote
+    // (rows; −1 = no compaction this batch)
+    spark.range(1).select(
+      lit(batchId).as("batch_id"),
+      lit(hashHistDirs).as("hash_hist_dirs"),
+      lit(nKeyDirs).as("key_hist_dirs"),
+      lit(nearDup).as("near_dup_mode"),
+      lit(hashRewritten).as("hash_rows_rewritten"),
+      lit(keyRewritten).as("key_rows_rewritten"))
+      .write.mode("overwrite").parquet(s"$outDir/metrics/batch=$batchId")
+    packed.unpersist()
+    bandsRef.foreach(_.unpersist())
   }
 
   /** I12 at PIPELINE granularity, streaming: the whole curation decision
@@ -1637,9 +1782,8 @@ object StreamingJobs {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import org.apache.spark.sql.expressions.Window
-        val fs = fsFor(spark, outDir)
+        requireNearDupMode(spark, outDir, nearDup)
         val hashHist = new HistorySet(spark, s"$outDir/hashes")
-        val keyHist = new HistorySet(spark, s"$outDir/keys")
         // stage 1 (gate) + the decision keys, same expressions as the
         // batch chain
         val gated = batch
@@ -1659,84 +1803,97 @@ object StreamingJobs {
         val (priorHashes, nHashDirs) = hashHist.read(batchId)
         val s2 = priorHashes.fold(hashFirst)(h =>
           hashFirst.join(h, Seq("text_hash"), "left_anti")).persist()
-        // stage 3 (near-dup): keep-first decomposition over the stage's
-        // ENTRANT history (stage-2 survivors)
-        val (priorKeys, nKeyDirs) = keyHist.read(batchId)
-        var bandsRef: Option[DataFrame] = None
-        val (s3, keyContribution) = nearDup match {
-          case "prefix" =>
-            val wKey = Window.partitionBy("lang", "prefix_key").orderBy("doc_id")
-            val keyFirst = s2
-              .withColumn("rn", row_number().over(wKey))
-              .filter(col("rn") === 1).drop("rn")
-            val kept = priorKeys.fold(keyFirst)(h =>
-              keyFirst.join(h, Seq("lang", "prefix_key"), "left_anti"))
-            (kept, s2.select("lang", "prefix_key").distinct())
-          case "lsh" =>
-            val bands = graft.operators.DedupQueries
-              .bandKeysOf(s2.select("doc_id", "text")).persist()
-            bandsRef = Some(bands)
-            val wBand = Window.partitionBy("band", "band_key").orderBy("doc_id")
-            val localBad = bands
-              .withColumn("rn", row_number().over(wBand))
-              .filter(col("rn") > 1).select("doc_id")
-            val histBad = priorKeys.fold(spark.range(0).select(col("id").as("doc_id")))(
-              h => bands.join(h, Seq("band", "band_key"), "left_semi").select("doc_id"))
-            val kept = s2.join(localBad.union(histBad).distinct(),
-              Seq("doc_id"), "left_anti")
-            (kept, bands.select("band", "band_key").distinct())
-        }
-        // stage 4 (split) is a pure hash of doc_id — no state; stage 5
-        // (packing) resumes each (split, source) group's cumulative token
-        // count from the previous batch's snapshot
-        val prevOff = {
-          val p = new org.apache.hadoop.fs.Path(s"$outDir/offsets/gen-${batchId - 1}")
-          if (batchId > 0 && fs.exists(p)) spark.read.parquet(p.toString)
-          else spark.range(0).select(lit("").as("split"), lit("").as("source"),
-            lit(0L).as("off"))
-        }
-        val packW = Window.partitionBy("split", "source").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val keepCols = Seq("doc_id", "lang", "source", "tok", "text_hash") ++
-          (if (nearDup == "prefix") Seq("prefix_key") else Nil) ++
-          Seq("split", "shard")
-        val packed = s3
-          .withColumn("bucket",
-            expr(graft.operators.SamplingQueries.bucketExpr("doc_id")))
-          .withColumn("split",
-            when(col("bucket") < 80, "train")
-              .when(col("bucket") < 90, "val")
-              .otherwise("test"))
-          .join(broadcast(prevOff), Seq("split", "source"), "left")
-          .na.fill(0L, Seq("off"))
-          .withColumn("cum_before",
-            sum(col("tok")).over(packW) - col("tok") + col("off"))
-          .withColumn("shard", expr("cum_before div 2048"))
-          .persist()
-        packed
-          .select(keepCols.head, keepCols.tail: _*)
-          .write.mode("overwrite").parquet(s"$outDir/keep/batch=$batchId")
-        // history + offsets snapshots for the NEXT batch (written last:
-        // a crash mid-batch replays from the checkpoint and overwrites)
-        hashHist.write(batchId, gated.select("text_hash").distinct(), priorHashes)
-        keyHist.write(batchId, keyContribution, priorKeys)
-        val add = packed.groupBy("split", "source").agg(sum("tok").as("add"))
-        prevOff.join(add, Seq("split", "source"), "full_outer")
-          .select(col("split"), col("source"),
-            (coalesce(col("off"), lit(0L)) + coalesce(col("add"), lit(0L))).as("off"))
-          .write.mode("overwrite").parquet(s"$outDir/offsets/gen-$batchId")
-        if (batchId >= 2)
-          fs.delete(new org.apache.hadoop.fs.Path(
-            s"$outDir/offsets/gen-${batchId - 2}"), true)
-        // auditable boundedness: what this batch actually read
-        spark.range(1).select(
-          lit(batchId).as("batch_id"),
-          lit(nHashDirs).as("hash_hist_dirs"),
-          lit(nKeyDirs).as("key_hist_dirs"),
-          lit(nearDup).as("near_dup_mode"))
-          .write.mode("overwrite").parquet(s"$outDir/metrics/batch=$batchId")
-        packed.unpersist(); s2.unpersist(); gated.unpersist()
-        bandsRef.foreach(_.unpersist())
+        // stages 3–5 + bookkeeping are the shared tail; the hash history
+        // write runs inside it, right after the keep-list lands
+        curationStage345(outDir, batchId, s2, nearDup, nHashDirs,
+          () => hashHist.write(batchId,
+            gated.select("text_hash").distinct(), priorHashes))
+        s2.unpersist(); gated.unpersist()
+        ()
+      }
+  }
+
+  // ---- I12 + H6: the curation pipeline with STATE-STORE exact dedup ----
+
+  case class CurDoc(doc_id: Long, lang: String, source: String, text: String,
+      tok: Int, text_hash: String, prefix_key: String)
+
+  /** Exact-dedup keep-first as a transformWithState processor: per
+    * text_hash, state is the kept doc_id — the first batch that sees a
+    * hash emits its min-doc_id row and pins the state; every later
+    * arrival of the same hash emits nothing. Under doc_id-ordered
+    * replay "first arrival, min within batch" IS the global
+    * keep-first-by-doc_id, the same decomposition argument as the
+    * directory-history sink — but the hash set lives in RocksDB behind
+    * the state-store checkpoint instead of parquet generations, so
+    * there is no periodic full-history rewrite: the LSM pays the
+    * compaction cost incrementally, which is the right trade once the
+    * accumulated hash history outgrows [[HistorySet]]'s cadence
+    * rewrites (months-lived streams).
+    */
+  class HashDedupProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, CurDoc, CurDoc] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var kept: ValueState[Long] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      kept = getHandle.getValueState[Long]("kept",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[CurDoc],
+        timers: TimerValues): Iterator[CurDoc] =
+      if (kept.exists()) Iterator.empty
+      else {
+        val first = rows.minBy(_.doc_id)
+        kept.update(first.doc_id)
+        Iterator.single(first)
+      }
+  }
+
+  /** [[curationPipelineSink]] with the exact-dedup stage moved into the
+    * state store ([[HashDedupProcessor]] via transformWithState/RocksDB)
+    * — the documented endgame for streams whose hash history outgrows
+    * HistorySet's periodic rewrites. Stages 1 (gate) and 3–5 are the
+    * SAME definitions as the directory-history sink
+    * ([[curationStage345]]), so the two variants provably make identical
+    * decisions (ScaleSmokeSpec runs the same row-for-row batch-equality
+    * proof against both, plus a checkpoint-resume restart case for the
+    * state's durability). The near-dup key history remains a
+    * [[HistorySet]]: its entrant volume is stage-2-survivor-sized
+    * (strictly smaller than the hash side) and keeping it in the output
+    * dir preserves one-`spark.read`-away auditability of the near-dup
+    * state.
+    */
+  def curationPipelineSinkTws(docs: DataFrame, outDir: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      nearDup: String = "prefix") = {
+    require(nearDup == "prefix" || nearDup == "lsh", s"unknown nearDup mode: $nearDup")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    requireRocksDb(spark)
+    val s2 = docs
+      .withColumn("tok", size(split(col("text"), " ")))
+      .filter(col("tok") >= 20)
+      .withColumn("text_hash", sha2(col("text").cast("binary"), 256))
+      .withColumn("prefix_key",
+        concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        col("tok"), col("text_hash"), col("prefix_key"))
+      .as[CurDoc]
+      .groupByKey(_.text_hash)
+      .transformWithState(new HashDedupProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    s2.toDF().writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        requireNearDupMode(batch.sparkSession, outDir, nearDup)
+        val b = batch.persist()
+        // hash history lives in the state store: 0 dirs read, no
+        // compaction rewrites to report (−1)
+        curationStage345(outDir, batchId, b, nearDup,
+          hashHistDirs = 0, () => -1L)
+        b.unpersist()
         ()
       }
   }

@@ -244,6 +244,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_friedman_test", // 1-row k broadcast + calendar-bounded complete-day table
       "q_cochran_q", // 1-row k / row-total broadcasts onto the |types|-row column totals
       "q_split_leakage", // 1-row candidate-total broadcast onto the <=6-row split matrix
+      "q_split_safe", // 1-row corpus-total broadcast onto the 3-row split report
+      "q_split_safe_leakage", // 1-row candidate-total broadcast onto the <=6-row split matrix
       "q_capture_recapture_stratified", // 1-row stratified-total aggregate unioned under the <=4-row stratum report
       "q_dedup_cluster_profile") // 1-row clustered-doc total broadcast onto the <=|sizes|-row histogram
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
