@@ -1044,41 +1044,213 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
         s"${(got -- want).take(3)} extra")
   }
 
-  test("48-batch streaming curation: history read volume stays flat (compaction cadence)") {
+  test("sf0.01 TWS curation sink (RocksDB hash state) equals the batch keep-list row-for-row") {
     import graft.streaming.StreamingJobs
-    val sf = "/root/testdata/sf0.001"
-    // The r12 design read batch=0..B-1 history dirs in batch B — O(B) dirs
-    // per batch, O(B²) over a stream's life. The generation-compacted
-    // HistorySet bounds that: every batch reads at most one snapshot +
-    // (compactEvery − 1) deltas, at ANY stream age. Run a 48-slice replay
-    // and audit the per-batch metrics the sink records — the late batches
-    // must read no more history dirs than the early ones — plus the final
-    // state layout (≤2 retained generations) and, since it is nearly free,
-    // the same row-for-row batch equality as the 6-slice proof.
+    val sf = "/root/testdata/sf0.01"
+    // The state-store variant of the exact-dedup stage
+    // (curationPipelineSinkTws: hash history in transformWithState/
+    // RocksDB keyed state instead of parquet generations — the endgame
+    // for streams whose history outgrows HistorySet's periodic rewrites)
+    // must make IDENTICAL decisions to the directory-history sink and
+    // the batch chain: same 6-slice doc_id-ordered replay, same
+    // row-for-row bar, every decision column included.
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"), col("source"), col("text"))
     val in = sliceReplay(
-      docs.withColumn("ts", col("doc_id").cast("timestamp")), 48, "graft_c48")
+      docs.withColumn("ts", col("doc_id").cast("timestamp")), 6, "graft_tws")
     val src = spark.readStream
       .schema(docs.withColumn("ts", col("doc_id").cast("timestamp")).schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
       .drop("ts")
-    val out = java.nio.file.Files.createTempDirectory("graft_c48_out").toString
-    val q = StreamingJobs.curationPipelineSink(src, out,
-        java.nio.file.Files.createTempDirectory("graft_c48_ckpt").toString)
+    val out = java.nio.file.Files.createTempDirectory("graft_tws_out").toString
+    val q = StreamingJobs.curationPipelineSinkTws(src, out,
+        java.nio.file.Files.createTempDirectory("graft_tws_ckpt").toString)
       .start()
-    assert(q.awaitTermination(300000), "48-batch curation stream did not finish in 300s")
+    assert(q.awaitTermination(180000), "TWS curation stream did not finish in 180s")
+    val batches = new java.io.File(s"$out/keep").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.toString)
+    assert(batches.length >= 4,
+      s"replay must actually exercise cross-batch state, got ${batches.length} batches")
+    val cols = Seq("doc_id", "lang", "source", "tok", "text_hash",
+      "prefix_key", "split", "shard")
+    val got = spark.read.parquet(batches: _*)
+      .select(cols.head, cols.tail: _*)
+      .collect().map(_.toSeq).toSet
+    val want = operators.PipelineQueries.curationKeepList(docs)
+      .collect().map(_.toSeq).toSet
+    info(s"TWS streaming keep-list: ${got.size} docs over ${batches.length} batches; " +
+      s"batch keep-list: ${want.size} docs")
+    assert(got.size == want.size && got == want,
+      s"keep-lists differ: ${(want -- got).take(3)} missing, " +
+        s"${(got -- want).take(3)} extra")
+  }
+
+  test("TWS curation sink: hash state survives a checkpoint-resume restart") {
+    import graft.streaming.StreamingJobs
+    // Durability proof for the state-store exact-dedup: drain 3 slices
+    // with one query, STOP it, then start a NEW query on the same
+    // checkpoint with 3 more slices staged. The corpus plants 20 docs in
+    // the post-restart half that are byte-identical to pre-restart docs
+    // but carry a DIFFERENT lang — the one shape whose drop decision can
+    // come ONLY from the hash state (the near-dup key history cannot
+    // block them: a different lang is a different (lang, prefix) key).
+    // Lost state ⇒ every plant survives into the keep-list; equality
+    // with the batch chain (which sees the whole corpus at once) proves
+    // the resumed state is exactly the pre-restart state.
+    val base = spark.range(600).select(
+      col("id").as("doc_id"),
+      element_at(array(lit("en"), lit("de"), lit("fr")),
+        (pmod(hash(col("id") * 3), lit(3)) + 1).cast("int")).as("lang"),
+      element_at(array(lit("web"), lit("books")),
+        (pmod(hash(col("id") * 5), lit(2)) + 1).cast("int")).as("source"),
+      expr("concat_ws(' ', transform(sequence(0, 29), " +
+        "j -> concat('w', pmod(hash(id * 31 + j), 3000))))").as("text"))
+    val plants = base.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 600L).as("doc_id"), lit("xx").as("lang"),
+        col("source"), col("text"))
+    val docs = base.unionByName(plants).localCheckpoint(true)
+    val inAll = sliceReplay(
+      docs.withColumn("ts", col("doc_id").cast("timestamp")), 6, "graft_twsr")
+    val slices = new java.io.File(inAll).listFiles().sortBy(_.getName)
+    val in = java.nio.file.Files.createTempDirectory("graft_twsr_in").toString
+    def stage(range: Range): Unit = range.foreach { i =>
+      java.nio.file.Files.move(slices(i).toPath,
+        java.nio.file.Paths.get(in, slices(i).getName))
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_twsr_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_twsr_out").toString
+    def run(): Unit = {
+      val src = spark.readStream
+        .schema(docs.withColumn("ts", col("doc_id").cast("timestamp")).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .drop("ts")
+      val q = StreamingJobs.curationPipelineSinkTws(src, out, ckpt).start()
+      assert(q.awaitTermination(180000), "TWS restart stream did not finish in 180s")
+    }
+    stage(0 until 3); run() // slices 0..2 drain, the query STOPS
+    val preBatches = new java.io.File(s"$out/keep").listFiles().length
+    stage(3 until 6); run() // a NEW query resumes the same checkpoint
+    val batches = new java.io.File(s"$out/keep").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.toString)
+    assert(preBatches >= 2 && batches.length > preBatches,
+      s"restart must add batches: $preBatches before, ${batches.length} after")
+    val got = spark.read.parquet(batches: _*)
+      .select("doc_id", "lang", "source", "tok", "text_hash", "prefix_key",
+        "split", "shard")
+      .collect().map(_.toSeq).toSet
+    val want = operators.PipelineQueries.curationKeepList(docs)
+      .collect().map(_.toSeq).toSet
+    assert(got == want, s"keep-lists differ across the restart: " +
+      s"${(want -- got).take(3)} missing, ${(got -- want).take(3)} extra")
+    // the plants are the sharp check: kept ⇔ the hash state was lost
+    val keptPlants = spark.read.parquet(batches: _*)
+      .filter(col("doc_id") >= 600).count()
+    assert(keptPlants == 0, s"$keptPlants cross-restart byte-identical plants " +
+      "survived — the RocksDB hash state was not resumed from the checkpoint")
+  }
+
+  test("5M-doc streaming curation: the pipeline sink at 50x bench scale equals the batch chain") {
+    import graft.streaming.StreamingJobs
+    // The last batch/streaming scale asymmetry: the batch chain has its
+    // 5M proof below; here the STREAMING sink digests the same synthetic
+    // corpus in 8 doc_id-ordered slices (AvailableNow, one file per
+    // trigger) and its accumulated keep-list must equal the batch run —
+    // compared distributively (exceptAll both ways), never collected.
+    val base = spark.range(5000000L).select(
+      col("id").as("doc_id"),
+      element_at(array(lit("en"), lit("de"), lit("fr"), lit("es"), lit("it")),
+        (pmod(hash(col("id") * 3), lit(5)) + 1).cast("int")).as("lang"),
+      element_at(array(lit("web"), lit("books"), lit("code")),
+        (pmod(hash(col("id") * 5), lit(3)) + 1).cast("int")).as("source"),
+      expr("concat_ws(' ', transform(sequence(0, 29), " +
+        "j -> concat('w', pmod(hash(id * 31 + j), 30000))))").as("text"))
+    val dups = base.filter(col("doc_id") < 1000)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        col("lang"), col("source"), col("text"))
+    val docs = base.unionByName(dups)
+    val in = sliceReplay(
+      docs.withColumn("ts", col("doc_id").cast("timestamp")), 8, "graft_c5m")
+    val src = spark.readStream
+      .schema(docs.withColumn("ts", col("doc_id").cast("timestamp")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .drop("ts")
+    val out = java.nio.file.Files.createTempDirectory("graft_c5m_out").toString
+    val t0 = System.nanoTime()
+    val q = StreamingJobs.curationPipelineSink(src, out,
+        java.nio.file.Files.createTempDirectory("graft_c5m_ckpt").toString)
+      .start()
+    assert(q.awaitTermination(900000), "5M curation stream did not finish in 900s")
+    val secs = (System.nanoTime() - t0) / 1e9
+    val nBatches = spark.read.parquet(s"$out/metrics").count()
+    val cols = Seq("doc_id", "lang", "source", "tok", "text_hash",
+      "prefix_key", "split", "shard")
+    val got = spark.read.parquet(s"$out/keep").select(cols.head, cols.tail: _*)
+    val want = operators.PipelineQueries.curationKeepList(docs)
+      .select(cols.head, cols.tail: _*)
+    val nGot = got.count()
+    val missing = want.exceptAll(got).count()
+    val extra = got.exceptAll(want).count()
+    info(f"5M-doc streaming keep-list: $nGot docs over $nBatches batches in " +
+      f"$secs%.1f s (${5001000 / secs}%.0f docs/s ingested); " +
+      s"missing $missing, extra $extra vs the batch chain")
+    assert(nBatches == 8L, s"expected 8 batches, got $nBatches")
+    assert(missing == 0L && extra == 0L,
+      s"5M streaming keep-list diverges from the batch chain: " +
+        s"$missing missing, $extra extra")
+  }
+
+  /** Shared body of the two 48-batch bounded-history cases. The r12
+    * design read batch=0..B-1 history dirs in batch B — O(B) dirs per
+    * batch, O(B²) over a stream's life. The generation-compacted
+    * HistorySet bounds that: every batch reads at most one snapshot +
+    * (compactEvery − 1) deltas, at ANY stream age. Replay 48 slices and
+    * audit the per-batch metrics the sink records — late batches must
+    * read no more history dirs than early ones — plus the write-side
+    * trade (rows rewritten on exactly the compaction batches), the
+    * retention bound (≤2 generations), and the row-for-row batch
+    * equality of the 6-slice proofs.
+    */
+  private def boundedHistoryCase(nearDup: String,
+      batchTwin: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+    import graft.streaming.StreamingJobs
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val in = sliceReplay(
+      docs.withColumn("ts", col("doc_id").cast("timestamp")), 48, s"graft_c48_$nearDup")
+    val src = spark.readStream
+      .schema(docs.withColumn("ts", col("doc_id").cast("timestamp")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .drop("ts")
+    val out = java.nio.file.Files.createTempDirectory(s"graft_c48_${nearDup}_out").toString
+    val q = StreamingJobs.curationPipelineSink(src, out,
+        java.nio.file.Files.createTempDirectory(s"graft_c48_${nearDup}_ckpt").toString,
+        nearDup = nearDup)
+      .start()
+    assert(q.awaitTermination(480000), "48-batch curation stream did not finish in 480s")
     val metrics = spark.read.parquet(s"$out/metrics")
-      .select("batch_id", "hash_hist_dirs", "key_hist_dirs")
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .select("batch_id", "hash_hist_dirs", "key_hist_dirs",
+        "hash_rows_rewritten", "key_rows_rewritten")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
     assert(metrics.length == 48, s"expected 48 batches, got ${metrics.length}")
     val maxDirs = metrics.map(m => math.max(m._2, m._3)).max
     val lateMax = metrics.filter(_._1 >= 40).map(m => math.max(m._2, m._3)).max
-    info(s"48-batch history reads: max dirs/batch $maxDirs, max over batches 40..47 " +
-      s"$lateMax (r12 design would read up to 47)")
+    info(s"48-batch $nearDup history reads: max dirs/batch $maxDirs, max over batches " +
+      s"40..47 $lateMax (r12 design would read up to 47); compaction rewrites " +
+      s"${metrics.filter(m => (m._1 + 1) % 8 == 0).map(m => s"b${m._1}:${m._4}/${m._5}").mkString(" ")}")
     assert(maxDirs <= 8, s"history read volume must stay within the compaction " +
       s"cadence bound (1 snapshot + 7 deltas), got $maxDirs")
     assert(lateMax <= 8, s"late batches must read no more than the cadence bound, got $lateMax")
+    // the write-side amortization is recorded in-band: exactly the
+    // compaction batches (every 8th) report a rewrite size, deltas −1
+    metrics.foreach { m =>
+      if ((m._1 + 1) % 8 == 0)
+        assert(m._4 >= 0 && m._5 >= 0,
+          s"batch ${m._1} compacted but recorded no rewrite size: $m")
+      else
+        assert(m._4 == -1L && m._5 == -1L,
+          s"delta batch ${m._1} recorded a compaction rewrite: $m")
+    }
     // retained state stays bounded too: at most 2 generations per history
     val gens = new java.io.File(s"$out/hashes").listFiles()
       .map(_.getName).filter(_.startsWith("gen-"))
@@ -1087,11 +1259,22 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     val got = spark.read.parquet(s"$out/keep")
       .select("doc_id", "split", "shard")
       .collect().map(_.toSeq).toSet
-    val want = operators.PipelineQueries.curationKeepList(docs)
+    val want = batchTwin(docs)
       .select("doc_id", "split", "shard")
       .collect().map(_.toSeq).toSet
     assert(got == want, s"keep-lists differ after 48-batch replay: " +
       s"${(want -- got).take(3)} missing, ${(got -- want).take(3)} extra")
+  }
+
+  test("48-batch streaming curation: history read volume stays flat (compaction cadence)") {
+    boundedHistoryCase("prefix", operators.PipelineQueries.curationKeepList)
+  }
+
+  test("48-batch LSH streaming curation: the 4x-larger band-key history stays cadence-bounded") {
+    // the LSH arm's history carries 4 band keys per entrant — the
+    // heaviest history this sink maintains, so the cadence bound is
+    // shown where it matters most
+    boundedHistoryCase("lsh", operators.PipelineQueries.curationKeepListLsh)
   }
 
   test("HistorySet replay protocol: a replayed batch always resolves pre-batch state") {
