@@ -1320,6 +1320,110 @@ object DedupQueries extends QueryModule {
       ORDER BY 1, 2
     """))
 
+  /** Distributional audit OF the cluster-aware split: grouping whole
+    * duplicate clusters into one split (q_split_safe) buys zero leakage
+    * — this measures what it costs in balance. Per split: doc count, χ²
+    * of the lang and source compositions against the corpus margins
+    * (dense expected grids, so an empty observed cell still contributes
+    * its (0−e)²/e term), and the worst absolute composition deviation
+    * in percentage points. One grouped count touches the corpus;
+    * everything after is |splits|×|langs|×|sources|-sized. χ² terms
+    * quantize to micro-unit BIGINTs before the fold (doubles over exact
+    * integer counts, order-free sum — the q_kneser_ney discipline).
+    */
+  private val splitBalance: QueryDef = {
+    val eTxt = "CAST(n_split AS DOUBLE) * n_m / n_corpus"
+    val chiTerm = s"1000000.0 * (o - ($eTxt)) * (o - ($eTxt)) / ($eTxt)"
+    val devTxt = "abs(100.0 * o / n_split - 100.0 * n_m / n_corpus)"
+    QueryDef(
+      "q_split_balance",
+      (spark, sfDir) => {
+        val sc = spark.sparkContext
+        val before = sc.getPersistentRDDs.keySet
+        val (labels, _) = lshClusters(spark, sfDir)
+        val assigned = Tables.documents(spark, sfDir)
+          .select("doc_id", "lang", "source")
+          .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .withColumn("split",
+            expr(splitCase(SamplingQueries.bucketExpr("coalesce(lbl, doc_id)"))))
+        val pre = sc.getPersistentRDDs.keySet
+        val g = assigned.groupBy("split", "lang", "source")
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(true) // grid-sized; corpus work ends here
+        val mine = sc.getPersistentRDDs.filter {
+          case (id, _) => !before(id) && pre(id) }
+        mine.values.foreach(_.unpersist(blocking = false))
+        val tot = g.agg(sum("n").as("n_corpus"))
+        val bySplit = g.groupBy("split").agg(sum("n").as("n_split"))
+        def chiOf(margin: String): DataFrame = {
+          val byM = g.groupBy(margin).agg(sum("n").as("n_m"))
+          val obs = g.groupBy("split", margin).agg(sum("n").as("o"))
+          bySplit.crossJoin(broadcast(byM))
+            .join(obs, Seq("split", margin), "left")
+            .na.fill(0L, Seq("o"))
+            .crossJoin(broadcast(tot))
+            .groupBy("split")
+            .agg(
+              (sum(expr(s"CAST(${Ql.R(chiTerm, 0)} AS BIGINT)"))
+                .cast("double") / lit(1000000.0)).as("chi0"),
+              max(expr(devTxt)).as("dev0"))
+        }
+        val cl = chiOf("lang").select(col("split"),
+          col("chi0").as("chi_lang"), col("dev0").as("dev_lang"))
+        val cs = chiOf("source").select(col("split"),
+          col("chi0").as("chi_source"), col("dev0").as("dev_source"))
+        bySplit.join(cl, "split").join(cs, "split")
+          .selectExpr("split", "n_split AS n_docs",
+            s"${Ql.R("chi_lang", 4)} AS chi2_lang",
+            s"${Ql.R("dev_lang", 4)} AS max_lang_dev_pct",
+            s"${Ql.R("chi_source", 4)} AS chi2_source",
+            s"${Ql.R("dev_source", 4)} AS max_source_dev_pct")
+          .orderBy("split")
+      },
+      Some(s"""
+        WITH RECURSIVE $lshCandSql,
+        $lshCcSql,
+        assigned AS (
+          SELECT d.doc_id, d.lang, d.source,
+                 ${splitCase(SamplingQueries.bucketSql("coalesce(l.lbl, d.doc_id)"))} AS split
+          FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+        g AS (SELECT split, lang, source, count(*) AS n FROM assigned GROUP BY 1, 2, 3),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_corpus FROM g),
+        bysplit AS (SELECT split, CAST(sum(n) AS BIGINT) AS n_split FROM g GROUP BY 1),
+        bylang AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_m FROM g GROUP BY 1),
+        bysource AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_m FROM g GROUP BY 1),
+        ol AS (SELECT split, lang, CAST(sum(n) AS BIGINT) AS o FROM g GROUP BY 1, 2),
+        os AS (SELECT split, source, CAST(sum(n) AS BIGINT) AS o FROM g GROUP BY 1, 2),
+        chil AS (
+          SELECT split,
+                 CAST(sum(CAST(${Ql.R(chiTerm, 0)} AS BIGINT)) AS BIGINT) AS chi_u,
+                 max($devTxt) AS dev
+          FROM (SELECT s.split, s.n_split, m.n_m, coalesce(ol.o, 0) AS o, n_corpus
+                FROM bysplit s CROSS JOIN bylang m
+                  LEFT JOIN ol ON ol.split = s.split AND ol.lang = m.lang
+                  CROSS JOIN tot)
+          GROUP BY 1),
+        chis AS (
+          SELECT split,
+                 CAST(sum(CAST(${Ql.R(chiTerm, 0)} AS BIGINT)) AS BIGINT) AS chi_u,
+                 max($devTxt) AS dev
+          FROM (SELECT s.split, s.n_split, m.n_m, coalesce(os.o, 0) AS o, n_corpus
+                FROM bysplit s CROSS JOIN bysource m
+                  LEFT JOIN os ON os.split = s.split AND os.source = m.source
+                  CROSS JOIN tot)
+          GROUP BY 1)
+        SELECT s.split, s.n_split AS n_docs,
+               ${Ql.R("chil.chi_u / 1000000.0", 4)} AS chi2_lang,
+               ${Ql.R("chil.dev", 4)} AS max_lang_dev_pct,
+               ${Ql.R("chis.chi_u / 1000000.0", 4)} AS chi2_source,
+               ${Ql.R("chis.dev", 4)} AS max_source_dev_pct
+        FROM bysplit s
+          JOIN chil ON chil.split = s.split
+          JOIN chis ON chis.split = s.split
+        ORDER BY 1
+      """))
+  }
+
   /** Stratified capture–recapture (Sekar & Deming 1949, public): the
     * remedy for [[captureRecapture]]'s documented homogeneity bias,
     * MEASURED instead of caveated. Under banding the capture
@@ -1784,6 +1888,6 @@ object DedupQueries extends QueryModule {
     dedupNgramJaccard, dedupEmbed, fuzzyJoin, containment, sortedNeighborhood,
     dedupRecall, ngramNovelty, minhashCalibration, cdcChunkDedup,
     crossSourceOverlap, captureRecapture, captureRecaptureStratified,
-    splitLeakage, splitSafe, splitSafeLeakage, shingleDfProfile,
+    splitLeakage, splitSafe, splitSafeLeakage, splitBalance, shingleDfProfile,
     lshBucketOccupancy, thresholdSweep, bandingPlanner)
 }

@@ -677,6 +677,118 @@ object TextQueries extends QueryModule {
       ORDER BY ppl DESC, doc_id LIMIT 20
     """))
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, public): per
+    * language, rank every document by its LM perplexity and cut the
+    * ranking into head/middle/tail terciles — the partition CCNet ships
+    * as its quality tiers (head = most fluent under the LM, the slice
+    * kept for pretraining; tail = candidates for dropping). The LM and
+    * per-doc scoring are EXACTLY q_lm_perplexity's (same smoothing, same
+    * rounding ladder) so the tiers describe the served signal. The
+    * per-lang ranking runs as a TWO-LEVEL window — highest-set-bit
+    * buckets of the 4-dp-integer perplexity + a broadcast per-(lang,
+    * bucket) offset histogram — never a window partitioned by the
+    * low-cardinality lang alone (the q_top_p_filter discipline); the
+    * oracle proves the composition equals a plain per-lang row_number.
+    * Tercile membership is exact integer arithmetic ((rank−1)·3 div
+    * n_lang) against a |langs|-row count broadcast. Reports per tier:
+    * docs, token mass, min/max/mean perplexity (mean from the exact
+    * integer 4-dp keys).
+    */
+  private val ccnetPplBuckets = QueryDef(
+    "q_ccnet_ppl_buckets",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+      val inst = t.select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(toks) - 2),
+               i -> struct(element_at(toks, i + 1) AS a,
+                           concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)) AS bg))""")).as("x"))
+        .select(col("doc_id"), col("x.a").as("a"), col("x.bg").as("bg"))
+      val cab = inst.groupBy("bg").agg(count(lit(1)).as("c_ab"))
+      val ca = inst.groupBy("a").agg(count(lit(1)).as("c_a"))
+      val vRow = t.select(explode(col("toks")).as("w"))
+        .agg(countDistinct(col("w")).cast("double").as("v"))
+      val perdoc = inst.groupBy("doc_id", "a", "bg").agg(count(lit(1)).as("k0"))
+        .join(cab, "bg").join(ca, "a")
+        .crossJoin(broadcast(vRow))
+        .withColumn("logp",
+          Ql.r(log((col("c_ab") + lit(0.5)) / (col("c_a") + lit(0.5) * col("v"))), 6))
+        .groupBy("doc_id")
+        .agg(Ql.r(-sum(col("k0") * col("logp")) / sum(col("k0")), 6).as("avg_nll"))
+      val keyed = perdoc
+        .join(t.select(col("doc_id"), col("lang"),
+          size(col("toks")).cast("long").as("n_toks")), "doc_id")
+        .withColumn("k", expr(s"CAST(${Ql.R("10000 * exp(avg_nll)", 0)} AS BIGINT)"))
+        .withColumn("bkt", expr("length(bin(k)) - 1"))
+      val h = keyed.groupBy("lang", "bkt").agg(count(lit(1)).as("hn"))
+      val wPre = Window.partitionBy("lang").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = h.withColumn("off", coalesce(sum(col("hn")).over(wPre), lit(0L)))
+        .select("lang", "bkt", "off")
+      val nl = h.groupBy("lang").agg(sum(col("hn")).as("n_lang"))
+      val wIn = Window.partitionBy("lang", "bkt").orderBy("k", "doc_id")
+      keyed
+        .join(broadcast(off), Seq("lang", "bkt"))
+        .join(broadcast(nl), "lang")
+        .withColumn("rk", col("off") + row_number().over(wIn))
+        .withColumn("bucket", expr(
+          """CASE CAST(((rk - 1) * 3) div n_lang AS INT)
+               WHEN 0 THEN 'a_head' WHEN 1 THEN 'b_middle'
+               ELSE 'c_tail' END"""))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          Ql.r(min(col("k")) / lit(10000.0), 4).as("ppl_min"),
+          Ql.r(max(col("k")) / lit(10000.0), 4).as("ppl_max"),
+          Ql.r(sum(col("k")).cast("double") / (count(lit(1)) * lit(10000.0)), 4)
+            .as("ppl_mean"))
+        .orderBy("lang", "bucket")
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+      inst AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        FROM t),
+      withA AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS a FROM inst),
+      cab AS (SELECT bg, count(*) AS c_ab FROM withA GROUP BY 1),
+      ca AS (SELECT a, count(*) AS c_a FROM withA GROUP BY 1),
+      vv AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+             FROM (SELECT unnest(toks) AS w FROM t)),
+      db AS (SELECT doc_id, a, bg, count(*) AS k0 FROM withA GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT doc_id, k0,
+               ${Ql.R("ln((c_ab + 0.5) / (c_a + 0.5 * v))", 6)} AS logp
+        FROM db JOIN cab USING (bg) JOIN ca USING (a), vv),
+      perdoc AS (
+        SELECT doc_id, ${Ql.R("-sum(k0 * logp) / sum(k0)", 6)} AS avg_nll
+        FROM scored GROUP BY 1),
+      keyed AS (
+        SELECT p.doc_id, t.lang, CAST(len(t.toks) AS BIGINT) AS n_toks,
+               CAST(${Ql.R("10000 * exp(avg_nll)", 0)} AS BIGINT) AS k
+        FROM perdoc p JOIN t ON t.doc_id = p.doc_id),
+      ranked AS (
+        SELECT lang, n_toks, k,
+               row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rk,
+               count(*) OVER (PARTITION BY lang) AS n_lang
+        FROM keyed),
+      b AS (SELECT lang, n_toks, k,
+                   CASE ((rk - 1) * 3) // n_lang WHEN 0 THEN 'a_head'
+                        WHEN 1 THEN 'b_middle' ELSE 'c_tail' END AS bucket
+            FROM ranked)
+      SELECT lang, bucket, count(*) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+             ${Ql.R("min(k) / 10000.0", 4)} AS ppl_min,
+             ${Ql.R("max(k) / 10000.0", 4)} AS ppl_max,
+             ${Ql.R("CAST(sum(k) AS DOUBLE) / (count(*) * 10000.0)", 4)} AS ppl_mean
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2
+    """))
+
   /** Zipf rank-frequency fit per language — the corpus-health
     * diagnostic: natural text runs a log-log slope near −1; a corpus
     * polluted by boilerplate or templating drifts flat or steep. Both
@@ -1395,7 +1507,8 @@ object TextQueries extends QueryModule {
   override def defs: Seq[QueryDef] = Seq(
     textStats, tfidf, langId, qualityScore, qualityThresholdSweep,
     tokenCount, fingerprint,
-    langRoute, bpeMerges, bm25, pmiBigrams, lmPerplexity, zipfSlope,
+    langRoute, bpeMerges, bm25, pmiBigrams, lmPerplexity, ccnetPplBuckets,
+    zipfSlope,
     langIdF1, invertedIndex, featureHashing, heapsLaw, sparseCosinePairs,
     ttrProfile, vocabCoverage, goodTuring, kneserNey, powerLawMle,
     topicCoherence, krippendorffAlpha)

@@ -246,6 +246,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_split_leakage", // 1-row candidate-total broadcast onto the <=6-row split matrix
       "q_split_safe", // 1-row corpus-total broadcast onto the 3-row split report
       "q_split_safe_leakage", // 1-row candidate-total broadcast onto the <=6-row split matrix
+      "q_split_balance", // |splits|x|margin| dense expected grids + 1-row corpus-total broadcasts
+      "q_ccnet_ppl_buckets", // 1-row vocabulary-size broadcast (the q_lm_perplexity LM)
       "q_capture_recapture_stratified", // 1-row stratified-total aggregate unioned under the <=4-row stratum report
       "q_dedup_cluster_profile") // 1-row clustered-doc total broadcast onto the <=|sizes|-row histogram
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
@@ -347,6 +349,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_win_cume" -> "input filtered to user_id<10 (fixed user set; E1 cume_dist coverage demo)",
       "q_sample_reservoir" -> "rank filter sits directly above the window → WindowGroupLimit caps rows at k per group map-side",
       "q_top_p_filter" -> "offset window runs over the ≤|langs|×256-row bucket histogram",
+      "q_ccnet_ppl_buckets" -> "offset window runs over the ≤|langs|×64-row log2-ppl bucket histogram; the doc-level rank window partitions by (lang, bkt)",
       "q_var_cvar" -> "input = type×cent grid (≤49k cells/type by the 2-decimal value domain)",
       "q_trimmed_mean" -> "input = type×cent grid (≤49k cells/type by the 2-decimal value domain)",
       "q_conformal_interval" -> "input = type×residual-cent grid (≤49k cells/type by the 2-decimal value domain)",
