@@ -192,6 +192,109 @@ object SimilarityQueries extends QueryModule {
       ORDER BY qid, rank
     """))
 
+  /** ANN tuning curve: recall@10 and scan cost of the IVF probe as a
+    * function of nprobe ∈ {1, 2, 4, 8} — the knob an ANN owner actually
+    * turns, measured against the exact brute-force top-10 on the same
+    * rounded-score contract. Candidates are scored ONCE per (query,
+    * probed cluster) at the deepest tier; the nprobe tiers are crank
+    * thresholds over that checkpointed list, so the sweep costs one
+    * probe pass regardless of grid size. Reports per nprobe: total and
+    * per-query candidates scanned (the cost axis) and mean recall@10
+    * (the quality axis) — diminishing returns appear as recall
+    * flattening while scans keep doubling. Scale shape: everything
+    * downstream of the one cluster-probe join is
+    * candidate-list-sized; the brute-force truth side is the
+    * q_ann_recall harness (fine for a 20-query probe set; the
+    * production path IS the thing being tuned).
+    */
+  private val annNprobeSweep = QueryDef(
+    "q_ann_nprobe_sweep",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label"), Vectors.toDouble(col("embedding")).as("v"))
+      val centroids = labelCentroids(e)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val base = e.filter(col("vec_id") >= 20)
+      val wTop = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+      val truth = base.crossJoin(broadcast(q))
+        .withColumn("score", Ql.r(Vectors.dot(col("qv"), col("v")), 4))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("vec_id"))
+        .localCheckpoint(true) // 20 queries x 10 rows
+      val wProbe = Window.partitionBy("qid").orderBy(col("cscore").desc, col("label"))
+      val probed = q.crossJoin(broadcast(centroids))
+        .withColumn("cscore", Ql.r(Vectors.dot(col("qv"), col("centroid")), 6))
+        .withColumn("crank", row_number().over(wProbe))
+        .filter(col("crank") <= 8)
+        .select(col("qid"), col("qv"), col("label"), col("crank"))
+      val scored = probed.join(base, "label")
+        .withColumn("score", Ql.r(Vectors.dot(col("qv"), col("v")), 4))
+        .select("qid", "crank", "vec_id", "score")
+        .localCheckpoint(true) // candidate lists; the dot products run once
+      val np = spark.range(0, 4)
+        .select(expr("shiftleft(1, CAST(id AS INT))").as("nprobe"))
+      val tiered = scored.join(broadcast(np), col("crank") <= col("nprobe"))
+      val wIvf = Window.partitionBy("qid", "nprobe").orderBy(col("score").desc, col("vec_id"))
+      val hits = tiered
+        .withColumn("rank", row_number().over(wIvf))
+        .filter(col("rank") <= 10)
+        .join(truth, Seq("qid", "vec_id"), "left_semi")
+        .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+      val scans = tiered.groupBy("nprobe").agg(count(lit(1)).as("n_scanned"))
+      val nq = truth.agg(countDistinct(col("qid")).as("n_q"))
+      scans.join(hits, Seq("nprobe"), "left").na.fill(0L, Seq("n_hits"))
+        .crossJoin(broadcast(nq))
+        .selectExpr("nprobe", "n_scanned",
+          s"${Ql.R("n_scanned / CAST(n_q AS DOUBLE)", 2)} AS avg_scanned",
+          s"${Ql.R("n_hits / (10.0 * n_q)", 4)} AS recall_at_10")
+        .orderBy("nprobe")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      cent AS (
+        SELECT label, list(c ORDER BY pos) AS centroid
+        FROM (SELECT label, g.i AS pos, avg(v[g.i]) AS c
+              FROM e, generate_series(1, 64) g(i)
+              GROUP BY 1, 2)
+        GROUP BY label),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+      base AS (SELECT * FROM e WHERE vec_id >= 20),
+      truth AS (
+        SELECT qid, vec_id
+        FROM (SELECT qid, base.vec_id, ${Ql.R("list_dot_product(qv, base.v)", 4)} AS score
+              FROM q, base)
+        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) <= 10),
+      probed AS (
+        SELECT qid, qv, label, crank FROM (
+          SELECT qid, qv, label,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY round(list_dot_product(qv, centroid) + 1e-9, 6) DESC, label) AS crank
+          FROM q, cent)
+        WHERE crank <= 8),
+      scored AS (
+        SELECT qid, crank, base.vec_id,
+               ${Ql.R("list_dot_product(qv, base.v)", 4)} AS score
+        FROM probed JOIN base ON probed.label = base.label),
+      np AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+      tiered AS (SELECT s.*, np.nprobe FROM scored s JOIN np ON s.crank <= np.nprobe),
+      ivftop AS (
+        SELECT qid, nprobe, vec_id FROM tiered
+        QUALIFY row_number() OVER (PARTITION BY qid, nprobe ORDER BY score DESC, vec_id) <= 10),
+      nq AS (SELECT CAST(count(DISTINCT qid) AS BIGINT) AS n_q FROM truth),
+      hits AS (SELECT nprobe, count(*) AS n_hits
+               FROM ivftop SEMI JOIN truth USING (qid, vec_id) GROUP BY 1),
+      scans AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_scanned FROM tiered GROUP BY 1)
+      SELECT s.nprobe, s.n_scanned,
+             ${Ql.R("s.n_scanned / CAST(n_q AS DOUBLE)", 2)} AS avg_scanned,
+             ${Ql.R("coalesce(h.n_hits, 0) / (10.0 * n_q)", 4)} AS recall_at_10
+      FROM scans s LEFT JOIN hits h ON h.nprobe = s.nprobe CROSS JOIN nq
+      ORDER BY 1
+    """))
+
   /** I7: multimodal column join — attach embeddings to documents (partial
     * coverage at sf0.1 by design: left join, count misses).
     */
@@ -1062,7 +1165,7 @@ object SimilarityQueries extends QueryModule {
     """))
 
   override def defs: Seq[QueryDef] = Seq(
-    similarTopk, knnVote, annIvf, docEmbedJoin, embedQuantize, pqCodes,
-    semanticDedup, annIvfPq, annRecall, docOutlier, silhouette,
+    similarTopk, knnVote, annIvf, annNprobeSweep, docEmbedJoin, embedQuantize,
+    pqCodes, semanticDedup, annIvfPq, annRecall, docOutlier, silhouette,
     embeddingDrift, mutualKnn, submodularSelect, embeddingNormAudit)
 }

@@ -147,6 +147,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
         "q_chi2_terms", "q_kl_divergence", // 1-row corpus token count broadcast
         "q_ann_ivfpq", // 8-row coarse-centroid broadcast in the probe pass
         "q_ann_recall", // 5-row query broadcast (exact side) + the ivfpq probe pass
+        "q_ann_nprobe_sweep", // 20-row query + K-row centroid + 4-row nprobe-grid broadcasts
         "q_psi_drift", // 1-row global time/value-bounds broadcast
         "q_lm_perplexity", // 1-row vocabulary-size broadcast
         "q_dedup_recall", // three 1-row count aggregates crossed into the report row
