@@ -386,6 +386,10 @@ object Bench {
       case (k, v) if !failedSet0(k) && v >= 0.5 &&
         priorTimes.get(k).exists(prior => v > 2 * prior) => (k, v)
     }.toSeq.filterNot(s => slowestN.exists(_._1 == s._1))
+      // bounded: a GLOBALLY slow run (sustained background load) would
+      // otherwise sweep half the suite into serial reruns on exactly the
+      // runs that are already slow — keep the worst ratios only
+      .sortBy { case (k, v) => (-(v / priorTimes(k)), k) }.take(8)
     if (suspects.nonEmpty)
       System.err.println("[bench] adaptive retime (in-loop > 2x prior snapshot): " +
         suspects.map { case (k, v) =>

@@ -161,8 +161,16 @@ object ClusterQueries extends QueryModule {
     * released here instead of taxing every later query in a
     * bench/verify session.
     */
-  private def clusterLabels(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = edges(spark, sfDir).cache()
+  private def clusterLabels(spark: SparkSession, sfDir: String): DataFrame =
+    clusterLabelsOf(edges(spark, sfDir))
+
+  /** The same scaffold over an ARBITRARY edge frame `(d1, d2)` — exposed
+    * so other candidate surfaces (DedupQueries' LSH split-safe queries)
+    * cluster through this one definition instead of re-implementing the
+    * sizing/hygiene sequence.
+    */
+  private[operators] def clusterLabelsOf(e0: DataFrame): DataFrame = {
+    val e = e0.cache()
     val parts = math.max(1, (e.count() / 500000L).toInt)
     val adj = e.select(col("d1").as("a"), col("d2").as("b"))
       .unionByName(e.select(col("d2").as("a"), col("d1").as("b")))
@@ -178,15 +186,17 @@ object ClusterQueries extends QueryModule {
     * ending in `labels(id, lbl)` — appended after [[edgesSql]], shared
     * by the three cluster oracles.
     */
-  private val ccSql =
-    """adj AS (SELECT d1 AS a, d2 AS b FROM edges
-              UNION ALL SELECT d2, d1 FROM edges),
+  private[operators] def ccSqlOver(edgesCte: String): String =
+    s"""adj AS (SELECT d1 AS a, d2 AS b FROM $edgesCte
+              UNION ALL SELECT d2, d1 FROM $edgesCte),
       nodes AS (SELECT DISTINCT a AS id FROM adj),
       reach(id, r) AS (
         SELECT id, id FROM nodes
         UNION
         SELECT adj.b, reach.r FROM reach JOIN adj ON reach.id = adj.a),
       labels AS (SELECT id, min(r) AS lbl FROM reach GROUP BY 1)"""
+
+  private val ccSql = ccSqlOver("edges")
 
   private val dedupClusters = QueryDef(
     "q_dedup_clusters",

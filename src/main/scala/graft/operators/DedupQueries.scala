@@ -1177,30 +1177,14 @@ object DedupQueries extends QueryModule {
     */
   private def lshClusters(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val cand = lshBandPairs(spark, sfDir).localCheckpoint(true)
-    val parts = math.max(1, (cand.count() / 500000L).toInt)
-    val adj = cand.select(col("d1").as("a"), col("d2").as("b"))
-      .unionByName(cand.select(col("d2").as("a"), col("d1").as("b")))
-      .repartition(parts)
-      .cache()
-    val (labels, _) = ClusterQueries.connectedComponents(adj)
-    adj.unpersist(false)
-    (labels, cand)
+    (ClusterQueries.clusterLabelsOf(cand), cand)
   }
 
-  /** Oracle twin of [[lshClusters]]' label table: recursive-CTE
-    * transitive closure over the `cand` CTE ([[lshCandSql]]), ending in
-    * `labels(id, lbl)` — the ClusterQueries.ccSql shape, here over the
-    * LSH candidate edges.
+  /** Oracle twin of [[lshClusters]]' label table: the shared
+    * [[ClusterQueries.ccSqlOver]] transitive closure instantiated over
+    * the `cand` CTE ([[lshCandSql]]), ending in `labels(id, lbl)`.
     */
-  private val lshCcSql =
-    """adj AS (SELECT d1 AS a, d2 AS b FROM cand
-              UNION ALL SELECT d2, d1 FROM cand),
-      nodes AS (SELECT DISTINCT a AS id FROM adj),
-      reach(id, r) AS (
-        SELECT id, id FROM nodes
-        UNION
-        SELECT adj.b, reach.r FROM reach JOIN adj ON reach.id = adj.a),
-      labels AS (SELECT id, min(r) AS lbl FROM reach GROUP BY 1)"""
+  private val lshCcSql = ClusterQueries.ccSqlOver("cand")
 
   /** The REMEDY q_split_leakage exists to motivate (the Lee et al. 2022
     * dedup-before-split practice, public): assign train/val/test per

@@ -1546,8 +1546,11 @@ object StreamingJobs {
     // the stream over a directory the protocol never wrote
     private def numericSuffix(name: String, prefix: String): Option[Long] = {
       val s = name.stripPrefix(prefix)
+      // digit check + toLongOption: the latter alone would accept signs,
+      // the former alone would still throw on an all-digit suffix past
+      // Long.MaxValue (a 20-digit dir name must be skipped, not fatal)
       if (name.startsWith(prefix) && s.nonEmpty && s.forall(_.isDigit))
-        Some(s.toLong)
+        s.toLongOption
       else None
     }
     private def genIds(): Seq[Long] =
@@ -1615,19 +1618,29 @@ object StreamingJobs {
       nearDup: String): Unit = {
     val fs = fsFor(spark, outDir)
     val marker = new org.apache.hadoop.fs.Path(s"$outDir/_near_dup_mode")
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val existing =
+    val existing =
+      if (!fs.exists(marker)) ""
+      else {
+        val in = fs.open(marker)
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
+      }
+    if (existing.nonEmpty)
       require(existing == nearDup,
         s"output dir $outDir holds a nearDup=$existing key history; " +
           s"restarting it with nearDup=$nearDup would join the wrong key " +
           s"schema — resume with nearDup=$existing or use a fresh outDir")
-    } else {
-      val out = fs.create(marker, true)
+    else {
+      // write-then-rename so a crash mid-write cannot leave an empty
+      // marker that blocks every later restart; an empty marker (from a
+      // pre-rename crash window of an older build) is treated as absent
+      // and re-stamped rather than failing the stream forever
+      val tmp = new org.apache.hadoop.fs.Path(s"$outDir/._near_dup_mode.tmp")
+      val out = fs.create(tmp, true)
       try out.write(nearDup.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      fs.delete(marker, false)
+      fs.rename(tmp, marker)
     }
   }
 
@@ -1652,6 +1665,17 @@ object StreamingJobs {
     // stage 3 (near-dup): keep-first decomposition over the stage's
     // ENTRANT history (stage-2 survivors)
     val (priorKeys, nKeyDirs) = keyHist.read(batchId)
+    // schema-level mode check, independent of the marker file: an outDir
+    // whose key history predates the marker (or lost it) still fails
+    // LOUDLY here instead of mid-join with an opaque AnalysisException
+    priorKeys.foreach { h =>
+      val expect =
+        if (nearDup == "prefix") Set("lang", "prefix_key") else Set("band", "band_key")
+      require(h.columns.toSet == expect,
+        s"key history under $outDir/keys has columns [${h.columns.mkString(", ")}] " +
+          s"— not the nearDup=$nearDup schema [${expect.mkString(", ")}]; " +
+          "resume with the mode that wrote it or use a fresh outDir")
+    }
     var bandsRef: Option[DataFrame] = None
     val (s3, keyContribution) = nearDup match {
       case "prefix" =>

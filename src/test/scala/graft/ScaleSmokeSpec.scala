@@ -1149,6 +1149,46 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
       "survived — the RocksDB hash state was not resumed from the checkpoint")
   }
 
+  test("sf0.01 TWS curation sink in LSH mode equals the batch LSH keep-list row-for-row") {
+    import graft.streaming.StreamingJobs
+    val sf = "/root/testdata/sf0.01"
+    // The remaining sink×mode combination: state-store exact dedup
+    // FEEDING the LSH band-bucket near-dup stage (bandKeysOf over the
+    // TWS-emitted survivors + the directory key history). Must equal
+    // PipelineQueries.curationKeepListLsh row-for-row like the other
+    // three arms, so the 2x2 {directory, TWS} x {prefix, lsh} grid is
+    // fully proven rather than claimed.
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val in = sliceReplay(
+      docs.withColumn("ts", col("doc_id").cast("timestamp")), 6, "graft_twsl")
+    val src = spark.readStream
+      .schema(docs.withColumn("ts", col("doc_id").cast("timestamp")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .drop("ts")
+    val out = java.nio.file.Files.createTempDirectory("graft_twsl_out").toString
+    val q = StreamingJobs.curationPipelineSinkTws(src, out,
+        java.nio.file.Files.createTempDirectory("graft_twsl_ckpt").toString,
+        nearDup = "lsh")
+      .start()
+    assert(q.awaitTermination(300000), "TWS LSH curation stream did not finish in 300s")
+    val batches = new java.io.File(s"$out/keep").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.toString)
+    assert(batches.length >= 4,
+      s"replay must actually exercise cross-batch state, got ${batches.length} batches")
+    val cols = Seq("doc_id", "lang", "source", "tok", "text_hash", "split", "shard")
+    val got = spark.read.parquet(batches: _*)
+      .select(cols.head, cols.tail: _*)
+      .collect().map(_.toSeq).toSet
+    val want = operators.PipelineQueries.curationKeepListLsh(docs)
+      .collect().map(_.toSeq).toSet
+    info(s"TWS LSH streaming keep-list: ${got.size} docs over ${batches.length} batches; " +
+      s"batch keep-list: ${want.size} docs")
+    assert(got.size == want.size && got == want,
+      s"keep-lists differ: ${(want -- got).take(3)} missing, " +
+        s"${(got -- want).take(3)} extra")
+  }
+
   test("5M-doc streaming curation: the pipeline sink at 50x bench scale equals the batch chain") {
     import graft.streaming.StreamingJobs
     // The last batch/streaming scale asymmetry: the batch chain has its
