@@ -1163,6 +1163,68 @@ object DedupQueries extends QueryModule {
       """))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003, public —
+    * the MOSS local-similarity scheme): per document, hash every 4-token
+    * gram, slide a window of 4 consecutive gram hashes, and keep each
+    * window's MINIMUM as a fingerprint. The winnowing guarantee: any
+    * shared run of ≥ w+k−1 = 7 tokens yields at least one shared
+    * fingerprint, while storage is ~1/w of the gram count — the
+    * guaranteed-detection complement to MinHash's probabilistic
+    * candidates. Pairs sharing ≥2 rare (df≤100, the module's one rule)
+    * fingerprints are reported with their shared counts. Scale shape:
+    * per-doc windows (doc_id-partitioned — never a global sort), then
+    * the same capped inverted-index join as every other detector here.
+    */
+  private val dedupWinnowing: QueryDef = QueryDef(
+    "q_dedup_winnowing",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val grams = withPlants(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 7) // k + w - 1: shorter docs have no window
+        .select(col("doc_id"), (size(col("toks")) - 3).as("g"), posexplode(expr(
+          "transform(sequence(0, size(toks) - 4), i -> concat_ws(' ', slice(toks, i + 1, 4)))")))
+        .select(col("doc_id"), col("g"), col("pos").as("i"),
+          expr(Ql.md5PrefixLong("col", 14)).as("h"))
+      val wWin = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+      val fps = grams
+        .withColumn("minh", min(col("h")).over(wWin))
+        .filter(col("i") <= col("g") - 4) // complete windows only
+        .select(col("doc_id"), col("minh")).distinct()
+      val hot = fps.groupBy("minh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > 100).select("minh")
+      val rare = fps.join(broadcast(hot), Seq("minh"), "left_anti")
+      rare.select(col("minh"), col("doc_id").as("d1"))
+        .join(rare.select(col("minh"), col("doc_id").as("d2")), "minh")
+        .filter(col("d1") < col("d2"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy("d1", "d2")
+    },
+    Some(s"""
+      WITH grams AS (
+        SELECT doc_id, len(t) - 3 AS g, i,
+               ${Ql.Md5PrefixLong("array_to_string(t[i + 1 : i + 4], ' ')", 14)} AS h
+        FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 4)) AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $plantsSql)
+              WHERE len(t) >= 7)),
+      fps AS (
+        SELECT DISTINCT doc_id, minh FROM (
+          SELECT doc_id, i, g,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minh
+          FROM grams)
+        WHERE i <= g - 4),
+      rare AS (
+        SELECT doc_id, minh FROM (
+          SELECT doc_id, minh, count(*) OVER (PARTITION BY minh) AS df FROM fps)
+        WHERE df <= 100)
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+      FROM rare a JOIN rare b ON a.minh = b.minh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+      ORDER BY 1, 2
+    """))
+
   /** Cluster-aware split machinery shared by q_split_safe and
     * q_split_safe_leakage: connected components over the SAME LSH
     * candidate surface q_split_leakage audits ([[lshBandPairs]]), so
@@ -1872,6 +1934,7 @@ object DedupQueries extends QueryModule {
     dedupNgramJaccard, dedupEmbed, fuzzyJoin, containment, sortedNeighborhood,
     dedupRecall, ngramNovelty, minhashCalibration, cdcChunkDedup,
     crossSourceOverlap, captureRecapture, captureRecaptureStratified,
-    splitLeakage, splitSafe, splitSafeLeakage, splitBalance, shingleDfProfile,
+    splitLeakage, splitSafe, splitSafeLeakage, splitBalance, dedupWinnowing,
+    shingleDfProfile,
     lshBucketOccupancy, thresholdSweep, bandingPlanner)
 }

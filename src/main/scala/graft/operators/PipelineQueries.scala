@@ -175,6 +175,112 @@ object PipelineQueries extends QueryModule {
       GROUP BY 1 ORDER BY 1
     """))
 
+  /** The REMEDY q_contamination motivates (the audit→remedy discipline
+    * of q_split_safe): scrub the TRAIN side against the held-out test
+    * set — remove every train doc whose distinct-5-gram set is ≥50%
+    * contained in the test shingle set (exact integer test
+    * 2·hits ≥ n_sh; the GPT-3 appendix-C n-gram-collision practice at
+    * document granularity, public) — then RE-MEASURE the audit against
+    * the kept train set. Per lang: train size, scrub count/share, and
+    * test-side contaminated-doc counts before vs after (a targeted
+    * scrub lowers "after" but need not zero it: low-containment train
+    * docs legitimately stay). One cached shingle table feeds every
+    * side; all joins are per-shingle hash joins, never doc×doc.
+    */
+  private val decontamScrub = QueryDef(
+    "q_decontam_scrub",
+    (spark, sfDir) => {
+      val sh = Tables.documents(spark, sfDir)
+        .withColumn("b", expr(SamplingQueries.bucketExpr("doc_id")))
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), col("lang"), col("b"),
+          explode(expr(
+            "transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', slice(toks, i + 1, 5)))"))
+            .as("sh0"))
+        .select(col("doc_id"), col("lang"), col("b"),
+          expr(Ql.md5PrefixLong("sh0", 14)).as("sh"))
+        .distinct()
+        .cache()
+      val trainSh = sh.filter(col("b") < 90)
+      val testSh = sh.filter(col("b") >= 90)
+      val testSet = testSh.select("sh").distinct()
+      val trainSize = trainSh.groupBy("doc_id", "lang").agg(count(lit(1)).as("n_sh"))
+      val trainHits = trainSh.join(testSet, "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      val scrubbed = trainSize.join(trainHits, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_hits"))
+        .withColumn("removed", expr("2 * n_hits >= n_sh"))
+        .localCheckpoint(true) // train-doc-sized decision table
+      val keptSet = trainSh.join(
+          scrubbed.filter(col("removed")).select("doc_id"), Seq("doc_id"), "left_anti")
+        .select("sh").distinct()
+      val trainSet = trainSh.select("sh").distinct()
+      def contamOf(set: org.apache.spark.sql.DataFrame, name: String) =
+        testSh.join(set, "sh").select("doc_id", "lang").distinct()
+          .groupBy("lang").agg(count(lit(1)).as(name))
+      scrubbed.groupBy("lang").agg(
+          count(lit(1)).as("n_train"),
+          sum(col("removed").cast("long")).as("n_scrubbed"))
+        .join(testSh.select("doc_id", "lang").distinct()
+          .groupBy("lang").agg(count(lit(1)).as("n_test0")), Seq("lang"), "left")
+        .join(contamOf(trainSet, "b0"), Seq("lang"), "left")
+        .join(contamOf(keptSet, "a0"), Seq("lang"), "left")
+        .selectExpr("lang", "n_train", "n_scrubbed",
+          s"${Ql.R("100.0 * n_scrubbed / n_train", 4)} AS scrub_pct",
+          "coalesce(n_test0, CAST(0 AS BIGINT)) AS n_test",
+          "coalesce(b0, CAST(0 AS BIGINT)) AS n_contam_before",
+          "coalesce(a0, CAST(0 AS BIGINT)) AS n_contam_after")
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id, lang, b,
+               ${Ql.Md5PrefixLong("array_to_string(t[i + 1 : i + 5], ' ')", 14)} AS sh
+        FROM (SELECT doc_id, lang,
+                     ${SamplingQueries.bucketSql("doc_id")} AS b,
+                     t, unnest(generate_series(0, len(t) - 5)) AS i
+              FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
+                    FROM documents)
+              WHERE len(t) >= 5)),
+      train_sh AS MATERIALIZED (SELECT doc_id, lang, sh FROM sh WHERE b < 90),
+      test_sh AS MATERIALIZED (SELECT doc_id, lang, sh FROM sh WHERE b >= 90),
+      test_set AS (SELECT DISTINCT sh FROM test_sh),
+      tsize AS (SELECT doc_id, lang, count(*) AS n_sh FROM train_sh GROUP BY 1, 2),
+      thits AS (SELECT t.doc_id, count(*) AS n_hits
+                FROM train_sh t JOIN test_set s ON t.sh = s.sh GROUP BY 1),
+      scrubbed AS MATERIALIZED (
+        SELECT z.doc_id, z.lang, z.n_sh, coalesce(h.n_hits, 0) AS n_hits,
+               2 * coalesce(h.n_hits, 0) >= z.n_sh AS removed
+        FROM tsize z LEFT JOIN thits h ON z.doc_id = h.doc_id),
+      kept_set AS (
+        SELECT DISTINCT t.sh FROM train_sh t
+        ANTI JOIN (SELECT doc_id FROM scrubbed WHERE removed) r
+          ON t.doc_id = r.doc_id),
+      train_set AS (SELECT DISTINCT sh FROM train_sh),
+      contam_before AS (
+        SELECT lang, count(DISTINCT doc_id) AS b0
+        FROM test_sh t SEMI JOIN train_set s ON t.sh = s.sh GROUP BY 1),
+      contam_after AS (
+        SELECT lang, count(DISTINCT doc_id) AS a0
+        FROM test_sh t SEMI JOIN kept_set k ON t.sh = k.sh GROUP BY 1),
+      tstats AS (
+        SELECT lang, count(*) AS n_train,
+               CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_scrubbed
+        FROM scrubbed GROUP BY 1),
+      ntest AS (SELECT lang, count(DISTINCT doc_id) AS n_test0 FROM test_sh GROUP BY 1)
+      SELECT t.lang, t.n_train, t.n_scrubbed,
+             ${Ql.R("100.0 * t.n_scrubbed / t.n_train", 4)} AS scrub_pct,
+             coalesce(n.n_test0, 0) AS n_test,
+             coalesce(cb.b0, 0) AS n_contam_before,
+             coalesce(ca.a0, 0) AS n_contam_after
+      FROM tstats t
+        LEFT JOIN ntest n ON n.lang = t.lang
+        LEFT JOIN contam_before cb ON cb.lang = t.lang
+        LEFT JOIN contam_after ca ON ca.lang = t.lang
+      ORDER BY 1
+    """))
+
   /** I-sample: deterministic per-group reservoir — k=5 docs per language,
     * ranked by md5(doc_id) so membership is a pure function of the key
     * (replay/repartition-stable, like all sampling here). Spark plans the
@@ -702,7 +808,7 @@ object PipelineQueries extends QueryModule {
     })
 
   override def defs: Seq[QueryDef] =
-    Seq(packSequences, docChunks, contamination, sampleReservoir,
+    Seq(packSequences, docChunks, contamination, decontamScrub, sampleReservoir,
       curationPipeline, curationPipelineLsh, negativeSampling, shardBalance,
       shardManifest, dedupSourceBias, dataConstrainedScaling)
 }
