@@ -141,7 +141,7 @@ object PipelineQueries extends QueryModule {
       val testSh = docs.filter(col("b") >= 90)
       val hits = testSh.join(trainSh, "sh")
         .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-      testSh.select("doc_id", "lang").distinct()
+      val report = testSh.select("doc_id", "lang").distinct()
         .join(hits, Seq("doc_id"), "left")
         .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
         .groupBy("lang")
@@ -149,7 +149,11 @@ object PipelineQueries extends QueryModule {
           count(lit(1)).as("n_test"),
           sum((col("n_hits") > 0).cast("long")).as("n_contaminated"),
           sum(col("n_hits")).as("n_hit_shingles"))
-        .orderBy("lang")
+        // |langs|-row report materialized while the cache is alive, shingle
+        // blocks released in-query (same hygiene as q_decontam_scrub)
+        .localCheckpoint(true)
+      docs.unpersist(false)
+      report.orderBy("lang")
     },
     Some(s"""
       WITH sh AS (
@@ -219,7 +223,7 @@ object PipelineQueries extends QueryModule {
       def contamOf(set: org.apache.spark.sql.DataFrame, name: String) =
         testSh.join(set, "sh").select("doc_id", "lang").distinct()
           .groupBy("lang").agg(count(lit(1)).as(name))
-      scrubbed.groupBy("lang").agg(
+      val report = scrubbed.groupBy("lang").agg(
           count(lit(1)).as("n_train"),
           sum(col("removed").cast("long")).as("n_scrubbed"))
         .join(testSh.select("doc_id", "lang").distinct()
@@ -231,7 +235,13 @@ object PipelineQueries extends QueryModule {
           "coalesce(n_test0, CAST(0 AS BIGINT)) AS n_test",
           "coalesce(b0, CAST(0 AS BIGINT)) AS n_contam_before",
           "coalesce(a0, CAST(0 AS BIGINT)) AS n_contam_after")
-        .orderBy("lang")
+        // materialize the |langs|-row report while the shingle cache is
+        // alive, then RELEASE sh in-query — a verify/ad-hoc session has no
+        // bench loop clearCache() to stop the module's largest intermediate
+        // from taxing every later query (the ClusterQueries hygiene rule)
+        .localCheckpoint(true)
+      sh.unpersist(false)
+      report.orderBy("lang")
     },
     Some(s"""
       WITH sh AS MATERIALIZED (

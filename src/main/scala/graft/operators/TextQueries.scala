@@ -722,6 +722,10 @@ object TextQueries extends QueryModule {
           size(col("toks")).cast("long").as("n_toks")), "doc_id")
         .withColumn("k", expr(s"CAST(${Ql.R("10000 * exp(avg_nll)", 0)} AS BIGINT)"))
         .withColumn("bkt", expr("length(bin(k)) - 1"))
+        // feeds the bucket histogram (h → off AND nl) and the final rank
+        // join — materialize so the corpus-scale bigram-LM scoring runs
+        // once, not once per consumer (the q_top_p_filter discipline)
+        .localCheckpoint(true)
       val h = keyed.groupBy("lang", "bkt").agg(count(lit(1)).as("hn"))
       val wPre = Window.partitionBy("lang").orderBy("bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
