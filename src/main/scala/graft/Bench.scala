@@ -109,7 +109,11 @@ object Bench {
         "q_dedup_cluster_profile",
         // r14: both run the LSH band pipeline + a CC loop over the
         // candidate graph (q_dedup_minhash + q_dedup_clusters families)
-        "q_split_safe", "q_split_safe_leakage")
+        "q_split_safe", "q_split_safe_leakage",
+        // r15: the safe curation chain runs gate+dedup+banding+CC (the
+        // q_split_safe cost family); the leakage re-audit runs the chain
+        // PLUS a second banding pass over the kept docs
+        "q_curation_pipeline_safe", "q_curation_safe_leakage")
     (lightWarm ++ heavyWarm)
       .filter(SparkEntry.queries.contains)
       .foreach { n =>

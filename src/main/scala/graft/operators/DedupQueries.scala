@@ -34,6 +34,26 @@ object DedupQueries extends QueryModule {
         SELECT doc_id + 100000, regexp_replace(text, '^\S+', 'zzz')
         FROM documents WHERE doc_id < 10)"""
 
+  /** [[withPlants]] carrying the full (doc_id, lang, source, text) row —
+    * for curation chains that need the planted near-dups AND the
+    * split/pack columns (the plants keep their original lang/source, so
+    * they flow through every stage like real near-duplicate crawls).
+    */
+  private[graft] def withPlantsFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    d.unionByName(
+      d.filter(col("doc_id") < 10).select(
+        (col("doc_id") + 100000).as("doc_id"), col("lang"), col("source"),
+        regexp_replace(col("text"), "^\\S+", "zzz").as("text")))
+  }
+
+  private[operators] val plantsFullSql =
+    """(SELECT doc_id, lang, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, lang, source, regexp_replace(text, '^\S+', 'zzz')
+        FROM documents WHERE doc_id < 10)"""
+
   /** Distinct 3-token shingles per doc: (doc_id, sh). With
     * `hashed = true` the shingle is its 56-bit md5-prefix int64 instead
     * of the string — hashed in a codegen'd projection right after the
@@ -1118,7 +1138,7 @@ object DedupQueries extends QueryModule {
     * text spliced into both dialects of every split query so the
     * boundaries cannot drift.
     */
-  private def splitCase(bucket: String) =
+  private[operators] def splitCase(bucket: String) =
     s"CASE WHEN ($bucket) < 80 THEN 'train' WHEN ($bucket) < 90 THEN 'val' ELSE 'test' END"
 
   private val splitLeakage: QueryDef = {

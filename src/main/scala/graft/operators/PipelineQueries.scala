@@ -489,6 +489,218 @@ object PipelineQueries extends QueryModule {
                  AS shard
         FROM lsplitted)"""
 
+  /** The LEAKAGE-SAFE sibling of [[curationKeepList]] — the r14-verdict
+    * remedy wiring q_split_safe's cluster-aware assignment INTO the
+    * shipped chain instead of leaving it a standalone audit: gate →
+    * exact dedup → weak-key near-dup → CLUSTER-AWARE split → pack.
+    * Stage 4 buckets md5(coalesce(cluster_label, doc_id)) where the
+    * label is the min doc_id of the doc's connected component over the
+    * SERVED LSH candidate surface ([[DedupQueries.lshBandPairsOf]], the
+    * same banding q_dedup_minhash serves) computed over the stage-3
+    * ENTRANTS (stage-2 survivors) — so any two near-duplicate docs that
+    * BOTH survive the weak prefix key (the leaky shape: near-dups whose
+    * first 3 tokens differ) still share a label, hence a bucket, hence a
+    * split, and the shipped corpus carries zero cross-split near-dup
+    * pairs (q_curation_safe_leakage re-audits the actual output). The
+    * LSH chain ([[curationKeepListLsh]]) needs no such remedy: its
+    * entrants-block bucket rule already guarantees no two kept docs
+    * share ANY band bucket, so its output is leak-free under any split
+    * rule — the safe stage 4 exists for chains whose near-dup stage is
+    * weaker than the audit surface. Scale shape: CC rides the candidate
+    * graph (proven at 5M docs); the corpus-side cost over
+    * [[curationKeepList]] is ONE left join against the candidate-sized
+    * label table. STREAMING: deliberately batch-only — connected
+    * components over an unbounded stream are not replay-stable (a later
+    * batch's candidate edge can merge two clusters whose members were
+    * already split-assigned and shipped, so labels — and thus splits —
+    * of PAST docs would change retroactively, violating the sinks'
+    * append-only keep-list contract); the streaming sinks keep the
+    * per-doc hash split and a corpus owner runs this chain as the batch
+    * re-shard step.
+    */
+  def curationKeepListSafe(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keepFirstHash = Window.partitionBy("text_hash").orderBy("doc_id")
+    val keepFirstKey = Window.partitionBy("lang", "prefix_key").orderBy("doc_id")
+    val packW = Window.partitionBy("split", "source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val deduped = docs
+      .withColumn("tok", size(split(col("text"), " ")))
+      .filter(col("tok") >= 20)
+      .withColumn("text_hash", sha2(col("text").cast("binary"), 256))
+      .withColumn("prefix_key", concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
+      .withColumn("rn_hash", row_number().over(keepFirstHash))
+      .filter(col("rn_hash") === 1)
+    val cand = DedupQueries.lshBandPairsOf(deduped.select("doc_id", "text"))
+      .localCheckpoint(true)
+    val labels = ClusterQueries.clusterLabelsOf(cand)
+    deduped
+      .withColumn("rn_key", row_number().over(keepFirstKey))
+      .filter(col("rn_key") === 1)
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("bucket",
+        expr(SamplingQueries.bucketExpr("coalesce(lbl, doc_id)")))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .withColumn("cum_before", sum(col("tok")).over(packW) - col("tok"))
+      .withColumn("shard", expr("cum_before div 2048"))
+      .select("doc_id", "lang", "source", "tok", "text_hash", "prefix_key",
+        "lbl", "split", "shard")
+  }
+
+  /** DuckDB twin of [[curationKeepListSafe]] (requires WITH RECURSIVE):
+    * the [[keepListSql]] stage text over the plants-augmented corpus,
+    * the shared band-key CTE machinery for the candidate surface, the
+    * shared transitive-closure labels, then the cluster-aware split +
+    * pack — ending in `spacked(doc_id, lang, source, tok, text_hash,
+    * prefix_key, text, lbl, split, shard)`.
+    */
+  private val keepListSafeSql =
+    s"""sfiltered AS (
+        SELECT doc_id, lang, source, text,
+               len(string_split(text, ' ')) AS tok,
+               sha256(text) AS text_hash,
+               array_to_string(string_split(text, ' ')[1:3], ' ') AS prefix_key
+        FROM ${DedupQueries.plantsFullSql}
+        WHERE len(string_split(text, ' ')) >= 20),
+      sdeduped AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn_hash
+          FROM sfiltered) WHERE rn_hash = 1),
+      ${DedupQueries.bandKeysSqlOver("sdeduped", "s")},
+      cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM sbands a JOIN sbands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      ${ClusterQueries.ccSqlOver("cand")},
+      skeyed AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY lang, prefix_key ORDER BY doc_id) AS rn_key
+          FROM sdeduped) WHERE rn_key = 1),
+      sassigned AS (
+        SELECT k.doc_id, k.lang, k.source, k.tok, k.text_hash, k.prefix_key,
+               k.text, l.lbl,
+               ${DedupQueries.splitCase(SamplingQueries.bucketSql("coalesce(l.lbl, k.doc_id)"))} AS split
+        FROM skeyed k LEFT JOIN labels l ON l.id = k.doc_id),
+      spacked AS (
+        SELECT doc_id, lang, source, tok, text_hash, prefix_key, text, lbl, split,
+               (CAST(sum(tok) OVER (PARTITION BY split, source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) - tok) // 2048
+                 AS shard
+        FROM sassigned)"""
+
+  /** I-e2e + I9: the cluster-aware curation chain aggregated per split —
+    * q_curation_pipeline's report plus the clustering profile
+    * (n_clustered_docs = docs whose split came from a cluster label
+    * rather than their own id). Runs over the plants-augmented corpus
+    * (the module's standard near-dup fixture: this corpus has no natural
+    * near-dups, so without plants the cluster stage would be vacuous and
+    * the query would prove nothing).
+    */
+  private val curationPipelineSafe = QueryDef(
+    "q_curation_pipeline_safe",
+    (spark, sfDir) => {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val kl = curationKeepListSafe(DedupQueries.withPlantsFull(spark, sfDir))
+      val pre = sc.getPersistentRDDs.keySet
+      val g = kl.groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("tok_total"),
+          countDistinct(col("source"), col("shard")).as("n_shards"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("lbl").isNotNull, 1L).otherwise(0L)).as("n_clustered_docs"))
+        .localCheckpoint(true) // 3-row report; scaffold blocks released below
+      val mine = sc.getPersistentRDDs.filter {
+        case (id, _) => !before(id) && pre(id) }
+      mine.values.foreach(_.unpersist(blocking = false))
+      g.orderBy("split")
+    },
+    Some(s"""
+      WITH RECURSIVE $keepListSafeSql
+      SELECT split, count(*) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS tok_total,
+             count(DISTINCT (source, shard)) AS n_shards,
+             count(DISTINCT lang) AS n_langs,
+             CAST(sum(CASE WHEN lbl IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clustered_docs
+      FROM spacked GROUP BY 1 ORDER BY 1
+    """))
+
+  /** The audit→remedy closure AT THE CHAIN'S OUTPUT (the r14-verdict
+    * "done" bar): re-run the split-leakage measurement over the docs
+    * [[curationKeepListSafe]] actually SHIPS, under both split rules.
+    * Candidate pairs are the served LSH banding restricted to kept docs
+    * (band keys are per-doc, so restriction = recomputation over the
+    * subset); each pair lands in the split matrix once per rule —
+    * `a_per_doc` (the old md5(doc_id) stage 4) shows the off-diagonal
+    * straddlers the chain used to ship, `b_cluster` (the shipped rule)
+    * must put every pair on the diagonal: both endpoints survived the
+    * prefix stage, so they are same-cluster by the label construction
+    * and is_leak = 0 structurally.
+    */
+  private val curationSafeLeakage = QueryDef(
+    "q_curation_safe_leakage",
+    (spark, sfDir) => {
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val docs = DedupQueries.withPlantsFull(spark, sfDir)
+      val kept = curationKeepListSafe(docs)
+        .select("doc_id", "split").localCheckpoint(true)
+      val cand = DedupQueries.lshBandPairsOf(
+        kept.select("doc_id").join(docs.select("doc_id", "text"), "doc_id"))
+      val pre = sc.getPersistentRDDs.keySet
+      val sp = kept.withColumn("s_doc",
+        expr(DedupQueries.splitCase(SamplingQueries.bucketExpr("doc_id"))))
+      val j = cand
+        .join(sp.select(col("doc_id").as("d1"), col("split").as("c1"),
+          col("s_doc").as("p1")), "d1")
+        .join(sp.select(col("doc_id").as("d2"), col("split").as("c2"),
+          col("s_doc").as("p2")), "d2")
+      val g = j.select(lit("a_per_doc").as("rule"),
+          least(col("p1"), col("p2")).as("split_a"),
+          greatest(col("p1"), col("p2")).as("split_b"))
+        .unionByName(j.select(lit("b_cluster").as("rule"),
+          least(col("c1"), col("c2")).as("split_a"),
+          greatest(col("c1"), col("c2")).as("split_b")))
+        .groupBy("rule", "split_a", "split_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .localCheckpoint(true) // <=12-row matrix; scaffold released below
+      val mine = sc.getPersistentRDDs.filter {
+        case (id, _) => !before(id) && pre(id) }
+      mine.values.foreach(_.unpersist(blocking = false))
+      g.selectExpr("rule", "split_a", "split_b",
+          "CAST(split_a != split_b AS INT) AS is_leak", "n_pairs")
+        .orderBy("rule", "split_a", "split_b")
+    },
+    Some(s"""
+      WITH RECURSIVE $keepListSafeSql,
+      ${DedupQueries.bandKeysSqlOver("spacked", "k")},
+      kcand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM kbands a JOIN kbands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      sp AS (
+        SELECT doc_id, split AS s_cl,
+               ${DedupQueries.splitCase(SamplingQueries.bucketSql("doc_id"))} AS s_doc
+        FROM spacked),
+      mats AS (
+        SELECT 'a_per_doc' AS rule,
+               least(a.s_doc, b.s_doc) AS split_a,
+               greatest(a.s_doc, b.s_doc) AS split_b
+        FROM kcand c JOIN sp a ON a.doc_id = c.d1 JOIN sp b ON b.doc_id = c.d2
+        UNION ALL
+        SELECT 'b_cluster', least(a.s_cl, b.s_cl), greatest(a.s_cl, b.s_cl)
+        FROM kcand c JOIN sp a ON a.doc_id = c.d1 JOIN sp b ON b.doc_id = c.d2)
+      SELECT rule, split_a, split_b,
+             CAST(split_a != split_b AS INT) AS is_leak,
+             count(*) AS n_pairs
+      FROM mats GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """))
+
   /** I-e2e with the REAL near-dup detector in the chain: the
     * [[curationKeepListLsh]] decision aggregated per split — what
     * q_curation_pipeline reports for the weak-key chain, for the
@@ -819,6 +1031,7 @@ object PipelineQueries extends QueryModule {
 
   override def defs: Seq[QueryDef] =
     Seq(packSequences, docChunks, contamination, decontamScrub, sampleReservoir,
-      curationPipeline, curationPipelineLsh, negativeSampling, shardBalance,
+      curationPipeline, curationPipelineLsh, curationPipelineSafe,
+      curationSafeLeakage, negativeSampling, shardBalance,
       shardManifest, dedupSourceBias, dataConstrainedScaling)
 }
