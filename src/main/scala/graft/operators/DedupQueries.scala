@@ -218,6 +218,53 @@ object DedupQueries extends QueryModule {
   private[graft] def bandKeysOf(docs: DataFrame): DataFrame =
     bandKeysFromSigs(minhashSigsFromShingles(shingles(docs)))
 
+  /** Plain-JVM twin of [[bandKeysOf]] for ONE document: (band, band_key)
+    * pairs computed row-locally — the form a transformWithState pipeline
+    * needs (band keys are a pure function of the text, but the DataFrame
+    * form goes through explode/groupBy, which a continuous stream can't
+    * run before its stateful operator). Must stay bit-identical to the
+    * served banding: same md5 28-bit halves (hex digits 1–7 / 8–14),
+    * same `(2i+1)·h1 + (i²+i+1)·h2 + i mod (2³¹−1)` family, same 4×3
+    * comma-joined keys — PropertySpec pins the equality on a real corpus.
+    */
+  private[graft] def bandKeysLocal(text: String): Seq[(Int, String)] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < 3) return Seq.empty
+    val mins = Array.fill(12)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val seen = new scala.collection.mutable.HashSet[String]
+    var i = 0
+    while (i <= toks.length - 3) {
+      val sh = s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}"
+      if (seen.add(sh)) {
+        md.reset()
+        val d = md.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 7 / next 7 hex digits of the md5 = top/next 28 bits of
+        // the first 7 bytes (hex digit j is nibble j)
+        var h1 = 0L; var h2 = 0L
+        var j = 0
+        while (j < 7) {
+          val nib = (d(j / 2) >> (if (j % 2 == 0) 4 else 0)) & 0xf
+          h1 = (h1 << 4) | nib
+          j += 1
+        }
+        while (j < 14) {
+          val nib = (d(j / 2) >> (if (j % 2 == 0) 4 else 0)) & 0xf
+          h2 = (h2 << 4) | nib
+          j += 1
+        }
+        var s = 0
+        while (s < 12) {
+          val hv = ((2L * s + 1) * h1 + (s.toLong * s + s + 1) * h2 + s) % 2147483647L
+          if (hv < mins(s)) mins(s) = hv
+          s += 1
+        }
+      }
+      i += 1
+    }
+    (0 until 4).map(b => (b, s"${mins(3 * b)},${mins(3 * b + 1)},${mins(3 * b + 2)}"))
+  }
+
   /** Oracle twin of [[bandKeysOf]]: CTE chain ending in `${pfx}bands
     * (doc_id, band, band_key)` over a CTE `src(doc_id, text)` — every
     * CTE name is prefixed so the chain composes into larger WITHs

@@ -1660,7 +1660,6 @@ object StreamingJobs {
       nearDup: String, hashHistDirs: Int, writeHashHistory: () => Long): Unit = {
     val spark = s2.sparkSession
     import org.apache.spark.sql.expressions.Window
-    val fs = fsFor(spark, outDir)
     val keyHist = new HistorySet(spark, s"$outDir/keys")
     // stage 3 (near-dup): keep-first decomposition over the stage's
     // ENTRANT history (stage-2 survivors)
@@ -1700,6 +1699,28 @@ object StreamingJobs {
           Seq("doc_id"), "left_anti")
         (kept, bands.select("band", "band_key").distinct())
     }
+    curationStage45(outDir, batchId, s3, nearDup, hashHistDirs, nKeyDirs,
+      () => (writeHashHistory(),
+        keyHist.write(batchId, keyContribution, priorKeys)))
+    bandsRef.foreach(_.unpersist())
+  }
+
+  /** Stages 4–5 of the curation chain (hash split → shard packing) plus
+    * the per-batch bookkeeping (keep-list write, history writes via the
+    * caller's closure, pack offsets, metrics) — the tail shared by ALL
+    * THREE sinks ([[curationPipelineSink]], [[curationPipelineSinkTws]],
+    * [[curationPipelineSinkTwsAll]]); `s3` carries the near-dup
+    * survivors. `writeHistories` runs right after the keep-list lands
+    * (the crash-replay write order) and returns the (hash, key)
+    * compaction rows-rewritten (−1 per side when that history is a plain
+    * delta batch or lives in the state store).
+    */
+  private def curationStage45(outDir: String, batchId: Long, s3: DataFrame,
+      nearDup: String, hashHistDirs: Int, keyHistDirs: Int,
+      writeHistories: () => (Long, Long)): Unit = {
+    val spark = s3.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val fs = fsFor(spark, outDir)
     // stage 4 (split) is a pure hash of doc_id — no state; stage 5
     // (packing) resumes each (split, source) group's cumulative token
     // count from the previous batch's snapshot
@@ -1732,8 +1753,7 @@ object StreamingJobs {
       .write.mode("overwrite").parquet(s"$outDir/keep/batch=$batchId")
     // history + offsets snapshots for the NEXT batch (written last:
     // a crash mid-batch replays from the checkpoint and overwrites)
-    val hashRewritten = writeHashHistory()
-    val keyRewritten = keyHist.write(batchId, keyContribution, priorKeys)
+    val (hashRewritten, keyRewritten) = writeHistories()
     val add = packed.groupBy("split", "source").agg(sum("tok").as("add"))
     prevOff.join(add, Seq("split", "source"), "full_outer")
       .select(col("split"), col("source"),
@@ -1748,13 +1768,12 @@ object StreamingJobs {
     spark.range(1).select(
       lit(batchId).as("batch_id"),
       lit(hashHistDirs).as("hash_hist_dirs"),
-      lit(nKeyDirs).as("key_hist_dirs"),
+      lit(keyHistDirs).as("key_hist_dirs"),
       lit(nearDup).as("near_dup_mode"),
       lit(hashRewritten).as("hash_rows_rewritten"),
       lit(keyRewritten).as("key_rows_rewritten"))
       .write.mode("overwrite").parquet(s"$outDir/metrics/batch=$batchId")
     packed.unpersist()
-    bandsRef.foreach(_.unpersist())
   }
 
   /** I12 at PIPELINE granularity, streaming: the whole curation decision
@@ -1917,6 +1936,131 @@ object StreamingJobs {
         // compaction rewrites to report (−1)
         curationStage345(outDir, batchId, b, nearDup,
           hashHistDirs = 0, () => -1L)
+        b.unpersist()
+        ()
+      }
+  }
+
+  /** One (band bucket → document) row of the streaming LSH near-dup
+    * stage: `bkey` = "band:band_key" from
+    * [[graft.operators.DedupQueries.bandKeysLocal]].
+    */
+  case class BandDoc(bkey: String, doc: CurDoc)
+
+  /** [[BucketDedupProcessor]]'s verdict for one (bucket, doc) row — the
+    * doc survives stage 3 iff ALL FOUR of its bucket verdicts carry
+    * `ok = true` (ANDed batch-locally in the sink: a doc's four rows
+    * always share a micro-batch because they explode from one input row).
+    */
+  case class BandVerdict(ok: Boolean, doc: CurDoc)
+
+  /** First-entrant-wins per LSH band bucket in the state store: state is
+    * the bucket's first entrant doc_id. The first batch that touches a
+    * bucket passes its min-doc_id row and fails the rest; every later
+    * arrival fails. Under doc_id-ordered replay this is exactly the
+    * batch chain's entrants-block rule ("a doc is dropped iff ANY of its
+    * band buckets holds an earlier STAGE ENTRANT") — an entrant blocks
+    * later look-alikes even when it was itself dropped by one of its
+    * other buckets, because its arrival pinned the state in all four.
+    */
+  class BucketDedupProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, BandDoc, BandVerdict] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var first: ValueState[Long] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      first = getHandle.getValueState[Long]("first",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[BandDoc],
+        timers: TimerValues): Iterator[BandVerdict] =
+      if (first.exists()) rows.map(r => BandVerdict(ok = false, r.doc))
+      else {
+        val rs = rows.toSeq
+        val minId = rs.iterator.map(_.doc.doc_id).min
+        first.update(minId)
+        rs.iterator.map(r => BandVerdict(r.doc.doc_id == minId, r.doc))
+      }
+  }
+
+  /** The ALL-state-store curation sink (r14 verdict #3): BOTH keep-first
+    * histories — the exact-dedup hash set AND the stage-3 near-dup keys
+    * — live in transformWithState/RocksDB, so the sink maintains no
+    * history directory at all (offsets/metrics remain tiny per-batch
+    * snapshots). The months-lived-stream argument that moved the hash
+    * side into the state store applies to the key side at exactly the
+    * same stream age; [[curationPipelineSinkTws]] keeps the directory
+    * key history for auditability, this variant completes the endgame.
+    *
+    * Stage 3 decomposes per mode into a second keyed first-entrant-wins
+    * pass: `prefix` re-keys the hash survivors by (lang, prefix_key)
+    * through the SAME [[HashDedupProcessor]] rule; `lsh` explodes each
+    * survivor into its 4 band-bucket rows
+    * ([[graft.operators.DedupQueries.bandKeysLocal]], the row-local twin
+    * of the served banding) and ANDs the per-bucket
+    * [[BucketDedupProcessor]] verdicts batch-locally. Stages 1, 4–5 and
+    * all bookkeeping are the shared definitions ([[curationStage45]]),
+    * so all three sinks provably make identical decisions (ScaleSmokeSpec
+    * runs the same row-for-row equality + restart proofs against this
+    * variant in both modes).
+    */
+  def curationPipelineSinkTwsAll(docs: DataFrame, outDir: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      nearDup: String = "prefix") = {
+    require(nearDup == "prefix" || nearDup == "lsh", s"unknown nearDup mode: $nearDup")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    requireRocksDb(spark)
+    val s2 = docs
+      .withColumn("tok", size(split(col("text"), " ")))
+      .filter(col("tok") >= 20)
+      .withColumn("text_hash", sha2(col("text").cast("binary"), 256))
+      .withColumn("prefix_key",
+        concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        col("tok"), col("text_hash"), col("prefix_key"))
+      .as[CurDoc]
+      .groupByKey(_.text_hash)
+      .transformWithState(new HashDedupProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    val s3 = nearDup match {
+      case "prefix" =>
+        // the same first-entrant-wins rule, re-keyed by the stage-3 key:
+        // keep-first per (lang, prefix_key) over the stage-2 survivors
+        s2.groupByKey(d => d.lang + " " + d.prefix_key)
+          .transformWithState(new HashDedupProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF()
+      case "lsh" =>
+        s2.flatMap(d => graft.operators.DedupQueries.bandKeysLocal(d.text)
+            .map { case (b, k) => BandDoc(s"$b:$k", d) })
+          .groupByKey(_.bkey)
+          .transformWithState(new BucketDedupProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Update())
+          .toDF()
+    }
+    s3.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        requireNearDupMode(batch.sparkSession, outDir, nearDup)
+        val b = batch.persist()
+        val kept = nearDup match {
+          case "prefix" => b
+          case "lsh" =>
+            // AND the four bucket verdicts: a doc survives iff none of
+            // its buckets failed it (all rows of a doc share this batch)
+            val bad = b.filter(!col("ok"))
+              .select(col("doc.doc_id").as("doc_id")).distinct()
+            b.select(col("doc.*")).distinct()
+              .join(bad, Seq("doc_id"), "left_anti")
+        }
+        // both histories live in the state store: 0 dirs read, no
+        // compaction rewrites to report (−1, −1)
+        curationStage45(outDir, batchId, kept, nearDup,
+          hashHistDirs = 0, keyHistDirs = 0, () => (-1L, -1L))
         b.unpersist()
         ()
       }

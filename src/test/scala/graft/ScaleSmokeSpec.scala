@@ -1189,6 +1189,180 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
         s"${(got -- want).take(3)} extra")
   }
 
+  test("bandKeysLocal is bit-identical to the served DataFrame banding") {
+    // the ALL-state-store sink computes band keys row-locally (a stream
+    // can't run explode/groupBy before its stateful operator); the local
+    // twin must reproduce the served banding EXACTLY or the sink's LSH
+    // decisions silently diverge from every batch/oracle surface
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val want = graft.operators.DedupQueries.bandKeysOf(docs)
+      .select("doc_id", "band", "band_key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val got = docs.collect().flatMap { r =>
+      graft.operators.DedupQueries.bandKeysLocal(r.getString(1))
+        .map { case (b, k) => (r.getLong(0), b, k) }
+    }.toSet
+    assert(got == want, s"local banding diverges from the served one: " +
+      s"${(want -- got).take(3)} missing, ${(got -- want).take(3)} extra")
+  }
+
+  /** Shared body of the ALL-state-store sink equality proofs: the same
+    * 6-slice doc_id-ordered sf0.01 replay as the other sink arms, against
+    * the same batch twin, row-for-row — with BOTH keep-first histories
+    * (hash + near-dup key) in RocksDB and no history directory at all.
+    */
+  private def twsAllEqualityCase(nearDup: String,
+      batchTwin: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+    import graft.streaming.StreamingJobs
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    val in = sliceReplay(
+      docs.withColumn("ts", col("doc_id").cast("timestamp")), 6, s"graft_twsa_$nearDup")
+    val src = spark.readStream
+      .schema(docs.withColumn("ts", col("doc_id").cast("timestamp")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .drop("ts")
+    val out = java.nio.file.Files.createTempDirectory(s"graft_twsa_${nearDup}_out").toString
+    val q = StreamingJobs.curationPipelineSinkTwsAll(src, out,
+        java.nio.file.Files.createTempDirectory(s"graft_twsa_${nearDup}_ckpt").toString,
+        nearDup = nearDup)
+      .start()
+    assert(q.awaitTermination(300000), "TWS-all curation stream did not finish in 300s")
+    // the whole point of the variant: no history directories exist
+    assert(!new java.io.File(s"$out/hashes").exists() &&
+      !new java.io.File(s"$out/keys").exists(),
+      "all-state-store sink must maintain no history directory")
+    val batches = new java.io.File(s"$out/keep").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.toString)
+    assert(batches.length >= 4,
+      s"replay must actually exercise cross-batch state, got ${batches.length} batches")
+    val cols = Seq("doc_id", "lang", "source", "tok", "text_hash") ++
+      (if (nearDup == "prefix") Seq("prefix_key") else Nil) ++
+      Seq("split", "shard")
+    val got = spark.read.parquet(batches: _*)
+      .select(cols.head, cols.tail: _*)
+      .collect().map(_.toSeq).toSet
+    val want = batchTwin(docs)
+      .select(cols.head, cols.tail: _*)
+      .collect().map(_.toSeq).toSet
+    info(s"TWS-all $nearDup streaming keep-list: ${got.size} docs over " +
+      s"${batches.length} batches; batch keep-list: ${want.size} docs")
+    assert(got.size == want.size && got == want,
+      s"keep-lists differ: ${(want -- got).take(3)} missing, " +
+        s"${(got -- want).take(3)} extra")
+  }
+
+  test("sf0.01 ALL-state-store curation sink (prefix) equals the batch keep-list row-for-row") {
+    twsAllEqualityCase("prefix", operators.PipelineQueries.curationKeepList)
+  }
+
+  test("sf0.01 ALL-state-store curation sink (lsh) equals the batch LSH keep-list row-for-row") {
+    twsAllEqualityCase("lsh", operators.PipelineQueries.curationKeepListLsh)
+  }
+
+  /** Restart durability for the ALL-state-store sink, per mode. The
+    * corpus plants two families in the POST-restart half: (a) 20 docs
+    * byte-identical to pre-restart docs with a different lang — only the
+    * HASH state can drop them; (b) 20 docs whose near-dup KEY collides
+    * with a pre-restart entrant but whose content (hence hash) is new —
+    * only the KEY state can drop them (prefix mode: same lang + first-3
+    * tokens, fresh tail; lsh mode: one mid-doc token swapped, so most
+    * plants still share a band bucket with their original). Lost state
+    * on either side ⇒ plants survive into the keep-list; equality with
+    * the batch chain pins everything else.
+    */
+  private def twsAllRestartCase(nearDup: String,
+      batchTwin: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+    import graft.streaming.StreamingJobs
+    val base = spark.range(600).select(
+      col("id").as("doc_id"),
+      element_at(array(lit("en"), lit("de"), lit("fr")),
+        (pmod(hash(col("id") * 3), lit(3)) + 1).cast("int")).as("lang"),
+      element_at(array(lit("web"), lit("books")),
+        (pmod(hash(col("id") * 5), lit(2)) + 1).cast("int")).as("source"),
+      expr("concat_ws(' ', transform(sequence(0, 29), " +
+        "j -> concat('w', pmod(hash(id * 31 + j), 3000))))").as("text"))
+    val hashPlants = base.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 600L).as("doc_id"), lit("xx").as("lang"),
+        col("source"), col("text"))
+    val keyPlants = nearDup match {
+      case "prefix" => base
+        .filter(col("doc_id") >= 20 && col("doc_id") < 40)
+        .selectExpr("doc_id + 600 AS doc_id", "lang", "source",
+          "concat(concat_ws(' ', slice(split(text, ' '), 1, 3)), ' ', " +
+            "concat_ws(' ', transform(sequence(0, 24), " +
+            "j -> concat('kp', CAST(doc_id AS STRING), '_', CAST(j AS STRING))))) AS text")
+      case "lsh" => base
+        .filter(col("doc_id") >= 20 && col("doc_id") < 40)
+        .selectExpr("doc_id + 600 AS doc_id", "lang", "source",
+          "concat_ws(' ', transform(split(text, ' '), " +
+            "(t, j) -> CASE WHEN j = 15 THEN 'qqq' ELSE t END)) AS text")
+    }
+    val docs = base.unionByName(hashPlants).unionByName(keyPlants)
+      .localCheckpoint(true)
+    val inAll = sliceReplay(
+      docs.withColumn("ts", col("doc_id").cast("timestamp")), 6, s"graft_twsar_$nearDup")
+    val slices = new java.io.File(inAll).listFiles().sortBy(_.getName)
+    val in = java.nio.file.Files.createTempDirectory(s"graft_twsar_${nearDup}_in").toString
+    def stage(range: Range): Unit = range.foreach { i =>
+      java.nio.file.Files.move(slices(i).toPath,
+        java.nio.file.Paths.get(in, slices(i).getName))
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_twsar_${nearDup}_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory(s"graft_twsar_${nearDup}_out").toString
+    def run(): Unit = {
+      val src = spark.readStream
+        .schema(docs.withColumn("ts", col("doc_id").cast("timestamp")).schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .drop("ts")
+      val q = StreamingJobs.curationPipelineSinkTwsAll(src, out, ckpt,
+        nearDup = nearDup).start()
+      assert(q.awaitTermination(180000), "TWS-all restart stream did not finish in 180s")
+    }
+    stage(0 until 3); run() // slices 0..2 drain, the query STOPS
+    val preBatches = new java.io.File(s"$out/keep").listFiles().length
+    stage(3 until 6); run() // a NEW query resumes the same checkpoint
+    val batches = new java.io.File(s"$out/keep").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.toString)
+    assert(preBatches >= 2 && batches.length > preBatches,
+      s"restart must add batches: $preBatches before, ${batches.length} after")
+    val cols = Seq("doc_id", "lang", "source", "tok", "text_hash") ++
+      (if (nearDup == "prefix") Seq("prefix_key") else Nil) ++
+      Seq("split", "shard")
+    val gotDf = spark.read.parquet(batches: _*)
+    val got = gotDf.select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    val wantDf = batchTwin(docs).localCheckpoint(true)
+    val want = wantDf.select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    assert(got == want, s"keep-lists differ across the restart: " +
+      s"${(want -- got).take(3)} missing, ${(got -- want).take(3)} extra")
+    val keptHashPlants = gotDf
+      .filter(col("doc_id") >= 600 && col("doc_id") < 620).count()
+    assert(keptHashPlants == 0, s"$keptHashPlants byte-identical plants survived " +
+      "— the RocksDB hash state was not resumed from the checkpoint")
+    val keptKeyPlants = gotDf.filter(col("doc_id") >= 620).count()
+    val wantKeyPlants = wantDf.filter(col("doc_id") >= 620).count()
+    info(s"$nearDup key plants kept: streaming $keptKeyPlants, batch $wantKeyPlants of 20")
+    assert(keptKeyPlants == wantKeyPlants,
+      s"key-plant decisions diverge: streaming kept $keptKeyPlants, batch $wantKeyPlants " +
+        "— the RocksDB key state was not resumed from the checkpoint")
+    if (nearDup == "prefix")
+      assert(wantKeyPlants == 0,
+        "every prefix key plant collides with a pre-restart entrant by construction")
+    else
+      assert(wantKeyPlants <= 5,
+        s"the banding should block most 1-token-edit plants, kept $wantKeyPlants of 20")
+  }
+
+  test("ALL-state-store sink: hash AND key state survive a checkpoint-resume restart (prefix)") {
+    twsAllRestartCase("prefix", operators.PipelineQueries.curationKeepList)
+  }
+
+  test("ALL-state-store sink: hash AND key state survive a checkpoint-resume restart (lsh)") {
+    twsAllRestartCase("lsh", operators.PipelineQueries.curationKeepListLsh)
+  }
+
   test("5M-doc streaming curation: the pipeline sink at 50x bench scale equals the batch chain") {
     import graft.streaming.StreamingJobs
     // The last batch/streaming scale asymmetry: the batch chain has its
