@@ -23,7 +23,7 @@ object KmeansQueries extends QueryModule {
     * come from avg() whose summation order is partitioning-dependent, so
     * an unrounded argmin could flip between engines on near-ties.
     */
-  private def assign(e: DataFrame, cent: DataFrame): DataFrame = {
+  private[graft] def assign(e: DataFrame, cent: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id").orderBy(col("dr"), col("cid"))
     e.crossJoin(broadcast(cent))
       .withColumn("d",
@@ -37,7 +37,7 @@ object KmeansQueries extends QueryModule {
   }
 
   /** New centroids = elementwise mean per cluster. */
-  private def update(assigned: DataFrame): DataFrame =
+  private[graft] def update(assigned: DataFrame): DataFrame =
     assigned
       .select(col("cid"), posexplode(col("v")))
       .groupBy("cid", "pos")

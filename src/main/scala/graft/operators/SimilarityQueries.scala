@@ -29,7 +29,7 @@ object SimilarityQueries extends QueryModule {
     * definition so the codebook construction cannot drift between the
     * code builder and the composed IVF-PQ stack.
     */
-  private def subspaces(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private[graft] def subspaces(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     e.select(col("vec_id"), col("label"), explode(expr("sequence(0, 3)")).as("j"), col("v"))
       .select(col("vec_id"), col("label"), col("j"), expr("slice(v, 16 * j + 1, 16)").as("s"))
 
