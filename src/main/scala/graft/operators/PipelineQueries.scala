@@ -291,6 +291,80 @@ object PipelineQueries extends QueryModule {
       ORDER BY 1
     """))
 
+  /** Decontamination SENSITIVITY sweep: the q_contamination measurement
+    * re-run at n-gram sizes n ∈ {5, 8, 13} — the knob the published
+    * practice actually varies (GPT-3's appendix C scrubs at 13-grams,
+    * the Pile at 13, many dedup papers at 5): small n over-flags
+    * (common phrases count as contamination), large n under-flags
+    * (only long verbatim runs survive). One corpus-level row per n:
+    * test docs, contaminated test docs (≥1 shared distinct n-gram with
+    * the train split), contamination share, and total hit n-grams.
+    * Each arm is one explode→hash→distinct pass (the shared
+    * q_contamination shape, cache materialized and released per arm);
+    * all joins are per-shingle hash joins, never doc×doc.
+    */
+  private val contamNgramSweep = QueryDef(
+    "q_contam_ngram_sweep",
+    (spark, sfDir) => {
+      def arm(n: Int): org.apache.spark.sql.DataFrame = {
+        val sh = Tables.documents(spark, sfDir)
+          .withColumn("b", expr(SamplingQueries.bucketExpr("doc_id")))
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= n)
+          .select(col("doc_id"), col("b"), explode(expr(
+            s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))"))
+            .as("sh0"))
+          .select(col("doc_id"), col("b"), expr(Ql.md5PrefixLong("sh0", 14)).as("sh"))
+          .distinct()
+          .cache()
+        val trainSh = sh.filter(col("b") < 90).select("sh").distinct()
+        val testSh = sh.filter(col("b") >= 90)
+        val hits = testSh.join(trainSh, "sh")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        val rep = testSh.select("doc_id").distinct()
+          .agg(count(lit(1)).as("n_test"))
+          .crossJoin(hits.agg(count(lit(1)).as("n_contaminated"),
+            coalesce(sum(col("n_hits")), lit(0L)).as("n_hit_shingles")))
+          .select(lit(n).as("n"), col("n_test"), col("n_contaminated"),
+            col("n_hit_shingles"))
+          .localCheckpoint(true) // 1-row report per arm; cache released below
+        sh.unpersist(false)
+        rep
+      }
+      arm(5).unionByName(arm(8)).unionByName(arm(13))
+        .selectExpr("n", "n_test", "n_contaminated",
+          s"${Ql.R("100.0 * n_contaminated / n_test", 4)} AS contam_pct",
+          "n_hit_shingles")
+        .orderBy("n")
+    },
+    Some {
+      def armSql(n: Int) = s"""
+        SELECT $n AS n,
+               (SELECT count(DISTINCT doc_id) FROM sh$n WHERE b >= 90) AS n_test,
+               (SELECT count(*) FROM hits$n) AS n_contaminated,
+               (SELECT CAST(coalesce(sum(n_hits), 0) AS BIGINT) FROM hits$n) AS n_hit_shingles"""
+      def ctesSql(n: Int) = s"""sh$n AS (
+          SELECT DISTINCT doc_id, b,
+                 ${Ql.Md5PrefixLong(s"array_to_string(t[i + 1 : i + $n], ' ')", 14)} AS sh
+          FROM (SELECT doc_id, ${SamplingQueries.bucketSql("doc_id")} AS b,
+                       t, unnest(generate_series(0, len(t) - $n)) AS i
+                FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+                WHERE len(t) >= $n)),
+        train$n AS (SELECT DISTINCT sh FROM sh$n WHERE b < 90),
+        hits$n AS (
+          SELECT s.doc_id, count(*) AS n_hits
+          FROM sh$n s JOIN train$n t ON s.sh = t.sh
+          WHERE s.b >= 90 GROUP BY 1)"""
+      s"""
+        WITH ${Seq(5, 8, 13).map(ctesSql).mkString(",\n")}
+        SELECT n, n_test, n_contaminated,
+               ${Ql.R("100.0 * n_contaminated / n_test", 4)} AS contam_pct,
+               n_hit_shingles
+        FROM (${Seq(5, 8, 13).map(armSql).mkString(" UNION ALL ")})
+        ORDER BY n
+      """
+    })
+
   /** I-sample: deterministic per-group reservoir — k=5 docs per language,
     * ranked by md5(doc_id) so membership is a pure function of the key
     * (replay/repartition-stable, like all sampling here). Spark plans the
@@ -1030,7 +1104,8 @@ object PipelineQueries extends QueryModule {
     })
 
   override def defs: Seq[QueryDef] =
-    Seq(packSequences, docChunks, contamination, decontamScrub, sampleReservoir,
+    Seq(packSequences, docChunks, contamination, decontamScrub,
+      contamNgramSweep, sampleReservoir,
       curationPipeline, curationPipelineLsh, curationPipelineSafe,
       curationSafeLeakage, negativeSampling, shardBalance,
       shardManifest, dedupSourceBias, dataConstrainedScaling)

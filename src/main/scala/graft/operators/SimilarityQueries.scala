@@ -424,32 +424,65 @@ object SimilarityQueries extends QueryModule {
     * broadcast pass (10 centroid rows against the scan). Per-cluster
     * kept/dropped counts are the report.
     */
+  /** The SemDeDup scaffold (Abbas et al. 2023, public): the
+    * plants-augmented embedding table (vec_id<10 copied to id+100000,
+    * last component +0.1, cosine ≈ 0.995 — the natural pairwise maximum
+    * in this corpus is ~0.51, so without plants the drop path would be
+    * vacuously untested) and its centroid-bucketed assignment, shared by
+    * q_semantic_dedup and q_semdedup_eps_sweep so the measured bucketing
+    * is the served one. Returns (e, assigned); `e` is cached and the
+    * caller unpersists it after materializing its report.
+    */
+  private def semAssigned(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val e0 = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), Vectors.toDouble(col("embedding")).as("v"))
+    val e = e0.unionByName(
+      e0.filter(col("vec_id") < 10).select(
+        (col("vec_id") + 100000).as("vec_id"), col("label"),
+        expr("concat(slice(v, 1, 63), array(element_at(v, 64) + 0.1d))").as("v")))
+      .cache()
+    val centroids = labelCentroids(e)
+      .select(col("label").as("cl"), col("centroid"))
+    // rank on the ROUNDED score (rounding contract): centroid components
+    // come from avg() whose summation order is partitioning-dependent
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cl"))
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("cscore", Ql.r(Vectors.dot(col("v"), col("centroid")), 6))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") === 1)
+      .select(col("cl").as("cluster"), col("vec_id"), col("v"),
+        sqrt(Vectors.normSq(col("v"))).as("norm"))
+    (e, assigned)
+  }
+
+  /** Oracle twin of [[semAssigned]]: CTE chain ending in
+    * `assigned(cluster, vec_id, v, norm)`.
+    */
+  private val semAssignedSql =
+    """e0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+      e AS (
+        SELECT * FROM e0
+        UNION ALL
+        SELECT vec_id + 100000, label, v[1:63] || [v[64] + 0.1] FROM e0 WHERE vec_id < 10),
+      cent AS (
+        SELECT label AS cl, list(c ORDER BY pos) AS centroid
+        FROM (SELECT label, g.i AS pos, avg(v[g.i]) AS c
+              FROM e, generate_series(1, 64) g(i)
+              GROUP BY 1, 2)
+        GROUP BY 1),
+      assigned AS (
+        SELECT cl AS cluster, vec_id, v, sqrt(list_dot_product(v, v)) AS norm
+        FROM e, cent
+        QUALIFY row_number() OVER (PARTITION BY vec_id
+          ORDER BY round(list_dot_product(v, centroid) + 1e-9, 6) DESC, cl) = 1)"""
+
   private val semanticDedup = QueryDef(
     "q_semantic_dedup",
     (spark, sfDir) => {
-      import org.apache.spark.sql.expressions.Window
-      val e0 = Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), col("label"), Vectors.toDouble(col("embedding")).as("v"))
-      // same planted near-twins as q_dedup_embed (vec_id<10 copied to
-      // id+100000, last component +0.1, cosine ≈ 0.995): the natural
-      // pairwise maximum in this corpus is ~0.51, so without plants the
-      // drop path would be vacuously untested
-      val e = e0.unionByName(
-        e0.filter(col("vec_id") < 10).select(
-          (col("vec_id") + 100000).as("vec_id"), col("label"),
-          expr("concat(slice(v, 1, 63), array(element_at(v, 64) + 0.1d))").as("v")))
-        .cache()
-      val centroids = labelCentroids(e)
-        .select(col("label").as("cl"), col("centroid"))
-      // rank on the ROUNDED score (rounding contract): centroid components
-      // come from avg() whose summation order is partitioning-dependent
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cl"))
-      val assigned = e.crossJoin(broadcast(centroids))
-        .withColumn("cscore", Ql.r(Vectors.dot(col("v"), col("centroid")), 6))
-        .withColumn("arank", row_number().over(wAssign))
-        .filter(col("arank") === 1)
-        .select(col("cl").as("cluster"), col("vec_id"), col("v"),
-          sqrt(Vectors.normSq(col("v"))).as("norm"))
+      val (e, assigned) = semAssigned(spark, sfDir)
       val dropped = assigned
         .select(col("cluster"), col("vec_id").as("d1"), col("v").as("v1"), col("norm").as("n1"))
         .join(assigned
@@ -472,23 +505,7 @@ object SimilarityQueries extends QueryModule {
       report
     },
     Some(s"""
-      WITH e0 AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                  FROM embeddings),
-      e AS (
-        SELECT * FROM e0
-        UNION ALL
-        SELECT vec_id + 100000, label, v[1:63] || [v[64] + 0.1] FROM e0 WHERE vec_id < 10),
-      cent AS (
-        SELECT label AS cl, list(c ORDER BY pos) AS centroid
-        FROM (SELECT label, g.i AS pos, avg(v[g.i]) AS c
-              FROM e, generate_series(1, 64) g(i)
-              GROUP BY 1, 2)
-        GROUP BY 1),
-      assigned AS (
-        SELECT cl AS cluster, vec_id, v, sqrt(list_dot_product(v, v)) AS norm
-        FROM e, cent
-        QUALIFY row_number() OVER (PARTITION BY vec_id
-          ORDER BY round(list_dot_product(v, centroid) + 1e-9, 6) DESC, cl) = 1),
+      WITH $semAssignedSql,
       dropped AS (
         SELECT cluster, count(*) AS n_dropped FROM (
           SELECT DISTINCT a.cluster, b.vec_id AS d2
@@ -501,6 +518,76 @@ object SimilarityQueries extends QueryModule {
              CAST(count(*) - coalesce(any_value(d.n_dropped), 0) AS BIGINT) AS n_kept
       FROM assigned a LEFT JOIN dropped d ON a.cluster = d.cluster
       GROUP BY 1 ORDER BY 1
+    """))
+
+  /** SemDeDup THRESHOLD sweep — the knob curve a semantic-dedup owner
+    * reads before picking ε: keep/drop volume at ε ∈ {0.30, 0.40, 0.85,
+    * 0.99} — the low tiers sit in this corpus's natural random-pair
+    * cosine range (max ≈ 0.51) and the high tiers in the production
+    * SemDeDup near-dup range, so the curve shows both shoulders — from
+    * ONE pair pass over the served centroid-bucketed
+    * scaffold ([[semAssigned]], shared with q_semantic_dedup). The drop
+    * rule per ε is q_semantic_dedup's exactly: a vector drops iff some
+    * LOWER-id same-cluster partner has rounded cosine ≥ ε — so per doc
+    * the sweep needs only its MAX such cosine, and the four tiers are
+    * conditional counts over that per-doc table (the
+    * q_quantile_regression one-pass-many-thresholds shape: no per-ε
+    * re-scan, no theta join). ε thresholds are exponent-notation
+    * literals (fact #39) compared against the 4-dp-rounded max, so the
+    * tier cuts are bit-identical cross-engine.
+    */
+  private val semdedupEpsSweep = QueryDef(
+    "q_semdedup_eps_sweep",
+    (spark, sfDir) => {
+      val (e, assigned) = semAssigned(spark, sfDir)
+      val md = assigned
+        .select(col("cluster"), col("vec_id").as("d1"), col("v").as("v1"), col("norm").as("n1"))
+        .join(assigned
+          .select(col("cluster"), col("vec_id").as("d2"), col("v").as("v2"), col("norm").as("n2")),
+          "cluster")
+        .filter(col("d1") < col("d2"))
+        .select(col("d2"),
+          Ql.r(Vectors.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 4).as("cr"))
+        .groupBy("d2").agg(max(col("cr")).as("max_cos"))
+        .localCheckpoint(true) // per-doc table; the pair pass runs once
+      val tot = assigned.agg(count(lit(1)).as("n_total"))
+        .localCheckpoint(true) // 1 row, materialized before the cache drops
+      e.unpersist(false)
+      md.agg(
+          count(when(col("max_cos") >= expr("30e-2"), 1)).as("c30"),
+          count(when(col("max_cos") >= expr("40e-2"), 1)).as("c40"),
+          count(when(col("max_cos") >= expr("85e-2"), 1)).as("c85"),
+          count(when(col("max_cos") >= expr("99e-2"), 1)).as("c99"))
+        .crossJoin(broadcast(tot))
+        .selectExpr("n_total",
+          "stack(4, '0.30', c30, '0.40', c40, '0.85', c85, '0.99', c99) AS (eps, n_dropped)")
+        .selectExpr("eps", "n_total", "n_dropped",
+          "n_total - n_dropped AS n_kept",
+          s"${Ql.R("100.0 * n_dropped / n_total", 4)} AS drop_pct")
+        .orderBy("eps")
+    },
+    Some(s"""
+      WITH $semAssignedSql,
+      md AS (
+        SELECT b.vec_id AS d2,
+               max(round(list_dot_product(a.v, b.v) / (a.norm * b.norm) + 1e-9, 4)) AS max_cos
+        FROM assigned a JOIN assigned b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        GROUP BY 1),
+      tot AS (SELECT count(*) AS n_total FROM assigned),
+      cnt AS (SELECT
+          count(*) FILTER (WHERE max_cos >= 30e-2) AS c30,
+          count(*) FILTER (WHERE max_cos >= 40e-2) AS c40,
+          count(*) FILTER (WHERE max_cos >= 85e-2) AS c85,
+          count(*) FILTER (WHERE max_cos >= 99e-2) AS c99
+        FROM md),
+      s AS (SELECT '0.30' AS eps, c30 AS n_dropped FROM cnt
+            UNION ALL SELECT '0.40', c40 FROM cnt
+            UNION ALL SELECT '0.85', c85 FROM cnt
+            UNION ALL SELECT '0.99', c99 FROM cnt)
+      SELECT eps, n_total, n_dropped, n_total - n_dropped AS n_kept,
+             ${Ql.R("100.0 * n_dropped / n_total", 4)} AS drop_pct
+      FROM s CROSS JOIN tot ORDER BY eps
     """))
 
   /** I3-ivfpq: the full production ANN stack — IVF coarse quantizer +
@@ -1166,6 +1253,6 @@ object SimilarityQueries extends QueryModule {
 
   override def defs: Seq[QueryDef] = Seq(
     similarTopk, knnVote, annIvf, annNprobeSweep, docEmbedJoin, embedQuantize,
-    pqCodes, semanticDedup, annIvfPq, annRecall, docOutlier, silhouette,
-    embeddingDrift, mutualKnn, submodularSelect, embeddingNormAudit)
+    pqCodes, semanticDedup, semdedupEpsSweep, annIvfPq, annRecall, docOutlier,
+    silhouette, embeddingDrift, mutualKnn, submodularSelect, embeddingNormAudit)
 }

@@ -250,7 +250,9 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_split_balance", // |splits|x|margin| dense expected grids + 1-row corpus-total broadcasts
       "q_ccnet_ppl_buckets", // 1-row vocabulary-size broadcast (the q_lm_perplexity LM)
       "q_capture_recapture_stratified", // 1-row stratified-total aggregate unioned under the <=4-row stratum report
-      "q_dedup_cluster_profile") // 1-row clustered-doc total broadcast onto the <=|sizes|-row histogram
+      "q_dedup_cluster_profile", // 1-row clustered-doc total broadcast onto the <=|sizes|-row histogram
+      "q_semdedup_eps_sweep", // 1-row corpus-total broadcast onto the 1-row 4-tier aggregate
+      "q_contam_ngram_sweep") // two 1-row corpus aggregates crossed into each arm's report row
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
