@@ -349,13 +349,17 @@ object Bench {
     def noiseProbe(): Double =
       if (!SparkEntry.queries.contains(probeName)) 0.0
       else {
-        val xs = (0 until 3).map { _ =>
+        // a FAILED probe run must be discarded, not timed: recording its
+        // time-to-exception (~ms) as a probe value would deflate
+        // noise_index ~40x and poison the next run's prior
+        val xs = (0 until 3).flatMap { _ =>
           val t0 = System.nanoTime()
-          try SparkEntry.queries(probeName)(spark, warmSf).count()
-          catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
+          try {
+            SparkEntry.queries(probeName)(spark, warmSf).count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case _: Throwable => None }
         }.sorted
-        xs(1)
+        if (xs.isEmpty) 0.0 else xs(xs.size / 2)
       }
     noiseProbe() // untimed: first-use codegen must not land in the probe
     val probeStart = noiseProbe()

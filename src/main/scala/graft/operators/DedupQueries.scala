@@ -225,7 +225,7 @@ object DedupQueries extends QueryModule {
     * run before its stateful operator). Must stay bit-identical to the
     * served banding: same md5 28-bit halves (hex digits 1–7 / 8–14),
     * same `(2i+1)·h1 + (i²+i+1)·h2 + i mod (2³¹−1)` family, same 4×3
-    * comma-joined keys — PropertySpec pins the equality on a real corpus.
+    * comma-joined keys — ScaleSmokeSpec pins the equality on a real corpus.
     */
   private[graft] def bandKeysLocal(text: String): Seq[(Int, String)] = {
     val toks = text.split(" ", -1)

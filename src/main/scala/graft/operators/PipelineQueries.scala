@@ -453,22 +453,33 @@ object PipelineQueries extends QueryModule {
     * q_curation_pipeline and q_shard_balance so the oracle stages cannot
     * drift between the queries that consume the same decision.
     */
-  private val keepListSql =
-    s"""filtered AS (
+  /** The gate → exact-dedup → weak-key oracle stage text over an
+    * arbitrary source relation, CTE names prefixed — ONE definition
+    * shared by the prefix, LSH, and safe chains' oracles (the
+    * bandKeysSqlOver / ccSqlOver parameterization convention), so a
+    * stage-text change cannot silently de-synchronize the chains. A
+    * chain that replaces the weak-key stage simply never references
+    * `${"$"}{pfx}keyed` (DuckDB does not evaluate unreferenced CTEs).
+    */
+  private def keepStagesSql(pfx: String, src: String) =
+    s"""${pfx}filtered AS (
         SELECT doc_id, lang, source, text,
                len(string_split(text, ' ')) AS tok,
                sha256(text) AS text_hash,
                array_to_string(string_split(text, ' ')[1:3], ' ') AS prefix_key
-        FROM documents
+        FROM $src
         WHERE len(string_split(text, ' ')) >= 20),
-      deduped AS (
+      ${pfx}deduped AS (
         SELECT * FROM (
           SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn_hash
-          FROM filtered) WHERE rn_hash = 1),
-      keyed AS (
+          FROM ${pfx}filtered) WHERE rn_hash = 1),
+      ${pfx}keyed AS (
         SELECT * FROM (
           SELECT *, row_number() OVER (PARTITION BY lang, prefix_key ORDER BY doc_id) AS rn_key
-          FROM deduped) WHERE rn_key = 1),
+          FROM ${pfx}deduped) WHERE rn_key = 1)"""
+
+  private val keepListSql =
+    s"""${keepStagesSql("", "documents")},
       splitted AS (
         SELECT *,
                CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
@@ -534,16 +545,7 @@ object PipelineQueries extends QueryModule {
     * candidate oracles use).
     */
   private val keepListLshSql =
-    s"""lfiltered AS (
-        SELECT doc_id, lang, source, text,
-               len(string_split(text, ' ')) AS tok,
-               sha256(text) AS text_hash
-        FROM documents
-        WHERE len(string_split(text, ' ')) >= 20),
-      ldeduped AS (
-        SELECT * FROM (
-          SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn_hash
-          FROM lfiltered) WHERE rn_hash = 1),
+    s"""${keepStagesSql("l", "documents")},
       ${DedupQueries.bandKeysSqlOver("ldeduped", "l")},
       lbad AS (
         SELECT DISTINCT doc_id FROM (
@@ -605,6 +607,10 @@ object PipelineQueries extends QueryModule {
       .withColumn("prefix_key", concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
       .withColumn("rn_hash", row_number().over(keepFirstHash))
       .filter(col("rn_hash") === 1)
+      // feeds BOTH the candidate surface and the returned keep-list plan:
+      // materialize so the corpus-wide sha256 + hash-window pass runs
+      // once (blocks land in the callers' snapshot-and-release window)
+      .localCheckpoint(true)
     val cand = DedupQueries.lshBandPairsOf(deduped.select("doc_id", "text"))
       .localCheckpoint(true)
     val labels = ClusterQueries.clusterLabelsOf(cand)
@@ -632,27 +638,13 @@ object PipelineQueries extends QueryModule {
     * prefix_key, text, lbl, split, shard)`.
     */
   private val keepListSafeSql =
-    s"""sfiltered AS (
-        SELECT doc_id, lang, source, text,
-               len(string_split(text, ' ')) AS tok,
-               sha256(text) AS text_hash,
-               array_to_string(string_split(text, ' ')[1:3], ' ') AS prefix_key
-        FROM ${DedupQueries.plantsFullSql}
-        WHERE len(string_split(text, ' ')) >= 20),
-      sdeduped AS (
-        SELECT * FROM (
-          SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn_hash
-          FROM sfiltered) WHERE rn_hash = 1),
+    s"""${keepStagesSql("s", DedupQueries.plantsFullSql)},
       ${DedupQueries.bandKeysSqlOver("sdeduped", "s")},
       cand AS (
         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         FROM sbands a JOIN sbands b
           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
       ${ClusterQueries.ccSqlOver("cand")},
-      skeyed AS (
-        SELECT * FROM (
-          SELECT *, row_number() OVER (PARTITION BY lang, prefix_key ORDER BY doc_id) AS rn_key
-          FROM sdeduped) WHERE rn_key = 1),
       sassigned AS (
         SELECT k.doc_id, k.lang, k.source, k.tok, k.text_hash, k.prefix_key,
                k.text, l.lbl,

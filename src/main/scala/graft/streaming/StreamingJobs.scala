@@ -1861,6 +1861,31 @@ object StreamingJobs {
   case class CurDoc(doc_id: Long, lang: String, source: String, text: String,
       tok: Int, text_hash: String, prefix_key: String)
 
+  /** Stage 1 (gate) + decision keys + the state-store exact-dedup stage,
+    * shared by [[curationPipelineSinkTws]] and
+    * [[curationPipelineSinkTwsAll]]: the gated stream keyed by text_hash
+    * through [[HashDedupProcessor]] — its output is exactly the stage-2
+    * survivors. One definition so a gate change cannot silently diverge
+    * the TWS sinks from each other.
+    */
+  private def gatedHashDeduped(docs: DataFrame): org.apache.spark.sql.Dataset[CurDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withColumn("tok", size(split(col("text"), " ")))
+      .filter(col("tok") >= 20)
+      .withColumn("text_hash", sha2(col("text").cast("binary"), 256))
+      .withColumn("prefix_key",
+        concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        col("tok"), col("text_hash"), col("prefix_key"))
+      .as[CurDoc]
+      .groupByKey(_.text_hash)
+      .transformWithState(new HashDedupProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** Exact-dedup keep-first as a transformWithState processor: per
     * text_hash, state is the kept doc_id — the first batch that sees a
     * hash emits its min-doc_id row and pins the state; every later
@@ -1909,23 +1934,8 @@ object StreamingJobs {
       trigger: Trigger = Trigger.AvailableNow(),
       nearDup: String = "prefix") = {
     require(nearDup == "prefix" || nearDup == "lsh", s"unknown nearDup mode: $nearDup")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    requireRocksDb(spark)
-    val s2 = docs
-      .withColumn("tok", size(split(col("text"), " ")))
-      .filter(col("tok") >= 20)
-      .withColumn("text_hash", sha2(col("text").cast("binary"), 256))
-      .withColumn("prefix_key",
-        concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
-      .select(col("doc_id"), col("lang"), col("source"), col("text"),
-        col("tok"), col("text_hash"), col("prefix_key"))
-      .as[CurDoc]
-      .groupByKey(_.text_hash)
-      .transformWithState(new HashDedupProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(),
-        org.apache.spark.sql.streaming.OutputMode.Update())
-    s2.toDF().writeStream
+    requireRocksDb(docs.sparkSession)
+    gatedHashDeduped(docs).toDF().writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -2009,19 +2019,7 @@ object StreamingJobs {
     val spark = docs.sparkSession
     import spark.implicits._
     requireRocksDb(spark)
-    val s2 = docs
-      .withColumn("tok", size(split(col("text"), " ")))
-      .filter(col("tok") >= 20)
-      .withColumn("text_hash", sha2(col("text").cast("binary"), 256))
-      .withColumn("prefix_key",
-        concat_ws(" ", slice(split(col("text"), " "), 1, 3)))
-      .select(col("doc_id"), col("lang"), col("source"), col("text"),
-        col("tok"), col("text_hash"), col("prefix_key"))
-      .as[CurDoc]
-      .groupByKey(_.text_hash)
-      .transformWithState(new HashDedupProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(),
-        org.apache.spark.sql.streaming.OutputMode.Update())
+    val s2 = gatedHashDeduped(docs)
     val s3 = nearDup match {
       case "prefix" =>
         // the same first-entrant-wins rule, re-keyed by the stage-3 key:
