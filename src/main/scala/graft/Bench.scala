@@ -112,8 +112,10 @@ object Bench {
         "q_split_safe", "q_split_safe_leakage",
         // r15: the safe curation chain runs gate+dedup+banding+CC (the
         // q_split_safe cost family); the leakage re-audit runs the chain
-        // PLUS a second banding pass over the kept docs
-        "q_curation_pipeline_safe", "q_curation_safe_leakage")
+        // PLUS a second banding pass over the kept docs; the n-gram sweep
+        // runs THREE shingle explode+distinct passes (q_contamination x3)
+        "q_curation_pipeline_safe", "q_curation_safe_leakage",
+        "q_contam_ngram_sweep")
     (lightWarm ++ heavyWarm)
       .filter(SparkEntry.queries.contains)
       .foreach { n =>
