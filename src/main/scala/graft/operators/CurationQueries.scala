@@ -481,6 +481,32 @@ object CurationQueries extends QueryModule {
     * planted failure docs cannot drift between them (the keepListSql /
     * lshCandSql discipline).
     */
+  /** The sig→f rule chain of [[gateFlagsSql]], parameterized by the
+    * source relation (must expose doc_id, text, source) — ONE rules
+    * text shared by the plants-augmented gate oracles and the
+    * plants-free q_quality_filter_agreement oracle, so the gate
+    * thresholds cannot drift between the gate report and the agreement
+    * audit. Ends in `f(doc_id, source, wc_ok, ml_ok, st_ok, dg_ok,
+    * mean_len)`.
+    */
+  private[graft] def gateFlagsCoreSql(src: String): String =
+    s"""sig AS (
+        SELECT doc_id, source,
+               len(toks) AS n_words,
+               list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS mean_len,
+               len(list_distinct(list_intersect(toks, $stopList))) AS n_stop,
+               len(list_filter(toks, x -> translate(x, '0123456789', '') = '')) * 1.0
+                 / len(toks) AS digit_frac
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM $src)),
+      f AS (
+        SELECT doc_id, source,
+               (n_words >= 20 AND n_words <= 1000) AS wc_ok,
+               (mean_len >= 3.0 AND mean_len <= 10.0) AS ml_ok,
+               (n_stop >= 2) AS st_ok,
+               (digit_frac <= 0.2) AS dg_ok,
+               mean_len
+        FROM sig)"""
+
   private val gateFlagsSql =
     s"""plants AS (
         SELECT * FROM (VALUES
@@ -491,22 +517,7 @@ object CurationQueries extends QueryModule {
         ) AS v(doc_id, text, source)),
       u AS (SELECT doc_id, text, source FROM documents
             UNION ALL SELECT doc_id, text, source FROM plants),
-      sig AS (
-        SELECT source,
-               len(toks) AS n_words,
-               list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks) AS mean_len,
-               len(list_distinct(list_intersect(toks, $stopList))) AS n_stop,
-               len(list_filter(toks, x -> translate(x, '0123456789', '') = '')) * 1.0
-                 / len(toks) AS digit_frac
-        FROM (SELECT source, string_split(text, ' ') AS toks FROM u)),
-      f AS (
-        SELECT source,
-               (n_words >= 20 AND n_words <= 1000) AS wc_ok,
-               (mean_len >= 3.0 AND mean_len <= 10.0) AS ml_ok,
-               (n_stop >= 2) AS st_ok,
-               (digit_frac <= 0.2) AS dg_ok,
-               mean_len
-        FROM sig)"""
+      ${gateFlagsCoreSql("u")}"""
 
   private val gopherQuality = QueryDef(
     "q_gopher_quality",
@@ -784,9 +795,167 @@ object CurationQueries extends QueryModule {
       ORDER BY lang
     """))
 
+  /** Quality-filter agreement audit — before ensembling or swapping
+    * quality filters (the FineWeb/RefinedWeb ablation question), measure
+    * how much two INDEPENDENT served signals actually agree: the
+    * rule-based Gopher gate ([[gopherSignals]], the exact flags
+    * q_gopher_quality ships) vs the model-based CCNet tercile
+    * ([[TextQueries.ccnetDocTiers]], where "keep" = head or middle —
+    * the slice CCNet retains). Per language: the 2×2 confusion cells,
+    * observed agreement p_o, and Cohen's kappa (chance-corrected; the
+    * q_kappa_agreement statistic pointed at a different filter pair).
+    * Low kappa means the filters kill DIFFERENT docs — ensembling them
+    * is a real coverage change, not a rubber stamp. Population = docs
+    * with ≥2 tokens (the LM needs a bigram; the gate sees the same
+    * docs, no plants — planted failure docs would fake disagreement).
+    * Scale shape: the tier side is the served two-level ranking, the
+    * gate side is row-local, the join is one per-doc hash join, and the
+    * report is |langs| rows. pe = 1 (degenerate single-cell lang) emits
+    * NULL kappa in both engines.
+    */
+  private val qualityFilterAgreement = {
+    val po = "(n_both_keep + n_both_drop) / CAST(n_docs AS DOUBLE)"
+    val pe = "((n_both_keep + n_gopher_only) * (n_both_keep + n_ccnet_only) + " +
+      "(n_ccnet_only + n_both_drop) * (n_gopher_only + n_both_drop)) / " +
+      "(CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))"
+    val kappa = s"CASE WHEN ($pe) >= 1.0 THEN NULL ELSE " +
+      s"${Ql.R(s"(($po) - ($pe)) / (1.0 - ($pe))", 6)} END"
+    QueryDef(
+      "q_quality_filter_agreement",
+      (spark, sfDir) => {
+        val tiers = graft.operators.TextQueries.ccnetDocTiers(spark, sfDir)
+          .select(col("doc_id"), col("bucket"))
+        val d = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        gopherSignals(d)
+          .select(col("doc_id"), col("lang"), col("keep"))
+          .join(tiers, "doc_id")
+          .withColumn("ck", col("bucket") =!= "c_tail")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum((col("keep") && col("ck")).cast("long")).as("n_both_keep"),
+            sum((col("keep") && !col("ck")).cast("long")).as("n_gopher_only"),
+            sum((!col("keep") && col("ck")).cast("long")).as("n_ccnet_only"),
+            sum((!col("keep") && !col("ck")).cast("long")).as("n_both_drop"))
+          .selectExpr("lang", "n_docs", "n_both_keep", "n_gopher_only",
+            "n_ccnet_only", "n_both_drop",
+            s"${Ql.R(po, 6)} AS po", s"$kappa AS kappa")
+          .orderBy("lang")
+      },
+      Some(s"""
+        WITH ${graft.operators.TextQueries.ccnetTierSql},
+        ${gateFlagsCoreSql("documents")},
+        j AS (
+          SELECT b.lang,
+                 (f.wc_ok AND f.ml_ok AND f.st_ok AND f.dg_ok) AS gk,
+                 (b.bucket <> 'c_tail') AS ck
+          FROM f JOIN b ON f.doc_id = b.doc_id),
+        cells AS (
+          SELECT lang, count(*) AS n_docs,
+                 CAST(sum(CASE WHEN gk AND ck THEN 1 ELSE 0 END) AS BIGINT) AS n_both_keep,
+                 CAST(sum(CASE WHEN gk AND NOT ck THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_only,
+                 CAST(sum(CASE WHEN NOT gk AND ck THEN 1 ELSE 0 END) AS BIGINT) AS n_ccnet_only,
+                 CAST(sum(CASE WHEN NOT gk AND NOT ck THEN 1 ELSE 0 END) AS BIGINT) AS n_both_drop
+          FROM j GROUP BY 1)
+        SELECT lang, n_docs, n_both_keep, n_gopher_only, n_ccnet_only, n_both_drop,
+               ${Ql.R(po, 6)} AS po, $kappa AS kappa
+        FROM cells ORDER BY lang
+      """))
+  }
+
+  /** DSIR-style data selection (Xie et al. NeurIPS'23, "Data Selection
+    * for Language Models via Importance Resampling", public method):
+    * score every candidate document by how target-like its hashed-bigram
+    * profile is under a bag-of-ngrams importance weight
+    * log p_target(doc) − log p_raw(doc) = Σ_f c_f · log(λ_tgt(f)/λ_raw(f)),
+    * with add-1-smoothed multinomials over B = 10,000 hash buckets.
+    * Target = the 'en' slice (the wiki-like domain stand-in), candidate
+    * pool = everything else; selection here is deterministic top-k by
+    * weight (the paper resamples with Gumbel noise — the scoring model,
+    * which is the expensive part, is identical). Determinism: per-FEATURE
+    * log-ratios round to integer micro-units (fact #40) so every doc
+    * score is an exact BIGINT sum, ranked without ties-by-rounding.
+    * Scale shape: the feature space is hash-bounded at B rows BY
+    * CONSTRUCTION, so the log-ratio model always broadcasts regardless
+    * of corpus size — two keyed counts (B-bounded), one map-side
+    * broadcast join over the token stream, one per-doc rollup, and a
+    * TakeOrdered top-k. Nothing in the plan grows past O(corpus tokens).
+    */
+  private val dsirSelection = QueryDef(
+    "q_dsir_selection",
+    (spark, sfDir) => {
+      val t = Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+      def inst(d: org.apache.spark.sql.DataFrame) = d
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(toks) - 2),
+               i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))""")).as("bg"))
+        .select(col("doc_id"), expr(s"(${Ql.md5PrefixLong("bg", 14)}) % 10000").as("f"))
+      val instT = inst(t.filter(col("lang") === "en"))
+      val instR = inst(t.filter(col("lang") =!= "en"))
+      val tf = instT.groupBy("f").agg(count(lit(1)).as("c_t"))
+      val rf = instR.groupBy("f").agg(count(lit(1)).as("c_r"))
+      // totals derived from the B-bounded count tables, not a third
+      // corpus pass
+      val tot = tf.agg(sum(col("c_t")).cast("double").as("n_tgt"))
+        .crossJoin(rf.agg(sum(col("c_r")).cast("double").as("n_raw")))
+      val lrtab = tf.join(rf, Seq("f"), "full_outer")
+        .select(col("f"), coalesce(col("c_t"), lit(0L)).as("c_t"),
+          coalesce(col("c_r"), lit(0L)).as("c_r"))
+        .crossJoin(broadcast(tot))
+        .withColumn("lr_micro", expr(s"CAST(${Ql.R(
+          "(ln((CAST(c_t AS DOUBLE) + 1.0) / (n_tgt + 10000.0)) - " +
+            "ln((CAST(c_r AS DOUBLE) + 1.0) / (n_raw + 10000.0))) * 1e6", 0)} AS BIGINT)"))
+        .select("f", "lr_micro")
+        .localCheckpoint(true) // ≤B rows; the broadcast model
+      instR.join(broadcast(lrtab), "f")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lr_micro")).as("score_micro"))
+        .join(t.select("doc_id", "lang", "source"), "doc_id")
+        .selectExpr("doc_id", "lang", "source", "n_bigrams", "score_micro",
+          s"${Ql.R("score_micro / 1e6", 4)} AS score",
+          s"${Ql.R("score_micro / 1e6 / n_bigrams", 6)} AS avg_lr")
+        .orderBy(col("score_micro").desc, col("doc_id")).limit(20)
+    },
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+      inst AS (
+        SELECT doc_id, lang,
+               (${Ql.Md5PrefixLong("bg", 14)}) % 10000 AS f
+        FROM (SELECT doc_id, lang,
+                unnest(list_transform(generate_series(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i + 1])) AS bg
+              FROM t)),
+      tf AS (SELECT f, count(*) AS c_t FROM inst WHERE lang = 'en' GROUP BY 1),
+      rf AS (SELECT f, count(*) AS c_r FROM inst WHERE lang <> 'en' GROUP BY 1),
+      tot AS (SELECT (SELECT CAST(sum(c_t) AS DOUBLE) FROM tf) AS n_tgt,
+                     (SELECT CAST(sum(c_r) AS DOUBLE) FROM rf) AS n_raw),
+      lrtab AS (
+        SELECT coalesce(tf.f, rf.f) AS f,
+               CAST(${Ql.R(
+      "(ln((CAST(coalesce(c_t, 0) AS DOUBLE) + 1.0) / (n_tgt + 10000.0)) - " +
+        "ln((CAST(coalesce(c_r, 0) AS DOUBLE) + 1.0) / (n_raw + 10000.0))) * 1e6", 0)} AS BIGINT) AS lr_micro
+        FROM tf FULL OUTER JOIN rf ON tf.f = rf.f, tot),
+      scored AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum(lr_micro) AS BIGINT) AS score_micro
+        FROM inst JOIN lrtab USING (f)
+        WHERE lang <> 'en'
+        GROUP BY 1)
+      SELECT s.doc_id, t.lang, t.source, s.n_bigrams, s.score_micro,
+             ${Ql.R("s.score_micro / 1e6", 4)} AS score,
+             ${Ql.R("s.score_micro / 1e6 / s.n_bigrams", 6)} AS avg_lr
+      FROM scored s JOIN t ON s.doc_id = t.doc_id
+      ORDER BY s.score_micro DESC, s.doc_id LIMIT 20
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(segmentDedup, repetitionFilter, domainBudget, wordEntropy,
       globalOrdinals, chi2Terms, klDivergence, dupGramCoverage,
       gopherQuality, gopherRuleAblation, piiRedact, mixWeights,
-      tokenBudgetPlan)
+      tokenBudgetPlan, dsirSelection, qualityFilterAgreement)
 }

@@ -1251,8 +1251,200 @@ object SimilarityQueries extends QueryModule {
       FROM a ORDER BY label
     """))
 
+  /** IVF list-occupancy audit — the ANN-side twin of
+    * q_lsh_bucket_occupancy: an inverted-file index is only as fast as
+    * its WORST probed list, so before trusting q_ann_ivf's nprobe/K cost
+    * model an index owner reads the list-size distribution and what the
+    * serving probe set actually scans. Per list (= coarse cluster):
+    * size, corpus share, and how many of the 20 serving queries probe it
+    * under the SAME rounded-cscore nprobe=2 rule q_ann_ivf ships; plus
+    * summary columns — size CV (exact integer sum-of-squares form),
+    * max/mean imbalance, and measured mean scanned-per-query vs the
+    * uniform-list 2N/K the cost model assumes. A hot list shows up as
+    * probes_hit × size dominating scan share. Scale shape: one keyed
+    * count (K rows), one 20×K broadcast probe pass — nothing
+    * corpus-pairwise; the report is K rows.
+    */
+  private val ivfListBalance = QueryDef(
+    "q_ivf_list_balance",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label"), Vectors.toDouble(col("embedding")).as("v"))
+      val lists = e.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+        .localCheckpoint(true) // K rows; feeds probe-cost join AND summary
+      val centroids = labelCentroids(e)
+      val wProbe = Window.partitionBy("qid").orderBy(col("cscore").desc, col("label"))
+      val probed = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+        .crossJoin(broadcast(centroids))
+        // centroid components come from avg() (partitioning-dependent sum
+        // order) — rank on the rounded score per the rounding contract
+        .withColumn("cscore", Ql.r(Vectors.dot(col("qv"), col("centroid")), 6))
+        .withColumn("crank", row_number().over(wProbe))
+        .filter(col("crank") <= 2)
+        .select(col("qid"), col("label"))
+      val hits = probed.groupBy("label").agg(count(lit(1)).as("probes_hit"))
+      val summary = lists
+        .agg(count(lit(1)).as("k_lists"), sum(col("n_vecs")).as("n_total"),
+          max(col("n_vecs")).as("max_list"),
+          sum(col("n_vecs") * col("n_vecs")).as("ss"))
+        .crossJoin(broadcast(
+          probed.join(broadcast(lists), "label")
+            .groupBy("qid").agg(sum(col("n_vecs")).as("scan"))
+            .agg(count(lit(1)).as("n_q"), sum(col("scan")).as("scan_total"))))
+        .selectExpr(
+          "n_total", "scan_total",
+          s"${Ql.R("sqrt(CAST(k_lists * ss - n_total * n_total AS DOUBLE)) / n_total", 6)} AS size_cv",
+          s"${Ql.R("CAST(max_list * k_lists AS DOUBLE) / n_total", 4)} AS imbalance",
+          s"${Ql.R("CAST(scan_total AS DOUBLE) / n_q", 4)} AS mean_scan",
+          s"${Ql.R("2.0 * n_total / k_lists", 4)} AS uniform_scan")
+      lists.join(hits, Seq("label"), "left")
+        .crossJoin(broadcast(summary))
+        .selectExpr("label", "n_vecs",
+          s"${Ql.R("100.0 * n_vecs / n_total", 4)} AS size_pct",
+          "coalesce(probes_hit, CAST(0 AS BIGINT)) AS probes_hit",
+          s"${Ql.R("100.0 * n_vecs * coalesce(probes_hit, CAST(0 AS BIGINT)) / scan_total", 4)} AS scan_pct",
+          "size_cv", "imbalance", "mean_scan", "uniform_scan")
+        .orderBy("label")
+    },
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                 FROM embeddings),
+      lists AS (SELECT label, count(*) AS n_vecs FROM e GROUP BY 1),
+      cent AS (
+        SELECT label, list(c ORDER BY pos) AS centroid
+        FROM (SELECT label, g.i AS pos, avg(v[g.i]) AS c
+              FROM e, generate_series(1, 64) g(i)
+              GROUP BY 1, 2)
+        GROUP BY label),
+      probed AS (
+        SELECT qid, label FROM (
+          SELECT q.vec_id AS qid, cent.label,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(q.v, centroid) + 1e-9, 6) DESC, cent.label) AS crank
+          FROM e q, cent WHERE q.vec_id < 20)
+        WHERE crank <= 2),
+      hits AS (SELECT label, count(*) AS probes_hit FROM probed GROUP BY 1),
+      scans AS (
+        SELECT qid, CAST(sum(n_vecs) AS BIGINT) AS scan
+        FROM probed JOIN lists USING (label) GROUP BY 1),
+      summary AS (
+        SELECT count(*) AS k_lists, CAST(sum(n_vecs) AS BIGINT) AS n_total,
+               CAST(max(n_vecs) AS BIGINT) AS max_list,
+               CAST(sum(n_vecs * n_vecs) AS BIGINT) AS ss,
+               (SELECT count(*) FROM scans) AS n_q,
+               (SELECT CAST(sum(scan) AS BIGINT) FROM scans) AS scan_total
+        FROM lists)
+      SELECT l.label, CAST(l.n_vecs AS BIGINT) AS n_vecs,
+             ${Ql.R("100.0 * l.n_vecs / s.n_total", 4)} AS size_pct,
+             CAST(coalesce(h.probes_hit, 0) AS BIGINT) AS probes_hit,
+             ${Ql.R("100.0 * l.n_vecs * coalesce(h.probes_hit, 0) / s.scan_total", 4)} AS scan_pct,
+             ${Ql.R("sqrt(CAST(s.k_lists * s.ss - s.n_total * s.n_total AS DOUBLE)) / s.n_total", 6)} AS size_cv,
+             ${Ql.R("CAST(s.max_list * s.k_lists AS DOUBLE) / s.n_total", 4)} AS imbalance,
+             ${Ql.R("CAST(s.scan_total AS DOUBLE) / s.n_q", 4)} AS mean_scan,
+             ${Ql.R("2.0 * s.n_total / s.k_lists", 4)} AS uniform_scan
+      FROM lists l LEFT JOIN hits h ON l.label = h.label, summary s
+      ORDER BY l.label
+    """))
+
+  /** Prototype-based data pruning (Sorscher et al. NeurIPS'22, public):
+    * within each embedding cluster, the vectors MOST similar to their
+    * centroid are the most prototypical — and on large corpora pruning
+    * prototypical examples (keeping the hard ones) beats random
+    * selection. Runs over the SAME plants-augmented centroid-bucketed
+    * scaffold as q_semantic_dedup ([[semAssigned]]), drops the top ~30%
+    * most-prototypical per cluster, and reports per cluster: volumes,
+    * the cosine threshold, and kept-vs-dropped mean prototypicality.
+    * The per-cluster quantile is EXACT but never ranks doc-level rows:
+    * cosines quantize to 4-dp integer keys (≤20001 buckets/cluster at
+    * ANY corpus size), the cut comes from a cumulative count over that
+    * bounded histogram, and docs get their verdict from a broadcast
+    * K-row threshold join — the q_ccnet_ppl_buckets discipline. The
+    * drop rule is bucket-granular (every doc with key ≥ k* drops, so
+    * ties overshoot the 30% target together — documented, both engines
+    * identical); every nonempty cluster prunes at least ceil(0.3·n).
+    */
+  private val protoPruning = QueryDef(
+    "q_proto_pruning",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val (e, assigned) = semAssigned(spark, sfDir)
+      val centroids = labelCentroids(e)
+        .select(col("label").as("cluster"), col("centroid"),
+          sqrt(Vectors.normSq(col("centroid"))).as("cnorm"))
+      val kd = assigned
+        .join(broadcast(centroids), "cluster")
+        .withColumn("proto",
+          Ql.r(Vectors.dot(col("v"), col("centroid")) / (col("norm") * col("cnorm")), 4))
+        .withColumn("k", expr(s"CAST(${Ql.R("proto * 10000", 0)} AS BIGINT)"))
+        .select("cluster", "vec_id", "k")
+        // feeds the bucket histogram AND the verdict rollup — one pass
+        .localCheckpoint(true)
+      e.unpersist(false)
+      val h = kd.groupBy("cluster", "k").agg(count(lit(1)).as("hn"))
+      val wCum = Window.partitionBy("cluster").orderBy(col("k").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val thr = h
+        .withColumn("cum", sum(col("hn")).over(wCum))
+        .withColumn("n", sum(col("hn")).over(Window.partitionBy("cluster")))
+        .filter(col("cum") >= expr("(3 * n + 9) div 10"))
+        .groupBy("cluster")
+        .agg(max(col("k")).as("k_star"), max(col("n")).as("n_vecs"),
+          max(expr("(3 * n + 9) div 10")).as("target_drop"))
+      kd.join(broadcast(thr), "cluster")
+        .withColumn("dropped", col("k") >= col("k_star"))
+        .groupBy("cluster")
+        .agg(
+          max(col("n_vecs")).as("n_vecs"),
+          max(col("target_drop")).as("target_drop"),
+          sum(col("dropped").cast("long")).as("n_dropped"),
+          sum((!col("dropped")).cast("long")).as("n_kept"),
+          Ql.r(max(col("k_star")) / lit(10000.0), 4).as("thr_cos"),
+          sum(when(col("dropped"), col("k"))).as("sd"),
+          sum(when(!col("dropped"), col("k"))).as("sk"))
+        .selectExpr("cluster", "n_vecs", "target_drop", "n_dropped", "n_kept",
+          "thr_cos",
+          s"${Ql.R("CAST(sd AS DOUBLE) / n_dropped / 10000.0", 4)} AS mean_cos_dropped",
+          s"CASE WHEN n_kept = 0 THEN NULL ELSE ${Ql.R("CAST(sk AS DOUBLE) / n_kept / 10000.0", 4)} END AS mean_cos_kept")
+        .orderBy("cluster")
+    },
+    Some(s"""
+      WITH $semAssignedSql,
+      kd AS (
+        SELECT cluster, vec_id,
+               CAST(${Ql.R(s"${Ql.R("list_dot_product(v, centroid) / (norm * sqrt(list_dot_product(centroid, centroid)))", 4)} * 10000", 0)} AS BIGINT) AS k
+        FROM assigned JOIN cent ON assigned.cluster = cent.cl),
+      h AS (SELECT cluster, k, count(*) AS hn FROM kd GROUP BY 1, 2),
+      c AS (
+        SELECT cluster, k,
+               sum(hn) OVER (PARTITION BY cluster ORDER BY k DESC
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(hn) OVER (PARTITION BY cluster) AS n
+        FROM h),
+      thr AS (
+        SELECT cluster, max(k) AS k_star, max(n) AS n_vecs,
+               max((3 * n + 9) // 10) AS target_drop
+        FROM c WHERE cum >= (3 * n + 9) // 10
+        GROUP BY 1),
+      v AS (
+        SELECT kd.cluster, kd.k, (kd.k >= thr.k_star) AS dropped,
+               thr.n_vecs, thr.target_drop, thr.k_star
+        FROM kd JOIN thr ON kd.cluster = thr.cluster)
+      SELECT cluster, CAST(max(n_vecs) AS BIGINT) AS n_vecs,
+             CAST(max(target_drop) AS BIGINT) AS target_drop,
+             CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             CAST(sum(CASE WHEN dropped THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+             ${Ql.R("max(k_star) / 10000.0", 4)} AS thr_cos,
+             ${Ql.R("CAST(sum(CASE WHEN dropped THEN k END) AS DOUBLE) / sum(CASE WHEN dropped THEN 1 ELSE 0 END) / 10000.0", 4)} AS mean_cos_dropped,
+             CASE WHEN sum(CASE WHEN dropped THEN 0 ELSE 1 END) = 0 THEN NULL
+                  ELSE ${Ql.R("CAST(sum(CASE WHEN dropped THEN NULL ELSE k END) AS DOUBLE) / sum(CASE WHEN dropped THEN 0 ELSE 1 END) / 10000.0", 4)} END AS mean_cos_kept
+      FROM v GROUP BY 1 ORDER BY 1
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     similarTopk, knnVote, annIvf, annNprobeSweep, docEmbedJoin, embedQuantize,
     pqCodes, semanticDedup, semdedupEpsSweep, annIvfPq, annRecall, docOutlier,
-    silhouette, embeddingDrift, mutualKnn, submodularSelect, embeddingNormAudit)
+    silhouette, embeddingDrift, mutualKnn, submodularSelect, embeddingNormAudit,
+    ivfListBalance, protoPruning)
 }

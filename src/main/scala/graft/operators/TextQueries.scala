@@ -694,9 +694,17 @@ object TextQueries extends QueryModule {
     * docs, token mass, min/max/mean perplexity (mean from the exact
     * integer 4-dp keys).
     */
-  private val ccnetPplBuckets = QueryDef(
-    "q_ccnet_ppl_buckets",
-    (spark, sfDir) => {
+  /** The CCNet per-document tier assignment — everything q_ccnet_ppl_buckets
+    * computes up to (doc_id, lang, n_toks, k, bucket), factored out so the
+    * filter-agreement audit (q_quality_filter_agreement,
+    * [[CurationQueries]]) consumes the SAME served tiers — one
+    * definition, no drift. k is the 4-dp-integer perplexity key; bucket
+    * ∈ {a_head, b_middle, c_tail}. The per-lang ranking is the two-level
+    * window (highest-set-bit buckets + broadcast offsets), never a
+    * lang-only window.
+    */
+  private[graft] def ccnetDocTiers(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): org.apache.spark.sql.DataFrame = {
       import org.apache.spark.sql.expressions.Window
       val t = Tables.documents(spark, sfDir)
         .withColumn("toks", split(col("text"), " "))
@@ -741,17 +749,16 @@ object TextQueries extends QueryModule {
           """CASE CAST(((rk - 1) * 3) div n_lang AS INT)
                WHEN 0 THEN 'a_head' WHEN 1 THEN 'b_middle'
                ELSE 'c_tail' END"""))
-        .groupBy("lang", "bucket")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_toks")).as("n_tokens"),
-          Ql.r(min(col("k")) / lit(10000.0), 4).as("ppl_min"),
-          Ql.r(max(col("k")) / lit(10000.0), 4).as("ppl_max"),
-          Ql.r(sum(col("k")).cast("double") / (count(lit(1)) * lit(10000.0)), 4)
-            .as("ppl_mean"))
-        .orderBy("lang", "bucket")
-    },
-    Some(s"""
-      WITH t AS (
+        .select("doc_id", "lang", "n_toks", "k", "bucket")
+  }
+
+  /** Oracle twin of [[ccnetDocTiers]]: CTE chain ending in
+    * `b(doc_id, lang, n_toks, k, bucket)` — ONE text shared by the
+    * q_ccnet_ppl_buckets and q_quality_filter_agreement oracles so the
+    * LM, the rounding ladder, and the tercile rule cannot drift between
+    * the tier report and the agreement audit.
+    */
+  private[graft] val ccnetTierSql: String = s"""t AS (
         SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
         WHERE len(string_split(text, ' ')) >= 2),
       inst AS (
@@ -777,14 +784,29 @@ object TextQueries extends QueryModule {
                CAST(${Ql.R("10000 * exp(avg_nll)", 0)} AS BIGINT) AS k
         FROM perdoc p JOIN t ON t.doc_id = p.doc_id),
       ranked AS (
-        SELECT lang, n_toks, k,
+        SELECT doc_id, lang, n_toks, k,
                row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rk,
                count(*) OVER (PARTITION BY lang) AS n_lang
         FROM keyed),
-      b AS (SELECT lang, n_toks, k,
+      b AS (SELECT doc_id, lang, n_toks, k,
                    CASE ((rk - 1) * 3) // n_lang WHEN 0 THEN 'a_head'
                         WHEN 1 THEN 'b_middle' ELSE 'c_tail' END AS bucket
-            FROM ranked)
+            FROM ranked)"""
+
+  private val ccnetPplBuckets = QueryDef(
+    "q_ccnet_ppl_buckets",
+    (spark, sfDir) =>
+      ccnetDocTiers(spark, sfDir)
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          Ql.r(min(col("k")) / lit(10000.0), 4).as("ppl_min"),
+          Ql.r(max(col("k")) / lit(10000.0), 4).as("ppl_max"),
+          Ql.r(sum(col("k")).cast("double") / (count(lit(1)) * lit(10000.0)), 4)
+            .as("ppl_mean"))
+        .orderBy("lang", "bucket"),
+    Some(s"""
+      WITH $ccnetTierSql
       SELECT lang, bucket, count(*) AS n_docs,
              CAST(sum(n_toks) AS BIGINT) AS n_tokens,
              ${Ql.R("min(k) / 10000.0", 4)} AS ppl_min,

@@ -252,7 +252,11 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_capture_recapture_stratified", // 1-row stratified-total aggregate unioned under the <=4-row stratum report
       "q_dedup_cluster_profile", // 1-row clustered-doc total broadcast onto the <=|sizes|-row histogram
       "q_semdedup_eps_sweep", // 1-row corpus-total broadcast onto the 1-row 4-tier aggregate
-      "q_contam_ngram_sweep") // two 1-row corpus aggregates crossed into each arm's report row
+      "q_contam_ngram_sweep", // two 1-row corpus aggregates crossed into each arm's report row
+      "q_dsir_selection", // 1-row (n_tgt, n_raw) totals broadcast onto the ≤10k-row hash-bounded feature table
+      "q_ivf_list_balance", // K-row centroid broadcast in the probe pass + 1-row summary crossed onto the K-row list report
+      "q_proto_pruning", // K-row centroid broadcast (the q_semantic_dedup assignment pass)
+      "q_quality_filter_agreement") // 1-row vocabulary-size broadcast (the shared ccnetDocTiers LM)
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
@@ -353,6 +357,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_sample_reservoir" -> "rank filter sits directly above the window → WindowGroupLimit caps rows at k per group map-side",
       "q_top_p_filter" -> "offset window runs over the ≤|langs|×256-row bucket histogram",
       "q_ccnet_ppl_buckets" -> "offset window runs over the ≤|langs|×64-row log2-ppl bucket histogram; the doc-level rank window partitions by (lang, bkt)",
+      "q_quality_filter_agreement" -> "the shared ccnetDocTiers offset window over the ≤|langs|×64-row log2-ppl bucket histogram (as q_ccnet_ppl_buckets)",
       "q_var_cvar" -> "input = type×cent grid (≤49k cells/type by the 2-decimal value domain)",
       "q_trimmed_mean" -> "input = type×cent grid (≤49k cells/type by the 2-decimal value domain)",
       "q_conformal_interval" -> "input = type×residual-cent grid (≤49k cells/type by the 2-decimal value domain)",
