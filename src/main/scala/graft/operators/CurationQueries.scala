@@ -882,10 +882,16 @@ object CurationQueries extends QueryModule {
     * broadcast join over the token stream, one per-doc rollup, and a
     * TakeOrdered top-k. Nothing in the plan grows past O(corpus tokens).
     */
-  private val dsirSelection = QueryDef(
-    "q_dsir_selection",
-    (spark, sfDir) => {
-      val t = Tables.documents(spark, sfDir)
+  /** The DSIR scoring core over any (doc_id, text, lang, source) frame:
+    * per raw-pool doc (lang ≠ 'en'), the exact-integer importance score
+    * Σ_f c_f · lr_micro(f) under the 10k-bucket hashed-bigram log-ratio
+    * model trained on the 'en' slice. Returns (doc_id, lang, source,
+    * n_bigrams, score_micro). Factored out of q_dsir_selection so the 5M
+    * ScaleSmoke proof drives the SAME model build + scoring join the
+    * query serves.
+    */
+  private[graft] def dsirScores(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val t = docs
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 2)
       def inst(d: org.apache.spark.sql.DataFrame) = d
@@ -914,11 +920,17 @@ object CurationQueries extends QueryModule {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"), sum(col("lr_micro")).as("score_micro"))
         .join(t.select("doc_id", "lang", "source"), "doc_id")
+  }
+
+  private val dsirSelection = QueryDef(
+    "q_dsir_selection",
+    (spark, sfDir) =>
+      dsirScores(Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"), col("lang"), col("source")))
         .selectExpr("doc_id", "lang", "source", "n_bigrams", "score_micro",
           s"${Ql.R("score_micro / 1e6", 4)} AS score",
           s"${Ql.R("score_micro / 1e6 / n_bigrams", 6)} AS avg_lr")
-        .orderBy(col("score_micro").desc, col("doc_id")).limit(20)
-    },
+        .orderBy(col("score_micro").desc, col("doc_id")).limit(20),
     Some(s"""
       WITH t AS (
         SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents

@@ -164,6 +164,62 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
       .values.foreach(_.unpersist(blocking = false))
   }
 
+  test("5M-doc DSIR selection: hash-bounded model, planted target-like docs rank top") {
+    // The q_dsir_selection scoring core (CurationQueries.dsirScores)
+    // driven at 50x the bench corpus. Corpus: ~1M 'en' target docs over a
+    // NARROW 10-type vocabulary (the domain-specificity DSIR exploits),
+    // ~4M 'xx' raw docs over a 50k-type vocabulary, plus 100 planted raw
+    // docs (ids 5M+) written in the TARGET vocabulary. The 10-type target
+    // occupies ~100 of the 10,000 hash buckets, so a plant's 9 bigrams
+    // all land in high-log-ratio buckets while a raw doc needs >=5 of 9
+    // hot-bucket hits (p ~ 1e-8 across 4M docs) to even approach them —
+    // the top-100 must be EXACTLY the plants. Proof obligations: the
+    // scoring join broadcasts the hash-bounded model (never a corpus-
+    // sized side — asserted on the pre-AQE plan), and selection quality
+    // holds at scale.
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val base = spark.range(5000000L).select(
+      col("id").as("doc_id"),
+      expr("CASE WHEN pmod(hash(id), 5) = 0 THEN 'en' ELSE 'xx' END").as("lang"),
+      expr("CASE WHEN pmod(hash(id), 5) = 0 " +
+        "THEN concat_ws(' ', transform(sequence(0, 9), j -> concat('t', pmod(hash(id * 10 + j), 10)))) " +
+        "ELSE concat_ws(' ', transform(sequence(0, 9), j -> concat('r', pmod(hash(id * 10 + j), 50000)))) END").as("text"),
+      lit("synth").as("source"))
+    val plants = spark.range(100L).select(
+      (col("id") + 5000000L).as("doc_id"), lit("xx").as("lang"),
+      expr("concat_ws(' ', transform(sequence(0, 9), " +
+        "j -> concat('t', pmod(hash((id + 5000000) * 10 + j), 10))))").as("text"),
+      lit("plant").as("source"))
+    val t0 = System.nanoTime()
+    val scored = operators.CurationQueries.dsirScores(base.unionByName(plants))
+    // static-plan claim: every PLANNED broadcast build side is either the
+    // <=10k-row lr model or a 1-row totals aggregate — never a corpus-
+    // sized relation (sparkPlan = pre-AQE, so this is the DESIGN)
+    val bjoins = scored.queryExecution.sparkPlan.collect { case b: BroadcastHashJoinExec => b }
+    assert(bjoins.nonEmpty, "expected the broadcast model join in the plan")
+    bjoins.foreach { b =>
+      val build = (if (b.buildSide == BuildRight) b.right else b.left).toString
+      assert(build.contains("lr_micro"),
+        s"a broadcast build side is not the hash-bounded lr model:\n${build.take(800)}")
+    }
+    val top = scored.orderBy(col("score_micro").desc, col("doc_id")).limit(100)
+      .select("doc_id", "score_micro").collect()
+    info(f"5M-doc DSIR: scored + selected in ${(System.nanoTime() - t0) / 1e9}%.1f s; " +
+      f"top-100 min score ${top.map(_.getLong(1)).min / 1e6}%.2f")
+    assert(top.length == 100, s"expected a full top-100, got ${top.length}")
+    val nonPlants = top.filter(_.getLong(0) < 5000000L)
+    assert(nonPlants.isEmpty,
+      s"top-100 must be exactly the planted target-like docs; intruders: " +
+        s"${nonPlants.take(5).map(_.getLong(0)).mkString(",")}")
+    assert(top.map(_.getLong(1)).min > 0L,
+      "planted docs must carry positive importance weights")
+    sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
+      .values.foreach(_.unpersist(blocking = false))
+  }
+
   test("capture-recapture: two independent LSH runs recover a borderline plant population") {
     // The q_capture_recapture estimator proven where it matters: a
     // population BOTH runs only partially catch. 50k base docs + 1000
