@@ -115,7 +115,10 @@ object Bench {
         // PLUS a second banding pass over the kept docs; the n-gram sweep
         // runs THREE shingle explode+distinct passes (q_contamination x3)
         "q_curation_pipeline_safe", "q_curation_safe_leakage",
-        "q_contam_ngram_sweep")
+        "q_contam_ngram_sweep",
+        // r15 second wave: runs the prefix-shingle edge build + CC loop
+        // plus the member-vs-canonical scoring (q_dedup_clusters family)
+        "q_dedup_chain_risk")
     (lightWarm ++ heavyWarm)
       .filter(SparkEntry.queries.contains)
       .foreach { n =>

@@ -19,13 +19,19 @@ object ClusterQueries extends QueryModule {
     * of the first 12 tokens — selective and cheap; plants guarantee some
     * multi-node components).
     */
-  private def edges(spark: SparkSession, sfDir: String): DataFrame = {
+  private def edges(spark: SparkSession, sfDir: String): DataFrame =
     // same planted near-duplicates as the DedupQueries detectors (single
     // source of truth for the plant scheme). Shingles join on their
     // 56-bit md5-prefix int64, hashed map-side before the shuffles (same
     // rationale as q_dedup_ngram_jaccard: 8-byte exchange keys; the
     // oracle applies the identical hash, so collisions cannot diverge).
-    val planted = DedupQueries.withPlants(spark, sfDir)
+    edgesOf(DedupQueries.withPlants(spark, sfDir))
+
+  /** The same candidate-edge rule over an ARBITRARY (doc_id, text)
+    * corpus — exposed so q_dedup_chain_risk can drive the SERVED edge
+    * surface over a chain-planted corpus instead of re-implementing it.
+    */
+  private def edgesOf(planted: DataFrame): DataFrame = {
     val psh = planted
       .withColumn("toks", expr("slice(split(text, ' '), 1, 12)"))
       .filter(size(col("toks")) >= 3)
@@ -55,10 +61,13 @@ object ClusterQueries extends QueryModule {
       .select("d1", "d2")
   }
 
-  private val edgesSql =
-    s"""WITH RECURSIVE planted AS (
-         SELECT * FROM ${DedupQueries.plantsSql}),
-       psh AS (
+  /** The psh→rare→edges CTE chain of [[edgesSql]], reading from a CTE
+    * named `planted` the caller must define — ONE rules text shared by
+    * the three cluster oracles (via [[edgesSql]]) and the chain-planted
+    * q_dedup_chain_risk oracle.
+    */
+  private val edgesChainSql =
+    s"""psh AS (
          SELECT DISTINCT doc_id, ${Ql.Md5PrefixLong("sh0", 14)} AS sh
          FROM (
            SELECT DISTINCT doc_id, array_to_string(t[i + 1 : i + 3], ' ') AS sh0
@@ -75,6 +84,11 @@ object ClusterQueries extends QueryModule {
            FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
          WHERE common >= 2)"""
+
+  private val edgesSql =
+    s"""WITH RECURSIVE planted AS (
+         SELECT * FROM ${DedupQueries.plantsSql}),
+       $edgesChainSql"""
 
   /** Connected components over an undirected adjacency list `adj(a, b)`
     * (both directions present). Each round is ONE job (a single eager
@@ -305,6 +319,119 @@ object ClusterQueries extends QueryModule {
       ORDER BY cluster_size
     """))
 
+  /** Transitive false-merge audit of connected-component dedup — the
+    * known chaining failure of CC over a near-dup graph: A~B and B~C
+    * edges merge A and C into one cluster even when A and C share almost
+    * nothing, and the keep-one-canonical rule then silently deletes
+    * non-duplicates. Per cluster, every removed member is scored with an
+    * exact full-text shingle Jaccard against the doc the SERVED
+    * canonical rule keeps (longest, tie min id — q_dedup_canonical's
+    * rule): members at J ≥ 0.6 are directly justified drops, members
+    * below are TRANSITIVE merges — the risk mass a dedup owner caps by
+    * bounding cluster diameter or verifying members against the
+    * canonical before dropping. Three planted chains (seed docs 0–2: the
+    * doc + a junk-padded copy + a prefix-only stub that wins the longest
+    * rule) make the transitive path non-vacuous; the plain near-dup
+    * plants populate the direct path. Scale shape: edges/CC are the
+    * served candidate scaffold (corpus work), everything after the label
+    * table is cluster-member-sized, and each pair's Jaccard is row-local
+    * array algebra — no second corpus pass, no all-pairs.
+    */
+  private val dedupChainRisk = QueryDef(
+    "q_dedup_chain_risk",
+    (spark, sfDir) => {
+      import graft.Tables
+      import org.apache.spark.sql.expressions.Window
+      val seeds = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text")).filter(col("doc_id") < 3)
+      val chainB = seeds.select((col("doc_id") + 400000).as("doc_id"),
+        concat(col("text"), lit(" "), expr(
+          "concat_ws(' ', transform(sequence(1, 5), " +
+            "k -> concat('jb', CAST(doc_id AS STRING), '_', CAST(k AS STRING))))")).as("text"))
+      val chainC = seeds.select((col("doc_id") + 410000).as("doc_id"),
+        concat(expr("concat_ws(' ', slice(split(text, ' '), 1, 12))"), lit(" "), expr(
+          "concat_ws(' ', transform(sequence(1, 40), " +
+            "k -> concat('jc', CAST(doc_id AS STRING), '_', CAST(k AS STRING))))")).as("text"))
+      val corpus = DedupQueries.withPlants(spark, sfDir)
+        .unionByName(chainB).unionByName(chainC)
+        // feeds the edge scaffold AND the member/canonical text joins
+        .localCheckpoint(true)
+      val labels = clusterLabelsOf(edgesOf(corpus))
+      val docs = corpus.select(col("doc_id").as("id"), col("text"),
+        length(col("text")).cast("long").as("len"))
+      val w = Window.partitionBy("lbl").orderBy(col("len").desc, col("id"))
+      val ranked = labels.join(docs, "id")
+        .withColumn("rn", row_number().over(w))
+        // feeds the canonical slice AND the member slice
+        .localCheckpoint(true)
+      val canon = ranked.filter(col("rn") === 1)
+        .select(col("lbl"), col("id").as("canonical_id"), col("text").as("ctext"))
+      def shArr(c: String) =
+        s"""array_distinct(transform(sequence(0, size(split($c, ' ')) - 3),
+              i -> concat_ws(' ', slice(split($c, ' '), i + 1, 3))))"""
+      ranked.filter(col("rn") > 1).select(col("lbl"), col("id"), col("text"))
+        .join(canon, "lbl")
+        .withColumn("s1", expr(shArr("text")))
+        .withColumn("s2", expr(shArr("ctext")))
+        .withColumn("inter", size(array_intersect(col("s1"), col("s2"))).cast("long"))
+        .withColumn("uni", (size(col("s1")) + size(col("s2"))).cast("long") - col("inter"))
+        .withColumn("kj", expr(s"CAST(${Ql.R("inter * 10000.0 / uni", 0)} AS BIGINT)"))
+        .groupBy("lbl")
+        .agg((count(lit(1)) + 1).as("cluster_size"),
+          max(col("canonical_id")).as("canonical_id"),
+          sum((col("kj") >= 6000).cast("long")).as("n_direct"),
+          sum((col("kj") < 6000).cast("long")).as("n_transitive"),
+          Ql.r(min(col("kj")) / lit(10000.0), 4).as("j_min"),
+          Ql.r(sum(col("kj")).cast("double") / (count(lit(1)) * lit(10000.0)), 4)
+            .as("j_mean"))
+        .select(col("lbl").as("cluster"), col("cluster_size"), col("canonical_id"),
+          col("n_direct"), col("n_transitive"), col("j_min"), col("j_mean"))
+        .orderBy("cluster")
+    },
+    Some(s"""
+      WITH RECURSIVE seeds AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 3),
+      planted AS (
+        SELECT * FROM ${DedupQueries.plantsSql}
+        UNION ALL
+        SELECT doc_id + 400000,
+               text || ' ' || array_to_string(list_transform(generate_series(1, 5),
+                 k -> 'jb' || CAST(doc_id AS VARCHAR) || '_' || CAST(k AS VARCHAR)), ' ')
+        FROM seeds
+        UNION ALL
+        SELECT doc_id + 410000,
+               array_to_string(string_split(text, ' ')[1:12], ' ') || ' ' ||
+               array_to_string(list_transform(generate_series(1, 40),
+                 k -> 'jc' || CAST(doc_id AS VARCHAR) || '_' || CAST(k AS VARCHAR)), ' ')
+        FROM seeds),
+      $edgesChainSql,
+      $ccSql,
+      docs AS (SELECT doc_id AS id, text, CAST(len(text) AS BIGINT) AS len FROM planted),
+      ranked AS (
+        SELECT lbl, id, text, len,
+               row_number() OVER (PARTITION BY lbl ORDER BY len DESC, id) AS rn
+        FROM labels JOIN docs USING (id)),
+      canon AS (SELECT lbl, id AS canonical_id, text AS ctext FROM ranked WHERE rn = 1),
+      pairs AS (
+        SELECT m.lbl, c.canonical_id,
+               list_distinct(list_transform(generate_series(1, len(string_split(m.text, ' ')) - 2),
+                 i -> array_to_string(string_split(m.text, ' ')[i:i+2], ' '))) AS s1,
+               list_distinct(list_transform(generate_series(1, len(string_split(c.ctext, ' ')) - 2),
+                 i -> array_to_string(string_split(c.ctext, ' ')[i:i+2], ' '))) AS s2
+        FROM ranked m JOIN canon c ON m.lbl = c.lbl AND m.rn > 1),
+      k AS (
+        SELECT lbl, canonical_id,
+               CAST(${Ql.R("CAST(len(list_intersect(s1, s2)) AS BIGINT) * 10000.0 / (len(s1) + len(s2) - len(list_intersect(s1, s2)))", 0)} AS BIGINT) AS kj
+        FROM pairs)
+      SELECT lbl AS cluster, count(*) + 1 AS cluster_size,
+             max(canonical_id) AS canonical_id,
+             CAST(sum(CASE WHEN kj >= 6000 THEN 1 ELSE 0 END) AS BIGINT) AS n_direct,
+             CAST(sum(CASE WHEN kj < 6000 THEN 1 ELSE 0 END) AS BIGINT) AS n_transitive,
+             ${Ql.R("min(kj) / 10000.0", 4)} AS j_min,
+             ${Ql.R("CAST(sum(kj) AS DOUBLE) / count(*) / 10000.0", 4)} AS j_mean
+      FROM k GROUP BY 1 ORDER BY 1
+    """))
+
   override def defs: Seq[QueryDef] =
-    Seq(dedupClusters, dedupCanonical, dedupClusterProfile)
+    Seq(dedupClusters, dedupCanonical, dedupClusterProfile, dedupChainRisk)
 }

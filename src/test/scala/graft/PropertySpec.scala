@@ -1182,4 +1182,91 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
         s"perplexity($lang)")
     }
   }
+
+  test("q_dsir_selection equals a plain-JVM hashed-bigram importance scorer at sf0.001") {
+    // the DSIR model (add-1 multinomial log-ratio over 10k hash buckets)
+    // and the exact-integer doc scoring, reimplemented independently in
+    // plain scala: same md5-prefix feature hash, same micro-unit rounding
+    val sf = "/root/testdata/sf0.001"
+    def feat(bg: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(bg.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(14), 16) % 10000L
+    }
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(_._2.split(" ").length >= 2)
+    def feats(text: String): Seq[Long] = {
+      val t = text.split(" ")
+      (0 until t.length - 1).map(i => feat(t(i) + " " + t(i + 1)))
+    }
+    val tgt = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    val raw = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    docs.foreach { case (_, text, lang) =>
+      val m = if (lang == "en") tgt else raw
+      feats(text).foreach(f => m(f) += 1)
+    }
+    val (nT, nR) = (tgt.values.sum.toDouble, raw.values.sum.toDouble)
+    def lrMicro(f: Long): Long = operators.Ql.rd(
+      (math.log((tgt(f) + 1.0) / (nT + 10000.0)) -
+        math.log((raw(f) + 1.0) / (nR + 10000.0))) * 1e6, 0).toLong
+    val expect = docs.filter(_._3 != "en").map { case (id, text, _) =>
+      val fs = feats(text)
+      (id, fs.length.toLong, fs.map(lrMicro).sum)
+    }.sortBy { case (id, _, s) => (-s, id) }.take(20)
+    val got = SparkEntry.queries("q_dsir_selection")(spark, sf)
+      .select("doc_id", "n_bigrams", "score_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expect.toSeq,
+      s"top-20 mismatch:\n got ${got.take(5).mkString(",")}\n exp ${expect.take(5).mkString(",")}")
+  }
+
+  test("q_proto_pruning satisfies the pruning laws per cluster") {
+    // the exact-quantile-by-bucket cut's guarantees, asserted on the
+    // query's own output: volumes reconcile, the drop meets (and only
+    // overshoots by bucket ties) the ceil(0.3 n) target, and the
+    // threshold separates the kept/dropped prototypicality means
+    val rows = SparkEntry.queries("q_proto_pruning")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, tgtD, nd, nk) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val thr = r.getDouble(5)
+      assert(tgtD == (3 * n + 9) / 10, s"target_drop law at cluster ${r.get(0)}")
+      assert(nd + nk == n, s"volume reconciliation at cluster ${r.get(0)}")
+      assert(nd >= tgtD, s"drop must reach the target at cluster ${r.get(0)}")
+      val meanDrop = r.getDouble(6)
+      assert(meanDrop >= thr - 1e-9,
+        s"dropped mean below threshold at cluster ${r.get(0)}")
+      if (!r.isNullAt(7))
+        assert(r.getDouble(7) < thr + 1e-9,
+          s"kept mean at/above threshold at cluster ${r.get(0)}")
+    }
+  }
+
+  test("q_dedup_chain_risk flags the planted chains and clears the pure near-dup pairs") {
+    // plants 400000/410000+seed build A—B—C chains whose stub wins the
+    // longest-canonical rule: those clusters MUST report transitive
+    // members; the plain first-token-edit plants (ids 100003..100009 in
+    // pair clusters) MUST score as direct merges
+    val rows = SparkEntry.queries("q_dedup_chain_risk")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    (0L to 2L).foreach { s =>
+      // a chain plant (the padded copy or the stub, whichever is longer
+      // for this seed) must win the canonical, and the far end of the
+      // chain must be flagged transitive
+      val cl = rows.filter(r => r._3 == 400000L + s || r._3 == 410000L + s)
+      assert(cl.nonEmpty, s"chain cluster of seed $s must elect a chain plant as canonical")
+      assert(cl.head._5 >= 1, s"chain cluster of seed $s must flag a transitive member")
+    }
+    val pairPure = rows.filter(r => r._2 == 2 &&
+      ((r._3 >= 3 && r._3 < 10) || (r._3 >= 100003L && r._3 <= 100009L)))
+    assert(pairPure.nonEmpty, "expected pure near-dup pair clusters for seeds 3..9")
+    pairPure.foreach { r =>
+      assert(r._4 == 1 && r._5 == 0,
+        s"pure near-dup pair ${r._1} must be a direct merge, got $r")
+    }
+  }
 }
