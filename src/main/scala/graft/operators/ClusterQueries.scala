@@ -428,7 +428,7 @@ object ClusterQueries extends QueryModule {
              CAST(sum(CASE WHEN kj >= 6000 THEN 1 ELSE 0 END) AS BIGINT) AS n_direct,
              CAST(sum(CASE WHEN kj < 6000 THEN 1 ELSE 0 END) AS BIGINT) AS n_transitive,
              ${Ql.R("min(kj) / 10000.0", 4)} AS j_min,
-             ${Ql.R("CAST(sum(kj) AS DOUBLE) / count(*) / 10000.0", 4)} AS j_mean
+             ${Ql.R("CAST(sum(kj) AS DOUBLE) / (count(*) * 10000.0)", 4)} AS j_mean
       FROM k GROUP BY 1 ORDER BY 1
     """))
 

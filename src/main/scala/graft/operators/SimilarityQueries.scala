@@ -430,11 +430,16 @@ object SimilarityQueries extends QueryModule {
     * in this corpus is ~0.51, so without plants the drop path would be
     * vacuously untested) and its centroid-bucketed assignment, shared by
     * q_semantic_dedup and q_semdedup_eps_sweep so the measured bucketing
-    * is the served one. Returns (e, assigned); `e` is cached and the
-    * caller unpersists it after materializing its report.
+    * is the served one. Returns (e, assigned, centroids); `e` is cached
+    * and the caller unpersists it after materializing its report. The
+    * centroid frame is returned so consumers that need it
+    * (q_proto_pruning's prototypicality) score against the SAME avg()
+    * instance the assignment used — a recomputed centroid could differ
+    * by an ulp (partitioning-dependent sum order) and flip a rounding
+    * boundary.
     */
   private def semAssigned(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      sfDir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val e0 = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("label"), Vectors.toDouble(col("embedding")).as("v"))
@@ -445,6 +450,9 @@ object SimilarityQueries extends QueryModule {
       .cache()
     val centroids = labelCentroids(e)
       .select(col("label").as("cl"), col("centroid"))
+      // K rows, materialized ONCE so the assignment and any downstream
+      // centroid consumer read the same avg() realization
+      .localCheckpoint(true)
     // rank on the ROUNDED score (rounding contract): centroid components
     // come from avg() whose summation order is partitioning-dependent
     val wAssign = Window.partitionBy("vec_id").orderBy(col("cscore").desc, col("cl"))
@@ -454,7 +462,7 @@ object SimilarityQueries extends QueryModule {
       .filter(col("arank") === 1)
       .select(col("cl").as("cluster"), col("vec_id"), col("v"),
         sqrt(Vectors.normSq(col("v"))).as("norm"))
-    (e, assigned)
+    (e, assigned, centroids)
   }
 
   /** Oracle twin of [[semAssigned]]: CTE chain ending in
@@ -482,7 +490,7 @@ object SimilarityQueries extends QueryModule {
   private val semanticDedup = QueryDef(
     "q_semantic_dedup",
     (spark, sfDir) => {
-      val (e, assigned) = semAssigned(spark, sfDir)
+      val (e, assigned, _) = semAssigned(spark, sfDir)
       val dropped = assigned
         .select(col("cluster"), col("vec_id").as("d1"), col("v").as("v1"), col("norm").as("n1"))
         .join(assigned
@@ -539,7 +547,7 @@ object SimilarityQueries extends QueryModule {
   private val semdedupEpsSweep = QueryDef(
     "q_semdedup_eps_sweep",
     (spark, sfDir) => {
-      val (e, assigned) = semAssigned(spark, sfDir)
+      val (e, assigned, _) = semAssigned(spark, sfDir)
       val md = assigned
         .select(col("cluster"), col("vec_id").as("d1"), col("v").as("v1"), col("norm").as("n1"))
         .join(assigned
@@ -1256,8 +1264,9 @@ object SimilarityQueries extends QueryModule {
     * its WORST probed list, so before trusting q_ann_ivf's nprobe/K cost
     * model an index owner reads the list-size distribution and what the
     * serving probe set actually scans. Per list (= coarse cluster):
-    * size, corpus share, and how many of the 20 serving queries probe it
-    * under the SAME rounded-cscore nprobe=2 rule q_ann_ivf ships; plus
+    * size, corpus share, and how many of the 20 probe queries (the
+    * q_ann_nprobe_sweep probe set) hit it under the SAME rounded-cscore
+    * nprobe=2 rule q_ann_ivf ships; plus
     * summary columns — size CV (exact integer sum-of-squares form),
     * max/mean imbalance, and measured mean scanned-per-query vs the
     * uniform-list 2N/K the cost model assumes. A hot list shows up as
@@ -1284,6 +1293,9 @@ object SimilarityQueries extends QueryModule {
         .withColumn("crank", row_number().over(wProbe))
         .filter(col("crank") <= 2)
         .select(col("qid"), col("label"))
+        // ~2·n_q rows; feeds the hits rollup AND the scan-cost rollup —
+        // materialize so the centroid+probe pass runs once, structurally
+        .localCheckpoint(true)
       val hits = probed.groupBy("label").agg(count(lit(1)).as("probes_hit"))
       val summary = lists
         .agg(count(lit(1)).as("k_lists"), sum(col("n_vecs")).as("n_total"),
@@ -1369,9 +1381,9 @@ object SimilarityQueries extends QueryModule {
     "q_proto_pruning",
     (spark, sfDir) => {
       import org.apache.spark.sql.expressions.Window
-      val (e, assigned) = semAssigned(spark, sfDir)
-      val centroids = labelCentroids(e)
-        .select(col("label").as("cluster"), col("centroid"),
+      val (e, assigned, cents) = semAssigned(spark, sfDir)
+      val centroids = cents
+        .select(col("cl").as("cluster"), col("centroid"),
           sqrt(Vectors.normSq(col("centroid"))).as("cnorm"))
       val kd = assigned
         .join(broadcast(centroids), "cluster")
