@@ -118,7 +118,11 @@ object Bench {
         "q_contam_ngram_sweep",
         // r15 second wave: runs the prefix-shingle edge build + CC loop
         // plus the member-vs-canonical scoring (q_dedup_clusters family)
-        "q_dedup_chain_risk")
+        "q_dedup_chain_risk",
+        // r15 third wave: both run the edge build + CC loop over the
+        // planted corpus (q_dedup_clusters family); the scrub runs the
+        // corpus-wide segment explode + keep-first window
+        "q_softdedup_weights", "q_dedup_keep_policy", "q_segment_dedup_scrub")
     (lightWarm ++ heavyWarm)
       .filter(SparkEntry.queries.contains)
       .foreach { n =>

@@ -432,6 +432,165 @@ object ClusterQueries extends QueryModule {
       FROM k GROUP BY 1 ORDER BY 1
     """))
 
+  /** SoftDedup-style frequency reweighting (He et al. '24, public): the
+    * keep-all alternative to canonical selection — every member of a
+    * duplicate cluster stays in the corpus but its sampling weight drops
+    * to 1/cluster_size, so the cluster contributes ONE document's worth
+    * of expected training mass and no content is deleted outright.
+    * Weights are exact integer micro-units (1000000 div size — identical
+    * integer division in both engines, no float ties), so the per-lang
+    * effective-mass sums are order-free BIGINTs. Per lang: raw vs
+    * effective doc/token mass and the share reweighting removes. Scale
+    * shape: cluster sizes come from the candidate-graph-sized label
+    * table; the corpus-side work is ONE left join against that broadcast-
+    * able table plus a keyed aggregate — the same discipline as
+    * q_split_safe.
+    */
+  private val softdedupWeights = QueryDef(
+    "q_softdedup_weights",
+    (spark, sfDir) => {
+      // ONE scaffold run: the CC loop's result is already checkpointed,
+      // so both consumers (sizes + the member join) read the same blocks
+      val members = clusterLabels(spark, sfDir)
+      val sizes = members.groupBy("lbl").agg(count(lit(1)).as("csize"))
+        .localCheckpoint(true) // cluster-count-sized
+      val docs = DedupQueries.withPlantsFull(spark, sfDir)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+      docs
+        .join(members.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .join(sizes, Seq("lbl"), "left")
+        .withColumn("csize", coalesce(col("csize"), lit(1L)))
+        .withColumn("w_micro", expr("1000000 div csize"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum((col("csize") > 1).cast("long")).as("n_clustered"),
+          sum(col("w_micro")).as("eff_docs_micro"),
+          sum(col("n_toks")).as("tokens"),
+          sum(col("n_toks") * col("w_micro")).as("eff_tokens_micro"))
+        .withColumn("mass_removed_pct", Ql.r(
+          lit(100.0) - col("eff_tokens_micro") * lit(100.0) / (col("tokens") * lit(1000000.0)), 4))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH RECURSIVE planted AS (
+        SELECT * FROM ${DedupQueries.plantsFullSql}),
+      $edgesChainSql,
+      $ccSql,
+      sizes AS (SELECT lbl, count(*) AS csize FROM labels GROUP BY 1),
+      docs AS (SELECT doc_id, lang,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+               FROM planted),
+      weighted AS (
+        SELECT d.lang, d.n_toks,
+               coalesce(s.csize, 1) AS csize,
+               1000000 // coalesce(s.csize, 1) AS w_micro
+        FROM docs d
+        LEFT JOIN labels l ON d.doc_id = l.id
+        LEFT JOIN sizes s ON l.lbl = s.lbl)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+             CAST(sum(w_micro) AS BIGINT) AS eff_docs_micro,
+             CAST(sum(n_toks) AS BIGINT) AS tokens,
+             CAST(sum(n_toks * w_micro) AS BIGINT) AS eff_tokens_micro,
+             ${Ql.R("100.0 - CAST(sum(n_toks * w_micro) AS DOUBLE) * 100.0 / (sum(n_toks) * 1000000.0)", 4)} AS mass_removed_pct
+      FROM weighted GROUP BY 1 ORDER BY 1
+    """))
+
+  /** Keep-policy comparison — WHICH member a dedup pass keeps changes the
+    * shipped corpus even when the cluster decision is identical: keep-
+    * min-id (replay-stable, the streaming sinks' rule), keep-longest
+    * (q_dedup_canonical's rule — maximizes surviving content), and
+    * keep-most-distinct-tokens (a lexical-diversity proxy). One labels ⋈
+    * docs pass and ONE cluster-keyed aggregate compute all three
+    * canonicals via lexicographic struct extrema (no per-policy window
+    * passes — at corpus scale three window shuffles over the member
+    * table would triple the cost for the same answer); the 3-row report
+    * unpivots from a single 1-row aggregate. Per policy: kept vs removed
+    * character mass and how often the policy agrees with the min-id
+    * baseline — the drift a pipeline owner checks before swapping rules.
+    */
+  private val dedupKeepPolicy = QueryDef(
+    "q_dedup_keep_policy",
+    (spark, sfDir) => {
+      val labels = clusterLabels(spark, sfDir)
+      val docs = DedupQueries.withPlants(spark, sfDir)
+        .select(col("doc_id").as("id"), length(col("text")).cast("long").as("len"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("dtc"))
+      val cl = labels.join(docs, "id")
+        .groupBy("lbl")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("len")).as("total_chars"),
+          min(col("id")).as("min_id"),
+          min(struct(col("id"), col("len"))).as("p_min"),
+          max(struct(col("len"), (-col("id")).as("nid"))).as("p_long"),
+          max(struct(col("dtc"), (-col("id")).as("nid"), col("len"))).as("p_dtc"))
+        .select(col("n"), col("total_chars"), col("min_id"),
+          col("p_min.len").as("l_min"),
+          (-col("p_long.nid")).as("c_long"), col("p_long.len").as("l_long"),
+          (-col("p_dtc.nid")).as("c_dtc"), col("p_dtc.len").as("l_dtc"))
+      cl.agg(
+          count(lit(1)).as("n_clusters"),
+          sum(col("n")).as("n_docs"),
+          (sum(col("n")) - count(lit(1))).as("n_removed"),
+          sum(col("total_chars")).as("tc"),
+          sum(col("l_min")).as("k_min"),
+          sum(col("l_long")).as("k_long"),
+          sum(col("l_dtc")).as("k_dtc"),
+          sum((col("c_long") === col("min_id")).cast("long")).as("a_long"),
+          sum((col("c_dtc") === col("min_id")).cast("long")).as("a_dtc"))
+        .selectExpr(
+          """stack(3,
+               'keep_longest', n_clusters, n_docs, n_removed, k_long, tc - k_long, a_long,
+               'keep_min_id', n_clusters, n_docs, n_removed, k_min, tc - k_min, n_clusters,
+               'keep_most_distinct', n_clusters, n_docs, n_removed, k_dtc, tc - k_dtc, a_dtc)
+             AS (policy, n_clusters, n_docs, n_removed, kept_chars, removed_chars, n_pick_min_id)""")
+        .orderBy("policy")
+    },
+    Some(s"""
+      $edgesSql,
+      $ccSql,
+      docs AS (SELECT doc_id AS id, CAST(len(text) AS BIGINT) AS len,
+                      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS dtc
+               FROM planted),
+      ranked AS (
+        SELECT lbl, id, len, dtc,
+               row_number() OVER (PARTITION BY lbl ORDER BY id) AS ri,
+               row_number() OVER (PARTITION BY lbl ORDER BY len DESC, id) AS rl,
+               row_number() OVER (PARTITION BY lbl ORDER BY dtc DESC, id) AS rd
+        FROM labels JOIN docs USING (id)),
+      cl AS (
+        SELECT lbl, count(*) AS n, sum(len) AS total_chars, min(id) AS min_id,
+               max(CASE WHEN ri = 1 THEN len END) AS l_min,
+               max(CASE WHEN rl = 1 THEN id END) AS c_long,
+               max(CASE WHEN rl = 1 THEN len END) AS l_long,
+               max(CASE WHEN rd = 1 THEN id END) AS c_dtc,
+               max(CASE WHEN rd = 1 THEN len END) AS l_dtc
+        FROM ranked GROUP BY 1),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST(sum(n) - count(*) AS BIGINT) AS n_removed,
+               CAST(sum(total_chars) AS BIGINT) AS tc,
+               CAST(sum(l_min) AS BIGINT) AS k_min,
+               CAST(sum(l_long) AS BIGINT) AS k_long,
+               CAST(sum(l_dtc) AS BIGINT) AS k_dtc,
+               CAST(sum(CASE WHEN c_long = min_id THEN 1 ELSE 0 END) AS BIGINT) AS a_long,
+               CAST(sum(CASE WHEN c_dtc = min_id THEN 1 ELSE 0 END) AS BIGINT) AS a_dtc
+        FROM cl)
+      SELECT 'keep_longest' AS policy, n_clusters, n_docs, n_removed,
+             k_long AS kept_chars, tc - k_long AS removed_chars, a_long AS n_pick_min_id
+      FROM agg
+      UNION ALL
+      SELECT 'keep_min_id', n_clusters, n_docs, n_removed, k_min, tc - k_min, n_clusters FROM agg
+      UNION ALL
+      SELECT 'keep_most_distinct', n_clusters, n_docs, n_removed, k_dtc, tc - k_dtc, a_dtc FROM agg
+      ORDER BY policy
+    """))
+
   override def defs: Seq[QueryDef] =
-    Seq(dedupClusters, dedupCanonical, dedupClusterProfile, dedupChainRisk)
+    Seq(dedupClusters, dedupCanonical, dedupClusterProfile, dedupChainRisk,
+      softdedupWeights, dedupKeepPolicy)
 }

@@ -965,8 +965,94 @@ object CurationQueries extends QueryModule {
       ORDER BY s.score_micro DESC, s.doc_id LIMIT 20
     """))
 
+  /** I-cur1b: the SCRUB q_segment_dedup's audit motivates — C4-style
+    * global segment dedup as a corpus REWRITE, not a doc filter: every
+    * 8-word segment keeps only its first occurrence in (doc_id, pos)
+    * order (the C4 "discard repeated three-sentence spans" practice at
+    * segment granularity, public), later instances are dropped and each
+    * document is reassembled from its surviving segments. Runs over the
+    * planted corpus so the scrub is non-vacuous (each plant shares all
+    * segments past the first with its source doc). Keep-first is a
+    * row_number over the 56-bit segment hash — an 8-byte-key shuffle
+    * whose partitions are dup-multiplicity-sized; the rebuild is one
+    * doc-keyed aggregate. Per lang: docs touched, segments dropped,
+    * character mass before/after, and an order-free rebuilt-corpus
+    * checksum (sum of per-doc 56-bit text hashes) proving both engines
+    * reassembled byte-identical documents.
+    */
+  /** The scrub core over an ARBITRARY (doc_id, lang, text) corpus —
+    * returns the per-doc rewrite frame (doc_id, lang, chars, n_segs,
+    * n_dropped, new_text). Exposed so ScaleSmokeSpec can drive the SERVED
+    * keep-first window + rebuild at 5M docs.
+    */
+  private[graft] def scrubSegmentsOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("chars"),
+        posexplode(expr(segArr("toks"))).as(Seq("pos", "seg")))
+      .withColumn("seg_h", expr(Ql.md5PrefixLong("seg", 14)))
+    val w = Window.partitionBy("seg_h").orderBy("doc_id", "pos")
+    segs
+      .withColumn("kept", row_number().over(w) === 1)
+      .groupBy("doc_id", "lang", "chars")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum((!col("kept")).cast("long")).as("n_dropped"),
+        array_join(transform(array_sort(collect_list(
+          when(col("kept"), struct(col("pos"), col("seg"))))),
+          x => x.getField("seg")), " ").as("new_text"))
+  }
+
+  private val segmentDedupScrub = QueryDef(
+    "q_segment_dedup_scrub",
+    (spark, sfDir) => {
+      val perDoc = scrubSegmentsOf(DedupQueries.withPlantsFull(spark, sfDir))
+      perDoc.groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum((col("n_dropped") > 0).cast("long")).as("n_docs_modified"),
+          sum(col("n_segs")).as("n_segs"),
+          sum(col("n_dropped")).as("n_segs_dropped"),
+          sum(col("chars")).as("chars_before"),
+          sum(length(col("new_text")).cast("long")).as("chars_after"),
+          sum(expr(Ql.md5PrefixLong("new_text", 14))).as("scrub_checksum"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH segs AS (
+        SELECT doc_id, lang, chars, i AS pos,
+               array_to_string(t[i * 8 + 1 : i * 8 + 8], ' ') AS seg
+        FROM (SELECT doc_id, lang, CAST(len(text) AS BIGINT) AS chars,
+                     string_split(text, ' ') AS t,
+                     unnest(generate_series(0,
+                       CAST(ceil(len(string_split(text, ' ')) / 8.0) AS INT) - 1)) AS i
+              FROM ${DedupQueries.plantsFullSql})),
+      marked AS (
+        SELECT doc_id, lang, chars, pos, seg,
+               row_number() OVER (PARTITION BY ${Ql.Md5PrefixLong("seg", 14)}
+                                  ORDER BY doc_id, pos) = 1 AS kept
+        FROM segs),
+      per_doc AS (
+        SELECT doc_id, lang, chars, count(*) AS n_segs,
+               CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+               coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE kept), '')
+                 AS new_text
+        FROM marked GROUP BY 1, 2, 3)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(CASE WHEN n_dropped > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_modified,
+             CAST(sum(n_segs) AS BIGINT) AS n_segs,
+             CAST(sum(n_dropped) AS BIGINT) AS n_segs_dropped,
+             CAST(sum(chars) AS BIGINT) AS chars_before,
+             CAST(sum(len(new_text)) AS BIGINT) AS chars_after,
+             CAST(sum(${Ql.Md5PrefixLong("new_text", 14)}) AS BIGINT) AS scrub_checksum
+      FROM per_doc GROUP BY 1 ORDER BY 1
+    """))
+
   override def defs: Seq[QueryDef] =
-    Seq(segmentDedup, repetitionFilter, domainBudget, wordEntropy,
+    Seq(segmentDedup, segmentDedupScrub, repetitionFilter, domainBudget, wordEntropy,
       globalOrdinals, chi2Terms, klDivergence, dupGramCoverage,
       gopherQuality, gopherRuleAblation, piiRedact, mixWeights,
       tokenBudgetPlan, dsirSelection, qualityFilterAgreement)

@@ -1996,7 +1996,73 @@ object DedupQueries extends QueryModule {
     """
     })
 
+  /** I1-aud: normalization-sensitivity audit of exact dedup — how many
+    * byte-distinct documents COLLAPSE under each canonicalization level
+    * (raw sha256 / lowercase / lowercase + whitespace-collapse + trim),
+    * the measured basis for choosing the hash key production dedup
+    * pipelines normalize before hashing (Dolma/CCNet practice: a crawl
+    * re-serves the same page with case or spacing jitter, and a raw-byte
+    * key silently keeps every variant). Planted truth: case-jittered
+    * copies of doc_id<10 (id+200000, uppercased) are raw-unique but
+    * lower-dups; spacing-jittered copies of doc_id in [10,20)
+    * (id+300000, doubled separators) survive lowercasing but collapse
+    * under whitespace normalization — so the three levels MUST differ by
+    * exactly the plant counts per lang. One pass, three codegen'd hash
+    * projections, one keyed aggregate; shuffle rows are per-lang counts.
+    */
+  private val dedupNormSensitivity = QueryDef(
+    "q_dedup_norm_sensitivity",
+    (spark, sfDir) => {
+      val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("text"))
+      val planted = d
+        .unionByName(d.filter(col("doc_id") < 10).select(
+          (col("doc_id") + 200000).as("doc_id"), col("lang"),
+          upper(col("text")).as("text")))
+        .unionByName(d.filter(col("doc_id") >= 10 && col("doc_id") < 20).select(
+          (col("doc_id") + 300000).as("doc_id"), col("lang"),
+          regexp_replace(col("text"), " ", "  ").as("text")))
+      planted
+        .withColumn("h_raw", sha2(col("text").cast("binary"), 256))
+        .withColumn("h_lower", sha2(lower(col("text")).cast("binary"), 256))
+        .withColumn("h_norm", sha2(
+          trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary"), 256))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("h_raw")).as("uniq_raw"),
+          countDistinct(col("h_lower")).as("uniq_lower"),
+          countDistinct(col("h_norm")).as("uniq_norm"),
+          (countDistinct(col("h_raw")) - countDistinct(col("h_lower")))
+            .as("case_only_dups"),
+          (countDistinct(col("h_lower")) - countDistinct(col("h_norm")))
+            .as("space_only_dups"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH planted AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000, lang, upper(text) FROM documents WHERE doc_id < 10
+        UNION ALL
+        SELECT doc_id + 300000, lang, regexp_replace(text, ' ', '  ', 'g')
+        FROM documents WHERE doc_id >= 10 AND doc_id < 20),
+      hashed AS (
+        SELECT lang,
+               sha256(text) AS h_raw,
+               sha256(lower(text)) AS h_lower,
+               sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h_norm
+        FROM planted)
+      SELECT lang, count(*) AS n_docs,
+             count(DISTINCT h_raw) AS uniq_raw,
+             count(DISTINCT h_lower) AS uniq_lower,
+             count(DISTINCT h_norm) AS uniq_norm,
+             count(DISTINCT h_raw) - count(DISTINCT h_lower) AS case_only_dups,
+             count(DISTINCT h_lower) - count(DISTINCT h_norm) AS space_only_dups
+      FROM hashed GROUP BY 1 ORDER BY 1
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
+    dedupNormSensitivity,
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs,
     dedupNgramJaccard, dedupEmbed, fuzzyJoin, containment, sortedNeighborhood,
     dedupRecall, ngramNovelty, minhashCalibration, cdcChunkDedup,

@@ -1095,9 +1095,95 @@ object PipelineQueries extends QueryModule {
     """
     })
 
+  /** I-leak-run: contamination RUN-LENGTH analysis — q_contamination says
+    * WHETHER a test doc shares any 5-gram with train; this says HOW MUCH
+    * of it is shared, the signal that separates verbatim leakage from
+    * incidental phrase overlap (the GPT-3 appendix-C / PaLM "high
+    * overlap" classification practice, public). Per test doc: the
+    * longest run of CONSECUTIVE contaminated 5-gram positions
+    * (gaps-and-islands — island key = pos − row_number over positions,
+    * so an L-gram run means an L+4-token verbatim shared span), bucketed
+    * into clean (no hit) / incidental (run < 8) / substantial (run ≥ 8,
+    * i.e. a ≥12-token contiguous copy). Same scale shape as the audit it
+    * extends: one gram pass, a per-gram hash join against the distinct
+    * train set, and doc-keyed windows over HIT positions only (hit
+    * volume, not corpus volume). Exact integer runs — no rounding
+    * anywhere.
+    */
+  private val contamRunLength = QueryDef(
+    "q_contam_run_length",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val grams = Tables.documents(spark, sfDir)
+        .withColumn("b", expr(SamplingQueries.bucketExpr("doc_id")))
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), col("lang"), col("b"),
+          posexplode(expr(
+            "transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', slice(toks, i + 1, 5)))"))
+            .as(Seq("pos", "g")))
+        .select(col("doc_id"), col("lang"), col("b"), col("pos"),
+          expr(Ql.md5PrefixLong("g", 14)).as("sh"))
+        // feeds the train set, the test side, and the test-doc roster
+        .cache()
+      val trainSh = grams.filter(col("b") < 90).select("sh").distinct()
+      val test = grams.filter(col("b") >= 90)
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val longest = test.join(trainSh, Seq("sh"), "left_semi")
+        .withColumn("isl", col("pos") - row_number().over(w))
+        .groupBy("doc_id", "isl").agg(count(lit(1)).as("run_len"))
+        .groupBy("doc_id").agg(max(col("run_len")).as("longest"))
+      val report = test.select("doc_id", "lang").distinct()
+        .join(longest, Seq("doc_id"), "left")
+        .withColumn("longest", coalesce(col("longest"), lit(0L)))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_test"),
+          sum((col("longest") === 0).cast("long")).as("n_clean"),
+          sum((col("longest") >= 1 && col("longest") < 8).cast("long")).as("n_incidental"),
+          sum((col("longest") >= 8).cast("long")).as("n_substantial"),
+          max(col("longest")).as("max_run"),
+          sum(col("longest")).as("sum_longest"))
+        // |langs|-row report materialized while the cache is alive
+        .localCheckpoint(true)
+      grams.unpersist(false)
+      report.orderBy("lang")
+    },
+    Some(s"""
+      WITH g AS (
+        SELECT doc_id, lang, b, i AS pos,
+               ${Ql.Md5PrefixLong("array_to_string(t[i + 1 : i + 5], ' ')", 14)} AS sh
+        FROM (SELECT doc_id, lang,
+                     ${Ql.Md5PrefixLong("CAST(doc_id AS VARCHAR)", 4)} % 100 AS b,
+                     t, unnest(generate_series(0, len(t) - 5)) AS i
+              FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
+                    FROM documents)
+              WHERE len(t) >= 5)),
+      train_sh AS (SELECT DISTINCT sh FROM g WHERE b < 90),
+      hits AS (
+        SELECT g.doc_id, g.pos FROM g JOIN train_sh USING (sh) WHERE g.b >= 90),
+      runs AS (
+        SELECT doc_id, isl, count(*) AS run_len
+        FROM (SELECT doc_id,
+                     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+              FROM hits)
+        GROUP BY 1, 2),
+      longest AS (SELECT doc_id, max(run_len) AS longest FROM runs GROUP BY 1),
+      test_docs AS (SELECT DISTINCT doc_id, lang FROM g WHERE b >= 90)
+      SELECT d.lang, count(*) AS n_test,
+             CAST(sum(CASE WHEN coalesce(l.longest, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+             CAST(sum(CASE WHEN coalesce(l.longest, 0) BETWEEN 1 AND 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_incidental,
+             CAST(sum(CASE WHEN coalesce(l.longest, 0) >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_substantial,
+             CAST(max(coalesce(l.longest, 0)) AS BIGINT) AS max_run,
+             CAST(sum(coalesce(l.longest, 0)) AS BIGINT) AS sum_longest
+      FROM test_docs d LEFT JOIN longest l ON d.doc_id = l.doc_id
+      GROUP BY 1 ORDER BY 1
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(packSequences, docChunks, contamination, decontamScrub,
-      contamNgramSweep, sampleReservoir,
+      contamRunLength, sampleReservoir,
+      contamNgramSweep,
       curationPipeline, curationPipelineLsh, curationPipelineSafe,
       curationSafeLeakage, negativeSampling, shardBalance,
       shardManifest, dedupSourceBias, dataConstrainedScaling)

@@ -164,6 +164,57 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
       .values.foreach(_.unpersist(blocking = false))
   }
 
+  test("5M-doc segment scrub: global keep-first holds, plants lose their shared span") {
+    // The q_segment_dedup_scrub rewrite core (CurationQueries.scrubSegmentsOf)
+    // driven at 50x the bench corpus: 5,001,000 10-token docs explode to
+    // 10,002,000 8-word-segment instances (8 + remainder-2 per doc), the
+    // keep-first window runs over the 56-bit segment hash, and every doc is
+    // reassembled from its survivors. Proof obligations: (1) the global
+    // keep-first invariant — surviving instances must equal the corpus's
+    // DISTINCT segment-hash count exactly (one survivor per distinct
+    // segment, recomputed independently); (2) every planted near-dup (ids
+    // 5M+) must lose its trailing segment to its lower-id source doc; (3)
+    // the rebuild is surgical — plants that lost ONLY that segment come
+    // back as exactly their first 8 tokens.
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val docs = corpus5M.withColumn("lang", lit("xx"))
+    val t0 = System.nanoTime()
+    val perDoc = operators.CurationQueries.scrubSegmentsOf(docs).localCheckpoint(true)
+    val agg = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_segs")).as("total"),
+      sum(col("n_dropped")).as("dropped")).head()
+    val (nDocs, total, dropped) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    info(f"5M-doc scrub: $nDocs docs, $total segment instances, $dropped dropped " +
+      f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    assert(nDocs == 5001000L && total == 10002000L,
+      s"corpus shape drifted: $nDocs docs, $total instances")
+    // (1) keep-first: survivors == independently recomputed distinct segments
+    val nDistinct = docs.withColumn("toks", split(col("text"), " "))
+      .select(explode(expr(
+        """transform(sequence(0, cast(ceil(size(toks) / 8.0) as int) - 1),
+             i -> concat_ws(' ', slice(toks, i * 8 + 1, 8)))""")).as("seg"))
+      .select(expr(operators.Ql.md5PrefixLong("seg", 14)).as("h"))
+      .distinct().count()
+    assert(total - dropped == nDistinct,
+      s"keep-first broke: ${total - dropped} survivors vs $nDistinct distinct segments")
+    // (2) + (3) plant surgery
+    val plant = perDoc.filter(col("doc_id") >= 5000000L)
+      .agg(count(lit(1)).as("n"),
+        sum((col("n_dropped") >= 1).cast("long")).as("lost_span"),
+        sum((col("n_dropped") === 1 &&
+          size(split(col("new_text"), " ")) === 8).cast("long")).as("surgical"))
+      .head()
+    assert(plant.getLong(0) == 1000L)
+    assert(plant.getLong(1) == 1000L,
+      s"every plant shares its trailing segment with its source; only ${plant.getLong(1)} lost it")
+    assert(plant.getLong(2) >= 990L,
+      s"rebuild must be surgical (first 8 tokens back) for ~all plants, got ${plant.getLong(2)}")
+    sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
+      .values.foreach(_.unpersist(blocking = false))
+  }
+
   test("5M-doc DSIR selection: hash-bounded model, planted target-like docs rank top") {
     // The q_dsir_selection scoring core (CurationQueries.dsirScores)
     // driven at 50x the bench corpus. Corpus: ~1M 'en' target docs over a
