@@ -965,21 +965,6 @@ object CurationQueries extends QueryModule {
       ORDER BY s.score_micro DESC, s.doc_id LIMIT 20
     """))
 
-  /** I-cur1b: the SCRUB q_segment_dedup's audit motivates — C4-style
-    * global segment dedup as a corpus REWRITE, not a doc filter: every
-    * 8-word segment keeps only its first occurrence in (doc_id, pos)
-    * order (the C4 "discard repeated three-sentence spans" practice at
-    * segment granularity, public), later instances are dropped and each
-    * document is reassembled from its surviving segments. Runs over the
-    * planted corpus so the scrub is non-vacuous (each plant shares all
-    * segments past the first with its source doc). Keep-first is a
-    * row_number over the 56-bit segment hash — an 8-byte-key shuffle
-    * whose partitions are dup-multiplicity-sized; the rebuild is one
-    * doc-keyed aggregate. Per lang: docs touched, segments dropped,
-    * character mass before/after, and an order-free rebuilt-corpus
-    * checksum (sum of per-doc 56-bit text hashes) proving both engines
-    * reassembled byte-identical documents.
-    */
   /** The scrub core over an ARBITRARY (doc_id, lang, text) corpus —
     * returns the per-doc rewrite frame (doc_id, lang, chars, n_segs,
     * n_dropped, new_text). Exposed so ScaleSmokeSpec can drive the SERVED
@@ -1006,6 +991,25 @@ object CurationQueries extends QueryModule {
           x => x.getField("seg")), " ").as("new_text"))
   }
 
+  /** I-cur1b: the SCRUB q_segment_dedup's audit motivates — C4-style
+    * global segment dedup as a corpus REWRITE, not a doc filter: every
+    * 8-word segment keeps only its first occurrence in (doc_id, pos)
+    * order (the C4 "discard repeated three-sentence spans" practice at
+    * segment granularity, public), later instances are dropped and each
+    * document is reassembled from its surviving segments. Runs over the
+    * planted corpus so the scrub is non-vacuous (each plant shares all
+    * segments past the first with its source doc). Keep-first is a
+    * row_number over the 56-bit segment hash — an 8-byte-key shuffle
+    * whose partitions are dup-multiplicity-sized; the rebuild is one
+    * doc-keyed aggregate. Per lang: docs touched, segments dropped,
+    * character mass before/after, and an order-free rebuilt-corpus
+    * checksum proving both engines reassembled byte-identical documents.
+    * The checksum folds each doc's 56-bit rebuilt-text hash to 36 bits
+    * BEFORE the sum — a raw 56-bit sum crosses Long.MaxValue at ~160
+    * docs/lang-mean and ANSI sum() throws (the q_cohens_d overflow
+    * class, NOTES r11); 2^36 keeps even a 5M-doc lang 27× under the
+    * BIGINT ceiling with full per-doc collision sensitivity.
+    */
   private val segmentDedupScrub = QueryDef(
     "q_segment_dedup_scrub",
     (spark, sfDir) => {
@@ -1018,7 +1022,8 @@ object CurationQueries extends QueryModule {
           sum(col("n_dropped")).as("n_segs_dropped"),
           sum(col("chars")).as("chars_before"),
           sum(length(col("new_text")).cast("long")).as("chars_after"),
-          sum(expr(Ql.md5PrefixLong("new_text", 14))).as("scrub_checksum"))
+          sum(expr(s"${Ql.md5PrefixLong("new_text", 14)} % 68719476736"))
+            .as("scrub_checksum"))
         .orderBy("lang")
     },
     Some(s"""
@@ -1047,7 +1052,7 @@ object CurationQueries extends QueryModule {
              CAST(sum(n_dropped) AS BIGINT) AS n_segs_dropped,
              CAST(sum(chars) AS BIGINT) AS chars_before,
              CAST(sum(len(new_text)) AS BIGINT) AS chars_after,
-             CAST(sum(${Ql.Md5PrefixLong("new_text", 14)}) AS BIGINT) AS scrub_checksum
+             CAST(sum(${Ql.Md5PrefixLong("new_text", 14)} % 68719476736) AS BIGINT) AS scrub_checksum
       FROM per_doc GROUP BY 1 ORDER BY 1
     """))
 

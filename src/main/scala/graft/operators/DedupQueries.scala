@@ -2024,8 +2024,11 @@ object DedupQueries extends QueryModule {
       planted
         .withColumn("h_raw", sha2(col("text").cast("binary"), 256))
         .withColumn("h_lower", sha2(lower(col("text")).cast("binary"), 256))
+        // explicit whitespace class, NOT \s: Java's \s includes \x0B
+        // (vertical tab) while DuckDB/RE2's does not — a latent
+        // cross-engine divergence on exactly the jitter this audit keys on
         .withColumn("h_norm", sha2(
-          trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary"), 256))
+          trim(regexp_replace(lower(col("text")), "[ \\t\\n\\r]+", " ")).cast("binary"), 256))
         .groupBy("lang")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -2050,7 +2053,7 @@ object DedupQueries extends QueryModule {
         SELECT lang,
                sha256(text) AS h_raw,
                sha256(lower(text)) AS h_lower,
-               sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h_norm
+               sha256(trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g'))) AS h_norm
         FROM planted)
       SELECT lang, count(*) AS n_docs,
              count(DISTINCT h_raw) AS uniq_raw,
