@@ -1180,9 +1180,161 @@ object PipelineQueries extends QueryModule {
       GROUP BY 1 ORDER BY 1
     """))
 
+  /** I-casc: stage-wise dedup cascade — the production ordering (cheap
+    * exact hash first, then LSH near-dup over the survivors) with each
+    * stage's INCREMENTAL removal measured, the Dolma/FineWeb-style
+    * readout that justifies running the expensive stage at all. Planted
+    * truth on both stages: byte-identical copies of docs 20–29
+    * (id+500000) fall to the exact stage; the standard first-token-
+    * edited plants (id+100000) pass it and fall to the LSH+CC keep-min-id
+    * stage. Per lang: docs and token mass entering, removed by each
+    * stage, and kept. Scale shape: exact keep-first is a window over the
+    * 32-byte content hash; the near-dup stage is the SERVED banded
+    * pipeline + CC over the candidate graph (never all-pairs), and the
+    * final tallies are one left join of survivors against the candidate-
+    * graph-sized label table.
+    */
+  private val dedupCascade = QueryDef(
+    "q_dedup_cascade",
+    (spark, sfDir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val corpus = DedupQueries.withPlantsFull(spark, sfDir)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .unionByName(base.filter(col("doc_id") >= 20 && col("doc_id") < 30)
+          .select((col("doc_id") + 500000).as("doc_id"), col("lang"), col("text")))
+        .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+      val wEx = Window
+        .partitionBy(sha2(col("text").cast("binary"), 256)).orderBy("doc_id")
+      val staged = corpus.withColumn("ex_rn", row_number().over(wEx))
+        // feeds the survivor near-dup scaffold AND the per-lang tallies
+        .localCheckpoint(true)
+      val surv = staged.filter(col("ex_rn") === 1)
+      val labels = ClusterQueries.clusterLabelsOf(
+        DedupQueries.lshBandPairsOf(surv.select(col("doc_id"), col("text"))))
+        .withColumnRenamed("id", "doc_id")
+      staged
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("stage", when(col("ex_rn") > 1, lit("exact"))
+          .when(col("lbl").isNotNull && col("doc_id") > col("lbl"), lit("near"))
+          .otherwise(lit("kept")))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("tokens"),
+          sum((col("stage") === "exact").cast("long")).as("exact_dropped"),
+          sum((col("stage") === "near").cast("long")).as("near_dropped"),
+          sum((col("stage") === "kept").cast("long")).as("kept"),
+          sum(when(col("stage") === "kept", col("n_toks")).otherwise(lit(0L)))
+            .as("tokens_kept"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH RECURSIVE corpus AS (
+        SELECT doc_id, lang, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        FROM (SELECT doc_id, lang, text FROM ${DedupQueries.plantsFullSql}
+              UNION ALL
+              SELECT doc_id + 500000, lang, text FROM documents
+              WHERE doc_id >= 20 AND doc_id < 30)),
+      staged AS (
+        SELECT doc_id, lang, text, n_toks,
+               row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS ex_rn
+        FROM corpus),
+      surv AS (SELECT doc_id, text FROM staged WHERE ex_rn = 1),
+      ${DedupQueries.bandKeysSqlOver("surv", "c")},
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM cbands a JOIN cbands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      ${ClusterQueries.ccSqlOver("pairs")},
+      tagged AS (
+        SELECT s.lang, s.n_toks,
+               CASE WHEN s.ex_rn > 1 THEN 'exact'
+                    WHEN l.lbl IS NOT NULL AND s.doc_id > l.lbl THEN 'near'
+                    ELSE 'kept' END AS stage
+        FROM staged s LEFT JOIN labels l ON s.doc_id = l.id)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS tokens,
+             CAST(sum(CASE WHEN stage = 'exact' THEN 1 ELSE 0 END) AS BIGINT) AS exact_dropped,
+             CAST(sum(CASE WHEN stage = 'near' THEN 1 ELSE 0 END) AS BIGINT) AS near_dropped,
+             CAST(sum(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+             CAST(sum(CASE WHEN stage = 'kept' THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_kept
+      FROM tagged GROUP BY 1 ORDER BY 1
+    """))
+
+  /** I-leak-attr: contamination SOURCE attribution — q_contamination says
+    * which test docs are hit; this says which TRAIN SOURCE leaked into
+    * them, the readout that tells a pipeline owner where to aim the
+    * scrub (one crawl source re-serving benchmark text is the common
+    * cause). Train grams carry their source; a (test doc, source) pair
+    * counts once per shared distinct gram. Per train source: test docs
+    * reached, gram hits, and the share of all hits — exact integers.
+    * Same scale shape as the audit: per-shingle hash joins on 8-byte
+    * keys, never doc×doc.
+    */
+  private val contamAttribution = QueryDef(
+    "q_contam_attribution",
+    (spark, sfDir) => {
+      val sh = Tables.documents(spark, sfDir)
+        .withColumn("b", expr(SamplingQueries.bucketExpr("doc_id")))
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), col("source"), col("b"),
+          explode(expr(
+            "transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', slice(toks, i + 1, 5)))"))
+            .as("sh0"))
+        .select(col("doc_id"), col("source"), col("b"),
+          expr(Ql.md5PrefixLong("sh0", 14)).as("sh"))
+        .distinct()
+        .cache()
+      val trainSh = sh.filter(col("b") < 90).select("source", "sh").distinct()
+      val hits = sh.filter(col("b") >= 90).select(col("doc_id"), col("sh"))
+        .join(trainSh, "sh")
+      val perSource = hits.groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_test_docs_hit"),
+          count(lit(1)).as("n_gram_hits"))
+      val tot = perSource.agg(sum(col("n_gram_hits")).as("total_hits"))
+      val report = perSource.crossJoin(broadcast(tot))
+        .withColumn("hit_share_pct",
+          Ql.r(col("n_gram_hits") * lit(100.0) / col("total_hits"), 4))
+        .select("source", "n_test_docs_hit", "n_gram_hits", "hit_share_pct")
+        // |sources|-row report materialized while the cache is alive
+        .localCheckpoint(true)
+      sh.unpersist(false)
+      report.orderBy("source")
+    },
+    Some(s"""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, source, b,
+               ${Ql.Md5PrefixLong("array_to_string(t[i + 1 : i + 5], ' ')", 14)} AS sh
+        FROM (SELECT doc_id, source,
+                     ${Ql.Md5PrefixLong("CAST(doc_id AS VARCHAR)", 4)} % 100 AS b,
+                     t, unnest(generate_series(0, len(t) - 5)) AS i
+              FROM (SELECT doc_id, source, string_split(text, ' ') AS t
+                    FROM documents)
+              WHERE len(t) >= 5)),
+      train_sh AS (SELECT DISTINCT source, sh FROM sh WHERE b < 90),
+      hits AS (
+        SELECT t.source, s.doc_id
+        FROM sh s JOIN train_sh t ON s.sh = t.sh
+        WHERE s.b >= 90),
+      per_source AS (
+        SELECT source, count(DISTINCT doc_id) AS n_test_docs_hit,
+               count(*) AS n_gram_hits
+        FROM hits GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_gram_hits) AS BIGINT) AS total_hits FROM per_source)
+      SELECT source, n_test_docs_hit, CAST(n_gram_hits AS BIGINT) AS n_gram_hits,
+             ${Ql.R("n_gram_hits * 100.0 / any_value(total_hits)", 4)} AS hit_share_pct
+      FROM per_source CROSS JOIN tot
+      GROUP BY source, n_test_docs_hit, n_gram_hits
+      ORDER BY source
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(packSequences, docChunks, contamination, decontamScrub,
-      contamRunLength, sampleReservoir,
+      contamRunLength, dedupCascade, contamAttribution, sampleReservoir,
       contamNgramSweep,
       curationPipeline, curationPipelineLsh, curationPipelineSafe,
       curationSafeLeakage, negativeSampling, shardBalance,

@@ -256,7 +256,8 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "q_dsir_selection", // 1-row (n_tgt, n_raw) totals broadcast onto the ≤10k-row hash-bounded feature table
       "q_ivf_list_balance", // K-row centroid broadcast in the probe pass + 1-row summary crossed onto the K-row list report
       "q_proto_pruning", // K-row centroid broadcast (the q_semantic_dedup assignment pass)
-      "q_quality_filter_agreement") // 1-row vocabulary-size broadcast (the shared ccnetDocTiers LM)
+      "q_quality_filter_agreement", // 1-row vocabulary-size broadcast (the shared ccnetDocTiers LM)
+      "q_contam_attribution") // 1-row hit-total broadcast onto the |sources|-row attribution report
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val p = df.queryExecution.sparkPlan.toString
