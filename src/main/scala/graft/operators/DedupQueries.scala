@@ -2064,8 +2064,67 @@ object DedupQueries extends QueryModule {
       FROM hashed GROUP BY 1 ORDER BY 1
     """))
 
+  /** I2-band: per-BAND contribution audit of the served 4×3 banding —
+    * for each band: buckets holding ≥2 docs, candidate pairs it finds,
+    * and pairs ONLY it finds. High unique-pair shares mean the bands are
+    * complementary (each samples a different shingle subspace — the
+    * redundancy you pay 4× bucket state for is buying recall); near-zero
+    * unique shares mean fewer bands would find the same candidates for
+    * less state — the direct measurement behind q_lsh_banding_planner's
+    * model-based expectations. Rides [[bandKeysOf]], so the audited
+    * banding is the served one. All joins are bucket/pair-keyed.
+    */
+  private val lshBandContribution = QueryDef(
+    "q_lsh_band_contribution",
+    (spark, sfDir) => {
+      val bands = bandKeysOf(withPlants(spark, sfDir))
+        // feeds the pair self-join AND the bucket-occupancy aggregate
+        .localCheckpoint(true)
+      val pb = bands.select(col("band"), col("band_key"), col("doc_id").as("d1"))
+        .join(bands.select(col("band"), col("band_key"), col("doc_id").as("d2")),
+          Seq("band", "band_key"))
+        .filter(col("d1") < col("d2"))
+        .select("band", "d1", "d2").distinct()
+        // feeds the per-pair band count AND the per-band tally
+        .localCheckpoint(true)
+      val perPair = pb.groupBy("d1", "d2").agg(count(lit(1)).as("nb"))
+      val mb = bands.groupBy("band", "band_key").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .groupBy("band").agg(count(lit(1)).as("n_multi_buckets"))
+      pb.join(perPair, Seq("d1", "d2"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("nb") === 1).cast("long")).as("n_unique_pairs"))
+        .join(mb, "band")
+        .withColumn("unique_share_pct",
+          Ql.r(col("n_unique_pairs") * lit(100.0) / col("n_pairs"), 4))
+        // band is INT in bandKeysOf; the oracle's seed // 3 is BIGINT
+        .select(col("band").cast("long").as("band"), col("n_multi_buckets"),
+          col("n_pairs"), col("n_unique_pairs"), col("unique_share_pct"))
+        .orderBy("band")
+    },
+    Some(s"""
+      WITH src AS (SELECT doc_id, text FROM $plantsSql),
+      ${bandKeysSqlOver("src", "")},
+      pb AS (
+        SELECT DISTINCT a.band, a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      per_pair AS (SELECT d1, d2, count(*) AS nb FROM pb GROUP BY 1, 2),
+      mb AS (
+        SELECT band, count(*) AS n_multi_buckets
+        FROM (SELECT band, band_key FROM bands GROUP BY 1, 2 HAVING count(*) >= 2)
+        GROUP BY 1)
+      SELECT pb.band, CAST(any_value(mb.n_multi_buckets) AS BIGINT) AS n_multi_buckets,
+             count(*) AS n_pairs,
+             CAST(sum(CASE WHEN nb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_pairs,
+             ${Ql.R("sum(CASE WHEN nb = 1 THEN 1 ELSE 0 END) * 100.0 / count(*)", 4)} AS unique_share_pct
+      FROM pb JOIN per_pair USING (d1, d2) JOIN mb USING (band)
+      GROUP BY 1 ORDER BY 1
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
-    dedupNormSensitivity,
+    dedupNormSensitivity, lshBandContribution,
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs,
     dedupNgramJaccard, dedupEmbed, fuzzyJoin, containment, sortedNeighborhood,
     dedupRecall, ngramNovelty, minhashCalibration, cdcChunkDedup,

@@ -1332,9 +1332,86 @@ object PipelineQueries extends QueryModule {
       ORDER BY source
     """))
 
+  /** I-pack-loc: duplicate-pair SHARD locality — whether the near-dup
+    * pairs the prefix chain ships land in the same training shard. Two
+    * copies of a document in ONE shard repeat inside adjacent training
+    * batches (the worst placement for memorization and gradient
+    * redundancy); spread across shards they at least land epochs apart.
+    * Pairs = the SERVED LSH candidate surface over the chain's kept
+    * docs (the q_curation_safe_leakage convention: audit what actually
+    * ships); placement = the chain's own (split, source, shard)
+    * packing. Per category (same-split, or cross_split): pair count
+    * and the same-physical-shard share. Scale shape: the pair table is
+    * candidate-sized; placements join to it by doc_id — two
+    * hash joins, never corpus×corpus.
+    */
+  private val shardDupLocality = QueryDef(
+    "q_shard_dup_locality",
+    (spark, sfDir) => {
+      val corpus = DedupQueries.withPlantsFull(spark, sfDir)
+        // feeds the chain AND the kept-doc text join
+        .localCheckpoint(true)
+      val keep = curationKeepList(corpus)
+        .select("doc_id", "split", "source", "shard")
+        // feeds the banding input AND both pair-endpoint joins
+        .localCheckpoint(true)
+      val pairs = DedupQueries.lshBandPairsOf(
+        keep.select("doc_id").join(corpus.select("doc_id", "text"), "doc_id"))
+      val a = keep.select(col("doc_id").as("d1"), col("split").as("s1"),
+        col("source").as("src1"), col("shard").as("h1"))
+      val b = keep.select(col("doc_id").as("d2"), col("split").as("s2"),
+        col("source").as("src2"), col("shard").as("h2"))
+      pairs.join(a, "d1").join(b, "d2")
+        .withColumn("category",
+          when(col("s1") =!= col("s2"), lit("cross_split")).otherwise(col("s1")))
+        .withColumn("same_shard",
+          (col("s1") === col("s2") && col("src1") === col("src2") &&
+            col("h1") === col("h2")).cast("long"))
+        .groupBy("category")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("same_shard")).as("n_same_shard"),
+          Ql.r(sum(col("same_shard")) * lit(100.0) / count(lit(1)), 4)
+            .as("same_shard_pct"))
+        .orderBy("category")
+    },
+    Some(s"""
+      WITH planted AS (SELECT * FROM ${DedupQueries.plantsFullSql}),
+      ${keepStagesSql("p", "planted")},
+      psplitted AS (
+        SELECT *,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT *, ${Ql.Md5PrefixLong("CAST(doc_id AS VARCHAR)", 4)} % 100 AS b
+              FROM pkeyed)),
+      ppacked AS (
+        SELECT doc_id, split, source, text,
+               (CAST(sum(tok) OVER (PARTITION BY split, source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) - tok) // 2048
+                 AS shard
+        FROM psplitted),
+      kept_docs AS (SELECT doc_id, text FROM ppacked),
+      ${DedupQueries.bandKeysSqlOver("kept_docs", "k")},
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM kbands a JOIN kbands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      tagged AS (
+        SELECT CASE WHEN p1.split <> p2.split THEN 'cross_split' ELSE p1.split END
+                 AS category,
+               CASE WHEN p1.split = p2.split AND p1.source = p2.source
+                         AND p1.shard = p2.shard THEN 1 ELSE 0 END AS same_shard
+        FROM pairs
+        JOIN ppacked p1 ON pairs.d1 = p1.doc_id
+        JOIN ppacked p2 ON pairs.d2 = p2.doc_id)
+      SELECT category, count(*) AS n_pairs,
+             CAST(sum(same_shard) AS BIGINT) AS n_same_shard,
+             ${Ql.R("sum(same_shard) * 100.0 / count(*)", 4)} AS same_shard_pct
+      FROM tagged GROUP BY 1 ORDER BY 1
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(packSequences, docChunks, contamination, decontamScrub,
-      contamRunLength, dedupCascade, contamAttribution, sampleReservoir,
+      contamRunLength, dedupCascade, contamAttribution, shardDupLocality,
+      sampleReservoir,
       contamNgramSweep,
       curationPipeline, curationPipelineLsh, curationPipelineSafe,
       curationSafeLeakage, negativeSampling, shardBalance,
