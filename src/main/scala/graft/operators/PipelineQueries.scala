@@ -118,43 +118,57 @@ object PipelineQueries extends QueryModule {
     * shingles against the distinct train shingle set on int64 keys —
     * the candidate set is per-shingle, never per-doc-pair.
     */
+  /** The contamination measurement core over an ARBITRARY (doc_id, lang,
+    * text) corpus — per TEST doc (deterministic md5 bucket ≥ 90), the
+    * count of its distinct 5-grams that appear anywhere in the train
+    * side: (doc_id, lang, n_hits), test-doc-count-sized and
+    * materialized (the corpus-scale shingle cache is released before
+    * returning). Exposed so ScaleSmokeSpec can drive the SERVED
+    * measurement at 5M docs; q_contamination is one keyed aggregate
+    * over it.
+    */
+  private[graft] def contamDocHits(corpus: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = corpus
+      .withColumn("b", expr(SamplingQueries.bucketExpr("doc_id")))
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), col("lang"), col("b"),
+        explode(expr(
+          "transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', slice(toks, i + 1, 5)))"))
+          .as("sh0"))
+      // hash post-explode in a codegen'd projection, not in the
+      // interpreted lambda (see DedupQueries.shingles)
+      .select(col("doc_id"), col("lang"), col("b"),
+        expr(Ql.md5PrefixLong("sh0", 14)).as("sh"))
+      .distinct()
+      // both split sides derive from this one shingle set — cache so the
+      // explode+md5+distinct shuffle runs once, not once per consumer
+      .cache()
+    val trainSh = docs.filter(col("b") < 90).select("sh").distinct()
+    val testSh = docs.filter(col("b") >= 90)
+    val hits = testSh.join(trainSh, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    val perDoc = testSh.select("doc_id", "lang").distinct()
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      // test-doc-count-sized — materialized while the cache is alive,
+      // shingle blocks released in-query (same hygiene as q_decontam_scrub)
+      .localCheckpoint(true)
+    docs.unpersist(false)
+    perDoc
+  }
+
   private val contamination = QueryDef(
     "q_contamination",
-    (spark, sfDir) => {
-      val docs = Tables.documents(spark, sfDir)
-        .withColumn("b", expr(SamplingQueries.bucketExpr("doc_id")))
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 5)
-        .select(col("doc_id"), col("lang"), col("b"),
-          explode(expr(
-            "transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', slice(toks, i + 1, 5)))"))
-            .as("sh0"))
-        // hash post-explode in a codegen'd projection, not in the
-        // interpreted lambda (see DedupQueries.shingles)
-        .select(col("doc_id"), col("lang"), col("b"),
-          expr(Ql.md5PrefixLong("sh0", 14)).as("sh"))
-        .distinct()
-        // both split sides derive from this one shingle set — cache so the
-        // explode+md5+distinct shuffle runs once, not once per consumer
-        .cache()
-      val trainSh = docs.filter(col("b") < 90).select("sh").distinct()
-      val testSh = docs.filter(col("b") >= 90)
-      val hits = testSh.join(trainSh, "sh")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-      val report = testSh.select("doc_id", "lang").distinct()
-        .join(hits, Seq("doc_id"), "left")
-        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+    (spark, sfDir) =>
+      contamDocHits(Tables.documents(spark, sfDir))
         .groupBy("lang")
         .agg(
           count(lit(1)).as("n_test"),
           sum((col("n_hits") > 0).cast("long")).as("n_contaminated"),
           sum(col("n_hits")).as("n_hit_shingles"))
-        // |langs|-row report materialized while the cache is alive, shingle
-        // blocks released in-query (same hygiene as q_decontam_scrub)
-        .localCheckpoint(true)
-      docs.unpersist(false)
-      report.orderBy("lang")
-    },
+        .orderBy("lang"),
     Some(s"""
       WITH sh AS (
         SELECT DISTINCT doc_id, lang, b,

@@ -215,6 +215,56 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
       .values.foreach(_.unpersist(blocking = false))
   }
 
+  test("5M-doc contamination: per-shingle hash join flags exactly the planted test docs") {
+    // The q_contamination measurement core (PipelineQueries.contamDocHits)
+    // driven at 50x the bench corpus: ~27M distinct train 5-grams vs
+    // ~3M test grams, joined per-shingle on 56-bit int keys — never
+    // doc×doc. Truth: 100 test-bucket docs (md5 bucket >= 90, the served
+    // split rule) get their text REPLACED by a train doc's text; with a
+    // 50k-token random vocabulary the chance of any natural 5-gram
+    // collision is ~1e-9, so the flagged set must be EXACTLY the plants,
+    // each with all ~6 of its distinct grams hit.
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val base = spark.range(5000000L).select(col("id").as("doc_id"),
+      lit("xx").as("lang"),
+      expr("concat_ws(' ', transform(sequence(0, 9), " +
+        "j -> concat('c', pmod(hash(id * 10 + j), 50000))))").as("text"))
+      .withColumn("b", expr(operators.SamplingQueries.bucketExpr("doc_id")))
+    val trainIds = base.filter(col("b") < 90 && col("doc_id") < 10000)
+      .orderBy("doc_id").limit(100).select("doc_id").collect().map(_.getLong(0))
+    val testIds = base.filter(col("b") >= 90 && col("doc_id") < 10000)
+      .orderBy("doc_id").limit(100).select("doc_id").collect().map(_.getLong(0))
+    assert(trainIds.length == 100 && testIds.length == 100)
+    val pairMap = spark.createDataFrame(
+      trainIds.zip(testIds).toSeq).toDF("src_id", "plant_id")
+    val srcTexts = base.filter(col("doc_id").isInCollection(trainIds))
+      .select(col("doc_id").as("src_id"), col("text").as("ptext"))
+    val plants = pairMap.join(srcTexts, "src_id").select("plant_id", "ptext")
+    val corpus = base
+      .join(broadcast(plants), base("doc_id") === plants("plant_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("ptext"), col("text")).as("text"))
+    val t0 = System.nanoTime()
+    val perDoc = operators.PipelineQueries.contamDocHits(corpus)
+    val agg = perDoc.agg(
+      count(lit(1)).as("n_test"),
+      sum((col("n_hits") > 0).cast("long")).as("n_flagged"),
+      sum(when(col("n_hits") >= 5, 1L).otherwise(0L)).as("n_full")).head()
+    info(f"5M-doc contamination: ${agg.getLong(0)} test docs scanned, " +
+      f"${agg.getLong(1)} flagged in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    assert(agg.getLong(0) > 400000L, s"test bucket too small: ${agg.getLong(0)}")
+    assert(agg.getLong(1) == 100L,
+      s"flagged must be exactly the 100 plants, got ${agg.getLong(1)}")
+    assert(agg.getLong(2) == 100L,
+      s"every plant's distinct grams are all train grams; only ${agg.getLong(2)} fully hit")
+    val flagged = perDoc.filter(col("n_hits") > 0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(flagged.toSeq == testIds.sorted.toSeq, "flagged set is not the planted set")
+    sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
+      .values.foreach(_.unpersist(blocking = false))
+  }
+
   test("5M-doc DSIR selection: hash-bounded model, planted target-like docs rank top") {
     // The q_dsir_selection scoring core (CurationQueries.dsirScores)
     // driven at 50x the bench corpus. Corpus: ~1M 'en' target docs over a
