@@ -294,6 +294,19 @@ object DedupQueries extends QueryModule {
                string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_key
         FROM ${pfx}mh GROUP BY 1, 2)"""
 
+  /** The band-bucket candidate self-join as a CTE over a
+    * `(doc_id, band, band_key)` CTE produced by [[bandKeysSqlOver]] —
+    * ONE pair-rule text for every oracle that derives candidate pairs
+    * from band keys (the parameterized-CTE convention: a change to the
+    * candidate rule cannot silently de-synchronize the consumers).
+    * Ends in `${"$"}{pfx}cand(d1, d2)`.
+    */
+  private[graft] def candPairsSqlOver(bands: String, pfx: String): String =
+    s"""${pfx}cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM $bands a JOIN $bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)"""
+
   /** Band-bucket self-join over a (doc_id, seed, mh) signature frame —
     * the candidate stage of [[lshBandPairsOf]].
     */
@@ -2072,7 +2085,11 @@ object DedupQueries extends QueryModule {
     * unique shares mean fewer bands would find the same candidates for
     * less state — the direct measurement behind q_lsh_banding_planner's
     * model-based expectations. Rides [[bandKeysOf]], so the audited
-    * banding is the served one. All joins are bucket/pair-keyed.
+    * banding is the served one. All joins are bucket/pair-keyed. The
+    * pair join here deliberately KEEPS the band column (deduping per
+    * band, not globally), so it is NOT [[candPairsSqlOver]] /
+    * [[bandPairsFromSigs]] — the per-band attribution is the query's
+    * subject; the served global-pair rule stays the factored one.
     */
   private val lshBandContribution = QueryDef(
     "q_lsh_band_contribution",

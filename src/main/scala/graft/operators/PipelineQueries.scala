@@ -127,21 +127,45 @@ object PipelineQueries extends QueryModule {
     * measurement at 5M docs; q_contamination is one keyed aggregate
     * over it.
     */
-  private[graft] def contamDocHits(corpus: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val docs = corpus
+  /** The distinct 5-gram table every contamination query derives from —
+    * ONE definition of the gram size, bucket rule, and 56-bit hash, so
+    * the audit (lang-keyed), the scrub, and the source attribution all
+    * measure the SAME surface (a gram-rule change cannot silently
+    * de-synchronize them). `keyCol` is the metadata column carried along
+    * (lang or source). Caller caches and releases.
+    */
+  private def contamShingles(corpus: org.apache.spark.sql.DataFrame,
+      keyCol: String): org.apache.spark.sql.DataFrame =
+    corpus
       .withColumn("b", expr(SamplingQueries.bucketExpr("doc_id")))
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 5)
-      .select(col("doc_id"), col("lang"), col("b"),
+      .select(col("doc_id"), col(keyCol), col("b"),
         explode(expr(
           "transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', slice(toks, i + 1, 5)))"))
           .as("sh0"))
       // hash post-explode in a codegen'd projection, not in the
       // interpreted lambda (see DedupQueries.shingles)
-      .select(col("doc_id"), col("lang"), col("b"),
+      .select(col("doc_id"), col(keyCol), col("b"),
         expr(Ql.md5PrefixLong("sh0", 14)).as("sh"))
       .distinct()
+
+  /** Oracle twin of [[contamShingles]] — the inner SELECT of a
+    * `sh(doc_id, <keyCol>, b, sh)` CTE over `documents`.
+    */
+  private def contamShSql(keyCol: String): String =
+    s"""SELECT DISTINCT doc_id, $keyCol, b,
+               ${Ql.Md5PrefixLong("array_to_string(t[i + 1 : i + 5], ' ')", 14)} AS sh
+        FROM (SELECT doc_id, $keyCol,
+                     ${SamplingQueries.bucketSql("doc_id")} AS b,
+                     t, unnest(generate_series(0, len(t) - 5)) AS i
+              FROM (SELECT doc_id, $keyCol, string_split(text, ' ') AS t
+                    FROM documents)
+              WHERE len(t) >= 5)"""
+
+  private[graft] def contamDocHits(corpus: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = contamShingles(corpus, "lang")
       // both split sides derive from this one shingle set — cache so the
       // explode+md5+distinct shuffle runs once, not once per consumer
       .cache()
@@ -170,15 +194,7 @@ object PipelineQueries extends QueryModule {
           sum(col("n_hits")).as("n_hit_shingles"))
         .orderBy("lang"),
     Some(s"""
-      WITH sh AS (
-        SELECT DISTINCT doc_id, lang, b,
-               ${Ql.Md5PrefixLong("array_to_string(t[i + 1 : i + 5], ' ')", 14)} AS sh
-        FROM (SELECT doc_id, lang,
-                     ${Ql.Md5PrefixLong("CAST(doc_id AS VARCHAR)", 4)} % 100 AS b,
-                     t, unnest(generate_series(0, len(t) - 5)) AS i
-              FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
-                    FROM documents)
-              WHERE len(t) >= 5)),
+      WITH sh AS (${contamShSql("lang")}),
       train_sh AS (SELECT DISTINCT sh FROM sh WHERE b < 90),
       test_docs AS (SELECT DISTINCT doc_id, lang FROM sh WHERE b >= 90),
       hits AS (
@@ -208,18 +224,7 @@ object PipelineQueries extends QueryModule {
   private val decontamScrub = QueryDef(
     "q_decontam_scrub",
     (spark, sfDir) => {
-      val sh = Tables.documents(spark, sfDir)
-        .withColumn("b", expr(SamplingQueries.bucketExpr("doc_id")))
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 5)
-        .select(col("doc_id"), col("lang"), col("b"),
-          explode(expr(
-            "transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', slice(toks, i + 1, 5)))"))
-            .as("sh0"))
-        .select(col("doc_id"), col("lang"), col("b"),
-          expr(Ql.md5PrefixLong("sh0", 14)).as("sh"))
-        .distinct()
-        .cache()
+      val sh = contamShingles(Tables.documents(spark, sfDir), "lang").cache()
       val trainSh = sh.filter(col("b") < 90)
       val testSh = sh.filter(col("b") >= 90)
       val testSet = testSh.select("sh").distinct()
@@ -258,15 +263,7 @@ object PipelineQueries extends QueryModule {
       report.orderBy("lang")
     },
     Some(s"""
-      WITH sh AS MATERIALIZED (
-        SELECT DISTINCT doc_id, lang, b,
-               ${Ql.Md5PrefixLong("array_to_string(t[i + 1 : i + 5], ' ')", 14)} AS sh
-        FROM (SELECT doc_id, lang,
-                     ${SamplingQueries.bucketSql("doc_id")} AS b,
-                     t, unnest(generate_series(0, len(t) - 5)) AS i
-              FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
-                    FROM documents)
-              WHERE len(t) >= 5)),
+      WITH sh AS MATERIALIZED (${contamShSql("lang")}),
       train_sh AS MATERIALIZED (SELECT doc_id, lang, sh FROM sh WHERE b < 90),
       test_sh AS MATERIALIZED (SELECT doc_id, lang, sh FROM sh WHERE b >= 90),
       test_set AS (SELECT DISTINCT sh FROM test_sh),
@@ -492,19 +489,32 @@ object PipelineQueries extends QueryModule {
           SELECT *, row_number() OVER (PARTITION BY lang, prefix_key ORDER BY doc_id) AS rn_key
           FROM ${pfx}deduped) WHERE rn_key = 1)"""
 
-  private val keepListSql =
-    s"""${keepStagesSql("", "documents")},
-      splitted AS (
-        SELECT *,
-               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-        FROM (SELECT *, ${Ql.Md5PrefixLong("CAST(doc_id AS VARCHAR)", 4)} % 100 AS b
-              FROM keyed)),
-      packed AS (
-        SELECT doc_id, split, source, lang, tok,
+  /** The per-doc hash split + fixed-boundary pack oracle stages over an
+    * arbitrary keyed CTE — ONE text for the 80/10/10 bucket rule (via
+    * [[DedupQueries.splitCase]], the rule the split-audit family shares)
+    * and the 2048-token shard formula, so a boundary change cannot
+    * silently de-synchronize the four chains that ship it (the
+    * keepStagesSql convention). End in `${"$"}{pfx}splitted` /
+    * `${"$"}{pfx}packed(cols..., shard)`.
+    */
+  private def splitSql(pfx: String, src: String) =
+    s"""${pfx}splitted AS (
+        SELECT *, ${DedupQueries.splitCase("b")} AS split
+        FROM (SELECT *, ${SamplingQueries.bucketSql("doc_id")} AS b
+              FROM $src))"""
+
+  private def packSql(pfx: String, src: String, cols: String) =
+    s"""${pfx}packed AS (
+        SELECT $cols,
                (CAST(sum(tok) OVER (PARTITION BY split, source ORDER BY doc_id
                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) - tok) // 2048
                  AS shard
-        FROM splitted)"""
+        FROM $src)"""
+
+  private val keepListSql =
+    s"""${keepStagesSql("", "documents")},
+      ${splitSql("", "keyed")},
+      ${packSql("", "splitted", "doc_id, split, source, lang, tok")}"""
 
   /** The LSH-backed sibling of [[curationKeepList]]: gate → exact-hash
     * keep-first → MinHash-LSH bucket dedup → split → pack, with the
@@ -567,17 +577,8 @@ object PipelineQueries extends QueryModule {
           FROM lbands) WHERE rn > 1),
       lkept AS (
         SELECT d.* FROM ldeduped d ANTI JOIN lbad b ON d.doc_id = b.doc_id),
-      lsplitted AS (
-        SELECT *,
-               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-        FROM (SELECT *, ${Ql.Md5PrefixLong("CAST(doc_id AS VARCHAR)", 4)} % 100 AS b
-              FROM lkept)),
-      lpacked AS (
-        SELECT doc_id, split, source, lang, tok,
-               (CAST(sum(tok) OVER (PARTITION BY split, source ORDER BY doc_id
-                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) - tok) // 2048
-                 AS shard
-        FROM lsplitted)"""
+      ${splitSql("l", "lkept")},
+      ${packSql("l", "lsplitted", "doc_id, split, source, lang, tok")}"""
 
   /** The LEAKAGE-SAFE sibling of [[curationKeepList]] — the r14-verdict
     * remedy wiring q_split_safe's cluster-aware assignment INTO the
@@ -654,22 +655,15 @@ object PipelineQueries extends QueryModule {
   private val keepListSafeSql =
     s"""${keepStagesSql("s", DedupQueries.plantsFullSql)},
       ${DedupQueries.bandKeysSqlOver("sdeduped", "s")},
-      cand AS (
-        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        FROM sbands a JOIN sbands b
-          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      ${DedupQueries.candPairsSqlOver("sbands", "")},
       ${ClusterQueries.ccSqlOver("cand")},
       sassigned AS (
         SELECT k.doc_id, k.lang, k.source, k.tok, k.text_hash, k.prefix_key,
                k.text, l.lbl,
                ${DedupQueries.splitCase(SamplingQueries.bucketSql("coalesce(l.lbl, k.doc_id)"))} AS split
         FROM skeyed k LEFT JOIN labels l ON l.id = k.doc_id),
-      spacked AS (
-        SELECT doc_id, lang, source, tok, text_hash, prefix_key, text, lbl, split,
-               (CAST(sum(tok) OVER (PARTITION BY split, source ORDER BY doc_id
-                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) - tok) // 2048
-                 AS shard
-        FROM sassigned)"""
+      ${packSql("s", "sassigned",
+        "doc_id, lang, source, tok, text_hash, prefix_key, text, lbl, split")}"""
 
   /** I-e2e + I9: the cluster-aware curation chain aggregated per split —
     * q_curation_pipeline's report plus the clustering profile
@@ -1258,11 +1252,8 @@ object PipelineQueries extends QueryModule {
         FROM corpus),
       surv AS (SELECT doc_id, text FROM staged WHERE ex_rn = 1),
       ${DedupQueries.bandKeysSqlOver("surv", "c")},
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        FROM cbands a JOIN cbands b
-          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-      ${ClusterQueries.ccSqlOver("pairs")},
+      ${DedupQueries.candPairsSqlOver("cbands", "")},
+      ${ClusterQueries.ccSqlOver("cand")},
       tagged AS (
         SELECT s.lang, s.n_toks,
                CASE WHEN s.ex_rn > 1 THEN 'exact'
@@ -1291,18 +1282,7 @@ object PipelineQueries extends QueryModule {
   private val contamAttribution = QueryDef(
     "q_contam_attribution",
     (spark, sfDir) => {
-      val sh = Tables.documents(spark, sfDir)
-        .withColumn("b", expr(SamplingQueries.bucketExpr("doc_id")))
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 5)
-        .select(col("doc_id"), col("source"), col("b"),
-          explode(expr(
-            "transform(sequence(0, size(toks) - 5), i -> concat_ws(' ', slice(toks, i + 1, 5)))"))
-            .as("sh0"))
-        .select(col("doc_id"), col("source"), col("b"),
-          expr(Ql.md5PrefixLong("sh0", 14)).as("sh"))
-        .distinct()
-        .cache()
+      val sh = contamShingles(Tables.documents(spark, sfDir), "source").cache()
       val trainSh = sh.filter(col("b") < 90).select("source", "sh").distinct()
       val hits = sh.filter(col("b") >= 90).select(col("doc_id"), col("sh"))
         .join(trainSh, "sh")
@@ -1320,15 +1300,7 @@ object PipelineQueries extends QueryModule {
       report.orderBy("source")
     },
     Some(s"""
-      WITH sh AS (
-        SELECT DISTINCT doc_id, source, b,
-               ${Ql.Md5PrefixLong("array_to_string(t[i + 1 : i + 5], ' ')", 14)} AS sh
-        FROM (SELECT doc_id, source,
-                     ${Ql.Md5PrefixLong("CAST(doc_id AS VARCHAR)", 4)} % 100 AS b,
-                     t, unnest(generate_series(0, len(t) - 5)) AS i
-              FROM (SELECT doc_id, source, string_split(text, ' ') AS t
-                    FROM documents)
-              WHERE len(t) >= 5)),
+      WITH sh AS (${contamShSql("source")}),
       train_sh AS (SELECT DISTINCT source, sh FROM sh WHERE b < 90),
       hits AS (
         SELECT t.source, s.doc_id
@@ -1391,31 +1363,19 @@ object PipelineQueries extends QueryModule {
     Some(s"""
       WITH planted AS (SELECT * FROM ${DedupQueries.plantsFullSql}),
       ${keepStagesSql("p", "planted")},
-      psplitted AS (
-        SELECT *,
-               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-        FROM (SELECT *, ${Ql.Md5PrefixLong("CAST(doc_id AS VARCHAR)", 4)} % 100 AS b
-              FROM pkeyed)),
-      ppacked AS (
-        SELECT doc_id, split, source, text,
-               (CAST(sum(tok) OVER (PARTITION BY split, source ORDER BY doc_id
-                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) - tok) // 2048
-                 AS shard
-        FROM psplitted),
+      ${splitSql("p", "pkeyed")},
+      ${packSql("p", "psplitted", "doc_id, split, source, text")},
       kept_docs AS (SELECT doc_id, text FROM ppacked),
       ${DedupQueries.bandKeysSqlOver("kept_docs", "k")},
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        FROM kbands a JOIN kbands b
-          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      ${DedupQueries.candPairsSqlOver("kbands", "")},
       tagged AS (
         SELECT CASE WHEN p1.split <> p2.split THEN 'cross_split' ELSE p1.split END
                  AS category,
                CASE WHEN p1.split = p2.split AND p1.source = p2.source
                          AND p1.shard = p2.shard THEN 1 ELSE 0 END AS same_shard
-        FROM pairs
-        JOIN ppacked p1 ON pairs.d1 = p1.doc_id
-        JOIN ppacked p2 ON pairs.d2 = p2.doc_id)
+        FROM cand
+        JOIN ppacked p1 ON cand.d1 = p1.doc_id
+        JOIN ppacked p2 ON cand.d2 = p2.doc_id)
       SELECT category, count(*) AS n_pairs,
              CAST(sum(same_shard) AS BIGINT) AS n_same_shard,
              ${Ql.R("sum(same_shard) * 100.0 / count(*)", 4)} AS same_shard_pct

@@ -220,10 +220,16 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     // driven at 50x the bench corpus: ~27M distinct train 5-grams vs
     // ~3M test grams, joined per-shingle on 56-bit int keys — never
     // doc×doc. Truth: 100 test-bucket docs (md5 bucket >= 90, the served
-    // split rule) get their text REPLACED by a train doc's text; with a
-    // 50k-token random vocabulary the chance of any natural 5-gram
-    // collision is ~1e-9, so the flagged set must be EXACTLY the plants,
-    // each with all ~6 of its distinct grams hit.
+    // split rule) get their text REPLACED by a train doc's text. Two
+    // natural-collision terms: identical 5-grams (expected ~1e-9 under
+    // the 50k random vocabulary) and 56-bit HASH collisions between
+    // distinct grams — the dominant term, ~3M test × ~27M train grams
+    // / 2^56 ≈ 1.1e-3 expected — still ≪ 1, and the corpus is
+    // deterministic, so the flagged set must be EXACTLY the plants,
+    // each with all ~6 of its distinct grams hit. NB for rescalers: the
+    // hash-birthday term grows with the PRODUCT of the gram counts (10×
+    // docs → ~0.1 expected); loosen the exact-set assert before scaling
+    // this corpus up.
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val base = spark.range(5000000L).select(col("id").as("doc_id"),
