@@ -1382,10 +1382,127 @@ object PipelineQueries extends QueryModule {
       FROM tagged GROUP BY 1 ORDER BY 1
     """))
 
+  /** I-e2e-agr: keep-set agreement between the two shipped curation
+    * chains — the prefix-key chain ([[curationKeepList]]) vs the LSH
+    * bucket chain ([[curationKeepListLsh]]) over the same corpus, the
+    * methods-comparison a pipeline owner reads before swapping near-dup
+    * stages (the q_quality_filter_agreement discipline applied to
+    * dedup): per lang, docs each chain keeps, the intersection, each
+    * side's exclusive keeps, and keep-set Jaccard. Both chains are the
+    * SERVED definitions; the comparison is two doc_id-keyed left joins
+    * against the corpus — no new corpus pass beyond the chains
+    * themselves.
+    */
+  private val chainAgreement = QueryDef(
+    "q_chain_agreement",
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+        // feeds both chains AND the roster join
+        .localCheckpoint(true)
+      val a = curationKeepList(docs).select(col("doc_id"), lit(1L).as("in_a"))
+      val b = curationKeepListLsh(docs).select(col("doc_id"), lit(1L).as("in_b"))
+      docs.select("doc_id", "lang")
+        .join(a, Seq("doc_id"), "left")
+        .join(b, Seq("doc_id"), "left")
+        .withColumn("in_a", coalesce(col("in_a"), lit(0L)))
+        .withColumn("in_b", coalesce(col("in_b"), lit(0L)))
+        .filter(col("in_a") === 1 || col("in_b") === 1)
+        .groupBy("lang")
+        .agg(
+          sum(col("in_a")).as("n_prefix"),
+          sum(col("in_b")).as("n_lsh"),
+          sum(col("in_a") * col("in_b")).as("n_both"),
+          sum(col("in_a") * (lit(1L) - col("in_b"))).as("prefix_only"),
+          sum(col("in_b") * (lit(1L) - col("in_a"))).as("lsh_only"))
+        .withColumn("jaccard_pct", Ql.r(
+          col("n_both") * lit(100.0) / (col("n_prefix") + col("n_lsh") - col("n_both")), 4))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH $keepListSql,
+      $keepListLshSql,
+      m AS (
+        SELECT d.lang,
+               CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+               CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END AS in_b
+        FROM documents d
+        LEFT JOIN packed p ON d.doc_id = p.doc_id
+        LEFT JOIN lpacked l ON d.doc_id = l.doc_id
+        WHERE p.doc_id IS NOT NULL OR l.doc_id IS NOT NULL)
+      SELECT lang,
+             CAST(sum(in_a) AS BIGINT) AS n_prefix,
+             CAST(sum(in_b) AS BIGINT) AS n_lsh,
+             CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+             CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS prefix_only,
+             CAST(sum(in_b * (1 - in_a)) AS BIGINT) AS lsh_only,
+             ${Ql.R("sum(in_a * in_b) * 100.0 / (sum(in_a) + sum(in_b) - sum(in_a * in_b))", 4)} AS jaccard_pct
+      FROM m GROUP BY 1 ORDER BY 1
+    """))
+
+  /** I-leak-curve: the contamination flag's decision-knob curve — the
+    * audit flags a test doc at n_hits ≥ 1; this sweeps the threshold
+    * t ∈ {1, 2, 4, 8, 16} and reports flagged docs per tier, the
+    * sensitivity readout (q_dedup_threshold_sweep's discipline applied
+    * to decontamination: is the flag rate a cliff or a plateau?). One
+    * [[contamDocHits]] pass; the 5 tiers are conditional sums unpivoted
+    * from a single 1-row aggregate — no threshold join, no extra pass.
+    */
+  private val contamThresholdCurve = QueryDef(
+    "q_contam_threshold_curve",
+    (spark, sfDir) => {
+      val agg = contamDocHits(Tables.documents(spark, sfDir))
+        .agg(
+          count(lit(1)).as("n_test"),
+          sum((col("n_hits") >= 1).cast("long")).as("f1"),
+          sum((col("n_hits") >= 2).cast("long")).as("f2"),
+          sum((col("n_hits") >= 4).cast("long")).as("f4"),
+          sum((col("n_hits") >= 8).cast("long")).as("f8"),
+          sum((col("n_hits") >= 16).cast("long")).as("f16"))
+      agg.selectExpr(
+          """stack(5,
+               1L, n_test, f1,
+               2L, n_test, f2,
+               4L, n_test, f4,
+               8L, n_test, f8,
+               16L, n_test, f16) AS (threshold, n_test, n_flagged)""")
+        .withColumn("flag_pct",
+          Ql.r(col("n_flagged") * lit(100.0) / col("n_test"), 4))
+        .orderBy("threshold")
+    },
+    Some(s"""
+      WITH sh AS (${contamShSql("lang")}),
+      train_sh AS (SELECT DISTINCT sh FROM sh WHERE b < 90),
+      hits AS (
+        SELECT s.doc_id, count(*) AS n_hits
+        FROM sh s JOIN train_sh t ON s.sh = t.sh
+        WHERE s.b >= 90 GROUP BY 1),
+      per_doc AS (
+        SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits
+        FROM (SELECT DISTINCT doc_id FROM sh WHERE b >= 90) d
+        LEFT JOIN hits h ON d.doc_id = h.doc_id),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN n_hits >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+               CAST(sum(CASE WHEN n_hits >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+               CAST(sum(CASE WHEN n_hits >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS f4,
+               CAST(sum(CASE WHEN n_hits >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS f8,
+               CAST(sum(CASE WHEN n_hits >= 16 THEN 1 ELSE 0 END) AS BIGINT) AS f16
+        FROM per_doc),
+      tiers AS (
+        SELECT 1 AS threshold, n_test, f1 AS n_flagged FROM agg
+        UNION ALL SELECT 2, n_test, f2 FROM agg
+        UNION ALL SELECT 4, n_test, f4 FROM agg
+        UNION ALL SELECT 8, n_test, f8 FROM agg
+        UNION ALL SELECT 16, n_test, f16 FROM agg)
+      SELECT CAST(threshold AS BIGINT) AS threshold, n_test, n_flagged,
+             ${Ql.R("n_flagged * 100.0 / n_test", 4)} AS flag_pct
+      FROM tiers ORDER BY threshold
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(packSequences, docChunks, contamination, decontamScrub,
       contamRunLength, dedupCascade, contamAttribution, shardDupLocality,
-      sampleReservoir,
+      chainAgreement, contamThresholdCurve, sampleReservoir,
       contamNgramSweep,
       curationPipeline, curationPipelineLsh, curationPipelineSafe,
       curationSafeLeakage, negativeSampling, shardBalance,
