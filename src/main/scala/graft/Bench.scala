@@ -122,7 +122,9 @@ object Bench {
         // r15 third wave: both run the edge build + CC loop over the
         // planted corpus (q_dedup_clusters family); the scrub runs the
         // corpus-wide segment explode + keep-first window
-        "q_softdedup_weights", "q_dedup_keep_policy", "q_segment_dedup_scrub")
+        "q_softdedup_weights", "q_dedup_keep_policy", "q_segment_dedup_scrub",
+        // runs BOTH curation chains (incl. the LSH banding pass)
+        "q_chain_agreement")
     (lightWarm ++ heavyWarm)
       .filter(SparkEntry.queries.contains)
       .foreach { n =>
