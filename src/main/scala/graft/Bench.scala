@@ -119,12 +119,18 @@ object Bench {
         // r15 second wave: runs the prefix-shingle edge build + CC loop
         // plus the member-vs-canonical scoring (q_dedup_clusters family)
         "q_dedup_chain_risk",
-        // r15 third wave: both run the edge build + CC loop over the
-        // planted corpus (q_dedup_clusters family); the scrub runs the
-        // corpus-wide segment explode + keep-first window
+        // r15 third wave: the first two run the edge build + CC loop over
+        // the planted corpus (q_dedup_clusters family); the scrub runs
+        // the corpus-wide segment explode + keep-first window
         "q_softdedup_weights", "q_dedup_keep_policy", "q_segment_dedup_scrub",
         // runs BOTH curation chains (incl. the LSH banding pass)
-        "q_chain_agreement")
+        "q_chain_agreement",
+        // r16 (ADVICE r15): the remaining full-shingle/CC newcomers —
+        // the cascade runs exact dedup + the LSH+CC stack; attribution
+        // and run-length each run a corpus-wide gram explode + hash
+        // join; dup-locality runs the banding + CC + shard-pack chain
+        "q_dedup_cascade", "q_contam_attribution", "q_contam_run_length",
+        "q_shard_dup_locality")
     (lightWarm ++ heavyWarm)
       .filter(SparkEntry.queries.contains)
       .foreach { n =>
@@ -356,9 +362,20 @@ object Bench {
     // (BENCH_LOCAL.json noise_probe_sec), so a run taken on a loaded box
     // flags itself in-band and steady_state_total_noise_adj restates the
     // steady total at the prior run's box speed.
+    // CALIBRATION BASIS (r15 sealed-run lesson): the scan probe is more
+    // contention-sensitive than the suite mix — the sealed r15 adj
+    // over-corrected ~7% vs the quiet-box basis — so a SECOND probe from
+    // the shuffle family (the q_agg_rollup plan, one exchange + rollup
+    // aggregate) is timed the same way and published as
+    // noise_probe_shuffle_sec / noise_index_shuffle. The two indices
+    // bracket the contention character (scan-tax vs shuffle-tax);
+    // steady_state_total_noise_adj stays on the scan index for
+    // cross-round continuity and is DIRECTIONAL-ONLY — a loaded run
+    // flags itself, the adjusted total is not a measurement.
     val probeName = "q_filter_project"
-    def noiseProbe(): Double =
-      if (!SparkEntry.queries.contains(probeName)) 0.0
+    val probeShuffleName = "q_agg_rollup"
+    def noiseProbe(name: String): Double =
+      if (!SparkEntry.queries.contains(name)) 0.0
       else {
         // a FAILED probe run must be discarded, not timed: recording its
         // time-to-exception (~ms) as a probe value would deflate
@@ -366,18 +383,24 @@ object Bench {
         val xs = (0 until 3).flatMap { _ =>
           val t0 = System.nanoTime()
           try {
-            SparkEntry.queries(probeName)(spark, warmSf).count()
+            SparkEntry.queries(name)(spark, warmSf).count()
             Some((System.nanoTime() - t0) / 1e9)
           } catch { case _: Throwable => None }
         }.sorted
         if (xs.isEmpty) 0.0 else xs(xs.size / 2)
       }
-    noiseProbe() // untimed: first-use codegen must not land in the probe
-    val probeStart = noiseProbe()
+    // untimed: first-use codegen must not land in the probes
+    noiseProbe(probeName); noiseProbe(probeShuffleName)
+    val probeStart = noiseProbe(probeName)
+    val probeShStart = noiseProbe(probeShuffleName)
     var probeMid = 0.0
+    var probeShMid = 0.0
     val loopNames = SparkEntry.queries.keysIterator.filter(only).toSeq.sorted
     val results = loopNames.zipWithIndex.map { case (name, i) =>
-      if (i == loopNames.size / 2) probeMid = noiseProbe()
+      if (i == loopNames.size / 2) {
+        probeMid = noiseProbe(probeName)
+        probeShMid = noiseProbe(probeShuffleName)
+      }
       name -> timeOne(name, SparkEntry.queries(name), recordFailure = true)
     }.toMap
     // Noise-robust tail: re-time the N slowest successful queries in
@@ -398,11 +421,19 @@ object Bench {
     // continuity; "steady_state_total" is the best-of-2 sum and is the
     // canonical TOTAL basis. The tail is deep enough (24) to cover every
     // query the stdout line records.
-    val probeEnd = noiseProbe()
-    val probes = Seq(probeStart, probeMid, probeEnd).filter(_ > 0).sorted
-    val noiseProbeSec = if (probes.isEmpty) 0.0 else probes(probes.size / 2)
+    val probeEnd = noiseProbe(probeName)
+    val probeShEnd = noiseProbe(probeShuffleName)
+    def probeMedian(xs: Seq[Double]): Double = {
+      val s = xs.filter(_ > 0).sorted
+      if (s.isEmpty) 0.0 else s(s.size / 2)
+    }
+    val noiseProbeSec = probeMedian(Seq(probeStart, probeMid, probeEnd))
+    val noiseProbeShuffleSec = probeMedian(Seq(probeShStart, probeShMid, probeShEnd))
     System.err.println(f"[bench] noise probe ($probeName @ $warmSf, median-of-3): " +
       f"start=$probeStart%.3f mid=$probeMid%.3f end=$probeEnd%.3f -> $noiseProbeSec%.3f s")
+    System.err.println(f"[bench] shuffle probe ($probeShuffleName @ $warmSf, median-of-3): " +
+      f"start=$probeShStart%.3f mid=$probeShMid%.3f end=$probeShEnd%.3f -> " +
+      f"$noiseProbeShuffleSec%.3f s")
     val failedSet0 = failed.toSet
     val rerunN = sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_N", "24").toInt
     val slowestN = results.collect { case (k, v) if !failedSet0(k) => (k, v) }
@@ -419,10 +450,11 @@ object Bench {
     // to 8 queries as >2x "regressions" on cross-SF ratios and burn
     // serial reruns on them (ADVICE r14) — and the noise probe's prior is
     // SF-bound for the same reason.
-    val (priorTimes, priorProbe): (Map[String, Double], Option[Double]) =
+    val (priorTimes, priorProbe, priorProbeShuffle)
+        : (Map[String, Double], Option[Double], Option[Double]) =
       try {
         val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
-        if (!java.nio.file.Files.exists(p)) (Map.empty, None)
+        if (!java.nio.file.Files.exists(p)) (Map.empty, None, None)
         else {
           val s = new String(java.nio.file.Files.readAllBytes(p),
             java.nio.charset.StandardCharsets.UTF_8)
@@ -430,9 +462,11 @@ object Bench {
           if (!sfPrior.contains(sfDir)) {
             System.err.println(s"[bench] prior snapshot sf=${sfPrior.getOrElse("?")} " +
               s"!= current $sfDir — adaptive retime and noise prior skipped")
-            (Map.empty, None)
+            (Map.empty, None, None)
           } else {
             val probe = "\"noise_probe_sec\":([0-9.]+)".r
+              .findFirstMatchIn(s).map(_.group(1).toDouble)
+            val probeSh = "\"noise_probe_shuffle_sec\":([0-9.]+)".r
               .findFirstMatchIn(s).map(_.group(1).toDouble)
             val start = s.indexOf("\"queries\":{")
             val times =
@@ -442,10 +476,10 @@ object Bench {
                 "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(body)
                   .map(m => m.group(1) -> m.group(2).toDouble).toMap
               }
-            (times, probe)
+            (times, probe, probeSh)
           }
         }
-      } catch { case _: Throwable => (Map.empty, None) }
+      } catch { case _: Throwable => (Map.empty, None, None) }
     val suspects = results.collect {
       // the 0.5 s floor keeps sub-second scheduling jitter (0.1 → 0.25 s)
       // from triggering pointless reruns
@@ -530,10 +564,17 @@ object Bench {
       case Some(p) if p > 0 && noiseProbeSec > 0 => noiseProbeSec / p
       case _ => 1.0
     }
+    // the shuffle-family twin: scan and shuffle indices together bracket
+    // the contention character; the adj total stays on the scan index
+    val noiseIndexShuffle = priorProbeShuffle match {
+      case Some(p) if p > 0 && noiseProbeShuffleSec > 0 => noiseProbeShuffleSec / p
+      case _ => 1.0
+    }
     val steadyNoiseAdj = steadyTotal / noiseIndex
-    if (noiseIndex > 1.2)
-      System.err.println(f"[bench] WARNING: noise_index=$noiseIndex%.2f — this run " +
-        "shared the box with ambient load; prefer steady_state_total_noise_adj")
+    if (noiseIndex > 1.2 || noiseIndexShuffle > 1.2)
+      System.err.println(f"[bench] WARNING: noise_index=$noiseIndex%.2f " +
+        f"noise_index_shuffle=$noiseIndexShuffle%.2f — this run shared the box " +
+        "with ambient load; steady_state_total_noise_adj is directional-only")
     val failures = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val slowestJson = (slowest, slowestRerun) match {
       case (Some((name, first)), Some(rerun)) =>
@@ -559,7 +600,7 @@ object Bench {
       val om = if (omitted > 0) s""","queries_omitted":$omitted,"queries_full":"BENCH_LOCAL.json"""" else ""
       val grouped = groupedTotal
         .map(g => s""","grouped_total":${ms3(g)},"group_n":$groupN""").getOrElse("")
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qjson,"queries_basis":"best_of_2_for_${rerunN}_slowest_plus_${suspects.size}_adaptive_first_run_rest"$om,"failures":$failures,"gc_in_queries_sec":${ms3(gcInQueries / 1e3)},"stream_rows":$streamRows,"stream_rows_per_sec":${streamEps.round},"median_batch_rows_per_sec":${streamMedianEps.round}$procJson$slowestJson,"steady_state_total":${ms3(steadyTotal)},"noise_probe_sec":${ms3(noiseProbeSec)},"noise_index":${ms3(noiseIndex)},"steady_state_total_noise_adj":${ms3(steadyNoiseAdj)}$grouped,"sf":"$sfDir","total_sec":${ms3(total)}}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qjson,"queries_basis":"best_of_2_for_${rerunN}_slowest_plus_${suspects.size}_adaptive_first_run_rest"$om,"failures":$failures,"gc_in_queries_sec":${ms3(gcInQueries / 1e3)},"stream_rows":$streamRows,"stream_rows_per_sec":${streamEps.round},"median_batch_rows_per_sec":${streamMedianEps.round}$procJson$slowestJson,"steady_state_total":${ms3(steadyTotal)},"noise_probe_sec":${ms3(noiseProbeSec)},"noise_index":${ms3(noiseIndex)},"noise_probe_shuffle_sec":${ms3(noiseProbeShuffleSec)},"noise_index_shuffle":${ms3(noiseIndexShuffle)},"steady_state_total_noise_adj":${ms3(steadyNoiseAdj)}$grouped,"sf":"$sfDir","total_sec":${ms3(total)}}"""
     }
     // canonical per-query values: best-of-2 where a rerun exists
     val bySlowest = results.map { case (k, v) =>

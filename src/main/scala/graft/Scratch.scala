@@ -58,6 +58,78 @@ object Scratch {
       t("final agg")(labels.groupBy("lbl").count().count())
       spark.stop(); return
     }
+    if (name == "contam_hygiene") {
+      // r15 verdict #3: itemize how much of the contamination family's
+      // r14→r15 drift is the deliberate in-query cache
+      // materialize+release hygiene (localCheckpoint of the report +
+      // unpersist of the shingle cache INSIDE the timed window) vs
+      // ambient/plan changes. Times the SHIPPED queries against pinned
+      // twins that skip both hygiene steps (the r14 shape: cache left
+      // for the bench loop's clearCache to collect).
+      import org.apache.spark.sql.functions._
+      def t(label: String)(f: => Any): Double = {
+        val t0 = System.nanoTime(); f
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[hygiene] $label%-32s $dt%6.2f s"); dt
+      }
+      def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+      def run(label: String)(f: => Any): Double = {
+        val xs = (1 to 3).map { i => val d = t(s"$label $i")(f); spark.catalog.clearCache(); d }
+        println(f"[hygiene] $label MEDIAN ${med(xs)}%6.2f s"); med(xs)
+      }
+      // warm codegen once each, untimed
+      SparkEntry.queries("q_contamination")(spark, sfDir).count(); spark.catalog.clearCache()
+      SparkEntry.queries("q_decontam_scrub")(spark, sfDir).count(); spark.catalog.clearCache()
+      run("q_contamination shipped")(
+        SparkEntry.queries("q_contamination")(spark, sfDir).count())
+      run("q_contamination pinned") {
+        val docs = operators.PipelineQueries
+          .contamShingles(Tables.documents(spark, sfDir), "lang").cache()
+        val trainSh = docs.filter(col("b") < 90).select("sh").distinct()
+        val testSh = docs.filter(col("b") >= 90)
+        val hits = testSh.join(trainSh, "sh")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        testSh.select("doc_id", "lang").distinct()
+          .join(hits, Seq("doc_id"), "left")
+          .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_test"),
+            sum((col("n_hits") > 0).cast("long")).as("n_contaminated"),
+            sum(col("n_hits")).as("n_hit_shingles"))
+          .count()
+      }
+      run("q_decontam_scrub shipped")(
+        SparkEntry.queries("q_decontam_scrub")(spark, sfDir).count())
+      run("q_decontam_scrub pinned") {
+        val sh = operators.PipelineQueries
+          .contamShingles(Tables.documents(spark, sfDir), "lang").cache()
+        val trainSh = sh.filter(col("b") < 90)
+        val testSh = sh.filter(col("b") >= 90)
+        val testSet = testSh.select("sh").distinct()
+        val trainSize = trainSh.groupBy("doc_id", "lang").agg(count(lit(1)).as("n_sh"))
+        val trainHits = trainSh.join(testSet, "sh")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+        val scrubbed = trainSize.join(trainHits, Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_hits"))
+          .withColumn("removed", expr("2 * n_hits >= n_sh")).cache()
+        val keptSet = trainSh.join(
+            scrubbed.filter(col("removed")).select("doc_id"), Seq("doc_id"), "left_anti")
+          .select("sh").distinct()
+        val trainSet = trainSh.select("sh").distinct()
+        def contamOf(set: org.apache.spark.sql.DataFrame, nm: String) =
+          testSh.join(set, "sh").select("doc_id", "lang").distinct()
+            .groupBy("lang").agg(count(lit(1)).as(nm))
+        scrubbed.groupBy("lang").agg(
+            count(lit(1)).as("n_train"),
+            sum(col("removed").cast("long")).as("n_scrubbed"))
+          .join(testSh.select("doc_id", "lang").distinct()
+            .groupBy("lang").agg(count(lit(1)).as("n_test0")), Seq("lang"), "left")
+          .join(contamOf(trainSet, "b0"), Seq("lang"), "left")
+          .join(contamOf(keptSet, "a0"), Seq("lang"), "left")
+          .count()
+      }
+      spark.stop(); return
+    }
     if (name == "window_audit") {
       // enumerate every query whose physical plan contains an
       // unpartitioned Window node, with the node's child — feeds the

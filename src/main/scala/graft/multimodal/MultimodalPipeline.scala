@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   * (the Scala analog of mapInPandas — one iterator per partition, so a real
   * decoder would amortize codec/model setup per batch, not per row).
   *
-  * THE DECODER IS A STUB: no image/audio codecs exist in this environment,
-  * so `decodeStub` derives deterministic fake dimensions/frames from the
-  * payload's md5. Everything around it — schema, binary handling,
+  * THIS FILE'S DECODER IS A STUB: `decodeStub` derives deterministic fake
+  * dimensions/frames from the payload's md5, standing in for formats with
+  * no codec in this environment (video, compressed audio — no ffmpeg-class
+  * jar exists here). Everything around it — schema, binary handling,
   * partitioning, batch shape, fan-out of per-frame rows — is real and
-  * oracle-checked (the md5 arithmetic is replicated in SQL).
+  * oracle-checked (the md5 arithmetic is replicated in SQL). For PNG
+  * images and PCM WAV audio the decode IS real: see [[JdkMedia]], which
+  * drives the JDK's own ImageIO / javax.sound codecs end to end
+  * (q_image_codec / q_audio_codec).
   */
 object MultimodalPipeline {
 

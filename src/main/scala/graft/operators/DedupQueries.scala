@@ -17,11 +17,24 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries extends QueryModule {
 
+  /** The plant schemes below write planted copies at doc_id+100000 (and
+    * q_dedup_cascade at +500000, derived from docs this guard already
+    * covers): they assume real corpus ids stay below the offset. At a
+    * larger SF a silent alias would keep Verify green while the planted
+    * truth and keep-first ordering quietly degrade (ADVICE r15) — so the
+    * guard rides the base branch's doc_id projection itself (column
+    * pruning cannot drop it) and fails the QUERY loudly instead.
+    */
+  private def guardedPlantBase(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(id < 100000L, id).otherwise(raise_error(concat(
+      lit("plant offset 100000 would alias real doc_id "), id.cast("string"))))
+
   /** documents ∪ perturbed copies of doc_id<10 (id+100000, first token
     * replaced) — the planted near-duplicates.
     */
   private[graft] def withPlants(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val d = Tables.documents(spark, sfDir)
+      .select(guardedPlantBase(col("doc_id")).as("doc_id"), col("text"))
     d.unionByName(
       d.filter(col("doc_id") < 10).select(
         (col("doc_id") + 100000).as("doc_id"),
@@ -41,7 +54,8 @@ object DedupQueries extends QueryModule {
     */
   private[graft] def withPlantsFull(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .select(guardedPlantBase(col("doc_id")).as("doc_id"),
+        col("lang"), col("source"), col("text"))
     d.unionByName(
       d.filter(col("doc_id") < 10).select(
         (col("doc_id") + 100000).as("doc_id"), col("lang"), col("source"),

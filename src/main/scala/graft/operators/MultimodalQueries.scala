@@ -229,7 +229,212 @@ object MultimodalQueries extends QueryModule {
       FROM g CROSS JOIN t ORDER BY media_type
     """))
 
+  /** REAL image decode (r16): payloads are genuine PNGs built and parsed
+    * by the JDK's own ImageIO codec ([[graft.multimodal.JdkMedia]]) —
+    * encode in one mapPartitions stage, decode in another, binary column
+    * in between. The oracle recomputes the expected dimensions and
+    * integer channel sums from the same pure-integer pixel rule, so the
+    * decode output AND the lossless PNG roundtrip are value-checked end
+    * to end through two real codec calls (compressed byte length is
+    * deliberately not oracled — it belongs to the encoder build, not the
+    * data contract). Video remains the env-blocked md5 stand-in.
+    */
+  private val imageCodec = QueryDef(
+    "q_image_codec",
+    (spark, sfDir) => {
+      import spark.implicits._
+      import graft.multimodal.JdkMedia
+      val ids = graft.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 200).select(col("doc_id")).as[Long]
+      val payloads = ids.mapPartitions(_.map(id => (id, JdkMedia.pngPayload(id))))
+        .toDF("doc_id", "payload").as[(Long, Array[Byte])]
+      payloads
+        .mapPartitions(_.map { case (id, png) => JdkMedia.decodeImage(id, png) })
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(8 + doc_id % 9 AS INT) AS width,
+               CAST(8 + (doc_id // 9) % 9 AS INT) AS height
+        FROM documents WHERE doc_id < 200),
+      px AS (
+        SELECT doc_id, width, height,
+               unnest(generate_series(0, width - 1)) AS x
+        FROM d),
+      pxy AS (
+        SELECT doc_id, width, height, x,
+               unnest(generate_series(0, height - 1)) AS y
+        FROM px)
+      SELECT doc_id, width, height,
+             CAST(sum((doc_id * 37 + x * 11 + y * 7) % 256) AS BIGINT) AS sum_r,
+             CAST(sum((doc_id * 59 + x * 13 + y * 5) % 256) AS BIGINT) AS sum_g,
+             CAST(sum((doc_id * 83 + x * 17 + y * 3) % 256) AS BIGINT) AS sum_b
+      FROM pxy GROUP BY 1, 2, 3 ORDER BY doc_id
+    """))
+
+  /** REAL audio decode (r16): payloads are genuine WAV files built and
+    * parsed by the JDK's javax.sound codec — same two-stage
+    * mapPartitions shape as [[imageCodec]]. The oracle recomputes the
+    * format, frame count, and integer amplitude sum from the same
+    * pure-integer sample rule.
+    */
+  private val audioCodec = QueryDef(
+    "q_audio_codec",
+    (spark, sfDir) => {
+      import spark.implicits._
+      import graft.multimodal.JdkMedia
+      val ids = graft.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 200).select(col("doc_id")).as[Long]
+      val payloads = ids.mapPartitions(_.map(id => (id, JdkMedia.wavPayload(id))))
+        .toDF("doc_id", "payload").as[(Long, Array[Byte])]
+      payloads
+        .mapPartitions(_.map { case (id, wav) => JdkMedia.decodeAudio(id, wav) })
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(64 + doc_id % 64 AS BIGINT) AS n
+        FROM documents WHERE doc_id < 200),
+      s AS (
+        SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+        FROM d)
+      SELECT doc_id,
+             CAST(8000 AS INT) AS sample_rate,
+             CAST(1 AS INT) AS channels,
+             CAST(8 AS INT) AS bits,
+             CAST(max(n) AS BIGINT) AS n_frames,
+             CAST(sum((doc_id * 31 + i * 17) % 256) AS BIGINT) AS sum_amp
+      FROM s GROUP BY doc_id ORDER BY doc_id
+    """))
+
+  /** Perceptual near-dup over REAL decoded pixels (r16): the dHash
+    * fingerprint ([[graft.multimodal.JdkMedia.dHash]] — 9×8
+    * nearest-neighbor grayscale grid over the ImageIO-decoded image, one
+    * bit per adjacent-pair comparison, all integer math). Plants: docs
+    * 0..9 re-encoded as BMP at doc_id+300000 — DIFFERENT container
+    * bytes (byte-level q_media_dedup cannot group them), same pixels, so
+    * the perceptual groups are the truth byte dedup misses. Output: the
+    * multi-member fingerprint groups. The oracle re-derives every bit
+    * from the pure-integer pixel rule — for the plants via their
+    * original pix_id — so the codec roundtrip + sampling arithmetic are
+    * value-checked end to end. Scale shape: the shuffle carries 64-char
+    * fingerprints, never pixel buffers; decode is partition-batched.
+    */
+  private val imageDhash = QueryDef(
+    "q_image_dhash",
+    (spark, sfDir) => {
+      import spark.implicits._
+      import graft.multimodal.JdkMedia
+      val base = graft.Tables.documents(spark, sfDir)
+      val ids = base.filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("doc_id").as("pix_id"), lit("png").as("container"))
+        .unionByName(base.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            col("doc_id").as("pix_id"), lit("bmp").as("container")))
+        .as[(Long, Long, String)]
+      val hashed = ids.mapPartitions(_.map { case (id, pix, container) =>
+          val payload =
+            if (container == "bmp") JdkMedia.bmpPayload(pix) else JdkMedia.pngPayload(pix)
+          (id, JdkMedia.dHash(payload))
+        })
+        .toDF("doc_id", "dhash")
+      hashed.groupBy("dhash")
+        .agg(count(lit(1)).as("n_objects"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .filter(col("n_objects") > 1)
+        .orderBy("first_doc")
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, doc_id AS pix_id FROM documents WHERE doc_id < 200
+        UNION ALL
+        SELECT doc_id + 300000, doc_id FROM documents WHERE doc_id < 10),
+      dims AS (
+        SELECT doc_id, pix_id,
+               CAST(8 + pix_id % 9 AS BIGINT) AS w,
+               CAST(8 + (pix_id // 9) % 9 AS BIGINT) AS h
+        FROM base),
+      rc AS (
+        SELECT doc_id, pix_id, w, h, r, unnest(generate_series(0, 7)) AS c
+        FROM (SELECT doc_id, pix_id, w, h,
+                     unnest(generate_series(0, 7)) AS r
+              FROM dims)),
+      bits AS (
+        SELECT doc_id, r, c,
+               CASE WHEN
+                 (299 * ((pix_id * 37 + (c * w // 9) * 11 + (r * h // 8) * 7) % 256)
+                + 587 * ((pix_id * 59 + (c * w // 9) * 13 + (r * h // 8) * 5) % 256)
+                + 114 * ((pix_id * 83 + (c * w // 9) * 17 + (r * h // 8) * 3) % 256)) // 1000
+               <
+                 (299 * ((pix_id * 37 + ((c + 1) * w // 9) * 11 + (r * h // 8) * 7) % 256)
+                + 587 * ((pix_id * 59 + ((c + 1) * w // 9) * 13 + (r * h // 8) * 5) % 256)
+                + 114 * ((pix_id * 83 + ((c + 1) * w // 9) * 17 + (r * h // 8) * 3) % 256)) // 1000
+               THEN '1' ELSE '0' END AS b
+        FROM rc),
+      hashes AS (
+        SELECT doc_id, string_agg(b, '' ORDER BY r, c) AS dhash
+        FROM bits GROUP BY 1)
+      SELECT dhash, count(*) AS n_objects,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM hashes GROUP BY 1 HAVING count(*) > 1
+      ORDER BY first_doc
+    """))
+
+  /** Silence/energy gate over REAL decoded audio (r16): decode each WAV
+    * with the JDK codec, compute the integer sum of squared deviations
+    * from the 8-bit midpoint, gate on mean energy (100·ss/frames ≥
+    * 100000). Docs ≡3 mod 7 carry a near-silent payload (amplitudes
+    * 126..130) so the gate has planted truth; the oracle re-derives
+    * both amplitude rules. Per gate side: docs, frames, total energy.
+    */
+  private val audioEnergyGate = QueryDef(
+    "q_audio_energy_gate",
+    (spark, sfDir) => {
+      import spark.implicits._
+      import graft.multimodal.JdkMedia
+      val ids = graft.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 200).select(col("doc_id")).as[Long]
+      val energies = ids.mapPartitions(_.map { id =>
+          val wav =
+            if (id % 7 == 3) JdkMedia.wavQuietPayload(id) else JdkMedia.wavPayload(id)
+          JdkMedia.audioEnergy(id, wav)
+        })
+        .toDF()
+      energies
+        .withColumn("keep", expr("100 * ss_dev div n_frames >= 100000"))
+        .groupBy("keep")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_frames")).as("total_frames"),
+          sum(col("ss_dev")).as("sum_ss"))
+        .orderBy("keep")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(64 + doc_id % 64 AS BIGINT) AS n
+        FROM documents WHERE doc_id < 200),
+      s AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d),
+      amp AS (
+        SELECT doc_id, n,
+               CASE WHEN doc_id % 7 = 3 THEN 126 + (doc_id * 31 + i * 17) % 5
+                    ELSE (doc_id * 31 + i * 17) % 256 END AS a
+        FROM s),
+      e AS (
+        SELECT doc_id, max(n) AS n_frames,
+               CAST(sum((a - 128) * (a - 128)) AS BIGINT) AS ss_dev
+        FROM amp GROUP BY 1),
+      g AS (SELECT doc_id, n_frames, ss_dev,
+                   100 * ss_dev // n_frames >= 100000 AS keep
+            FROM e)
+      SELECT keep, count(*) AS n_docs,
+             CAST(sum(n_frames) AS BIGINT) AS total_frames,
+             CAST(sum(ss_dev) AS BIGINT) AS sum_ss
+      FROM g GROUP BY 1 ORDER BY keep
+    """))
+
   override def defs: Seq[QueryDef] =
     Seq(multimodalFeatures, multimodalFrames, mediaDedup, mediaQualityGate,
-      modalityMix)
+      modalityMix, imageCodec, audioCodec, imageDhash, audioEnergyGate)
 }

@@ -134,7 +134,7 @@ object PipelineQueries extends QueryModule {
     * de-synchronize them). `keyCol` is the metadata column carried along
     * (lang or source). Caller caches and releases.
     */
-  private def contamShingles(corpus: org.apache.spark.sql.DataFrame,
+  private[graft] def contamShingles(corpus: org.apache.spark.sql.DataFrame,
       keyCol: String): org.apache.spark.sql.DataFrame =
     corpus
       .withColumn("b", expr(SamplingQueries.bucketExpr("doc_id")))
@@ -310,39 +310,43 @@ object PipelineQueries extends QueryModule {
     * (only long verbatim runs survive). One corpus-level row per n:
     * test docs, contaminated test docs (≥1 shared distinct n-gram with
     * the train split), contamination share, and total hit n-grams.
-    * Each arm is one explode→hash→distinct pass (the shared
-    * q_contamination shape, cache materialized and released per arm);
-    * all joins are per-shingle hash joins, never doc×doc.
+    * ONE corpus scan feeds all three arms (r15 verdict #4: the three
+    * independent explode+distinct passes tripled the scan/tokenize
+    * work): the explode fans each doc into its (n, gram) rows for every
+    * n it is long enough for, the md5 runs post-explode in a codegen'd
+    * projection, and every downstream join/aggregate is keyed by
+    * (n, sh) — per-shingle hash joins, never doc×doc.
     */
   private val contamNgramSweep = QueryDef(
     "q_contam_ngram_sweep",
     (spark, sfDir) => {
-      def arm(n: Int): org.apache.spark.sql.DataFrame = {
-        val sh = Tables.documents(spark, sfDir)
-          .withColumn("b", expr(SamplingQueries.bucketExpr("doc_id")))
-          .withColumn("toks", split(col("text"), " "))
-          .filter(size(col("toks")) >= n)
-          .select(col("doc_id"), col("b"), explode(expr(
-            s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))"))
-            .as("sh0"))
-          .select(col("doc_id"), col("b"), expr(Ql.md5PrefixLong("sh0", 14)).as("sh"))
-          .distinct()
-          .cache()
-        val trainSh = sh.filter(col("b") < 90).select("sh").distinct()
-        val testSh = sh.filter(col("b") >= 90)
-        val hits = testSh.join(trainSh, "sh")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-        val rep = testSh.select("doc_id").distinct()
-          .agg(count(lit(1)).as("n_test"))
-          .crossJoin(hits.agg(count(lit(1)).as("n_contaminated"),
-            coalesce(sum(col("n_hits")), lit(0L)).as("n_hit_shingles")))
-          .select(lit(n).as("n"), col("n_test"), col("n_contaminated"),
-            col("n_hit_shingles"))
-          .localCheckpoint(true) // 1-row report per arm; cache released below
-        sh.unpersist(false)
-        rep
-      }
-      arm(5).unionByName(arm(8)).unionByName(arm(13))
+      val ns = Seq(5, 8, 13)
+      val sh = Tables.documents(spark, sfDir)
+        .withColumn("b", expr(SamplingQueries.bucketExpr("doc_id")))
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= ns.min)
+        .select(col("doc_id"), col("b"), explode(expr(
+          s"""flatten(transform(array(${ns.mkString(", ")}), n ->
+                CASE WHEN size(toks) >= n
+                  THEN transform(sequence(0, size(toks) - n),
+                         i -> named_struct('n', n, 'sh0', concat_ws(' ', slice(toks, i + 1, n))))
+                  ELSE CAST(array() AS ARRAY<STRUCT<n: INT, sh0: STRING>>) END))"""))
+          .as("g"))
+        .select(col("doc_id"), col("b"), col("g.n").as("n"),
+          expr(Ql.md5PrefixLong("g.sh0", 14)).as("sh"))
+        .distinct()
+        .cache()
+      val trainSh = sh.filter(col("b") < 90).select("n", "sh").distinct()
+      val testSh = sh.filter(col("b") >= 90)
+      val hits = testSh.join(trainSh, Seq("n", "sh"))
+        .groupBy("n", "doc_id").agg(count(lit(1)).as("n_hits"))
+      val rep = testSh.groupBy("n").agg(countDistinct(col("doc_id")).as("n_test"))
+        .join(hits.groupBy("n").agg(count(lit(1)).as("n_contaminated"),
+          sum(col("n_hits")).as("n_hit_shingles")), Seq("n"), "left")
+        .na.fill(0L, Seq("n_contaminated", "n_hit_shingles"))
+        .localCheckpoint(true) // 3-row report; the shingle cache releases below
+      sh.unpersist(false)
+      rep
         .selectExpr("n", "n_test", "n_contaminated",
           s"${Ql.R("100.0 * n_contaminated / n_test", 4)} AS contam_pct",
           "n_hit_shingles")

@@ -1366,9 +1366,10 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     // the scorer actually reads; (c) exact scoring confined to the
     // probed lists still finds every planted neighbor and >=90% of the
     // brute-force top-10; (d) the PQ/ADC scorer's plan reads CODES plus
-    // an 80-row broadcast LUT — the only operators touching full vectors
-    // downstream of assignment are the probe (5x64 broadcast) and the
-    // probed-list exact scorer, by construction.
+    // a broadcast LUT over the Lloyd-trained 4x64 codebook (and its
+    // recall@10 clears a 0.5 floor) — the only operators touching full
+    // vectors downstream of assignment are the probe (5x64 broadcast)
+    // and the probed-list exact scorer, by construction.
     import org.apache.spark.sql.expressions.Window
     val N = 1000000L
     val K = 64
@@ -1465,12 +1466,40 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(plantsFound == nq.toLong, s"probe missed planted neighbors: $plantsFound of $nq")
     assert(recall >= 0.9, s"IVF recall@10 $recall below 0.9 on well-clustered data")
     // ---- PQ/ADC arm: corpus-wide encode (codes = 4 small ints per
-    // vector), 80-row LUT broadcast, scorer reads codes ONLY
+    // vector), Lloyd-TRAINED codebook (r15 verdict #2: the old untrained
+    // 4-codeword book floored ADC recall at 0.00 by construction — 64
+    // codewords per 16-dim subspace, trained on the same ~2% sample as
+    // the coarse quantizer, make the ADC recall a meaningful quality
+    // claim), nq×4×64-row LUT broadcast, scorer reads codes ONLY
     val subs = operators.SimilarityQueries.subspaces(
       dbLabeled.select(col("vec_id"), col("label"), col("v")))
-    val cb = subs.filter(col("vec_id") % 250000 === 9)
-      .select((col("vec_id") / 250000).cast("int").as("cid"), col("j"), col("s").as("c"))
+    val sampleSubs = operators.SimilarityQueries.subspaces(
+        sample.withColumn("label", lit(0)))
+      .select("vec_id", "j", "s").localCheckpoint(true)
+    // per-(subspace, codeword) struct-min argmin — same partial-agg shape
+    // as the coarse assignment, keyed by (vec_id, j)
+    def pqAssign(s: org.apache.spark.sql.DataFrame, book: org.apache.spark.sql.DataFrame) =
+      s.join(broadcast(book), "j")
+        .select(col("vec_id"), col("j"),
+          operators.Ql.r(sq(col("s"), col("c")), 6).as("dr"), col("cid"))
+        .groupBy("vec_id", "j").agg(min(struct(col("dr"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("j"), col("m.cid").as("cid"))
+    def pqUpdate(s: org.apache.spark.sql.DataFrame, asn: org.apache.spark.sql.DataFrame) =
+      s.join(asn, Seq("vec_id", "j"))
+        .select(col("j"), col("cid"), posexplode(col("s")))
+        .groupBy("j", "cid", "pos").agg(avg(col("col")).as("m"))
+        .groupBy("j", "cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").as("c"))
+    // init: ids ≡11 mod 15625 (64 per subspace; 15625 ≡ 9 mod 64 and
+    // gcd(9,64)=1, so the init set covers all 64 latent residues)
+    var cb = subs.filter(col("vec_id") % 15625 === 11)
+      .select((col("vec_id") / 15625).cast("int").as("cid"), col("j"), col("s").as("c"))
       .localCheckpoint(true)
+    for (_ <- 1 to 3)
+      cb = pqUpdate(sampleSubs, pqAssign(sampleSubs, cb)).localCheckpoint(true)
+    val nCodewords = cb.groupBy("j").count().collect()
+    assert(nCodewords.length == 4 && nCodewords.forall(_.getLong(1) >= 32),
+      s"PQ Lloyd lost too many codewords: ${nCodewords.map(_.getLong(1)).mkString(",")}")
     val encoded = subs.join(broadcast(cb), "j")
       .select(col("vec_id"), col("label"), col("j"), col("cid"),
         operators.Ql.r(sq(col("s"), col("c")), 6).as("dr"))
@@ -1485,8 +1514,11 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
       .join(broadcast(cb), "j")
       .select(col("qid"), col("j"), col("cid"), sq(col("qs"), col("c")).as("d"))
       .localCheckpoint(true)
-    assert(lut.count() == nq.toLong * 4 * 4,
-      "ADC LUT must be nq x 4 subspaces x 4 codewords = 80 rows")
+    val nCb = cb.count()
+    assert(lut.count() == nq.toLong * nCb,
+      s"ADC LUT must be nq x (4 subspaces x ~64 codewords) = ${nq * nCb} rows")
+    assert(nCb <= 4L * 64,
+      s"codebook must stay broadcast-tiny: $nCb rows for a 4x64 book")
     val scored = probed.select("qid", "label").join(encoded, "label")
       .join(broadcast(lut), Seq("qid", "j", "cid"))
       .groupBy("qid", "vec_id")
@@ -1504,9 +1536,13 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     val adcTop = scored.withColumn("rn", row_number().over(wAdc))
       .filter(col("rn") <= 10).select("qid", "vec_id")
     val adcHits = adcTop.join(truth, Seq("qid", "vec_id"), "left_semi").count()
-    info(f"1M-vector IVF-PQ (4-codeword ADC within the probe): recall@10 " +
-      f"${adcHits.toDouble / (10.0 * nq)}%.2f vs exact (4-codeword quantization " +
-      "is the floor; the plan shape, not this number, is the scale claim)")
+    val adcRecall = adcHits.toDouble / (10.0 * nq)
+    val adcPlants = adcTop.filter(col("vec_id") === col("qid") + 500000L).count()
+    info(f"1M-vector IVF-PQ (Lloyd-trained $nCb-row codebook, ADC within the " +
+      f"probe): recall@10 $adcRecall%.2f vs exact, $adcPlants/$nq plants in the ADC top-10")
+    assert(adcRecall >= 0.5,
+      f"trained-codebook ADC recall@10 $adcRecall%.2f below the 0.5 floor — " +
+        "quantization should preserve most of the exact top-10 on well-clustered data")
     dbLabeled.unpersist()
   }
 
@@ -1732,6 +1768,95 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(missing == 0L && extra == 0L,
       s"5M streaming keep-list diverges from the batch chain: " +
         s"$missing missing, $extra extra")
+  }
+
+  test("5M-doc ALL-state-store streaming curation (lsh): the RocksDB-only sink at 50x bench scale equals the batch chain") {
+    import graft.streaming.StreamingJobs
+    // r15 verdict #1 (the last batch/streaming scale asymmetry): the
+    // TwsAll endgame sink had sf0.01 equality + restart proofs in both
+    // modes, but the 5M streaming proof above still drives the
+    // directory-history sink. This case runs a 5M corpus through
+    // curationPipelineSinkTwsAll in LSH mode — the 4x-state arm: BOTH
+    // keep-first histories (the ~5M-entry exact-dedup hash set AND the
+    // ~4-per-survivor band-bucket set) live in RocksDB behind the
+    // checkpoint, no history directory at all — and the accumulated
+    // keep-list must equal the batch chain (exceptAll both ways, never
+    // collected). 1000 byte-identical plants exercise the hash state
+    // across slice boundaries; 500 one-token-edit plants exercise the
+    // bucket state. Per-batch wall time and the final on-disk
+    // state-store size are reported in-band (the RocksDB growth the r15
+    // verdict called unmeasured).
+    val base = spark.range(5000000L).select(
+      col("id").as("doc_id"),
+      element_at(array(lit("en"), lit("de"), lit("fr"), lit("es"), lit("it")),
+        (pmod(hash(col("id") * 3), lit(5)) + 1).cast("int")).as("lang"),
+      element_at(array(lit("web"), lit("books"), lit("code")),
+        (pmod(hash(col("id") * 5), lit(3)) + 1).cast("int")).as("source"),
+      expr("concat_ws(' ', transform(sequence(0, 29), " +
+        "j -> concat('w', pmod(hash(id * 31 + j), 30000))))").as("text"))
+    val dups = base.filter(col("doc_id") < 1000)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        col("lang"), col("source"), col("text"))
+    val edits = base.filter(col("doc_id") >= 1000 && col("doc_id") < 1500)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("lang"), col("source"),
+        expr("concat_ws(' ', transform(split(text, ' '), " +
+          "(t, j) -> CASE WHEN j = 15 THEN 'qqq' ELSE t END))").as("text"))
+    val docs = base.unionByName(dups).unionByName(edits)
+    val in = sliceReplay(
+      docs.withColumn("ts", col("doc_id").cast("timestamp")), 8, "graft_c5mtws")
+    val src = spark.readStream
+      .schema(docs.withColumn("ts", col("doc_id").cast("timestamp")).schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .drop("ts")
+    val out = java.nio.file.Files.createTempDirectory("graft_c5mtws_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_c5mtws_ckpt").toString
+    val t0 = System.nanoTime()
+    val q = StreamingJobs.curationPipelineSinkTwsAll(src, out, ckpt, nearDup = "lsh")
+      .start()
+    assert(q.awaitTermination(1500000), "5M TwsAll curation stream did not finish in 1500s")
+    val secs = (System.nanoTime() - t0) / 1e9
+    val perBatch = q.recentProgress.toSeq
+      .filter(p => p.numInputRows > 0 && p.durationMs.containsKey("triggerExecution"))
+      .map(p => p.batchId -> p.durationMs.get("triggerExecution").toDouble / 1000)
+      .sortBy(_._1)
+    // the endgame property: no history directory exists, ALL cross-batch
+    // state is behind the checkpoint's state store
+    assert(!new java.io.File(s"$out/hashes").exists() &&
+      !new java.io.File(s"$out/keys").exists(),
+      "all-state-store sink must maintain no history directory")
+    val stateBytes = {
+      val root = java.nio.file.Paths.get(ckpt, "state")
+      if (!java.nio.file.Files.exists(root)) 0L
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try s.filter(java.nio.file.Files.isRegularFile(_))
+          .mapToLong(java.nio.file.Files.size(_)).sum()
+        finally s.close()
+      }
+    }
+    val nBatches = spark.read.parquet(s"$out/metrics").count()
+    val cols = Seq("doc_id", "lang", "source", "tok", "text_hash", "split", "shard")
+    val got = spark.read.parquet(s"$out/keep").select(cols.head, cols.tail: _*)
+    val want = operators.PipelineQueries.curationKeepListLsh(docs)
+      .select(cols.head, cols.tail: _*)
+    val nGot = got.count()
+    val missing = want.exceptAll(got).count()
+    val extra = got.exceptAll(want).count()
+    val keptDups = got.filter(col("doc_id") >= 5000000L && col("doc_id") < 5001000L).count()
+    val keptEdits = got.filter(col("doc_id") >= 5001000L).count()
+    info(f"5M-doc TwsAll(lsh) keep-list: $nGot docs over $nBatches batches in " +
+      f"$secs%.1f s (${5001500 / secs}%.0f docs/s ingested); " +
+      f"state store ${stateBytes / 1048576.0}%.1f MiB on disk; " +
+      s"per-batch sec [${perBatch.map(p => f"${p._2}%.1f").mkString(", ")}]; " +
+      s"missing $missing, extra $extra vs the batch chain; " +
+      s"plants kept: $keptDups/1000 exact (want 0), $keptEdits/500 edits")
+    assert(nBatches == 8L, s"expected 8 batches, got $nBatches")
+    assert(keptDups == 0L,
+      s"$keptDups byte-identical plants survived the RocksDB hash state")
+    assert(missing == 0L && extra == 0L,
+      s"5M TwsAll streaming keep-list diverges from the batch chain: " +
+        s"$missing missing, $extra extra")
+    assert(stateBytes > 0L, "state store left no on-disk footprint to measure")
   }
 
   /** Shared body of the two 48-batch bounded-history cases. The r12
