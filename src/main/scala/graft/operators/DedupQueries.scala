@@ -2154,6 +2154,99 @@ object DedupQueries extends QueryModule {
       GROUP BY 1 ORDER BY 1
     """))
 
+  /** NEAR-DUP train/test contamination (the fuzzy complement of
+    * q_contamination's exact n-gram audit — the published eval-hygiene
+    * practice when test items are paraphrased or lightly edited rather
+    * than copied verbatim): candidate pairs come from the SERVED LSH
+    * banding over the whole corpus, kept only where the two ends fall on
+    * opposite sides of the 90/10 md5 split, then verified by exact
+    * df≤100-capped 3-shingle Jaccard CONFINED to those candidates
+    * (integer rule 3·inter ≥ sz1+sz2 ⇔ J ≥ 0.5 — no float threshold).
+    * Plants: train-side docs <50 whose first-token-edited copy at
+    * +400000 hash-buckets into the TEST split — guaranteed cross-split
+    * near-dups, membership a pure function of ids so both engines agree.
+    * Per test-doc lang: test docs, docs with any cross-split candidate,
+    * confirmed near-dup-contaminated docs, and the max Jaccard. Scale
+    * shape: banding is sparse (never all-pairs), the exact scorer rides
+    * the candidate-sized pair table, the split check is two bucket-map
+    * joins.
+    */
+  private val contamNeardup = QueryDef(
+    "q_contam_neardup",
+    (spark, sfDir) => {
+      val base = Tables.documents(spark, sfDir)
+        .select(guardedPlantBase(col("doc_id")).as("doc_id"), col("lang"), col("text"))
+      val plants = base.filter(col("doc_id") < 50)
+        .filter(expr(SamplingQueries.bucketExpr("doc_id")) < 90)
+        .select((col("doc_id") + 400000).as("doc_id"), col("lang"),
+          regexp_replace(col("text"), "^\\S+", "qqq").as("text"))
+        .filter(expr(SamplingQueries.bucketExpr("doc_id")) >= 90)
+      val corpus = base.unionByName(plants).localCheckpoint(true)
+      val pj = candidateOverlap(corpus.select(col("doc_id"), col("text")))
+      val buck = corpus.select(col("doc_id"),
+        expr(SamplingQueries.bucketExpr("doc_id")).as("b"))
+      val cross = pj
+        .join(buck.select(col("doc_id").as("d1"), col("b").as("b1")), "d1")
+        .join(buck.select(col("doc_id").as("d2"), col("b").as("b2")), "d2")
+        .filter((col("b1") >= 90) =!= (col("b2") >= 90))
+        .withColumn("test_doc",
+          when(col("b1") >= 90, col("d1")).otherwise(col("d2")))
+      val scored = cross.groupBy("test_doc")
+        .agg(
+          max(when(lit(3) * col("inter") >= col("sz1") + col("sz2"), 1)
+            .otherwise(0)).as("confirmed"),
+          max(col("inter") / (col("sz1") + col("sz2") - col("inter"))).as("jac"))
+      corpus.join(buck, "doc_id").filter(col("b") >= 90)
+        .select(col("doc_id"), col("lang"))
+        .join(scored, col("doc_id") === col("test_doc"), "left")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_test"),
+          count(col("test_doc")).as("n_cand"),
+          sum(coalesce(col("confirmed"), lit(0)).cast("long")).as("n_confirmed"),
+          Ql.r(max(coalesce(col("jac"), lit(0.0))), 4).as("max_jac"))
+        .orderBy("lang")
+    },
+    Some(s"""
+      WITH nc AS (
+        SELECT doc_id, lang, text FROM documents
+        UNION ALL
+        SELECT doc_id + 400000, lang, regexp_replace(text, '^\\S+', 'qqq')
+        FROM documents
+        WHERE doc_id < 50 AND ${SamplingQueries.bucketSql("doc_id")} < 90
+          AND ${SamplingQueries.bucketSql("doc_id + 400000")} >= 90),
+      ${bandKeysSqlOver("nc", "c")},
+      ${candPairsSqlOver("cbands", "")},
+      sh AS (SELECT DISTINCT doc_id, ${Ql.Md5PrefixLong("sh", 14)} AS sh FROM csh),
+      $interCtesSql,
+      pj AS (
+        SELECT c.d1, c.d2, COALESCE(i.inter, 0) AS inter, s1.sz AS sz1, s2.sz AS sz2
+        FROM cand c
+          LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+          JOIN sizes s1 ON s1.doc_id = c.d1
+          JOIN sizes s2 ON s2.doc_id = c.d2),
+      bkt AS (SELECT doc_id, lang, ${SamplingQueries.bucketSql("doc_id")} AS b FROM nc),
+      cross_pairs AS (
+        SELECT CASE WHEN x1.b >= 90 THEN p.d1 ELSE p.d2 END AS test_doc,
+               p.inter, p.sz1, p.sz2
+        FROM pj p
+          JOIN bkt x1 ON x1.doc_id = p.d1
+          JOIN bkt x2 ON x2.doc_id = p.d2
+        WHERE (x1.b >= 90) <> (x2.b >= 90)),
+      scored AS (
+        SELECT test_doc,
+               max(CASE WHEN 3 * inter >= sz1 + sz2 THEN 1 ELSE 0 END) AS confirmed,
+               max(inter * 1.0 / (sz1 + sz2 - inter)) AS jac
+        FROM cross_pairs GROUP BY 1)
+      SELECT t.lang, count(*) AS n_test,
+             CAST(count(s.test_doc) AS BIGINT) AS n_cand,
+             CAST(sum(COALESCE(s.confirmed, 0)) AS BIGINT) AS n_confirmed,
+             ${Ql.R("max(COALESCE(s.jac, 0))", 4)} AS max_jac
+      FROM (SELECT doc_id, lang FROM bkt WHERE b >= 90) t
+        LEFT JOIN scored s ON s.test_doc = t.doc_id
+      GROUP BY 1 ORDER BY 1
+    """))
+
   override def defs: Seq[QueryDef] = Seq(
     dedupNormSensitivity, lshBandContribution,
     dedupExact, dedupMinhash, dedupSimhash, dedupSimhashPairs,
@@ -2161,6 +2254,6 @@ object DedupQueries extends QueryModule {
     dedupRecall, ngramNovelty, minhashCalibration, cdcChunkDedup,
     crossSourceOverlap, captureRecapture, captureRecaptureStratified,
     splitLeakage, splitSafe, splitSafeLeakage, splitBalance, dedupWinnowing,
-    shingleDfProfile,
+    shingleDfProfile, contamNeardup,
     lshBucketOccupancy, thresholdSweep, bandingPlanner)
 }
