@@ -130,7 +130,11 @@ object Bench {
         // and run-length each run a corpus-wide gram explode + hash
         // join; dup-locality runs the banding + CC + shard-pack chain
         "q_dedup_cascade", "q_contam_attribution", "q_contam_run_length",
-        "q_shard_dup_locality")
+        "q_shard_dup_locality",
+        // r16 second wave: runs the full exact-Jaccard + LSH candidate
+        // stack over the planted cross-split corpus (q_dedup_recall
+        // cost family)
+        "q_contam_neardup")
     (lightWarm ++ heavyWarm)
       .filter(SparkEntry.queries.contains)
       .foreach { n =>

@@ -24,6 +24,12 @@ package graft.multimodal
   */
 object JdkMedia {
 
+  // all payloads live in heap byte-array streams — without this, every
+  // ImageIO write/read spins up a disk-backed FileCache temp file per
+  // payload (the JDK default), hundreds of pointless create/delete
+  // syscalls per query (r16 review finding)
+  javax.imageio.ImageIO.setUseCache(false)
+
   // ---- integer generation rules (mirrored in the DuckDB oracles) ----
 
   /** Image dims: 8..16 × 8..16 — tiny, the codec path is the point. */
@@ -46,10 +52,11 @@ object JdkMedia {
 
   // ---- real encoders (payload construction) ----
 
-  /** A real PNG: fill a BufferedImage by the pixel rule, compress with
-    * the JDK's ImageIO PNG writer.
+  /** The pixel-rule BufferedImage both container encoders share — the
+    * "same pixels" guarantee between PNG and BMP payloads is by
+    * construction, not by a PNG decode roundtrip.
     */
-  def pngPayload(docId: Long): Array[Byte] = {
+  private def imageOf(docId: Long): java.awt.image.BufferedImage = {
     val (w, h) = imageDims(docId)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -59,25 +66,27 @@ object JdkMedia {
       while (x < w) { img.setRGB(x, y, pixelRgb(docId, x, y)); x += 1 }
       y += 1
     }
+    img
+  }
+
+  private def encodeAs(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    if (!javax.imageio.ImageIO.write(img, "png", bos))
-      throw new java.io.IOException(s"no PNG writer for doc $docId")
+    if (!javax.imageio.ImageIO.write(img, fmt, bos))
+      throw new java.io.IOException(s"no $fmt writer available")
     bos.toByteArray
   }
+
+  /** A real PNG: fill a BufferedImage by the pixel rule, compress with
+    * the JDK's ImageIO PNG writer.
+    */
+  def pngPayload(docId: Long): Array[Byte] = encodeAs(imageOf(docId), "png")
 
   /** The SAME pixels as [[pngPayload]] in a different container (the
     * JDK's BMP writer): byte-level dedup cannot see these are the same
     * image, a perceptual fingerprint over the DECODED pixels can — the
     * planted truth for q_image_dhash.
     */
-  def bmpPayload(docId: Long): Array[Byte] = {
-    val png = pngPayload(docId)
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
-    val bos = new java.io.ByteArrayOutputStream()
-    if (!javax.imageio.ImageIO.write(img, "bmp", bos))
-      throw new java.io.IOException(s"no BMP writer for doc $docId")
-    bos.toByteArray
-  }
+  def bmpPayload(docId: Long): Array[Byte] = encodeAs(imageOf(docId), "bmp")
 
   /** Near-silent amplitude rule (126..130), mirrored in the energy-gate
     * oracle — docs ≡3 mod 7 get this payload so the gate has truth.

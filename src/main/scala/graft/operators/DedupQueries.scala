@@ -22,8 +22,13 @@ object DedupQueries extends QueryModule {
     * covers): they assume real corpus ids stay below the offset. At a
     * larger SF a silent alias would keep Verify green while the planted
     * truth and keep-first ordering quietly degrade (ADVICE r15) — so the
-    * guard rides the base branch's doc_id projection itself (column
-    * pruning cannot drop it) and fails the QUERY loudly instead.
+    * guard rides the FULL-CORPUS branch's doc_id projection (column
+    * pruning cannot drop it; that branch scans every row group anyway)
+    * and fails the QUERY loudly instead. The plant branches keep the RAW
+    * doc_id so their `doc_id < k` filters still push down to the parquet
+    * scan — a CASE/raise_error projection is not source-pushable, and
+    * guarding both branches would turn the cheap plant scan into a
+    * second full-corpus read (r16 review finding).
     */
   private def guardedPlantBase(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(id < 100000L, id).otherwise(raise_error(concat(
@@ -33,12 +38,12 @@ object DedupQueries extends QueryModule {
     * replaced) — the planted near-duplicates.
     */
   private[graft] def withPlants(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
-      .select(guardedPlantBase(col("doc_id")).as("doc_id"), col("text"))
-    d.unionByName(
-      d.filter(col("doc_id") < 10).select(
-        (col("doc_id") + 100000).as("doc_id"),
-        regexp_replace(col("text"), "^\\S+", "zzz").as("text")))
+    val raw = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    raw.select(guardedPlantBase(col("doc_id")).as("doc_id"), col("text"))
+      .unionByName(
+        raw.filter(col("doc_id") < 10).select(
+          (col("doc_id") + 100000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+", "zzz").as("text")))
   }
 
   private[operators] val plantsSql =
@@ -53,13 +58,14 @@ object DedupQueries extends QueryModule {
     * they flow through every stage like real near-duplicate crawls).
     */
   private[graft] def withPlantsFull(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
-      .select(guardedPlantBase(col("doc_id")).as("doc_id"),
+    val raw = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    raw.select(guardedPlantBase(col("doc_id")).as("doc_id"),
         col("lang"), col("source"), col("text"))
-    d.unionByName(
-      d.filter(col("doc_id") < 10).select(
-        (col("doc_id") + 100000).as("doc_id"), col("lang"), col("source"),
-        regexp_replace(col("text"), "^\\S+", "zzz").as("text")))
+      .unionByName(
+        raw.filter(col("doc_id") < 10).select(
+          (col("doc_id") + 100000).as("doc_id"), col("lang"), col("source"),
+          regexp_replace(col("text"), "^\\S+", "zzz").as("text")))
   }
 
   private[operators] val plantsFullSql =
@@ -2174,9 +2180,17 @@ object DedupQueries extends QueryModule {
   private val contamNeardup = QueryDef(
     "q_contam_neardup",
     (spark, sfDir) => {
-      val base = Tables.documents(spark, sfDir)
+      // block hygiene: candidateOverlap caches its shingle table and the
+      // corpus is localCheckpointed — materialize the |langs|-row report,
+      // then release every block this query created (the rule all
+      // candidateOverlap callers follow)
+      val sc = spark.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val raw = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val base = raw
         .select(guardedPlantBase(col("doc_id")).as("doc_id"), col("lang"), col("text"))
-      val plants = base.filter(col("doc_id") < 50)
+      val plants = raw.filter(col("doc_id") < 50)
         .filter(expr(SamplingQueries.bucketExpr("doc_id")) < 90)
         .select((col("doc_id") + 400000).as("doc_id"), col("lang"),
           regexp_replace(col("text"), "^\\S+", "qqq").as("text"))
@@ -2196,7 +2210,7 @@ object DedupQueries extends QueryModule {
           max(when(lit(3) * col("inter") >= col("sz1") + col("sz2"), 1)
             .otherwise(0)).as("confirmed"),
           max(col("inter") / (col("sz1") + col("sz2") - col("inter"))).as("jac"))
-      corpus.join(buck, "doc_id").filter(col("b") >= 90)
+      val out = corpus.join(buck, "doc_id").filter(col("b") >= 90)
         .select(col("doc_id"), col("lang"))
         .join(scored, col("doc_id") === col("test_doc"), "left")
         .groupBy("lang")
@@ -2205,7 +2219,10 @@ object DedupQueries extends QueryModule {
           count(col("test_doc")).as("n_cand"),
           sum(coalesce(col("confirmed"), lit(0)).cast("long")).as("n_confirmed"),
           Ql.r(max(coalesce(col("jac"), lit(0.0))), 4).as("max_jac"))
-        .orderBy("lang")
+      val mine = sc.getPersistentRDDs.filter { case (id, _) => !before(id) }
+      val report = out.localCheckpoint(true)
+      mine.values.foreach(_.unpersist(blocking = false))
+      report.orderBy("lang")
     },
     Some(s"""
       WITH nc AS (

@@ -340,15 +340,22 @@ object PipelineQueries extends QueryModule {
       val testSh = sh.filter(col("b") >= 90)
       val hits = testSh.join(trainSh, Seq("n", "sh"))
         .groupBy("n", "doc_id").agg(count(lit(1)).as("n_hits"))
-      val rep = testSh.groupBy("n").agg(countDistinct(col("doc_id")).as("n_test"))
+      // anchor on the literal n grid: the oracle's per-arm scalar
+      // subqueries emit a row for every n unconditionally, so an n with
+      // zero qualifying test docs must still report (r16 review finding)
+      val nGrid = spark.range(1)
+        .select(explode(array(ns.map(n => lit(n)): _*)).as("n"))
+      val rep = nGrid
+        .join(testSh.groupBy("n").agg(countDistinct(col("doc_id")).as("n_test")),
+          Seq("n"), "left")
         .join(hits.groupBy("n").agg(count(lit(1)).as("n_contaminated"),
           sum(col("n_hits")).as("n_hit_shingles")), Seq("n"), "left")
-        .na.fill(0L, Seq("n_contaminated", "n_hit_shingles"))
+        .na.fill(0L, Seq("n_test", "n_contaminated", "n_hit_shingles"))
         .localCheckpoint(true) // 3-row report; the shingle cache releases below
       sh.unpersist(false)
       rep
         .selectExpr("n", "n_test", "n_contaminated",
-          s"${Ql.R("100.0 * n_contaminated / n_test", 4)} AS contam_pct",
+          s"${Ql.R("100.0 * n_contaminated / greatest(n_test, 1)", 4)} AS contam_pct",
           "n_hit_shingles")
         .orderBy("n")
     },
@@ -373,7 +380,7 @@ object PipelineQueries extends QueryModule {
       s"""
         WITH ${Seq(5, 8, 13).map(ctesSql).mkString(",\n")}
         SELECT n, n_test, n_contaminated,
-               ${Ql.R("100.0 * n_contaminated / n_test", 4)} AS contam_pct,
+               ${Ql.R("100.0 * n_contaminated / greatest(n_test, 1)", 4)} AS contam_pct,
                n_hit_shingles
         FROM (${Seq(5, 8, 13).map(armSql).mkString(" UNION ALL ")})
         ORDER BY n

@@ -1367,10 +1367,12 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     // probed lists still finds every planted neighbor and >=90% of the
     // brute-force top-10; (d) the PQ/ADC scorer's plan reads CODES plus
     // a broadcast LUT over a Lloyd-trained RESIDUAL codebook (classic
-    // IVF-ADC; its recall@10 clears a 0.5 floor) — the only operators
-    // touching full vectors downstream of assignment are the probe
-    // (5x64 broadcast), the residual encode, and the probed-list exact
-    // scorer, by construction.
+    // IVF-ADC; asserted: all plants in the ADC top-10, top-1000
+    // shortlist recall >=0.9, shortlist+re-rank recall@10 >=0.9, raw
+    // ADC recall@10 >=0.1) — the only operators touching full vectors
+    // downstream of assignment are the probe (5x64 broadcast), the
+    // probed-list exact scorer, the residual encode, and the
+    // 1000-per-query shortlist re-rank, by construction.
     import org.apache.spark.sql.expressions.Window
     val N = 1000000L
     val K = 64
@@ -1590,7 +1592,7 @@ class ScaleSmokeSpec extends AnyFunSuite with SparkFixture {
     val adcShort = adcRanked.filter(col("rn") <= 1000).select("qid", "vec_id")
     val shortHits = adcShort.join(truth, Seq("qid", "vec_id"), "left_semi").count()
     val shortRecall = shortHits.toDouble / (10.0 * nq)
-    // exact re-rank of the 100-per-query shortlist — the bounded tail
+    // exact re-rank of the 1000-per-query shortlist — the bounded tail
     // stage; its output is the stack's served top-10
     val rerank = adcShort
       .join(dbLabeled.select(col("vec_id"), col("v")), "vec_id")
