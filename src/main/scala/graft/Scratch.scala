@@ -66,6 +66,12 @@ object Scratch {
       // ambient/plan changes. Times the SHIPPED queries against pinned
       // twins that skip both hygiene steps (the r14 shape: cache left
       // for the bench loop's clearCache to collect).
+      // PINNED-TWIN PROVENANCE (r16 ADVICE): the twin bodies below are
+      // copies of the q_contamination / q_decontam_scrub query bodies as
+      // of round 16, commit 96ffb16 (PipelineQueries.scala:187, :225 at
+      // that commit), minus the two hygiene steps. If the shipped queries
+      // change shape, re-copy the bodies here (diff against that commit)
+      // or this probe stops measuring the hygiene delta it claims to.
       import org.apache.spark.sql.functions._
       def t(label: String)(f: => Any): Double = {
         val t0 = System.nanoTime(); f
@@ -145,6 +151,72 @@ object Scratch {
             println(s"[winaudit] $q :: ${w.child.simpleStringWithNodeId().take(160)}")
           }
         } catch { case ex: Throwable => println(s"[winaudit] $q ERROR ${ex.getMessage.take(120)}") }
+      }
+      spark.stop(); return
+    }
+    if (name == "jpeg_probe") {
+      // measure the dHash hamming distribution for quality-q JPEG
+      // re-encodes vs their PNG originals, and cross-image distances,
+      // before pinning MultimodalSpec assertions (r16 verdict #3)
+      import graft.multimodal.JdkMedia
+      for (q <- Seq(0.5f, 0.7f, 0.9f)) {
+        val pairs = (0L until 50L).map { id =>
+          JdkMedia.hamming(JdkMedia.dHash(JdkMedia.pngPayload(id)),
+            JdkMedia.dHash(JdkMedia.jpegPayload(id, q)))
+        }
+        println(s"[jpeg] q=$q pair dists: min=${pairs.min} max=${pairs.max} " +
+          s"median=${pairs.sorted.apply(25)} all=${pairs.mkString(",")}")
+      }
+      val hashes = (0L until 50L).map(id => JdkMedia.dHash(JdkMedia.pngPayload(id)))
+      val cross = for (i <- 0 until 50; j <- i + 1 until 50)
+        yield JdkMedia.hamming(hashes(i), hashes(j))
+      println(s"[jpeg] cross dists: min=${cross.min} max=${cross.max} " +
+        s"median=${cross.sorted.apply(cross.size / 2)}")
+      // does the lossy re-encode change pixel sums (defeats sum-dedup)?
+      val sumsEq = (0L until 50L).count { id =>
+        val a = JdkMedia.decodeImage(id, JdkMedia.pngPayload(id))
+        val jb = JdkMedia.jpegPayload(id, 0.7f)
+        val b = JdkMedia.decodeImage(id, jb)
+        (a.sum_r, a.sum_g, a.sum_b) == (b.sum_r, b.sum_g, b.sum_b)
+      }
+      println(s"[jpeg] q=0.7 pixel-sum-identical count (of 50): $sumsEq")
+      // nearest-original identification: is each re-encode's closest
+      // original (by hamming) its own?
+      for (q <- Seq(0.7f, 0.9f)) {
+        val correct = (0L until 50L).count { id =>
+          val jh = JdkMedia.dHash(JdkMedia.jpegPayload(id, q))
+          val own = JdkMedia.hamming(jh, hashes(id.toInt))
+          val others = (0 until 50).filter(_ != id).map(j => JdkMedia.hamming(jh, hashes(j)))
+          own < others.min
+        }
+        println(s"[jpeg] q=$q nearest-original strictly-correct: $correct / 50")
+      }
+      spark.stop(); return
+    }
+    if (name == "pr_cadence") {
+      // r16 verdict #5: measure checkpoint cadence 4 vs 8 on the 8-round
+      // q_pagerank loop (cadence 8 = no mid-loop barrier; AQE fuses all
+      // rounds into the final materialization). Same edge build as the
+      // shipped query; result row count is identical by construction
+      // (the cadence only moves barriers, never values).
+      import org.apache.spark.sql.functions._
+      def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+      val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+      def edges = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      // warm codegen/scan once, untimed
+      operators.GraphQueries.pageRank(edges, 8, 4).count()
+      for (cadence <- Seq(4, 8, 4, 8)) {
+        val xs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          operators.GraphQueries.pageRank(edges, 8, cadence)
+            .orderBy(col("pr").desc, col("node")).limit(20).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"[cadence] cadence=$cadence runs=${xs.map(x => f"$x%.2f").mkString(",")} " +
+          f"median=${med(xs)}%.2f s")
       }
       spark.stop(); return
     }

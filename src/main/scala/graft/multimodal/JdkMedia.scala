@@ -27,8 +27,14 @@ object JdkMedia {
   // all payloads live in heap byte-array streams — without this, every
   // ImageIO write/read spins up a disk-backed FileCache temp file per
   // payload (the JDK default), hundreds of pointless create/delete
-  // syscalls per query (r16 review finding)
-  javax.imageio.ImageIO.setUseCache(false)
+  // syscalls per query (r16 review finding). NOTE (r16 ADVICE): this is
+  // a PROCESS-GLOBAL ImageIO mutation — any other ImageIO user in the
+  // JVM is switched to heap-backed streams too. It is therefore invoked
+  // explicitly from every codec entry point below (idempotent), not as a
+  // class-load side effect, so the effect is attributable and future
+  // ImageIO users can see where it comes from.
+  private def ensureHeapStreams(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
 
   // ---- integer generation rules (mirrored in the DuckDB oracles) ----
 
@@ -70,6 +76,7 @@ object JdkMedia {
   }
 
   private def encodeAs(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    ensureHeapStreams()
     val bos = new java.io.ByteArrayOutputStream()
     if (!javax.imageio.ImageIO.write(img, fmt, bos))
       throw new java.io.IOException(s"no $fmt writer available")
@@ -115,6 +122,110 @@ object JdkMedia {
   def wavPayload(docId: Long): Array[Byte] =
     wavOf(Array.tabulate(audioFrames(docId))(i => sampleAmp(docId, i).toByte))
 
+  /** A real lossy JPEG re-encode of the SAME pixels (the JDK's own JPEG
+    * writer at an explicit quality): unlike [[bmpPayload]] the decoded
+    * pixels CHANGE, so dHash equality with the PNG original is no longer
+    * guaranteed by construction — exactly the robustness claim worth
+    * measuring. MultimodalSpec reports the measured hamming distribution
+    * (r16 verdict #3): lossy re-encodes group with their originals at
+    * small hamming distance while byte-level and pixel-sum dedup both
+    * find zero pairs.
+    */
+  def jpegPayload(docId: Long, quality: Float = 0.7f): Array[Byte] = {
+    ensureHeapStreams()
+    val img = imageOf(docId)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** Hamming distance between two equal-length '0'/'1' fingerprints. */
+  def hamming(a: String, b: String): Int = {
+    require(a.length == b.length, s"fingerprint length mismatch ${a.length}/${b.length}")
+    var (d, i) = (0, 0)
+    while (i < a.length) { if (a.charAt(i) != b.charAt(i)) d += 1; i += 1 }
+    d
+  }
+
+  // ---- MJPEG-style video container (r17) ----
+  //
+  // No true video codec exists in this environment (no ffmpeg-class jar —
+  // re-probed each round, still zero), but the JDK's image codec is real:
+  // define the video payload as N length-prefixed PNG frames in a tiny
+  // container, so per-FRAME decode genuinely passes through ImageIO on
+  // both sides. This is the MJPEG idea (a video stream whose frames are
+  // independently compressed images); only inter-frame-compressed formats
+  // (H.264 etc.) remain stubbed.
+
+  /** Frames per video: 2..8 — enough to exercise per-frame fan-out. */
+  def videoFrames(docId: Long): Int = 2 + (docId % 7).toInt
+
+  /** Per-frame pixel identity: frames reuse the image generation rules
+    * under a derived pix id (f < 8, so ids never collide across docs) —
+    * the oracle re-derives every frame's dims and channel sums from the
+    * same pure integers.
+    */
+  def framePixId(docId: Long, f: Int): Long = docId * 8 + f
+
+  private val VideoMagic: Array[Byte] = Array('G', 'V', 'I', 'D').map(_.toByte)
+
+  /** A real MJPEG-style video payload: 4-byte magic, big-endian frame
+    * count, then per frame a big-endian length prefix and a genuine
+    * ImageIO-encoded PNG of that frame's pixel rule.
+    */
+  def videoPayload(docId: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.write(VideoMagic)
+    val n = videoFrames(docId)
+    out.writeInt(n)
+    var f = 0
+    while (f < n) {
+      val png = pngPayload(framePixId(docId, f))
+      out.writeInt(png.length)
+      out.write(png)
+      f += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  case class VideoFrameFeatures(doc_id: Long, frame_idx: Int, width: Int,
+      height: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Decode an MJPEG-style payload: validate the magic, walk the
+    * length-prefixed frames, ImageIO-decode each, emit per-frame integer
+    * features. Fails loudly on a corrupt container or undecodable frame.
+    */
+  def decodeVideo(docId: Long, payload: Array[Byte]): Seq[VideoFrameFeatures] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(payload))
+    val magic = new Array[Byte](4)
+    in.readFully(magic)
+    if (!java.util.Arrays.equals(magic, VideoMagic))
+      throw new java.io.IOException(s"bad video container magic for doc $docId")
+    val n = in.readInt()
+    if (n < 0 || n > 1024)
+      throw new java.io.IOException(s"implausible frame count $n for doc $docId")
+    (0 until n).map { f =>
+      val len = in.readInt()
+      if (len < 0 || len > payload.length)
+        throw new java.io.IOException(s"corrupt frame length $len for doc $docId")
+      val png = new Array[Byte](len)
+      in.readFully(png)
+      val feat = decodeImage(framePixId(docId, f), png)
+      VideoFrameFeatures(docId, f, feat.width, feat.height,
+        feat.sum_r, feat.sum_g, feat.sum_b)
+    }
+  }
+
   // ---- real decoders (feature extraction) ----
 
   case class ImageFeatures(doc_id: Long, width: Int, height: Int,
@@ -124,6 +235,7 @@ object JdkMedia {
     * (the exact-arithmetic stand-in for a mean-pixel embedding stage).
     */
   def decodeImage(docId: Long, png: Array[Byte]): ImageFeatures = {
+    ensureHeapStreams()
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
     if (img == null)
       throw new java.io.IOException(s"undecodable image payload for doc $docId")
@@ -153,6 +265,7 @@ object JdkMedia {
     * re-encoded copies, dHash groups them.
     */
   def dHash(png: Array[Byte]): String = {
+    ensureHeapStreams()
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
     if (img == null) throw new java.io.IOException("undecodable image payload")
     val (w, h) = (img.getWidth, img.getHeight)

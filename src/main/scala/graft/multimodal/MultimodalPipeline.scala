@@ -10,14 +10,18 @@ import org.apache.spark.sql.functions._
   * decoder would amortize codec/model setup per batch, not per row).
   *
   * THIS FILE'S DECODER IS A STUB: `decodeStub` derives deterministic fake
-  * dimensions/frames from the payload's md5, standing in for formats with
-  * no codec in this environment (video, compressed audio — no ffmpeg-class
-  * jar exists here). Everything around it — schema, binary handling,
-  * partitioning, batch shape, fan-out of per-frame rows — is real and
-  * oracle-checked (the md5 arithmetic is replicated in SQL). For PNG
-  * images and PCM WAV audio the decode IS real: see [[JdkMedia]], which
-  * drives the JDK's own ImageIO / javax.sound codecs end to end
-  * (q_image_codec / q_audio_codec).
+  * dimensions/frames from the payload's md5, standing in ONLY for formats
+  * with genuinely no JVM codec in this environment — inter-frame-compressed
+  * video (H.264-class) and compressed audio (no ffmpeg-class jar exists
+  * here, re-probed every round). Everything around it — schema, binary
+  * handling, partitioning, batch shape, fan-out of per-frame rows — is
+  * real and oracle-checked (the md5 arithmetic is replicated in SQL).
+  * For PNG/BMP/JPEG images and PCM WAV audio the decode IS real
+  * ([[JdkMedia]], q_image_codec / q_audio_codec), and as of r17 per-frame
+  * VIDEO decode is real too via the MJPEG-style frames-in-a-container
+  * path ([[JdkMedia.videoPayload]] / [[JdkMedia.decodeVideo]],
+  * q_video_codec) — every frame passes through the JDK's ImageIO codec
+  * on both sides.
   */
 object MultimodalPipeline {
 

@@ -73,7 +73,8 @@ object GraphQueries extends QueryModule {
     * cache scope = this function, the same contract as
     * [[DedupQueries]]' containment/segment queries.
     */
-  def pageRank(edgesIn: org.apache.spark.sql.DataFrame, rounds: Int): org.apache.spark.sql.DataFrame = {
+  def pageRank(edgesIn: org.apache.spark.sql.DataFrame, rounds: Int,
+      cadence: Int = 4): org.apache.spark.sql.DataFrame = {
     val sc = edgesIn.sparkSession.sparkContext
     // snapshot of persisted RDDs before this call: queries run one at a
     // time in verify/bench/specs, so everything persisted between here
@@ -103,7 +104,7 @@ object GraphQueries extends QueryModule {
         .crossJoin(broadcast(nRow))
         .select(col("dst").as("node"),
           Ql.r(lit(1 - damping) / col("n") + lit(damping) * col("s"), 7).as("pr"))
-      if (i % 4 == 0 && i < rounds) ranks = ranks.localCheckpoint(true)
+      if (i % cadence == 0 && i < rounds) ranks = ranks.localCheckpoint(true)
     }
     // materialize the final frame so it no longer depends on the loop's
     // pinned blocks, then release every block this call persisted

@@ -310,6 +310,60 @@ object MultimodalQueries extends QueryModule {
       FROM s GROUP BY doc_id ORDER BY doc_id
     """))
 
+  /** REAL per-frame video decode (r17): payloads are MJPEG-style
+    * containers — N length-prefixed genuine PNG frames
+    * ([[graft.multimodal.JdkMedia.videoPayload]]) — decoded frame by
+    * frame through ImageIO in a partition-batched stage. One output row
+    * per frame: dims + integer channel sums, all re-derived by the
+    * oracle from the pure-integer frame rule (pix_id = doc_id·8 + f), so
+    * container parsing AND every frame's codec roundtrip are
+    * value-checked end to end. This retires the last decode stand-in
+    * the environment permits: only inter-frame-compressed video (H.264
+    * etc., no JVM codec exists) keeps the md5 stub. Same fixed
+    * doc_id<200 slice as the other codec queries (codec-path demo —
+    * near-constant across SFs, stated in COVERAGE.md).
+    */
+  private val videoCodec = QueryDef(
+    "q_video_codec",
+    (spark, sfDir) => {
+      import spark.implicits._
+      import graft.multimodal.JdkMedia
+      val ids = graft.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 200).select(col("doc_id")).as[Long]
+      val payloads = ids.mapPartitions(_.map(id => (id, JdkMedia.videoPayload(id))))
+        .toDF("doc_id", "payload").as[(Long, Array[Byte])]
+      payloads
+        .mapPartitions(_.flatMap { case (id, v) => JdkMedia.decodeVideo(id, v) })
+        .toDF()
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(2 + doc_id % 7 AS BIGINT) AS nf
+        FROM documents WHERE doc_id < 200),
+      fr AS (
+        SELECT doc_id, CAST(f AS INT) AS frame_idx, doc_id * 8 + f AS pix_id
+        FROM (SELECT doc_id, unnest(generate_series(0, nf - 1)) AS f FROM d)),
+      dims AS (
+        SELECT doc_id, frame_idx, pix_id,
+               CAST(8 + pix_id % 9 AS INT) AS width,
+               CAST(8 + (pix_id // 9) % 9 AS INT) AS height
+        FROM fr),
+      px AS (
+        SELECT doc_id, frame_idx, pix_id, width, height,
+               unnest(generate_series(0, width - 1)) AS x
+        FROM dims),
+      pxy AS (
+        SELECT doc_id, frame_idx, pix_id, width, height, x,
+               unnest(generate_series(0, height - 1)) AS y
+        FROM px)
+      SELECT doc_id, frame_idx, width, height,
+             CAST(sum((pix_id * 37 + x * 11 + y * 7) % 256) AS BIGINT) AS sum_r,
+             CAST(sum((pix_id * 59 + x * 13 + y * 5) % 256) AS BIGINT) AS sum_g,
+             CAST(sum((pix_id * 83 + x * 17 + y * 3) % 256) AS BIGINT) AS sum_b
+      FROM pxy GROUP BY 1, 2, 3, 4 ORDER BY doc_id, frame_idx
+    """))
+
   /** Perceptual near-dup over REAL decoded pixels (r16): the dHash
     * fingerprint ([[graft.multimodal.JdkMedia.dHash]] — 9×8
     * nearest-neighbor grayscale grid over the ImageIO-decoded image, one
@@ -436,5 +490,5 @@ object MultimodalQueries extends QueryModule {
 
   override def defs: Seq[QueryDef] =
     Seq(multimodalFeatures, multimodalFrames, mediaDedup, mediaQualityGate,
-      modalityMix, imageCodec, audioCodec, imageDhash, audioEnergyGate)
+      modalityMix, imageCodec, audioCodec, videoCodec, imageDhash, audioEnergyGate)
 }

@@ -126,6 +126,101 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  // ---- r17: MJPEG-style video container + the lossy JPEG dedup arm ----
+
+  test("video payloads are real MJPEG-style containers of genuine PNG frames") {
+    import graft.multimodal.JdkMedia
+    import spark.implicits._
+    val ids = Tables.documents(spark, sf).filter(col("doc_id") < 60)
+      .select(col("doc_id")).as[Long]
+    val payloads = ids.mapPartitions(_.map(id => (id, JdkMedia.videoPayload(id))))
+      .toDF("doc_id", "payload").as[(Long, Array[Byte])]
+    val rows = payloads.collect()
+    // container magic + frame count by the integer rule
+    rows.foreach { case (id, v) =>
+      assert(v.take(4).sameElements("GVID".getBytes), s"bad magic for doc $id")
+      val n = java.nio.ByteBuffer.wrap(v, 4, 4).getInt
+      assert(n == JdkMedia.videoFrames(id), s"frame count diverges for doc $id")
+      // the first frame's bytes are a genuine PNG (signature check)
+      val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      assert(v.slice(12, 20).sameElements(sig), s"frame 0 is not a PNG for doc $id")
+    }
+    // per-frame decode equals the generation rule, partition-invariant
+    val a = payloads.mapPartitions(_.flatMap { case (id, v) => JdkMedia.decodeVideo(id, v) })
+      .collect().sortBy(f => (f.doc_id, f.frame_idx)).toSeq
+    val b = payloads.repartition(7)
+      .mapPartitions(_.flatMap { case (id, v) => JdkMedia.decodeVideo(id, v) })
+      .collect().sortBy(f => (f.doc_id, f.frame_idx)).toSeq
+    assert(a == b, "video decode must be partition-invariant")
+    a.foreach { f =>
+      val pix = JdkMedia.framePixId(f.doc_id, f.frame_idx)
+      val (w, h) = JdkMedia.imageDims(pix)
+      assert((f.width, f.height) == (w, h), s"frame dims diverge for doc ${f.doc_id}/${f.frame_idx}")
+      val want = (for (y <- 0 until h; x <- 0 until w)
+        yield ((JdkMedia.pixelRgb(pix, x, y) >> 16) & 0xff).toLong).sum
+      assert(f.sum_r == want, s"frame sum_r diverges for doc ${f.doc_id}/${f.frame_idx}")
+    }
+    assert(a.map(_.doc_id).distinct.size == 60)
+  }
+
+  test("corrupt video containers fail loudly: bad magic, bad count, truncated frame") {
+    import graft.multimodal.JdkMedia
+    intercept[java.io.IOException] {
+      JdkMedia.decodeVideo(1L, "XVIDxxxxxxxx".getBytes)
+    }
+    val good = JdkMedia.videoPayload(3L)
+    // corrupt the frame count field
+    val badCount = good.clone(); badCount(4) = 0x7f.toByte
+    intercept[java.io.IOException] { JdkMedia.decodeVideo(3L, badCount) }
+    intercept[Exception] { JdkMedia.decodeVideo(3L, good.take(good.length / 2)) }
+  }
+
+  test("lossy JPEG re-encodes: byte and pixel-sum dedup find zero, dHash groups them") {
+    // r16 verdict #3: the BMP plants are lossless (pixels identical), so
+    // dHash equality was guaranteed by construction. The JDK's real JPEG
+    // encoder at quality 0.7 CHANGES pixels — measured here: byte-level
+    // and pixel-sum dedup find zero of the 50 planted re-encode pairs,
+    // while the perceptual fingerprint still puts 47/50 re-encodes
+    // strictly nearest their own original. Measured distribution
+    // (one-time probe, Scratch jpeg_probe, deterministic JDK codec):
+    // pair hamming min=0 max=20 median=6; cross-image hamming median=20
+    // (min=0 — tiny 8..16px noise-rule images can collide outright, so
+    // the fingerprint is recall-oriented, not a unique id; the 3
+    // non-strict ids trace to exactly those collisions).
+    import graft.multimodal.JdkMedia
+    val n = 50
+    val pngs = (0L until n.toLong).map(JdkMedia.pngPayload)
+    val jpgs = (0L until n.toLong).map(id => JdkMedia.jpegPayload(id, 0.7f))
+    val origHash = pngs.map(JdkMedia.dHash)
+    // byte dedup: zero pairs (every container differs)
+    assert((0 until n).forall(i => !pngs(i).sameElements(jpgs(i))))
+    // pixel-sum dedup: zero pairs (lossy — decoded channel sums moved)
+    val sumPairs = (0 until n).count { i =>
+      val a = JdkMedia.decodeImage(i.toLong, pngs(i))
+      val b = JdkMedia.decodeImage(i.toLong, jpgs(i))
+      (a.sum_r, a.sum_g, a.sum_b) == (b.sum_r, b.sum_g, b.sum_b)
+    }
+    assert(sumPairs == 0, s"$sumPairs lossy re-encodes kept identical pixel sums")
+    // perceptual grouping: pair distances small (≤24, median ≤12), cross
+    // distances large in aggregate (median ≥16), own-original strictly
+    // nearest for ≥44/50 — all with margin over the measured values
+    val pairDists = (0 until n).map(i => JdkMedia.hamming(origHash(i), JdkMedia.dHash(jpgs(i))))
+    info(s"pair hamming: min=${pairDists.min} max=${pairDists.max} " +
+      s"median=${pairDists.sorted.apply(n / 2)}")
+    assert(pairDists.max <= 24, s"pair hamming max ${pairDists.max} > 24")
+    assert(pairDists.sorted.apply(n / 2) <= 12)
+    val cross = for (i <- 0 until n; j <- i + 1 until n)
+      yield JdkMedia.hamming(origHash(i), origHash(j))
+    assert(cross.sorted.apply(cross.size / 2) >= 16)
+    val correct = (0 until n).count { i =>
+      val jh = JdkMedia.dHash(jpgs(i))
+      val own = JdkMedia.hamming(jh, origHash(i))
+      (0 until n).filter(_ != i).forall(j => own < JdkMedia.hamming(jh, origHash(j)))
+    }
+    info(s"nearest-original strictly-correct: $correct / $n")
+    assert(correct >= 44, s"only $correct/$n re-encodes nearest their own original")
+  }
+
   test("corrupted payloads fail the decode loudly, not silently") {
     import graft.multimodal.JdkMedia
     intercept[java.io.IOException] {
