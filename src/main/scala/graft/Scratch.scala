@@ -220,6 +220,41 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (name.startsWith("fullq:")) {
+      // construction-INCLUSIVE timing: composite queries run their eager
+      // checkpoints while the frame is built, which the generic mode's
+      // per-run loop never sees
+      val q = name.stripPrefix("fullq:")
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(q)(spark, sfDir).count()
+        println(f"[fullq] $q run $i ${(System.nanoTime() - t0) / 1e9}%6.2f s rows=$n")
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
+    if (name == "copart_check") {
+      // does localCheckpoint preserve hash partitioning, and does the
+      // per-round pagerank join skip the edge-side exchange?
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+      val edges0 = li.select(col("l_orderkey"), col("l_partkey").as("src"))
+        .join(li.select(col("l_orderkey"), col("l_partkey").as("dst")), "l_orderkey")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst")
+      val edges = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .localCheckpointPartitionedBy(edges0, Seq("src"))
+      val deg = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .localCheckpointPartitionedBy(
+          edges.groupBy("src").agg(count(lit(1)).as("d")), Seq("src"))
+      val ranks = deg.select(col("src").as("node"), lit(1.0).as("pr"))
+      val wt = ranks.join(deg.hint("shuffle_hash"), ranks("node") === deg("src"))
+        .select(col("src"), (col("pr") / col("d")).as("w"))
+      val round = edges.join(wt.hint("shuffle_hash"), "src").groupBy(col("dst"))
+        .agg(sum(col("w")).as("s"))
+      round.explain("formatted")
+      spark.stop(); return
+    }
     if (name == "pr_profile") {
       import org.apache.spark.sql.functions._
       def t[A](label: String)(f: => A): A = {

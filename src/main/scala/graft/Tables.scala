@@ -60,4 +60,39 @@ object Tables {
         df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
+
+  /** Restore map-stage parallelism ahead of a heavy fan-out (shingle
+    * explode, per-token hashing) when the source scan cannot provide it:
+    * parquet scan tasks are bounded by ROW-GROUP count, and the driver's
+    * tables ship as one single-row-group file per table, so every
+    * scan-rooted map stage otherwise runs on ONE core no matter what
+    * `minPartitionNum` says (the splits exist, but only the split holding
+    * the row group's midpoint emits rows). A hash repartition on the
+    * given key moves only the compact pre-fan-out rows — table-sized
+    * bytes, trivial next to the fan-out work it parallelizes — and is
+    * deterministic under task retry (hash of a stored column, never
+    * round-robin/rand, guide §2.5). The gate keeps it out of at-scale
+    * plans: a corpus with >= defaultParallelism input files already scans
+    * wide (no-op), and non-scan inputs (caches/checkpoints, no
+    * inputFiles) are already exchange-partitioned by whatever produced
+    * them (no-op). Guide §2.5 "input skew: repartition immediately after
+    * the read" + §1.2 (fix the distributed shape first).
+    */
+  private[graft] def scatter(df: DataFrame, key: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join,
+      RepartitionOperation, Window => LWindow}
+    // only narrow pipelines over a file scan qualify: anything with a
+    // join/aggregate/window/explicit-repartition below already owns an
+    // exchange (downstream stages are wide), and materialized inputs
+    // (LogicalRDD from localCheckpoint) inherit their producer's layout —
+    // a second repartition there would shuffle corpus payloads for nothing
+    val alreadyWide = df.queryExecution.analyzed.find {
+      case _: Join | _: Aggregate | _: RepartitionOperation | _: LWindow => true
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _ => false
+    }.isDefined
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    val files = try df.inputFiles.length catch { case _: Throwable => 0 }
+    if (!alreadyWide && files > 0 && files < n) df.repartition(n, col(key)) else df
+  }
 }

@@ -74,27 +74,45 @@ object DedupQueries extends QueryModule {
         SELECT doc_id + 100000, lang, source, regexp_replace(text, '^\S+', 'zzz')
         FROM documents WHERE doc_id < 10)"""
 
-  /** Distinct 3-token shingles per doc: (doc_id, sh). With
-    * `hashed = true` the shingle is its 56-bit md5-prefix int64 instead
-    * of the string — hashed in a codegen'd projection right after the
-    * explode, BEFORE the distinct/join shuffles, so downstream exchanges
-    * move 8-byte keys.
+  /** Per-OCCURRENCE 3-token shingle md5 halves: (doc_id, h1, h2), where
+    * h1/h2 are the first/next 7 hex digits of md5(shingle) as int64 —
+    * the exact integers both the minhash family and the 56-bit dedup
+    * key are built from (md5PrefixLong(sh, 14) = h1·2²⁸ + h2,
+    * bijectively). Deliberately NO distinct: the minhash consumers are
+    * min-aggregations, which are multiplicity-insensitive, so the
+    * signature path skips the corpus-wide distinct exchange outright
+    * (guide §2.4); exact-set consumers apply their own distinct on the
+    * two int64 halves (a cheaper exchange than the old shingle-string
+    * distinct, same result set — distinct of a bijective projection).
+    * The md5 runs AFTER the explode, as a top-level codegen'd
+    * projection, not inside the transform lambda (higher-order-function
+    * lambdas evaluate interpreted — ~2× slower, measured via Scratch
+    * ngram_profile). [[Tables.scatter]] restores map parallelism over
+    * the single-row-group bench corpus (no-op at scale).
     */
-  private def shingles(docs: DataFrame, hashed: Boolean = false): DataFrame = {
-    // the md5 hash runs AFTER the explode, as a top-level projection, not
-    // inside the transform lambda: higher-order-function lambdas evaluate
-    // interpreted (no codegen), so hashing there costs ~2× the codegen'd
-    // column path for identical output (measured via Scratch ngram_profile)
-    val exploded = docs
+  private def shingleHalves(docs: DataFrame): DataFrame =
+    Tables.scatter(docs)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))")).as("sh0"))
-    val keyed =
-      if (hashed) exploded.select(col("doc_id"), expr(Ql.md5PrefixLong("sh0", 14)).as("sh"))
-      else exploded.withColumnRenamed("sh0", "sh")
-    keyed.distinct()
-  }
+      .withColumn("m", md5(col("sh0").cast("binary")))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(m, 1, 7), 16, 10) AS BIGINT)").as("h1"),
+        expr("CAST(conv(substring(m, 8, 7), 16, 10) AS BIGINT)").as("h2"))
+
+  /** The 56-bit combined key h1·2²⁸ + h2 == md5PrefixLong(sh, 14). */
+  private def combinedSh(hh: DataFrame): DataFrame =
+    hh.select(col("doc_id"),
+      (col("h1") * lit(268435456L) + col("h2")).as("sh"))
+
+  /** Distinct 3-token shingles per doc as their 56-bit md5-prefix int64:
+    * (doc_id, sh) — the exact-set form ([[shingleIntersections]] input).
+    * Same rows as the historical explode→md5→distinct: distinct over
+    * (h1, h2) == distinct over the bijective combined key.
+    */
+  private def shingles(docs: DataFrame): DataFrame =
+    combinedSh(shingleHalves(docs).distinct())
 
   /** df≤100-capped inverted-index intersection over a distinct
     * `(doc_id, sh)` shingle set: returns (inter(d1 < d2, inter),
@@ -193,38 +211,51 @@ object DedupQueries extends QueryModule {
     * pipeline over one corpus.
     */
   private[graft] def lshBandPairsOf(docs: DataFrame, seedOffset: Int = 0): DataFrame =
-    bandPairsFromSigs(minhashSigsFromShingles(shingles(docs), seedOffset))
+    bandPairsFromWide(minhashSigsWide(shingleHalves(docs), seedOffset))
 
-  /** 12 minhash values per doc from its (doc_id, sh) shingle set — the
-    * signature stage of [[lshBandPairsOf]], exposed separately so
-    * q_minhash_calibration can score signature agreement against exact
-    * Jaccard without rebuilding shingles. Seeds run
-    * offset..offset+11, so distinct offsets give independent hash
-    * functions from the same `(2i+1)·h1 + (i²+i+1)·h2 + i mod p` family
-    * (coefficients stay < 2⁶ · 2²⁸ — no int64 overflow through
-    * offset 12).
+  /** 12 minhash values per doc as ONE wide row (doc_id, mh0..mh11) from
+    * a (doc_id, h1, h2) shingle-halves frame — the signature stage of
+    * [[lshBandPairsOf]]. Seeds run offset..offset+11, so distinct
+    * offsets give independent hash functions from the same
+    * `(2i+1)·h1 + (i²+i+1)·h2 + i mod p` family (coefficients stay
+    * < 2⁶ · 2²⁸ — no int64 overflow through offset 12). The wide form
+    * replaces the historical explode(seq 0..11) → groupBy(doc_id, seed)
+    * → groupBy(doc_id, band) collect_list chain: one hash aggregate with
+    * 12 codegen'd min buffers, ONE doc-keyed exchange instead of three
+    * (distinct + per-seed + per-band), no ×12 row blowup, no
+    * interpreted array_sort/transform lambdas (guide §2.4, §4.1). Input
+    * multiplicity cannot change a min, so the occurrence frame needs no
+    * distinct; per-seed mins are unchanged.
     */
-  private def minhashSigsFromShingles(sh: DataFrame, seedOffset: Int = 0): DataFrame =
-    sh.withColumn("m", md5(col("sh").cast("binary")))
-      .withColumn("h1", expr("CAST(conv(substring(m, 1, 7), 16, 10) AS BIGINT)"))
-      .withColumn("h2", expr("CAST(conv(substring(m, 8, 7), 16, 10) AS BIGINT)"))
-      .withColumn("seed", explode(expr("sequence(0, 11)")))
-      .withColumn("hv", expr(
-        s"((2 * (seed + $seedOffset) + 1) * h1 + ((seed + $seedOffset) * (seed + $seedOffset) + (seed + $seedOffset) + 1) * h2 + (seed + $seedOffset)) % 2147483647"))
-      .groupBy("doc_id", "seed")
-      .agg(min(col("hv")).as("mh"))
+  private def minhashSigsWide(hh: DataFrame, seedOffset: Int = 0): DataFrame = {
+    val aggs = (0 until 12).map { i =>
+      val s = i + seedOffset
+      min(expr(s"(${2 * s + 1}L * h1 + ${s.toLong * s + s + 1}L * h2 + ${s}L) % 2147483647"))
+        .as(s"mh$i")
+    }
+    hh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
 
-  /** (doc_id, band, band_key) table from a (doc_id, seed, mh) signature
-    * frame — the bucket-key stage of [[lshBandPairsOf]], exposed
-    * separately so q_lsh_bucket_occupancy can audit bucket sizes without
-    * running the pair join.
+  /** The historical long signature form (doc_id, seed, mh) as a
+    * shuffle-free unpivot of [[minhashSigsWide]] — for consumers that
+    * join per (doc_id, seed) (q_minhash_calibration's agreement join).
     */
-  private def bandKeysFromSigs(mh: DataFrame): DataFrame =
-    mh.withColumn("band", expr("CAST(seed div 3 AS INT)"))
-      .groupBy("doc_id", "band")
-      .agg(expr(
-        "array_join(transform(array_sort(collect_list(struct(seed, mh))), x -> CAST(x.mh AS STRING)), ',')")
-        .as("band_key"))
+  private def sigsLongFromWide(wide: DataFrame): DataFrame =
+    wide.selectExpr("doc_id",
+      "stack(12, " + (0 until 12).map(i => s"$i, mh$i").mkString(", ") +
+        ") AS (seed, mh)")
+
+  /** (doc_id, band, band_key) from a wide signature frame — the bucket
+    * keys of the served 4×3 banding as a shuffle-free stack + concat_ws
+    * (band b = seeds 3b..3b+2 in seed order, same comma-joined decimal
+    * strings as the historical collect_list/array_sort path).
+    */
+  private def bandKeysFromWide(wide: DataFrame): DataFrame =
+    wide.selectExpr("doc_id",
+      "stack(4, " + (0 until 4).map { b =>
+        s"$b, concat_ws(',', " +
+          (0 until 3).map(r => s"CAST(mh${3 * b + r} AS STRING)").mkString(", ") + ")"
+      }.mkString(", ") + ") AS (band, band_key)")
 
   /** (doc_id, band, band_key) over an arbitrary (doc_id, text) frame —
     * the per-doc LSH bucket keys of the SERVED 4×3 banding, exposed so
@@ -236,7 +267,7 @@ object DedupQueries extends QueryModule {
     * prior stage entrants.
     */
   private[graft] def bandKeysOf(docs: DataFrame): DataFrame =
-    bandKeysFromSigs(minhashSigsFromShingles(shingles(docs)))
+    bandKeysFromWide(minhashSigsWide(shingleHalves(docs)))
 
   /** Plain-JVM twin of [[bandKeysOf]] for ONE document: (band, band_key)
     * pairs computed row-locally — the form a transformWithState pipeline
@@ -327,14 +358,20 @@ object DedupQueries extends QueryModule {
         FROM $bands a JOIN $bands b
           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)"""
 
-  /** Band-bucket self-join over a (doc_id, seed, mh) signature frame —
-    * the candidate stage of [[lshBandPairsOf]].
+  /** Band-bucket self-join over a wide signature frame — the candidate
+    * stage of [[lshBandPairsOf]]. SHUFFLE_HASH, not broadcast, on
+    * purpose: a corpus-sized band-key table is never broadcastable at
+    * scale (guide §3.1), and the shuffled plan makes the two sides'
+    * exchanges canonically identical so ReuseExchange runs the whole
+    * signature pipeline ONCE — the auto-broadcast plan rebuilt it twice,
+    * once per join side (r17 plan audit: q_dedup_minhash carried two
+    * complete scan→explode→sig subtrees, 18 exchanges).
     */
-  private def bandPairsFromSigs(mh: DataFrame): DataFrame = {
-    val bands = bandKeysFromSigs(mh)
+  private def bandPairsFromWide(wide: DataFrame): DataFrame = {
+    val bands = bandKeysFromWide(wide)
     val a = bands.select(col("band"), col("band_key"), col("doc_id").as("d1"))
     val b = bands.select(col("band"), col("band_key"), col("doc_id").as("d2"))
-    a.join(b, Seq("band", "band_key"))
+    a.hint("shuffle_hash").join(b, Seq("band", "band_key"))
       .filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"))
       .distinct()
@@ -402,8 +439,14 @@ object DedupQueries extends QueryModule {
       // returning (cache scope = this function, the pageRank contract).
       val sc = spark.sparkContext
       val before = sc.getPersistentRDDs.keySet
-      val sh = shingles(withPlants(spark, sfDir), hashed = true).cache()
-      val (inter, sizes) = shingleIntersections(sh)
+      // ONE corpus shingle pass feeds BOTH the exact truth and the LSH
+      // candidates (r17: the candidate side previously re-ran the whole
+      // explode from scratch): the cached distinct (doc_id, h1, h2)
+      // halves serve the 56-bit exact key by projection and the minhash
+      // family directly (per-seed mins are the same over the distinct
+      // set as over occurrences).
+      val hh = shingleHalves(withPlants(spark, sfDir)).distinct().cache()
+      val (inter, sizes) = shingleIntersections(combinedSh(hh))
       val truth = inter
         .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
         .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
@@ -411,8 +454,8 @@ object DedupQueries extends QueryModule {
         .filter(col("jacc") >= 0.6)
         .select(col("d1"), col("d2"))
         .localCheckpoint(true)
-      sh.unpersist(blocking = false)
-      val cand = lshBandPairs(spark, sfDir).localCheckpoint(true)
+      val cand = bandPairsFromWide(minhashSigsWide(hh)).localCheckpoint(true)
+      hh.unpersist(blocking = false)
       val hit = truth.join(cand, Seq("d1", "d2"), "left_semi")
       val out = truth.agg(count(lit(1)).as("n_truth"))
         .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
@@ -559,7 +602,7 @@ object DedupQueries extends QueryModule {
   private val dedupNgramJaccard = QueryDef(
     "q_dedup_ngram_jaccard",
     (spark, sfDir) => {
-      val sh = shingles(withPlants(spark, sfDir), hashed = true).cache()
+      val sh = shingles(withPlants(spark, sfDir)).cache()
       val (inter, sizes) = shingleIntersections(sh)
       inter
         .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
@@ -730,7 +773,7 @@ object DedupQueries extends QueryModule {
         d.filter(col("doc_id") < 5).select(
           (col("doc_id") + 200000).as("doc_id"),
           concat_ws(" ", slice(split(col("text"), " "), 1, 20)).as("text")))
-      val sh = shingles(planted, hashed = true).cache()
+      val sh = shingles(planted).cache()
       val (inter, sizes) = shingleIntersections(sh)
       val directed = inter
         .select(col("d1").as("src"), col("d2").as("dst"), col("inter"))
@@ -940,10 +983,16 @@ object DedupQueries extends QueryModule {
       val sc = spark.sparkContext
       val before = sc.getPersistentRDDs.keySet
       val docs = withPlants(spark, sfDir)
-      val sigs = minhashSigsFromShingles(shingles(docs)).localCheckpoint(true)
-      val cand = bandPairsFromSigs(sigs).localCheckpoint(true)
-      val shH = shingles(docs, hashed = true).cache()
-      val (inter, sizes) = shingleIntersections(shH)
+      // ONE corpus shingle pass feeds the signatures AND the exact
+      // scorer (r17: previously two independent explode+distinct passes,
+      // one per side); the wide 12-min signature row is checkpointed
+      // once and serves both the band join and the per-seed agreement
+      // join (unpivoted shuffle-free via stack).
+      val hh = shingleHalves(docs).distinct().cache()
+      val wide = minhashSigsWide(hh).localCheckpoint(true)
+      val sigs = sigsLongFromWide(wide)
+      val cand = bandPairsFromWide(wide).localCheckpoint(true)
+      val (inter, sizes) = shingleIntersections(combinedSh(hh))
       val est = cand
         .join(sigs.select(col("doc_id").as("d1"), col("seed"), col("mh").as("mh1")), "d1")
         .join(sigs.select(col("doc_id").as("d2"), col("seed"), col("mh").as("mh2")),
@@ -1094,6 +1143,8 @@ object DedupQueries extends QueryModule {
   private val crossSourceOverlap = QueryDef(
     "q_cross_source_overlap",
     (spark, sfDir) => {
+      // NOT scattered (r17): the next shuffle keys on (source, h), so a
+      // doc_id scatter exchange would not be absorbed — measured no-op
       val sh = Tables.documents(spark, sfDir)
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 5)
@@ -1170,8 +1221,11 @@ object DedupQueries extends QueryModule {
         val sc = spark.sparkContext
         val before = sc.getPersistentRDDs.keySet
         val docs = withPlants(spark, sfDir)
-        val run1 = lshBandPairsOf(docs).localCheckpoint(true)
-        val run2 = lshBandPairsOf(docs, seedOffset = 12).localCheckpoint(true)
+        // one explode+hash pass feeds both hash-family runs (r17: each
+        // lshBandPairsOf call previously re-ran the corpus explode)
+        val hh = shingleHalves(docs).cache()
+        val run1 = bandPairsFromWide(minhashSigsWide(hh)).localCheckpoint(true)
+        val run2 = bandPairsFromWide(minhashSigsWide(hh, 12)).localCheckpoint(true)
         val out = run1.agg(count(lit(1)).as("n_run1"))
           .crossJoin(broadcast(run2.agg(count(lit(1)).as("n_run2"))))
           .crossJoin(broadcast(
@@ -1600,16 +1654,16 @@ object DedupQueries extends QueryModule {
         val before = sc.getPersistentRDDs.keySet
         val docs = withPlants(spark, sfDir)
         // one shingle pass, three consumers (the candidateOverlap
-        // discipline): exact scorer reads the re-distinct'd md5-prefix
-        // projection, both independent hash-family runs read the strings
-        val shStr = shingles(docs).cache()
-        val shH = shStr
-          .select(col("doc_id"), expr(Ql.md5PrefixLong("sh", 14)).as("sh"))
-          .distinct()
-        val (inter, sizes) = shingleIntersections(shH)
-        val run1 = bandPairsFromSigs(minhashSigsFromShingles(shStr))
+        // discipline): the cached distinct (doc_id, h1, h2) halves feed
+        // the exact scorer (56-bit key by projection — the old shape
+        // re-distinct'd a string cache per side) and both independent
+        // hash-family runs (min over the distinct set == min over
+        // occurrences)
+        val hh = shingleHalves(docs).distinct().cache()
+        val (inter, sizes) = shingleIntersections(combinedSh(hh))
+        val run1 = bandPairsFromWide(minhashSigsWide(hh))
           .localCheckpoint(true)
-        val run2 = bandPairsFromSigs(minhashSigsFromShingles(shStr, 12))
+        val run2 = bandPairsFromWide(minhashSigsWide(hh, 12))
           .localCheckpoint(true)
         val pairs = run1.select(col("d1"), col("d2"), lit(1L).as("in1"))
           .join(run2.select(col("d1"), col("d2"), lit(1L).as("in2")),
@@ -1709,8 +1763,7 @@ object DedupQueries extends QueryModule {
   private val shingleDfProfile = QueryDef(
     "q_shingle_df_profile",
     (spark, sfDir) => {
-      val df = shingles(Tables.documents(spark, sfDir).select("doc_id", "text"),
-          hashed = true)
+      val df = shingles(Tables.documents(spark, sfDir).select("doc_id", "text"))
         .groupBy("sh").agg(count(lit(1)).as("df"))
         .withColumn("bkt", expr("CAST(floor(log2(CAST(df AS DOUBLE))) AS BIGINT)"))
       val hist = df.groupBy("bkt")
@@ -1760,8 +1813,7 @@ object DedupQueries extends QueryModule {
   private val lshBucketOccupancy = QueryDef(
     "q_lsh_bucket_occupancy",
     (spark, sfDir) => {
-      val buckets = bandKeysFromSigs(minhashSigsFromShingles(
-          shingles(withPlants(spark, sfDir))))
+      val buckets = bandKeysOf(withPlants(spark, sfDir))
         .groupBy("band", "band_key").agg(count(lit(1)).as("c"))
         .withColumn("bkt", expr("CAST(floor(log2(CAST(c AS DOUBLE))) AS BIGINT)"))
       val hist = buckets.groupBy("bkt")
@@ -1797,19 +1849,16 @@ object DedupQueries extends QueryModule {
     * of the band join is candidate-sized. Caller owns block hygiene.
     */
   private[graft] def candidateOverlap(docs: DataFrame): DataFrame = {
-    // ONE corpus shingle pass feeds both sides: the exact-overlap
-    // machinery consumes the md5-prefix projection (re-distinct'd so a
-    // 56-bit collision cannot inflate intersection counts, matching
-    // shingles(hashed = true) exactly), the minhash signatures consume
-    // the string shingles — rebuilding shingles per side doubled the
-    // dominant explode+distinct of the two heaviest queries (review
-    // finding)
-    val shStr = shingles(docs).cache()
-    val shH = shStr
-      .select(col("doc_id"), expr(Ql.md5PrefixLong("sh", 14)).as("sh"))
-      .distinct()
-    val (inter, sizes) = shingleIntersections(shH)
-    bandPairsFromSigs(minhashSigsFromShingles(shStr))
+    // ONE corpus shingle pass feeds both sides: the cached distinct
+    // (doc_id, h1, h2) halves serve the exact-overlap machinery (56-bit
+    // combined key by projection — bijective, so no re-distinct needed;
+    // the old shape cached shingle STRINGS and paid a second distinct
+    // per side) and the minhash signatures directly — rebuilding
+    // shingles per side doubled the dominant explode+distinct of the two
+    // heaviest queries (review finding)
+    val hh = shingleHalves(docs).distinct().cache()
+    val (inter, sizes) = shingleIntersections(combinedSh(hh))
+    bandPairsFromWide(minhashSigsWide(hh))
       .join(inter, Seq("d1", "d2"), "left")
       .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
       .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
@@ -2108,7 +2157,7 @@ object DedupQueries extends QueryModule {
     * banding is the served one. All joins are bucket/pair-keyed. The
     * pair join here deliberately KEEPS the band column (deduping per
     * band, not globally), so it is NOT [[candPairsSqlOver]] /
-    * [[bandPairsFromSigs]] — the per-band attribution is the query's
+    * [[bandPairsFromWide]] — the per-band attribution is the query's
     * subject; the served global-pair rule stays the factored one.
     */
   private val lshBandContribution = QueryDef(
@@ -2195,7 +2244,10 @@ object DedupQueries extends QueryModule {
         .select((col("doc_id") + 400000).as("doc_id"), col("lang"),
           regexp_replace(col("text"), "^\\S+", "qqq").as("text"))
         .filter(expr(SamplingQueries.bucketExpr("doc_id")) >= 90)
-      val corpus = base.unionByName(plants).localCheckpoint(true)
+      // scatter BEFORE the checkpoint: the union-of-scans is 1-file
+      // skewed (single row group per file), and the checkpointed layout
+      // is what every downstream fan-out inherits
+      val corpus = Tables.scatter(base.unionByName(plants)).localCheckpoint(true)
       val pj = candidateOverlap(corpus.select(col("doc_id"), col("text")))
       val buck = corpus.select(col("doc_id"),
         expr(SamplingQueries.bucketExpr("doc_id")).as("b"))

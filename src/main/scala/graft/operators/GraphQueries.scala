@@ -80,12 +80,30 @@ object GraphQueries extends QueryModule {
     // time in verify/bench/specs, so everything persisted between here
     // and the post-loop snapshot is ours to release
     val before = sc.getPersistentRDDs.keySet
-    val edges = edgesIn.localCheckpoint(true)
+    // checkpoint the edge table PRE-PARTITIONED by src with the
+    // partitioning DECLARED on the flat leaf (CheckpointBridge): a plain
+    // localCheckpoint under AQE reports unknown partitioning and every
+    // round re-shuffles the full edge table (verified via Scratch
+    // copart_check), while a .cache() keeps the partitioning but not the
+    // lineage truncation — the per-round Catalyst re-analysis over the
+    // un-truncated subtree tripled the loop (measured 5.5 → 15.4 s,
+    // NOTES #13). With the declared leaf, every round's src-keyed join
+    // STREAMS the edges in place and only the small weight side moves
+    // (guide §2.4; at 100 TB: rounds × |nodes| instead of
+    // rounds × |edges| shuffled bytes). SHUFFLE_HASH hints keep the
+    // joins sort-free — SMJ would re-sort the checkpointed edges every
+    // round, and the broadcast alternative rebuilds + ships the weight
+    // table per round.
+    val edges = org.apache.spark.sql.graftbridge.CheckpointBridge
+      .localCheckpointPartitionedBy(edgesIn, Seq("src"))
     // deg and the node count feed EVERY round — materialize once, or
     // each iteration re-runs their aggregations over the edge table
-    // (measured: 9.5 s → ~5.5 s at sf0.1 for the whole query)
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+    // (measured: 9.5 s → ~5.5 s at sf0.1 for the whole query); deg's
+    // aggregation inherits the declared src partitioning (no exchange)
+    // and is re-declared on its own checkpoint for the per-round join
+    val deg = org.apache.spark.sql.graftbridge.CheckpointBridge
+      .localCheckpointPartitionedBy(
+        edges.groupBy("src").agg(count(lit(1)).as("d")), Seq("src"))
     // node count as a 1-row broadcast, not a driver-side collect
     val nRow = edges.agg(countDistinct(col("src")).cast("double").as("n"))
       .localCheckpoint(true)
@@ -96,9 +114,9 @@ object GraphQueries extends QueryModule {
       // weight each node's outgoing contribution once, then fan out
       // along edges and sum per destination — no dangling-node
       // redistribution term because every src is also a dst
-      val wt = ranks.join(deg, ranks("node") === deg("src"))
+      val wt = ranks.join(deg.hint("shuffle_hash"), ranks("node") === deg("src"))
         .select(col("src"), (col("pr") / col("d")).as("w"))
-      ranks = edges.join(wt, "src")
+      ranks = edges.join(wt.hint("shuffle_hash"), "src")
         .groupBy(col("dst"))
         .agg(sum(col("w")).as("s"))
         .crossJoin(broadcast(nRow))
@@ -135,9 +153,13 @@ object GraphQueries extends QueryModule {
       maxRounds: Int = 100): (org.apache.spark.sql.DataFrame, Int) = {
     val sc = edgesIn.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    val edges = edgesIn.localCheckpoint(true)
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+    // src-partitioned declared checkpoints + sort-free hash joins: same
+    // rationale and measurements as [[pageRank]]
+    val edges = org.apache.spark.sql.graftbridge.CheckpointBridge
+      .localCheckpointPartitionedBy(edgesIn, Seq("src"))
+    val deg = org.apache.spark.sql.graftbridge.CheckpointBridge
+      .localCheckpointPartitionedBy(
+        edges.groupBy("src").agg(count(lit(1)).as("d")), Seq("src"))
     val nRow = edges.agg(countDistinct(col("src")).cast("double").as("n"))
       .localCheckpoint(true)
     var ranks = deg.crossJoin(broadcast(nRow))
@@ -146,9 +168,9 @@ object GraphQueries extends QueryModule {
     var rounds = 0
     var delta = Double.MaxValue
     while (delta >= tol && rounds < maxRounds) {
-      val wt = ranks.join(deg, ranks("node") === deg("src"))
+      val wt = ranks.join(deg.hint("shuffle_hash"), ranks("node") === deg("src"))
         .select(col("src"), (col("pr") / col("d")).as("w"))
-      val next = edges.join(wt, "src")
+      val next = edges.join(wt.hint("shuffle_hash"), "src")
         .groupBy(col("dst"))
         .agg(sum(col("w")).as("s"))
         .crossJoin(broadcast(nRow))

@@ -136,7 +136,7 @@ object PipelineQueries extends QueryModule {
     */
   private[graft] def contamShingles(corpus: org.apache.spark.sql.DataFrame,
       keyCol: String): org.apache.spark.sql.DataFrame =
-    corpus
+    Tables.scatter(corpus)
       .withColumn("b", expr(SamplingQueries.bucketExpr("doc_id")))
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 5)
@@ -321,7 +321,7 @@ object PipelineQueries extends QueryModule {
     "q_contam_ngram_sweep",
     (spark, sfDir) => {
       val ns = Seq(5, 8, 13)
-      val sh = Tables.documents(spark, sfDir)
+      val sh = Tables.scatter(Tables.documents(spark, sfDir))
         .withColumn("b", expr(SamplingQueries.bucketExpr("doc_id")))
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= ns.min)

@@ -1090,19 +1090,24 @@ object SimilarityQueries extends QueryModule {
       var best = e.select(col("vec_id"), lit(0.0).as("best"))
         .localCheckpoint(true)
       var sel: org.apache.spark.sql.DataFrame = null
-      // per-round block release (review finding): the round's similarity
-      // matrix and the PREVIOUS round's best/cands snapshots are dead as
-      // soon as this round's frames are checkpointed — releasing them in
-      // the loop bounds the peak footprint to ~one matrix instead of five
+      // The similarity matrix is NOT materialized (r17): the old shape
+      // localCheckpointed the |corpus|×|pool| sims frame per round to
+      // share it between the pick and the coverage update — two extra
+      // eager jobs per round locally, and at 100 TB a corpus×pool
+      // materialization no sane plan would make. The matrix is a cheap
+      // streaming computation off the checkpointed e/best leaves
+      // (broadcast pool + codegen dot products), so the pick and the
+      // update each stream it once: 2 eager jobs per round instead of 4,
+      // nothing corpus×pool ever stored (guide §1.2: fix the shape, not
+      // the constants). Per-round release now only retires the previous
+      // round's best snapshot.
       var prevRoundIds: Set[Int] = Set.empty
       for (r <- 1 to 5) {
         val preRound = sc.getPersistentRDDs.keySet
-        val sims = e.join(best, "vec_id")
+        def sims = e.join(best, "vec_id")
           .crossJoin(broadcast(cands))
           .select(col("vec_id"), col("c"),
             Ql.r(Vectors.dot(col("v"), col("cv")), 6).as("sim"), col("best"))
-          .localCheckpoint(true) // reused by the pick and the coverage update
-        val simsIds = (sc.getPersistentRDDs.keySet -- preRound).toSet
         val picked = sims
           .selectExpr("c",
             s"CAST(${Ql.R("greatest(sim - best, 0e0) * 1000000", 0)} AS BIGINT) AS tu")
@@ -1110,23 +1115,20 @@ object SimilarityQueries extends QueryModule {
           .orderBy(col("gu").desc, col("c")).limit(1)
           .withColumn("rank", lit(r))
           .localCheckpoint(true) // 1 row — read again by sel AFTER the loop
-        val pickedIds = (sc.getPersistentRDDs.keySet -- preRound).toSet -- simsIds
+        val pickedIds = (sc.getPersistentRDDs.keySet -- preRound).toSet
         best = sims.join(broadcast(picked.select("c")), "c")
           .select(col("vec_id"), greatest(col("best"), col("sim")).as("best"))
           .localCheckpoint(true)
         cands = cands.join(picked.select("c"), Seq("c"), "left_anti")
-          .localCheckpoint(true)
         sel = if (sel == null) picked else sel.unionByName(picked)
-        // dead: this round's similarity matrix + the PREVIOUS round's
-        // best/cands snapshots. NEVER the picked rows — sel reads every
-        // picked checkpoint after the loop, and a released localCheckpoint
-        // cannot be recomputed.
-        val dead = simsIds ++ prevRoundIds
+        // dead: the PREVIOUS round's best snapshot. NEVER the picked rows
+        // — sel reads every picked checkpoint after the loop, and a
+        // released localCheckpoint cannot be recomputed.
         sc.getPersistentRDDs
-          .filter { case (id, _) => dead(id) }
+          .filter { case (id, _) => prevRoundIds(id) }
           .values.foreach(_.unpersist(blocking = false))
         prevRoundIds =
-          (sc.getPersistentRDDs.keySet -- preRound).toSet -- simsIds -- pickedIds
+          (sc.getPersistentRDDs.keySet -- preRound).toSet -- pickedIds
       }
       val out = sel
         .withColumn("objective", Ql.r(
