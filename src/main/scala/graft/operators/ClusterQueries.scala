@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, QueryModule}
+import graft.{QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -32,7 +32,9 @@ object ClusterQueries extends QueryModule {
     * surface over a chain-planted corpus instead of re-implementing it.
     */
   private def edgesOf(planted: DataFrame): DataFrame = {
-    val psh = planted
+    // scatter: single-row-group scan parallelism fix (Tables.scatter
+    // doc); the exchange is absorbed by the (doc_id, sh) distinct below
+    val psh = Tables.scatter(planted)
       .withColumn("toks", expr("slice(split(text, ' '), 1, 12)"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
