@@ -387,7 +387,10 @@ object CurationQueries extends QueryModule {
   private val dupGramCoverage = QueryDef(
     "q_dup_gram_coverage",
     (spark, sfDir) => {
-      val grams = Tables.documents(spark, sfDir)
+      // scatter by doc_id: absorbed by the (doc_id, g) distinct below,
+      // and the 5-gram explode + md5 runs 32-way instead of on the
+      // single-row-group scan task
+      val grams = graft.Tables.scatter(Tables.documents(spark, sfDir))
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 5)
         .select(col("doc_id"), explode(expr(

@@ -926,7 +926,10 @@ object DedupQueries extends QueryModule {
   private val ngramNovelty = QueryDef(
     "q_ngram_novelty",
     (spark, sfDir) => {
-      val grams = withPlants(spark, sfDir)
+      // scatter by doc_id: absorbed by the (doc_id, g) distinct (doc_id
+      // is a subset of its grouping keys), so the 8-gram explode + md5
+      // runs 32-way instead of on the single-row-group scan task
+      val grams = Tables.scatter(withPlants(spark, sfDir))
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 8)
         .select(col("doc_id"), explode(expr(
@@ -1333,7 +1336,10 @@ object DedupQueries extends QueryModule {
     "q_dedup_winnowing",
     (spark, sfDir) => {
       import org.apache.spark.sql.expressions.Window
-      val grams = withPlants(spark, sfDir)
+      // scatter by doc_id: absorbed by the per-doc fingerprint window's
+      // own partitioning (same key), so the 4-gram explode + md5 runs
+      // 32-way instead of on the single-row-group scan task
+      val grams = Tables.scatter(withPlants(spark, sfDir))
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 7) // k + w - 1: shorter docs have no window
         .select(col("doc_id"), (size(col("toks")) - 3).as("g"), posexplode(expr(
@@ -1341,19 +1347,28 @@ object DedupQueries extends QueryModule {
         .select(col("doc_id"), col("g"), col("pos").as("i"),
           expr(Ql.md5PrefixLong("col", 14)).as("h"))
       val wWin = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+      // cache: with the scatter exchange absorbed by the window there is
+      // no shared gram exchange left for AQE to reuse, and the four
+      // consumers (df count, anti join, both self-join sides) would each
+      // re-run the explode+window pipeline — cache the fingerprint table
+      // (≈ grams/w rows) so it materializes once, released before return
       val fps = grams
         .withColumn("minh", min(col("h")).over(wWin))
         .filter(col("i") <= col("g") - 4) // complete windows only
         .select(col("doc_id"), col("minh")).distinct()
+        .cache()
       val hot = fps.groupBy("minh").agg(count(lit(1)).as("df"))
         .filter(col("df") > 100).select("minh")
       val rare = fps.join(broadcast(hot), Seq("minh"), "left_anti")
-      rare.select(col("minh"), col("doc_id").as("d1"))
+      val out = rare.select(col("minh"), col("doc_id").as("d1"))
         .join(rare.select(col("minh"), col("doc_id").as("d2")), "minh")
         .filter(col("d1") < col("d2"))
         .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 2)
         .orderBy("d1", "d2")
+        .localCheckpoint(true) // pair-table-sized; lets the cache release
+      fps.unpersist(false)
+      out
     },
     Some(s"""
       WITH grams AS (

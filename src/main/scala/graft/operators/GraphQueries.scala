@@ -565,11 +565,23 @@ object GraphQueries extends QueryModule {
       var hub = edges.select(col("c")).distinct().withColumn("h", lit(1.0))
       var auth: org.apache.spark.sql.DataFrame = null
       for (_ <- 1 to 3) {
+        // node-sized checkpoint per half-round (r17 session 2): rawA/rawH
+        // each feed TWO consumers (the 1-row normalizer and the next
+        // half-round's weight table), and without a barrier the corpus-
+        // sized edges⋈weights+agg subtree evaluates once per consumer —
+        // AQE reuses the exchange but re-runs the broadcast/agg stages,
+        // and the fused final plan re-analyzes the whole 6-half-round
+        // lineage. One eager node-table materialization per half-round
+        // (measured: 10.3 → 4.2 s steady in Scratch) replaces that; at
+        // 100 TB the checkpoint is |nodes| rows against a rounds × |edges|
+        // double evaluation.
         val rawA = edges.join(hub, "c").groupBy("p").agg(sum(col("h")).as("a0"))
+          .localCheckpoint(true)
         val sumA = rawA.agg(sum(col("a0")).as("sa"))
         auth = rawA.crossJoin(broadcast(sumA))
           .select(col("p"), Ql.r(col("a0") / col("sa"), 7).as("a"))
         val rawH = edges.join(auth, "p").groupBy("c").agg(sum(col("a")).as("h0"))
+          .localCheckpoint(true)
         val sumH = rawH.agg(sum(col("h0")).as("sh"))
         hub = rawH.crossJoin(broadcast(sumH))
           .select(col("c"), Ql.r(col("h0") / col("sh"), 7).as("h"))

@@ -321,19 +321,24 @@ object PipelineQueries extends QueryModule {
     "q_contam_ngram_sweep",
     (spark, sfDir) => {
       val ns = Seq(5, 8, 13)
+      // two-level explode (r17 session 2): explode the n grid first, then
+      // the per-n gram transform — same (doc_id, b, n, sh) set as the old
+      // single flatten-of-struct-arrays explode, but without building a
+      // struct per gram inside a doubly-nested interpreted lambda (the
+      // named_struct allocation per gram and the flatten copy go away;
+      // the md5 stays a post-explode codegen'd projection)
       val sh = Tables.scatter(Tables.documents(spark, sfDir))
         .withColumn("b", expr(SamplingQueries.bucketExpr("doc_id")))
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= ns.min)
-        .select(col("doc_id"), col("b"), explode(expr(
-          s"""flatten(transform(array(${ns.mkString(", ")}), n ->
-                CASE WHEN size(toks) >= n
-                  THEN transform(sequence(0, size(toks) - n),
-                         i -> named_struct('n', n, 'sh0', concat_ws(' ', slice(toks, i + 1, n))))
-                  ELSE CAST(array() AS ARRAY<STRUCT<n: INT, sh0: STRING>>) END))"""))
-          .as("g"))
-        .select(col("doc_id"), col("b"), col("g.n").as("n"),
-          expr(Ql.md5PrefixLong("g.sh0", 14)).as("sh"))
+        .select(col("doc_id"), col("b"), col("toks"),
+          explode(array(ns.map(lit): _*)).as("n"))
+        .filter(size(col("toks")) >= col("n"))
+        .select(col("doc_id"), col("b"), col("n"), explode(expr(
+          "transform(sequence(0, size(toks) - n), i -> concat_ws(' ', slice(toks, i + 1, n)))"))
+          .as("sh0"))
+        .select(col("doc_id"), col("b"), col("n"),
+          expr(Ql.md5PrefixLong("sh0", 14)).as("sh"))
         .distinct()
         .cache()
       val trainSh = sh.filter(col("b") < 90).select("n", "sh").distinct()
@@ -1133,7 +1138,11 @@ object PipelineQueries extends QueryModule {
     "q_contam_run_length",
     (spark, sfDir) => {
       import org.apache.spark.sql.expressions.Window
-      val grams = Tables.documents(spark, sfDir)
+      // scatter by doc_id: the cache below materializes the scattered
+      // layout, the hit-position windows re-use the doc_id clustering,
+      // and the 5-gram posexplode + md5 runs 32-way instead of on the
+      // single-row-group scan task
+      val grams = Tables.scatter(Tables.documents(spark, sfDir))
         .withColumn("b", expr(SamplingQueries.bucketExpr("doc_id")))
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 5)

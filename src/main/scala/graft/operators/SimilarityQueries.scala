@@ -1116,8 +1116,21 @@ object SimilarityQueries extends QueryModule {
           .withColumn("rank", lit(r))
           .localCheckpoint(true) // 1 row — read again by sel AFTER the loop
         val pickedIds = (sc.getPersistentRDDs.keySet -- preRound).toSet
-        best = sims.join(broadcast(picked.select("c")), "c")
-          .select(col("vec_id"), greatest(col("best"), col("sim")).as("best"))
+        // coverage update against the ONE picked vector, not the whole
+        // pool: the old `sims ⋈ picked` kept only the picked candidate's
+        // rows but still COMPUTED corpus × pool dot products first (the
+        // broadcast hash join probes the projected rows; Catalyst never
+        // pushes a join below the projection that builds `sim`). Joining
+        // the 1-row picked vector in before the dot product makes the
+        // update corpus × 1 work — identical values (same vectors, same
+        // 6-dp rounding), and at 100 TB the difference between one
+        // corpus-sized pass and a corpus × pool pass per round.
+        val pickedVec = cands.join(picked.select("c"), Seq("c"))
+        best = e.join(best, "vec_id")
+          .crossJoin(broadcast(pickedVec))
+          .select(col("vec_id"),
+            greatest(col("best"),
+              Ql.r(Vectors.dot(col("v"), col("cv")), 6)).as("best"))
           .localCheckpoint(true)
         cands = cands.join(picked.select("c"), Seq("c"), "left_anti")
         sel = if (sel == null) picked else sel.unionByName(picked)

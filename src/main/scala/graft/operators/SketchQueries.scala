@@ -104,7 +104,11 @@ object SketchQueries extends QueryModule {
       val k = 3
       val m = 1 << 22
       val posOf = Ql.md5PrefixLong("concat(cast(salt AS STRING), ':', sh0)", 14)
-      val grams = Tables.documents(spark, sfDir)
+      // scatter: the 5-gram explode plus FOUR md5s per occurrence (gh +
+      // 3 salted positions) otherwise runs on the single-row-group scan's
+      // one task; the cache right below materializes whatever partitioning
+      // the exchange gives, so the fan-out runs 32-way (guide §2.5)
+      val grams = graft.Tables.scatter(Tables.documents(spark, sfDir))
         .withColumn("b", expr(SamplingQueries.bucketExpr("doc_id")))
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 5)
