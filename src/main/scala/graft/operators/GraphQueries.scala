@@ -770,7 +770,12 @@ object GraphQueries extends QueryModule {
         .localCheckpoint(true)
       var stats: org.apache.spark.sql.DataFrame = null
       for (round <- 1 to 3) {
-        val d = e.groupBy("src").agg(count(lit(1)).as("d"))
+        // node-sized checkpoint (r17 session 2, the kcoreConverged shape):
+        // d feeds the keep filter (inside this round's edge checkpoint)
+        // AND the stats row (evaluated by the final action) — without the
+        // barrier each round's degree aggregation over the edge table
+        // runs twice (measured 5.2 → 4.5 s steady in Scratch)
+        val d = e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint(true)
         val keep = d.filter(col("d") >= k).select("src")
         val next = e.join(keep, "src")
           .join(keep.select(col("src").as("dst")), "dst")

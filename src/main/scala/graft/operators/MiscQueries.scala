@@ -236,9 +236,16 @@ object MiscQueries extends QueryModule {
       // the recursive scope (measured 6.9 s → ~1.5 s at sf0.1)
       val pairs = GraphQueries.itemPairs(GraphQueries.orderItems(spark, sfDir))
         .filter(col("s_ab") >= 2)
-      pairs.select(col("a").as("u"), col("b").as("v"))
-        .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
-        .localCheckpoint(true)
+      // declared-u layout on the checkpoint (r17 session 2, the pageRank
+      // bridge): every recursion level joins `e.u = r.part`, and a plain
+      // localCheckpoint reports UNKNOWN partitioning under AQE, so each
+      // level re-shuffled the full edge table — with the declared leaf
+      // only the (smaller) frontier side moves per level
+      org.apache.spark.sql.graftbridge.CheckpointBridge
+        .localCheckpointPartitionedBy(
+          pairs.select(col("a").as("u"), col("b").as("v"))
+            .unionByName(pairs.select(col("b").as("u"), col("a").as("v"))),
+          Seq("u"))
         .createOrReplaceTempView("v_edges_rec")
       spark.sql("""
         WITH RECURSIVE

@@ -945,6 +945,12 @@ object PipelineQueries extends QueryModule {
   private val negativeSampling = QueryDef(
     "q_negative_sampling",
     (spark, sfDir) => {
+      // NOT declared-layout (r17 session 2, falsified): checkpointing pos
+      // hash-partitioned by user cannot remove the rejection join's
+      // exchanges — the join keys are (user, neg_item), Spark 4 requires
+      // ALL cluster keys for co-partitioning (requireAllClusterKeysFor-
+      // CoPartition=true), and neg_item is computed on the candidate side
+      // so that side must shuffle regardless. Plain eager checkpoint.
       val pos = Tables.orders(spark, sfDir)
         .join(Tables.lineitem(spark, sfDir),
           col("o_orderkey") === col("l_orderkey"))

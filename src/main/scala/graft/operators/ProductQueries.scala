@@ -402,12 +402,18 @@ object ProductQueries extends QueryModule {
           col("l_quantity").cast("long").as("q"),
           Ql.r(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
           weekofyear(col("o_orderdate")).as("wk"), year(col("o_orderdate")).as("yr"))
+      // ONE pass over the join feeds all three aggregates (r17 session 2):
+      // the old shape checkpointed the raw join and re-aggregated it three
+      // times (week roster, per-part revenue, weekly CV sums); the
+      // (part, yr, wk) rollup is the common prefix of all three, so
+      // checkpoint THAT (weekly-cell-sized, not lineitem-sized) and derive
+      // each from it. rev = Σ cents = Σ weekly Σ cents exactly (BIGINT).
+      val wk0 = li.groupBy("l_partkey", "yr", "wk")
+        .agg(sum("q").as("wq"), sum("cents").as("wcents"))
         .localCheckpoint(true)
-      val weeks = li.select("yr", "wk").distinct().agg(count(lit(1)).as("nw"))
-      val parts = li.groupBy("l_partkey")
-        .agg(sum("cents").as("rev"), sum("q").as("qty"))
-      val wkly = li.groupBy("l_partkey", "yr", "wk").agg(sum("q").as("wq"))
-        .groupBy("l_partkey")
+      val weeks = wk0.select("yr", "wk").distinct().agg(count(lit(1)).as("nw"))
+      val parts = wk0.groupBy("l_partkey").agg(sum("wcents").as("rev"))
+      val wkly = wk0.groupBy("l_partkey")
         .agg(sum("wq").as("sq"), sum(expr("wq * wq")).as("sq2"))
       // two-level ascending cumulative revenue: bucket revenue sums +
       // in-bucket running sums, offsets from the <=64-row histogram
