@@ -104,8 +104,14 @@ object GraphQueries extends QueryModule {
     val deg = org.apache.spark.sql.graftbridge.CheckpointBridge
       .localCheckpointPartitionedBy(
         edges.groupBy("src").agg(count(lit(1)).as("d")), Seq("src"))
-    // node count as a 1-row broadcast, not a driver-side collect
-    val nRow = edges.agg(countDistinct(col("src")).cast("double").as("n"))
+    // node count as a 1-row broadcast, not a driver-side collect —
+    // derived from the checkpointed DEGREE table (one row per src, so
+    // count(*) == countDistinct(src) over edges exactly) instead of a
+    // second distinct-aggregate pass over the edge table (r17 session 2;
+    // leaving the initial rank frame lazy instead was measured and
+    // REGRESSED 8.0 → 11.4 s — the un-truncated crossJoin subtree rides
+    // into all four fused rounds of the first cadence window)
+    val nRow = deg.agg(count(lit(1)).cast("double").as("n"))
       .localCheckpoint(true)
     var ranks = deg.crossJoin(broadcast(nRow))
       .select(col("src").as("node"), (lit(1.0) / col("n")).as("pr"))
